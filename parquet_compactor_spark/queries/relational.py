@@ -1,0 +1,465 @@
+"""Core relational operators: filter, aggregate, join, window, sort, set ops.
+
+Coverage map: SURVEY.md §2B (Projections/filters, Joins, Aggregations,
+Window functions, Sorts/limits, Set ops). The reference itself is a
+single-table ETL job (parquet_compactor.py:295-328) — this module is the
+query surface the north star requires, expressed Catalyst-first:
+
+- filters are plain ``F.col`` predicates → parquet predicate pushdown;
+- small-dimension joins are explicitly ``F.broadcast`` (region/nation/
+  customer-scale dims stay map-side at any fact-table scale);
+- aggregations use built-in hash aggregates (partial + final, map-side
+  combine is automatic);
+- windows partition by high-cardinality keys (custkey) so state is bounded
+  per partition at 100 TB.
+
+All computed columns aliased to match the oracle SQL exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from parquet_compactor_spark.registry import load, register
+
+
+# --------------------------------------------------------------------------
+# Aggregations
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_agg_pricing",
+    oracle="""
+    SELECT
+        l_returnflag,
+        l_linestatus,
+        ROUND(SUM(l_quantity), 2)                                    AS sum_qty,
+        ROUND(SUM(l_extendedprice), 2)                               AS sum_base_price,
+        ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
+        ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        ROUND(AVG(l_quantity), 4)                                    AS avg_qty,
+        ROUND(AVG(l_extendedprice), 4)                               AS avg_price,
+        ROUND(AVG(l_discount), 4)                                    AS avg_disc,
+        COUNT(*)                                                     AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1-shaped pricing summary (flagship). Scan→filter→hash-agg; "
+    "filter pushed to parquet, partial aggregation map-side.",
+)
+def q_agg_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q_filter_pushdown",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6-shaped selective scan: every predicate is pushdown-able "
+    "(range on timestamp + doubles) so the parquet reader row-group-skips.",
+)
+def q_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.03, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "q_agg_distinct",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*)                    AS n_customers,
+           COUNT(DISTINCT c_nationkey) AS n_nations,
+           ROUND(SUM(c_acctbal), 2)    AS total_acctbal
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+    doc="Distinct aggregation: Catalyst expands COUNT DISTINCT into a "
+    "two-stage expand+agg, still fully parallel.",
+)
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+    )
+
+
+@register(
+    "q_rollup",
+    oracle="""
+    SELECT l_returnflag,
+           l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           COUNT(*)                  AS n_rows
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="Hierarchical rollup (GROUPING SETS): subtotals + grand total in one "
+    "pass via Expand; no driver-side looping.",
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    return l.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Joins
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_join_broadcast",
+    oracle="""
+    SELECT n.n_name,
+           r.r_name,
+           COUNT(*)                 AS n_customers,
+           ROUND(AVG(c.c_acctbal), 4) AS avg_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY n.n_name, r.r_name
+    """,
+    doc="Star-schema dim join: nation/region are broadcast (map-side hash "
+    "join, zero shuffle of the fact side) — the only plan that survives a "
+    "100 TB fact table.",
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
+        )
+    )
+
+
+@register(
+    "q_join_multiway",
+    oracle="""
+    SELECT n.n_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           COUNT(*) AS n_lineitems
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n.n_name
+    """,
+    doc="Multiway fact⋈fact⋈dim join (TPC-H Q5 shape): lineitem⋈orders is a "
+    "shuffle join on orderkey (both sides large); customer/nation broadcast. "
+    "AQE re-sizes the shuffle and splits skewed keys at runtime.",
+)
+def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+@register(
+    "q_semi_join",
+    oracle="""
+    SELECT c.c_mktsegment, COUNT(*) AS n_customers
+    FROM customer c
+    WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+    )
+    GROUP BY c.c_mktsegment
+    """,
+    doc="Left-semi join (EXISTS): customers with ≥1 urgent order. Semi join "
+    "never duplicates the probe side — safe at any orders-per-customer skew.",
+)
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@register(
+    "q_anti_join",
+    oracle="""
+    SELECT c.c_mktsegment, COUNT(*) AS n_customers
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c.c_mktsegment
+    """,
+    doc="Left-anti join (NOT EXISTS): customers with no orders.",
+)
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@register(
+    "q_range_join",
+    oracle="""
+    SELECT e1.event_id,
+           COUNT(e2.event_id) AS n_prior_events
+    FROM events e1
+    LEFT JOIN events e2
+      ON e1.user_id = e2.user_id
+     AND e2.ts >= e1.ts - INTERVAL 1 HOUR
+     AND e2.ts <  e1.ts
+    GROUP BY e1.event_id
+    """,
+    doc="Range (theta) self-join: per event, how many events the same user "
+    "fired in the preceding hour. Equi-key on user_id keeps the join "
+    "hash-partitioned; the time range is a residual predicate — at scale "
+    "this stays one shuffle on user_id (band-bucketing would bound worst-"
+    "case skew further).",
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    e1 = e.select(
+        F.col("event_id"), F.col("user_id").alias("u1"), F.col("ts").alias("ts1")
+    )
+    e2 = e.select(F.col("user_id").alias("u2"), F.col("ts").alias("ts2"))
+    joined = e1.join(
+        e2,
+        (F.col("u1") == F.col("u2"))
+        & (F.col("ts2") >= F.col("ts1") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("ts2") < F.col("ts1")),
+        "left",
+    )
+    return joined.groupBy("event_id").agg(F.count("ts2").alias("n_prior_events"))
+
+
+# --------------------------------------------------------------------------
+# Window functions
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_window_topn",
+    oracle="""
+    SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS total_price, rn
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey
+               ) AS rn
+        FROM orders
+    )
+    WHERE rn <= 3
+    """,
+    doc="Per-group top-N via row_number window; deterministic tie-break on "
+    "orderkey. Partitioned by custkey → per-partition state is O(orders per "
+    "customer), never global.",
+)
+def q_window_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("total_price"),
+            "rn",
+        )
+    )
+
+
+@register(
+    "q_window_running",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 2) AS running_total
+    FROM orders
+    """,
+    doc="Running (cumulative) sum per customer ordered by orderdate; "
+    "ROWS frame + orderkey tie-break makes it deterministic.",
+)
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+@register(
+    "q_window_lag",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(o_totalprice - LAG(o_totalprice, 1, 0.0) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ), 2) AS delta_vs_prev
+    FROM orders
+    """,
+    doc="LAG window: per-customer order-to-order price delta.",
+)
+def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(
+            F.col("o_totalprice") - F.lag("o_totalprice", 1, 0.0).over(w), 2
+        ).alias("delta_vs_prev"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Sorts / limits / top-k
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_topk",
+    oracle="""
+    SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS total_price
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+    doc="Global top-k: Spark plans ORDER BY+LIMIT as TakeOrderedAndProject "
+    "(per-partition heap + driver merge of k rows) — no global sort.",
+)
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("total_price"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Set operations
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_union_dedup",
+    oracle="""
+    SELECT nationkey FROM (
+        SELECT c_nationkey AS nationkey FROM customer
+        UNION
+        SELECT s_nationkey AS nationkey FROM supplier
+    )
+    """,
+    doc="UNION (deduplicating): nation keys present among customers or "
+    "suppliers. unionByName → hash-distinct.",
+)
+def q_union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.unionByName(s).distinct()
+
+
+@register(
+    "q_intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    doc="INTERSECT: nation keys with both customers and suppliers.",
+)
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@register(
+    "q_except",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    doc="EXCEPT: nation keys with customers but no suppliers.",
+)
+def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.subtract(s)

@@ -1,0 +1,214 @@
+"""Scalar-function queries: string/regex, date, JSON, array/vector math.
+
+The reference's only scalar logic is path-string surgery and date
+arithmetic (parquet_compactor.py:188-189,236-244,275,286-289 — split/regex/
+strftime/relativedelta). Here those function families become column
+expressions over the analytic tables, plus the array/JSON families the
+fixtures carry (events.props JSON, embeddings.embedding array<float>).
+
+Everything stays JVM-side (whole-stage codegen) — no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parquet_compactor_spark.registry import load, register
+
+
+@register(
+    "q_string_extract",
+    oracle="""
+    SELECT CAST(regexp_extract(c_name, 'Customer#([0-9]+)', 1) AS BIGINT) AS cust_id,
+           upper(c_mktsegment)  AS seg_upper,
+           length(c_name)       AS name_len,
+           substr(c_name, 1, 8) AS name_prefix
+    FROM customer
+    WHERE c_name LIKE 'Customer#%'
+    """,
+    doc="String surgery — regexp_extract/upper/length/substr. Mirrors the "
+    "reference's partition-key extraction (determine_base_file_name, "
+    "parquet_compactor.py:236-244) as a columnar regexp_extract.",
+)
+def q_string_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    return c.filter(F.col("c_name").like("Customer#%")).select(
+        F.regexp_extract("c_name", r"Customer#([0-9]+)", 1).cast("bigint").alias("cust_id"),
+        F.upper("c_mktsegment").alias("seg_upper"),
+        F.length("c_name").alias("name_len"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+    )
+
+
+@register(
+    "q_date_buckets",
+    oracle="""
+    SELECT strftime(o_orderdate, '%Y-%m')     AS order_month,
+           COUNT(*)                           AS n_orders,
+           ROUND(SUM(o_totalprice), 2)        AS month_revenue
+    FROM orders
+    GROUP BY strftime(o_orderdate, '%Y-%m')
+    """,
+    doc="Date bucketing: month truncation → agg. Mirrors the reference's "
+    "year=/month= partition convention (parquet_compactor.py:252-255) as a "
+    "date_format expression; on a partitioned lake this prunes instead.",
+)
+def q_date_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("order_month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("month_revenue"),
+        )
+    )
+
+
+@register(
+    "q_date_arithmetic",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(strftime(o_orderdate, '%Y-%m-%d') AS VARCHAR)                  AS order_day,
+           CAST(strftime(o_orderdate + INTERVAL 90 DAY, '%Y-%m-%d') AS VARCHAR) AS due_day,
+           CAST(date_part('dow', o_orderdate) AS INT)                          AS order_dow
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+    """,
+    doc="Date arithmetic: day addition (the reference's 5-day hold-back "
+    "relativedelta, parquet_compactor.py:275) and day-of-week extraction.",
+)
+def q_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")).select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
+        F.date_format(F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"), "yyyy-MM-dd").alias(
+            "due_day"
+        ),
+        # Spark dayofweek: 1=Sunday; DuckDB dow: 0=Sunday.
+        (F.dayofweek("o_orderdate") - F.lit(1)).cast("int").alias("order_dow"),
+    )
+
+
+@register(
+    "q_json_props",
+    oracle="""
+    SELECT event_type,
+           COUNT(*)                                                        AS n_events,
+           ROUND(AVG(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)), 4) AS avg_k,
+           ROUND(SUM(value), 2)                                            AS total_value
+    FROM events
+    WHERE CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) >= 50
+    GROUP BY event_type
+    """,
+    doc="JSON property extraction over events.props ({\"k\": int}); "
+    "get_json_object on the Spark side, regex on both sides for oracle "
+    "parity (avoids DuckDB json-extension dependency).",
+)
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        e.withColumn("k", k)
+        .filter(F.col("k") >= 50)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+@register(
+    "q_vector_norm",
+    oracle="""
+    SELECT vec_id,
+           label,
+           len(embedding) AS dim,
+           ROUND(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm
+    FROM embeddings
+    """,
+    doc="Array math over embedding array<float>: per-row L2 norm via "
+    "transform+aggregate — all JVM-side higher-order functions, no UDF.",
+)
+def q_vector_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    sumsq = F.aggregate(
+        F.transform(F.col("embedding"), lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return e.select(
+        "vec_id",
+        "label",
+        F.size("embedding").alias("dim"),
+        F.round(F.sqrt(sumsq), 4).alias("l2_norm"),
+    )
+
+
+@register(
+    "q_tumbling_window",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour_start,
+           event_type,
+           COUNT(*)             AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Tumbling 1-hour window aggregation on events (batch form of the "
+    "streaming pipeline in parquet_compactor_spark.streaming — same window "
+    "semantics, oracle-checkable). events.ts is parquet-ns; hour truncation "
+    "makes Spark-us vs DuckDB-ns precision moot.",
+)
+def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:00:00").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "q_case_bucketing",
+    oracle="""
+    SELECT CASE
+             WHEN o_totalprice < 1000  THEN 'small'
+             WHEN o_totalprice < 10000 THEN 'medium'
+             ELSE 'large'
+           END AS price_band,
+           o_orderstatus,
+           COUNT(*) AS n_orders,
+           ROUND(MIN(o_totalprice), 2) AS min_price,
+           ROUND(MAX(o_totalprice), 2) AS max_price
+    FROM orders
+    GROUP BY 1, 2
+    """,
+    doc="CASE/WHEN bucketing + min/max aggregation.",
+)
+def q_case_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    band = (
+        F.when(F.col("o_totalprice") < 1000, "small")
+        .when(F.col("o_totalprice") < 10000, "medium")
+        .otherwise("large")
+    )
+    return (
+        o.groupBy(band.alias("price_band"), F.col("o_orderstatus"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+    )

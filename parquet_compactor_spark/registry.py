@@ -1,0 +1,97 @@
+"""Query registry: the single source of truth for the engine's query surface.
+
+Every operator from SURVEY.md §2B registers here as a named query — a
+PySpark callable ``(spark, sf_dir) -> DataFrame`` plus (where expressible)
+an equivalent ANSI-SQL string for the DuckDB oracle. ``__spark_entry__.py``
+exposes this registry to the driver's differential harness.
+
+Conventions enforced here by construction:
+- every computed column is aliased identically in the Spark plan and the
+  oracle SQL (the driver hashes after sorting columns by name);
+- float outputs are rounded in BOTH engines (summation-order tolerance);
+- timestamps in outputs are truncated/formatted identically on both sides
+  (events.ts is parquet ns; Spark reads micros, DuckDB keeps ns).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # None → driver records a weaker rows-only check
+    doc: str = ""
+
+
+_REGISTRY: dict[str, Query] = {}
+
+
+def register(name: str, oracle: str | None = None, doc: str = ""):
+    """Decorator: register a query under ``name`` with its oracle SQL."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        _REGISTRY[name] = Query(name=name, fn=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""))
+        return fn
+
+    return deco
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Load one driver-provided parquet table (TESTDATA.md).
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS); with
+    ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as a long we
+    convert to a microsecond timestamp (lossless — the fixture values are
+    micro-aligned; integer ``div`` avoids double-precision loss on epoch-ns).
+    """
+    if table == "events":
+        # Works on any caller-provided SparkSession (the driver builds its
+        # own): enable nanos-as-long at runtime before reading.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    if table == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def _ensure_loaded() -> None:
+    # Import side effect: all query modules register themselves.
+    from parquet_compactor_spark import llm, queries, streaming  # noqa: F401
+
+
+def all_queries() -> dict[str, Query]:
+    _ensure_loaded()
+    return dict(_REGISTRY)
+
+
+def query_fns() -> dict[str, QueryFn]:
+    return {name: q.fn for name, q in all_queries().items()}
+
+
+def oracle_sqls() -> dict[str, str]:
+    return {name: q.oracle for name, q in all_queries().items() if q.oracle is not None}
