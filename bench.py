@@ -1,0 +1,74 @@
+"""Benchmark harness: runs the registered query surface at a scale factor.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Env:
+  SPARK_GRAFT_SF_DIR  data dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    local[] parallelism (default all cores)
+  BENCH_QUERIES       comma-separated subset (default: all registered)
+
+Each query is executed to completion with a count-collect (forces the full
+plan, returns only a scalar to the driver — no toPandas materialization
+cost in the measurement).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO_ROOT = str(Path(__file__).resolve().parent)
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(Path(sf_dir).name.replace("sf", "") or 0.1)
+
+    from parquet_compactor_spark.registry import all_queries
+    from parquet_compactor_spark.session import get_spark
+
+    spark = get_spark(app_name="pcs-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = all_queries()
+    subset = os.environ.get("BENCH_QUERIES")
+    if subset:
+        names = [n.strip() for n in subset.split(",") if n.strip() in queries]
+    else:
+        names = sorted(queries)
+
+    # Warm the JVM + parquet footer caches once with the flagship query so
+    # per-query timings measure execution, not session warm-up.
+    queries["q_agg_pricing"].fn(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in names:
+        t0 = time.perf_counter()
+        queries[name].fn(spark, sf_dir).count()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "query_surface_wall_clock",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,27 @@
+"""Compaction core: the reference's file-compaction semantics on Spark.
+
+Reference: /root/reference/parquet-compactor/parquet_compactor.py (a
+single-process pandas/boto3 ETL). Here the same semantics are re-expressed
+Spark-first: listing via Hadoop FileSystem (works on file://, hdfs://,
+s3a://), merging via DataFrame read→repartition→write, deletes via the
+same FileSystem handle — so one code path runs locally in tests and on a
+real cluster against an object store.
+"""
+
+from parquet_compactor_spark.compactor.core import (
+    CompactionConfig,
+    FileMeta,
+    LakeCompactor,
+    determine_base_file_name,
+    filter_compacted,
+    should_skip_compacting,
+)
+
+__all__ = [
+    "CompactionConfig",
+    "FileMeta",
+    "LakeCompactor",
+    "determine_base_file_name",
+    "filter_compacted",
+    "should_skip_compacting",
+]

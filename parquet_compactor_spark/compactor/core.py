@@ -1,0 +1,283 @@
+"""Compaction semantics + Spark-backed executor.
+
+Faithfully reproduces the reference's behavior (cited per function from
+/root/reference/parquet-compactor/parquet_compactor.py) while replacing
+its mechanics with Spark:
+
+- pandas 1M-row chunk loop            → DataFrame read + repartition/
+                                        maxRecordsPerFile output sizing
+- boto3 recursive prefix pagination   → one recursive Hadoop FS listing
+- awswrangler writes + deletes        → DataFrame writer + FS rename/delete
+
+The decision logic (what to skip, what to merge, what to delete) is pure
+Python over file metadata — same altitude as the reference keeps it — and
+is unit-testable without Spark. Only ``LakeCompactor`` touches the cluster.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+import uuid
+from dataclasses import dataclass, field
+from datetime import datetime, timedelta, timezone
+
+from pyspark.sql import SparkSession
+
+from parquet_compactor_spark.compactor.fs import HadoopFS, ListedFile
+
+
+@dataclass(frozen=True)
+class FileMeta:
+    """The reference's catalog triple (parquet_compactor.py:111-120)."""
+
+    path: str
+    size: int
+    modified: datetime  # UTC
+
+
+@dataclass
+class CompactionConfig:
+    """Knobs mirroring parquet_compactor.py:20-26 and configurator defaults."""
+
+    target_file_size_gb: float = 0.3  # TARGET_FILE_SIZE_GB (:21)
+    chunked_rows: int = 1_000_000  # CHUNKED_ROWS (:20)
+    skip_source_types_current_month: list[str] = field(
+        default_factory=lambda: ["AWS", "Azure"]  # (:24-26)
+    )
+    hold_back_days: int = 5  # relativedelta(days=-5) (:275)
+    now: datetime | None = None  # injectable clock for tests (utcnow at :275)
+
+    @property
+    def file_size_bytes(self) -> int:
+        return int(self.target_file_size_gb * 2**30)  # (:22)
+
+    def utcnow(self) -> datetime:
+        return self.now or datetime.now(timezone.utc)
+
+
+# --------------------------------------------------------------------------
+# Pure decision logic (reference parity, unit-testable without Spark)
+# --------------------------------------------------------------------------
+
+
+def determine_base_file_name(path: str) -> str:
+    """Base output name from the 'source=' path segment, fallback 'data'.
+
+    Parity: parquet_compactor.py:236-244.
+    """
+    m = re.search(r"source=([^/]+)", path)
+    return m.group(1) if m else "data"
+
+
+def should_skip_compacting(path: str, config: CompactionConfig) -> bool:
+    """Skip volatile current-month partitions for overwritten source types.
+
+    Parity: parquet_compactor.py:246-260 — current year AND month appear as
+    ``year=YYYY``/``month=MM`` path segments, and any skip source type
+    appears anywhere in the path (plain substring, as in the reference).
+    On a partition-discovered lake this same predicate is expressible as a
+    partition-pruned filter (SURVEY.md §4 R2).
+    """
+    now = config.utcnow()
+    is_current_month = f"year={now:%Y}" in path and f"month={now:%m}" in path
+    is_skippable = any(t in path for t in config.skip_source_types_current_month)
+    return is_current_month and is_skippable
+
+
+def filter_compacted(
+    basename: str, files: list[FileMeta], config: CompactionConfig
+) -> list[str]:
+    """Incremental/idempotence filter. Parity: parquet_compactor.py:262-293.
+
+    - files named ``{base}_<32 hex>.parquet`` or ``{base}_<digits>.parquet``
+      are prior compaction outputs: only the most recently modified one is
+      re-merged (its trailing chunk is probably short);
+    - other ("new") files are merged only if modified more than
+      ``hold_back_days`` ago (date granularity — still-being-written data);
+    - everything else is left untouched.
+    """
+    check_date = (config.utcnow() - timedelta(days=config.hold_back_days)).date()
+    compacted_re = re.compile(rf"/{re.escape(basename)}_[0-9a-f]{{32}}\.parquet")
+    numbered_re = re.compile(rf"/{re.escape(basename)}_[0-9]+\.parquet")
+
+    new_files: list[str] = []
+    prior: list[FileMeta] = []
+    for f in files:
+        if compacted_re.search(f.path) or numbered_re.search(f.path):
+            prior.append(f)
+        elif f.modified.date() < check_date:
+            new_files.append(f.path)
+    if prior:
+        newest = max(prior, key=lambda f: f.modified)
+        return [newest.path] + new_files
+    return new_files
+
+
+def group_gcp_files(file_list: list[str]) -> tuple[str, dict[str, list[str]]]:
+    """GCP filename micro-schema grouping. Parity: parquet_compactor.py:183-193.
+
+    Filenames encode ``{invoice_month}_{date}_...``; returns the invoice
+    month (from the first file) and files grouped per date — membership by
+    date-substring, exactly as the reference does it.
+    """
+    invoice_month = file_list[0].rsplit("/", 1)[-1].split("_")[0]
+    dates = sorted({f.rsplit("/", 1)[-1].split("_")[1] for f in file_list})
+    return invoice_month, {d: [f for f in file_list if d in f] for d in dates}
+
+
+def plan_output_files(total_bytes: int, config: CompactionConfig) -> int:
+    """Output partition count: enough files to hit the target size."""
+    return max(1, math.ceil(total_bytes / config.file_size_bytes))
+
+
+def group_by_leaf(files: list[ListedFile]) -> dict[str, list[FileMeta]]:
+    """Group a flat recursive listing by parent directory.
+
+    Replaces the reference's per-directory recursion (O2,
+    parquet_compactor.py:80-99) with one grouping over a single listing.
+    """
+    leaves: dict[str, list[FileMeta]] = {}
+    for f in files:
+        leaf, _, _ = f.path.rpartition("/")
+        leaves.setdefault(leaf + "/", []).append(
+            FileMeta(
+                path=f.path,
+                size=f.size,
+                modified=datetime.fromtimestamp(f.modified, tz=timezone.utc),
+            )
+        )
+    return leaves
+
+
+# --------------------------------------------------------------------------
+# Spark-backed executor
+# --------------------------------------------------------------------------
+
+
+class LakeCompactor:
+    """Crawl a Parquet lake and compact small files per leaf directory.
+
+    Orchestration parity: parquet_compactor.py:295-328 (compact()). The
+    driver loop stays driver-side (it is file-metadata work); each leaf's
+    merge is a Spark job. Write-then-delete ordering preserved (R6): the
+    originals are removed only after the merged output is fully committed.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        config: CompactionConfig | None = None,
+    ):
+        self.spark = spark
+        self.root = root.rstrip("/") + "/"
+        self.config = config or CompactionConfig()
+        self.fs = HadoopFS(spark, self.root)
+
+    # -- planning ----------------------------------------------------------
+
+    def candidate_leaves(self) -> dict[str, list[FileMeta]]:
+        """List the lake once; group by leaf; drop already-big files (O3)."""
+        listing = self.fs.list_files(self.root)
+        leaves = group_by_leaf(listing)
+        return {
+            leaf: [f for f in files if f.size < self.config.file_size_bytes]
+            for leaf, files in leaves.items()
+        }
+
+    # -- execution ---------------------------------------------------------
+
+    def _write_merged(
+        self, file_list: list[str], leaf: str, name_fn
+    ) -> bool:
+        """Merge ``file_list`` into ≈target-size files inside ``leaf``.
+
+        Spark equivalent of merge_files_in_dataframe
+        (parquet_compactor.py:153-181): the multi-file read IS the merge;
+        output sizing via repartition(ceil(bytes/target)) +
+        maxRecordsPerFile (the 1M-row chunk rule). Writes go to a temp
+        subdir, then part-files are renamed to the reference's
+        ``{base}_{uuid4.hex}.parquet`` convention — the filename marker that
+        makes re-runs incremental (filter_compacted's regex must match our
+        own outputs or idempotence breaks).
+        """
+        sizes = {}
+        for f in self.fs.list_files(leaf):
+            sizes[f.path] = f.size
+        total_bytes = sum(sizes.get(p, 0) for p in file_list)
+        n_out = plan_output_files(total_bytes, self.config)
+
+        tmp_dir = f"{leaf}_compact_tmp_{uuid.uuid4().hex}"
+        try:
+            df = self.spark.read.parquet(*file_list)
+            (
+                df.repartition(n_out)
+                .write.option("compression", "snappy")
+                .option("maxRecordsPerFile", self.config.chunked_rows)
+                .mode("overwrite")
+                .parquet(tmp_dir)
+            )
+            written = [
+                f.path
+                for f in self.fs.list_files(tmp_dir)
+                if f.path.endswith(".parquet")
+            ]
+            for src in written:
+                dst = f"{leaf}{name_fn()}"
+                if not self.fs.rename(src, dst):
+                    raise IOError(f"rename failed: {src} -> {dst}")
+            return True
+        except Exception as err:  # failure → keep originals (R6)
+            print(f"compaction merge failed for {leaf}: {err}")
+            return False
+        finally:
+            self.fs.delete(tmp_dir, recursive=True)
+
+    def merge_files(self, leaf: str, base_name: str, file_list: list[str]) -> bool:
+        return self._write_merged(
+            file_list,
+            leaf,
+            lambda: f"{base_name}_{uuid.uuid4().hex}.parquet",
+        )
+
+    def merge_files_gcp(self, leaf: str, file_list: list[str]) -> bool:
+        """Per-date grouped merge for GCP leaves (parquet_compactor.py:183-228)."""
+        invoice_month, per_date = group_gcp_files(file_list)
+        success = True
+        for date, files in per_date.items():
+            ok = self._write_merged(
+                files,
+                leaf,
+                lambda: f"{invoice_month}_{date}_{uuid.uuid4().hex}.parquet",
+            )
+            success = success and ok
+        return success
+
+    def remove_uncompacted_files(self, file_list: list[str]) -> None:
+        """Delete merged-away originals (parquet_compactor.py:230-234)."""
+        for path in file_list:
+            self.fs.delete(path, recursive=False)
+
+    def compact(self) -> dict[str, str]:
+        """Run one compaction pass. Returns {leaf: outcome} for observability."""
+        outcomes: dict[str, str] = {}
+        for leaf, files in sorted(self.candidate_leaves().items()):
+            if should_skip_compacting(leaf, self.config):
+                outcomes[leaf] = "skipped_current_month"
+                continue
+            base = determine_base_file_name(leaf)
+            file_list = filter_compacted(base, files, self.config)
+            if len(file_list) <= 1:
+                outcomes[leaf] = "nothing_to_compact"
+                continue
+            if "GCP" in leaf:
+                success = self.merge_files_gcp(leaf, file_list)
+            else:
+                success = self.merge_files(leaf, base, file_list)
+            if success:
+                self.remove_uncompacted_files(file_list)
+                outcomes[leaf] = f"compacted_{len(file_list)}_files"
+            else:
+                outcomes[leaf] = "merge_failed_originals_kept"
+        return outcomes

@@ -1,0 +1,72 @@
+"""Hadoop FileSystem helpers (py4j) — one API for file://, s3a://, hdfs://.
+
+The reference talks to S3 through boto3 pagination
+(parquet_compactor.py:68-99) and deletes via awswrangler
+(parquet_compactor.py:230-234). Spark's JVM already carries the Hadoop
+FileSystem abstraction for every store it can read, so we use it for
+listing/rename/delete — no second S3 client, and local-filesystem tests
+exercise the identical code path as a production object store.
+
+A single recursive ``listFiles`` call replaces the reference's
+O(directories) paginated round-trips: object stores implement it as a flat
+key-prefix scan, which is the scalable way to enumerate a 100 TB lake.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from pyspark.sql import SparkSession
+
+
+@dataclass(frozen=True)
+class ListedFile:
+    path: str  # fully-qualified URI
+    size: int  # bytes
+    modified: float  # epoch seconds
+
+
+class HadoopFS:
+    """Thin wrapper over org.apache.hadoop.fs.FileSystem for one root URI."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self._jvm = spark._jvm
+        self._conf = spark._jsc.hadoopConfiguration()
+        self._root = self.jpath(root)
+        self._fs = self._root.getFileSystem(self._conf)
+
+    def jpath(self, uri: str):
+        return self._jvm.org.apache.hadoop.fs.Path(uri)
+
+    def list_files(self, prefix: str) -> list[ListedFile]:
+        """Recursively list all files under ``prefix`` (one scan, not a DFS).
+
+        Mirrors get_common_prefixes_recursive + convert_results
+        (parquet_compactor.py:80-122) in a single FileSystem call.
+        """
+        out: list[ListedFile] = []
+        p = self.jpath(prefix)
+        if not self._fs.exists(p):
+            return out
+        it = self._fs.listFiles(p, True)
+        while it.hasNext():
+            st = it.next()
+            out.append(
+                ListedFile(
+                    path=st.getPath().toString(),
+                    size=int(st.getLen()),
+                    modified=st.getModificationTime() / 1000.0,
+                )
+            )
+        return out
+
+    def rename(self, src: str, dst: str) -> bool:
+        return bool(self._fs.rename(self.jpath(src), self.jpath(dst)))
+
+    def delete(self, path: str, recursive: bool = False) -> bool:
+        return bool(self._fs.delete(self.jpath(path), recursive))
+
+    def exists(self, path: str) -> bool:
+        return bool(self._fs.exists(self.jpath(path)))
+
+    def mkdirs(self, path: str) -> bool:
+        return bool(self._fs.mkdirs(self.jpath(path)))

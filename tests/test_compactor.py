@@ -1,0 +1,259 @@
+"""Compaction-core tests: the reference's file-level semantics (FIXTURES.md §B).
+
+Local filesystem stands in for S3 — the HadoopFS code path is identical.
+Pure decision logic is tested without Spark; end-to-end merges with it.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from datetime import datetime, timedelta, timezone
+from pathlib import Path
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from parquet_compactor_spark.compactor import (
+    CompactionConfig,
+    FileMeta,
+    LakeCompactor,
+    determine_base_file_name,
+    filter_compacted,
+    should_skip_compacting,
+)
+
+NOW = datetime(2024, 6, 15, 12, 0, 0, tzinfo=timezone.utc)
+OLD = NOW - timedelta(days=10)
+CFG = CompactionConfig(now=NOW)
+
+
+def write_small_parquet(path: Path, start: int = 0, rows: int = 100, mtime: datetime = OLD):
+    path.parent.mkdir(parents=True, exist_ok=True)
+    table = pa.table(
+        {"id": list(range(start, start + rows)), "val": [float(i) for i in range(rows)]}
+    )
+    pq.write_table(table, path)
+    ts = mtime.timestamp()
+    os.utime(path, (ts, ts))
+
+
+def read_ids(leaf: Path) -> list[int]:
+    ids = []
+    for f in sorted(leaf.glob("*.parquet")):
+        ids.extend(pq.read_table(f).column("id").to_pylist())
+    return sorted(ids)
+
+
+# --------------------------------------------------------------------------
+# Pure decision logic (no Spark)
+# --------------------------------------------------------------------------
+
+
+def test_base_file_name():
+    assert determine_base_file_name("s3://b/data/parquet/a/source=AWS/year=2024/") == "AWS"
+    assert determine_base_file_name("/lake/acct/source=my-src/month=01/") == "my-src"
+    # Fallback when no source= segment (parquet_compactor.py:240-241).
+    assert determine_base_file_name("/lake/acct/raw/") == "data"
+
+
+def test_should_skip_current_month_for_volatile_sources():
+    assert should_skip_compacting("/l/source=AWS/year=2024/month=06/", CFG)
+    assert should_skip_compacting("/l/source=Azure/year=2024/month=06/", CFG)
+    # Substring match anywhere in the path, as in the reference (:256-259).
+    assert should_skip_compacting("/l/AWS/year=2024/month=06/", CFG)
+    # Wrong month/year or non-volatile source → compact.
+    assert not should_skip_compacting("/l/source=AWS/year=2024/month=05/", CFG)
+    assert not should_skip_compacting("/l/source=AWS/year=2023/month=06/", CFG)
+    assert not should_skip_compacting("/l/source=GCP/year=2024/month=06/", CFG)
+
+
+def _meta(path: str, days_old: float, size: int = 1000) -> FileMeta:
+    return FileMeta(path=path, size=size, modified=NOW - timedelta(days=days_old))
+
+
+def test_filter_compacted_semantics():
+    base = "AWS"
+    files = [
+        # two prior compaction outputs: only the NEWER one is re-merged
+        _meta("/l/AWS_" + "a" * 32 + ".parquet", days_old=20),
+        _meta("/l/AWS_" + "b" * 32 + ".parquet", days_old=8),
+        # numbered convention also counts as compacted (:280)
+        _meta("/l/AWS_123.parquet", days_old=30),
+        # new files: old enough → included; fresh → held back (:286-289)
+        _meta("/l/part-001.parquet", days_old=6),
+        _meta("/l/part-002.parquet", days_old=0.5),
+    ]
+    result = filter_compacted(base, files, CFG)
+    assert result == ["/l/AWS_" + "b" * 32 + ".parquet", "/l/part-001.parquet"]
+
+
+def test_filter_compacted_no_prior():
+    files = [_meta("/l/x.parquet", 6), _meta("/l/y.parquet", 7)]
+    assert filter_compacted("AWS", files, CFG) == ["/l/x.parquet", "/l/y.parquet"]
+
+
+def test_filter_compacted_hold_back_is_date_granular():
+    # Exactly at the boundary date → NOT included (strict <, date compare).
+    boundary = FileMeta(
+        path="/l/z.parquet",
+        size=10,
+        modified=(NOW - timedelta(days=5)).replace(hour=0, minute=0),
+    )
+    assert filter_compacted("AWS", [boundary], CFG) == []
+
+
+# --------------------------------------------------------------------------
+# End-to-end compaction (Spark)
+# --------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def lake(tmp_path):
+    return tmp_path / "data" / "parquet"
+
+
+def compactor(spark, lake: Path) -> LakeCompactor:
+    return LakeCompactor(spark, str(lake), CompactionConfig(now=NOW))
+
+
+def test_many_small_merged_and_originals_deleted(spark, lake):
+    leaf = lake / "acct1" / "source=OCP" / "year=2024" / "month=01"
+    for i in range(8):
+        write_small_parquet(leaf / f"in-{i}.parquet", start=i * 100)
+    before = read_ids(leaf)
+
+    outcomes = compactor(spark, lake).compact()
+    assert list(outcomes.values()) == ["compacted_8_files"]
+
+    outputs = list(leaf.glob("*.parquet"))
+    assert len(outputs) == 1  # few KB in → one target-size file out
+    # Output follows the {base}_{32hex}.parquet marker convention.
+    import re
+
+    assert re.fullmatch(r"OCP_[0-9a-f]{32}\.parquet", outputs[0].name)
+    assert read_ids(leaf) == before  # row multiset preserved
+
+
+def test_idempotence_second_run_noop(spark, lake):
+    leaf = lake / "acct1" / "source=OCP" / "year=2024" / "month=01"
+    for i in range(4):
+        write_small_parquet(leaf / f"in-{i}.parquet", start=i * 100)
+    c = compactor(spark, lake)
+    c.compact()
+    first = {p.name for p in leaf.glob("*.parquet")}
+    outcomes = c.compact()
+    assert list(outcomes.values()) == ["nothing_to_compact"]
+    assert {p.name for p in leaf.glob("*.parquet")} == first
+
+
+def test_already_big_file_excluded(spark, lake):
+    leaf = lake / "acct1" / "source=OCP" / "year=2024" / "month=02"
+    cfg = CompactionConfig(now=NOW, target_file_size_gb=3e-6)  # ~3.2 KB threshold
+    for i in range(3):
+        write_small_parquet(leaf / f"small-{i}.parquet", start=i * 10, rows=10)
+    write_small_parquet(leaf / "big.parquet", start=1000, rows=5000)  # > threshold
+
+    c = LakeCompactor(spark, str(lake), cfg)
+    c.compact()
+    names = {p.name for p in leaf.glob("*.parquet")}
+    assert "big.parquet" in names  # untouched, not merged, not deleted
+    assert not any(n.startswith("small-") for n in names)
+
+
+def test_recompact_only_newest_prior_output(spark, lake):
+    leaf = lake / "acct1" / "source=OCP" / "year=2024" / "month=03"
+    old_hex, new_hex = "c" * 32, "d" * 32
+    write_small_parquet(leaf / f"OCP_{old_hex}.parquet", start=0, mtime=NOW - timedelta(days=20))
+    write_small_parquet(leaf / f"OCP_{new_hex}.parquet", start=100, mtime=NOW - timedelta(days=8))
+    write_small_parquet(leaf / "new-1.parquet", start=200)
+    write_small_parquet(leaf / "new-2.parquet", start=300)
+
+    compactor(spark, lake).compact()
+    names = {p.name for p in leaf.glob("*.parquet")}
+    # Older compacted output untouched; newest + new files merged into a new one.
+    assert f"OCP_{old_hex}.parquet" in names
+    assert f"OCP_{new_hex}.parquet" not in names
+    assert not any(n.startswith("new-") for n in names)
+    merged = [n for n in names if n != f"OCP_{old_hex}.parquet"]
+    assert len(merged) == 1
+    # Rows from newest prior + new files all present; old output's rows separate.
+    assert read_ids(leaf) == sorted(list(range(0, 100)) + list(range(100, 200)) + list(range(200, 300)) + list(range(300, 400)))
+
+
+def test_fresh_files_held_back(spark, lake):
+    leaf = lake / "acct1" / "source=OCP" / "year=2024" / "month=04"
+    write_small_parquet(leaf / "f1.parquet", start=0, mtime=NOW - timedelta(days=1))
+    write_small_parquet(leaf / "f2.parquet", start=100, mtime=NOW - timedelta(days=2))
+    outcomes = compactor(spark, lake).compact()
+    assert list(outcomes.values()) == ["nothing_to_compact"]
+    assert {p.name for p in leaf.glob("*.parquet")} == {"f1.parquet", "f2.parquet"}
+
+
+def test_single_file_short_circuit(spark, lake):
+    leaf = lake / "acct1" / "source=OCP" / "year=2024" / "month=05"
+    write_small_parquet(leaf / "only.parquet")
+    outcomes = compactor(spark, lake).compact()
+    assert list(outcomes.values()) == ["nothing_to_compact"]
+    assert {p.name for p in leaf.glob("*.parquet")} == {"only.parquet"}
+
+
+def test_skip_current_month_aws(spark, lake):
+    leaf = lake / "acct1" / "source=AWS" / "year=2024" / "month=06"
+    for i in range(3):
+        write_small_parquet(leaf / f"in-{i}.parquet", start=i * 100)
+    outcomes = compactor(spark, lake).compact()
+    assert list(outcomes.values()) == ["skipped_current_month"]
+    assert len(list(leaf.glob("*.parquet"))) == 3
+
+
+def test_gcp_per_date_grouping(spark, lake):
+    leaf = lake / "acct1" / "source=GCP" / "year=2024" / "month=01"
+    for d, date in enumerate(["2024-01-10", "2024-01-11"]):
+        for i in range(3):
+            write_small_parquet(
+                leaf / f"202401_{date}_{d}{i}x.parquet", start=(d * 3 + i) * 100
+            )
+    before = read_ids(leaf)
+
+    outcomes = compactor(spark, lake).compact()
+    assert list(outcomes.values()) == ["compacted_6_files"]
+    names = sorted(p.name for p in leaf.glob("*.parquet"))
+    assert len(names) == 2  # one output per date
+    import re
+
+    for date in ["2024-01-10", "2024-01-11"]:
+        assert any(
+            re.fullmatch(rf"202401_{date}_[0-9a-f]{{32}}\.parquet", n) for n in names
+        )
+    assert read_ids(leaf) == before
+
+
+def test_write_failure_keeps_originals(spark, lake):
+    leaf = lake / "acct1" / "source=OCP" / "year=2024" / "month=07"
+    for i in range(2):
+        write_small_parquet(leaf / f"in-{i}.parquet", start=i * 100)
+    corrupt = leaf / "in-corrupt.parquet"
+    corrupt.write_bytes(b"this is not parquet")
+    ts = OLD.timestamp()
+    os.utime(corrupt, (ts, ts))
+
+    outcomes = compactor(spark, lake).compact()
+    assert list(outcomes.values()) == ["merge_failed_originals_kept"]
+    assert {p.name for p in leaf.glob("*.parquet")} == {
+        "in-0.parquet",
+        "in-1.parquet",
+        "in-corrupt.parquet",
+    }
+
+
+def test_base_name_fallback_no_source_segment(spark, lake):
+    leaf = lake / "acct1" / "raw"
+    for i in range(2):
+        write_small_parquet(leaf / f"in-{i}.parquet", start=i * 100)
+    compactor(spark, lake).compact()
+    outputs = [p.name for p in leaf.glob("*.parquet")]
+    import re
+
+    assert len(outputs) == 1 and re.fullmatch(r"data_[0-9a-f]{32}\.parquet", outputs[0])
