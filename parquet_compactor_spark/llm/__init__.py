@@ -5,4 +5,4 @@ cosine), similarity search, text analysis, and multimodal column plumbing.
 Importing registers the queries.
 """
 
-from parquet_compactor_spark.llm import dedup, similarity, text  # noqa: F401
+from parquet_compactor_spark.llm import dedup, multimodal, similarity, text  # noqa: F401

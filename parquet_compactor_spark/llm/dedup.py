@@ -1,15 +1,40 @@
 """Deduplication operators over the ``documents`` table.
 
-Exact dedup is a hash-groupBy; near-dup families (MinHash-LSH, SimHash,
-n-gram Jaccard) land here as they are implemented.
+Exact dedup is a hash-groupBy. Near-dup families:
+
+- **MinHash + LSH**: shingle → 64-perm minhash signature → banded LSH
+  bucket join → candidate pairs verified with exact shingle Jaccard.
+  All signature math is JVM-side higher-order array functions; the only
+  shuffle is the band-bucket self-join (keys are (band, hash) — uniform).
+- **SimHash**: token-hash bit voting → 64-bit signature → 16-bit chunk
+  blocking → Hamming-distance verification (bit_count(xor)).
+- **n-gram Jaccard**: character-shingle set similarity (oracle-checkable).
+
+At 100 TB: every stage is a map or a hash-shuffle on a uniform synthetic
+key; no stage materializes pairwise candidates beyond colliding buckets,
+which is the point of LSH.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+import random
+
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from parquet_compactor_spark.registry import load, register
+
+MERSENNE_31 = 2147483647  # 2^31 - 1, the classic minhash modulus
+NUM_PERM = 64
+LSH_BANDS = 16  # 16 bands x 4 rows
+BAND_ROWS = NUM_PERM // LSH_BANDS
+
+# Deterministic permutation parameters (seeded — stable across runs/engines).
+_rng = random.Random(42)
+PERM_COEFFS = [
+    (_rng.randrange(1, MERSENNE_31), _rng.randrange(0, MERSENNE_31))
+    for _ in range(NUM_PERM)
+]
 
 
 @register(
@@ -35,4 +60,254 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("n_chars").alias("n_chars"),
         )
         .drop("content_hash")
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles as an array column (JVM-side).
+
+    Documents shorter than k tokens fall back to the whole text as one
+    shingle so every doc has a non-empty set.
+    """
+    return F.expr(
+        f"""
+        CASE WHEN size(split(text, ' ')) >= {k}
+        THEN array_distinct(transform(
+            sequence(0, size(split(text, ' ')) - {k}),
+            i -> concat_ws(' ', slice(split(text, ' '), i + 1, {k}))))
+        ELSE array(text) END
+        """
+    )
+
+
+def minhash_signature(shingles: Column) -> Column:
+    """64-permutation minhash signature (array<int-ish bigint>).
+
+    Shingle hashes are folded to [0, 2^31) first so a*h+b never overflows
+    a bigint (ANSI-mode safe); each permutation is the standard
+    (a*h + b) mod p universal hash, min-reduced JVM-side.
+    """
+    h32 = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE_31)))
+    mins = [
+        F.array_min(
+            F.transform(h32, lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(MERSENNE_31)))
+        )
+        for a, b in PERM_COEFFS
+    ]
+    return F.array(*mins)
+
+
+def lsh_band_hashes(sig: Column) -> Column:
+    """Array of LSH_BANDS band hashes over the signature."""
+    bands = []
+    for b in range(LSH_BANDS):
+        band = F.slice(sig, b * BAND_ROWS + 1, BAND_ROWS)
+        bands.append(
+            F.xxhash64(
+                F.concat_ws(",", F.transform(band, lambda x: x.cast("string"))),
+                F.lit(b),
+            )
+        )
+    return F.array(*bands)
+
+
+def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
+    """LSH candidate pairs (id1 < id2) with estimated + exact Jaccard.
+
+    docs: (doc_id, text). Returns (id1, id2, est_jaccard, jaccard).
+    """
+    sigs = docs.select(
+        "doc_id",
+        word_shingles(F.col("text")).alias("shingles"),
+    ).withColumn("sig", minhash_signature(F.col("shingles")))
+
+    buckets = sigs.select(
+        "doc_id",
+        F.posexplode(lsh_band_hashes(F.col("sig"))).alias("band", "band_hash"),
+    )
+    left = buckets.select(
+        F.col("doc_id").alias("id1"), "band", "band_hash"
+    )
+    right = buckets.select(
+        F.col("doc_id").alias("id2"), "band", "band_hash"
+    )
+    pairs = (
+        left.join(right, ["band", "band_hash"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .distinct()
+    )
+
+    s1 = sigs.select(
+        F.col("doc_id").alias("id1"),
+        F.col("sig").alias("sig1"),
+        F.col("shingles").alias("sh1"),
+    )
+    s2 = sigs.select(
+        F.col("doc_id").alias("id2"),
+        F.col("sig").alias("sig2"),
+        F.col("shingles").alias("sh2"),
+    )
+    est = F.aggregate(
+        F.zip_with(F.col("sig1"), F.col("sig2"), lambda a, b: (a == b).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ) / F.lit(NUM_PERM)
+    exact = F.size(F.array_intersect(F.col("sh1"), F.col("sh2"))).cast("double") / F.size(
+        F.array_union(F.col("sh1"), F.col("sh2"))
+    )
+    return (
+        pairs.join(s1, "id1")
+        .join(s2, "id2")
+        .select(
+            "id1",
+            "id2",
+            F.round(est, 4).alias("est_jaccard"),
+            F.round(exact, 4).alias("jaccard"),
+        )
+    )
+
+
+@register(
+    "q_dedup_minhash",
+    oracle=None,  # banded-LSH bucketing is not practically SQL-expressible
+    doc="MinHash-LSH near-duplicate candidate pairs over documents, "
+    "verified with exact shingle Jaccard (pairs with jaccard >= 0.5). "
+    "Deterministic: seeded permutations. The fixture corpus is random "
+    "word-soup so 0 rows is the expected (and checked) shape; "
+    "tests/test_llm.py proves recall on a corpus with planted near-dups.",
+)
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return minhash_candidate_pairs(d).filter(F.col("jaccard") >= 0.5)
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+
+def simhash64(text_col: str = "text") -> Column:
+    """64-bit SimHash of the distinct whitespace tokens (bit-vote, JVM-side).
+
+    ``text_col`` is the name of the string column to hash. Expressed as one
+    SQL higher-order expression: per bit position, the majority vote over
+    token hashes sets the bit; bits are OR-folded. (SQL form because
+    shiftright-by-a-lambda-variable is valid in Spark SQL but not through
+    the Python ``F.shiftright`` wrapper.)
+    """
+    hashes_sql = f"transform(array_distinct(split({text_col}, ' ', -1)), tk -> xxhash64(tk))"
+    return F.expr(
+        f"""
+        aggregate(
+          transform(sequence(0, 63), b ->
+            IF(size(filter({hashes_sql}, h -> (shiftright(h, b) & 1L) = 1L)) * 2
+                 >= size({hashes_sql}),
+               shiftleft(1L, b), 0L)),
+          0L, (acc, x) -> acc | x)
+        """
+    )
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
+    """Near-dup pairs by SimHash: 16-bit chunk blocking + Hamming verify.
+
+    Two signatures within Hamming distance 3 must agree on at least one of
+    four 16-bit chunks (pigeonhole), so chunk-equality blocking has full
+    recall at distance <= 3 and high recall below ``max_hamming``.
+    """
+    sigs = docs.select("doc_id", simhash64("text").alias("sim"))
+    chunks = sigs.select(
+        "doc_id",
+        "sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_id"),
+                        F.shiftright(F.col("sim"), c * 16)
+                        .bitwiseAND(F.lit(65535))
+                        .alias("chunk_val"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ch"),
+    ).select("doc_id", "sim", "ch.chunk_id", "ch.chunk_val")
+    left = chunks.select(
+        F.col("doc_id").alias("id1"), F.col("sim").alias("sim1"), "chunk_id", "chunk_val"
+    )
+    right = chunks.select(
+        F.col("doc_id").alias("id2"), F.col("sim").alias("sim2"), "chunk_id", "chunk_val"
+    )
+    return (
+        left.join(right, ["chunk_id", "chunk_val"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select(
+            "id1",
+            "id2",
+            F.bit_count(F.col("sim1").bitwiseXOR(F.col("sim2"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+@register(
+    "q_dedup_simhash",
+    oracle=None,  # engine-specific 64-bit token hashing; verified in tests
+    doc="SimHash near-duplicate pairs (Hamming <= 8 over 64-bit bit-vote "
+    "signatures, 16-bit chunk LSH blocking). Deterministic. Random-corpus "
+    "fixture yields ~0 pairs; planted-near-dup recall proven in tests.",
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return simhash_near_pairs(d)
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard (oracle-checkable pair similarity)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_ngram_jaccard",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, greatest(length(text) - 1, 2)),
+                   i -> substr(text, CAST(i AS INT), 3))) AS shingles
+        FROM documents
+    )
+    SELECT a.doc_id AS id1,
+           b.doc_id AS id2,
+           ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.shingles, b.shingles))), 4) AS jaccard
+    FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+    """,
+    doc="Character-3-gram Jaccard similarity between consecutive doc pairs "
+    "— the oracle-checkable member of the near-dup family (set ops via "
+    "array_intersect/array_union, fully JVM-side).",
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    sh = F.array_distinct(
+        F.expr(
+            "transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3))"
+        )
+    )
+    a = d.select(F.col("doc_id").alias("id1"), sh.alias("sh1"))
+    b = d.select(F.col("doc_id").alias("id2"), sh.alias("sh2"))
+    jac = F.size(F.array_intersect(F.col("sh1"), F.col("sh2"))).cast("double") / F.size(
+        F.array_union(F.col("sh1"), F.col("sh2"))
+    )
+    return (
+        a.join(b, F.col("id2") == F.col("id1") + 1)
+        .select("id1", "id2", F.round(jac, 4).alias("jaccard"))
     )

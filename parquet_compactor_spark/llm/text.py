@@ -2,15 +2,27 @@
 
 Token counting, quality scoring, fingerprinting, language-ID — all as
 JVM-side column expressions (regexp/split/length), no Python in the hot
-path.
+path. Each is embarrassingly parallel (per-row map + one agg shuffle), so
+the plans are scale-invariant.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from parquet_compactor_spark.registry import load, register
+
+# BPE-ish word/number/punctuation-run tokenizer; same regex dialect
+# behavior in Java (Spark) and RE2 (DuckDB).
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+# Tiny English stopword inventory for the heuristic scorer.
+STOPWORD_REGEX = r"\b(the|a|and|of|to|in|is|it)\b"
+
+
+def whitespace_tokens(col: Column) -> Column:
+    return F.split(col, " ", -1)
 
 
 @register(
@@ -29,10 +41,124 @@ from parquet_compactor_spark.registry import load, register
 )
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    n_tokens = F.size(F.split(F.col("text"), " ", -1))
+    n_tokens = F.size(whitespace_tokens(F.col("text")))
     return d.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.round(F.avg(F.length("text").cast("double")), 4).alias("avg_chars"),
         F.round(F.avg(n_tokens.cast("double")), 4).alias("avg_tokens"),
         F.sum(n_tokens.cast("bigint")).alias("total_tokens"),
     )
+
+
+@register(
+    "q_token_count",
+    oracle=f"""
+    SELECT lang,
+           SUM(CAST(len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS BIGINT)) AS total_bpe_tokens,
+           ROUND(AVG(CAST(len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS DOUBLE)), 4) AS avg_bpe_tokens,
+           COUNT(*) AS n_docs
+    FROM documents
+    GROUP BY lang
+    """,
+    doc="BPE-ish token counting: word/number/punct-run regex tokenizer via "
+    "regexp_extract_all — the standard pre-tokenization count used for "
+    "training-data budgeting.",
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    n = F.size(F.regexp_extract_all(F.col("text"), F.lit(TOKEN_REGEX), 0))
+    return d.groupBy("lang").agg(
+        F.sum(n.cast("bigint")).alias("total_bpe_tokens"),
+        F.round(F.avg(n.cast("double")), 4).alias("avg_bpe_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+@register(
+    "q_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(string_split(text, ' ')) AS n_tokens,
+           ROUND(CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')), 4) AS avg_token_len,
+           ROUND(CAST(len(regexp_extract_all(text, '{STOPWORD_REGEX}')) AS DOUBLE)
+                 / len(string_split(text, ' ')), 4) AS stopword_ratio,
+           CASE
+             WHEN len(string_split(text, ' ')) BETWEEN 20 AND 1000
+              AND CAST(len(regexp_extract_all(text, '{STOPWORD_REGEX}')) AS DOUBLE)
+                  / len(string_split(text, ' ')) > 0.01
+             THEN 1 ELSE 0
+           END AS keep_flag
+    FROM documents
+    """,
+    doc="Heuristic quality scoring (length band + stopword-density gate) — "
+    "the classic pre-training filter shape; pure per-row columnar math.",
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    n_tokens = F.size(whitespace_tokens(F.col("text"))).cast("double")
+    stop_hits = F.size(F.regexp_extract_all(F.col("text"), F.lit(STOPWORD_REGEX))).cast(
+        "double"
+    )
+    stop_ratio = stop_hits / n_tokens
+    keep = F.when(
+        n_tokens.between(20, 1000) & (stop_ratio > 0.01), F.lit(1)
+    ).otherwise(F.lit(0))
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.size(whitespace_tokens(F.col("text"))).alias("n_tokens"),
+        F.round(F.length("text").cast("double") / n_tokens, 4).alias("avg_token_len"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        keep.alias("keep_flag"),
+    )
+
+
+@register(
+    "q_lang_id",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               CAST(len(regexp_extract_all(text, '{STOPWORD_REGEX}')) AS DOUBLE)
+                 / len(string_split(text, ' ')) AS en_density
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN en_density >= 0.05 THEN 'en' ELSE 'unk' END AS pred_lang,
+           ROUND(en_density, 4) AS en_density
+    FROM scored
+    """,
+    doc="N-gram/stopword-density language-ID heuristic: density of English "
+    "function words → en/unk. (The fixture's lang labels are synthetic "
+    "random; the oracle checks the heuristic itself, not label accuracy.)",
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    n_tokens = F.size(whitespace_tokens(F.col("text"))).cast("double")
+    density = (
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(STOPWORD_REGEX))).cast("double")
+        / n_tokens
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        F.when(density >= 0.05, "en").otherwise("unk").alias("pred_lang"),
+        F.round(density, 4).alias("en_density"),
+    )
+
+
+@register(
+    "q_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint
+    FROM documents
+    """,
+    doc="Document fingerprinting: normalization (lowercase, collapse non-"
+    "alphanumerics) + content hash — the join key for cross-corpus exact "
+    "dedup after cosmetic edits.",
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    normalized = F.trim(F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9]+", " "))
+    return d.select("doc_id", F.md5(normalized).alias("fingerprint"))

@@ -1,0 +1,94 @@
+"""LLM-pipeline operator semantics tests with planted duplicates.
+
+The driver fixture corpus is random word-soup (near-dup families correctly
+return ~0 pairs there), so recall/precision are proven here on synthetic
+corpora with planted near-duplicates.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from parquet_compactor_spark.llm.dedup import (
+    minhash_candidate_pairs,
+    simhash_near_pairs,
+)
+from parquet_compactor_spark.llm.multimodal import extract_media_meta, fake_decode_meta
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden outside "
+    "the old stone house near the river bend every single morning"
+)
+
+
+@pytest.fixture(scope="module")
+def planted_docs(spark):
+    # 0/1: near-identical (one word changed); 2: identical to 0; 3/4: unrelated.
+    rows = [
+        (0, BASE),
+        (1, BASE.replace("lazy", "sleepy")),
+        (2, BASE),
+        (3, "completely different content about spark query engines and parquet files"),
+        (4, "yet another unrelated document discussing distributed joins and shuffles"),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_minhash_finds_planted_near_dups(planted_docs):
+    pairs = {
+        (r.id1, r.id2): r.jaccard
+        for r in minhash_candidate_pairs(planted_docs).collect()
+    }
+    assert (0, 2) in pairs and pairs[(0, 2)] == 1.0  # exact dup
+    assert (0, 1) in pairs and pairs[(0, 1)] > 0.5  # planted near-dup
+    assert (1, 2) in pairs
+    # Unrelated docs must not pair with the BASE cluster.
+    for bad in [(0, 3), (0, 4), (3, 4), (1, 3), (2, 4)]:
+        assert bad not in pairs or pairs[bad] < 0.1
+
+
+def test_minhash_est_tracks_exact_jaccard(planted_docs):
+    rows = minhash_candidate_pairs(planted_docs).collect()
+    for r in rows:
+        assert abs(r.est_jaccard - r.jaccard) < 0.35  # 64 perms → coarse but close
+
+
+def test_simhash_finds_planted_near_dups(planted_docs):
+    pairs = {(r.id1, r.id2): r.hamming for r in simhash_near_pairs(planted_docs).collect()}
+    assert pairs.get((0, 2)) == 0  # identical text → identical signature
+    assert (0, 1) in pairs and pairs[(0, 1)] <= 8
+    assert (3, 4) not in pairs
+
+
+def test_simhash_deterministic(spark, planted_docs):
+    from parquet_compactor_spark.llm.dedup import simhash64
+
+    a = planted_docs.select(simhash64("text").alias("s")).collect()
+    b = planted_docs.select(simhash64("text").alias("s")).collect()
+    assert [r.s for r in a] == [r.s for r in b]
+
+
+def test_multimodal_meta_plumbing(spark):
+    df = spark.createDataFrame(
+        [(1, b"\x00" * 100), (2, b"\xff" * 700)], "doc_id bigint, payload binary"
+    )
+    rows = {r.doc_id: r for r in extract_media_meta(df).collect()}
+    for doc_id, payload in [(1, b"\x00" * 100), (2, b"\xff" * 700)]:
+        w, h, nf, mod = fake_decode_meta(payload)
+        r = rows[doc_id]
+        assert (r.n_bytes, r.width, r.height, r.n_frames, r.modality) == (
+            len(payload),
+            w,
+            h,
+            nf,
+            mod,
+        )
+
+
+def test_decode_image_is_explicit_stub():
+    from parquet_compactor_spark.llm.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
