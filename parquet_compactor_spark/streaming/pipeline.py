@@ -1,0 +1,307 @@
+"""Structured Streaming pipelines over an events landing prefix.
+
+The reference is a daily batch CronJob (deploy/clowdapp.yaml:18-23); the
+streaming surface is the north-star extension: the same event analytics,
+incrementally. Batch/stream parity is by construction — the windowed
+aggregation here is the same expression as the batch ``q_tumbling_window``
+(queries/scalar_fns.py), so the batch oracle validates the streaming
+semantics, and tests run the stream with an ``availableNow`` trigger and
+compare against the batch result.
+
+Scale posture: file-source streaming with ``maxFilesPerTrigger`` bounds
+per-micro-batch work; the watermark bounds state (windows older than the
+watermark are evicted); sessionization state is per-user and explicitly
+timed out — nothing grows with total history.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession, landing_dir: str, max_files_per_trigger: int = 32
+) -> DataFrame:
+    """File-source stream over a landing prefix of parquet event files.
+
+    Streaming reads require an explicit schema (no inference race with
+    arriving files). ``maxFilesPerTrigger`` bounds micro-batch size so one
+    backlogged prefix can't produce an unbounded batch.
+    """
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(landing_dir)
+    )
+
+
+def hourly_event_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling 1-hour windowed aggregation with late-data watermark.
+
+    Same aggregation expression as the batch ``q_tumbling_window`` — the
+    DuckDB oracle for that query is therefore also the semantic oracle for
+    this stream. The watermark evicts window state older than ``watermark``
+    behind the max observed event time, bounding memory at any throughput.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:00:00").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_stream_to_memory(
+    agg: DataFrame, query_name: str, complete: bool = True
+) -> None:
+    """Drain all available input into an in-memory sink (availableNow)."""
+    (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete" if complete else "append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+# --------------------------------------------------------------------------
+# Custom stateful operator: sessionization (applyInPandasWithState)
+# --------------------------------------------------------------------------
+
+SESSION_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+
+from pyspark.sql.types import ArrayType  # noqa: E402
+
+# Open sessions per user, as parallel arrays (epoch-microsecond bounds).
+_STATE_SCHEMA = StructType(
+    [
+        StructField("starts", ArrayType(LongType())),
+        StructField("ends", ArrayType(LongType())),
+        StructField("counts", ArrayType(LongType())),
+        StructField("totals", ArrayType(DoubleType())),
+    ]
+)
+
+SESSION_GAP_MINUTES = 30
+
+
+def _merge_sessions(
+    sessions: list[tuple[int, int, int, float]], gap_us: int
+) -> list[tuple[int, int, int, float]]:
+    """Merge (start, end, n, total) intervals under the gap rule.
+
+    Interval endpoints are the extreme member events, so merging interval
+    lists reproduces exactly the gap-and-islands result over the union of
+    their member events — this is what makes out-of-order, cross-batch
+    arrival safe.
+    """
+    merged: list[tuple[int, int, int, float]] = []
+    for s, e, n, t in sorted(sessions):
+        if merged and s - merged[-1][1] <= gap_us:
+            ps, pe, pn, pt = merged[-1]
+            merged[-1] = (ps, max(pe, e), pn + n, pt + t)
+        else:
+            merged.append((s, e, n, t))
+    return merged
+
+
+def _sessionize_user(
+    key: tuple[Any, ...],
+    pdf_iter: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterable[pd.DataFrame]:
+    """Per-user session assembly: events within a 30-min gap share a session.
+
+    State holds ALL open sessions for the user; a session is emitted only
+    once the event-time watermark has passed its end by more than the gap —
+    the point at which no (non-late) event can extend or bridge it. That
+    makes emission correct under out-of-order arrival across micro-batches,
+    and the watermark bounds both state size and result lateness.
+    """
+    (user_id,) = key
+    gap_us = SESSION_GAP_MINUTES * 60 * 1_000_000
+
+    sessions: list[tuple[int, int, int, float]] = []
+    if state.exists:
+        starts, ends, counts, totals = state.get
+        sessions = list(zip(starts, ends, counts, totals))
+
+    if not state.hasTimedOut:
+        batches = list(pdf_iter)
+        if batches:
+            events = pd.concat(batches).sort_values("ts")
+            for ts, value in zip(events["ts"], events["value"]):
+                t_us = int(pd.Timestamp(ts).value // 1000)
+                sessions.append((t_us, t_us, 1, float(value)))
+            sessions = _merge_sessions(sessions, gap_us)
+
+    # Flush every session the watermark has sealed (wm > end + gap).
+    wm_us = state.getCurrentWatermarkMs() * 1000
+    done = [s for s in sessions if s[1] + gap_us < wm_us]
+    still_open = [s for s in sessions if s[1] + gap_us >= wm_us]
+
+    if still_open:
+        state.update(
+            (
+                [s[0] for s in still_open],
+                [s[1] for s in still_open],
+                [s[2] for s in still_open],
+                [s[3] for s in still_open],
+            )
+        )
+        # Wake this key again once the earliest open session becomes sealable.
+        next_due_ms = min(s[1] for s in still_open) // 1000 + gap_us // 1000 + 1
+        state.setTimeoutTimestamp(max(next_due_ms, state.getCurrentWatermarkMs() + 1))
+    elif state.exists:
+        state.remove()
+
+    if done:
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(done),
+                "session_start": [pd.Timestamp(s, unit="us") for s, *_ in done],
+                "session_end": [pd.Timestamp(e, unit="us") for _, e, *_ in done],
+                "n_events": [n for _, _, n, _ in done],
+                "total_value": [round(t, 2) for *_, t in done],
+            }
+        )
+
+
+def sessionize_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Custom stateful streaming operator: per-user 30-min-gap sessions.
+
+    ``applyInPandasWithState`` — Arrow-batched, state partitioned by
+    user_id and bounded by the watermark (sealed sessions are emitted and
+    evicted), so state volume is O(users with activity inside the
+    watermark horizon), independent of total history.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_user,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def sessionize_batch(events: DataFrame, gap_minutes: int = SESSION_GAP_MINUTES) -> DataFrame:
+    """Batch-equivalent sessionization (window gap-and-island), for parity
+    checks: a new session starts where the gap to the previous event
+    exceeds the threshold; sessions are then plain group-bys. Gap math in
+    integer microseconds (unix_micros) — deterministic, oracle-matchable.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = gap_minutes * 60 * 1_000_000
+    gap_flag = (
+        F.when(
+            F.unix_micros(F.col("ts"))
+            - F.lag(F.unix_micros(F.col("ts")), 1, 0).over(w)
+            > gap_us,
+            1,
+        )
+        .otherwise(0)
+    )
+    with_session = events.withColumn("new_session", gap_flag).withColumn(
+        "session_id", F.sum("new_session").over(w)
+    )
+    return with_session.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+from parquet_compactor_spark.registry import load, register  # noqa: E402
+
+
+@register(
+    "q_sessionize",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1, 0)
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    > 30 * 60 * 1000000 THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    sess AS (
+        SELECT *, SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           session_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM sess
+    GROUP BY user_id, session_id
+    """,
+    doc="Sessionization (30-min inactivity gap) as a batch gap-and-islands "
+    "window program — the batch twin of the streaming "
+    "applyInPandasWithState operator, oracle-checked. One shuffle on "
+    "user_id; per-partition state is one user's event list.",
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    sess = sessionize_batch(e)
+    return sess.select(
+        "user_id",
+        "session_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "n_events",
+        "total_value",
+    )

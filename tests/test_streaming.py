@@ -1,0 +1,111 @@
+"""Structured Streaming tests: batch/stream parity with availableNow.
+
+The stream pipelines must produce the same answers as their batch twins
+(whose DuckDB oracles are checked in test_oracle.py) — transitively the
+streams are oracle-checked too.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from parquet_compactor_spark.registry import load
+from parquet_compactor_spark.streaming.pipeline import (
+    hourly_event_counts,
+    read_events_stream,
+    run_stream_to_memory,
+    sessionize_batch,
+    sessionize_stream,
+)
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def landing_dir(spark, tmp_path_factory):
+    """Events as a landing prefix of 4 files arriving in event-time order.
+
+    Files are written oldest-quartile-first with strictly increasing
+    mtimes (the FileStreamSource processes oldest-first), mirroring a real
+    landing zone. This keeps cross-batch lateness within the watermark so
+    stream/batch parity is exact; watermark late-drop behavior itself is
+    covered by the bounded-lateness assertion in the sessionization test.
+    """
+    import time
+
+    d = str(tmp_path_factory.mktemp("landing"))
+    events = load(spark, SF_SMOKE, "events").withColumn("_us", F.unix_micros("ts"))
+    bounds = events.approxQuantile("_us", [0.25, 0.5, 0.75], 0.0)
+    lo = None
+    for hi in bounds + [None]:
+        part = events
+        if lo is not None:
+            part = part.filter(F.col("_us") >= lo)
+        if hi is not None:
+            part = part.filter(F.col("_us") < hi)
+        part.drop("_us").coalesce(1).write.mode("append").parquet(d)
+        time.sleep(1.1)  # distinct mtimes → deterministic arrival order
+        lo = hi
+    return d
+
+
+def test_stream_hourly_counts_match_batch(spark, landing_dir):
+    stream = read_events_stream(spark, landing_dir, max_files_per_trigger=2)
+    assert stream.isStreaming
+    run_stream_to_memory(hourly_event_counts(stream), "hourly_counts")
+    streamed = {
+        (r.hour_start, r.event_type): (r.n_events, r.total_value)
+        for r in spark.table("hourly_counts").collect()
+    }
+
+    batch = (
+        load(spark, SF_SMOKE, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:00:00").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    expected = {
+        (r.hour_start, r.event_type): (r.n_events, r.total_value) for r in batch.collect()
+    }
+    assert streamed == expected
+
+
+def test_stream_sessionization_matches_batch_sealed_sessions(spark, landing_dir):
+    from datetime import timedelta
+
+    # Multiple small micro-batches → out-of-order arrival across batches.
+    stream = read_events_stream(spark, landing_dir, max_files_per_trigger=1)
+    run_stream_to_memory(
+        sessionize_stream(stream, watermark="1 hour"), "sessions", complete=False
+    )
+    streamed = {
+        (r.user_id, r.session_start, r.session_end): (r.n_events, r.total_value)
+        for r in spark.table("sessions").collect()
+    }
+
+    events = load(spark, SF_SMOKE, "events")
+    batch_rows = sessionize_batch(events).collect()
+    batch_keyed = {
+        (r.user_id, r.session_start, r.session_end): (r.n_events, r.total_value)
+        for r in batch_rows
+    }
+    # Every emitted session must exactly match a batch session (no premature
+    # closures even though events arrived out of order across batches).
+    assert streamed, "stream emitted no sessions"
+    for key, val in streamed.items():
+        assert batch_keyed.get(key) == val, f"stream-only session {key}"
+    # Every batch session comfortably sealed by the final watermark
+    # (max_ts - 1h delay - 30min gap, with 1min slack) must have been emitted.
+    max_ts = max(r.ts for r in events.select("ts").collect())
+    sealed_cutoff = max_ts - timedelta(hours=1, minutes=31)
+    for key, val in batch_keyed.items():
+        if key[2] < sealed_cutoff:
+            assert key in streamed, f"sealed batch session not emitted {key}"
