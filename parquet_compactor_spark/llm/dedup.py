@@ -85,14 +85,23 @@ def word_shingles(text: Column, k: int = 3) -> Column:
     )
 
 
-def minhash_signature(shingles: Column) -> Column:
-    """64-permutation minhash signature (array<int-ish bigint>).
-
-    Shingle hashes are folded to [0, 2^31) first so a*h+b never overflows
-    a bigint (ANSI-mode safe); each permutation is the standard
-    (a*h + b) mod p universal hash, min-reduced JVM-side.
+def shingle_hashes(shingles: Column) -> Column:
+    """Shingle hashes folded to [0, 2^31) — materialize this ONCE per row
+    (its own projection) before fanning out to the 64 permutations, so the
+    expensive split/concat/xxhash work is not recomputed per permutation.
     """
-    h32 = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE_31)))
+    return F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE_31)))
+
+
+def minhash_signature(h32: Column) -> Column:
+    """64-permutation minhash signature over pre-hashed shingles.
+
+    Each permutation is the standard (a*h + b) mod p universal hash
+    (h < 2^31 and a, b < 2^31 so a*h+b never overflows bigint — ANSI-mode
+    safe), min-reduced JVM-side. Input must be a *materialized column*
+    from :func:`shingle_hashes` — passing the raw expression would inline
+    the tokenization 64 times.
+    """
     mins = [
         F.array_min(
             F.transform(h32, lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(MERSENNE_31)))
@@ -116,15 +125,38 @@ def lsh_band_hashes(sig: Column) -> Column:
     return F.array(*bands)
 
 
+def minhash_signatures_exploded(docs: DataFrame) -> DataFrame:
+    """(doc_id, sig) via explode + 64 min-aggregates — the scale form.
+
+    Explode the shingle set to (doc_id, h) rows, hash each shingle ONCE,
+    then compute all 64 permutation minima as a single map-side-partial
+    hash aggregate. Equivalent to :func:`minhash_signature` but avoids
+    Catalyst re-inlining the tokenization into every permutation (the
+    array-fold form recomputes shingle hashes up to 64x per row).
+    """
+    hashed = docs.select(
+        "doc_id", F.explode(word_shingles(F.col("text"))).alias("sh")
+    ).select("doc_id", F.pmod(F.xxhash64("sh"), F.lit(MERSENNE_31)).alias("h"))
+    mins = [
+        F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(MERSENNE_31))).alias(f"m{j}")
+        for j, (a, b) in enumerate(PERM_COEFFS)
+    ]
+    return (
+        hashed.groupBy("doc_id")
+        .agg(*mins)
+        .select("doc_id", F.array(*[f"m{j}" for j in range(NUM_PERM)]).alias("sig"))
+    )
+
+
 def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
     """LSH candidate pairs (id1 < id2) with estimated + exact Jaccard.
 
     docs: (doc_id, text). Returns (id1, id2, est_jaccard, jaccard).
     """
-    sigs = docs.select(
-        "doc_id",
-        word_shingles(F.col("text")).alias("shingles"),
-    ).withColumn("sig", minhash_signature(F.col("shingles")))
+    shingle_sets = docs.select(
+        "doc_id", word_shingles(F.col("text")).alias("shingles")
+    )
+    sigs = minhash_signatures_exploded(docs).join(shingle_sets, "doc_id")
 
     buckets = sigs.select(
         "doc_id",
@@ -192,26 +224,56 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-def simhash64(text_col: str = "text") -> Column:
-    """64-bit SimHash of the distinct whitespace tokens (bit-vote, JVM-side).
+def token_hashes(text: Column) -> Column:
+    """Distinct-token xxhash64 array — materialize once per row before the
+    64-bit vote (else the split+hash work is inlined 128×)."""
+    return F.transform(F.array_distinct(F.split(text, " ", -1)), lambda t: F.xxhash64(t))
 
-    ``text_col`` is the name of the string column to hash. Expressed as one
-    SQL higher-order expression: per bit position, the majority vote over
-    token hashes sets the bit; bits are OR-folded. (SQL form because
+
+def simhash64(hashes_col: str = "hashes") -> Column:
+    """64-bit SimHash over a pre-hashed token array column (bit-vote).
+
+    ``hashes_col`` names a *materialized* array<bigint> column from
+    :func:`token_hashes`. Per bit position, the majority vote over token
+    hashes sets the bit; bits are OR-folded. (SQL-expr form because
     shiftright-by-a-lambda-variable is valid in Spark SQL but not through
     the Python ``F.shiftright`` wrapper.)
     """
-    hashes_sql = f"transform(array_distinct(split({text_col}, ' ', -1)), tk -> xxhash64(tk))"
     return F.expr(
         f"""
         aggregate(
           transform(sequence(0, 63), b ->
-            IF(size(filter({hashes_sql}, h -> (shiftright(h, b) & 1L) = 1L)) * 2
-                 >= size({hashes_sql}),
+            IF(size(filter({hashes_col}, h -> (shiftright(h, b) & 1L) = 1L)) * 2
+                 >= size({hashes_col}),
                shiftleft(1L, b), 0L)),
           0L, (acc, x) -> acc | x)
         """
     )
+
+
+def simhash_signatures_exploded(docs: DataFrame) -> DataFrame:
+    """(doc_id, sim) via explode + 64 bit-vote sum-aggregates — the scale
+    form: each token hashed once, votes partial-aggregated map-side."""
+    import functools
+
+    hashed = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.col("text"), " ", -1))).alias("tk"),
+    ).select("doc_id", F.xxhash64("tk").alias("h"))
+    votes = [
+        F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"b{b}")
+        for b in range(64)
+    ]
+    voted = hashed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"), *votes)
+    bit_terms = [
+        F.when(
+            F.col(f"b{b}") * 2 >= F.col("n"),
+            F.shiftleft(F.lit(1).cast("bigint"), b),
+        ).otherwise(F.lit(0).cast("bigint"))
+        for b in range(64)
+    ]
+    sim = functools.reduce(lambda x, y: x.bitwiseOR(y), bit_terms)
+    return voted.select("doc_id", sim.alias("sim"))
 
 
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
@@ -221,7 +283,7 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
     four 16-bit chunks (pigeonhole), so chunk-equality blocking has full
     recall at distance <= 3 and high recall below ``max_hamming``.
     """
-    sigs = docs.select("doc_id", simhash64("text").alias("sim"))
+    sigs = simhash_signatures_exploded(docs)
     chunks = sigs.select(
         "doc_id",
         "sim",

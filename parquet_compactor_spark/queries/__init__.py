@@ -3,4 +3,4 @@
 Importing this package registers all relational queries with the registry.
 """
 
-from parquet_compactor_spark.queries import relational, scalar_fns  # noqa: F401
+from parquet_compactor_spark.queries import advanced, relational, scalar_fns  # noqa: F401

@@ -1,0 +1,195 @@
+"""Advanced relational coverage: grouping sets, pivot, subqueries,
+percentiles, array aggregation, approximate sketches.
+
+These round out SURVEY.md §2B beyond the first wave — each remains a pure
+Catalyst plan (Expand for grouping sets/pivot, subquery broadcast for the
+scalar subquery, sort-based percentile) with the same oracle conventions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parquet_compactor_spark.registry import load, register
+
+
+@register(
+    "q_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus,
+           o_orderpriority,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS revenue,
+           GROUPING(o_orderstatus)  AS g_status,
+           GROUPING(o_orderpriority) AS g_priority
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    doc="Explicit GROUPING SETS with GROUPING() markers — one Expand pass, "
+    "no multiple scans of the fact table.",
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("_orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               o_orderpriority,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS revenue,
+               CAST(GROUPING(o_orderstatus) AS INT)  AS g_status,
+               CAST(GROUPING(o_orderpriority) AS INT) AS g_priority
+        FROM _orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register(
+    "q_pivot",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) FILTER (o_orderpriority = '1-URGENT')        AS urgent,
+           COUNT(*) FILTER (o_orderpriority = '2-HIGH')          AS high,
+           COUNT(*) FILTER (o_orderpriority = '3-MEDIUM')        AS medium,
+           COUNT(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS not_specified,
+           COUNT(*) FILTER (o_orderpriority = '5-LOW')           AS low
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    doc="Pivot (long→wide): priority counts per order status. Spark PIVOT "
+    "with an explicit value list compiles to a single-pass conditional "
+    "aggregate — no per-column scans.",
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .pivot(
+            "o_orderpriority",
+            ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+        )
+        .agg(F.count(F.lit(1)))
+        .withColumnsRenamed(
+            {
+                "1-URGENT": "urgent",
+                "2-HIGH": "high",
+                "3-MEDIUM": "medium",
+                "4-NOT SPECIFIED": "not_specified",
+                "5-LOW": "low",
+            }
+        )
+    )
+
+
+@register(
+    "q_scalar_subquery",
+    oracle="""
+    SELECT o_orderkey, ROUND(o_totalprice, 2) AS total_price
+    FROM orders
+    WHERE o_totalprice > 2 * (SELECT AVG(o_totalprice) FROM orders)
+    """,
+    doc="Scalar subquery in a predicate: orders above 2x the mean price. "
+    "Catalyst evaluates the subquery once and broadcasts the scalar.",
+)
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("_orders_ss")
+    return spark.sql(
+        """
+        SELECT o_orderkey, ROUND(o_totalprice, 2) AS total_price
+        FROM _orders_ss
+        WHERE o_totalprice > 2 * (SELECT AVG(o_totalprice) FROM _orders_ss)
+        """
+    )
+
+
+@register(
+    "q_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 4)  AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.9), 4)  AS p90,
+           ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Exact interpolated percentiles per group (Spark percentile == "
+    "DuckDB quantile_cont, both linear interpolation). At 100 TB, swap to "
+    "approx_percentile (t-digest sketch, see q_approx_stats) — exact "
+    "percentile needs the full group sorted.",
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99"),
+    )
+
+
+@register(
+    "q_approx_stats",
+    oracle=None,  # sketch outputs are engine-specific by design
+    doc="Approximate sketch aggregates — approx_count_distinct (HLL++) and "
+    "approx_percentile — the constant-memory versions of q_agg_distinct/"
+    "q_percentiles that run at any scale. Rows-only check (sketch error "
+    "bounds are engine-specific); accuracy asserted vs exact in tests.",
+)
+def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.round(F.expr("approx_percentile(l_extendedprice, 0.5)"), 4).alias("approx_p50"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "q_array_agg",
+    oracle="""
+    SELECT n_regionkey AS regionkey,
+           list(n_name ORDER BY n_name) AS nations,
+           COUNT(*) AS n_nations
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+    doc="Array aggregation: collect per-group values into a sorted array "
+    "(sorted → deterministic, hash-comparable).",
+)
+def q_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load(spark, sf_dir, "nation")
+    return n.groupBy(F.col("n_regionkey").alias("regionkey")).agg(
+        F.array_sort(F.collect_list("n_name")).alias("nations"),
+        F.count(F.lit(1)).alias("n_nations"),
+    )
+
+
+@register(
+    "q_explode_posexplode",
+    oracle="""
+    SELECT u.vec_id,
+           CAST(u.idx - 1 AS INT)            AS pos,
+           ROUND(CAST(u.val AS DOUBLE), 4)   AS component
+    FROM (SELECT vec_id,
+                 unnest(embedding) AS val,
+                 generate_subscripts(embedding, 1) AS idx
+          FROM embeddings WHERE vec_id < 3) u(vec_id, val, idx)
+    WHERE (u.idx - 1) % 16 = 0
+    """,
+    doc="Lateral array explode with position (posexplode ≡ "
+    "generate_subscripts): flattens vectors to (vec_id, pos, value) rows.",
+)
+def q_explode_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    return (
+        e.filter(F.col("vec_id") < 3)
+        .select("vec_id", F.posexplode("embedding").alias("pos", "component"))
+        .filter(F.col("pos") % 16 == 0)
+        .select(
+            "vec_id",
+            "pos",
+            F.round(F.col("component").cast("double"), 4).alias("component"),
+        )
+    )

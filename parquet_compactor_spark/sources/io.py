@@ -1,0 +1,99 @@
+"""Format-agnostic table IO (parquet / csv / json / orc) with sizing knobs.
+
+The reference reads and writes only snappy parquet
+(parquet_compactor.py:158-171); this module generalizes the same
+source/sink surface the Spark way — one declarative reader/writer pair
+where format, compression, partition layout, and output file sizing
+(the reference's 0.3 GiB / 1M-row rules) are options, not code paths.
+
+Scale posture baked in:
+- writes can target a byte size per file: ``repartition`` to
+  ceil(estimated_bytes / target) (exact sizing, one shuffle) or
+  ``coalesce`` (no shuffle, uneven) — caller picks the trade-off;
+- ``maxRecordsPerFile`` always bounds the worst case;
+- partitioned writes (``partition_by``) produce the same
+  ``key=value`` Hive layout the compactor crawls, closing the loop
+  between the query surface and the compaction core.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+
+from parquet_compactor_spark.session import CHUNKED_ROWS, FILE_SIZE_BYTES
+
+_READ_FORMATS = {"parquet", "csv", "json", "orc"}
+
+
+def read_table(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema: str | None = None,
+    **options: str,
+) -> DataFrame:
+    """Read a table of the given format.
+
+    CSV defaults to header+inferSchema only when no schema is given —
+    prefer an explicit ``schema`` (inference is an extra full scan at
+    lake scale).
+    """
+    if fmt not in _READ_FORMATS:
+        raise ValueError(f"unsupported format: {fmt}")
+    reader = spark.read.format(fmt)
+    if schema:
+        reader = reader.schema(schema)
+    if fmt == "csv":
+        reader = reader.option("header", "true")
+        if not schema:
+            reader = reader.option("inferSchema", "true")
+    return reader.options(**options).load(path)
+
+
+def sized_writer(
+    df: DataFrame,
+    target_file_bytes: int = FILE_SIZE_BYTES,
+    estimated_total_bytes: int | None = None,
+    exact: bool = True,
+):
+    """Return df repartitioned so output files land near the target size.
+
+    ``estimated_total_bytes`` usually comes from the input listing (as the
+    compactor does); without it we leave partitioning to AQE +
+    maxRecordsPerFile. ``exact=True`` shuffles (even files); ``False``
+    coalesces (no shuffle, sizes follow existing partitioning).
+    """
+    if estimated_total_bytes is None:
+        return df
+    n = max(1, math.ceil(estimated_total_bytes / target_file_bytes))
+    return df.repartition(n) if exact else df.coalesce(n)
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    compression: str = "snappy",
+    partition_by: list[str] | None = None,
+    max_records_per_file: int = CHUNKED_ROWS,
+    **options: str,
+) -> None:
+    """Write a table with the engine's sizing conventions applied."""
+    if fmt not in _READ_FORMATS:
+        raise ValueError(f"unsupported format: {fmt}")
+    if fmt == "json" and compression == "snappy":
+        compression = "gzip"  # snappy unsupported for json sink
+    writer = (
+        df.write.format(fmt)
+        .mode(mode)
+        .option("compression", compression)
+        .option("maxRecordsPerFile", max_records_per_file)
+    )
+    if fmt == "csv":
+        writer = writer.option("header", "true")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.options(**options).save(path)

@@ -94,6 +94,47 @@ def test_filter_compacted_no_prior():
     assert filter_compacted("AWS", files, CFG) == ["/l/x.parquet", "/l/y.parquet"]
 
 
+def test_filter_compacted_property_invariants():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @st.composite
+    def file_lists(draw):
+        n = draw(st.integers(0, 20))
+        files = []
+        for i in range(n):
+            kind = draw(st.sampled_from(["new", "hex", "num"]))
+            name = {
+                "new": f"part-{i}.parquet",
+                "hex": "AWS_" + format(i, "032x") + ".parquet",
+                "num": f"AWS_{i}.parquet",
+            }[kind]
+            age = draw(st.floats(0, 30))
+            files.append(_meta(f"/l/{name}", days_old=age))
+        return files
+
+    @given(file_lists())
+    @settings(max_examples=200, deadline=None)
+    def check(files):
+        result = filter_compacted("AWS", files, CFG)
+        by_path = {f.path: f for f in files}
+        prior = [f for f in files if "/AWS_" in f.path]
+        new = [p for p in result if "/AWS_" not in p]
+        # At most one prior compacted output is re-merged — the newest.
+        included_prior = [p for p in result if "/AWS_" in p]
+        assert len(included_prior) <= 1
+        if prior:
+            assert included_prior == [max(prior, key=lambda f: f.modified).path]
+            assert result[0] == included_prior[0]  # and it leads the list
+        # No fresh file (inside the hold-back window) is ever included.
+        for p in new:
+            assert by_path[p].modified.date() < (
+                CFG.utcnow() - __import__("datetime").timedelta(days=5)
+            ).date()
+
+    check()
+
+
 def test_filter_compacted_hold_back_is_date_granular():
     # Exactly at the boundary date → NOT included (strict <, date compare).
     boundary = FileMeta(

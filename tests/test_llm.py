@@ -63,10 +63,11 @@ def test_simhash_finds_planted_near_dups(planted_docs):
 
 
 def test_simhash_deterministic(spark, planted_docs):
-    from parquet_compactor_spark.llm.dedup import simhash64
+    from parquet_compactor_spark.llm.dedup import simhash64, token_hashes
 
-    a = planted_docs.select(simhash64("text").alias("s")).collect()
-    b = planted_docs.select(simhash64("text").alias("s")).collect()
+    hashed = planted_docs.select(token_hashes(F.col("text")).alias("hashes"))
+    a = hashed.select(simhash64("hashes").alias("s")).collect()
+    b = hashed.select(simhash64("hashes").alias("s")).collect()
     assert [r.s for r in a] == [r.s for r in b]
 
 

@@ -1,0 +1,62 @@
+"""Source/sink IO tests: format roundtrips, partitioned layout, sizing."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from parquet_compactor_spark.compactor.core import (
+    CompactionConfig,
+    plan_output_files,
+)
+from parquet_compactor_spark.registry import load
+from parquet_compactor_spark.sources import read_table, sized_writer, write_table
+from tests.conftest import SF_SMOKE
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "csv", "json", "orc"])
+def test_roundtrip_formats(spark, tmp_path, fmt):
+    df = load(spark, SF_SMOKE, "nation")
+    path = str(tmp_path / fmt)
+    write_table(df, path, fmt=fmt)
+    back = read_table(spark, path, fmt=fmt, schema="n_nationkey int, n_name string, n_regionkey int")
+    assert sorted(r.n_name for r in back.collect()) == sorted(
+        r.n_name for r in df.collect()
+    )
+
+
+def test_partitioned_write_hive_layout(spark, tmp_path):
+    df = load(spark, SF_SMOKE, "nation")
+    path = tmp_path / "by_region"
+    write_table(df, str(path), partition_by=["n_regionkey"])
+    # Hive key=value layout — the same shape the compactor crawls.
+    subdirs = {p.name for p in path.iterdir() if p.is_dir()}
+    assert subdirs == {f"n_regionkey={i}" for i in range(5)}
+    back = read_table(spark, str(path))
+    assert back.count() == df.count()
+
+
+def test_sized_writer_partition_count(spark):
+    df = load(spark, SF_SMOKE, "lineitem")
+    out = sized_writer(df, target_file_bytes=1000, estimated_total_bytes=10_500)
+    assert out.rdd.getNumPartitions() == 11
+    out = sized_writer(df, target_file_bytes=10**9, estimated_total_bytes=10)
+    assert out.rdd.getNumPartitions() == 1
+
+
+@given(
+    total=st.integers(min_value=0, max_value=10**15),
+    target_gb=st.floats(min_value=0.01, max_value=10.0),
+)
+@settings(max_examples=200, deadline=None)
+def test_plan_output_files_invariants(total, target_gb):
+    cfg = CompactionConfig(target_file_size_gb=target_gb)
+    n = plan_output_files(total, cfg)
+    assert n >= 1
+    # Files stay under target unless a single file is unavoidable.
+    assert n == max(1, math.ceil(total / cfg.file_size_bytes))
+    if total > cfg.file_size_bytes:
+        assert (total / n) <= cfg.file_size_bytes
