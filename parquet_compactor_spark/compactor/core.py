@@ -259,25 +259,40 @@ class LakeCompactor:
         for path in file_list:
             self.fs.delete(path, recursive=False)
 
-    def compact(self) -> dict[str, str]:
-        """Run one compaction pass. Returns {leaf: outcome} for observability."""
-        outcomes: dict[str, str] = {}
-        for leaf, files in sorted(self.candidate_leaves().items()):
-            if should_skip_compacting(leaf, self.config):
-                outcomes[leaf] = "skipped_current_month"
-                continue
-            base = determine_base_file_name(leaf)
-            file_list = filter_compacted(base, files, self.config)
-            if len(file_list) <= 1:
-                outcomes[leaf] = "nothing_to_compact"
-                continue
-            if "GCP" in leaf:
-                success = self.merge_files_gcp(leaf, file_list)
-            else:
-                success = self.merge_files(leaf, base, file_list)
-            if success:
-                self.remove_uncompacted_files(file_list)
-                outcomes[leaf] = f"compacted_{len(file_list)}_files"
-            else:
-                outcomes[leaf] = "merge_failed_originals_kept"
-        return outcomes
+    def _compact_leaf(self, leaf: str, files: list[FileMeta]) -> str:
+        """Plan + execute one leaf; returns its outcome string."""
+        if should_skip_compacting(leaf, self.config):
+            return "skipped_current_month"
+        base = determine_base_file_name(leaf)
+        file_list = filter_compacted(base, files, self.config)
+        if len(file_list) <= 1:
+            return "nothing_to_compact"
+        if "GCP" in leaf:
+            success = self.merge_files_gcp(leaf, file_list)
+        else:
+            success = self.merge_files(leaf, base, file_list)
+        if success:
+            self.remove_uncompacted_files(file_list)
+            return f"compacted_{len(file_list)}_files"
+        return "merge_failed_originals_kept"
+
+    def compact(self, max_concurrency: int = 1) -> dict[str, str]:
+        """Run one compaction pass. Returns {leaf: outcome} for observability.
+
+        ``max_concurrency > 1`` submits independent leaf jobs from a driver
+        thread pool (Spark job submission is thread-safe; per-leaf jobs
+        share the cluster via the scheduler). On a listing-bound lake with
+        thousands of small leaves, this keeps executors saturated instead
+        of serializing one small job per leaf — the scale knob SURVEY.md
+        §7 step 6 calls for. Default 1 mirrors the reference's sequential
+        orchestration (parquet_compactor.py:295-328).
+        """
+        leaves = sorted(self.candidate_leaves().items())
+        if max_concurrency <= 1:
+            return {leaf: self._compact_leaf(leaf, files) for leaf, files in leaves}
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=max_concurrency) as pool:
+            results = pool.map(lambda lf: self._compact_leaf(*lf), leaves)
+            return {leaf: outcome for (leaf, _), outcome in zip(leaves, results)}

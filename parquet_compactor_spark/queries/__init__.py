@@ -3,4 +3,9 @@
 Importing this package registers all relational queries with the registry.
 """
 
-from parquet_compactor_spark.queries import advanced, relational, scalar_fns  # noqa: F401
+from parquet_compactor_spark.queries import (  # noqa: F401
+    advanced,
+    extras,
+    relational,
+    scalar_fns,
+)

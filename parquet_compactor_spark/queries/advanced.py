@@ -150,18 +150,19 @@ def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_array_agg",
     oracle="""
     SELECT n_regionkey AS regionkey,
-           list(n_name ORDER BY n_name) AS nations,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations,
            COUNT(*) AS n_nations
     FROM nation
     GROUP BY n_regionkey
     """,
-    doc="Array aggregation: collect per-group values into a sorted array "
-    "(sorted → deterministic, hash-comparable).",
+    doc="Array aggregation: collect per-group values into a sorted list "
+    "(emitted as a joined string — sorted → deterministic, and scalar "
+    "output hashes identically across engines).",
 )
 def q_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load(spark, sf_dir, "nation")
     return n.groupBy(F.col("n_regionkey").alias("regionkey")).agg(
-        F.array_sort(F.collect_list("n_name")).alias("nations"),
+        F.concat_ws(",", F.array_sort(F.collect_list("n_name"))).alias("nations"),
         F.count(F.lit(1)).alias("n_nations"),
     )
 

@@ -1,0 +1,238 @@
+"""Coverage extras: statistical aggregates, arg-extremes, ranking windows,
+regex predicates, null-handling scalars, subquery forms, cross join.
+
+Same conventions as the rest of the surface: JVM-side expressions, every
+computed column aliased identically in Spark and oracle SQL, floats
+rounded on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from parquet_compactor_spark.registry import load, register
+
+
+@register(
+    "q_stats_agg",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(stddev_samp(l_extendedprice), 2) AS price_stddev,
+           ROUND(var_samp(l_quantity), 4)         AS qty_var,
+           ROUND(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_covar
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Statistical aggregates: stddev/variance/correlation/covariance — "
+    "single-pass partial-aggregatable moments.",
+)
+def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 2).alias("price_stddev"),
+        F.round(F.var_samp("l_quantity"), 4).alias("qty_var"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("qty_price_covar"),
+    )
+
+
+@register(
+    "q_arg_extremes",
+    oracle="""
+    SELECT c_mktsegment,
+           arg_max(c_name, c_acctbal) AS richest_customer,
+           ROUND(MAX(c_acctbal), 2)   AS max_bal,
+           arg_min(c_name, c_acctbal) AS poorest_customer,
+           ROUND(MIN(c_acctbal), 2)   AS min_bal
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+    doc="Argument extremes (max_by/min_by ≡ arg_max/arg_min): the value of "
+    "one column at another's extreme — single-pass, no self-join.",
+)
+def q_arg_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.max_by("c_name", "c_acctbal").alias("richest_customer"),
+        F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+        F.min_by("c_name", "c_acctbal").alias("poorest_customer"),
+        F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+    )
+
+
+@register(
+    "q_window_ranks",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderstatus,
+           RANK()         OVER w AS price_rank,
+           DENSE_RANK()   OVER w AS price_dense_rank,
+           NTILE(4)       OVER w AS price_quartile,
+           ROUND(PERCENT_RANK() OVER w, 4) AS price_pct_rank
+    FROM orders
+    WHERE o_orderkey % 100 = 0
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+    doc="Ranking window family: rank/dense_rank/ntile/percent_rank with "
+    "deterministic tie-break.",
+)
+def q_window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.rank().over(w).alias("price_rank"),
+        F.dense_rank().over(w).alias("price_dense_rank"),
+        F.ntile(4).over(w).alias("price_quartile"),
+        F.round(F.percent_rank().over(w), 4).alias("price_pct_rank"),
+    )
+
+
+@register(
+    "q_window_first_last",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(FIRST_VALUE(o_totalprice) OVER w, 2) AS first_price,
+           ROUND(LAST_VALUE(o_totalprice)  OVER w, 2) AS last_price,
+           COUNT(*) OVER (PARTITION BY o_custkey)     AS n_orders
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    doc="first_value/last_value over a full-partition ROWS frame (the "
+    "frame makes last_value well-defined) + partition-wide count.",
+)
+def q_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    wc = Window.partitionBy("o_custkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.first("o_totalprice").over(w), 2).alias("first_price"),
+        F.round(F.last("o_totalprice").over(w), 2).alias("last_price"),
+        F.count(F.lit(1)).over(wc).alias("n_orders"),
+    )
+
+
+@register(
+    "q_rlike_filter",
+    oracle="""
+    SELECT p_name, p_brand, p_type
+    FROM part
+    WHERE regexp_matches(p_name, '^(small|large) (widget|bolt)$')
+      AND p_brand SIMILAR TO 'Brand#1[0-9]'
+    """,
+    doc="Regex predicates (rlike ≡ regexp_matches/SIMILAR TO) pushed into "
+    "the scan filter.",
+)
+def q_rlike_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    return p.filter(
+        F.col("p_name").rlike(r"^(small|large) (widget|bolt)$")
+        & F.col("p_brand").rlike(r"^Brand#1[0-9]$")
+    ).select("p_name", "p_brand", "p_type")
+
+
+@register(
+    "q_null_handling",
+    oracle="""
+    SELECT COALESCE(NULLIF(o_orderstatus, 'O'), 'open')      AS status_label,
+           COUNT(*)                                          AS n_orders,
+           COUNT(NULLIF(o_orderstatus, 'O'))                 AS n_non_open,
+           ROUND(SUM(CASE WHEN o_orderstatus = 'O'
+                          THEN o_totalprice END), 2)         AS open_revenue
+    FROM orders
+    GROUP BY 1
+    """,
+    doc="Null-handling scalars: nullif/coalesce/null-skipping COUNT and "
+    "SUM-over-partial-CASE (NULL-producing branch).",
+)
+def q_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    status = F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("open"))
+    return o.groupBy(status.alias("status_label")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count(F.nullif(F.col("o_orderstatus"), F.lit("O"))).alias("n_non_open"),
+        F.round(
+            F.sum(F.when(F.col("o_orderstatus") == "O", F.col("o_totalprice"))), 2
+        ).alias("open_revenue"),
+    )
+
+
+@register(
+    "q_in_subquery",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+    GROUP BY o_orderpriority
+    """,
+    doc="IN-subquery predicate (Catalyst rewrites to left-semi join).",
+)
+def q_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    o.createOrReplaceTempView("_orders_in")
+    c.createOrReplaceTempView("_customer_in")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n_orders
+        FROM _orders_in
+        WHERE o_custkey IN (SELECT c_custkey FROM _customer_in WHERE c_acctbal > 9000)
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@register(
+    "q_cross_join",
+    oracle="""
+    SELECT a.r_name AS from_region, b.r_name AS to_region
+    FROM region a CROSS JOIN region b
+    WHERE a.r_regionkey <> b.r_regionkey
+    """,
+    doc="Cartesian product of a tiny dimension (5x5) — the only place a "
+    "cross join belongs; anything larger must be blocked or broadcast.",
+)
+def q_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load(spark, sf_dir, "region")
+    a = r.select(F.col("r_regionkey").alias("ka"), F.col("r_name").alias("from_region"))
+    b = r.select(F.col("r_regionkey").alias("kb"), F.col("r_name").alias("to_region"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("ka") != F.col("kb"))
+        .select("from_region", "to_region")
+    )
+
+
+@register(
+    "q_union_all",
+    oracle="""
+    SELECT side, COUNT(*) AS n
+    FROM (
+        SELECT 'customer' AS side, c_nationkey AS nationkey FROM customer
+        UNION ALL
+        SELECT 'supplier' AS side, s_nationkey AS nationkey FROM supplier
+    )
+    GROUP BY side
+    """,
+    doc="UNION ALL (no dedup — zero shuffle for the union itself).",
+)
+def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select(
+        F.lit("customer").alias("side"), F.col("c_nationkey").alias("nationkey")
+    )
+    s = load(spark, sf_dir, "supplier").select(
+        F.lit("supplier").alias("side"), F.col("s_nationkey").alias("nationkey")
+    )
+    return c.unionByName(s).groupBy("side").agg(F.count(F.lit(1)).alias("n"))
