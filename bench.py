@@ -56,6 +56,8 @@ def main() -> None:
         timings[name] = round(dt, 3)
         total += dt
 
+    compaction = bench_compaction(spark, sf_dir)
+
     print(
         json.dumps(
             {
@@ -64,10 +66,48 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "compaction": compaction,
             }
         )
     )
     spark.stop()
+
+
+def bench_compaction(spark, sf_dir: str) -> dict:
+    """Compaction-core throughput: split lineitem into many small files,
+    compact, report bytes/s and file fan-in (BASELINE.md proxy metric)."""
+    import shutil
+    import tempfile
+    from pathlib import Path as P
+
+    from parquet_compactor_spark.compactor import CompactionConfig, LakeCompactor
+
+    tmp = tempfile.mkdtemp(prefix="bench_compact_")
+    leaf = P(tmp) / "acct" / "source=OCP" / "year=2020" / "month=01"
+    try:
+        df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        df.repartition(64).write.mode("overwrite").parquet(str(leaf))
+        (leaf / "_SUCCESS").unlink(missing_ok=True)
+        # Age the files past the 5-day hold-back.
+        old = time.time() - 10 * 86400
+        files_in = list(leaf.glob("*.parquet"))
+        for f in files_in:
+            os.utime(f, (old, old))
+        total_bytes = sum(f.stat().st_size for f in files_in)
+
+        t0 = time.perf_counter()
+        LakeCompactor(spark, tmp, CompactionConfig()).compact()
+        dt = time.perf_counter() - t0
+        files_out = list(leaf.glob("*.parquet"))
+        return {
+            "files_in": len(files_in),
+            "files_out": len(files_out),
+            "bytes": total_bytes,
+            "sec": round(dt, 3),
+            "bytes_per_sec": round(total_bytes / dt, 1),
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 if __name__ == "__main__":

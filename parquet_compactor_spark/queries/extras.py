@@ -216,6 +216,41 @@ def q_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_asof_join",
+    oracle="""
+    WITH purchases AS (
+        SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+    )
+    SELECT e.event_id,
+           e.user_id,
+           ROUND(p.value, 2) AS value_asof
+    FROM (SELECT * FROM events WHERE event_type = 'click') e
+    ASOF LEFT JOIN purchases p
+      ON e.user_id = p.user_id AND p.ts <= e.ts
+    """,
+    doc="As-of join (operator Spark lacks natively): for each click, the "
+    "user's most recent purchase value at-or-before it. Implemented as "
+    "tag→union→one window pass per key (functions/asof.py) — one shuffle "
+    "on user_id, vs the naive range-join that shuffles candidate pairs. "
+    "Oracle: DuckDB's native ASOF JOIN.",
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parquet_compactor_spark.functions.asof import asof_join
+
+    e = load(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    joined = asof_join(clicks, purchases, on="user_id", ts="ts", value_cols=["value"])
+    return joined.select(
+        "event_id", "user_id", F.round("value_asof", 2).alias("value_asof")
+    )
+
+
+@register(
     "q_union_all",
     oracle="""
     SELECT side, COUNT(*) AS n

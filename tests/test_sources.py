@@ -7,6 +7,7 @@ import math
 import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
+from pyspark.sql import functions as F
 
 from parquet_compactor_spark.compactor.core import (
     CompactionConfig,
@@ -45,6 +46,25 @@ def test_sized_writer_partition_count(spark):
     assert out.rdd.getNumPartitions() == 11
     out = sized_writer(df, target_file_bytes=10**9, estimated_total_bytes=10)
     assert out.rdd.getNumPartitions() == 1
+
+
+def test_partition_pruning_reaches_scan(spark, tmp_path):
+    """Partitioned-lake reads prune at the source (SURVEY.md §4 R2): a
+    filter on a Hive partition column must appear as a PartitionFilter in
+    the scan, not a post-scan filter."""
+    df = load(spark, SF_SMOKE, "orders").withColumn(
+        "year", F.date_format("o_orderdate", "yyyy")
+    )
+    path = str(tmp_path / "orders_by_year")
+    write_table(df, path, partition_by=["year"])
+
+    back = read_table(spark, path).filter(F.col("year") == "1997")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "1997" in plan.split("PartitionFilters")[1].split("]")[0]
+    # Partition discovery type-infers year=1997 as int — compare as strings.
+    years = {str(r.year) for r in back.select("year").distinct().collect()}
+    assert years == {"1997"}
 
 
 @given(
