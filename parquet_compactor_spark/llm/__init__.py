@@ -5,4 +5,10 @@ cosine), similarity search, text analysis, and multimodal column plumbing.
 Importing registers the queries.
 """
 
-from parquet_compactor_spark.llm import dedup, multimodal, similarity, text  # noqa: F401
+from parquet_compactor_spark.llm import (  # noqa: F401
+    dedup,
+    multimodal,
+    pipeline,
+    similarity,
+    text,
+)

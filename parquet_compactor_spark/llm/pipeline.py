@@ -1,0 +1,152 @@
+"""Training-data pipeline operators: chunking, TF-IDF, deterministic sampling.
+
+The preprocessing steps between raw documents and a training corpus —
+each expressed as a declarative plan (explode/join/window), no Python in
+the hot path, each with a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from parquet_compactor_spark.registry import load, register
+
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24  # 8-token overlap
+
+
+@register(
+    "q_doc_chunking",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+    ),
+    starts AS (
+        SELECT doc_id, tokens,
+               unnest(range(0, greatest(len(tokens), 1), {CHUNK_STRIDE})) AS n
+        FROM toks
+    ),
+    chunks AS (
+        SELECT doc_id,
+               CAST(n // {CHUNK_STRIDE} AS INT) AS chunk_id,
+               array_to_string(tokens[n + 1 : n + {CHUNK_TOKENS}], ' ') AS chunk_text
+        FROM starts
+    )
+    SELECT doc_id, chunk_id, chunk_text,
+           len(string_split(chunk_text, ' ')) AS chunk_tokens
+    FROM chunks
+    """,
+    doc="Document chunking: overlapping fixed-token windows (32 tokens, "
+    "stride 24) — the standard pre-tokenization split for long documents. "
+    "One explode per stride position; map-only, no shuffle.",
+)
+def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ", -1).alias("tokens"))
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.size("tokens") - 1, F.lit(0)),
+        F.lit(CHUNK_STRIDE),
+    )
+    return (
+        toks.select("doc_id", "tokens", F.explode(starts).alias("start"))
+        .select(
+            "doc_id",
+            (F.col("start") / CHUNK_STRIDE).cast("int").alias("chunk_id"),
+            F.concat_ws(
+                " ", F.slice(F.col("tokens"), F.col("start") + 1, CHUNK_TOKENS)
+            ).alias("chunk_text"),
+        )
+        .withColumn("chunk_tokens", F.size(F.split("chunk_text", " ", -1)))
+    )
+
+
+@register(
+    "q_tfidf_topterms",
+    oracle="""
+    WITH toks AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    n_docs AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+    df AS (SELECT term, COUNT(*) AS doc_freq FROM toks GROUP BY term),
+    tf AS (
+        SELECT doc_id, u.term, COUNT(*) AS term_freq
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM documents) u
+        GROUP BY doc_id, u.term
+    ),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               ROUND(tf.term_freq * ln(CAST(n_docs.n AS DOUBLE) / df.doc_freq), 6) AS tfidf
+        FROM tf JOIN df USING (term) CROSS JOIN n_docs
+    ),
+    ranked AS (
+        SELECT doc_id, term, tfidf,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY tfidf DESC, term) AS rn
+        FROM scored
+    )
+    SELECT doc_id, term, tfidf, rn FROM ranked WHERE rn <= 3
+    """,
+    doc="TF-IDF top-3 terms per document: tokenize → term/doc frequencies "
+    "(two hash aggs) → idf join (document-frequency table is vocabulary-"
+    "sized → broadcastable) → per-doc top-k window. The canonical "
+    "multi-stage text pipeline as one declarative plan.",
+)
+def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    terms = d.select("doc_id", F.explode(F.split("text", " ", -1)).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("term_freq"))
+    df_tbl = terms.distinct().groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    n_docs = d.select(F.countDistinct("doc_id").alias("n"))
+    scored = (
+        tf.join(F.broadcast(df_tbl), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("term_freq")
+                * F.log(F.col("n").cast("double") / F.col("doc_freq")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tfidf", "rn")
+    )
+
+
+@register(
+    "q_stratified_sample",
+    oracle="""
+    SELECT lang,
+           COUNT(*)                            AS n_sampled,
+           MIN(doc_id)                         AS first_doc,
+           SUM(n_chars)                        AS sampled_chars
+    FROM documents
+    WHERE (doc_id * 2654435761) % 4294967296 % 10 < 3
+    GROUP BY lang
+    """,
+    doc="Deterministic ~30% stratified sample: membership by a Knuth "
+    "multiplicative hash of the key — reproducible across runs, engines "
+    "and cluster sizes (exact bigint math on both sides), unlike rand()-"
+    "based sampling which is neither stable nor engine-portable.",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    knuth = F.pmod(F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(4294967296)), F.lit(10))
+    return (
+        d.filter(knuth < 3)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.min("doc_id").alias("first_doc"),
+            F.sum("n_chars").alias("sampled_chars"),
+        )
+    )

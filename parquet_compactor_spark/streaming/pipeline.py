@@ -261,6 +261,53 @@ def sessionize_batch(events: DataFrame, gap_minutes: int = SESSION_GAP_MINUTES) 
     )
 
 
+# --------------------------------------------------------------------------
+# Streaming compaction: landing prefix → target-size parquet, incrementally
+# --------------------------------------------------------------------------
+
+
+def compact_stream(
+    events: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    chunked_rows: int = 1_000_000,
+    rows_per_file: int | None = None,
+) -> None:
+    """Incremental compaction: drain a landing stream into few large files.
+
+    The streaming twin of the batch LakeCompactor — each micro-batch is
+    coalesced to ceil(rows / rows_per_file) files (``foreachBatch`` gives
+    the batch-DataFrame escape hatch; coalesce avoids a shuffle since
+    output sizing, not co-location, is the goal). The checkpoint makes it
+    exactly-once across restarts — the filename-marker idempotence the
+    batch path needs is replaced by source offsets.
+    """
+    import math
+
+    per_file = rows_per_file or chunked_rows
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        n = batch_df.count()
+        if n == 0:
+            return
+        files = max(1, math.ceil(n / per_file))
+        (
+            batch_df.coalesce(files)
+            .write.mode("append")
+            .option("compression", "snappy")
+            .option("maxRecordsPerFile", per_file)
+            .parquet(out_dir)
+        )
+
+    (
+        events.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
 from parquet_compactor_spark.registry import load, register  # noqa: E402
 
 

@@ -67,6 +67,33 @@ def test_partition_pruning_reaches_scan(spark, tmp_path):
     assert years == {"1997"}
 
 
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Bucketed tables co-locate join keys at write time: the join plan
+    must contain no Exchange (shuffle) — the 100 TB repeated-join strategy
+    (SURVEY.md §2B 'bucketing for co-located joins')."""
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bdb LOCATION '{tmp_path}/wh'")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+    try:
+        load(spark, SF_SMOKE, "lineitem").write.bucketBy(8, "l_orderkey").sortBy(
+            "l_orderkey"
+        ).saveAsTable("bdb.li")
+        load(spark, SF_SMOKE, "orders").write.bucketBy(8, "o_orderkey").sortBy(
+            "o_orderkey"
+        ).saveAsTable("bdb.ord")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("bdb.li").join(
+            spark.table("bdb.ord"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        assert joined.count() == load(spark, SF_SMOKE, "lineitem").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP DATABASE IF EXISTS bdb CASCADE")
+
+
 @given(
     total=st.integers(min_value=0, max_value=10**15),
     target_gb=st.floats(min_value=0.01, max_value=10.0),

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from parquet_compactor_spark.registry import load
 from parquet_compactor_spark.streaming.pipeline import (
+    compact_stream,
     hourly_event_counts,
     read_events_stream,
     run_stream_to_memory,
@@ -76,6 +77,25 @@ def test_stream_hourly_counts_match_batch(spark, landing_dir):
         (r.hour_start, r.event_type): (r.n_events, r.total_value) for r in batch.collect()
     }
     assert streamed == expected
+
+
+def test_compact_stream_fewer_files_same_rows(spark, landing_dir, tmp_path):
+    out = str(tmp_path / "compacted")
+    ckpt = str(tmp_path / "ckpt")
+    stream = read_events_stream(spark, landing_dir, max_files_per_trigger=100)
+    compact_stream(stream, out, ckpt)
+
+    from pathlib import Path
+
+    out_files = [p for p in Path(out).glob("*.parquet")]
+    in_files = [p for p in Path(landing_dir).glob("*.parquet")]
+    assert len(out_files) < len(in_files)  # 4 landing files → 1 batch file
+    ids_in = sorted(r.event_id for r in load(spark, SF_SMOKE, "events").collect())
+    ids_out = sorted(r.event_id for r in spark.read.parquet(out).collect())
+    assert ids_out == ids_in
+    # Restart with same checkpoint: no new input → no new files (exactly-once).
+    compact_stream(read_events_stream(spark, landing_dir), out, ckpt)
+    assert len(list(Path(out).glob("*.parquet"))) == len(out_files)
 
 
 def test_stream_sessionization_matches_batch_sealed_sessions(spark, landing_dir):
