@@ -187,6 +187,94 @@ _ANN_ORACLE = f"""
 """
 
 
+IVF_CENTROID_IDS = (100, 107)  # seed centroids: vec_ids 100..107 (K=8)
+
+
+@register(
+    "q_ann_ivf",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        FROM embeddings
+    ),
+    cents AS (
+        SELECT vec_id AS cid, vec AS cvec FROM v
+        WHERE vec_id BETWEEN 100 AND 107
+    ),
+    scored_cents AS (
+        SELECT v.vec_id, v.label, v.vec, c.cid,
+               list_dot_product(v.vec, c.cvec)
+               / (sqrt(list_sum(list_transform(v.vec, x -> x * x)))
+                * sqrt(list_sum(list_transform(c.cvec, x -> x * x)))) AS csim
+        FROM v CROSS JOIN cents c
+    ),
+    assign AS (
+        SELECT vec_id, label, vec, cid AS bucket
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                           ORDER BY csim DESC, cid) AS rn
+              FROM scored_cents)
+        WHERE rn = 1
+    ),
+    q AS (SELECT vec, bucket FROM assign WHERE vec_id = 0)
+    SELECT a.vec_id, a.label, a.bucket,
+           ROUND(list_dot_product(a.vec, q.vec)
+                 / (sqrt(list_sum(list_transform(a.vec, x -> x * x)))
+                  * sqrt(list_sum(list_transform(q.vec, x -> x * x)))), 4) AS cos_sim
+    FROM assign a JOIN q ON a.bucket = q.bucket
+    WHERE a.vec_id <> 0
+    ORDER BY cos_sim DESC, a.vec_id
+    LIMIT 5
+    """,
+    doc="Approximate nearest neighbors via IVF (inverted-file coarse "
+    "quantizer): 8 seed centroids (deterministic: vec_ids 100-107) → "
+    "assign every vector to its max-cosine centroid (broadcast join + "
+    "max_by, one pass) → probe only the query's cell → exact top-5 "
+    "within it. At scale: assignment is a broadcast map; each query "
+    "touches ~1/K of the corpus; Lloyd refinement = repeating the "
+    "assign + per-cell mean rounds; multi-probe = joining the n nearest "
+    "cells instead of 1.",
+)
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    lo, hi = IVF_CENTROID_IDS
+    cents = e.filter(F.col("vec_id").between(lo, hi)).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    sim_to_cent = cosine(F.col("embedding"), F.col("cvec"))
+    assign = (
+        e.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "label",
+            F.col("embedding").alias("vec"),
+            "cid",
+            sim_to_cent.alias("csim"),
+        )
+        .groupBy("vec_id", "label", "vec")
+        .agg(
+            F.max_by(
+                "cid", F.struct(F.col("csim"), (-F.col("cid")).cast("double"))
+            ).alias("bucket")
+        )
+    )
+    q = assign.filter(F.col("vec_id") == 0).select(
+        F.col("vec").alias("qvec"), F.col("bucket").alias("qbucket")
+    )
+    return (
+        assign.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
+        .select(
+            "vec_id",
+            "label",
+            "bucket",
+            F.round(cosine(F.col("vec"), F.col("qvec")), 4).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(5)
+    )
+
+
 @register(
     "q_ann_lsh",
     oracle=_ANN_ORACLE,

@@ -1,0 +1,70 @@
+"""Plan-quality regression tests: pin the physical-plan properties that
+make each query family scale (SCALE.md's claims, mechanically checked)."""
+
+from __future__ import annotations
+
+import pytest
+
+from parquet_compactor_spark.plans import plan_properties
+from parquet_compactor_spark.registry import all_queries
+from tests.conftest import SF_SMOKE
+
+QUERIES = all_queries()
+
+
+def props(spark, name):
+    return plan_properties(QUERIES[name].fn(spark, SF_SMOKE))
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    p = props(spark, "q_filter_pushdown")
+    # All range predicates pushed; only the needed columns read.
+    assert any("l_shipdate" in f for f in p.pushed_filters)
+    assert any("l_discount" in f for f in p.pushed_filters)
+    assert any("l_quantity" in f for f in p.pushed_filters)
+    assert p.read_columns <= 4
+
+
+def test_flagship_prunes_columns_and_partially_aggregates(spark):
+    p = props(spark, "q_agg_pricing")
+    assert p.read_columns <= 7  # 7 of 11 lineitem columns referenced
+    assert p.has_partial_agg  # map-side combine before the shuffle
+    assert any("l_shipdate" in f for f in p.pushed_filters)
+
+
+def test_dim_joins_are_broadcast(spark):
+    for name in ["q_join_broadcast", "q_join_multiway"]:
+        p = props(spark, name)
+        assert p.has_broadcast_join, name
+        assert not p.has_cartesian, name
+
+
+def test_topk_uses_heap_not_global_sort(spark):
+    p = props(spark, "q_topk")
+    assert p.has_take_ordered
+    assert p.exchange_count == 0  # no shuffle at all for heap top-k
+
+
+def test_cross_join_is_the_only_cartesian(spark):
+    assert props(spark, "q_cross_join").has_cartesian
+    for name in ["q_range_join", "q_semi_join", "q_anti_join", "q_embed_near_dup"]:
+        assert not props(spark, name).has_cartesian, name
+
+
+def test_sim_topk_broadcasts_query_vector(spark):
+    p = props(spark, "q_sim_topk")
+    # Query vector joined via broadcast; ranking via heap, not global sort.
+    assert p.has_take_ordered
+    assert not p.has_sort_merge_join
+
+
+def test_exact_dedup_is_single_shuffle(spark):
+    p = props(spark, "q_dedup_exact")
+    assert p.has_partial_agg
+    assert p.exchange_count == 1
+
+
+def test_sessionize_is_single_shuffle(spark):
+    # Gap-and-islands windows + final agg reuse one user_id partitioning.
+    p = props(spark, "q_sessionize")
+    assert p.exchange_count == 1
