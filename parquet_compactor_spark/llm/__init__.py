@@ -6,6 +6,7 @@ Importing registers the queries.
 """
 
 from parquet_compactor_spark.llm import (  # noqa: F401
+    cluster,
     dedup,
     multimodal,
     pipeline,

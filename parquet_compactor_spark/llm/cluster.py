@@ -1,0 +1,105 @@
+"""Iterative clustering over embeddings: distributed Lloyd's k-means.
+
+The representative *iterative algorithm* of the surface (driver contract:
+iterative ops may omit the SQL oracle — a fixed-point loop is not
+SQL-expressible). Each iteration is a broadcast-join assignment plus a
+per-dimension mean aggregation; the only driver-side data is the K×dim
+centroid matrix (model state, KBs — not row data), so the loop runs
+unchanged on a 100 TB corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parquet_compactor_spark.registry import load, register
+
+K = 8
+N_ITER = 3
+SEED_IDS = (100, 107)  # deterministic seed centroids: vec_ids 100..107
+
+
+def _assign(vecs: DataFrame, centroids: list[tuple[int, list[float]]]) -> DataFrame:
+    """Assign each vector to its nearest centroid — pure map, zero shuffle.
+
+    Centroids are embedded as literal arrays (the KB-scale model state);
+    each row computes its K squared-L2 distances JVM-side and argmins via
+    array_position (first minimum → lowest centroid id on ties). No join,
+    no aggregation: assignment cost is exactly one pass over the data.
+    """
+
+    def sq_dist(cvec: list[float]):
+        lits = F.array(*[F.lit(float(x)) for x in cvec])
+        return F.aggregate(
+            F.zip_with(F.col("vec"), lits, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    dist_arr = F.array(*[sq_dist(vec) for _, vec in centroids])
+    return (
+        vecs.withColumn("dists", dist_arr)
+        .select(
+            "vec_id",
+            "vec",
+            (F.array_position(F.col("dists"), F.array_min("dists")) - 1)
+            .cast("int")
+            .alias("cluster"),
+            F.array_min("dists").alias("dist"),
+        )
+    )
+
+
+def kmeans(vecs: DataFrame, k: int = K, n_iter: int = N_ITER) -> DataFrame:
+    """Lloyd's k-means: returns (vec_id, cluster, dist) after ``n_iter``
+    iterations from deterministic seeds. ``vecs``: (vec_id, vec:array<double>).
+    """
+    lo, hi = SEED_IDS
+    seeds = (
+        vecs.filter(F.col("vec_id").between(lo, hi))
+        .orderBy("vec_id")
+        .collect()
+    )
+    centroids = [(i, list(r.vec)) for i, r in enumerate(seeds[:k])]
+
+    assigned = _assign(vecs, centroids)
+    for _ in range(n_iter - 1):
+        # Per-dimension means: explode positions → avg per (cluster, pos).
+        means = (
+            assigned.select("cluster", F.posexplode("vec").alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cluster", F.col("pm.m").alias("cvec"))
+            .collect()  # K rows of dim doubles — model state, not row data
+        )
+        # Preserve list order (cluster id == position) and carry the old
+        # centroid forward for clusters that went empty.
+        new = {r.cluster: list(r.cvec) for r in means}
+        centroids = [(cid, new.get(cid, old)) for cid, old in centroids]
+        assigned = _assign(vecs, centroids)
+    return assigned.select("vec_id", "cluster", "dist")
+
+
+@register(
+    "q_kmeans_clusters",
+    oracle=None,  # iterative fixed-point loop — not SQL-expressible
+    doc="Distributed Lloyd's k-means over embeddings (K=8, 3 iterations, "
+    "deterministic seeds): per-iteration broadcast assignment + "
+    "per-dimension mean aggregation; driver holds only the KxD centroid "
+    "matrix. Output: cluster sizes and mean within-cluster squared "
+    "distance. Convergence asserted in tests/test_llm.py.",
+)
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    vecs = e.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("vec"),
+    )
+    assigned = kmeans(vecs)
+    return assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.avg("dist"), 4).alias("mean_sq_dist"),
+    )

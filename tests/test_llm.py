@@ -88,6 +88,29 @@ def test_multimodal_meta_plumbing(spark):
         )
 
 
+def test_kmeans_converges_and_is_deterministic(spark):
+    from parquet_compactor_spark.llm.cluster import kmeans
+    from parquet_compactor_spark.registry import load
+    from tests.conftest import SF_SMOKE
+
+    e = load(spark, SF_SMOKE, "embeddings")
+    vecs = e.select(
+        "vec_id", F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("vec")
+    )
+    one = kmeans(vecs, n_iter=1)
+    three = kmeans(vecs, n_iter=3)
+    n = vecs.count()
+    assert one.count() == n and three.count() == n
+    # Lloyd iterations never increase the objective (mean squared distance).
+    obj1 = one.agg(F.avg("dist")).collect()[0][0]
+    obj3 = three.agg(F.avg("dist")).collect()[0][0]
+    assert obj3 <= obj1 + 1e-9
+    # Deterministic: same assignment on re-run.
+    a = sorted((r.vec_id, r.cluster) for r in three.collect())
+    b = sorted((r.vec_id, r.cluster) for r in kmeans(vecs, n_iter=3).collect())
+    assert a == b
+
+
 def test_decode_image_is_explicit_stub():
     from parquet_compactor_spark.llm.multimodal import decode_image
 
