@@ -47,6 +47,10 @@ class CompactionConfig:
     )
     hold_back_days: int = 5  # relativedelta(days=-5) (:275)
     now: datetime | None = None  # injectable clock for tests (utcnow at :275)
+    # The reference ASSUMES schema compatibility across merged files
+    # (SURVEY.md §1.2 — never checked). merge_schema=True makes evolution
+    # explicit: Spark unions by name, missing columns become nulls.
+    merge_schema: bool = False
 
     @property
     def file_size_bytes(self) -> int:
@@ -210,7 +214,10 @@ class LakeCompactor:
 
         tmp_dir = f"{leaf}_compact_tmp_{uuid.uuid4().hex}"
         try:
-            df = self.spark.read.parquet(*file_list)
+            reader = self.spark.read
+            if self.config.merge_schema:
+                reader = reader.option("mergeSchema", "true")
+            df = reader.parquet(*file_list)
             (
                 df.repartition(n_out)
                 .write.option("compression", "snappy")

@@ -156,6 +156,11 @@ def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
     shingle_sets = docs.select(
         "doc_id", word_shingles(F.col("text")).alias("shingles")
     )
+    # sigs feeds three branches (bucket explode + both pair-verify sides);
+    # Spark's ReusedExchange dedupes the shared subplan, so no explicit
+    # persist (measured slower: materializing the shingle arrays costs more
+    # than the reuse saves). At lake scale the signature table would be
+    # written out once and joined from storage instead.
     sigs = minhash_signatures_exploded(docs).join(shingle_sets, "doc_id")
 
     buckets = sigs.select(

@@ -117,11 +117,27 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     e = load(spark, sf_dir, "embeddings")
-    a = e.select("label", F.col("vec_id").alias("id1"), F.col("embedding").alias("v1"))
-    b = e.select("label", F.col("vec_id").alias("id2"), F.col("embedding").alias("v2"))
+    # Norms are materialized per side BEFORE the pair join (computed once
+    # per input row, O(n·d)); only the dot product is per-pair. Same
+    # arithmetic/rounding path as the oracle: dot / (n1 * n2).
+    a = e.select(
+        "label",
+        F.col("vec_id").alias("id1"),
+        F.col("embedding").alias("v1"),
+        l2_norm(F.col("embedding")).alias("n1"),
+    )
+    b = e.select(
+        "label",
+        F.col("vec_id").alias("id2"),
+        F.col("embedding").alias("v2"),
+        l2_norm(F.col("embedding")).alias("n2"),
+    )
     pairs = a.join(b, "label").filter(F.col("id1") < F.col("id2"))
     scored = pairs.select(
-        "label", "id1", "id2", cosine(F.col("v1"), F.col("v2")).alias("cos_raw")
+        "label",
+        "id1",
+        "id2",
+        (dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2"))).alias("cos_raw"),
     )
     w = Window.partitionBy("label").orderBy(F.desc("cos_raw"), "id1", "id2")
     return (

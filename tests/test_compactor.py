@@ -289,6 +289,35 @@ def test_write_failure_keeps_originals(spark, lake):
     }
 
 
+def test_schema_evolution_merge(spark, lake):
+    """With merge_schema=True, files whose schemas evolved (added column)
+    merge by name; missing values become nulls. (The reference assumes
+    compatibility and would produce whatever pyarrow does — we make the
+    choice explicit and tested.)"""
+    leaf = lake / "acct1" / "source=OCP" / "year=2024" / "month=08"
+    write_small_parquet(leaf / "old-schema.parquet", start=0, rows=10)
+    # New-schema file: extra column.
+    path = leaf / "new-schema.parquet"
+    table = pa.table(
+        {
+            "id": list(range(100, 110)),
+            "val": [float(i) for i in range(10)],
+            "extra": ["x"] * 10,
+        }
+    )
+    pq.write_table(table, path)
+    ts = OLD.timestamp()
+    os.utime(path, (ts, ts))
+
+    cfg = CompactionConfig(now=NOW, merge_schema=True)
+    outcomes = LakeCompactor(spark, str(lake), cfg).compact()
+    assert list(outcomes.values()) == ["compacted_2_files"]
+    merged = pq.read_table(next(leaf.glob("OCP_*.parquet")))
+    assert set(merged.column_names) == {"id", "val", "extra"}
+    extras = merged.column("extra").to_pylist()
+    assert extras.count(None) == 10 and extras.count("x") == 10
+
+
 def test_base_name_fallback_no_source_segment(spark, lake):
     leaf = lake / "acct1" / "raw"
     for i in range(2):
