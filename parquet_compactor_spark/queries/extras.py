@@ -216,6 +216,109 @@ def q_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_outer_join",
+    oracle="""
+    SELECT COALESCE(n.n_name, 'NO_NATION') AS nation,
+           COUNT(s.s_suppkey)              AS n_suppliers,
+           ROUND(SUM(s.s_acctbal), 2)      AS total_bal
+    FROM nation n
+    FULL OUTER JOIN supplier s ON s.s_nationkey = n.n_nationkey
+    GROUP BY COALESCE(n.n_name, 'NO_NATION')
+    """,
+    doc="Full outer join: nations with/without suppliers, null-side "
+    "handling via coalesce and null-skipping aggregates.",
+)
+def q_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load(spark, sf_dir, "nation")
+    s = load(spark, sf_dir, "supplier")
+    return (
+        n.join(s, s.s_nationkey == n.n_nationkey, "full_outer")
+        .groupBy(F.coalesce(F.col("n_name"), F.lit("NO_NATION")).alias("nation"))
+        .agg(
+            F.count("s_suppkey").alias("n_suppliers"),
+            F.round(F.sum("s_acctbal"), 2).alias("total_bal"),
+        )
+    )
+
+
+@register(
+    "q_having",
+    oracle="""
+    SELECT o_custkey, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 12 AND SUM(o_totalprice) > 50000
+    """,
+    doc="HAVING: post-aggregation predicate (Catalyst plans it as a filter "
+    "above the final aggregate — no second pass).",
+)
+def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_totalprice").alias("_rev"),
+        )
+        .filter((F.col("n_orders") >= 12) & (F.col("_rev") > 50000))
+        .select("o_custkey", "n_orders", F.round("_rev", 2).alias("revenue"))
+    )
+
+
+@register(
+    "q_conditional_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT CASE WHEN l_quantity > 25 THEN l_partkey END) AS parts_bulk,
+           COUNT(DISTINCT CASE WHEN l_discount >= 0.05 THEN l_suppkey END) AS supps_discounted
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Conditional distinct counting: COUNT(DISTINCT CASE ...) — "
+    "filtered distincts in one pass via Expand.",
+)
+def q_conditional_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.countDistinct(
+            F.when(F.col("l_quantity") > 25, F.col("l_partkey"))
+        ).alias("parts_bulk"),
+        F.countDistinct(
+            F.when(F.col("l_discount") >= 0.05, F.col("l_suppkey"))
+        ).alias("supps_discounted"),
+    )
+
+
+@register(
+    "q_regr_slope",
+    oracle="""
+    SELECT user_id,
+           ROUND(regr_slope(value, epoch_us(ts)) * 86400000000, 4) AS value_per_day,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY user_id
+    HAVING COUNT(*) >= 2
+    """,
+    doc="Linear-regression slope per user (value trend per day): "
+    "covar_pop/var_pop moments — single-pass, partial-aggregatable. The "
+    "applyInPandas grouped-map twin (functions/trend.py) is tested "
+    "equivalent in tests/test_llm.py.",
+)
+def q_regr_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    x = F.unix_micros(F.col("ts")).cast("double")
+    slope = F.covar_pop(F.col("value"), x) / F.var_pop(x)
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.round(slope * 86400000000, 4).alias("value_per_day"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .filter(F.col("n_events") >= 2)
+    )
+
+
+@register(
     "q_asof_join",
     oracle="""
     WITH purchases AS (

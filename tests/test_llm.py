@@ -111,6 +111,27 @@ def test_kmeans_converges_and_is_deterministic(spark):
     assert a == b
 
 
+def test_applyinpandas_trend_matches_jvm_twin(spark):
+    """Grouped-map pandas slope must agree with the oracle-checked
+    covar_pop/var_pop version (q_regr_slope) to ~1e-6 of a unit."""
+    from parquet_compactor_spark.functions.trend import trend_per_user
+    from parquet_compactor_spark.registry import all_queries, load
+    from tests.conftest import SF_SMOKE
+
+    jvm = {
+        r.user_id: r.value_per_day
+        for r in all_queries()["q_regr_slope"].fn(spark, SF_SMOKE).collect()
+    }
+    pandas_side = {
+        r.user_id: r.value_per_day
+        for r in trend_per_user(load(spark, SF_SMOKE, "events")).collect()
+        if r.n_events >= 2
+    }
+    assert set(jvm) == set(pandas_side)
+    for uid, v in jvm.items():
+        assert abs(pandas_side[uid] - v) < 1e-4, uid
+
+
 def test_decode_image_is_explicit_stub():
     from parquet_compactor_spark.llm.multimodal import decode_image
 
