@@ -254,25 +254,29 @@ IVF_CENTROID_IDS = (100, 107)  # seed centroids: vec_ids 100..107 (K=8)
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     lo, hi = IVF_CENTROID_IDS
-    cents = e.filter(F.col("vec_id").between(lo, hi)).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    # Centroids are model state (K x dim doubles — KBs): collect once and
+    # embed as literals so assignment is a zero-shuffle map (argmax via
+    # array_position over per-row cosine array), not a join + aggregate.
+    cent_rows = (
+        e.filter(F.col("vec_id").between(lo, hi)).orderBy("vec_id").collect()
     )
-    sim_to_cent = cosine(F.col("embedding"), F.col("cvec"))
-    assign = (
-        e.crossJoin(F.broadcast(cents))
-        .select(
-            "vec_id",
-            "label",
-            F.col("embedding").alias("vec"),
-            "cid",
-            sim_to_cent.alias("csim"),
-        )
-        .groupBy("vec_id", "label", "vec")
-        .agg(
-            F.max_by(
-                "cid", F.struct(F.col("csim"), (-F.col("cid")).cast("double"))
-            ).alias("bucket")
-        )
+    cvecs = [[float(x) for x in r.embedding] for r in cent_rows]
+
+    def cos_to(cvec: list[float]):
+        lits = F.array(*[F.lit(x) for x in cvec])
+        return cosine(F.col("embedding"), lits)
+
+    csims = F.array(*[cos_to(v) for v in cvecs])
+    cids = F.array(*[F.lit(int(r.vec_id)) for r in cent_rows])
+    # First occurrence of the max == lowest centroid id on ties — same
+    # tie-break as the oracle's ROW_NUMBER (csim DESC, cid ASC).
+    assign = e.select(
+        "vec_id",
+        "label",
+        F.col("embedding").alias("vec"),
+        F.element_at(cids, F.array_position(csims, F.array_max(csims)).cast("int"))
+        .cast("int")
+        .alias("bucket"),
     )
     q = assign.filter(F.col("vec_id") == 0).select(
         F.col("vec").alias("qvec"), F.col("bucket").alias("qbucket")

@@ -8,4 +8,5 @@ from parquet_compactor_spark.queries import (  # noqa: F401
     extras,
     relational,
     scalar_fns,
+    timeseries,
 )

@@ -1,0 +1,141 @@
+"""Time-series operators over events: rolling range-frame windows,
+gap-filled bucket rollups, corpus vocabulary.
+
+The hypertable-flavored members of the surface: continuous-time rollups
+expressed as window frames and generated dimension spines, all
+oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from parquet_compactor_spark.registry import load, register
+
+
+@register(
+    "q_window_range_frame",
+    oracle="""
+    SELECT event_id,
+           user_id,
+           COUNT(*) OVER w              AS events_last_hour,
+           ROUND(SUM(value) OVER w, 2)  AS value_last_hour
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+    doc="Rolling 1-hour window per user via a RANGE frame over event-time "
+    "micros (value-based frame, not row-count): the continuous-rollup "
+    "primitive. One shuffle on user_id; frame state is the in-window rows.",
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("events_last_hour"),
+        F.round(F.sum("value").over(w), 2).alias("value_last_hour"),
+    )
+
+
+@register(
+    "q_gapfill_buckets",
+    oracle="""
+    WITH bounds AS (
+        SELECT date_trunc('day', MIN(ts)) AS lo, date_trunc('day', MAX(ts)) AS hi
+        FROM events
+    ),
+    spine AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM bounds
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    actual AS (
+        SELECT date_trunc('day', ts) AS day, event_type,
+               COUNT(*) AS n, ROUND(SUM(value), 2) AS total
+        FROM events GROUP BY 1, 2
+    )
+    SELECT strftime(s.day, '%Y-%m-%d') AS day,
+           t.event_type,
+           COALESCE(a.n, 0)            AS n_events,
+           COALESCE(a.total, 0.0)      AS total_value
+    FROM spine s CROSS JOIN types t
+    LEFT JOIN actual a ON a.day = s.day AND a.event_type = t.event_type
+    """,
+    doc="Gap-filled daily rollup: a generated day×type spine left-joined "
+    "with actual counts so silent days appear as zeros (the time-series "
+    "densification primitive). The spine is generated, tiny and broadcast; "
+    "the fact side aggregates before joining.",
+)
+def q_gapfill_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.date_trunc("day", F.min("ts")).alias("lo"),
+        F.date_trunc("day", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    types = e.select("event_type").distinct()
+    actual = (
+        e.groupBy(F.date_trunc("day", F.col("ts")).alias("day"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+    )
+    return (
+        spine.crossJoin(types)
+        .join(F.broadcast(actual), ["day", "event_type"], "left")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "event_type",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+            F.coalesce(F.col("total"), F.lit(0.0)).alias("total_value"),
+        )
+    )
+
+
+@register(
+    "q_top_bigrams",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+    ),
+    grams AS (
+        SELECT tokens[n] || ' ' || tokens[n + 1] AS bigram
+        FROM (SELECT tokens, unnest(range(1, len(tokens))) AS n FROM toks)
+    )
+    SELECT bigram, COUNT(*) AS n
+    FROM grams
+    GROUP BY bigram
+    ORDER BY n DESC, bigram
+    LIMIT 20
+    """,
+    doc="Corpus vocabulary: top-20 bigrams with counts — explode n-grams → "
+    "hash count → heap top-k (TakeOrderedAndProject). The vocabulary-"
+    "building primitive for tokenizer training.",
+)
+def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(F.split("text", " ", -1).alias("tokens"))
+    grams = toks.select(
+        F.explode(
+            F.expr(
+                """
+                CASE WHEN size(tokens) >= 2
+                THEN transform(sequence(1, size(tokens) - 1),
+                               i -> concat(tokens[i - 1], ' ', tokens[i]))
+                ELSE array() END
+                """
+            )
+        ).alias("bigram")
+    )
+    return (
+        grams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(20)
+    )

@@ -68,3 +68,24 @@ def test_sessionize_is_single_shuffle(spark):
     # Gap-and-islands windows + final agg reuse one user_id partitioning.
     p = props(spark, "q_sessionize")
     assert p.exchange_count == 1
+
+
+def test_asof_join_avoids_pair_explosion(spark):
+    # Union + window form: right-dedupe agg + key window = at most two
+    # shuffles, and crucially no cartesian/range pair join.
+    p = props(spark, "q_asof_join")
+    assert not p.has_cartesian
+    assert p.exchange_count <= 2
+
+
+def test_tfidf_broadcasts_vocabulary(spark):
+    p = props(spark, "q_tfidf_topterms")
+    assert p.has_broadcast_join  # df table is vocabulary-sized → broadcast
+    # (the 1-row corpus-count crossJoin legitimately shows as a broadcast
+    # nested-loop; no sort-merge join anywhere)
+    assert not p.has_sort_merge_join
+
+
+def test_range_frame_window_single_shuffle(spark):
+    p = props(spark, "q_window_range_frame")
+    assert p.exchange_count == 1
