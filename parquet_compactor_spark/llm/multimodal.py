@@ -130,3 +130,61 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_frames").alias("total_frames"),
         )
     )
+
+
+def sample_frames(meta: DataFrame, every_k: int = 5) -> DataFrame:
+    """Frame sampling over video metadata: one output row per sampled frame.
+
+    Takes the ``extract_media_meta`` output, keeps videos, and explodes a
+    stride-``every_k`` frame-index sequence with the byte offset each frame
+    would be decoded from. This is the distributed frame-sampling plumbing
+    (explode keeps it JVM-side and shuffle-free); the per-frame pixel
+    decode plugs in at :func:`decode_image`.
+    """
+    return (
+        meta.filter(F.col("modality") == "video")
+        .select(
+            "doc_id",
+            "n_frames",
+            "n_bytes",
+            F.explode(
+                F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_k))
+            ).alias("frame_idx"),
+        )
+        .select(
+            "doc_id",
+            "n_frames",
+            "frame_idx",
+            (F.col("frame_idx") * (F.col("n_bytes") / F.col("n_frames")).cast("bigint"))
+            .alias("byte_offset"),
+        )
+    )
+
+
+@register(
+    "q_frame_sample",
+    oracle="""
+    WITH meta AS (
+        SELECT doc_id,
+               strlen(text)                  AS n_bytes,
+               1 + strlen(text) % 30         AS n_frames,
+               strlen(text) % 3              AS m_idx
+        FROM documents
+    ),
+    vids AS (SELECT * FROM meta WHERE m_idx = 2)
+    SELECT doc_id,
+           n_frames,
+           unnest(range(0, n_frames, 5))                         AS frame_idx,
+           unnest(range(0, n_frames, 5)) * (n_bytes // n_frames) AS byte_offset
+    FROM vids
+    """,
+    doc="Video frame sampling: binary payloads → mapInPandas metadata → "
+    "every-5th-frame index/byte-offset explosion (the decode-ready work "
+    "list a video pipeline feeds to per-frame codecs). Narrow ops only — "
+    "no shuffle; at 100 TB each executor samples its own blobs.",
+)
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    payloads = d.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+    meta = extract_media_meta(payloads)
+    return sample_frames(meta, every_k=5)

@@ -194,3 +194,61 @@ def q_explode_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("component").cast("double"), 4).alias("component"),
         )
     )
+
+
+@register(
+    "q_cube",
+    oracle="""
+    SELECT COALESCE(o_orderstatus, 'ALL')   AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           COUNT(*)                         AS n_orders,
+           ROUND(SUM(o_totalprice), 2)      AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="CUBE aggregation: all 2^2 grouping combinations in one pass "
+    "(completes the rollup/grouping-sets family). Spark expands cube "
+    "groupings before the hash agg — still a single shuffle with map-side "
+    "partials; grouping-null slots labeled 'ALL' on both engines.",
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+@register(
+    "q_median_filtered",
+    oracle="""
+    SELECT event_type,
+           ROUND(MEDIAN(value), 4)                          AS median_value,
+           COUNT(*) FILTER (WHERE value > 0)                AS n_positive,
+           ROUND(AVG(value) FILTER (WHERE value > 0), 4)    AS avg_positive,
+           COUNT(*)                                         AS n_rows
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Exact median (interpolated, == percentile 0.5 both engines) plus "
+    "FILTER-clause conditional aggregates (count/avg over a predicate "
+    "without a self-join) — single hash agg, one shuffle.",
+)
+def q_median_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    pos = F.when(F.col("value") > 0, F.col("value"))
+    return e.groupBy("event_type").agg(
+        F.round(F.median("value"), 4).alias("median_value"),
+        F.count(pos).alias("n_positive"),
+        F.round(F.avg(pos), 4).alias("avg_positive"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

@@ -212,3 +212,82 @@ def q_case_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("o_totalprice"), 2).alias("max_price"),
         )
     )
+
+
+@register(
+    "q_map_props",
+    oracle="""
+    WITH parsed AS (
+        SELECT event_id,
+               CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k
+        FROM events
+    )
+    SELECT event_id,
+           2              AS n_entries,
+           'bucket,k'     AS keys_csv,
+           k * 2          AS k_doubled,
+           k // 10        AS bucket
+    FROM parsed
+    WHERE event_id % 7 = 0
+    """,
+    doc="MapType pipeline over events.props: from_json to map<string,bigint>, "
+    "map_concat a derived entry, transform_values, sorted map_keys, "
+    "element_at — the map-function family end-to-end, all JVM-side. "
+    "(Oracle side replicates the arithmetic; DuckDB lacks Spark maps.)",
+)
+def q_map_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").filter(F.col("event_id") % 7 == 0)
+    m = F.from_json("props", "map<string,bigint>")
+    enriched = F.map_concat(
+        m, F.create_map(F.lit("bucket"), F.element_at(m, "k") / F.lit(10))
+    )
+    doubled = F.transform_values(enriched, lambda k, v: v * 2)
+    return e.select(
+        "event_id",
+        F.size(enriched).alias("n_entries"),
+        F.concat_ws(",", F.array_sort(F.map_keys(enriched))).alias("keys_csv"),
+        (F.element_at(doubled, "k")).cast("bigint").alias("k_doubled"),
+        F.floor(F.element_at(enriched, "bucket")).cast("bigint").alias("bucket"),
+    )
+
+
+@register(
+    "q_math_fns",
+    oracle="""
+    SELECT l_orderkey,
+           l_linenumber,
+           ROUND(sqrt(l_extendedprice), 4)        AS root_price,
+           ROUND(ln(l_extendedprice), 4)          AS ln_price,
+           ROUND(log10(l_extendedprice), 4)       AS log10_price,
+           ROUND(power(1 + l_discount, 3), 4)     AS compound3,
+           ROUND(exp(l_discount), 4)              AS exp_disc,
+           ROUND(abs(l_tax - 0.04), 4)            AS tax_dev,
+           CAST(sign(l_quantity - 25) AS INT)     AS qty_side,
+           CAST(ceil(l_quantity / 7) AS BIGINT)   AS qty_ceil7,
+           CAST(floor(l_quantity / 7) AS BIGINT)  AS qty_floor7,
+           l_orderkey % 7                         AS key_mod7,
+           ROUND(greatest(l_tax, l_discount), 4)  AS max_rate
+    FROM lineitem
+    WHERE l_orderkey % 50 = 0
+    """,
+    doc="Scalar math family (sqrt/ln/log10/power/exp/abs/sign/ceil/floor/"
+    "mod/greatest) — IEEE-double built-ins, bit-identical across engines, "
+    "rounded defensively. All whole-stage-codegen row ops: zero shuffles.",
+)
+def q_math_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 50 == 0)
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sqrt("l_extendedprice"), 4).alias("root_price"),
+        F.round(F.log("l_extendedprice"), 4).alias("ln_price"),
+        F.round(F.log10("l_extendedprice"), 4).alias("log10_price"),
+        F.round(F.pow(F.lit(1) + F.col("l_discount"), 3), 4).alias("compound3"),
+        F.round(F.exp("l_discount"), 4).alias("exp_disc"),
+        F.round(F.abs(F.col("l_tax") - 0.04), 4).alias("tax_dev"),
+        F.signum(F.col("l_quantity") - 25).cast("int").alias("qty_side"),
+        F.ceil(F.col("l_quantity") / 7).cast("bigint").alias("qty_ceil7"),
+        F.floor(F.col("l_quantity") / 7).cast("bigint").alias("qty_floor7"),
+        (F.col("l_orderkey") % 7).alias("key_mod7"),
+        F.round(F.greatest("l_tax", "l_discount"), 4).alias("max_rate"),
+    )

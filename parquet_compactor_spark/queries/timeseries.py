@@ -99,6 +99,133 @@ def q_gapfill_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_locf_interpolate",
+    oracle="""
+    WITH sparse AS (
+        SELECT event_id, user_id, ts,
+               CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v
+        FROM events
+    )
+    SELECT event_id,
+           user_id,
+           ROUND(COALESCE(v,
+               LAST_VALUE(v IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0.0), 2) AS v_filled,
+           (v IS NULL) AS was_gap
+    FROM sparse
+    """,
+    doc="Last-observation-carried-forward gap filling (every 5th reading "
+    "nulled to simulate sensor gaps, then filled from the previous non-null "
+    "per user). The interpolation primitive for irregular time series: one "
+    "shuffle on user_id, last(ignorenulls) over an ordered frame.",
+)
+def q_locf_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    sparse = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_id") % 5 == 0, None).otherwise(F.col("value")).alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return sparse.select(
+        "event_id",
+        "user_id",
+        F.round(
+            F.coalesce(
+                F.col("v"), F.last("v", ignorenulls=True).over(w), F.lit(0.0)
+            ),
+            2,
+        ).alias("v_filled"),
+        F.col("v").isNull().alias("was_gap"),
+    )
+
+
+@register(
+    "q_zscore_outliers",
+    oracle="""
+    WITH scored AS (
+        SELECT event_id, event_type, value,
+               AVG(value)         OVER (PARTITION BY event_type) AS mu,
+               STDDEV_SAMP(value) OVER (PARTITION BY event_type) AS sigma
+        FROM events
+    )
+    SELECT event_id, event_type,
+           ROUND(value, 2)                AS value,
+           ROUND((value - mu) / sigma, 3) AS zscore
+    FROM scored
+    WHERE ABS((value - mu) / sigma) > 2
+    """,
+    doc="Anomaly detection: per-type z-score via unbounded analytic window "
+    "(mean/stddev computed once per partition, no self-join), keep |z| > 2. "
+    "One shuffle on event_type; at 100 TB the two-pass agg+broadcast-join "
+    "form avoids per-partition full materialization for huge partitions.",
+)
+def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    z = (F.col("value") - F.avg("value").over(w)) / F.stddev_samp("value").over(w)
+    return (
+        e.select(
+            "event_id",
+            "event_type",
+            F.round("value", 2).alias("value"),
+            F.round(z, 3).alias("zscore"),
+            z.alias("_z"),
+        )
+        .filter(F.abs(F.col("_z")) > 2)
+        .drop("_z")
+    )
+
+
+@register(
+    "q_ewma",
+    oracle="""
+    WITH hist AS (
+        SELECT event_id, user_id, value,
+               list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS vals
+        FROM events
+    )
+    SELECT event_id, user_id,
+           ROUND(value, 2) AS value,
+           ROUND(list_reduce(vals, (acc, x) -> acc * 0.7 + x * 0.3), 4) AS ewma10
+    FROM hist
+    """,
+    doc="Exponentially-weighted moving average (alpha=0.3) over the last 10 "
+    "readings per user: ordered-frame collect_list + a sequential left fold "
+    "(list_reduce seeds with the first element — the standard EWMA "
+    "recursion). The recursion is not a distributive aggregate, so the "
+    "bounded frame keeps state O(window) per row at any scale.",
+)
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, 0)
+    )
+    vals = F.collect_list("value").over(w)
+    ewma = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1).cast("double"),
+        lambda acc, x: acc * F.lit(0.7) + x * F.lit(0.3),
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round("value", 2).alias("value"),
+        F.round(ewma, 4).alias("ewma10"),
+    )
+
+
+@register(
     "q_top_bigrams",
     oracle="""
     WITH toks AS (
