@@ -252,3 +252,78 @@ def q_median_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(pos), 4).alias("avg_positive"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+@register(
+    "q_unpivot",
+    oracle="""
+    WITH wide AS (
+        SELECT l_returnflag,
+               ROUND(SUM(l_quantity), 2)      AS sum_qty,
+               ROUND(SUM(l_extendedprice), 2) AS sum_price,
+               ROUND(SUM(l_discount), 2)      AS sum_disc
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'sum_qty'   AS measure, sum_qty   AS amount FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'sum_price' AS measure, sum_price AS amount FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'sum_disc'  AS measure, sum_disc  AS amount FROM wide
+    """,
+    doc="Unpivot (wide metrics -> long (measure, amount) rows) — the "
+    "inverse of q_pivot, via the native melt/Expand operator (one pass, no "
+    "UNION re-scan of the input; the oracle spells it as UNION ALL).",
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    wide = l.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.sum("l_discount"), 2).alias("sum_disc"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_price", "sum_disc"],
+        variableColumnName="measure",
+        valueColumnName="amount",
+    )
+
+
+@register(
+    "q_string_fns",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_brand)                          AS brand_upper,
+           lower(p_type)                           AS type_lower,
+           strlen(p_name)                          AS name_len,
+           lpad(CAST(p_size AS VARCHAR), 4, '0')   AS size_padded,
+           replace(p_name, ' ', '_')               AS name_snake,
+           strpos(p_name, 'widget')                AS widget_pos,
+           levenshtein(p_brand, 'Brand#10')        AS brand_dist,
+           reverse(p_brand)                        AS brand_rev,
+           left(p_name, 5)                         AS name_head,
+           string_split(p_name, ' ')[1]            AS first_word,
+           concat_ws('|', p_brand, p_type)         AS brand_type
+    FROM part
+    WHERE p_partkey % 3 = 0
+    """,
+    doc="String-function family: upper/lower/length/lpad/replace/instr/"
+    "levenshtein/reverse/left/split/concat_ws — all codegen'd row ops, "
+    "zero shuffles.",
+)
+def q_string_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part").filter(F.col("p_partkey") % 3 == 0)
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.lower("p_type").alias("type_lower"),
+        F.length("p_name").alias("name_len"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.regexp_replace("p_name", " ", "_").alias("name_snake"),
+        F.instr(F.col("p_name"), "widget").alias("widget_pos"),
+        F.levenshtein(F.col("p_brand"), F.lit("Brand#10")).alias("brand_dist"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.substring("p_name", 1, 5).alias("name_head"),
+        F.split("p_name", " ", -1).getItem(0).alias("first_word"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+    )
