@@ -188,3 +188,25 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     payloads = d.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
     meta = extract_media_meta(payloads)
     return sample_frames(meta, every_k=5)
+
+
+def ingest_binary_dir(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Raw blob directory → the engine's (doc_id, payload) multimodal shape.
+
+    Reads whole files via the ``binaryFile`` source (one row per blob,
+    parallel across executors), derives a stable ``doc_id`` from the file
+    path (xxhash64 — deterministic across runs, unlike
+    ``monotonically_increasing_id``), and carries ``source_path`` for
+    lineage. Output plugs straight into :func:`extract_media_meta`.
+    """
+    from parquet_compactor_spark.sources.io import read_binary_files
+
+    blobs = read_binary_files(spark, path, glob=glob)
+    return blobs.select(
+        F.xxhash64("path").alias("doc_id"),
+        F.col("path").alias("source_path"),
+        F.col("length").alias("n_bytes"),
+        F.col("content").alias("payload"),
+    )

@@ -291,3 +291,44 @@ def q_math_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_orderkey") % 7).alias("key_mod7"),
         F.round(F.greatest("l_tax", "l_discount"), 4).alias("max_rate"),
     )
+
+
+@register(
+    "q_array_fns",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' '))                       AS n_tokens,
+           len(list_distinct(string_split(text, ' ')))        AS n_unique,
+           array_to_string(string_split(text, ' ')[1:3], '-') AS head3,
+           string_split(text, ' ')[-1]                        AS last_token,
+           array_to_string(
+               list_sort(list_distinct(string_split(text, ' ')))[1:3], '-'
+           )                                                  AS first3_sorted,
+           list_sort(string_split(text, ' '), 'DESC')[1]      AS max_token,
+           COALESCE(list_position(string_split(text, ' '), 'data'), 0)
+                                                              AS data_pos,
+           list_contains(string_split(text, ' '), 'data')     AS has_data
+    FROM documents
+    WHERE doc_id % 4 = 0
+    """,
+    doc="Array-function family (size/distinct/slice/element_at/sort/"
+    "position/contains/join) over tokenized text — all JVM codegen'd "
+    "array ops on one split() subexpression (Catalyst CSE dedupes the "
+    "tokenization), zero shuffles. DuckDB twin uses the list_* family.",
+)
+def q_array_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 0)
+    toks = F.split(F.col("text"), " ", -1)
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique"),
+        F.array_join(F.slice(toks, 1, 3), "-").alias("head3"),
+        F.element_at(toks, -1).alias("last_token"),
+        F.array_join(
+            F.slice(F.array_sort(F.array_distinct(toks)), 1, 3), "-"
+        ).alias("first3_sorted"),
+        F.sort_array(toks, asc=False).getItem(0).alias("max_token"),
+        F.array_position(toks, "data").alias("data_pos"),
+        F.array_contains(toks, "data").alias("has_data"),
+    )

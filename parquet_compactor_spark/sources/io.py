@@ -97,3 +97,33 @@ def write_table(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.options(**options).save(path)
+
+
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    recursive: bool = False,
+) -> DataFrame:
+    """Whole-file binary ingestion via Spark's ``binaryFile`` source.
+
+    Returns (path, modificationTime, length, content: binary) — one row
+    per file, read in parallel across executors. This is the ingestion
+    edge for multimodal blobs (images/audio/video) that arrive as raw
+    files rather than parquet columns: pair it with
+    ``llm.multimodal.extract_media_meta`` to go bytes → typed metadata.
+    The reference's only binary handling is whole-object S3 copy
+    (parquet_compactor.py:153-181); this is the Spark-native equivalent
+    of its listing+read step for non-parquet payloads.
+
+    Scale notes: each file must fit in one task's memory (the source
+    does not split files); ``spark.sql.files.maxPartitionBytes`` still
+    bin-packs many small blobs per task, which is exactly the small-file
+    shape the compactor exists for.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    return reader.load(path)

@@ -352,3 +352,20 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "total_value",
     )
+
+
+def dedup_events_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup: first arrival per event key wins.
+
+    ``dropDuplicatesWithinWatermark`` keeps per-key state only until the
+    watermark passes the key's event time, so state is bounded at any
+    throughput — the streaming twin of batch ``q_dedup_exact``'s
+    keep-first semantics, and the shape an at-least-once ingest edge
+    (retried landing files, replayed Kafka offsets) needs in front of a
+    training-data lake. The reference has no streaming surface (daily
+    CronJob, deploy/clowdapp.yaml:18-23); this extends its idempotence
+    goal (parquet_compactor.py:262-293) to continuous arrival.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["ts", "user_id", "event_type"]
+    )

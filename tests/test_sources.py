@@ -107,3 +107,31 @@ def test_plan_output_files_invariants(total, target_gb):
     assert n == max(1, math.ceil(total / cfg.file_size_bytes))
     if total > cfg.file_size_bytes:
         assert (total / n) <= cfg.file_size_bytes
+
+
+def test_binary_file_ingestion(spark, tmp_path):
+    """binaryFile source → multimodal (doc_id, payload) → metadata decode."""
+    from parquet_compactor_spark.llm.multimodal import (
+        extract_media_meta,
+        fake_decode_meta,
+        ingest_binary_dir,
+    )
+
+    payloads = {f"blob_{i}.bin": bytes([i]) * (50 + 37 * i) for i in range(4)}
+    for name, data in payloads.items():
+        (tmp_path / name).write_bytes(data)
+    (tmp_path / "ignore.txt").write_text("not a blob")
+
+    docs = ingest_binary_dir(spark, str(tmp_path), glob="*.bin")
+    rows = docs.collect()
+    assert len(rows) == 4  # glob filtered out ignore.txt
+    assert {r.source_path.rsplit("/", 1)[-1] for r in rows} == set(payloads)
+    assert all(bytes(r.payload) == payloads[r.source_path.rsplit("/", 1)[-1]] for r in rows)
+    assert len({r.doc_id for r in rows}) == 4  # distinct stable ids
+
+    meta = {
+        r.n_bytes: (r.width, r.height, r.n_frames, r.modality)
+        for r in extract_media_meta(docs.select("doc_id", "payload")).collect()
+    }
+    for data in payloads.values():
+        assert meta[len(data)] == fake_decode_meta(data)

@@ -129,3 +129,29 @@ def test_stream_sessionization_matches_batch_sealed_sessions(spark, landing_dir)
     for key, val in batch_keyed.items():
         if key[2] < sealed_cutoff:
             assert key in streamed, f"sealed batch session not emitted {key}"
+
+
+def test_stream_dedup_drops_replayed_file(spark, tmp_path):
+    """A replayed landing file (at-least-once delivery) dedups to one copy."""
+    from parquet_compactor_spark.streaming.pipeline import dedup_events_stream
+
+    d = str(tmp_path / "dup_landing")
+    events = load(spark, SF_SMOKE, "events").limit(200)
+    events.coalesce(1).write.mode("append").parquet(d)
+    import time
+
+    time.sleep(1.1)
+    events.coalesce(1).write.mode("append").parquet(d)  # the replay
+
+    stream = read_events_stream(spark, d, max_files_per_trigger=1)
+    run_stream_to_memory(dedup_events_stream(stream), "dedup_stream", complete=False)
+
+    got = spark.table("dedup_stream")
+    expected = events.dropDuplicates(["ts", "user_id", "event_type"])
+    assert got.count() == expected.count()
+    assert (
+        got.select("ts", "user_id", "event_type")
+        .exceptAll(expected.select("ts", "user_id", "event_type"))
+        .count()
+        == 0
+    )
