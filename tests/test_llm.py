@@ -137,3 +137,24 @@ def test_decode_image_is_explicit_stub():
 
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
+
+
+def test_connected_components_arbitrary_topology(spark):
+    from parquet_compactor_spark.llm.dedup import connected_components, dedup_clusters
+
+    # Path 0-1-...-40 (pointer doubling must beat O(length) rounds at
+    # max_iter=25), star at 100, bridge joining two chains at 200.
+    path = [(i, i + 1) for i in range(40)]
+    star = [(100, x) for x in (101, 102, 103)]
+    bridge = [(200, 201), (202, 203), (201, 202)]
+    edges = spark.createDataFrame(path + star + bridge, "id1 bigint, id2 bigint")
+    comp = {r.node: r.component for r in connected_components(edges).collect()}
+    assert all(comp[i] == 0 for i in range(41))
+    assert all(comp[x] == 100 for x in (100, 101, 102, 103))
+    assert all(comp[x] == 200 for x in (200, 201, 202, 203))
+
+    docs = spark.createDataFrame([(i,) for i in [0, 1, 40, 100, 103, 200, 203, 999]], "doc_id bigint")
+    clusters = {r.doc_id: (r.component, r.is_canonical) for r in dedup_clusters(docs, edges).collect()}
+    assert clusters[0] == (0, True)
+    assert clusters[40] == (0, False)
+    assert clusters[999] == (999, True)  # isolated doc = own canonical singleton
