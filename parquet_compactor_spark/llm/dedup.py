@@ -393,13 +393,23 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
     (label <- label[label]), so convergence is O(log diameter) rounds,
     not O(diameter) — a 1M-long dup chain resolves in ~20 rounds. Each
     round is two shuffles (neighbor-min agg + label-of-label join) plus a
-    single-scalar convergence probe (sum of labels, monotone decreasing);
-    per-round lineage is cut with localCheckpoint so plans stay flat.
+    single-scalar convergence probe (sum of labels, monotone decreasing).
+    The new label table MUST be localCheckpoint'ed every round: the
+    pointer-jump step self-joins the round's intermediate, so an
+    uncheckpointed plan doubles in size per round (exponential analysis
+    cost — measured as a driver OOM by round ~8 with persist() only).
     Only scalars ever reach the driver — the label table itself stays
     distributed, so the loop runs unchanged at lake scale.
+
+    The symmetric edge list is materialized once up front (as GraphX/
+    Pregel do): without it, every round would re-execute the upstream
+    candidate-pair plan — an LSH or shingle join, the most expensive part
+    of the pipeline — instead of re-reading a cached edge table.
     """
     e = edges.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
-    sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    sym = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
     labels = (
         sym.select(F.col("src").alias("node"))
         .distinct()
