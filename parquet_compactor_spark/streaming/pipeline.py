@@ -369,3 +369,94 @@ def dedup_events_stream(events: DataFrame, watermark: str = "2 hours") -> DataFr
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["ts", "user_id", "event_type"]
     )
+
+
+def attribute_purchases_stream(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream interval join: purchases attributed to a prior click.
+
+    Both sides derive from the same watermarked event stream; the join
+    condition bounds purchase time to [click_ts, click_ts + 1 hour), so
+    Spark can expire click state once the watermark passes click_ts + 1h
+    and purchase state immediately — bounded state at any throughput.
+    This is the canonical streaming-attribution shape (ad click ->
+    conversion); the batch twin ``attribute_purchases_batch`` carries the
+    DuckDB oracle. The reference has no joins at all (single-table
+    compactor); this is part of the engine's generalized surface.
+    """
+    w = events.withWatermark("ts", watermark)
+    clicks = w.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = w.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    return clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") < F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        "purchase_ts",
+        F.round("purchase_value", 2).alias("purchase_value"),
+    )
+
+
+def attribute_purchases_batch(events: DataFrame) -> DataFrame:
+    """Batch twin of :func:`attribute_purchases_stream` (same expressions,
+    no watermark) — oracle-checked as ``q_event_attribution``."""
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    return clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") < F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        "purchase_ts",
+        F.round("purchase_value", 2).alias("purchase_value"),
+    )
+
+
+@register(
+    "q_event_attribution",
+    oracle="""
+    SELECT p.user_id,
+           c.event_id            AS click_id,
+           p.event_id            AS purchase_id,
+           p.ts                  AS purchase_ts,
+           ROUND(p.value, 2)     AS purchase_value
+    FROM events c JOIN events p
+      ON p.user_id = c.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 1 HOUR
+    """,
+    doc="Click->purchase attribution interval self-join on events — the "
+    "batch twin (and oracle carrier) of the stream-stream interval join "
+    "attribute_purchases_stream. Equi-join on user_id carries the "
+    "shuffle; the time interval is a post-join filter, so no O(n^2) "
+    "theta-join blowup.",
+)
+def q_event_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return attribute_purchases_batch(load(spark, sf_dir, "events"))

@@ -155,3 +155,25 @@ def test_stream_dedup_drops_replayed_file(spark, tmp_path):
         .count()
         == 0
     )
+
+
+def test_stream_stream_attribution_matches_batch(spark, landing_dir):
+    from parquet_compactor_spark.streaming.pipeline import (
+        attribute_purchases_batch,
+        attribute_purchases_stream,
+    )
+
+    stream = read_events_stream(spark, landing_dir, max_files_per_trigger=2)
+    run_stream_to_memory(
+        attribute_purchases_stream(stream), "attribution", complete=False
+    )
+    got = {
+        (r.click_id, r.purchase_id): r.purchase_value
+        for r in spark.table("attribution").collect()
+    }
+    want = {
+        (r.click_id, r.purchase_id): r.purchase_value
+        for r in attribute_purchases_batch(load(spark, SF_SMOKE, "events")).collect()
+    }
+    assert got == want
+    assert len(want) > 0
