@@ -89,3 +89,17 @@ def test_tfidf_broadcasts_vocabulary(spark):
 def test_range_frame_window_single_shuffle(spark):
     p = props(spark, "q_window_range_frame")
     assert p.exchange_count == 1
+
+
+def test_attribution_interval_join_is_equi_shuffle(spark):
+    """The time interval must ride on the user_id equi-join — a plan that
+    degrades to CartesianProduct/BroadcastNestedLoop is O(n^2) at scale."""
+    p = props(spark, "q_event_attribution")
+    assert not p.has_cartesian
+    assert p.has_sort_merge_join or p.has_broadcast_join
+    assert any("event_type" in f for f in p.pushed_filters)
+
+
+def test_dup_cluster_pairs_join_not_cartesian(spark):
+    p = props(spark, "q_dup_clusters")
+    assert not p.has_cartesian
