@@ -332,3 +332,46 @@ def q_array_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_position(toks, "data").alias("data_pos"),
         F.array_contains(toks, "data").alias("has_data"),
     )
+
+
+@register(
+    "q_higher_order_fns",
+    oracle="""
+    SELECT vec_id,
+           ROUND(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                             (a, b) -> a + b), 4)                    AS vec_sum,
+           len(list_filter(embedding, x -> x > 0))                   AS n_pos,
+           len(list_filter(embedding, x -> x > 0.3)) > 0             AS any_gt,
+           len(list_filter(embedding, x -> abs(x) <= 1.0)) = len(embedding)
+                                                                     AS all_unit,
+           ROUND(list_max(list_transform(embedding,
+                                         x -> CAST(abs(x) AS DOUBLE))), 4)
+                                                                     AS linf
+    FROM embeddings
+    WHERE vec_id % 7 = 0
+    """,
+    doc="Higher-order array functions (transform/filter/exists/forall/"
+    "aggregate) over the embedding vector column — lambda expressions "
+    "evaluated JVM-side inside codegen, zero Python and zero shuffles; "
+    "the DuckDB twin is the list_* lambda family.",
+)
+def q_higher_order_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 7 == 0)
+    v = F.col("embedding")
+    return e.select(
+        "vec_id",
+        F.round(
+            F.aggregate(
+                F.transform(v, lambda x: x.cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            4,
+        ).alias("vec_sum"),
+        F.size(F.filter(v, lambda x: x > 0)).alias("n_pos"),
+        F.exists(v, lambda x: x > 0.3).alias("any_gt"),
+        F.forall(v, lambda x: F.abs(x) <= 1.0).alias("all_unit"),
+        F.round(
+            F.array_max(F.transform(v, lambda x: F.abs(x).cast("double"))), 4
+        ).alias("linf"),
+    )
