@@ -375,3 +375,43 @@ def q_higher_order_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_max(F.transform(v, lambda x: F.abs(x).cast("double"))), 4
         ).alias("linf"),
     )
+
+
+@register(
+    "q_sliding_window",
+    oracle="""
+    WITH contrib AS (
+        SELECT date_trunc('hour', ts)                   AS w0, event_type, value
+        FROM events
+        UNION ALL
+        SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR AS w0, event_type, value
+        FROM events
+    )
+    SELECT strftime(w0, '%Y-%m-%d %H:00:00') AS win_start,
+           event_type,
+           COUNT(*)             AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM contrib
+    GROUP BY 1, 2
+    """,
+    doc="Sliding (hopping) window aggregation: 2-hour windows every hour, "
+    "so each event contributes to exactly two windows. Spark's window() "
+    "expands contributions map-side (one Expand, one shuffle); the same "
+    "expression is streaming-legal with a watermark. The oracle spells "
+    "the expansion as a two-branch UNION ALL.",
+)
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:00:00").alias("win_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
