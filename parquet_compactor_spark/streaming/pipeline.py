@@ -460,3 +460,24 @@ def attribute_purchases_batch(events: DataFrame) -> DataFrame:
 )
 def q_event_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return attribute_purchases_batch(load(spark, sf_dir, "events"))
+
+
+def sliding_event_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming twin of batch ``q_sliding_window``: 2-hour hopping windows
+    every hour. State per (window, event_type) lives until the watermark
+    passes window end — at most window/slide = 2 concurrent windows per
+    key beyond the lateness horizon."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:00:00").alias("win_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )

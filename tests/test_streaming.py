@@ -177,3 +177,20 @@ def test_stream_stream_attribution_matches_batch(spark, landing_dir):
     }
     assert got == want
     assert len(want) > 0
+
+
+def test_stream_sliding_counts_match_batch(spark, landing_dir):
+    from parquet_compactor_spark.registry import all_queries
+    from parquet_compactor_spark.streaming.pipeline import sliding_event_counts
+
+    stream = read_events_stream(spark, landing_dir, max_files_per_trigger=2)
+    run_stream_to_memory(sliding_event_counts(stream), "sliding_counts")
+    streamed = {
+        (r.win_start, r.event_type): (r.n_events, r.total_value)
+        for r in spark.table("sliding_counts").collect()
+    }
+    batch = {
+        (r.win_start, r.event_type): (r.n_events, r.total_value)
+        for r in all_queries()["q_sliding_window"].fn(spark, SF_SMOKE).collect()
+    }
+    assert streamed == batch
