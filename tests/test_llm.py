@@ -8,6 +8,8 @@ corpora with planted near-duplicates.
 from __future__ import annotations
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from parquet_compactor_spark.llm.dedup import (
@@ -158,3 +160,35 @@ def test_connected_components_arbitrary_topology(spark):
     assert clusters[0] == (0, True)
     assert clusters[40] == (0, False)
     assert clusters[999] == (999, True)  # isolated doc = own canonical singleton
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    """Differential: distributed label propagation == pure-Python union-find."""
+    from parquet_compactor_spark.llm.dedup import connected_components
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {n: find(n) for n in parent}
+
+    df = spark.createDataFrame(edges, "id1 bigint, id2 bigint")
+    got = {r.node: r.component for r in connected_components(df).collect()}
+    assert got == expected
