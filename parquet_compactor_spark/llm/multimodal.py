@@ -101,10 +101,10 @@ def extract_media_meta(df: DataFrame) -> DataFrame:
     SELECT source,
            modality,
            COUNT(*)        AS n_blobs,
-           SUM(n_bytes)    AS total_bytes,
+           CAST(SUM(n_bytes) AS BIGINT)    AS total_bytes,
            MAX(width)      AS max_width,
            MAX(height)     AS max_height,
-           SUM(n_frames)   AS total_frames
+           CAST(SUM(n_frames) AS BIGINT)   AS total_frames
     FROM meta
     GROUP BY source, modality
     """,

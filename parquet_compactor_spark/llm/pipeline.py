@@ -128,7 +128,7 @@ def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang,
            COUNT(*)                            AS n_sampled,
            MIN(doc_id)                         AS first_doc,
-           SUM(n_chars)                        AS sampled_chars
+           CAST(SUM(n_chars) AS BIGINT)        AS sampled_chars
     FROM documents
     WHERE (doc_id * 2654435761) % 4294967296 % 10 < 3
     GROUP BY lang

@@ -32,7 +32,7 @@ def whitespace_tokens(col: Column) -> Column:
            COUNT(*)                                   AS n_docs,
            ROUND(AVG(CAST(length(text) AS DOUBLE)), 4) AS avg_chars,
            ROUND(AVG(CAST(len(string_split(text, ' ')) AS DOUBLE)), 4) AS avg_tokens,
-           SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS total_tokens
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
     FROM documents
     GROUP BY lang
     """,
@@ -54,7 +54,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_token_count",
     oracle=f"""
     SELECT lang,
-           SUM(CAST(len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS BIGINT)) AS total_bpe_tokens,
+           CAST(SUM(len(regexp_extract_all(text, '{TOKEN_REGEX}'))) AS BIGINT) AS total_bpe_tokens,
            ROUND(AVG(CAST(len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS DOUBLE)), 4) AS avg_bpe_tokens,
            COUNT(*) AS n_docs
     FROM documents

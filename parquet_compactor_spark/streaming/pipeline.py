@@ -322,9 +322,9 @@ from parquet_compactor_spark.registry import load, register  # noqa: E402
         FROM events
     ),
     sess AS (
-        SELECT *, SUM(new_session) OVER (
+        SELECT *, CAST(SUM(new_session) OVER (
                    PARTITION BY user_id ORDER BY ts, event_id
-                   ROWS UNBOUNDED PRECEDING) AS session_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
         FROM flagged
     )
     SELECT user_id,
