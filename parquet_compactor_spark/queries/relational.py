@@ -195,8 +195,12 @@ def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY n.n_name
     """,
     doc="Multiway fact⋈fact⋈dim join (TPC-H Q5 shape): lineitem⋈orders is a "
-    "shuffle join on orderkey (both sides large); customer/nation broadcast. "
-    "AQE re-sizes the shuffle and splits skewed keys at runtime.",
+    "shuffle join on orderkey (both sides large); customer is fact-"
+    "proportional (sf×150k rows) so it is deliberately NOT force-broadcast "
+    "— AQE may still choose broadcast at small SF, but at 100 TB an "
+    "explicit hint would be an OOM, not an optimization. Only the "
+    "constant-size nation dim carries the broadcast hint. AQE re-sizes the "
+    "shuffle and splits skewed keys at runtime.",
 )
 def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load(spark, sf_dir, "lineitem")
@@ -208,7 +212,7 @@ def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load(spark, sf_dir, "nation")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name")
         .agg(

@@ -67,10 +67,17 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM spine s CROSS JOIN types t
     LEFT JOIN actual a ON a.day = s.day AND a.event_type = t.event_type
     """,
-    doc="Gap-filled daily rollup: a generated day×type spine left-joined "
-    "with actual counts so silent days appear as zeros (the time-series "
-    "densification primitive). The spine is generated, tiny and broadcast; "
-    "the fact side aggregates before joining.",
+    doc="Gap-filled daily rollup: silent day×type combos appear as zeros "
+    "(the time-series densification primitive) via UNION ALL, not an outer "
+    "join. Spark's BroadcastHashJoin can only build on the NON-preserved "
+    "side of an outer join, so 'spine LEFT JOIN actual' would have to "
+    "broadcast the fact-derived aggregate in full. Instead: the aggregated "
+    "rollup flows straight to the output untouched by any join, and the "
+    "zero rows come from the provably-tiny generated spine×types "
+    "anti-joined against just the observed KEY SET (two deduped columns — "
+    "the minimal possible broadcast payload, strictly smaller than the "
+    "rollup itself). At 100 TB the fact table is scanned and partially "
+    "aggregated, and nothing fact-sized is ever broadcast or re-shuffled.",
 )
 def q_gapfill_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
@@ -86,14 +93,23 @@ def q_gapfill_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.date_trunc("day", F.col("ts")).alias("day"), F.col("event_type"))
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
     )
-    return (
+    missing = (
         spine.crossJoin(types)
-        .join(F.broadcast(actual), ["day", "event_type"], "left")
+        .join(F.broadcast(actual.select("day", "event_type")), ["day", "event_type"], "left_anti")
+        .select(
+            "day",
+            "event_type",
+            F.lit(0).cast("long").alias("n"),
+            F.lit(0.0).alias("total"),
+        )
+    )
+    return (
+        actual.unionByName(missing)
         .select(
             F.date_format("day", "yyyy-MM-dd").alias("day"),
             "event_type",
-            F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
-            F.coalesce(F.col("total"), F.lit(0.0)).alias("total_value"),
+            F.col("n").alias("n_events"),
+            F.col("total").alias("total_value"),
         )
     )
 
@@ -162,25 +178,31 @@ def q_locf_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM scored
     WHERE ABS((value - mu) / sigma) > 2
     """,
-    doc="Anomaly detection: per-type z-score via unbounded analytic window "
-    "(mean/stddev computed once per partition, no self-join), keep |z| > 2. "
-    "One shuffle on event_type; at 100 TB the two-pass agg+broadcast-join "
-    "form avoids per-partition full materialization for huge partitions.",
+    doc="Anomaly detection: per-type z-score as a TWO-PASS plan — "
+    "groupBy(event_type).agg(avg, stddev) collapses to one tiny row per "
+    "type (partial agg map-side), then broadcast-joins back onto the fact "
+    "scan. Unlike an unbounded analytic window over low-cardinality "
+    "event_type (a handful of giant partitions that must fully "
+    "materialize per task at 100 TB), this shape never shuffles the fact "
+    "table at all: the only exchange is the partial-agg rollup, and the "
+    "per-type stats ride back via broadcast.",
 )
 def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type")
-    z = (F.col("value") - F.avg("value").over(w)) / F.stddev_samp("value").over(w)
+    stats = e.groupBy("event_type").agg(
+        F.avg("value").alias("_mu"),
+        F.stddev_samp("value").alias("_sigma"),
+    )
+    z = (F.col("value") - F.col("_mu")) / F.col("_sigma")
     return (
-        e.select(
+        e.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) > 2)
+        .select(
             "event_id",
             "event_type",
             F.round("value", 2).alias("value"),
             F.round(z, 3).alias("zscore"),
-            z.alias("_z"),
         )
-        .filter(F.abs(F.col("_z")) > 2)
-        .drop("_z")
     )
 
 

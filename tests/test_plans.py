@@ -103,3 +103,43 @@ def test_attribution_interval_join_is_equi_shuffle(spark):
 def test_dup_cluster_pairs_join_not_cartesian(spark):
     p = props(spark, "q_dup_clusters")
     assert not p.has_cartesian
+
+
+def test_multiway_join_only_hints_constant_dims(spark):
+    """customer is fact-proportional: an explicit broadcast hint on it is
+    an OOM at 100 TB. Exactly one hint (nation) may appear in the logical
+    plan; whether customer broadcasts is left to AQE's runtime stats."""
+    df = QUERIES["q_join_multiway"].fn(spark, SF_SMOKE)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("ResolvedHint") == 1
+
+
+def test_zscore_is_two_pass_agg_not_window(spark):
+    """Per-type stats must come from a partial-agg rollup broadcast back,
+    never a whole-partition analytic window keyed on low-cardinality
+    event_type (a handful of giant partitions at scale)."""
+    from parquet_compactor_spark.plans import formatted_plan
+
+    df = QUERIES["q_zscore_outliers"].fn(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "Window" not in plan
+    p = plan_properties(df)
+    assert p.has_broadcast_join
+    assert p.has_partial_agg
+    # Only the stats rollup shuffles; the fact scan itself never does.
+    assert p.exchange_count == 1
+
+
+def test_gapfill_union_form_never_joins_the_rollup(spark):
+    """The aggregated rollup reaches the output through UNION ALL, not an
+    outer join; only the observed day×type KEY SET is broadcast (for the
+    anti-join that produces zero rows). Nothing fact-sized is broadcast."""
+    from parquet_compactor_spark.plans import formatted_plan
+
+    df = QUERIES["q_gapfill_buckets"].fn(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "Union" in plan
+    p = plan_properties(df)
+    assert not p.has_sort_merge_join
+    # The only equi-join is the left-anti against the two-column key set.
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
