@@ -63,3 +63,29 @@ def from_env(env: dict[str, str] | None = None) -> EngineSettings:
         lake_root=e.get("LAKE_ROOT"),
         compaction=compaction,
     )
+
+
+def resolve(
+    env: dict[str, str] | None = None,
+    provider_doc: dict | None = None,
+    requested_bucket: str = "",
+) -> EngineSettings:
+    """Strategy-switched resolution (reference configurator.py:8-16):
+    object-store fields come from the configurator chosen by
+    ``PROVIDER_CONFIG_ENABLED`` (env vs provider document), compaction
+    knobs and LAKE_ROOT stay env-resolved as in :func:`from_env`.
+    """
+    from parquet_compactor_spark.configurator import get_configurator
+
+    e = env if env is not None else dict(os.environ)
+    c = get_configurator(e, doc=provider_doc)
+    base = from_env(e)
+    return EngineSettings(
+        bucket=c.get_object_store_bucket(requested_bucket) or None,
+        endpoint=c.get_object_store_endpoint(),
+        access_key=c.get_object_store_access_key(requested_bucket),
+        secret_key=c.get_object_store_secret_key(requested_bucket),
+        data_prefix=c.get_data_prefix(),
+        lake_root=base.lake_root,
+        compaction=base.compaction,
+    )
