@@ -51,6 +51,31 @@ def _assign(vecs: DataFrame, centroids: list[tuple[int, list[float]]]) -> DataFr
     )
 
 
+def per_dim_means(
+    assigned: DataFrame, cluster_col: str = "cluster", vec_col: str = "vec", ndigits: int | None = None
+) -> list:
+    """Per-cluster per-dimension means, collected as model state.
+
+    posexplode → avg per (cluster, pos) → re-assemble ordered arrays.
+    One shuffle with cluster×dim groups (KBs); the collect returns K rows
+    of dim doubles — centroid matrix, not row data. ``ndigits`` rounds
+    inside the aggregation (Spark ROUND = half-away-from-zero, matching
+    SQL ROUND) so a differential oracle can reproduce the values exactly.
+    """
+    m = F.avg("x")
+    if ndigits is not None:
+        m = F.round(m, ndigits)
+    return (
+        assigned.select(F.col(cluster_col).alias("cluster"), F.posexplode(vec_col).alias("pos", "x"))
+        .groupBy("cluster", "pos")
+        .agg(m.alias("m"))
+        .groupBy("cluster")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select("cluster", F.col("pm.m").alias("cvec"))
+        .collect()
+    )
+
+
 def kmeans(vecs: DataFrame, k: int = K, n_iter: int = N_ITER) -> DataFrame:
     """Lloyd's k-means: returns (vec_id, cluster, dist) after ``n_iter``
     iterations from deterministic seeds. ``vecs``: (vec_id, vec:array<double>).
@@ -65,16 +90,8 @@ def kmeans(vecs: DataFrame, k: int = K, n_iter: int = N_ITER) -> DataFrame:
 
     assigned = _assign(vecs, centroids)
     for _ in range(n_iter - 1):
-        # Per-dimension means: explode positions → avg per (cluster, pos).
-        means = (
-            assigned.select("cluster", F.posexplode("vec").alias("pos", "x"))
-            .groupBy("cluster", "pos")
-            .agg(F.avg("x").alias("m"))
-            .groupBy("cluster")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-            .select("cluster", F.col("pm.m").alias("cvec"))
-            .collect()  # K rows of dim doubles — model state, not row data
-        )
+        # K rows of dim doubles — model state, not row data.
+        means = per_dim_means(assigned)
         # Preserve list order (cluster id == position) and carry the old
         # centroid forward for clusters that went empty.
         new = {r.cluster: list(r.cvec) for r in means}

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from parquet_compactor_spark.registry import load, register
@@ -204,86 +204,160 @@ _ANN_ORACLE = f"""
 
 
 IVF_CENTROID_IDS = (100, 107)  # seed centroids: vec_ids 100..107 (K=8)
+IVF_N_PROBE = 2  # cells probed per query
+IVF_ROUND = 6  # refined-centroid rounding (exact cross-engine agreement)
+
+_COS_SQL = (
+    "list_dot_product({a}, {b})"
+    " / (sqrt(list_sum(list_transform({a}, x -> x * x)))"
+    "  * sqrt(list_sum(list_transform({b}, x -> x * x))))"
+)
 
 
-@register(
-    "q_ann_ivf",
-    oracle="""
+def _ivf_oracle(n_probe: int) -> str:
+    cos_vc = _COS_SQL.format(a="v.vec", b="c.cvec")
+    cos_vr = _COS_SQL.format(a="v.vec", b="r.cvec")
+    cos_qr = _COS_SQL.format(a="q.vec", b="r.cvec")
+    cos_aq = _COS_SQL.format(a="a.vec", b="q.vec")
+    return f"""
     WITH v AS (
         SELECT vec_id, label,
                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
         FROM embeddings
     ),
     cents AS (
-        SELECT vec_id AS cid, vec AS cvec FROM v
+        SELECT CAST(vec_id - 100 AS INT) AS bucket, vec AS cvec FROM v
         WHERE vec_id BETWEEN 100 AND 107
     ),
-    scored_cents AS (
-        SELECT v.vec_id, v.label, v.vec, c.cid,
-               list_dot_product(v.vec, c.cvec)
-               / (sqrt(list_sum(list_transform(v.vec, x -> x * x)))
-                * sqrt(list_sum(list_transform(c.cvec, x -> x * x)))) AS csim
+    sc1 AS (
+        SELECT v.vec_id, v.vec, c.bucket, {cos_vc} AS csim
         FROM v CROSS JOIN cents c
     ),
-    assign AS (
-        SELECT vec_id, label, vec, cid AS bucket
+    assign1 AS (
+        SELECT vec_id, vec, bucket
         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-                                           ORDER BY csim DESC, cid) AS rn
-              FROM scored_cents)
+                                           ORDER BY csim DESC, bucket) AS rn
+              FROM sc1)
         WHERE rn = 1
     ),
-    q AS (SELECT vec, bucket FROM assign WHERE vec_id = 0)
+    exploded AS (
+        SELECT bucket, unnest(range(1, len(vec) + 1)) AS pos, vec FROM assign1
+    ),
+    dims AS (
+        SELECT bucket, pos, ROUND(AVG(vec[pos]), {IVF_ROUND}) AS m
+        FROM exploded GROUP BY bucket, pos
+    ),
+    refined AS (
+        SELECT bucket, list(m ORDER BY pos) AS cvec FROM dims GROUP BY bucket
+    ),
+    sc2 AS (
+        SELECT v.vec_id, v.label, v.vec, r.bucket, {cos_vr} AS csim
+        FROM v CROSS JOIN refined r
+    ),
+    assign2 AS (
+        SELECT vec_id, label, vec, bucket
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                           ORDER BY csim DESC, bucket) AS rn
+              FROM sc2)
+        WHERE rn = 1
+    ),
+    q AS (SELECT vec FROM v WHERE vec_id = 0),
+    probes AS (
+        SELECT r.bucket,
+               ROW_NUMBER() OVER (ORDER BY {cos_qr} DESC, r.bucket) AS prn
+        FROM refined r CROSS JOIN q
+    )
     SELECT a.vec_id, a.label, a.bucket,
-           ROUND(list_dot_product(a.vec, q.vec)
-                 / (sqrt(list_sum(list_transform(a.vec, x -> x * x)))
-                  * sqrt(list_sum(list_transform(q.vec, x -> x * x)))), 4) AS cos_sim
-    FROM assign a JOIN q ON a.bucket = q.bucket
+           ROUND({cos_aq}, 4) AS cos_sim
+    FROM assign2 a
+    JOIN (SELECT bucket FROM probes WHERE prn <= {n_probe}) p
+      ON a.bucket = p.bucket
+    CROSS JOIN q
     WHERE a.vec_id <> 0
     ORDER BY cos_sim DESC, a.vec_id
     LIMIT 5
-    """,
-    doc="Approximate nearest neighbors via IVF (inverted-file coarse "
-    "quantizer): 8 seed centroids (deterministic: vec_ids 100-107) → "
-    "assign every vector to its max-cosine centroid (broadcast join + "
-    "max_by, one pass) → probe only the query's cell → exact top-5 "
-    "within it. At scale: assignment is a broadcast map; each query "
-    "touches ~1/K of the corpus; Lloyd refinement = repeating the "
-    "assign + per-cell mean rounds; multi-probe = joining the n nearest "
-    "cells instead of 1.",
-)
-def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings")
-    lo, hi = IVF_CENTROID_IDS
-    # Centroids are model state (K x dim doubles — KBs): collect once and
-    # embed as literals so assignment is a zero-shuffle map (argmax via
-    # array_position over per-row cosine array), not a join + aggregate.
-    cent_rows = (
-        e.filter(F.col("vec_id").between(lo, hi)).orderBy("vec_id").collect()
-    )
-    cvecs = [[float(x) for x in r.embedding] for r in cent_rows]
+    """
 
-    def cos_to(cvec: list[float]):
-        lits = F.array(*[F.lit(x) for x in cvec])
-        return cosine(F.col("embedding"), lits)
 
-    csims = F.array(*[cos_to(v) for v in cvecs])
-    cids = F.array(*[F.lit(int(r.vec_id)) for r in cent_rows])
-    # First occurrence of the max == lowest centroid id on ties — same
-    # tie-break as the oracle's ROW_NUMBER (csim DESC, cid ASC).
-    assign = e.select(
-        "vec_id",
-        "label",
-        F.col("embedding").alias("vec"),
+def _argmax_bucket(csims: Column, cids: Column) -> Column:
+    """Bucket of the max cosine; first occurrence of the max == lowest
+    bucket id on ties — same tie-break as ROW_NUMBER (csim DESC, id ASC)."""
+    return (
         F.element_at(cids, F.array_position(csims, F.array_max(csims)).cast("int"))
         .cast("int")
-        .alias("bucket"),
     )
-    q = assign.filter(F.col("vec_id") == 0).select(
-        F.col("vec").alias("qvec"), F.col("bucket").alias("qbucket")
+
+
+def ann_ivf(
+    spark: SparkSession, sf_dir: str, n_probe: int = IVF_N_PROBE, lloyd: bool = True
+) -> DataFrame:
+    """IVF ANN with optional Lloyd refinement and multi-probe (see q_ann_ivf)."""
+    from parquet_compactor_spark.llm.cluster import per_dim_means
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("vec"),
     )
+    lo, hi = IVF_CENTROID_IDS
+    # Centroids are model state (K x dim doubles — KBs): collect once and
+    # embed as literals so each assignment pass is a zero-shuffle map
+    # (argmax via array_position over a per-row cosine array), not a
+    # join + aggregate.
+    seed_rows = e.filter(F.col("vec_id").between(lo, hi)).orderBy("vec_id").collect()
+    centroids = [(int(r.vec_id) - lo, [float(x) for x in r.vec]) for r in seed_rows]
+
+    def csims_for(cents: list[tuple[int, list[float]]]) -> tuple[Column, Column]:
+        sims = F.array(
+            *[cosine(F.col("vec"), F.array(*[F.lit(x) for x in v])) for _, v in cents]
+        )
+        ids = F.array(*[F.lit(b) for b, _ in cents])
+        return sims, ids
+
+    if lloyd:
+        # One Lloyd round: coarse-assign, then refine each cell to the
+        # per-dimension mean of its members (rounded so the differential
+        # oracle reproduces the exact doubles). Cells that went empty
+        # simply drop out, as in the oracle.
+        sims, ids = csims_for(centroids)
+        assign1 = e.select(_argmax_bucket(sims, ids).alias("cluster"), "vec")
+        means = per_dim_means(assign1, ndigits=IVF_ROUND)
+        centroids = sorted(
+            (int(r.cluster), [float(x) for x in r.cvec]) for r in means
+        )
+
+    sims, ids = csims_for(centroids)
+    assign = e.select("vec_id", "label", "vec", _argmax_bucket(sims, ids).alias("bucket"))
+
+    # Probe ranking happens on a K-row DF (one row per surviving cell):
+    # the query row's cosine to every refined centroid, ranked, top-n —
+    # no row data leaves the executors.
+    q = e.filter(F.col("vec_id") == 0).select(F.col("vec").alias("qvec"))
+    qsims, qids = csims_for(centroids)
+    qcells = q.select(
+        "qvec",
+        F.posexplode(
+            F.arrays_zip(
+                qids.alias("qbucket"),
+                F.array(
+                    *[
+                        cosine(F.col("qvec"), F.array(*[F.lit(x) for x in v]))
+                        for _, v in centroids
+                    ]
+                ).alias("qsim"),
+            )
+        ).alias("pos", "cell"),
+    ).select("qvec", F.col("cell.qbucket").alias("qbucket"), F.col("cell.qsim").alias("qsim"))
+    w = Window.orderBy(F.desc("qsim"), F.asc("qbucket"))
+    probes = (
+        qcells.withColumn("prn", F.row_number().over(w))
+        .filter(F.col("prn") <= n_probe)
+        .select("qvec", "qbucket")
+    )
+
     return (
         assign.filter(F.col("vec_id") != 0)
-        .join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
+        .join(F.broadcast(probes), F.col("bucket") == F.col("qbucket"))
         .select(
             "vec_id",
             "label",
@@ -293,6 +367,25 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(5)
     )
+
+
+@register(
+    "q_ann_ivf",
+    oracle=_ivf_oracle(IVF_N_PROBE),
+    doc="Approximate nearest neighbors via IVF (inverted-file coarse "
+    "quantizer) with ONE Lloyd refinement round and 2-cell multi-probe: "
+    "8 seed centroids (deterministic: vec_ids 100-107) → coarse "
+    "max-cosine assignment (zero-shuffle literal argmax) → refine each "
+    "cell to its per-dimension mean (one explode-agg shuffle; K×dim "
+    "doubles collected as model state, rounded to 6 decimals so the "
+    "DuckDB oracle reproduces the exact values) → reassign against the "
+    "refined centroids → probe the query's 2 nearest cells → exact "
+    "top-5 within them. At scale: both assignment passes are broadcast "
+    "maps over the corpus; each query touches ~n_probe/K of the data; "
+    "recall vs brute force is pinned by tests/test_llm.py.",
+)
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ann_ivf(spark, sf_dir, n_probe=IVF_N_PROBE, lloyd=True)
 
 
 @register(

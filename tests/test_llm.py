@@ -134,6 +134,37 @@ def test_applyinpandas_trend_matches_jvm_twin(spark):
         assert abs(pandas_side[uid] - v) < 1e-4, uid
 
 
+def test_ivf_multiprobe_lloyd_improves_recall(spark):
+    """Multi-probe + one Lloyd round must beat the round-1 single-probe
+    seed-centroid form on recall@5 vs exact brute force (deterministic
+    fixture → deterministic recalls: 0.2 vs 0.0 at sf0.001)."""
+    from tests.conftest import SF_SMOKE
+
+    from parquet_compactor_spark.llm.similarity import ann_ivf, cosine
+    from parquet_compactor_spark.registry import load
+
+    e = load(spark, SF_SMOKE, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    brute = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", cosine(F.col("embedding"), F.col("qvec")).alias("c"))
+        .orderBy(F.desc("c"), F.asc("vec_id"))
+        .limit(5)
+        .collect()
+    )
+    truth = {r.vec_id for r in brute}
+
+    def recall(n_probe: int, lloyd: bool) -> float:
+        got = {r.vec_id for r in ann_ivf(spark, SF_SMOKE, n_probe=n_probe, lloyd=lloyd).collect()}
+        return len(truth & got) / len(truth)
+
+    single = recall(1, False)  # the round-1 form
+    multi = recall(2, True)  # what q_ann_ivf registers
+    assert multi > single
+    assert multi >= 0.2
+
+
 def test_decode_image_is_explicit_stub():
     from parquet_compactor_spark.llm.multimodal import decode_image
 
