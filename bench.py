@@ -75,18 +75,31 @@ def main() -> None:
 
 def bench_compaction(spark, sf_dir: str) -> dict:
     """Compaction-core throughput: split lineitem into many small files,
-    compact, report bytes/s and file fan-in (BASELINE.md proxy metric)."""
+    compact, report bytes/s and file fan-in (BASELINE.md proxy metric).
+
+    The lake is lineitem replicated BENCH_COMPACT_MULT times (default 10,
+    ~10x the round-1 input) across BENCH_COMPACT_FILES small files, so
+    the number measures merge throughput rather than fixed job overhead.
+    """
     import shutil
     import tempfile
     from pathlib import Path as P
 
+    from pyspark.sql import functions as F
+
     from parquet_compactor_spark.compactor import CompactionConfig, LakeCompactor
 
+    mult = int(os.environ.get("BENCH_COMPACT_MULT", "10"))
+    files_n = int(os.environ.get("BENCH_COMPACT_FILES", "128"))
     tmp = tempfile.mkdtemp(prefix="bench_compact_")
     leaf = P(tmp) / "acct" / "source=OCP" / "year=2020" / "month=01"
     try:
         df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-        df.repartition(64).write.mode("overwrite").parquet(str(leaf))
+        if mult > 1:
+            df = df.withColumn(
+                "_rep", F.explode(F.array(*[F.lit(i) for i in range(mult)]))
+            ).drop("_rep")
+        df.repartition(files_n).write.mode("overwrite").parquet(str(leaf))
         (leaf / "_SUCCESS").unlink(missing_ok=True)
         # Age the files past the 5-day hold-back.
         old = time.time() - 10 * 86400

@@ -14,6 +14,7 @@ from parquet_compactor_spark.compactor.core import (
     LakeCompactor,
     determine_base_file_name,
     filter_compacted,
+    filter_compacted_gcp,
     should_skip_compacting,
 )
 
@@ -23,5 +24,6 @@ __all__ = [
     "LakeCompactor",
     "determine_base_file_name",
     "filter_compacted",
+    "filter_compacted_gcp",
     "should_skip_compacting",
 ]

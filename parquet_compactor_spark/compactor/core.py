@@ -118,6 +118,43 @@ def filter_compacted(
     return new_files
 
 
+GCP_PRIOR_RE = re.compile(r"/[^/_]+_([^/_]+)_[0-9a-f]{32}\.parquet$")
+
+
+def filter_compacted_gcp(files: list[FileMeta], config: CompactionConfig) -> list[str]:
+    """GCP twin of :func:`filter_compacted` — an idempotence EXTENSION
+    over the reference, which re-merges prior GCP outputs forever: its
+    filter only knows ``{base}_`` patterns, while GCP outputs are named
+    ``{invoice_month}_{date}_<32hex>.parquet``
+    (parquet_compactor.py:205-208). The output convention is
+    repo-controlled, so here prior outputs are recognized and a steady
+    -state leaf returns nothing instead of rewriting every run.
+
+    - ``{invoice_month}_{date}_<32 hex>.parquet`` files are prior per-date
+      compaction outputs: the newest one FOR A DATE is re-merged only when
+      that date also has new files (its trailing chunk is probably short);
+      otherwise prior outputs are left untouched;
+    - new files observe the same ``hold_back_days`` rule as
+      :func:`filter_compacted`. Date membership is by substring, matching
+      :func:`group_gcp_files`.
+    """
+    check_date = (config.utcnow() - timedelta(days=config.hold_back_days)).date()
+    prior_per_date: dict[str, list[FileMeta]] = {}
+    new_files: list[str] = []
+    for f in files:
+        m = GCP_PRIOR_RE.search(f.path)
+        if m:
+            prior_per_date.setdefault(m.group(1), []).append(f)
+        elif f.modified.date() < check_date:
+            new_files.append(f.path)
+    newest = [
+        max(fs, key=lambda f: f.modified).path
+        for date, fs in sorted(prior_per_date.items())
+        if any(date in p for p in new_files)
+    ]
+    return newest + new_files
+
+
 def group_gcp_files(file_list: list[str]) -> tuple[str, dict[str, list[str]]]:
     """GCP filename micro-schema grouping. Parity: parquet_compactor.py:183-193.
 
@@ -213,6 +250,7 @@ class LakeCompactor:
         n_out = plan_output_files(total_bytes, self.config)
 
         tmp_dir = f"{leaf}_compact_tmp_{uuid.uuid4().hex}"
+        renamed: list[str] = []
         try:
             reader = self.spark.read
             if self.config.merge_schema:
@@ -234,8 +272,15 @@ class LakeCompactor:
                 dst = f"{leaf}{name_fn()}"
                 if not self.fs.rename(src, dst):
                     raise IOError(f"rename failed: {src} -> {dst}")
+                renamed.append(dst)
             return True
         except Exception as err:  # failure → keep originals (R6)
+            # A mid-loop rename failure must not leave partial merged
+            # outputs next to the kept originals (their rows would be
+            # read twice, and the next run's incremental filter would
+            # trust the newest partial output as a valid compaction).
+            for dst in renamed:
+                self.fs.delete(dst, recursive=False)
             print(f"compaction merge failed for {leaf}: {err}")
             return False
         finally:
@@ -271,7 +316,10 @@ class LakeCompactor:
         if should_skip_compacting(leaf, self.config):
             return "skipped_current_month"
         base = determine_base_file_name(leaf)
-        file_list = filter_compacted(base, files, self.config)
+        if "GCP" in leaf:
+            file_list = filter_compacted_gcp(files, self.config)
+        else:
+            file_list = filter_compacted(base, files, self.config)
         if len(file_list) <= 1:
             return "nothing_to_compact"
         if "GCP" in leaf:

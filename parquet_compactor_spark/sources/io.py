@@ -1,4 +1,6 @@
-"""Format-agnostic table IO (parquet / csv / json / orc) with sizing knobs.
+"""Format-agnostic table IO (parquet / csv / json / orc / text / xml /
+avro) with sizing knobs. Avro needs the external spark-avro package and
+fails with an actionable ImportError when it is absent.
 
 The reference reads and writes only snappy parquet
 (parquet_compactor.py:158-171); this module generalizes the same
@@ -24,7 +26,20 @@ from pyspark.sql import DataFrame, SparkSession
 
 from parquet_compactor_spark.session import CHUNKED_ROWS, FILE_SIZE_BYTES
 
-_READ_FORMATS = {"parquet", "csv", "json", "orc"}
+_READ_FORMATS = {"parquet", "csv", "json", "orc", "text", "xml", "avro"}
+
+
+def _raise_if_missing_source(err: Exception, fmt: str) -> None:
+    """Avro is an external Spark package (spark-avro); translate the
+    planner's lookup failure into an actionable error instead of a stack
+    trace. text/xml/orc/csv/json/parquet are built into Spark 4."""
+    if "Failed to find data source" in str(err):
+        raise ImportError(
+            f"format '{fmt}' needs its Spark package on the classpath "
+            "(e.g. org.apache.spark:spark-avro for avro) — add it via "
+            "spark.jars.packages"
+        ) from err
+    raise err
 
 
 def read_table(
@@ -38,7 +53,8 @@ def read_table(
 
     CSV defaults to header+inferSchema only when no schema is given —
     prefer an explicit ``schema`` (inference is an extra full scan at
-    lake scale).
+    lake scale). XML defaults to rowTag=row. text yields one ``value``
+    row per line (pass wholetext to get one row per file).
     """
     if fmt not in _READ_FORMATS:
         raise ValueError(f"unsupported format: {fmt}")
@@ -49,7 +65,12 @@ def read_table(
         reader = reader.option("header", "true")
         if not schema:
             reader = reader.option("inferSchema", "true")
-    return reader.options(**options).load(path)
+    if fmt == "xml" and "rowTag" not in options:
+        reader = reader.option("rowTag", "row")
+    try:
+        return reader.options(**options).load(path)
+    except Exception as err:  # pragma: no cover - depends on classpath
+        _raise_if_missing_source(err, fmt)
 
 
 def sized_writer(
@@ -81,11 +102,17 @@ def write_table(
     max_records_per_file: int = CHUNKED_ROWS,
     **options: str,
 ) -> None:
-    """Write a table with the engine's sizing conventions applied."""
+    """Write a table with the engine's sizing conventions applied.
+
+    text expects a single string column (alias it ``value``); XML writes
+    rowTag=row under rootTag=rows unless overridden.
+    """
     if fmt not in _READ_FORMATS:
         raise ValueError(f"unsupported format: {fmt}")
     if fmt == "json" and compression == "snappy":
         compression = "gzip"  # snappy unsupported for json sink
+    if fmt == "xml" and compression == "snappy":
+        compression = "none"  # xml sink: codec-less default
     writer = (
         df.write.format(fmt)
         .mode(mode)
@@ -94,9 +121,17 @@ def write_table(
     )
     if fmt == "csv":
         writer = writer.option("header", "true")
+    if fmt == "xml":
+        if "rowTag" not in options:
+            writer = writer.option("rowTag", "row")
+        if "rootTag" not in options:
+            writer = writer.option("rootTag", "rows")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
-    writer.options(**options).save(path)
+    try:
+        writer.options(**options).save(path)
+    except Exception as err:  # pragma: no cover - depends on classpath
+        _raise_if_missing_source(err, fmt)
 
 
 def read_binary_files(

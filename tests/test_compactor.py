@@ -271,6 +271,84 @@ def test_gcp_per_date_grouping(spark, lake):
     assert read_ids(leaf) == before
 
 
+def test_gcp_recompaction_is_idempotent(spark, lake):
+    """Prior {invoice_month}_{date}_<32hex> outputs are recognized, so a
+    steady-state GCP leaf is a no-op — an idempotence extension over the
+    reference, which re-merges GCP outputs on every run."""
+    leaf = lake / "acct1" / "source=GCP" / "year=2024" / "month=01"
+    for d, date in enumerate(["2024-01-10", "2024-01-11"]):
+        for i in range(3):
+            write_small_parquet(
+                leaf / f"202401_{date}_{d}{i}x.parquet", start=(d * 3 + i) * 100
+            )
+    compactor(spark, lake).compact()
+    after_first = sorted(p.name for p in leaf.glob("*.parquet"))
+    # Aged outputs (past hold-back) must still be treated as compacted.
+    for p in leaf.glob("*.parquet"):
+        ts = OLD.timestamp()
+        os.utime(p, (ts, ts))
+
+    outcomes = compactor(spark, lake).compact()
+    assert list(outcomes.values()) == ["nothing_to_compact"]
+    assert sorted(p.name for p in leaf.glob("*.parquet")) == after_first
+
+
+def test_gcp_incremental_merges_new_files_with_dates_prior(spark, lake):
+    """New files for one date re-merge with that date's newest prior
+    output only; the other date's output is left untouched."""
+    leaf = lake / "acct1" / "source=GCP" / "year=2024" / "month=01"
+    for d, date in enumerate(["2024-01-10", "2024-01-11"]):
+        for i in range(3):
+            write_small_parquet(
+                leaf / f"202401_{date}_{d}{i}x.parquet", start=(d * 3 + i) * 100
+            )
+    compactor(spark, lake).compact()
+    before = read_ids(leaf)
+    for p in leaf.glob("*.parquet"):
+        ts = OLD.timestamp()
+        os.utime(p, (ts, ts))
+    untouched = next(p.name for p in leaf.glob("202401_2024-01-11_*.parquet"))
+
+    write_small_parquet(leaf / "202401_2024-01-10_late0.parquet", start=900)
+    outcomes = compactor(spark, lake).compact()
+    assert list(outcomes.values()) == ["compacted_2_files"]
+    names = sorted(p.name for p in leaf.glob("*.parquet"))
+    assert untouched in names  # 01-11 output not rewritten
+    assert len(names) == 2
+    assert read_ids(leaf) == sorted(before + list(range(900, 1000)))
+
+
+def test_partial_rename_failure_cleans_merged_outputs(spark, lake):
+    """If renaming merged parts fails mid-loop, the already-renamed
+    outputs must be deleted so the kept originals are not duplicated."""
+    leaf = lake / "acct1" / "source=OCP" / "year=2024" / "month=02"
+    for i in range(6):
+        write_small_parquet(leaf / f"in-{i}.parquet", start=i * 100)
+    before = read_ids(leaf)
+
+    # Tiny target size forces multiple output files so the rename loop
+    # has a mid-point to fail at.
+    c = LakeCompactor(spark, str(lake), CompactionConfig(now=NOW, target_file_size_gb=2e-6))
+    real_rename = c.fs.rename
+    calls = {"n": 0}
+
+    def flaky_rename(src, dst):
+        calls["n"] += 1
+        if calls["n"] >= 2:
+            return False
+        return real_rename(src, dst)
+
+    c.fs.rename = flaky_rename
+    outcomes = c.compact()
+    assert list(outcomes.values()) == ["merge_failed_originals_kept"]
+    assert calls["n"] >= 2
+    # Only the originals remain — no partial merged output left behind.
+    assert sorted(p.name for p in leaf.glob("*.parquet")) == [
+        f"in-{i}.parquet" for i in range(6)
+    ]
+    assert read_ids(leaf) == before
+
+
 def test_write_failure_keeps_originals(spark, lake):
     leaf = lake / "acct1" / "source=OCP" / "year=2024" / "month=07"
     for i in range(2):

@@ -29,6 +29,41 @@ def test_roundtrip_formats(spark, tmp_path, fmt):
     )
 
 
+def test_roundtrip_text(spark, tmp_path):
+    df = load(spark, SF_SMOKE, "nation").selectExpr("n_name AS value")
+    path = str(tmp_path / "txt")
+    write_table(df, path, fmt="text")
+    back = read_table(spark, path, fmt="text")
+    assert sorted(r.value for r in back.collect()) == sorted(
+        r.value for r in df.collect()
+    )
+
+
+def test_roundtrip_xml(spark, tmp_path):
+    df = load(spark, SF_SMOKE, "nation").select("n_nationkey", "n_name")
+    path = str(tmp_path / "xml")
+    write_table(df, path, fmt="xml")
+    back = read_table(spark, path, fmt="xml")
+    assert sorted((r.n_nationkey, r.n_name) for r in back.collect()) == sorted(
+        (r.n_nationkey, r.n_name) for r in df.collect()
+    )
+
+
+def test_roundtrip_avro_or_clean_import_error(spark, tmp_path):
+    """Avro rides the external spark-avro package: a classpath that has
+    it round-trips; one that doesn't gets an actionable ImportError
+    (never a raw planner stack trace)."""
+    df = load(spark, SF_SMOKE, "nation").select("n_nationkey", "n_name")
+    path = str(tmp_path / "avro")
+    try:
+        write_table(df, path, fmt="avro")
+    except ImportError as e:
+        assert "spark-avro" in str(e)
+        pytest.skip("spark-avro package not on the classpath")
+    back = read_table(spark, path, fmt="avro")
+    assert back.count() == df.count()
+
+
 def test_partitioned_write_hive_layout(spark, tmp_path):
     df = load(spark, SF_SMOKE, "nation")
     path = tmp_path / "by_region"
