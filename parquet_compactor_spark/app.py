@@ -1,25 +1,49 @@
 """Entry point: config → SparkSession → LakeCompactor.compact().
 
-Reference parity: app.py:22-46 (main() wires Configurator →
-S3ParquetCompactor → compact()). Run as:
+Reference parity: app.py:8-17 (root logger → stdout with the same
+format) and app.py:22-46 (main() wires Configurator().configurator() →
+compactor → compact()). Run as:
 
     python -m parquet_compactor_spark.app
 
-with LAKE_ROOT (or REQUESTED_BUCKET [+ S3_ENDPOINT/keys]) in the env.
+with LAKE_ROOT (or REQUESTED_BUCKET [+ S3_ENDPOINT/keys], or
+PROVIDER_CONFIG_ENABLED + PROVIDER_CONFIG_PATH) in the env.
 """
 
 from __future__ import annotations
 
 import json
+import logging
+import os
 import sys
 
 from parquet_compactor_spark.compactor import LakeCompactor
-from parquet_compactor_spark.config import from_env
+from parquet_compactor_spark.config import resolve
 from parquet_compactor_spark.session import get_spark
 
 
+def setup_logging(stream=None) -> logging.Logger:
+    """Root-logger stdout handler, reference app.py:8-17 verbatim shape."""
+    root = logging.getLogger()
+    root.setLevel(logging.INFO)
+    if any(getattr(h, "_pcs_app", False) for h in root.handlers):
+        return logging.getLogger(__name__)  # idempotent across main() calls
+    handler = logging.StreamHandler(stream if stream is not None else sys.stdout)
+    handler._pcs_app = True
+    handler.setLevel(logging.INFO)
+    handler.setFormatter(
+        logging.Formatter("%(asctime)s - %(name)s - %(levelname)s - %(message)s")
+    )
+    root.addHandler(handler)
+    return logging.getLogger(__name__)
+
+
 def main(argv: list[str] | None = None) -> int:
-    settings = from_env()
+    log = setup_logging()
+    # The requested bucket seeds the configurator lookups, as in the
+    # reference main() (app.py:24-34).
+    requested = os.environ.get("REQUESTED_BUCKET", "")
+    settings = resolve(requested_bucket=requested)
     root = settings.resolved_root()
     spark = get_spark(
         app_name="parquet-compactor-spark",
@@ -27,8 +51,10 @@ def main(argv: list[str] | None = None) -> int:
         s3_access_key=settings.access_key,
         s3_secret_key=settings.secret_key,
     )
+    log.info("compacting lake at %s", root)
     compactor = LakeCompactor(spark, root, settings.compaction)
     outcomes = compactor.compact()
+    log.info("compaction outcomes: %s", outcomes)
     print(json.dumps({"root": root, "leaves": outcomes}))
     # Non-zero exit if any leaf failed (originals were kept — safe to rerun).
     return 1 if any(o == "merge_failed_originals_kept" for o in outcomes.values()) else 0

@@ -294,22 +294,40 @@ def ann_ivf(
     """IVF ANN with optional Lloyd refinement and multi-probe (see q_ann_ivf)."""
     from parquet_compactor_spark.llm.cluster import per_dim_means
 
+    import math
+
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id",
         "label",
         F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("vec"),
     )
+    # The row norm is shared by all K cosines of a pass: materialize it
+    # once per row instead of re-deriving it inside every centroid's
+    # cosine (K-fold smaller expression tree, same IEEE doubles — the
+    # aggregate fold order is unchanged).
+    e = e.withColumn("_vnorm", l2_norm(F.col("vec")))
     lo, hi = IVF_CENTROID_IDS
     # Centroids are model state (K x dim doubles — KBs): collect once and
     # embed as literals so each assignment pass is a zero-shuffle map
     # (argmax via array_position over a per-row cosine array), not a
-    # join + aggregate.
+    # join + aggregate. Centroid norms are Python-computed constants
+    # (identical left-fold sum → bit-identical to the column form).
     seed_rows = e.filter(F.col("vec_id").between(lo, hi)).orderBy("vec_id").collect()
     centroids = [(int(r.vec_id) - lo, [float(x) for x in r.vec]) for r in seed_rows]
 
+    def _cnorm(v: list[float]) -> float:
+        s = 0.0
+        for x in v:
+            s += x * x
+        return math.sqrt(s)
+
     def csims_for(cents: list[tuple[int, list[float]]]) -> tuple[Column, Column]:
         sims = F.array(
-            *[cosine(F.col("vec"), F.array(*[F.lit(x) for x in v])) for _, v in cents]
+            *[
+                dot(F.col("vec"), F.array(*[F.lit(x) for x in v]))
+                / (F.col("_vnorm") * F.lit(_cnorm(v)))
+                for _, v in cents
+            ]
         )
         ids = F.array(*[F.lit(b) for b, _ in cents])
         return sims, ids
@@ -332,22 +350,21 @@ def ann_ivf(
     # Probe ranking happens on a K-row DF (one row per surviving cell):
     # the query row's cosine to every refined centroid, ranked, top-n —
     # no row data leaves the executors.
-    q = e.filter(F.col("vec_id") == 0).select(F.col("vec").alias("qvec"))
     qsims, qids = csims_for(centroids)
-    qcells = q.select(
-        "qvec",
-        F.posexplode(
-            F.arrays_zip(
-                qids.alias("qbucket"),
-                F.array(
-                    *[
-                        cosine(F.col("qvec"), F.array(*[F.lit(x) for x in v]))
-                        for _, v in centroids
-                    ]
-                ).alias("qsim"),
-            )
-        ).alias("pos", "cell"),
-    ).select("qvec", F.col("cell.qbucket").alias("qbucket"), F.col("cell.qsim").alias("qsim"))
+    qcells = (
+        e.filter(F.col("vec_id") == 0)
+        .select(
+            F.col("vec").alias("qvec"),
+            F.posexplode(
+                F.arrays_zip(qids.alias("qbucket"), qsims.alias("qsim"))
+            ).alias("pos", "cell"),
+        )
+        .select(
+            "qvec",
+            F.col("cell.qbucket").alias("qbucket"),
+            F.col("cell.qsim").alias("qsim"),
+        )
+    )
     w = Window.orderBy(F.desc("qsim"), F.asc("qbucket"))
     probes = (
         qcells.withColumn("prn", F.row_number().over(w))

@@ -59,7 +59,11 @@ def test_app_main_runs_compaction(spark, tmp_path, monkeypatch, capsys):
     monkeypatch.setenv("LAKE_ROOT", str(lake))
     # Freeze the clock the same way the compactor tests do.
     monkeypatch.setattr(
-        app, "from_env", lambda: EngineSettings(lake_root=str(lake), compaction=CompactionConfig(now=NOW))
+        app,
+        "resolve",
+        lambda requested_bucket="": EngineSettings(
+            lake_root=str(lake), compaction=CompactionConfig(now=NOW)
+        ),
     )
     rc = app.main()
     assert rc == 0
