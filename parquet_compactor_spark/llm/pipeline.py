@@ -150,3 +150,36 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("sampled_chars"),
         )
     )
+
+
+@register(
+    "q_grouped_sample",
+    oracle="""
+    SELECT doc_id, lang
+    FROM (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+               ) AS rn
+        FROM documents
+    )
+    WHERE rn <= 2
+    """,
+    doc="Deterministic per-group sample: top-2 documents per language by "
+    "Knuth multiplicative hash order — a fixed-size, reproducible "
+    "per-stratum pick (vs q_stratified_sample's fixed-RATE membership "
+    "filter). Exact bigint arithmetic on both engines; one shuffle on "
+    "lang, per-group heap via row_number.",
+)
+def q_grouped_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    hashed = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    w = Window.partitionBy("lang").orderBy(hashed, "doc_id")
+    return (
+        d.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 2)
+        .select("doc_id", "lang")
+    )

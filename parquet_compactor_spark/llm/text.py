@@ -162,3 +162,75 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     normalized = F.trim(F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9]+", " "))
     return d.select("doc_id", F.md5(normalized).alias("fingerprint"))
+
+
+@register(
+    "q_repetition_ratio",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS tokens FROM documents
+    )
+    SELECT doc_id,
+           lang,
+           CAST(len(tokens) AS BIGINT)                AS n_tokens,
+           CAST(len(list_distinct(tokens)) AS BIGINT) AS n_distinct,
+           ROUND(CAST(len(list_distinct(tokens)) AS DOUBLE)
+                 / len(tokens), 4)                    AS distinct_ratio
+    FROM toks
+    """,
+    doc="Repetition-based quality signal: distinct-token ratio per "
+    "document (near-0 = degenerate repetition, the classic low-quality "
+    "training-text marker). Pure per-row array math — map-only, no "
+    "shuffle at any corpus size.",
+)
+def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = whitespace_tokens(F.col("text"))
+    n = F.size(toks)
+    nd = F.size(F.array_distinct(toks))
+    return d.select(
+        "doc_id",
+        "lang",
+        n.cast("bigint").alias("n_tokens"),
+        nd.cast("bigint").alias("n_distinct"),
+        F.round(nd.cast("double") / n, 4).alias("distinct_ratio"),
+    )
+
+
+@register(
+    "q_whitespace_cleanup",
+    oracle="""
+    WITH cleaned AS (
+        SELECT doc_id, source,
+               length(text) AS raw_len,
+               length(trim(regexp_replace(text, ' +', ' ', 'g'))) AS clean_len
+        FROM documents
+    )
+    SELECT source,
+           COUNT(*)                                    AS n_docs,
+           CAST(SUM(raw_len - clean_len) AS BIGINT)    AS chars_removed,
+           CAST(SUM(CASE WHEN raw_len <> clean_len THEN 1 ELSE 0 END)
+                AS BIGINT)                             AS n_docs_changed
+    FROM cleaned
+    GROUP BY source
+    """,
+    doc="Whitespace normalization pass (collapse runs of spaces + trim) "
+    "with per-source cleanup accounting — the first stage of any "
+    "boilerplate-stripping pipeline. regexp_replace is JVM columnar; "
+    "one partial-agg shuffle on source.",
+)
+def q_whitespace_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    raw_len = F.length("text")
+    clean_len = F.length(F.trim(F.regexp_replace(F.col("text"), " +", " ")))
+    return (
+        d.select("source", raw_len.alias("_r"), clean_len.alias("_c"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("_r") - F.col("_c")).cast("bigint").alias("chars_removed"),
+            F.sum(F.when(F.col("_r") != F.col("_c"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_docs_changed"),
+        )
+    )

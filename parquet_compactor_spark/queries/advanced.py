@@ -327,3 +327,136 @@ def q_string_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split("p_name", " ", -1).getItem(0).alias("first_word"),
         F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
     )
+
+
+@register(
+    "q_window_ntile",
+    oracle="""
+    SELECT c_custkey,
+           c_mktsegment,
+           NTILE(4)       OVER w                  AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 4)        AS pct_rank,
+           ROUND(CUME_DIST()    OVER w, 4)        AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+    doc="Distribution window functions: NTILE quartiles, PERCENT_RANK and "
+    "CUME_DIST per market segment (ordered by balance, custkey tiebreak "
+    "for cross-engine determinism). One shuffle on the segment key.",
+)
+def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 4).alias("cume"),
+    )
+
+
+@register(
+    "q_corr_covar",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(CORR(l_quantity, l_extendedprice), 4)       AS qty_price_corr,
+           ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 2) AS qty_price_covar,
+           ROUND(COVAR_POP(l_discount, l_tax), 6)            AS disc_tax_covar_pop
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Bivariate statistics aggregates: correlation and sample/population "
+    "covariance per group — single-pass distributive moments, partial-agg "
+    "map-side like any sum.",
+)
+def q_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("qty_price_covar"),
+        F.round(F.covar_pop("l_discount", "l_tax"), 6).alias("disc_tax_covar_pop"),
+    )
+
+
+@register(
+    "q_bit_bool_agg",
+    oracle="""
+    SELECT event_type,
+           CAST(BIT_AND(event_id) AS BIGINT) AS ids_and,
+           CAST(BIT_OR(event_id)  AS BIGINT) AS ids_or,
+           CAST(BIT_XOR(event_id) AS BIGINT) AS ids_xor,
+           BOOL_AND(value >= 0)              AS all_nonneg,
+           BOOL_OR(value > 99)               AS any_large
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Bitwise and boolean aggregates per group: BIT_AND/OR/XOR over ids "
+    "(XOR doubles as an order-independent set checksum) and BOOL_AND/OR "
+    "predicates — all distributive, one partial-agg shuffle.",
+)
+def q_bit_bool_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.bit_and("event_id").alias("ids_and"),
+        F.bit_or("event_id").alias("ids_or"),
+        F.bit_xor("event_id").alias("ids_xor"),
+        F.bool_and(F.col("value") >= 0).alias("all_nonneg"),
+        F.bool_or(F.col("value") > 99).alias("any_large"),
+    )
+
+
+@register(
+    "q_string_agg",
+    oracle="""
+    SELECT r.r_name,
+           STRING_AGG(n.n_name, ',' ORDER BY n.n_name) AS nations,
+           COUNT(*) AS n_nations
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+    doc="Ordered string aggregation (LISTAGG): nation names per region, "
+    "comma-joined in name order. Spark form: collect_list → array_sort → "
+    "concat_ws (deterministic regardless of partition arrival order — "
+    "the only safe way to listagg distributed data).",
+)
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_list("n_name"))).alias("nations"),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+    )
+
+
+@register(
+    "q_value_histogram",
+    oracle="""
+    SELECT GREATEST(0, LEAST(9, CAST(FLOOR(c_acctbal / 1000.0) AS INT))) AS bucket,
+           COUNT(*)                    AS n,
+           ROUND(MIN(c_acctbal), 2)    AS lo,
+           ROUND(MAX(c_acctbal), 2)    AS hi
+    FROM customer
+    GROUP BY 1
+    """,
+    doc="Equi-width histogram binning via explicit floor arithmetic "
+    "(portable across engines, clamped edge buckets): distribution "
+    "profiling as a single partial-agg pass — bucket count is constant, "
+    "so shuffle traffic is O(buckets) at any scale.",
+)
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    bucket = F.greatest(
+        F.lit(0), F.least(F.lit(9), F.floor(F.col("c_acctbal") / 1000.0).cast("int"))
+    )
+    return c.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("c_acctbal"), 2).alias("lo"),
+        F.round(F.max("c_acctbal"), 2).alias("hi"),
+    )

@@ -467,3 +467,78 @@ def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
     return c.subtract(s)
+
+
+@register(
+    "q_full_outer_join",
+    oracle="""
+    WITH rich AS (
+        SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 8000
+    ),
+    urgent AS (
+        SELECT o_custkey, COUNT(*) AS n_orders FROM orders
+        WHERE o_orderpriority = '1-URGENT'
+        GROUP BY o_custkey
+    )
+    SELECT COALESCE(r.c_custkey, u.o_custkey) AS custkey,
+           (r.c_custkey IS NOT NULL)          AS has_customer,
+           (u.o_custkey IS NOT NULL)          AS has_orders,
+           ROUND(COALESCE(r.c_acctbal, 0.0), 2) AS acctbal,
+           COALESCE(u.n_orders, 0)            AS n_orders
+    FROM rich r FULL OUTER JOIN urgent u ON r.c_custkey = u.o_custkey
+    """,
+    doc="FULL OUTER join of two genuinely-partial sides (high-balance "
+    "customers vs urgent-order counts): unmatched rows survive from both "
+    "sides with coalesced keys. Full outer cannot broadcast either side "
+    "(both are preserved) — it is a shuffle join by construction, which "
+    "is exactly the right plan at any scale.",
+)
+def q_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 8000)
+        .select("c_custkey", "c_acctbal")
+    )
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "full_outer").select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        F.col("c_custkey").isNotNull().alias("has_customer"),
+        F.col("o_custkey").isNotNull().alias("has_orders"),
+        F.round(F.coalesce("c_acctbal", F.lit(0.0)), 2).alias("acctbal"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+    )
+
+
+@register(
+    "q_salted_agg",
+    oracle="""
+    SELECT event_type,
+           COUNT(*)              AS n,
+           ROUND(SUM(value), 2)  AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Skew-proof two-stage aggregation: a deterministic salt "
+    "(event_id % 16) splits each hot group key into 16 sub-groups for "
+    "the first (partial) aggregation, then a second tiny aggregation "
+    "removes the salt. At 100 TB a single scorching key (one event_type "
+    "holding half the data) lands on 16 reducers instead of one; the "
+    "oracle is the plain GROUP BY, proving the decomposition is exact. "
+    "The same pattern is packaged as functions/skew.py::salted_aggregate.",
+)
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    partial = (
+        e.withColumn("_salt", F.col("event_id") % 16)
+        .groupBy("event_type", "_salt")
+        .agg(F.count(F.lit(1)).alias("_n"), F.sum("value").alias("_sum"))
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("_n").alias("n"),
+        F.round(F.sum("_sum"), 2).alias("total_value"),
+    )

@@ -288,3 +288,123 @@ def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("bigram"))
         .limit(20)
     )
+
+
+@register(
+    "q_running_distinct",
+    oracle="""
+    WITH firsts AS (
+        SELECT event_id, user_id, ts,
+               CASE WHEN ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                            ORDER BY ts, event_id) = 1
+                    THEN 1 ELSE 0 END AS is_first
+        FROM events
+    )
+    SELECT event_id,
+           user_id,
+           CAST(SUM(is_first) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS distinct_types_so_far
+    FROM firsts
+    """,
+    doc="Running COUNT(DISTINCT) per user without holding a distinct set: "
+    "mark each (user, event_type)'s first occurrence with one window, "
+    "running-sum the markers with a second window over the SAME user_id "
+    "partitioning (one shuffle, Spark reuses the exchange). State per row "
+    "is O(1) — the naive collect_set-over-window form grows per-row state "
+    "linearly and dies at scale.",
+)
+def q_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w_first = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    is_first = F.when(F.row_number().over(w_first) == 1, 1).otherwise(0)
+    return e.select(
+        "event_id",
+        "user_id",
+        is_first.alias("_f"),
+        "ts",
+    ).select(
+        "event_id",
+        "user_id",
+        F.sum("_f").over(w_run).cast("bigint").alias("distinct_types_so_far"),
+    )
+
+
+@register(
+    "q_rate_of_change",
+    oracle="""
+    WITH seq AS (
+        SELECT event_id, user_id, ts, value,
+               LAG(value) OVER w AS prev_value,
+               LAG(ts)    OVER w AS prev_ts
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_id,
+           user_id,
+           ROUND((value - prev_value)
+                 / ((epoch_us(ts) - epoch_us(prev_ts)) / 1000000.0), 6)
+               AS rate_per_sec
+    FROM seq
+    WHERE prev_ts IS NOT NULL AND epoch_us(ts) <> epoch_us(prev_ts)
+    """,
+    doc="First derivative of an irregular time series: per-user value delta "
+    "over seconds delta between consecutive readings (the monitoring "
+    "rate() primitive). One shuffle on user_id; zero-dt pairs excluded.",
+)
+def q_rate_of_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_v = F.lag("value").over(w)
+    prev_us = F.lag(F.unix_micros("ts")).over(w)
+    dt_sec = (F.unix_micros("ts") - prev_us) / 1000000.0
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            F.round((F.col("value") - prev_v) / dt_sec, 6).alias("rate_per_sec"),
+            prev_us.alias("_prev_us"),
+            F.unix_micros("ts").alias("_us"),
+        )
+        .filter(F.col("_prev_us").isNotNull() & (F.col("_us") != F.col("_prev_us")))
+        .select("event_id", "user_id", "rate_per_sec")
+    )
+
+
+@register(
+    "q_month_over_month",
+    oracle="""
+    WITH monthly AS (
+        SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+               ROUND(SUM(o_totalprice), 2) AS revenue
+        FROM orders
+        GROUP BY 1
+    )
+    SELECT month,
+           revenue,
+           ROUND((revenue - LAG(revenue) OVER (ORDER BY month))
+                 / LAG(revenue) OVER (ORDER BY month), 4) AS mom_change
+    FROM monthly
+    """,
+    doc="Month-over-month growth: monthly rollup (partial-agg shuffle to "
+    "O(months) rows), then LAG over the tiny aggregate — the global "
+    "single-partition window is safe precisely because it runs on "
+    "months, not rows.",
+)
+def q_month_over_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "month",
+        "revenue",
+        F.round((F.col("revenue") - prev) / prev, 4).alias("mom_change"),
+    )

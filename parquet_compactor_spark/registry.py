@@ -133,6 +133,21 @@ _PRIORITY: tuple[str, ...] = (
     "q_token_count",
     "q_stratified_sample",
     "q_multimodal_meta",
+    # new in round 2 — first driver check
+    "q_full_outer_join",
+    "q_salted_agg",
+    "q_window_ntile",
+    "q_corr_covar",
+    "q_bit_bool_agg",
+    "q_string_agg",
+    "q_value_histogram",
+    "q_running_distinct",
+    "q_rate_of_change",
+    "q_month_over_month",
+    "q_repetition_ratio",
+    "q_whitespace_cleanup",
+    "q_grouped_sample",
+    "q_event_enrich",
 )
 
 

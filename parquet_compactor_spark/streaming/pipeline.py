@@ -481,3 +481,56 @@ def sliding_event_counts(events: DataFrame, watermark: str = "2 hours") -> DataF
             "total_value",
         )
     )
+
+
+def enrich_events_stream(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch broadcast-joins the
+    static dimension (re-read per batch, so a dim refresh is picked up).
+
+    No watermark or state store is involved — a stream-static equi-join
+    is stateless (only the stream side arrives incrementally), which is
+    what makes it the right way to attach dimensions at 100 TB/day: the
+    dim stays map-side, the stream never shuffles.
+    """
+    return (
+        events.join(F.broadcast(dim), events.user_id == dim.c_custkey)
+        .groupBy("n_name", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+def _enrich_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parquet_compactor_spark.registry import load
+
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
+        "c_custkey", "n_name"
+    )
+
+
+@register(
+    "q_event_enrich",
+    oracle="""
+    SELECT n.n_name,
+           e.event_type,
+           COUNT(*)             AS n_events,
+           ROUND(SUM(e.value), 2) AS total_value
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name, e.event_type
+    """,
+    doc="Dimension enrichment rollup (batch twin of enrich_events_stream): "
+    "events broadcast-join the customer→nation dim, aggregate per nation "
+    "and type. The identical join expression runs incrementally as a "
+    "stateless stream-static join; parity pinned in tests/test_streaming.py.",
+)
+def q_event_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parquet_compactor_spark.registry import load
+
+    e = load(spark, sf_dir, "events")
+    return enrich_events_stream(e, _enrich_dim(spark, sf_dir))

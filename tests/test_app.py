@@ -65,7 +65,16 @@ def test_app_main_runs_compaction(spark, tmp_path, monkeypatch, capsys):
             lake_root=str(lake), compaction=CompactionConfig(now=NOW)
         ),
     )
-    rc = app.main()
+    try:
+        rc = app.main()
+    finally:
+        # Drop the stdout log handler main() installed: it points at the
+        # capsys stream, which closes with this test.
+        import logging
+
+        root = logging.getLogger()
+        for h in [h for h in root.handlers if getattr(h, "_pcs_app", False)]:
+            root.removeHandler(h)
     assert rc == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert list(out["leaves"].values()) == ["compacted_3_files"]

@@ -194,3 +194,27 @@ def test_stream_sliding_counts_match_batch(spark, landing_dir):
         for r in all_queries()["q_sliding_window"].fn(spark, SF_SMOKE).collect()
     }
     assert streamed == batch
+
+
+def test_stream_static_enrichment_matches_batch(spark, landing_dir):
+    """Stream-static join: per-micro-batch broadcast of the dim must
+    aggregate to exactly the batch q_event_enrich result (stateless join
+    → parity is exact regardless of batching)."""
+    from parquet_compactor_spark.registry import all_queries
+    from parquet_compactor_spark.streaming.pipeline import (
+        _enrich_dim,
+        enrich_events_stream,
+    )
+
+    stream = read_events_stream(spark, landing_dir, max_files_per_trigger=2)
+    dim = _enrich_dim(spark, SF_SMOKE)
+    run_stream_to_memory(enrich_events_stream(stream, dim), "enriched")
+    streamed = {
+        (r.n_name, r.event_type): (r.n_events, r.total_value)
+        for r in spark.table("enriched").collect()
+    }
+    batch = {
+        (r.n_name, r.event_type): (r.n_events, r.total_value)
+        for r in all_queries()["q_event_enrich"].fn(spark, SF_SMOKE).collect()
+    }
+    assert streamed == batch
