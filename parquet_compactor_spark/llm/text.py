@@ -234,3 +234,50 @@ def q_whitespace_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_docs_changed"),
         )
     )
+
+
+@register(
+    "q_char_trigrams",
+    oracle="""
+    WITH grams AS (
+        SELECT lang, text[n : n + 2] AS trigram
+        FROM (SELECT lang, text, unnest(range(1, length(text) - 1)) AS n
+              FROM documents)
+    ),
+    counted AS (
+        SELECT lang, trigram, COUNT(*) AS n
+        FROM grams GROUP BY lang, trigram
+    )
+    SELECT lang, trigram, n
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                                       ORDER BY n DESC, trigram) AS rn
+          FROM counted)
+    WHERE rn <= 5
+    """,
+    doc="Character-trigram profile: top-5 trigrams per language — the "
+    "n-gram frequency table real language-ID models are built from "
+    "(q_lang_id's stopword heuristic is the poor man's version). "
+    "Spark side: sequence+transform generates the trigram list JVM-side, "
+    "explode → two-level agg → per-lang top-k window. The gram explode "
+    "is map-side; the only data shuffle carries (lang, trigram) partial "
+    "counts.",
+)
+def q_char_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length("text") - 2),
+        lambda i: F.col("text").substr(i, F.lit(3)),
+    )
+    counted = (
+        d.select("lang", F.explode(grams).alias("trigram"))
+        .groupBy("lang", "trigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), "trigram")
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("lang", "trigram", "n")
+    )

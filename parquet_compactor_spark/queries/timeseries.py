@@ -308,21 +308,27 @@ def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM firsts
     """,
     doc="Running COUNT(DISTINCT) per user without holding a distinct set: "
-    "mark each (user, event_type)'s first occurrence with one window, "
-    "running-sum the markers with a second window over the SAME user_id "
-    "partitioning (one shuffle, Spark reuses the exchange). State per row "
-    "is O(1) — the naive collect_set-over-window form grows per-row state "
-    "linearly and dies at scale.",
+    "mark each (user, event_type)'s first occurrence, then running-sum "
+    "the markers. BOTH windows partition by user_id only — the first "
+    "detects type-run boundaries in (event_type, ts) order (the first "
+    "row of each type run IS the type's first occurrence), so Spark "
+    "satisfies the two different sort orders with two sorts over ONE "
+    "exchange. State per row is O(1) — the naive collect_set-over-window "
+    "form grows per-row state linearly and dies at scale.",
 )
 def q_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
-    w_first = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w_first = Window.partitionBy("user_id").orderBy("event_type", "ts", "event_id")
     w_run = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    is_first = F.when(F.row_number().over(w_first) == 1, 1).otherwise(0)
+    is_first = F.when(
+        F.lag("event_type").over(w_first).isNull()
+        | (F.lag("event_type").over(w_first) != F.col("event_type")),
+        1,
+    ).otherwise(0)
     return e.select(
         "event_id",
         "user_id",
@@ -407,4 +413,38 @@ def q_month_over_month(spark: SparkSession, sf_dir: str) -> DataFrame:
         "month",
         "revenue",
         F.round((F.col("revenue") - prev) / prev, 4).alias("mom_change"),
+    )
+
+
+@register(
+    "q_latest_snapshot",
+    oracle="""
+    SELECT user_id, event_id, ROUND(value, 2) AS value,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+    FROM (
+        SELECT user_id, event_id, value, ts,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    )
+    WHERE rn = 1
+    """,
+    doc="Latest-record-per-key (snapshot/SCD compaction): the newest event "
+    "per user via a per-key top-1 window — the canonical change-log → "
+    "current-state materialization for a lake. One shuffle on the key; "
+    "row_number's top-1 is computed without holding the group (rank "
+    "short-circuit), so per-key state is O(1) regardless of history depth.",
+)
+def q_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            F.round("value", 2).alias("value"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        )
     )

@@ -148,6 +148,8 @@ _PRIORITY: tuple[str, ...] = (
     "q_whitespace_cleanup",
     "q_grouped_sample",
     "q_event_enrich",
+    "q_latest_snapshot",
+    "q_char_trigrams",
 )
 
 

@@ -130,6 +130,37 @@ def test_zscore_is_two_pass_agg_not_window(spark):
     assert p.exchange_count == 1
 
 
+def test_running_distinct_reuses_one_exchange(spark):
+    """Both windows partition by user_id only — two sort orders, ONE
+    shuffle. The naive form (first-occurrence window keyed on
+    (user_id, event_type)) costs a second full-data exchange."""
+    p = props(spark, "q_running_distinct")
+    assert p.exchange_count == 1
+
+
+def test_full_outer_is_shuffle_join(spark):
+    """Full outer preserves both sides, so neither may broadcast —
+    sort-merge with two exchanges is the correct shape at any scale."""
+    p = props(spark, "q_full_outer_join")
+    assert p.has_sort_merge_join
+    assert not p.has_broadcast_join
+    assert not p.has_cartesian
+
+
+def test_salted_agg_two_stage(spark):
+    """The salt decomposition costs exactly two exchanges: the salted
+    partial rollup and the tiny de-salting final rollup."""
+    p = props(spark, "q_salted_agg")
+    assert p.has_partial_agg
+    assert p.exchange_count == 2
+
+
+def test_event_enrich_broadcasts_dim(spark):
+    p = props(spark, "q_event_enrich")
+    assert p.has_broadcast_join
+    assert not p.has_sort_merge_join
+
+
 def test_gapfill_union_form_never_joins_the_rollup(spark):
     """The aggregated rollup reaches the output through UNION ALL, not an
     outer join; only the observed day×type KEY SET is broadcast (for the
