@@ -9,4 +9,5 @@ from parquet_compactor_spark.queries import (  # noqa: F401
     relational,
     scalar_fns,
     timeseries,
+    udx,
 )
