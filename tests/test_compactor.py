@@ -135,6 +135,58 @@ def test_filter_compacted_property_invariants():
     check()
 
 
+def test_filter_compacted_gcp_property_invariants():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from parquet_compactor_spark.compactor import filter_compacted_gcp
+
+    DATES = ["2024-01-10", "2024-01-11", "2024-01-12"]
+
+    @st.composite
+    def gcp_file_lists(draw):
+        n = draw(st.integers(0, 20))
+        files = []
+        for i in range(n):
+            date = draw(st.sampled_from(DATES))
+            if draw(st.booleans()):  # prior compacted output
+                name = f"202401_{date}_{format(i, '032x')}.parquet"
+            else:  # new raw file
+                name = f"202401_{date}_{i}raw.parquet"
+            files.append(_meta(f"/l/{name}", days_old=draw(st.floats(0, 30))))
+        return files
+
+    @given(gcp_file_lists())
+    @settings(max_examples=200, deadline=None)
+    def check(files):
+        from parquet_compactor_spark.compactor.core import GCP_PRIOR_RE
+
+        result = filter_compacted_gcp(files, CFG)
+        by_path = {f.path: f for f in files}
+        assert len(result) == len(set(result))
+        assert set(result) <= set(by_path)
+        priors = [f for f in files if GCP_PRIOR_RE.search(f.path)]
+        new_included = [p for p in result if not GCP_PRIOR_RE.search(p)]
+        # New files obey the hold-back, exactly as the non-GCP filter.
+        for p in new_included:
+            assert by_path[p].modified.date() < (
+                CFG.utcnow() - timedelta(days=5)
+            ).date()
+        # A prior appears iff its date has new files to merge, and then
+        # only the newest prior OF THAT DATE appears.
+        for date in DATES:
+            date_priors = [f for f in priors if date in f.path]
+            included = [p for p in result if GCP_PRIOR_RE.search(p) and date in p]
+            if date_priors and any(date in p for p in new_included):
+                assert included == [
+                    max(date_priors, key=lambda f: f.modified).path
+                ]
+            else:
+                assert included == []
+
+    check()
+
+
 def test_filter_compacted_hold_back_is_date_granular():
     # Exactly at the boundary date → NOT included (strict <, date compare).
     boundary = FileMeta(
