@@ -51,6 +51,12 @@ class CompactionConfig:
     # (SURVEY.md §1.2 — never checked). merge_schema=True makes evolution
     # explicit: Spark unions by name, missing columns become nulls.
     merge_schema: bool = False
+    # Optional clustering columns: merged output is range-partitioned and
+    # sorted on these, so each output file carries a disjoint value range
+    # and parquet min/max statistics prune later filtered scans (the
+    # write-side half of predicate pushdown). Empty = plain repartition,
+    # reference parity.
+    cluster_by: tuple[str, ...] = ()
 
     @property
     def file_size_bytes(self) -> int:
@@ -256,8 +262,14 @@ class LakeCompactor:
             if self.config.merge_schema:
                 reader = reader.option("mergeSchema", "true")
             df = reader.parquet(*file_list)
+            if self.config.cluster_by:
+                df = df.repartitionByRange(
+                    n_out, *self.config.cluster_by
+                ).sortWithinPartitions(*self.config.cluster_by)
+            else:
+                df = df.repartition(n_out)
             (
-                df.repartition(n_out)
+                df
                 .write.option("compression", "snappy")
                 .option("maxRecordsPerFile", self.config.chunked_rows)
                 .mode("overwrite")

@@ -534,3 +534,26 @@ def q_event_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load(spark, sf_dir, "events")
     return enrich_events_stream(e, _enrich_dim(spark, sf_dir))
+
+
+def latest_state_stream(events: DataFrame) -> DataFrame:
+    """Latest-record-per-key materialization over a stream (complete mode).
+
+    ``max_by(struct(payload), struct(ts, event_id))`` keeps exactly one
+    row of state per key — the streaming form of q_latest_snapshot's
+    top-1 window. State is O(keys), not O(events): the canonical
+    change-log → current-state view kept incrementally fresh.
+    """
+    newest = F.max_by(
+        F.struct("event_id", "value", "ts"), F.struct("ts", "event_id")
+    ).alias("s")
+    return (
+        events.groupBy("user_id")
+        .agg(newest)
+        .select(
+            "user_id",
+            F.col("s.event_id").alias("event_id"),
+            F.round("s.value", 2).alias("value"),
+            F.date_format("s.ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        )
+    )

@@ -457,3 +457,23 @@ def test_base_name_fallback_no_source_segment(spark, lake):
     import re
 
     assert len(outputs) == 1 and re.fullmatch(r"data_[0-9a-f]{32}\.parquet", outputs[0])
+
+
+def test_compaction_with_clustering_produces_disjoint_files(spark, lake):
+    """cluster_by on CompactionConfig range-sorts the merged output so
+    each file covers a disjoint id range (data-skipping layout)."""
+    from tests.test_sources import _file_ranges
+
+    leaf = lake / "acct1" / "source=OCP" / "year=2024" / "month=03"
+    for i in range(6):
+        write_small_parquet(leaf / f"in-{i}.parquet", start=i * 100)
+    before = read_ids(leaf)
+
+    cfg = CompactionConfig(now=NOW, target_file_size_gb=2e-6, cluster_by=("id",))
+    outcomes = LakeCompactor(spark, str(lake), cfg).compact()
+    assert list(outcomes.values()) == ["compacted_6_files"]
+    assert read_ids(leaf) == before
+    ranges = _file_ranges(leaf, "id")
+    assert len(ranges) >= 2
+    for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
+        assert hi_prev <= lo_next

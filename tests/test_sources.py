@@ -170,3 +170,32 @@ def test_binary_file_ingestion(spark, tmp_path):
     }
     for data in payloads.values():
         assert meta[len(data)] == fake_decode_meta(data)
+
+
+def _file_ranges(path, column):
+    """(min, max) of a column per parquet file, from footer statistics."""
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    ranges = []
+    for f in sorted(Path(path).glob("*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.names.index(column)
+        lo = min(md.row_group(i).column(idx).statistics.min for i in range(md.num_row_groups))
+        hi = max(md.row_group(i).column(idx).statistics.max for i in range(md.num_row_groups))
+        ranges.append((lo, hi))
+    return sorted(ranges)
+
+
+def test_write_clustered_files_have_disjoint_ranges(spark, tmp_path):
+    """Range clustering must give each output file a disjoint value range
+    (tight parquet min/max stats → later scans prune whole files)."""
+    from parquet_compactor_spark.sources import write_clustered
+
+    df = load(spark, SF_SMOKE, "lineitem")
+    path = str(tmp_path / "clustered")
+    write_clustered(df, path, cluster_by=["l_orderkey"], n_files=4)
+    ranges = _file_ranges(path, "l_orderkey")
+    assert len(ranges) == 4
+    for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
+        assert hi_prev <= lo_next  # disjoint (boundary equality allowed)

@@ -218,3 +218,22 @@ def test_stream_static_enrichment_matches_batch(spark, landing_dir):
         for r in all_queries()["q_event_enrich"].fn(spark, SF_SMOKE).collect()
     }
     assert streamed == batch
+
+
+def test_stream_latest_state_matches_batch_snapshot(spark, landing_dir):
+    """Streaming latest-per-key (max_by aggregate, complete mode) must
+    equal the batch q_latest_snapshot top-1 window over the same data."""
+    from parquet_compactor_spark.registry import all_queries
+    from parquet_compactor_spark.streaming.pipeline import latest_state_stream
+
+    stream = read_events_stream(spark, landing_dir, max_files_per_trigger=2)
+    run_stream_to_memory(latest_state_stream(stream), "latest_state")
+    streamed = {
+        r.user_id: (r.event_id, r.value, r.ts_s)
+        for r in spark.table("latest_state").collect()
+    }
+    batch = {
+        r.user_id: (r.event_id, r.value, r.ts_s)
+        for r in all_queries()["q_latest_snapshot"].fn(spark, SF_SMOKE).collect()
+    }
+    assert streamed == batch
