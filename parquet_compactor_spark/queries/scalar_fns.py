@@ -415,3 +415,60 @@ def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@register(
+    "q_safe_math",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN CAST(event_id % 3 AS DOUBLE) = 0.0 THEN NULL
+                ELSE ROUND(value / CAST(event_id % 3 AS DOUBLE), 4)
+           END                                          AS safe_ratio,
+           TRY_CAST(substr(event_type, 1, 3) AS INT)    AS bad_cast,
+           TRY_CAST(CAST(event_id AS VARCHAR) AS INT)   AS good_cast
+    FROM events
+    """,
+    doc="ANSI-safe arithmetic surface: try_divide nulls instead of "
+    "erroring on zero denominators, try_cast nulls on malformed input — "
+    "the error-tolerant expressions a lake pipeline needs when one bad "
+    "row must not kill a 100 TB job. Oracle expresses the identical "
+    "semantics via CASE and TRY_CAST.",
+)
+def q_safe_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    denom = (F.col("event_id") % 3).cast("double")
+    return e.select(
+        "event_id",
+        F.round(F.try_divide(F.col("value"), denom), 4).alias("safe_ratio"),
+        F.substring("event_type", 1, 3).try_cast("int").alias("bad_cast"),
+        F.col("event_id").cast("string").try_cast("int").alias("good_cast"),
+    )
+
+
+@register(
+    "q_explode_outer",
+    oracle="""
+    WITH lists AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> length(x) > 9) AS longs
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(longs) AS INT) AS n_long,
+           unnest(CASE WHEN len(longs) = 0 THEN [NULL] ELSE longs END)
+               AS long_token
+    FROM lists
+    """,
+    doc="explode_outer semantics: documents with NO qualifying array "
+    "elements keep one row with a NULL element (a plain explode silently "
+    "drops them — the classic lost-rows bug in lateral expansion). The "
+    "oracle emulates outer unnest with a [NULL] placeholder list.",
+)
+def q_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    longs = F.filter(F.split("text", " ", -1), lambda x: F.length(x) > 9)
+    return d.select(
+        "doc_id",
+        F.size(longs).cast("int").alias("n_long"),
+        F.explode_outer(longs).alias("long_token"),
+    )

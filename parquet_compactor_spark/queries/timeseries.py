@@ -448,3 +448,53 @@ def q_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
         )
     )
+
+
+@register(
+    "q_session_window",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1, 0)
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    > 30 * 60 * 1000000 THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    sess AS (
+        SELECT *, SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S')
+               AS session_end,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM sess
+    GROUP BY user_id, sid
+    """,
+    doc="Sessionization via Spark's NATIVE session_window aggregate (gap "
+    "timeout 30 min) — one groupBy, no window-function program. Spark "
+    "defines session end as last event + gap, which the gaps-and-islands "
+    "oracle reproduces with MAX(ts) + INTERVAL 30 MINUTE. Same single "
+    "user_id shuffle as q_sessionize; the two queries pin that the "
+    "native operator and the window program agree.",
+)
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
