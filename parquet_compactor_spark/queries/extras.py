@@ -374,3 +374,90 @@ def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("supplier").alias("side"), F.col("s_nationkey").alias("nationkey")
     )
     return c.unionByName(s).groupBy("side").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "q_null_safe_join",
+    oracle="""
+    WITH sparse AS (
+        SELECT event_id,
+               CASE WHEN event_id % 7 = 0 THEN NULL ELSE event_type END AS k,
+               value
+        FROM events
+    ),
+    dim AS (
+        SELECT DISTINCT CASE WHEN event_type = 'view' THEN NULL
+                             ELSE event_type END AS k
+        FROM events
+    )
+    SELECT s.event_id, s.k, (d.k IS NOT DISTINCT FROM s.k) AS matched
+    FROM sparse s JOIN dim d ON s.k IS NOT DISTINCT FROM d.k
+    """,
+    doc="Null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys match "
+    "each other instead of silently dropping — the semantics needed when "
+    "NULL is a real category (unknown segment, missing label). Spark's "
+    "eqNullSafe keeps this a hash join (null-safe equality is still an "
+    "equi-key); a coalesce-to-sentinel workaround would corrupt real "
+    "sentinel values.",
+)
+def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    sparse = e.select(
+        "event_id",
+        F.when(F.col("event_id") % 7 == 0, None)
+        .otherwise(F.col("event_type"))
+        .alias("k"),
+        "value",
+    )
+    dim = (
+        e.select(
+            F.when(F.col("event_type") == "view", None)
+            .otherwise(F.col("event_type"))
+            .alias("k")
+        )
+        .distinct()
+        .withColumnRenamed("k", "dk")
+    )
+    return (
+        sparse.join(F.broadcast(dim), sparse.k.eqNullSafe(F.col("dk")))
+        .select("event_id", "k", F.col("dk").eqNullSafe(F.col("k")).alias("matched"))
+    )
+
+
+@register(
+    "q_percent_of_total",
+    oracle="""
+    SELECT c_custkey,
+           c_mktsegment,
+           ROUND(c_acctbal, 2) AS acctbal,
+           ROUND(c_acctbal / SUM(c_acctbal) OVER (PARTITION BY c_mktsegment), 6)
+               AS share_of_segment,
+           ROUND(c_acctbal / SUM(c_acctbal) OVER (), 6) AS share_of_total
+    FROM customer
+    WHERE c_acctbal > 0
+    """,
+    doc="Ratio-to-report: each row's share of its group total and of the "
+    "grand total (the BI percent-of-total primitive). The per-segment "
+    "share is one shuffle on the segment key; the grand-total share is "
+    "DELIBERATELY NOT an empty-partition window (which funnels every "
+    "row into one partition) — the grand total is a partial-agg scalar "
+    "crossJoined back (1-row broadcast), so nothing ever concentrates.",
+)
+def q_percent_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    c = load(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0)
+    w_seg = Window.partitionBy("c_mktsegment")
+    grand = c.agg(F.sum("c_acctbal").alias("_grand"))
+    return (
+        c.crossJoin(F.broadcast(grand))
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            F.round(F.col("c_acctbal") / F.sum("c_acctbal").over(w_seg), 6).alias(
+                "share_of_segment"
+            ),
+            F.round(F.col("c_acctbal") / F.col("_grand"), 6).alias("share_of_total"),
+        )
+    )
