@@ -12,6 +12,8 @@ from pyspark.sql import functions as F
 
 from parquet_compactor_spark.registry import load, register
 
+from parquet_compactor_spark.llm.text import STOPWORD_REGEX as _STOPWORD_REGEX
+
 CHUNK_TOKENS = 32
 CHUNK_STRIDE = 24  # 8-token overlap
 
@@ -182,4 +184,66 @@ def q_grouped_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
         .filter(F.col("rn") <= 2)
         .select("doc_id", "lang")
+    )
+
+
+@register(
+    "q_corpus_prep",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang, text,
+               len(string_split(text, ' ')) AS n_tokens,
+               CAST(len(regexp_extract_all(text, '{_STOPWORD_REGEX}')) AS DOUBLE)
+                 / len(string_split(text, ' ')) AS stop_ratio,
+               md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+                   AS fingerprint
+        FROM documents
+    ),
+    kept AS (
+        SELECT * FROM scored
+        WHERE n_tokens BETWEEN 20 AND 1000 AND stop_ratio > 0.01
+    ),
+    deduped AS (
+        SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY fingerprint
+                                         ORDER BY doc_id) AS rn
+            FROM kept
+        ) WHERE rn = 1
+    )
+    SELECT lang,
+           COUNT(*)                            AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT)       AS total_tokens,
+           MIN(doc_id)                         AS first_doc
+    FROM deduped
+    GROUP BY lang
+    """,
+    doc="End-to-end training-corpus preparation as ONE declarative plan: "
+    "quality gate (token band + stopword density, q_quality_score's "
+    "rule) → exact dedup on the normalized fingerprint (keep lowest "
+    "doc_id, q_fingerprint's key) → per-language document/token budget. "
+    "The whole pipeline is scan → map → one fingerprint shuffle → one "
+    "lang rollup; at 100 TB nothing materializes between stages and "
+    "Catalyst pipelines the maps into the scan.",
+)
+def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parquet_compactor_spark.llm.text import STOPWORD_REGEX, whitespace_tokens
+
+    d = load(spark, sf_dir, "documents")
+    n_tokens = F.size(whitespace_tokens(F.col("text")))
+    stop_ratio = (
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(STOPWORD_REGEX))).cast("double")
+        / n_tokens
+    )
+    fingerprint = F.md5(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9]+", " "))
+    )
+    kept = d.select(
+        "doc_id", "lang", n_tokens.alias("n_tokens"), fingerprint.alias("fp")
+    ).filter(n_tokens.between(20, 1000) & (stop_ratio > 0.01))
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    deduped = kept.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return deduped.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.min("doc_id").alias("first_doc"),
     )
