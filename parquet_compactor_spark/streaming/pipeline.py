@@ -557,3 +557,83 @@ def latest_state_stream(events: DataFrame) -> DataFrame:
             F.date_format("s.ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
         )
     )
+
+
+def attribute_clicks_outer_stream(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: every click emits, with its
+    purchase or NULLs. The outer side cannot emit a NULL row until the
+    watermark proves no matching purchase can still arrive (click_ts + 1h
+    behind the watermark), so unmatched results trail by exactly the
+    state-expiry horizon — the defining semantics of outer streaming
+    joins, and why both sides must be watermarked.
+    """
+    w = events.withWatermark("ts", watermark)
+    clicks = w.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = w.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") < F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left_outer",
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "click_ts",
+        "purchase_id",
+        F.col("purchase_id").isNotNull().alias("converted"),
+    )
+
+
+@register(
+    "q_click_conversion",
+    oracle="""
+    SELECT c.user_id,
+           c.event_id                 AS click_id,
+           p.event_id                 AS purchase_id,
+           (p.event_id IS NOT NULL)   AS converted
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON p.user_id = c.user_id
+     AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 1 HOUR
+    """,
+    doc="Click conversion funnel: LEFT OUTER interval self-join — every "
+    "click appears, converted or not (the outer twin of "
+    "q_event_attribution, and the batch twin of "
+    "attribute_clicks_outer_stream). The equi-key carries the shuffle; "
+    "unmatched clicks survive with NULLs, never dropped.",
+)
+def q_click_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") < F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left_outer",
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        F.col("purchase_id").isNotNull().alias("converted"),
+    )

@@ -237,3 +237,46 @@ def test_stream_latest_state_matches_batch_snapshot(spark, landing_dir):
         for r in all_queries()["q_latest_snapshot"].fn(spark, SF_SMOKE).collect()
     }
     assert streamed == batch
+
+
+def test_stream_outer_attribution_bounded_lateness(spark, landing_dir):
+    """LEFT OUTER stream-stream join: matched rows must equal batch
+    exactly; unmatched (NULL) rows may only be missing for clicks the
+    final watermark has not yet sealed (click_ts + 1h >= wm)."""
+    from pyspark.sql import functions as F
+
+    from parquet_compactor_spark.registry import all_queries, load
+    from parquet_compactor_spark.streaming.pipeline import (
+        attribute_clicks_outer_stream,
+    )
+
+    stream = read_events_stream(spark, landing_dir, max_files_per_trigger=2)
+    run_stream_to_memory(
+        attribute_clicks_outer_stream(stream), "outer_attr", complete=False
+    )
+    streamed = spark.table("outer_attr").collect()
+    batch = all_queries()["q_click_conversion"].fn(spark, SF_SMOKE).collect()
+
+    s_matched = {(r.click_id, r.purchase_id) for r in streamed if r.converted}
+    b_matched = {(r.click_id, r.purchase_id) for r in batch if r.converted}
+    assert s_matched == b_matched
+
+    # Unmatched rows: stream ⊆ batch, and every batch-unmatched click the
+    # watermark sealed must be present in the stream output.
+    max_ts = load(spark, SF_SMOKE, "events").agg(F.max("ts")).collect()[0][0]
+    import datetime
+
+    wm = max_ts - datetime.timedelta(hours=2)
+    s_unmatched = {r.click_id for r in streamed if not r.converted}
+    b_unmatched = {r.click_id for r in batch if not r.converted}
+    assert s_unmatched <= b_unmatched
+    sealed = {
+        r.click_id
+        for r in streamed
+        if not r.converted and r.click_ts + datetime.timedelta(hours=1) < wm
+    }
+    b_by_id = {r.click_id for r in batch if not r.converted}
+    assert sealed <= b_by_id
+    # The stream must have emitted a substantial sealed-unmatched set
+    # (not vacuously empty).
+    assert len(s_unmatched) > 0
