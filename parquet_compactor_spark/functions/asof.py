@@ -64,3 +64,66 @@ def asof_join(
         .drop("__side", *[f"{c}{suffix}" for c in value_cols])
         .withColumnsRenamed({f"__carry_{c}": f"{c}{suffix}" for c in value_cols})
     )
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts: str,
+    right_id: str,
+) -> DataFrame:
+    """Nearest-direction as-of join: for each left row, the right row with
+    the smallest |right_ts - left_ts| within the key (ties → lowest id).
+
+    Same union trick as :func:`asof_join`, but TWO window passes over the
+    SAME key partitioning — one ascending (last prior) and one descending
+    (first following) — so Spark satisfies both with two sorts over ONE
+    exchange. Left rows with no right row on either side are dropped
+    (inner semantics). Returns left columns + ``<right_id>`` + ``gap_us``.
+    """
+    rdedup = right.groupBy(on, ts).agg(F.min(right_id).alias(right_id))
+
+    lt = left.withColumn("__side", F.lit(1))
+    rt = rdedup.select(
+        on, ts, F.lit(0).alias("__side"), F.col(right_id).alias("__rid")
+    )
+    unioned = lt.unionByName(rt, allowMissingColumns=True)
+    cand = F.when(
+        F.col("__side") == 0, F.struct(F.col(ts).alias("rts"), F.col("__rid").alias("rid"))
+    )
+
+    w_back = (
+        Window.partitionBy(on)
+        .orderBy(F.col(ts).asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy(on)
+        .orderBy(F.col(ts).desc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "*",
+        F.last(cand, ignorenulls=True).over(w_back).alias("__b"),
+        F.last(cand, ignorenulls=True).over(w_fwd).alias("__f"),
+    ).filter(F.col("__side") == 1)
+
+    d_b = F.unix_micros(F.col(ts)) - F.unix_micros(F.col("__b.rts"))
+    d_f = F.unix_micros(F.col("__f.rts")) - F.unix_micros(F.col(ts))
+    pick_b = F.col("__f").isNull() | (
+        F.col("__b").isNotNull()
+        & (
+            (d_b < d_f)
+            | ((d_b == d_f) & (F.col("__b.rid") <= F.col("__f.rid")))
+        )
+    )
+    return (
+        carried.filter(F.col("__b").isNotNull() | F.col("__f").isNotNull())
+        .select(
+            "*",
+            F.when(pick_b, F.col("__b.rid")).otherwise(F.col("__f.rid")).alias(right_id),
+            F.when(pick_b, d_b).otherwise(d_f).alias("gap_us"),
+        )
+        .drop("__side", "__rid", "__b", "__f")
+    )

@@ -281,3 +281,41 @@ def q_char_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("lang", "trigram", "n")
     )
+
+
+@register(
+    "q_unigram_logprob",
+    oracle="""
+    WITH terms AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    freq AS (SELECT term, COUNT(*) AS n FROM terms GROUP BY term),
+    total AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_total FROM terms)
+    SELECT t.doc_id,
+           COUNT(*)                                       AS n_tokens,
+           ROUND(AVG(ln(freq.n / total.n_total)), 4)      AS avg_logprob
+    FROM terms t JOIN freq USING (term) CROSS JOIN total
+    GROUP BY t.doc_id
+    """,
+    doc="Perplexity-proxy quality score: per-document mean unigram "
+    "log-probability under the corpus's own unigram model (rare-word-"
+    "heavy or OOV-dense documents score low — the classic cheap quality "
+    "filter when a real LM is too expensive). The unigram table is "
+    "vocabulary-sized → broadcast back onto the exploded tokens; the "
+    "corpus total is a 1-row scalar crossJoin. Shuffles: vocab agg + "
+    "per-doc rollup, both partial-aggregated.",
+)
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    terms = d.select("doc_id", F.explode(whitespace_tokens(F.col("text"))).alias("term"))
+    freq = terms.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    total = terms.agg(F.count(F.lit(1)).cast("double").alias("n_total"))
+    return (
+        terms.join(F.broadcast(freq), "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(F.log(F.col("n") / F.col("n_total"))), 4).alias("avg_logprob"),
+        )
+    )

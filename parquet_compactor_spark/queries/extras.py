@@ -461,3 +461,50 @@ def q_percent_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("c_acctbal") / F.col("_grand"), 6).alias("share_of_total"),
         )
     )
+
+
+@register(
+    "q_asof_nearest",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, event_id AS click_id, ts AS cts
+        FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+        SELECT user_id, MIN(event_id) AS purchase_id, ts AS pts
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id, ts
+    ),
+    cand AS (
+        SELECT c.click_id, c.user_id,
+               p.purchase_id,
+               ABS(epoch_us(c.cts) - epoch_us(p.pts)) AS d
+        FROM c JOIN p ON c.user_id = p.user_id
+    )
+    SELECT click_id, user_id, purchase_id, d AS gap_us
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY click_id
+                                       ORDER BY d, purchase_id) AS rn
+          FROM cand)
+    WHERE rn = 1
+    """,
+    doc="Nearest-direction as-of join: each click paired with the "
+    "temporally CLOSEST purchase by the same user, either direction "
+    "(ties → lowest purchase id). Spark form: union + two window passes "
+    "(last-prior and first-following) sharing ONE key exchange "
+    "(functions/asof.py:asof_join_nearest) — the oracle's all-pairs "
+    "ranking is the semantics, never the plan: pair count is O(clicks × "
+    "purchases-per-user) and dies at scale.",
+)
+def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parquet_compactor_spark.functions.asof import asof_join_nearest
+
+    e = load(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts")
+    )
+    return asof_join_nearest(
+        clicks, purchases, on="user_id", ts="ts", right_id="purchase_id"
+    ).select("click_id", "user_id", "purchase_id", "gap_us")

@@ -70,6 +70,14 @@ def test_sessionize_is_single_shuffle(spark):
     assert p.exchange_count == 1
 
 
+def test_asof_nearest_avoids_pair_explosion(spark):
+    """Nearest as-of must never materialize candidate pairs: union + two
+    window passes sharing one key exchange (+ one right-dedup agg)."""
+    p = props(spark, "q_asof_nearest")
+    assert not p.has_cartesian
+    assert p.exchange_count <= 2
+
+
 def test_asof_join_avoids_pair_explosion(spark):
     # Union + window form: right-dedupe agg + key window = at most two
     # shuffles, and crucially no cartesian/range pair join.
