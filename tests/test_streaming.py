@@ -280,3 +280,24 @@ def test_stream_outer_attribution_bounded_lateness(spark, landing_dir):
     # The stream must have emitted a substantial sealed-unmatched set
     # (not vacuously empty).
     assert len(s_unmatched) > 0
+
+
+def test_upsert_state_table_matches_batch_snapshot(spark, landing_dir, tmp_path):
+    """foreachBatch merge-upsert: after draining the stream, the parquet
+    state table must equal the batch latest-per-key snapshot."""
+    from parquet_compactor_spark.registry import all_queries
+    from parquet_compactor_spark.streaming.pipeline import materialize_latest_state
+
+    state = str(tmp_path / "state")
+    stream = read_events_stream(spark, landing_dir, max_files_per_trigger=1)
+    materialize_latest_state(stream, state, str(tmp_path / "ckpt"))
+
+    got = {
+        r.user_id: (r.event_id, round(r.value, 2))
+        for r in spark.read.parquet(state).collect()
+    }
+    want = {
+        r.user_id: (r.event_id, r.value)
+        for r in all_queries()["q_latest_snapshot"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == want
