@@ -664,8 +664,7 @@ def materialize_latest_state(
         )
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
-        import shutil
-        from pathlib import Path
+        from parquet_compactor_spark.compactor.fs import HadoopFS
 
         spark = batch_df.sparkSession
         batch_latest = _latest(batch_df)
@@ -676,13 +675,12 @@ def materialize_latest_state(
             merged = batch_latest
         staging = f"{state_dir}.staging-{batch_id}"
         merged.write.mode("overwrite").parquet(staging)
-        # Atomic-enough swap on a local/HDFS-style FS; on object stores
-        # the rename is a copy but readers still only ever see a full
-        # table at state_dir.
-        old = Path(state_dir)
-        if old.exists():
-            shutil.rmtree(old)
-        Path(staging).rename(old)
+        # Swap via Hadoop FileSystem so the same code runs on file://,
+        # hdfs:// and s3a:// (on object stores the rename is a copy, but
+        # readers still only ever see a complete table at state_dir).
+        fs = HadoopFS(spark, state_dir)
+        fs.delete(state_dir, recursive=True)
+        fs.rename(staging, state_dir)
 
     (
         events.writeStream.foreachBatch(upsert)
