@@ -517,3 +517,51 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id1", "id2")
     )
     return dedup_clusters(d, pairs)
+
+
+@register(
+    "q_edit_distance",
+    oracle="""
+    WITH heads AS (
+        SELECT doc_id, lang, substr(text, 1, 40) AS head FROM documents
+    ),
+    pairs AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2,
+               a.head AS h1, b.head AS h2
+        FROM heads a JOIN heads b ON b.doc_id = a.doc_id + 1
+    )
+    SELECT id1, id2,
+           CAST(levenshtein(h1, h2) AS BIGINT) AS edit_dist,
+           ROUND(1.0 - CAST(levenshtein(h1, h2) AS DOUBLE)
+                 / GREATEST(length(h1), length(h2), 1), 4) AS sim
+    FROM pairs
+    """,
+    doc="Fuzzy near-dup scoring by edit distance: Levenshtein over "
+    "40-char heads of consecutive doc-id pairs (the same linear pairing "
+    "discipline as q_ngram_jaccard — the all-pairs form is deliberately "
+    "absent; MinHash-LSH is the mechanism that FINDS candidate pairs, "
+    "and this is the exact verifier you run on them). Bounded-prefix "
+    "Levenshtein keeps the per-pair cost O(40^2) regardless of doc size.",
+)
+def q_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    heads = d.select(
+        "doc_id", F.substring("text", 1, 40).alias("head")
+    )
+    a = heads.select(F.col("doc_id").alias("id1"), F.col("head").alias("h1"))
+    b = heads.select((F.col("doc_id") - 1).alias("id1"), F.col("doc_id").alias("id2"), F.col("head").alias("h2"))
+    dist = F.levenshtein("h1", "h2")
+    return (
+        a.join(b, "id1")
+        .select(
+            "id1",
+            "id2",
+            dist.cast("bigint").alias("edit_dist"),
+            F.round(
+                1.0
+                - dist.cast("double")
+                / F.greatest(F.length("h1"), F.length("h2"), F.lit(1)),
+                4,
+            ).alias("sim"),
+        )
+    )

@@ -498,3 +498,50 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@register(
+    "q_max_concurrency",
+    oracle="""
+    WITH deltas AS (
+        SELECT event_type, ts AS t, 1 AS delta FROM events
+        UNION ALL
+        SELECT event_type, ts + INTERVAL 1 HOUR AS t, -1 AS delta FROM events
+    ),
+    swept AS (
+        SELECT event_type,
+               SUM(delta) OVER (PARTITION BY event_type
+                                ORDER BY t, delta
+                                ROWS UNBOUNDED PRECEDING) AS live
+        FROM deltas
+    )
+    SELECT event_type, CAST(MAX(live) AS BIGINT) AS max_concurrent
+    FROM swept
+    GROUP BY event_type
+    """,
+    doc="Interval-overlap analytics via sweep line: each event opens a "
+    "1-hour interval [ts, ts+1h); +1/-1 boundary deltas, one running sum "
+    "per type, max = peak concurrency. Ends sort before starts at equal "
+    "time (delta ASC) so half-open intervals never self-overlap. The "
+    "sweep is ONE window shuffle over 2n rows — the all-pairs overlap "
+    "join this replaces is O(n x overlap) and unrunnable at scale.",
+)
+def q_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    starts = e.select("event_type", F.col("ts").alias("t"), F.lit(1).alias("delta"))
+    ends = e.select(
+        "event_type",
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("t"),
+        F.lit(-1).alias("delta"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        starts.unionByName(ends)
+        .select("event_type", F.sum("delta").over(w).alias("live"))
+        .groupBy("event_type")
+        .agg(F.max("live").cast("bigint").alias("max_concurrent"))
+    )

@@ -190,6 +190,7 @@ def write_clustered(
         .write.format(fmt)
         .mode("overwrite")
         .option("compression", compression)
+        .option("maxRecordsPerFile", CHUNKED_ROWS)
         .options(**options)
         .save(path)
     )
