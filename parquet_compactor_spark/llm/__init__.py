@@ -7,6 +7,7 @@ Importing registers the queries.
 
 from parquet_compactor_spark.llm import (  # noqa: F401
     cluster,
+    curation,
     dedup,
     multimodal,
     pipeline,

@@ -1,0 +1,349 @@
+"""Corpus-curation operators: the gatekeeping stages of an LLM data pipeline.
+
+Benchmark-contamination detection, PII scrubbing, context-window sequence
+packing, domain-mixture rebalancing, and cross-snapshot incremental dedup.
+Like the rest of the llm package these are north-star operators (the
+reference engine, /root/reference/parquet-compactor/parquet_compactor.py,
+stops at file compaction); every plan here is JVM-side column expressions
+with one or two keyed shuffles — nothing collects row data to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from parquet_compactor_spark.registry import load, register
+
+#: Context-window budget (whitespace tokens) for sequence packing.
+PACK_BUDGET = 256
+
+#: Knuth multiplicative hash — deterministic, engine-portable membership
+#: (exact bigint math in both Spark and DuckDB; see q_stratified_sample).
+_KNUTH_MOD = 4294967296
+
+
+def knuth_hash(col: Column, mod: int = 1000000) -> Column:
+    return F.pmod(F.pmod(col * F.lit(2654435761), F.lit(_KNUTH_MOD)), F.lit(mod))
+
+
+def word_shingles(words: Column, n: int = 5) -> Column:
+    """n-word shingles of a pre-split token array, as a JVM higher-order
+    expression (no Python in the hot path). Empty when the doc is shorter
+    than ``n`` (sequence(1,0) would yield [1,0] — guarded by CASE)."""
+    return F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (n - 1)),
+            lambda i: F.array_join(F.slice(words, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+@register(
+    "q_contamination",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+    ),
+    shingles AS (
+        SELECT doc_id, source, array_to_string(w[i:i+2], ' ') AS shingle
+        FROM words, UNNEST(range(1, greatest(len(w)-2, 0)+1)) AS t(i)
+    ),
+    bench AS (
+        SELECT DISTINCT shingle FROM shingles
+        WHERE (doc_id * 2654435761) % 4294967296 % 97 = 0
+    ),
+    corpus AS (
+        SELECT doc_id, source, shingle FROM shingles
+        WHERE (doc_id * 2654435761) % 4294967296 % 97 <> 0
+    ),
+    per_doc AS (
+        SELECT c.doc_id, c.source,
+               COUNT(*) AS n_shingles,
+               COUNT(b.shingle) AS n_hit
+        FROM corpus c LEFT JOIN bench b ON c.shingle = b.shingle
+        GROUP BY c.doc_id, c.source
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN n_hit > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_contaminated,
+           ROUND(AVG(CAST(n_hit AS DOUBLE) / n_shingles), 4)
+               AS avg_hit_rate
+    FROM per_doc
+    GROUP BY source
+    """,
+    doc="Benchmark-contamination detection: 3-word shingles of a held-out "
+    "benchmark split (deterministic ~1% Knuth-hash membership) are "
+    "LEFT-joined against corpus shingles; a doc sharing any shingle with "
+    "the benchmark is flagged. The benchmark shingle set is tiny and "
+    "broadcast — the corpus side never shuffles for the probe, so the "
+    "plan is one broadcast hash join plus two aggregations regardless of "
+    "corpus size. This is the standard n-gram-overlap decontamination "
+    "pass run before LLM training.",
+)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", "source", F.split("text", " ", -1).alias("w")
+    )
+    shingles = words.select(
+        "doc_id",
+        "source",
+        F.explode(word_shingles(F.col("w"), 3)).alias("shingle"),
+    )
+    is_bench = knuth_hash(F.col("doc_id"), mod=97) == 0
+    bench = shingles.filter(is_bench).select("shingle").distinct()
+    corpus = shingles.filter(~is_bench)
+    per_doc = (
+        corpus.join(
+            F.broadcast(bench.withColumn("hit", F.lit(1))), "shingle", "left"
+        )
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("hit").alias("n_hit"),
+        )
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("n_hit") > 0).cast("bigint")).alias("n_contaminated"),
+        F.round(
+            F.avg(F.col("n_hit").cast("double") / F.col("n_shingles")), 4
+        ).alias("avg_hit_rate"),
+    )
+
+
+# Same regex dialect in Java (Spark) and RE2 (DuckDB): no lookaround,
+# no backreferences.
+_EMAIL_RE = r"[A-Za-z0-9._]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"[0-9]{3}-[0-9]{4}"
+
+
+@register(
+    "q_pii_scrub",
+    oracle=f"""
+    WITH seeded AS (
+        SELECT doc_id, source,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com or 555-'
+                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                   AS raw
+        FROM documents
+    ),
+    scrubbed AS (
+        SELECT doc_id, source,
+               len(regexp_extract_all(raw, '{_EMAIL_RE}')) AS n_emails,
+               len(regexp_extract_all(raw, '{_PHONE_RE}')) AS n_phones,
+               regexp_replace(regexp_replace(raw, '{_EMAIL_RE}', '[EMAIL]',
+                                             'g'),
+                              '{_PHONE_RE}', '[PHONE]', 'g') AS clean
+        FROM seeded
+    )
+    SELECT source,
+           CAST(SUM(n_emails) AS BIGINT) AS emails_redacted,
+           CAST(SUM(n_phones) AS BIGINT) AS phones_redacted,
+           CAST(SUM(length(clean)) AS BIGINT) AS clean_chars,
+           CAST(SUM(CASE WHEN clean LIKE '%[EMAIL]%' THEN 1 ELSE 0 END)
+                AS BIGINT) AS docs_with_email
+    FROM scrubbed
+    GROUP BY source
+    """,
+    doc="PII scrubbing: e-mail and phone patterns redacted with "
+    "regexp_replace (replace-all), redaction counts audited per source. "
+    "The fixture text contains no organic PII, so each doc is seeded "
+    "with a deterministic synthetic address+number first — the seeding "
+    "is part of the test harness, the scrub expressions are the "
+    "operator. Pure per-row JVM regex (no UDF) + one agg shuffle; the "
+    "regexes avoid lookaround so Java and RE2 agree.",
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    seeded = d.select("doc_id", "source", raw.alias("raw"))
+    clean = F.regexp_replace(
+        F.regexp_replace("raw", _EMAIL_RE, "[EMAIL]"), _PHONE_RE, "[PHONE]"
+    )
+    scrubbed = seeded.select(
+        "source",
+        F.size(F.regexp_extract_all("raw", F.lit(_EMAIL_RE), F.lit(0))).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all("raw", F.lit(_PHONE_RE), F.lit(0))).alias(
+            "n_phones"
+        ),
+        clean.alias("clean"),
+    )
+    return scrubbed.groupBy("source").agg(
+        F.sum("n_emails").cast("bigint").alias("emails_redacted"),
+        F.sum("n_phones").cast("bigint").alias("phones_redacted"),
+        F.sum(F.length("clean")).cast("bigint").alias("clean_chars"),
+        F.sum(F.col("clean").contains("[EMAIL]").cast("int"))
+        .cast("bigint")
+        .alias("docs_with_email"),
+    )
+
+
+@register(
+    "q_seq_packing",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tok
+        FROM documents
+    ),
+    packed AS (
+        SELECT lang, n_tok,
+               (SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tok)
+                   // {PACK_BUDGET} AS window_id
+        FROM toks
+    )
+    SELECT lang,
+           COUNT(DISTINCT window_id) AS n_windows,
+           CAST(MAX(cnt) AS BIGINT) AS max_docs_per_window,
+           ROUND(AVG(CAST(fill AS DOUBLE)) / {PACK_BUDGET}, 4) AS avg_fill
+    FROM (
+        SELECT lang, window_id, COUNT(*) AS cnt, SUM(n_tok) AS fill
+        FROM packed GROUP BY lang, window_id
+    )
+    GROUP BY lang
+    """,
+    doc="Sequence packing for training: documents are concatenated in "
+    "doc_id order per language and chunked into fixed token-budget "
+    "context windows (window_id = starting-offset div budget — the "
+    "concatenate-then-chunk packing used for LLM pretraining batches, "
+    "where a document may straddle two windows). One running-sum window "
+    "per lang + one agg; at scale the partition key becomes (lang, "
+    "shard) so no single language serializes — packing is only ever "
+    "needed within a shard, not globally.",
+)
+def q_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.size(F.split("text", " ", -1)).alias("n_tok")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    packed = toks.select(
+        "lang",
+        "n_tok",
+        ((F.sum("n_tok").over(w) - F.col("n_tok")) / F.lit(PACK_BUDGET))
+        .cast("bigint")
+        .alias("window_id"),
+    )
+    per_window = packed.groupBy("lang", "window_id").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("n_tok").alias("fill")
+    )
+    return per_window.groupBy("lang").agg(
+        F.countDistinct("window_id").alias("n_windows"),
+        F.max("cnt").cast("bigint").alias("max_docs_per_window"),
+        F.round(F.avg(F.col("fill").cast("double")) / PACK_BUDGET, 4).alias(
+            "avg_fill"
+        ),
+    )
+
+
+@register(
+    "q_domain_mix",
+    oracle="""
+    WITH counts AS (
+        SELECT source, COUNT(*) AS cnt FROM documents GROUP BY source
+    ),
+    floor_cnt AS (SELECT MIN(cnt) AS min_cnt FROM counts),
+    rated AS (
+        SELECT c.source, c.cnt,
+               (f.min_cnt * 1000000) // c.cnt AS keep_ppm
+        FROM counts c CROSS JOIN floor_cnt f
+    )
+    SELECT d.source,
+           MAX(r.cnt) AS n_total,
+           CAST(SUM(CASE WHEN (d.doc_id * 2654435761) % 4294967296
+                              % 1000000 < r.keep_ppm
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           MAX(r.keep_ppm) AS keep_ppm
+    FROM documents d JOIN rated r ON d.source = r.source
+    GROUP BY d.source
+    """,
+    doc="Domain-mixture rebalancing: downsample every source to the "
+    "smallest source's volume (uniform target mixture). Per-source keep "
+    "rates are exact integer parts-per-million (bigint div — no float "
+    "rounding divergence across engines) and membership is the Knuth "
+    "hash of doc_id, so the sample is reproducible on any cluster size. "
+    "The rate table is per-source scalars — broadcast — so the corpus "
+    "scan never shuffles for the join; one agg shuffle total.",
+)
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("cnt"))
+    floor_cnt = counts.agg(F.min("cnt").alias("min_cnt"))
+    rated = counts.crossJoin(F.broadcast(floor_cnt)).select(
+        "source",
+        "cnt",
+        F.expr("(min_cnt * 1000000) div cnt").alias("keep_ppm"),
+    )
+    kept = (knuth_hash(F.col("doc_id")) < F.col("keep_ppm")).cast("bigint")
+    return (
+        d.join(F.broadcast(rated), "source")
+        .groupBy("source")
+        .agg(
+            F.max("cnt").alias("n_total"),
+            F.sum(kept).alias("n_kept"),
+            F.max("keep_ppm").alias("keep_ppm"),
+        )
+    )
+
+
+@register(
+    "q_snapshot_delta",
+    oracle="""
+    WITH old_snap AS (
+        SELECT DISTINCT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+            AS fp
+        FROM documents WHERE doc_id % 3 <> 0
+    ),
+    new_batch AS (
+        SELECT doc_id, lang,
+               md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+        FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_new,
+           MIN(doc_id) AS first_new
+    FROM new_batch n
+    WHERE NOT EXISTS (SELECT 1 FROM old_snap o WHERE o.fp = n.fp)
+    GROUP BY lang
+    """,
+    doc="Cross-snapshot incremental dedup: a new crawl batch is "
+    "anti-joined by normalized-text fingerprint against the previous "
+    "snapshot's fingerprint set, keeping only net-new documents — the "
+    "daily-ingest pattern for a continuously-crawled corpus. The "
+    "fingerprint set is one narrow md5 column, so at 100 TB the "
+    "anti-join shuffles 16-byte keys, not documents; Spark's runtime "
+    "bloom-filter pruning (spark.sql.optimizer.runtime.bloomFilter) "
+    "drops most probe rows before the exchange.",
+)
+def q_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    fp = F.md5(
+        F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    ).alias("fp")
+    old_snap = d.filter(F.col("doc_id") % 3 != 0).select(fp).distinct()
+    new_batch = d.select("doc_id", "lang", fp)
+    return (
+        new_batch.join(old_snap, "fp", "left_anti")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_new"),
+            F.min("doc_id").alias("first_new"),
+        )
+    )
