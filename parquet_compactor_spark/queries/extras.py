@@ -508,3 +508,33 @@ def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join_nearest(
         clicks, purchases, on="user_id", ts="ts", right_id="purchase_id"
     ).select("click_id", "user_id", "purchase_id", "gap_us")
+
+
+@register(
+    "q_cume_dist",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderpriority,
+           ROUND(CUME_DIST() OVER w, 4) AS price_cume_dist,
+           CASE WHEN CUME_DIST() OVER w >= 0.9 THEN 'top decile'
+                ELSE 'rest' END AS price_band
+    FROM orders
+    WHERE o_orderkey % 50 = 0
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice)
+    """,
+    doc="Empirical CDF position per group: CUME_DIST assigns each order "
+    "its within-priority percentile (ties share a value, so the frame "
+    "is deterministic without a tie-break column), then bands the top "
+    "decile — the distribution-window complement to q_window_ranks' "
+    "PERCENT_RANK.",
+)
+def q_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 50 == 0)
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    cd = F.cume_dist().over(w)
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(cd, 4).alias("price_cume_dist"),
+        F.when(cd >= 0.9, "top decile").otherwise("rest").alias("price_band"),
+    )

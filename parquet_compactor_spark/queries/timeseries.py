@@ -545,3 +545,91 @@ def q_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.max("live").cast("bigint").alias("max_concurrent"))
     )
+
+
+@register(
+    "q_time_weighted_avg",
+    oracle="""
+    WITH spans AS (
+        SELECT user_id, value,
+               (epoch_us(LEAD(ts) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id))
+                - epoch_us(ts)) / 1000000.0 AS dt_sec
+        FROM events
+    )
+    SELECT user_id,
+           ROUND(SUM(value * dt_sec) / SUM(dt_sec), 4) AS twa_value,
+           ROUND(SUM(dt_sec), 1) AS span_sec,
+           COUNT(*) AS n_spans
+    FROM spans
+    WHERE dt_sec IS NOT NULL
+    GROUP BY user_id
+    """,
+    doc="Time-weighted average over an irregular series: each reading "
+    "holds until the next one (step interpolation), so the mean weights "
+    "each value by its holding duration — the correct aggregate for "
+    "unevenly-sampled gauges, where a plain AVG over-weights bursts. "
+    "Partitioned by user/device id (high-cardinality at scale, unlike "
+    "event_type): one keyed window shuffle + one agg.",
+)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dt_sec = (F.lead(F.unix_micros("ts")).over(w) - F.unix_micros("ts")) / 1000000.0
+    return (
+        e.select("user_id", "value", dt_sec.alias("dt_sec"))
+        .filter(F.col("dt_sec").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.round(
+                F.sum(F.col("value") * F.col("dt_sec")) / F.sum("dt_sec"), 4
+            ).alias("twa_value"),
+            F.round(F.sum("dt_sec"), 1).alias("span_sec"),
+            F.count(F.lit(1)).alias("n_spans"),
+        )
+    )
+
+
+@register(
+    "q_ohlc",
+    oracle="""
+    SELECT event_type,
+           strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS bar_start,
+           ROUND(arg_min(value, ts), 2) AS open,
+           ROUND(MAX(value), 2)         AS high,
+           ROUND(MIN(value), 2)         AS low,
+           ROUND(arg_max(value, ts), 2) AS close,
+           COUNT(*)                     AS n_ticks
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="OHLC candlestick resampling: hourly bars per series with "
+    "open/close via min_by/max_by on the tick timestamp (single-pass "
+    "argmin/argmax aggregates — no sort, no self-join; the fixture's "
+    "timestamps are unique so the tie-break is deterministic). One "
+    "partial-agg shuffle on (series, bar); the classic financial "
+    "downsampling primitive.",
+)
+def q_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("bar")
+        )
+        .agg(
+            F.round(F.min_by("value", "ts"), 2).alias("open"),
+            F.round(F.max("value"), 2).alias("high"),
+            F.round(F.min("value"), 2).alias("low"),
+            F.round(F.max_by("value", "ts"), 2).alias("close"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+        .select(
+            "event_type",
+            F.date_format("bar", "yyyy-MM-dd HH:00:00").alias("bar_start"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_ticks",
+        )
+    )

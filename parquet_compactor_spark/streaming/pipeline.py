@@ -689,3 +689,109 @@ def materialize_latest_state(
         .start()
         .awaitTermination()
     )
+
+
+def materialize_hourly_topk(
+    events: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    k: int = 2,
+    watermark: str = "2 hours",
+) -> None:
+    """Streaming top-k: keep the k most frequent event types per hour,
+    continuously refreshed.
+
+    Rank is not an incremental operator (a late event can demote a
+    current top-k member), so the stream maintains the windowed counts —
+    which ARE incremental, with watermark-bounded state — and each
+    micro-batch re-ranks the aggregate in ``foreachBatch`` before
+    overwriting the serving table. Ranking cost is O(windows x types),
+    the aggregate's size, never O(events): the heavy lifting stays in
+    the incremental windowed count, the cheap finisher runs per batch.
+    """
+    counts = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:00:00").alias(
+                "hour_start"
+            ),
+            "event_type",
+            "n_events",
+        )
+    )
+
+    def rank_and_swap(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("hour_start").orderBy(
+            F.desc("n_events"), F.asc("event_type")
+        )
+        topk = (
+            batch_df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select("hour_start", "event_type", "n_events", "rn")
+        )
+        topk.write.mode("overwrite").parquet(out_dir)
+
+    (
+        counts.writeStream.foreachBatch(rank_and_swap)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+@register(
+    "q_hourly_topk",
+    oracle="""
+    WITH counts AS (
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00')
+                   AS hour_start,
+               event_type,
+               COUNT(*) AS n_events
+        FROM events
+        GROUP BY 1, 2
+    )
+    SELECT hour_start, event_type, n_events, rn
+    FROM (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY hour_start
+                                  ORDER BY n_events DESC, event_type)
+                   AS rn
+        FROM counts
+    )
+    WHERE rn <= 2
+    """,
+    doc="Hourly top-k event types (batch twin of "
+    "materialize_hourly_topk): windowed count then rank over the "
+    "aggregate — the window runs on O(hours x types) rows, so the "
+    "partial-agg shuffle does the data-sized work and the rank is "
+    "near-free. Deterministic tie-break on event_type.",
+)
+def q_hourly_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    counts = (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:00:00").alias(
+                "hour_start"
+            ),
+            "event_type",
+            "n_events",
+        )
+    )
+    w = Window.partitionBy("hour_start").orderBy(
+        F.desc("n_events"), F.asc("event_type")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("hour_start", "event_type", "n_events", "rn")
+    )

@@ -199,3 +199,40 @@ def test_write_clustered_files_have_disjoint_ranges(spark, tmp_path):
     assert len(ranges) == 4
     for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
         assert hi_prev <= lo_next  # disjoint (boundary equality allowed)
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Co-located fact-to-fact join: both sides bucketed on the join key
+    → sort-merge join with ZERO exchanges (vs 2 for plain parquet)."""
+    from pyspark.sql import functions as F
+
+    from parquet_compactor_spark.plans import plan_properties
+    from parquet_compactor_spark.sources.io import write_bucketed
+
+    orders = load(spark, SF_SMOKE, "orders")
+    lineitem = load(spark, SF_SMOKE, "lineitem")
+    write_bucketed(orders, "orders_b", str(tmp_path / "ob"), ["o_orderkey"], 4)
+    write_bucketed(
+        lineitem, "lineitem_b", str(tmp_path / "lb"), ["l_orderkey"], 4
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        cond = F.col("l_orderkey") == F.col("o_orderkey")
+        plain = lineitem.join(orders, cond).select("l_orderkey", "o_totalprice")
+        bucketed = (
+            spark.table("lineitem_b")
+            .join(spark.table("orders_b"), cond)
+            .select("l_orderkey", "o_totalprice")
+        )
+        p_plain = plan_properties(plain)
+        p_bucketed = plan_properties(bucketed)
+        assert p_plain.exchange_count == 2
+        assert p_bucketed.has_sort_merge_join
+        assert p_bucketed.exchange_count == 0
+        # Same answer either way.
+        assert bucketed.count() == plain.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")

@@ -301,3 +301,24 @@ def test_upsert_state_table_matches_batch_snapshot(spark, landing_dir, tmp_path)
         for r in all_queries()["q_latest_snapshot"].fn(spark, SF_SMOKE).collect()
     }
     assert got == want
+
+
+def test_streaming_topk_matches_batch(spark, landing_dir, tmp_path):
+    from parquet_compactor_spark.streaming.pipeline import (
+        materialize_hourly_topk,
+        q_hourly_topk,
+    )
+
+    out = str(tmp_path / "topk")
+    stream = read_events_stream(spark, landing_dir, max_files_per_trigger=2)
+    materialize_hourly_topk(stream, out, str(tmp_path / "ckpt_topk"), k=2)
+
+    streamed = {
+        (r.hour_start, r.rn): (r.event_type, r.n_events)
+        for r in spark.read.parquet(out).collect()
+    }
+    expected = {
+        (r.hour_start, r.rn): (r.event_type, r.n_events)
+        for r in q_hourly_topk(spark, SF_SMOKE).collect()
+    }
+    assert streamed == expected
