@@ -460,3 +460,151 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("c_acctbal"), 2).alias("lo"),
         F.round(F.max("c_acctbal"), 2).alias("hi"),
     )
+
+
+@register(
+    "q_equidepth_hist",
+    oracle="""
+    WITH bounds AS (
+        SELECT quantile_cont(o_totalprice,
+                             [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS b
+        FROM orders
+    )
+    SELECT len(list_filter(b, x -> x <= o_totalprice)) + 1 AS decile,
+           COUNT(*) AS n_orders,
+           ROUND(MIN(o_totalprice), 2) AS lo,
+           ROUND(MAX(o_totalprice), 2) AS hi
+    FROM orders CROSS JOIN bounds
+    GROUP BY 1
+    """,
+    doc="Equi-depth (decile) histogram without a global sort: exact "
+    "interpolated decile boundaries come from one percentile aggregate "
+    "(9 doubles), broadcast back, and each row finds its bucket by "
+    "counting boundaries at or below it — a per-row lambda over a "
+    "9-element literal. The naive NTILE form is a single-partition "
+    "window over every row; this is one agg + one map, and the "
+    "boundary arithmetic (x0 + (x1-x0)*f) is bit-identical across "
+    "engines (verified), so the oracle matches exactly.",
+)
+def q_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.percentile(
+            "o_totalprice", F.array(*[F.lit(i / 10) for i in range(1, 10)])
+        ).alias("b")
+    )
+    bucket = (
+        F.size(F.filter("b", lambda x: x <= F.col("o_totalprice"))) + 1
+    ).alias("decile")
+    return (
+        o.crossJoin(F.broadcast(bounds))
+        .groupBy(bucket)
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
+
+
+@register(
+    "q_profile",
+    oracle="""
+    SELECT 'l_quantity' AS column_name,
+           COUNT(l_quantity) AS n,
+           CAST(COUNT(*) - COUNT(l_quantity) AS BIGINT) AS n_null,
+           COUNT(DISTINCT l_quantity) AS n_distinct,
+           ROUND(MIN(l_quantity), 4) AS min_v,
+           ROUND(MAX(l_quantity), 4) AS max_v,
+           ROUND(AVG(l_quantity), 4) AS avg_v
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', COUNT(l_extendedprice),
+           CAST(COUNT(*) - COUNT(l_extendedprice) AS BIGINT),
+           COUNT(DISTINCT l_extendedprice),
+           ROUND(MIN(l_extendedprice), 4), ROUND(MAX(l_extendedprice), 4),
+           ROUND(AVG(l_extendedprice), 4)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', COUNT(l_discount),
+           CAST(COUNT(*) - COUNT(l_discount) AS BIGINT),
+           COUNT(DISTINCT l_discount),
+           ROUND(MIN(l_discount), 4), ROUND(MAX(l_discount), 4),
+           ROUND(AVG(l_discount), 4)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_tax', COUNT(l_tax),
+           CAST(COUNT(*) - COUNT(l_tax) AS BIGINT),
+           COUNT(DISTINCT l_tax),
+           ROUND(MIN(l_tax), 4), ROUND(MAX(l_tax), 4),
+           ROUND(AVG(l_tax), 4)
+    FROM lineitem
+    """,
+    doc="One-pass data profiling: per-column null/distinct/min/max/avg "
+    "for four measures computed in a SINGLE scan and aggregate (the "
+    "long-format result is a 4-row select over the 1-row aggregate), "
+    "where the oracle's UNION ALL form re-scans the table per column. "
+    "The profile-before-you-train hygiene step, at scan cost 1x "
+    "regardless of column count.",
+)
+def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(c).alias(f"{c}__n"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__n_null"),
+            F.countDistinct(c).alias(f"{c}__n_distinct"),
+            F.round(F.min(c), 4).alias(f"{c}__min_v"),
+            F.round(F.max(c), 4).alias(f"{c}__max_v"),
+            F.round(F.avg(c), 4).alias(f"{c}__avg_v"),
+        ]
+    one = li.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(c).alias("column_name"),
+            F.col(f"{c}__n").alias("n"),
+            F.col(f"{c}__n_null").alias("n_null"),
+            F.col(f"{c}__n_distinct").alias("n_distinct"),
+            F.col(f"{c}__min_v").alias("min_v"),
+            F.col(f"{c}__max_v").alias("max_v"),
+            F.col(f"{c}__avg_v").alias("avg_v"),
+        )
+        for c in cols
+    ]
+    return one.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
+
+
+@register(
+    "q_hll_sketch",
+    oracle=None,  # DataSketches HLL binary sketches are engine-specific;
+    # accuracy vs exact distinct is pinned by tests/test_oracle.py.
+    doc="Mergeable cardinality sketches: hll_sketch_agg builds a "
+    "DataSketches HLL per group and hll_sketch_estimate reads it. The "
+    "sketch IS the partial-aggregation state — map-side sketches merge "
+    "associatively across 1000 executors in bytes per group, which is "
+    "how you count distinct users over 100 TB without shuffling the "
+    "keys themselves. The binary sketch column also persists (unlike "
+    "approx_count_distinct's transient state), so daily sketches "
+    "union-merge into monthly cardinalities without rescanning.",
+)
+def q_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias(
+                "approx_users"
+            ),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        .withColumn(
+            "rel_err",
+            F.round(
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                / F.col("exact_users"),
+                4,
+            ),
+        )
+    )

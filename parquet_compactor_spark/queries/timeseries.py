@@ -633,3 +633,112 @@ def q_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_ticks",
         )
     )
+
+
+@register(
+    "q_scd2",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, event_type, ts,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ),
+    changes AS (
+        SELECT user_id, event_type, ts FROM marked
+        WHERE prev_type IS NULL OR event_type <> prev_type
+    )
+    SELECT user_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           strftime(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts),
+                    '%Y-%m-%d %H:%M:%S') AS valid_to,
+           (LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL)
+               AS is_current
+    FROM changes
+    """,
+    doc="SCD Type-2 dimension build from a changelog: consecutive equal "
+    "attribute values compress away (gaps-and-islands LAG), each "
+    "surviving change opens a validity interval closed by the next "
+    "change's LEAD — the slowly-changing-dimension history table every "
+    "warehouse maintains. Two windows over the same per-user "
+    "partitioning, so Spark reuses one shuffle for both.",
+)
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = e.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    changes = marked.filter(
+        F.col("prev_type").isNull()
+        | (F.col("event_type") != F.col("prev_type"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts")
+    valid_to = F.lead("ts").over(w2)
+    return changes.select(
+        "user_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format(valid_to, "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        valid_to.isNull().alias("is_current"),
+    )
+
+
+@register(
+    "q_mad_outliers",
+    oracle="""
+    WITH med AS (
+        SELECT event_type, median(value) AS med
+        FROM events GROUP BY event_type
+    ),
+    dev AS (
+        SELECT e.event_type, e.value, m.med,
+               abs(e.value - m.med) AS adev
+        FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+        SELECT event_type, median(adev) AS mad FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           ROUND(MAX(d.med), 4) AS med,
+           ROUND(MAX(m.mad), 4) AS mad,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN d.adev > 3 * 1.4826 * m.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type
+    """,
+    doc="Robust outlier detection by median absolute deviation: median "
+    "and MAD are estimated with two grouped exact-median passes whose "
+    "tiny per-group results broadcast back onto the stream — the "
+    "breakdown-point-0.5 alternative to q_zscore_outliers (mean/stddev "
+    "are dragged by the very outliers they're meant to find; the "
+    "median isn't). Same two-pass + broadcast-join shape as zscore, so "
+    "the fact table never re-shuffles.",
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(F.median("value").alias("med"))
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(F.median("adev").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.max("med"), 4).alias("med"),
+            F.round(F.max("mad"), 4).alias("mad"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (F.col("adev") > 3 * 1.4826 * F.col("mad")).cast("int")
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+    )

@@ -32,3 +32,34 @@ def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
     assert set(entry_mod.queries()) >= set(entry_mod.oracle_sql())
+
+
+def test_hll_sketch_within_tolerance(spark):
+    """HLL default lgK=12 gives ~1.6% standard error; assert every group's
+    estimate lands within 5% of the exact distinct count."""
+    rows = QUERIES["q_hll_sketch"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.rel_err <= 0.05, (r.event_type, r.approx_users, r.exact_users)
+
+
+def test_hll_sketches_merge_across_partitions(spark):
+    """The sketch column is mergeable state: sketches built on disjoint
+    halves union to the same estimate as one pass over the whole."""
+    from pyspark.sql import functions as F
+
+    from parquet_compactor_spark.registry import load
+
+    e = load(spark, SF_SMOKE, "events")
+    whole = e.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est")
+    ).collect()[0].est
+    halves = (
+        e.withColumn("half", (F.col("event_id") % 2).cast("int"))
+        .groupBy("half")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .collect()[0]
+        .est
+    )
+    assert whole == halves

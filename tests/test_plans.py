@@ -182,3 +182,58 @@ def test_gapfill_union_form_never_joins_the_rollup(spark):
     assert not p.has_sort_merge_join
     # The only equi-join is the left-anti against the two-column key set.
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_curation_probe_sides_broadcast(spark):
+    # Benchmark shingle set and per-source rate table are scalars/KB-scale:
+    # they must broadcast so the corpus scan never shuffles for the probe.
+    for name in ["q_contamination", "q_domain_mix"]:
+        assert props(spark, name).has_broadcast_join, name
+    # q_domain_mix's only nested-loop join is the deliberate 1-row scalar
+    # (global min count) crossJoin; the corpus probe itself is equi-keyed.
+    assert not props(spark, "q_contamination").has_cartesian
+
+
+def test_ohlc_is_single_pass(spark):
+    # argmin/argmax aggregates: one partial-agg shuffle, no sort/self-join.
+    p = props(spark, "q_ohlc")
+    assert p.has_partial_agg
+    assert p.exchange_count == 1
+    assert not p.has_sort_merge_join
+
+
+def test_snapshot_delta_joins_on_fingerprints(spark):
+    # Anti-join ships 16-byte md5 keys, never a cartesian expansion.
+    assert not props(spark, "q_snapshot_delta").has_cartesian
+
+
+def test_robust_stats_avoid_giant_windows(spark):
+    """Median/MAD and decile boundaries come from aggregates broadcast
+    back onto the stream — no single-partition analytic window anywhere.
+    (The naive forms — NTILE for deciles, median() OVER for MAD — put
+    every row of a group in one task.)"""
+    from parquet_compactor_spark.plans import formatted_plan
+
+    p = props(spark, "q_mad_outliers")
+    assert p.has_broadcast_join  # per-type stats rejoin via broadcast hash
+    assert "Window" not in formatted_plan(
+        QUERIES["q_mad_outliers"].fn(spark, SF_SMOKE)
+    )
+    # Decile bounds are ONE row: the rejoin is the scalar broadcast
+    # nested-loop pattern, and the only shuffles are the two aggregates.
+    plan = formatted_plan(QUERIES["q_equidepth_hist"].fn(spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Window" not in plan
+    assert props(spark, "q_equidepth_hist").exchange_count <= 2
+
+
+def test_profile_is_single_scan(spark):
+    # One scan + one aggregate serves all profiled columns (the oracle's
+    # UNION ALL form re-scans per column; ours must not).
+    import re
+
+    from parquet_compactor_spark.plans import formatted_plan
+
+    plan = formatted_plan(QUERIES["q_profile"].fn(spark, SF_SMOKE))
+    # Detail headers "(n) Scan parquet" appear once per distinct scan node.
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
