@@ -236,3 +236,51 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_custom_datasource_batch_read(spark):
+    """Python DataSource API: partition-parallel counter-based generation —
+    deterministic rows, requested partitioning, no driver-side data."""
+    from parquet_compactor_spark.sources.eventgen import EventGenDataSource
+
+    spark.dataSource.register(EventGenDataSource)
+    df = (
+        spark.read.format("eventgen")
+        .option("rows", 500)
+        .option("partitions", 8)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 8
+    assert df.count() == 500
+    assert df.select("event_id").distinct().count() == 500
+    # Re-read is bit-identical (pure function of the counter).
+    again = (
+        spark.read.format("eventgen")
+        .option("rows", 500)
+        .option("partitions", 3)
+        .load()
+    )
+    assert df.exceptAll(again).count() == 0
+
+
+def test_custom_datasource_stream_read(spark, tmp_path):
+    """Streaming form: O(1) offsets, availableNow drains exactly `rows`."""
+    from parquet_compactor_spark.sources.eventgen import EventGenDataSource
+
+    spark.dataSource.register(EventGenDataSource)
+    (
+        spark.readStream.format("eventgen")
+        .option("rows", 300)
+        .option("rowsPerBatch", 100)
+        .load()
+        .writeStream.format("memory")
+        .queryName("eventgen_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_gen"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    got = spark.table("eventgen_sink")
+    assert got.count() == 300
+    assert got.select("event_id").distinct().count() == 300
