@@ -247,3 +247,131 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
         F.min("doc_id").alias("first_doc"),
     )
+
+
+@register(
+    "q_bm25",
+    oracle="""
+    WITH terms AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS f FROM terms GROUP BY doc_id, term
+    ),
+    dl AS (
+        SELECT doc_id, COUNT(*) AS dlen FROM terms GROUP BY doc_id
+    ),
+    stats AS (
+        SELECT COUNT(*) AS n_docs, AVG(CAST(dlen AS DOUBLE)) AS avgdl FROM dl
+    ),
+    df AS (
+        SELECT term, COUNT(*) AS nq FROM tf GROUP BY term
+    )
+    SELECT t.doc_id,
+           ROUND(SUM(
+               ln(1.0 + (s.n_docs - d.nq + 0.5) / (d.nq + 0.5))
+               * t.f * 2.2
+               / (t.f + 1.2 * (0.25 + 0.75 * l.dlen / s.avgdl))
+           ), 4) AS bm25
+    FROM tf t
+    JOIN df d USING (term)
+    JOIN dl l USING (doc_id)
+    CROSS JOIN stats s
+    WHERE d.term IN ('spark', 'merge', 'window')
+    GROUP BY t.doc_id
+    """,
+    doc="BM25 relevance scoring (k1=1.2, b=0.75) of every document "
+    "against a term query — the ranking function under Lucene and most "
+    "retrieval-based data curation. Term frequencies and document "
+    "lengths are grouped aggregates; document-frequency idf and the "
+    "corpus stats are vocabulary-/scalar-sized and broadcast, so the "
+    "posting stream shuffles only on (doc_id). The query-term filter "
+    "prunes the posting list BEFORE the scoring join.",
+)
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    k1, b = 1.2, 0.75
+    query_terms = ["spark", "merge", "window"]
+    terms = d.select(
+        "doc_id", F.explode(F.split("text", " ", -1)).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("f"))
+    dl = terms.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dlen"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.col("dlen").cast("double")).alias("avgdl"),
+    )
+    df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("nq"))
+    idf = F.log(
+        1.0 + (F.col("n_docs") - F.col("nq") + 0.5) / (F.col("nq") + 0.5)
+    )
+    score = (
+        idf
+        * F.col("f")
+        * (k1 + 1.0)
+        / (F.col("f") + k1 * (1 - b + b * F.col("dlen") / F.col("avgdl")))
+    )
+    return (
+        tf.filter(F.col("term").isin(query_terms))
+        .join(F.broadcast(df_tbl), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(score), 4).alias("bm25"))
+    )
+
+
+@register(
+    "q_embed_quantize",
+    oracle="""
+    WITH norms AS (
+        SELECT vec_id, label, embedding,
+               sqrt(list_sum(list_transform(embedding,
+                                            x -> CAST(x AS DOUBLE) ** 2)))
+                   AS l2
+        FROM embeddings
+    )
+    SELECT vec_id, label,
+           ROUND(l2, 4) AS l2_norm,
+           list_transform(embedding,
+               x -> CAST(greatest(-127, least(127,
+                    round(127.0 * CAST(x AS DOUBLE) / l2))) AS BIGINT))[1:4]
+               AS q_head
+    FROM norms
+    WHERE l2 > 0
+    """,
+    doc="Embedding preprocessing for ANN serving: L2-normalize then "
+    "symmetric int8 quantization (scale 127, clamp to [-127,127]) — "
+    "4x memory reduction before index build. Pure higher-order array "
+    "lambdas, zero Python; per-row map, no shuffle at all.",
+)
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    l2 = F.sqrt(
+        F.aggregate(
+            "embedding",
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    q = F.transform(
+        "embedding",
+        lambda x: F.greatest(
+            F.lit(-127.0),
+            F.least(
+                F.lit(127.0),
+                F.round(127.0 * x.cast("double") / F.col("l2")),
+            ),
+        ).cast("bigint"),
+    )
+    return (
+        e.withColumn("l2", l2)
+        .filter(F.col("l2") > 0)
+        .select(
+            "vec_id",
+            "label",
+            F.round("l2", 4).alias("l2_norm"),
+            F.slice(q, 1, 4).alias("q_head"),
+        )
+    )

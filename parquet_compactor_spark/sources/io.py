@@ -229,3 +229,72 @@ def write_bucketed(
         .sortBy(*(sort_cols or bucket_cols))
         .saveAsTable(table)
     )
+
+
+def zorder_key(df: DataFrame, cols: list[str], bits: int = 8):
+    """Z-order (Morton) key over 2+ columns as a JVM-side expression.
+
+    Each column is rank-bucketed into 2**bits equi-depth cells using
+    interpolated percentile boundaries (one tiny aggregate per column,
+    broadcast back as an array literal — the same no-giant-window
+    discipline as q_equidepth_hist), then the cell indices' bits are
+    interleaved into one bigint. Sorting by that key gives a layout
+    where EVERY participating column has locally-tight file ranges, so
+    parquet min/max skipping works for predicates on any of them —
+    where a linear sort serves only its leading column. Returns the
+    key column; the input DataFrame is scanned once per column for
+    boundaries (percentile aggs) plus once for the write.
+    """
+    from pyspark.sql import functions as F
+
+    n_cells = 1 << bits
+    fracs = [i / n_cells for i in range(1, n_cells)]
+    keys = []
+    for c in cols:
+        bounds_row = df.agg(
+            F.percentile(c, F.array(*[F.lit(f) for f in fracs])).alias("b")
+        ).collect()[0]
+        bounds = F.array(*[F.lit(float(v)) for v in bounds_row.b])
+        cell = F.size(
+            F.filter(bounds, lambda x: x <= F.col(c).cast("double"))
+        ).cast("bigint")
+        keys.append(cell)
+    # Interleave: bit i of column j lands at position i*len(cols)+j.
+    z = F.lit(0).cast("bigint")
+    for i in range(bits):
+        for j, cell in enumerate(keys):
+            bit = F.shiftright(cell, i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, i * len(cols) + j))
+    return z.alias("_zkey")
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zorder_by: list[str],
+    n_files: int,
+    fmt: str = "parquet",
+    compression: str = "snappy",
+    bits: int = 8,
+) -> None:
+    """Write with Z-order-clustered file layout for multi-column skipping.
+
+    ``write_clustered`` (linear range sort) makes ONE column's file
+    stats tight; Z-order trades a little of that leading-column
+    tightness for tight stats on ALL clustered columns at once — the
+    layout Delta/Iceberg expose as OPTIMIZE ZORDER BY, built here from
+    percentile bucketing + bit interleaving (no table format needed).
+    The key is dropped before the rows hit disk.
+    """
+    z = zorder_key(df, zorder_by, bits=bits)
+    (
+        df.withColumn("_zkey", z)
+        .repartitionByRange(n_files, "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+        .write.format(fmt)
+        .mode("overwrite")
+        .option("compression", compression)
+        .option("maxRecordsPerFile", CHUNKED_ROWS)
+        .save(path)
+    )

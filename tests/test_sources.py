@@ -284,3 +284,33 @@ def test_custom_datasource_stream_read(spark, tmp_path):
     got = spark.table("eventgen_sink")
     assert got.count() == 300
     assert got.select("event_id").distinct().count() == 300
+
+
+def test_zorder_tightens_all_clustered_columns(spark, tmp_path):
+    """Linear range-clustering by col A leaves col B's per-file ranges
+    spanning ~the whole domain; Z-order by (A, B) must tighten BOTH."""
+    from parquet_compactor_spark.sources import write_clustered
+    from parquet_compactor_spark.sources.io import write_zordered
+
+    df = load(spark, SF_SMOKE, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+
+    def avg_span(path, col, domain):
+        ranges = _file_ranges(path, col)
+        return sum(hi - lo for lo, hi in ranges) / len(ranges) / domain
+
+    p_dom = df.agg(F.max("l_partkey") - F.min("l_partkey")).collect()[0][0]
+    s_dom = df.agg(F.max("l_suppkey") - F.min("l_suppkey")).collect()[0][0]
+
+    linear = str(tmp_path / "linear")
+    write_clustered(df, linear, cluster_by=["l_partkey"], n_files=16)
+    zpath = str(tmp_path / "zorder")
+    write_zordered(df, zpath, zorder_by=["l_partkey", "l_suppkey"], n_files=16)
+
+    # Linear: leading column tight, second column ~full-domain per file.
+    assert avg_span(linear, "l_partkey", p_dom) < 0.2
+    assert avg_span(linear, "l_suppkey", s_dom) > 0.8
+    # Z-order: BOTH columns substantially tighter than full domain.
+    assert avg_span(zpath, "l_partkey", p_dom) < 0.5
+    assert avg_span(zpath, "l_suppkey", s_dom) < 0.5
