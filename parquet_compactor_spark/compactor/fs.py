@@ -70,3 +70,32 @@ class HadoopFS:
 
     def mkdirs(self, path: str) -> bool:
         return bool(self._fs.mkdirs(self.jpath(path)))
+
+    def read_text(self, path: str) -> str:
+        """Read a small sidecar file (state/manifest) as UTF-8 text."""
+        stream = self._fs.open(self.jpath(path))
+        try:
+            reader = self._jvm.java.io.BufferedReader(
+                self._jvm.java.io.InputStreamReader(stream, "UTF-8")
+            )
+            lines = []
+            line = reader.readLine()
+            while line is not None:
+                lines.append(line)
+                line = reader.readLine()
+            return "\n".join(lines)
+        finally:
+            stream.close()
+
+    def write_text(self, path: str, text: str) -> None:
+        """Atomically replace a small sidecar file (write-new + rename)."""
+        tmp = self.jpath(f"{path}.tmp")
+        out = self._fs.create(tmp, True)
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+        dst = self.jpath(path)
+        if self._fs.exists(dst):
+            self._fs.delete(dst, False)
+        self._fs.rename(tmp, dst)

@@ -542,3 +542,63 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("_n").alias("n"),
         F.round(F.sum("_sum"), 2).alias("total_value"),
     )
+
+
+@register(
+    "q_ship_priority",
+    oracle="""
+    SELECT l.l_orderkey,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < DATE '1995-03-15'
+      AND l.l_shipdate > DATE '1995-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, orderdate, l.l_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3-shaped (shipping priority; the fixture carries "
+    "o_orderpriority in place of dbgen's o_shippriority): "
+    "segment-filtered customer keys "
+    "semi-reduce orders, date predicates push to both fact scans, and "
+    "the final top-10 is a TakeOrderedAndProject heap — never a global "
+    "sort. The selective dimension (filtered customers) stays hinted "
+    "to AQE rather than force-broadcast, mirroring the "
+    "q_join_multiway discipline (reference workload shape: TPC-H "
+    "dbgen; no reference-engine counterpart — north-star parity).",
+)
+def q_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1995-03-15"
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1995-03-15"
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(
+            F.desc("revenue"), F.asc("orderdate"), F.asc("l_orderkey")
+        )
+        .limit(10)
+    )

@@ -237,3 +237,13 @@ def test_profile_is_single_scan(spark):
     plan = formatted_plan(QUERIES["q_profile"].fn(spark, SF_SMOKE))
     # Detail headers "(n) Scan parquet" appear once per distinct scan node.
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_ship_priority_heap_topk_and_pushdown(spark):
+    """TPC-H Q3 shape: both date predicates reach their fact scans and the
+    top-10 is a heap, not a global sort; no cartesian anywhere."""
+    p = props(spark, "q_ship_priority")
+    assert p.has_take_ordered
+    assert not p.has_cartesian
+    assert any("o_orderdate" in f for f in p.pushed_filters)
+    assert any("l_shipdate" in f for f in p.pushed_filters)
