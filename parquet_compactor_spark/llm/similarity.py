@@ -438,3 +438,121 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(5)
     )
+
+
+@register(
+    "q_semantic_dedup",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        FROM embeddings
+    ),
+    c AS (
+        SELECT vec_id AS cid, vec AS cvec,
+               sqrt(list_sum(list_transform(vec, x -> x * x))) AS cn
+        FROM v WHERE vec_id < 8
+    ),
+    scored AS (
+        SELECT v.vec_id, c.cid, v.vec,
+               list_dot_product(v.vec, c.cvec)
+                 / (sqrt(list_sum(list_transform(v.vec, x -> x * x))) * c.cn)
+                   AS cos_c,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                  ORDER BY list_dot_product(v.vec, c.cvec)
+                                    / (sqrt(list_sum(list_transform(v.vec,
+                                         x -> x * x))) * c.cn) DESC, c.cid)
+                   AS rn
+        FROM v CROSS JOIN c
+    ),
+    assigned AS (
+        SELECT vec_id, cid, vec FROM scored WHERE rn = 1
+    ),
+    pairs AS (
+        SELECT a.cid,
+               list_dot_product(a.vec, b.vec)
+                 / (sqrt(list_sum(list_transform(a.vec, x -> x * x)))
+                  * sqrt(list_sum(list_transform(b.vec, x -> x * x))))
+                   AS cos_p
+        FROM assigned a JOIN assigned b
+          ON a.cid = b.cid AND a.vec_id < b.vec_id
+    )
+    SELECT s.cid AS cluster_id,
+           COUNT(DISTINCT s.vec_id) AS n_vecs,
+           CAST(COALESCE(p.n_dup_pairs, 0) AS BIGINT) AS n_dup_pairs
+    FROM assigned s
+    LEFT JOIN (
+        SELECT cid, COUNT(*) AS n_dup_pairs FROM pairs
+        WHERE cos_p >= 0.92 GROUP BY cid
+    ) p ON p.cid = s.cid
+    GROUP BY s.cid, p.n_dup_pairs
+    """,
+    doc="SemDeDup-style semantic deduplication: embeddings are blocked "
+    "by nearest centroid (deterministic seed centroids here — in "
+    "production the k-means model from llm/cluster.py), then exact "
+    "pairwise cosine runs ONLY within a block, and pairs above 0.92 "
+    "count as semantic duplicates. The geometry replaces q_embed_near_"
+    "dup's label blocking: candidate generation is an N x K broadcast "
+    "scoring pass (centroids are KB-scale), the quadratic step is "
+    "bounded per block, and no all-pairs join ever forms.",
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "embeddings")
+    v = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
+    )
+    c = v.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"),
+        F.col("vec").alias("cvec"),
+        l2_norm(F.col("vec")).alias("cn"),
+    )
+    cos_c = dot(F.col("vec"), F.col("cvec")) / (
+        l2_norm(F.col("vec")) * F.col("cn")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_c"), F.asc("cid"))
+    assigned = (
+        v.crossJoin(F.broadcast(c))
+        .select("vec_id", "cid", "vec", cos_c.alias("cos_c"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid", "vec")
+    )
+    a = assigned.select(
+        "cid",
+        F.col("vec_id").alias("id1"),
+        F.col("vec").alias("v1"),
+        l2_norm(F.col("vec")).alias("n1"),
+    )
+    b = assigned.select(
+        "cid",
+        F.col("vec_id").alias("id2"),
+        F.col("vec").alias("v2"),
+        l2_norm(F.col("vec")).alias("n2"),
+    )
+    dup_pairs = (
+        a.join(b, "cid")
+        .filter(F.col("id1") < F.col("id2"))
+        .select(
+            "cid",
+            (dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2"))).alias(
+                "cos_p"
+            ),
+        )
+        .filter(F.col("cos_p") >= 0.92)
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n_dup_pairs"))
+    )
+    return (
+        assigned.groupBy("cid")
+        .agg(F.countDistinct("vec_id").alias("n_vecs"))
+        .join(F.broadcast(dup_pairs), "cid", "left")
+        .select(
+            F.col("cid").alias("cluster_id"),
+            "n_vecs",
+            F.coalesce("n_dup_pairs", F.lit(0)).cast("bigint").alias(
+                "n_dup_pairs"
+            ),
+        )
+    )

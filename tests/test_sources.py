@@ -314,3 +314,18 @@ def test_zorder_tightens_all_clustered_columns(spark, tmp_path):
     # Z-order: BOTH columns substantially tighter than full domain.
     assert avg_span(zpath, "l_partkey", p_dom) < 0.5
     assert avg_span(zpath, "l_suppkey", s_dom) < 0.5
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """A lake whose later files carry added columns reads as one unified
+    schema under mergeSchema; early rows surface NULLs for new columns."""
+    d = str(tmp_path / "evolving")
+    spark.range(5).selectExpr("id", "id * 2 AS a").write.parquet(d)
+    spark.range(5, 8).selectExpr(
+        "id", "id * 2 AS a", "'new' AS b"
+    ).write.mode("append").parquet(d)
+
+    df = read_table(spark, d, mergeSchema="true")
+    assert set(df.columns) == {"id", "a", "b"}
+    assert df.count() == 8
+    assert df.filter(F.col("b").isNull()).count() == 5
