@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    BooleanType,
     DoubleType,
     LongType,
     StringType,
@@ -794,4 +795,92 @@ def q_hourly_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 2)
         .select("hour_start", "event_type", "n_events", "rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# Streaming LOCF: last-observation-carried-forward across micro-batches
+# --------------------------------------------------------------------------
+
+LOCF_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("v_filled", DoubleType()),
+        StructField("was_gap", BooleanType()),
+    ]
+)
+
+# Last non-null observation per user: (epoch_us of its ts, value).
+_LOCF_STATE = StructType(
+    [StructField("last_us", LongType()), StructField("last_v", DoubleType())]
+)
+
+
+def _locf_user(
+    key: tuple[Any, ...],
+    pdf_iter: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterable[pd.DataFrame]:
+    """Fill each user's gap readings (NULL v) with their last non-null
+    value, carrying the observation ACROSS micro-batches through
+    ValueState — the streaming twin of q_locf_interpolate's
+    last(ignorenulls) window, with identical leading-gap semantics
+    (no prior observation → 0.0)."""
+    (user_id,) = key
+    last_us, last_v = (state.get if state.exists else (-1, None))
+
+    out = []
+    for pdf in pdf_iter:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for eid, ts, v in zip(pdf["event_id"], pdf["ts"], pdf["v"]):
+            t_us = int(pd.Timestamp(ts).value // 1000)
+            gap = pd.isna(v)
+            if gap:
+                filled = last_v if last_v is not None else 0.0
+            else:
+                filled = float(v)
+                last_us, last_v = t_us, filled
+            out.append((int(eid), round(filled, 2), bool(gap)))
+
+    if last_v is not None:
+        state.update((last_us, last_v))
+    if out:
+        yield pd.DataFrame(
+            {
+                "event_id": [o[0] for o in out],
+                "user_id": [user_id] * len(out),
+                "v_filled": [o[1] for o in out],
+                "was_gap": [o[2] for o in out],
+            }
+        )
+
+
+def locf_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming LOCF gap fill (every 5th reading nulled, as in the batch
+    twin). State is ONE (ts, value) pair per user — O(keys), unlike the
+    sessionizer's open-interval list — and rows emit immediately in
+    append mode; the watermark only gates state cleanup. Correct filling
+    relies on per-user event-time order of arrival across batches (the
+    landing-zone contract tested in tests/test_streaming.py); a
+    violating source would need the sealed-emission discipline of
+    sessionize_stream instead."""
+    sparse = events.select(
+        "event_id",
+        "ts",
+        "user_id",
+        F.when(F.col("event_id") % 5 == 0, None)
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+    return (
+        sparse.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _locf_user,
+            outputStructType=LOCF_SCHEMA,
+            stateStructType=_LOCF_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
     )

@@ -322,3 +322,25 @@ def test_streaming_topk_matches_batch(spark, landing_dir, tmp_path):
         for r in q_hourly_topk(spark, SF_SMOKE).collect()
     }
     assert streamed == expected
+
+
+def test_streaming_locf_matches_batch(spark, landing_dir):
+    """Cross-batch LOCF: a gap reading in file 3 must be filled from an
+    observation that arrived in an EARLIER micro-batch (ValueState)."""
+    from parquet_compactor_spark.streaming.pipeline import locf_stream
+
+    stream = read_events_stream(spark, landing_dir, max_files_per_trigger=1)
+    run_stream_to_memory(
+        locf_stream(stream), "locf_filled", complete=False
+    )
+    streamed = {
+        r.event_id: (r.user_id, r.v_filled, r.was_gap)
+        for r in spark.table("locf_filled").collect()
+    }
+    from parquet_compactor_spark.registry import all_queries
+
+    expected = {
+        r.event_id: (r.user_id, r.v_filled, r.was_gap)
+        for r in all_queries()["q_locf_interpolate"].fn(spark, SF_SMOKE).collect()
+    }
+    assert streamed == expected
