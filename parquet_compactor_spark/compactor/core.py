@@ -57,6 +57,10 @@ class CompactionConfig:
     # write-side half of predicate pushdown). Empty = plain repartition,
     # reference parity.
     cluster_by: tuple[str, ...] = ()
+    # Multi-column variant: Z-order (Morton) clustering — tight file
+    # stats on ALL listed columns at once (sources/io.py write_zordered
+    # rationale). Mutually exclusive with cluster_by; zorder_by wins.
+    zorder_by: tuple[str, ...] = ()
 
     @property
     def file_size_bytes(self) -> int:
@@ -262,7 +266,17 @@ class LakeCompactor:
             if self.config.merge_schema:
                 reader = reader.option("mergeSchema", "true")
             df = reader.parquet(*file_list)
-            if self.config.cluster_by:
+            if self.config.zorder_by:
+                from parquet_compactor_spark.sources.io import zorder_key
+
+                z = zorder_key(df, list(self.config.zorder_by))
+                df = (
+                    df.withColumn("_zkey", z)
+                    .repartitionByRange(n_out, "_zkey")
+                    .sortWithinPartitions("_zkey")
+                    .drop("_zkey")
+                )
+            elif self.config.cluster_by:
                 df = df.repartitionByRange(
                     n_out, *self.config.cluster_by
                 ).sortWithinPartitions(*self.config.cluster_by)

@@ -608,3 +608,39 @@ def q_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "q_correlated_subquery",
+    oracle="""
+    SELECT o.o_custkey,
+           COUNT(*) AS n_above_own_avg
+    FROM orders o
+    WHERE o.o_totalprice > (
+        SELECT AVG(i.o_totalprice) FROM orders i
+        WHERE i.o_custkey = o.o_custkey
+    )
+    GROUP BY o.o_custkey
+    """,
+    doc="Correlated scalar subquery — each order compares against ITS "
+    "customer's average. Exercised through spark.sql on a temp view "
+    "(the registry's only pure-SQL-surface query): Catalyst de-"
+    "correlates the subquery into an aggregate + equi-join on the "
+    "correlation key, so what reads as a per-row re-query executes as "
+    "one rollup and one hash join — the textbook case for trusting "
+    "the optimizer over hand-written RDD loops.",
+)
+def q_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o.o_custkey,
+               COUNT(*) AS n_above_own_avg
+        FROM orders_v o
+        WHERE o.o_totalprice > (
+            SELECT AVG(i.o_totalprice) FROM orders_v i
+            WHERE i.o_custkey = o.o_custkey
+        )
+        GROUP BY o.o_custkey
+        """
+    )

@@ -477,3 +477,21 @@ def test_compaction_with_clustering_produces_disjoint_files(spark, lake):
     assert len(ranges) >= 2
     for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
         assert hi_prev <= lo_next
+
+
+def test_compaction_with_zorder_layout(spark, lake):
+    """zorder_by merges through the Morton-key path: rows and idempotence
+    preserved end-to-end (the multi-column stats-tightening proof lives in
+    tests/test_sources.py::test_zorder_tightens_all_clustered_columns)."""
+    leaf = lake / "acct1" / "source=OCP" / "year=2024" / "month=03"
+    for i in range(8):
+        write_small_parquet(leaf / f"in-{i}.parquet", start=i * 100)
+    before = read_ids(leaf)
+
+    cfg = CompactionConfig(now=NOW, zorder_by=("id", "val"))
+    c = LakeCompactor(spark, str(lake), cfg)
+    outcomes = c.compact()
+    assert list(outcomes.values()) == ["compacted_8_files"]
+    assert read_ids(leaf) == before  # row multiset preserved
+    # Second run: outputs recognized as prior compactions -> no-op.
+    assert list(c.compact().values()) == ["nothing_to_compact"]
