@@ -347,3 +347,45 @@ def q_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("first_new"),
         )
     )
+
+
+@register(
+    "q_data_split",
+    oracle="""
+    WITH tagged AS (
+        SELECT lang, n_chars,
+               CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 90
+                        THEN 'train'
+                    WHEN (doc_id * 2654435761) % 4294967296 % 100 < 95
+                        THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    )
+    SELECT lang, split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM tagged
+    GROUP BY lang, split
+    """,
+    doc="Deterministic 90/5/5 train/val/test split: membership is the "
+    "Knuth hash of doc_id bucketed into percent bands, so the split is "
+    "stable across runs, engines, cluster sizes, AND later corpus "
+    "growth (a doc never migrates between splits when new docs arrive "
+    "— the property rand()-based splitting lacks, and the reason "
+    "training pipelines hash-split). Zero shuffles before the "
+    "audit rollup.",
+)
+def q_data_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    pct = knuth_hash(F.col("doc_id"), mod=100)
+    split = (
+        F.when(pct < 90, "train").when(pct < 95, "val").otherwise("test")
+    )
+    return (
+        d.select("lang", "n_chars", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )

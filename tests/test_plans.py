@@ -247,3 +247,20 @@ def test_ship_priority_heap_topk_and_pushdown(spark):
     assert not p.has_cartesian
     assert any("o_orderdate" in f for f in p.pushed_filters)
     assert any("l_shipdate" in f for f in p.pushed_filters)
+
+
+def test_aqe_coalesces_post_shuffle_partitions(spark):
+    """AQE is not just configured but ACTIVE: after execution, the final
+    plan reads the shuffle through AQEShuffleRead coalesced — the runtime
+    re-planning that keeps one static config valid across 100x scale."""
+    from parquet_compactor_spark.registry import load
+
+    df = (
+        load(spark, SF_SMOKE, "lineitem")
+        .groupBy("l_returnflag")
+        .count()
+    )
+    df.collect()  # finalize the adaptive plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "AQEShuffleRead" in plan
+    assert "coalesced" in plan

@@ -329,3 +329,47 @@ def test_schema_evolution_merge_read(spark, tmp_path):
     assert set(df.columns) == {"id", "a", "b"}
     assert df.count() == 8
     assert df.filter(F.col("b").isNull()).count() == 5
+
+
+def test_csv_malformed_rows_permissive_vs_failfast(spark, tmp_path):
+    """Dirty input discipline: PERMISSIVE quarantines malformed rows into
+    _corrupt_record (the lake never silently drops data), FAILFAST turns
+    the same input into a hard error for strict pipelines."""
+    p = tmp_path / "dirty.csv"
+    p.write_text("id,score\n1,10\n2,notanumber\n3,30\n")
+    schema = "id INT, score INT, _corrupt_record STRING"
+
+    ok = read_table(
+        spark, str(p), fmt="csv", schema=schema, header="true",
+        mode="PERMISSIVE", columnNameOfCorruptRecord="_corrupt_record",
+    )
+    rows = {r.id: (r.score, r._corrupt_record) for r in ok.collect()}
+    assert rows[1] == (10, None) and rows[3] == (30, None)
+    corrupt = [r for r in rows.values() if r[1] is not None]
+    assert len(corrupt) == 1 and "notanumber" in corrupt[0][1]
+
+    with pytest.raises(Exception):
+        read_table(
+            spark, str(p), fmt="csv", schema="id INT, score INT",
+            header="true", mode="FAILFAST",
+        ).collect()
+
+
+def test_zstd_write_smaller_than_snappy(spark, tmp_path):
+    """Codec surface: zstd round-trips and out-compresses snappy on
+    repetitive data (the archival-tier choice; snappy stays the default
+    for scan-speed parity with the reference)."""
+    from pathlib import Path
+
+    df = spark.range(50_000).selectExpr(
+        "id", "'abcabcabc' || CAST(id % 7 AS STRING) AS payload"
+    ).coalesce(1)
+    snappy_dir, zstd_dir = str(tmp_path / "sn"), str(tmp_path / "zs")
+    write_table(df, snappy_dir, compression="snappy")
+    write_table(df, zstd_dir, compression="zstd")
+
+    size = lambda d: sum(
+        f.stat().st_size for f in Path(d).glob("*.parquet")
+    )
+    assert spark.read.parquet(zstd_dir).count() == 50_000
+    assert size(zstd_dir) < size(snappy_dir)
