@@ -602,3 +602,31 @@ def q_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(10)
     )
+
+
+@register(
+    "q_multiset_setops",
+    oracle="""
+    WITH a AS (SELECT l_quantity FROM lineitem WHERE l_orderkey % 7 = 0),
+         b AS (SELECT l_quantity FROM lineitem WHERE l_orderkey % 3 = 0)
+    SELECT 'intersect_all' AS op, l_quantity
+    FROM (SELECT l_quantity FROM a INTERSECT ALL SELECT l_quantity FROM b)
+    UNION ALL
+    SELECT 'except_all' AS op, l_quantity
+    FROM (SELECT l_quantity FROM a EXCEPT ALL SELECT l_quantity FROM b)
+    """,
+    doc="Multiset set operations: INTERSECT ALL keeps min(multiplicity) "
+    "copies and EXCEPT ALL subtracts occurrence counts — the bag "
+    "semantics q_intersect/q_except's DISTINCT forms erase. Spark "
+    "plans both as aggregate-count + generate (no distinct collapse), "
+    "shuffling only the compared column.",
+)
+def q_multiset_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_orderkey") % 7 == 0).select("l_quantity")
+    b = li.filter(F.col("l_orderkey") % 3 == 0).select("l_quantity")
+    ia = a.intersectAll(b).select(
+        F.lit("intersect_all").alias("op"), "l_quantity"
+    )
+    ea = a.exceptAll(b).select(F.lit("except_all").alias("op"), "l_quantity")
+    return ia.unionByName(ea)
