@@ -364,7 +364,7 @@ def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag,
            ROUND(CORR(l_quantity, l_extendedprice), 4)       AS qty_price_corr,
            ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 2) AS qty_price_covar,
-           ROUND(COVAR_POP(l_discount, l_tax), 6)            AS disc_tax_covar_pop
+           ROUND(COVAR_POP(l_discount, l_tax), 6) + 0.0      AS disc_tax_covar_pop
     FROM lineitem
     GROUP BY l_returnflag
     """,

@@ -522,19 +522,56 @@ def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE o_orderkey % 50 = 0
     WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice)
     """,
-    doc="Empirical CDF position per group: CUME_DIST assigns each order "
-    "its within-priority percentile (ties share a value, so the frame "
-    "is deterministic without a tie-break column), then bands the top "
-    "decile — the distribution-window complement to q_window_ranks' "
-    "PERCENT_RANK.",
+    doc="Empirical CDF position per group, in the BANDED two-pass form: a "
+    "naive CUME_DIST() OVER (PARTITION BY o_orderpriority) puts every row "
+    "of a 5-value key in one task — a giant-partition window at 100x. "
+    "Instead rows are banded by price range (ties share a value, hence a "
+    "band, so banding never splits a tie group); the per-row count of "
+    "values <= v is a RANGE-frame count within the bounded (priority, "
+    "band) partition, plus a prefix offset from the TINY per-band totals "
+    "(|priorities| x |bands| aggregate rows) broadcast back onto the "
+    "stream. cume_dist = (offset + within-band count) / priority total — "
+    "exact integer arithmetic, identical to the analytic form. Same "
+    "segmented-prefix shape as q_max_concurrency's sweep.",
 )
 def q_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 50 == 0)
-    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
-    cd = F.cume_dist().over(w)
-    return o.select(
-        "o_orderkey",
+    rows = o.select("o_orderkey", "o_orderpriority", "o_totalprice").withColumn(
+        "band", F.floor(F.col("o_totalprice") / F.lit(5000.0))
+    )
+    # Within-band rank: RANGE frame so every tied value counts all its
+    # peers (cume_dist semantics). Partitions are (priority, price-band) —
+    # bounded by the band width, never by total row count.
+    w_in = (
+        Window.partitionBy("o_orderpriority", "band")
+        .orderBy("o_totalprice")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = rows.withColumn("le_in_band", F.count(F.lit(1)).over(w_in))
+    # Tiny per-band totals -> prefix offsets + per-priority grand totals.
+    band_tot = rows.groupBy("o_orderpriority", "band").agg(
+        F.count(F.lit(1)).alias("band_n")
+    )
+    w_off = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("band")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = band_tot.select(
         "o_orderpriority",
-        F.round(cd, 4).alias("price_cume_dist"),
-        F.when(cd >= 0.9, "top decile").otherwise("rest").alias("price_band"),
+        "band",
+        F.coalesce(F.sum("band_n").over(w_off), F.lit(0)).alias("offset"),
+        F.sum("band_n")
+        .over(Window.partitionBy("o_orderpriority"))
+        .alias("pri_n"),
+    )
+    cd = (F.col("offset") + F.col("le_in_band")) / F.col("pri_n")
+    return (
+        ranked.join(F.broadcast(offsets), ["o_orderpriority", "band"])
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round(cd, 4).alias("price_cume_dist"),
+            F.when(cd >= 0.9, "top decile").otherwise("rest").alias("price_band"),
+        )
     )

@@ -354,7 +354,7 @@ def q_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id,
            user_id,
            ROUND((value - prev_value)
-                 / ((epoch_us(ts) - epoch_us(prev_ts)) / 1000000.0), 6)
+                 / ((epoch_us(ts) - epoch_us(prev_ts)) / 1000000.0), 6) + 0.0
                AS rate_per_sec
     FROM seq
     WHERE prev_ts IS NOT NULL AND epoch_us(ts) <> epoch_us(prev_ts)
@@ -519,12 +519,20 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM swept
     GROUP BY event_type
     """,
-    doc="Interval-overlap analytics via sweep line: each event opens a "
-    "1-hour interval [ts, ts+1h); +1/-1 boundary deltas, one running sum "
-    "per type, max = peak concurrency. Ends sort before starts at equal "
-    "time (delta ASC) so half-open intervals never self-overlap. The "
-    "sweep is ONE window shuffle over 2n rows — the all-pairs overlap "
-    "join this replaces is O(n x overlap) and unrunnable at scale.",
+    doc="Interval-overlap analytics via SEGMENTED sweep line: each event "
+    "opens a 1-hour interval [ts, ts+1h); +1/-1 boundary deltas. A flat "
+    "sweep (one running sum per type) puts ~2n/|types| rows in a single "
+    "task — a giant-partition window at scale. Instead the boundaries are "
+    "bucketed by hour so the running sum is computed per (type, bucket) "
+    "segment — bounded partitions whose COUNT scales with the time span, "
+    "not the row count. Per segment we keep (peak_local, bucket_sum); the "
+    "per-type prefix sum over bucket totals (a tiny |types|x|buckets| "
+    "table) gives each segment's entry offset, and the global peak is "
+    "max(offset + peak_local). Ends sort before starts at equal time "
+    "(delta ASC) so half-open intervals never self-overlap; equal times "
+    "always share a bucket, so segmenting preserves the sweep order. Two "
+    "shuffles: one on (type, bucket) for the fact-sized rows, one tiny "
+    "one on type for the offsets.",
 )
 def q_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
@@ -534,14 +542,46 @@ def q_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("t"),
         F.lit(-1).alias("delta"),
     )
-    w = (
-        Window.partitionBy("event_type")
+    deltas = starts.unionByName(ends).withColumn(
+        "bucket", F.date_trunc("hour", F.col("t"))
+    )
+    # Segment-local running sum: partitions are (type, hour-bucket) — their
+    # size is bounded by per-hour event volume regardless of total scale.
+    w_seg = (
+        Window.partitionBy("event_type", "bucket")
         .orderBy("t", "delta")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    seg = (
+        deltas.select(
+            "event_type",
+            "bucket",
+            "delta",
+            F.sum("delta").over(w_seg).alias("local_run"),
+        )
+        # Same grouping keys as the window partitioning → Catalyst reuses
+        # the exchange; this reduces 2n rows to |types|x|buckets|.
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.max("local_run").alias("peak_local"),
+            F.sum("delta").alias("bucket_sum"),
+        )
+    )
+    # Prefix the TINY per-bucket totals (rows = distinct hours x types) to
+    # get each segment's entry concurrency, then fold map-side.
+    w_off = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     return (
-        starts.unionByName(ends)
-        .select("event_type", F.sum("delta").over(w).alias("live"))
+        seg.select(
+            "event_type",
+            (
+                F.coalesce(F.sum("bucket_sum").over(w_off), F.lit(0))
+                + F.col("peak_local")
+            ).alias("live"),
+        )
         .groupBy("event_type")
         .agg(F.max("live").cast("bigint").alias("max_concurrent"))
     )

@@ -87,69 +87,64 @@ def _ensure_loaded() -> None:
 # Queries listed here are yielded FIRST by all_queries(), in this order.
 # External differential harnesses that sample a prefix of the registry
 # (the driver checks the first 50 entries) therefore verify these before
-# anything else. Round 2: the 31 queries with no round-1 driver row, then
-# the 4 queries whose oracles were fixed this round (HUGEINT→BIGINT cast).
-# Everything not listed follows in registration order.
+# anything else. Round 3 (exactly 50 names): the 35 queries with no driver
+# correctness row from rounds 1-2, then the 2 negative-zero oracle refixes,
+# then 13 rotation slots re-verifying round-1-only greens against silent
+# regression. Everything not listed follows in registration order.
 _PRIORITY: tuple[str, ...] = (
-    # core joins
-    "q_join_multiway",
-    "q_semi_join",
-    "q_anti_join",
-    "q_range_join",
-    "q_event_attribution",
-    # windows
-    "q_window_topn",
-    "q_window_running",
-    "q_window_lag",
-    "q_window_range_frame",
-    "q_sessionize",
-    # sorts / set ops
-    "q_topk",
-    "q_union_dedup",
-    "q_intersect",
-    "q_except",
-    # scalar fn families
-    "q_string_extract",
-    "q_date_buckets",
-    "q_date_arithmetic",
-    "q_case_bucketing",
-    "q_math_fns",
-    # array / map / json
-    "q_json_props",
-    "q_vector_norm",
-    "q_map_props",
-    "q_array_fns",
-    "q_higher_order_fns",
-    # time-series
-    "q_tumbling_window",
-    "q_sliding_window",
-    "q_gapfill_buckets",
-    "q_locf_interpolate",
-    "q_zscore_outliers",
-    "q_ewma",
-    "q_top_bigrams",
-    # round-1 hash-fails, oracles fixed this round
-    "q_text_stats",
-    "q_token_count",
-    "q_stratified_sample",
-    "q_multimodal_meta",
-    # new in round 2 — first driver check
-    "q_full_outer_join",
-    "q_salted_agg",
-    "q_window_ntile",
-    "q_corr_covar",
-    "q_bit_bool_agg",
-    "q_string_agg",
-    "q_value_histogram",
-    "q_running_distinct",
-    "q_rate_of_change",
-    "q_month_over_month",
-    "q_repetition_ratio",
-    "q_whitespace_cleanup",
-    "q_grouped_sample",
-    "q_event_enrich",
-    "q_latest_snapshot",
+    # -- 35 never driver-checked (rounds 1+2 complement) --
     "q_char_trigrams",
+    "q_contamination",
+    "q_pii_scrub",
+    "q_seq_packing",
+    "q_domain_mix",
+    "q_snapshot_delta",
+    "q_data_split",
+    "q_edit_distance",
+    "q_unigram_logprob",
+    "q_corpus_prep",
+    "q_bm25",
+    "q_embed_quantize",
+    "q_semantic_dedup",
+    "q_equidepth_hist",
+    "q_profile",
+    "q_hll_sketch",
+    "q_correlated_subquery",
+    "q_null_safe_join",
+    "q_percent_of_total",
+    "q_asof_nearest",
+    "q_cume_dist",
+    "q_ship_priority",
+    "q_multiset_setops",
+    "q_safe_math",
+    "q_explode_outer",
+    "q_session_window",
+    "q_max_concurrency",
+    "q_time_weighted_avg",
+    "q_ohlc",
+    "q_scd2",
+    "q_mad_outliers",
+    "q_udtf_tokens",
+    "q_udaf_geomean",
+    "q_click_conversion",
+    "q_hourly_topk",
+    # -- 2 round-2 hash-fails, negative-zero oracles fixed this round --
+    "q_corr_covar",
+    "q_rate_of_change",
+    # -- 13 rotation slots: round-1-only greens, fresh driver row --
+    "q_agg_pricing",
+    "q_join_broadcast",
+    "q_filter_pushdown",
+    "q_outer_join",
+    "q_agg_distinct",
+    "q_rollup",
+    "q_grouping_sets",
+    "q_cube",
+    "q_pivot",
+    "q_percentiles",
+    "q_stats_agg",
+    "q_asof_join",
+    "q_scalar_subquery",
 )
 
 

@@ -33,6 +33,11 @@ def _canon_cell(v) -> str:
         # Queries round their float outputs; canonicalize residual fp noise.
         r = round(v, 6)
         if r == int(r):
+            # Preserve the IEEE sign bit: the driver renders -0.0 distinctly
+            # from 0.0 (DuckDB ROUND keeps -0.0, Spark round normalizes), so
+            # collapsing both to "0" here would mask driver-only hash fails.
+            if r == 0 and math.copysign(1.0, r) < 0:
+                return "-0"
             return str(int(r))
         return repr(r)
     if isinstance(v, (datetime, date)):

@@ -264,3 +264,36 @@ def test_aqe_coalesces_post_shuffle_partitions(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "AQEShuffleRead" in plan
     assert "coalesced" in plan
+
+
+def test_max_concurrency_sweep_is_segmented(spark):
+    """The sweep-line running sum must partition by (event_type, bucket),
+    never by event_type alone: a 5-value partition key over 2n boundary
+    rows is a giant-partition window at 100x. Every window spec that
+    orders by the boundary time t must therefore include the hour bucket
+    in its partition keys; only the tiny per-bucket-totals prefix (input
+    = |types| x |buckets| aggregate rows) may partition by type alone."""
+    import re
+
+    from parquet_compactor_spark.plans import formatted_plan
+
+    plan = formatted_plan(QUERIES["q_max_concurrency"].fn(spark, SF_SMOKE))
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "expected window specs in the plan"
+    sweep_specs = [s for s in specs if re.search(r"\bt#\d+ ASC", s)]
+    assert sweep_specs, "expected the boundary sweep window"
+    for s in sweep_specs:
+        assert "bucket#" in s, f"fact-sized sweep window not segmented: {s}"
+
+
+def test_cume_dist_avoids_low_cardinality_window(spark):
+    """cume_dist needs its full partition in one task, so windowing on a
+    5-value priority key over fact-proportional rows cannot scale. The
+    two-pass form (value-ordered aggregation + broadcast per-priority
+    totals) must yield a plan with NO analytic Window at all — ranks come
+    from aggregates, totals rejoin via broadcast."""
+    from parquet_compactor_spark.plans import formatted_plan
+
+    plan = formatted_plan(QUERIES["q_cume_dist"].fn(spark, SF_SMOKE))
+    assert "Window" not in plan
+    assert props(spark, "q_cume_dist").has_broadcast_join
