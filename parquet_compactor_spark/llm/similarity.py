@@ -487,49 +487,81 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY s.cid, p.n_dup_pairs
     """,
     doc="SemDeDup-style semantic deduplication: embeddings are blocked "
-    "by nearest centroid (deterministic seed centroids here — in "
-    "production the k-means model from llm/cluster.py), then exact "
-    "pairwise cosine runs ONLY within a block, and pairs above 0.92 "
-    "count as semantic duplicates. The geometry replaces q_embed_near_"
-    "dup's label blocking: candidate generation is an N x K broadcast "
-    "scoring pass (centroids are KB-scale), the quadratic step is "
-    "bounded per block, and no all-pairs join ever forms.",
+    "by nearest centroid, then exact pairwise cosine runs ONLY within a "
+    "block, and pairs above 0.92 count as semantic duplicates. Blocking "
+    "centroids are a pluggable model (semantic_dedup(centroids=...) "
+    "takes the k-means matrix from llm/cluster.py so K scales with N); "
+    "the oracle replays the deterministic seed default. Assignment is "
+    "the ann_ivf zero-shuffle literal-argmax map — no N x K crossJoin, "
+    "no per-row window — the quadratic step is bounded per block, and "
+    "no all-pairs join ever forms.",
 )
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    return semantic_dedup(spark, sf_dir)
+
+
+def semantic_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    centroids: list[tuple[int, list[float]]] | None = None,
+    k: int = 8,
+    threshold: float = 0.92,
+) -> DataFrame:
+    """SemDeDup over embeddings with pluggable blocking centroids.
+
+    ``centroids`` is the blocking model — pass the refined centroid matrix
+    from ``llm.cluster.kmeans`` (via ``per_dim_means``) in production so K
+    scales with corpus size (SemDeDup's K ∝ N keeps the within-block
+    quadratic step bounded). When omitted, the first ``k`` vectors seed the
+    blocks deterministically (what the DuckDB oracle replays).
+
+    Assignment is the same zero-shuffle literal-argmax map as ``ann_ivf``:
+    centroids are KB-scale model state embedded as literals, each row
+    computes its K cosines JVM-side and argmaxes via array_position (first
+    max → lowest cid on ties, the ROW_NUMBER tie-break). No N×K crossJoin,
+    no window — assignment is exactly one pass over the data.
+    """
+    import math
 
     e = load(spark, sf_dir, "embeddings")
     v = e.select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
+    ).withColumn("_vnorm", l2_norm(F.col("vec")))
+    if centroids is None:
+        seed_rows = v.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
+        centroids = [(int(r.vec_id), [float(x) for x in r.vec]) for r in seed_rows]
+
+    def _cnorm(vec: list[float]) -> float:
+        # Python left-fold sum — identical order to the l2_norm column
+        # aggregate, so the doubles are bit-identical to the oracle's.
+        s = 0.0
+        for x in vec:
+            s += x * x
+        return math.sqrt(s)
+
+    sims = F.array(
+        *[
+            dot(F.col("vec"), F.array(*[F.lit(x) for x in cvec]))
+            / (F.col("_vnorm") * F.lit(_cnorm(cvec)))
+            for _, cvec in centroids
+        ]
     )
-    c = v.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("cid"),
-        F.col("vec").alias("cvec"),
-        l2_norm(F.col("vec")).alias("cn"),
-    )
-    cos_c = dot(F.col("vec"), F.col("cvec")) / (
-        l2_norm(F.col("vec")) * F.col("cn")
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_c"), F.asc("cid"))
-    assigned = (
-        v.crossJoin(F.broadcast(c))
-        .select("vec_id", "cid", "vec", cos_c.alias("cos_c"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cid", "vec")
+    cids = F.array(*[F.lit(cid) for cid, _ in centroids])
+    assigned = v.select(
+        "vec_id", _argmax_bucket(sims, cids).alias("cid"), "vec", "_vnorm"
     )
     a = assigned.select(
         "cid",
         F.col("vec_id").alias("id1"),
         F.col("vec").alias("v1"),
-        l2_norm(F.col("vec")).alias("n1"),
+        F.col("_vnorm").alias("n1"),
     )
     b = assigned.select(
         "cid",
         F.col("vec_id").alias("id2"),
         F.col("vec").alias("v2"),
-        l2_norm(F.col("vec")).alias("n2"),
+        F.col("_vnorm").alias("n2"),
     )
     dup_pairs = (
         a.join(b, "cid")
@@ -540,7 +572,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "cos_p"
             ),
         )
-        .filter(F.col("cos_p") >= 0.92)
+        .filter(F.col("cos_p") >= threshold)
         .groupBy("cid")
         .agg(F.count(F.lit(1)).alias("n_dup_pairs"))
     )

@@ -62,20 +62,30 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Load one driver-provided parquet table (TESTDATA.md).
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS); with
-    ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as a long we
-    convert to a microsecond timestamp (lossless — the fixture values are
-    micro-aligned; integer ``div`` avoids double-precision loss on epoch-ns).
+    ``events.ts`` has shipped in two fixture generations: parquet
+    TIMESTAMP(NANOS) (read as long via
+    ``spark.sql.legacy.parquet.nanosAsLong`` and converted to a
+    microsecond timestamp) and naive TIMESTAMP(MICROS)
+    (``isAdjustedToUTC=false``, which Spark 4 infers as TIMESTAMP_NTZ).
+    Both normalize here to a plain TIMESTAMP so downstream operators
+    (``unix_micros``, range frames, watermarks) see one type. The
+    NTZ→TIMESTAMP cast is wall-clock-preserving in the session zone, so
+    collected/rendered values are identical to DuckDB's naive read
+    regardless of the caller's timezone.
     """
     if table == "events":
         # Works on any caller-provided SparkSession (the driver builds its
         # own): enable nanos-as-long at runtime before reading.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
-    if table == "events" and dict(df.dtypes).get("ts") == "bigint":
+    if table == "events":
         from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

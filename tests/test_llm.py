@@ -223,3 +223,29 @@ def test_connected_components_matches_union_find(spark, edges):
     df = spark.createDataFrame(edges, "id1 bigint, id2 bigint")
     got = {r.node: r.component for r in connected_components(df).collect()}
     assert got == expected
+
+
+def test_semantic_dedup_accepts_kmeans_centroids(spark):
+    """The blocking model is pluggable: feeding the k-means centroid
+    matrix (K from the model, not hardcoded) partitions every vector into
+    exactly one block and preserves the corpus row count."""
+    from pyspark.sql import functions as F
+
+    from parquet_compactor_spark.llm.cluster import kmeans, per_dim_means
+    from parquet_compactor_spark.llm.similarity import semantic_dedup
+    from parquet_compactor_spark.registry import load
+    from tests.conftest import SF_SMOKE
+
+    vecs = load(spark, SF_SMOKE, "embeddings").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("vec"),
+    )
+    assigned = kmeans(vecs).join(vecs, "vec_id")
+    model = [
+        (int(r.cluster), [float(x) for x in r.cvec])
+        for r in per_dim_means(assigned)
+    ]
+    out = semantic_dedup(spark, SF_SMOKE, centroids=model).collect()
+    n_total = vecs.count()
+    assert sum(r.n_vecs for r in out) == n_total
+    assert {r.cluster_id for r in out} <= {cid for cid, _ in model}

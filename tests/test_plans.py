@@ -287,13 +287,36 @@ def test_max_concurrency_sweep_is_segmented(spark):
 
 
 def test_cume_dist_avoids_low_cardinality_window(spark):
-    """cume_dist needs its full partition in one task, so windowing on a
-    5-value priority key over fact-proportional rows cannot scale. The
-    two-pass form (value-ordered aggregation + broadcast per-priority
-    totals) must yield a plan with NO analytic Window at all — ranks come
-    from aggregates, totals rejoin via broadcast."""
+    """cume_dist needs its full partition in one task, so windowing on the
+    5-value priority key alone over fact-proportional rows cannot scale.
+    The banded form segments every fact-sized window by the price band:
+    each window spec ordered by o_totalprice must include the band in its
+    partition keys. Only the TINY per-band-totals prefix (input =
+    |priorities| x |bands| aggregate rows, ordered by band or unordered)
+    may partition by priority alone; the offsets rejoin via broadcast."""
+    import re
+
     from parquet_compactor_spark.plans import formatted_plan
 
     plan = formatted_plan(QUERIES["q_cume_dist"].fn(spark, SF_SMOKE))
-    assert "Window" not in plan
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "expected window specs in the plan"
+    fact_specs = [s for s in specs if re.search(r"o_totalprice#\d+ ASC", s)]
+    assert fact_specs, "expected the within-band rank window"
+    for s in fact_specs:
+        assert "band#" in s, f"fact-sized window not band-segmented: {s}"
     assert props(spark, "q_cume_dist").has_broadcast_join
+
+
+def test_semantic_dedup_assignment_is_zero_shuffle_map(spark):
+    """Centroid assignment must be the literal-argmax map (centroids are
+    collected KB-scale model state), never an N x K crossJoin + per-row
+    row_number: the plan may contain no nested-loop/cartesian join and no
+    analytic Window — the only joins are the within-block equi-join on cid
+    and the broadcast rejoin of per-block pair counts."""
+    from parquet_compactor_spark.plans import formatted_plan
+
+    p = props(spark, "q_semantic_dedup")
+    assert not p.has_cartesian
+    plan = formatted_plan(QUERIES["q_semantic_dedup"].fn(spark, SF_SMOKE))
+    assert "Window" not in plan

@@ -344,3 +344,42 @@ def test_streaming_locf_matches_batch(spark, landing_dir):
         for r in all_queries()["q_locf_interpolate"].fn(spark, SF_SMOKE).collect()
     }
     assert streamed == expected
+
+
+def test_stateful_v2_gate_reports_cleanly():
+    """The transformWithState (state API v2) module imports on any
+    environment; without protobuf the operator raises a clear unlock
+    instruction instead of failing deep inside the Python worker."""
+    from parquet_compactor_spark.streaming import stateful_v2
+
+    if stateful_v2.HAVE_TWS:
+        pytest.skip("protobuf present — gate open, parity test covers it")
+    with pytest.raises(ImportError, match="protobuf"):
+        stateful_v2.sessionize_stream_v2(None)
+
+
+def test_stateful_v2_sessionization_matches_batch(spark, landing_dir):
+    """When the container gains protobuf, the v2 sessionizer must emit the
+    same sealed sessions as the v1/batch twins (same oracle transitively)."""
+    from parquet_compactor_spark.streaming import stateful_v2
+
+    if not stateful_v2.HAVE_TWS:
+        pytest.skip("google.protobuf absent — transformWithState gated off")
+
+    stream = read_events_stream(spark, landing_dir, max_files_per_trigger=1)
+    run_stream_to_memory(
+        stateful_v2.sessionize_stream_v2(stream, watermark="1 hour"),
+        "sessions_v2",
+        complete=False,
+    )
+    streamed = {
+        (r.user_id, r.session_start, r.session_end): (r.n_events, r.total_value)
+        for r in spark.table("sessions_v2").collect()
+    }
+    batch_keyed = {
+        (r.user_id, r.session_start, r.session_end): (r.n_events, r.total_value)
+        for r in sessionize_batch(load(spark, SF_SMOKE, "events")).collect()
+    }
+    assert streamed, "v2 stream emitted no sessions"
+    for key, val in streamed.items():
+        assert batch_keyed.get(key) == val, f"v2-stream-only session {key}"
