@@ -74,33 +74,34 @@ def main() -> None:
 
 
 def bench_compaction(spark, sf_dir: str) -> dict:
-    """Compaction-core throughput: split lineitem into many small files,
+    """Compaction-core throughput: a leaf of many small lineitem files,
     compact, report bytes/s and file fan-in (BASELINE.md proxy metric).
 
-    The lake is lineitem replicated BENCH_COMPACT_MULT times (default 10,
-    ~10x the round-1 input) across BENCH_COMPACT_FILES small files, so
-    the number measures merge throughput rather than fixed job overhead.
+    The lake is a 4-file lineitem template OS-copied out to
+    BENCH_COMPACT_FILES small files (default 256 → ~1.1 GB at sf0.1:
+    duplicated rows are irrelevant to a file merge, and copying costs
+    seconds where regenerating that volume through Spark cost minutes),
+    so the number measures merge throughput rather than fixed job
+    overhead or fixture setup.
     """
     import shutil
     import tempfile
     from pathlib import Path as P
 
-    from pyspark.sql import functions as F
-
     from parquet_compactor_spark.compactor import CompactionConfig, LakeCompactor
 
-    mult = int(os.environ.get("BENCH_COMPACT_MULT", "10"))
-    files_n = int(os.environ.get("BENCH_COMPACT_FILES", "128"))
+    files_n = int(os.environ.get("BENCH_COMPACT_FILES", "256"))
+    template_n = 4
     tmp = tempfile.mkdtemp(prefix="bench_compact_")
     leaf = P(tmp) / "acct" / "source=OCP" / "year=2020" / "month=01"
     try:
+        tpl_dir = P(tmp) / "_template"
         df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-        if mult > 1:
-            df = df.withColumn(
-                "_rep", F.explode(F.array(*[F.lit(i) for i in range(mult)]))
-            ).drop("_rep")
-        df.repartition(files_n).write.mode("overwrite").parquet(str(leaf))
-        (leaf / "_SUCCESS").unlink(missing_ok=True)
+        df.repartition(template_n).write.mode("overwrite").parquet(str(tpl_dir))
+        templates = sorted(tpl_dir.glob("*.parquet"))
+        leaf.mkdir(parents=True)
+        for i in range(files_n):
+            shutil.copy(templates[i % template_n], leaf / f"chunk_{i:05d}.parquet")
         # Age the files past the 5-day hold-back.
         old = time.time() - 10 * 86400
         files_in = list(leaf.glob("*.parquet"))

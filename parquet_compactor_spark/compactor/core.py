@@ -261,6 +261,7 @@ class LakeCompactor:
 
         tmp_dir = f"{leaf}_compact_tmp_{uuid.uuid4().hex}"
         renamed: list[str] = []
+        saved_confs: dict[str, str | None] = {}
         try:
             reader = self.spark.read
             if self.config.merge_schema:
@@ -281,7 +282,33 @@ class LakeCompactor:
                     n_out, *self.config.cluster_by
                 ).sortWithinPartitions(*self.config.cluster_by)
             else:
-                df = df.repartition(n_out)
+                # Shuffle-free merge. repartition(n) is a full shuffle of
+                # the leaf — at lake scale the compactor would shuffle
+                # EVERYTHING it rewrites just to resize files. Instead,
+                # size the READ splits so each scan task holds ≈ one
+                # output file's worth, and write straight through: the
+                # plan is scan → write, zero exchanges, parallelism =
+                # output file count. Row density is uniform within a
+                # leaf, so byte-sized splits track the 1M-row chunk rule;
+                # targeting 90% of the cap keeps maxRecordsPerFile (the
+                # hard cap below) from splitting off remainder files.
+                rows = df.count()  # parquet count() — row-group metadata
+                n_chunks = max(
+                    n_out, math.ceil(rows / (0.9 * self.config.chunked_rows)), 1
+                )
+                open_cost = 65536
+                split = (total_bytes + len(file_list) * open_cost) // n_chunks + 1
+                conf = self.spark.conf
+                for key, val in (
+                    ("spark.sql.files.maxPartitionBytes", str(split)),
+                    ("spark.sql.files.openCostInBytes", str(open_cost)),
+                    ("spark.sql.files.minPartitionNum", "1"),
+                ):
+                    saved_confs[key] = conf.get(key, None)
+                    conf.set(key, val)
+                # Re-plan under the tuned split confs (scan partitioning
+                # is decided when the write job runs).
+                df = reader.parquet(*file_list)
             (
                 df
                 .write.option("compression", "snappy")
@@ -310,6 +337,11 @@ class LakeCompactor:
             print(f"compaction merge failed for {leaf}: {err}")
             return False
         finally:
+            for key, val in saved_confs.items():
+                if val is None:
+                    self.spark.conf.unset(key)
+                else:
+                    self.spark.conf.set(key, val)
             self.fs.delete(tmp_dir, recursive=True)
 
     def merge_files(self, leaf: str, base_name: str, file_list: list[str]) -> bool:

@@ -50,9 +50,18 @@ def get_spark(
         os.environ.get("SPARK_SHUFFLE_PARTITIONS", str(cpus))
     )
 
+    # local[N] runs every task thread inside ONE driver JVM: the 1g
+    # default heap gives ~32 MB per concurrent task at N=32 and OOMs on
+    # GB-scale merges. Size the heap like a real executor fleet would be
+    # sized (heap ∝ cores); harmless on a cluster where spark-submit
+    # overrides it. Only effective at JVM launch — getOrCreate on an
+    # existing session keeps the session's original setting.
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        .config("spark.driver.memory", driver_mem)
         # Deterministic timestamp semantics (oracle parity).
         .config("spark.sql.session.timeZone", "UTC")
         # AQE: post-shuffle coalescing + skew-join handling — the runtime
