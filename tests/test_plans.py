@@ -320,3 +320,35 @@ def test_semantic_dedup_assignment_is_zero_shuffle_map(spark):
     assert not p.has_cartesian
     plan = formatted_plan(QUERIES["q_semantic_dedup"].fn(spark, SF_SMOKE))
     assert "Window" not in plan
+
+
+def test_funnel_is_two_aggs_no_self_join(spark):
+    """The k-step funnel must be conditional-MIN aggregation, never a
+    k-way self-join of the fact table: exactly one shuffle (user_id) plus
+    the single-partition final roll-up, map-side partial agg present, and
+    no join operator of any kind in the plan."""
+    from parquet_compactor_spark.plans import formatted_plan
+
+    p = props(spark, "q_funnel_steps")
+    assert p.has_partial_agg
+    assert p.exchange_count <= 2
+    plan = formatted_plan(QUERIES["q_funnel_steps"].fn(spark, SF_SMOKE))
+    assert "Join" not in plan
+
+
+def test_salted_join_spreads_key_over_salt(spark):
+    """The salted join must key on (custkey, salt) — every equi-join key
+    list in the plan carries the salt column, so a hot key's rows hash to
+    SALT_BUCKETS different reducers — and it stays an equi-join, never a
+    cartesian."""
+    import re
+
+    from parquet_compactor_spark.plans import formatted_plan
+
+    p = props(spark, "q_salted_join")
+    assert not p.has_cartesian
+    plan = formatted_plan(QUERIES["q_salted_join"].fn(spark, SF_SMOKE))
+    key_lists = re.findall(r"(?:Left|Right) keys \[\d+\]: \[([^\]]*)\]", plan)
+    assert key_lists, "expected equi-join key lists in the plan"
+    for keys in key_lists:
+        assert "_salt" in keys, f"join keys not salted: {keys}"
