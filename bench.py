@@ -58,16 +58,47 @@ def main() -> None:
 
     compaction = bench_compaction(spark, sf_dir)
 
+    # Full per-query detail (all timings) goes to a sidecar file; the
+    # stdout line must stay SHORT. The harness that records bench output
+    # keeps only a bounded tail of stdout and parses its last line as
+    # JSON — a 134-query map blows past that window and the whole run
+    # parses as nothing (round 2's record shows exactly this). The final
+    # line therefore carries the totals plus the slowest-30 queries
+    # (the entire performance signal) and stays well under the window.
+    detail = {
+        "metric": "query_surface_wall_clock",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "compaction": compaction,
+    }
+    detail_path = os.environ.get(
+        "BENCH_DETAIL_PATH", str(Path(REPO_ROOT) / "BENCH_DETAIL.json")
+    )
+    try:
+        with open(detail_path, "w") as fh:
+            json.dump(detail, fh, indent=1)
+    except OSError:
+        pass  # read-only checkout: stdout line still carries the summary
+
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:30]
+    )
     print(
         json.dumps(
             {
                 "metric": "query_surface_wall_clock",
                 "value": round(total, 3),
                 "unit": "sec",
-                "queries": timings,
+                "queries": slowest,
+                "n_queries": len(timings),
+                "queries_omitted": len(timings) - len(slowest),
+                "detail_file": detail_path,
                 "sf": sf,
                 "compaction": compaction,
-            }
+            },
+            separators=(",", ":"),
         )
     )
     spark.stop()
