@@ -373,3 +373,42 @@ def test_zstd_write_smaller_than_snappy(spark, tmp_path):
     )
     assert spark.read.parquet(zstd_dir).count() == 50_000
     assert size(zstd_dir) < size(snappy_dir)
+
+
+def test_partitioned_join_uses_dynamic_partition_pruning(spark, tmp_path):
+    """On a hive-partitioned lake, a join whose dim side filters the
+    partition column must prune fact partitions AT RUNTIME (DPP): the
+    fact scan's partition filters carry a dynamicpruning subquery fed by
+    the dim's broadcast. At 100 TB this is the difference between
+    scanning one partition and scanning the lake — pin it so a plan
+    regression (e.g. a cast that defeats pruning) fails here."""
+    from pyspark.sql import functions as F
+
+    from parquet_compactor_spark.registry import load
+    from parquet_compactor_spark.sources.io import write_table
+
+    lake = str(tmp_path / "orders_by_priority")
+    orders = load(spark, SF_SMOKE, "orders")
+    write_table(orders, lake, partition_by=["o_orderpriority"])
+
+    fact = spark.read.parquet(lake)
+    # The dim filter must be on a NON-join column: a predicate on the
+    # join key itself propagates to the fact as a static partition
+    # filter (no runtime pruning needed), which is the easy case. Here
+    # only executing the dim reveals which priorities survive.
+    dim = (
+        orders.filter(F.col("o_orderkey") % 97 == 0)
+        .select("o_orderpriority")
+        .distinct()
+    )
+    joined = fact.join(dim, "o_orderpriority").groupBy("o_orderpriority").count()
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    got = {r.o_orderpriority: r["count"] for r in joined.collect()}
+    surviving = {r.o_orderpriority for r in dim.collect()}
+    expected = {
+        r.o_orderpriority: r["count"]
+        for r in orders.groupBy("o_orderpriority").count().collect()
+        if r.o_orderpriority in surviving
+    }
+    assert got == expected

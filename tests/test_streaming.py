@@ -383,3 +383,40 @@ def test_stateful_v2_sessionization_matches_batch(spark, landing_dir):
     assert streamed, "v2 stream emitted no sessions"
     for key, val in streamed.items():
         assert batch_keyed.get(key) == val, f"v2-stream-only session {key}"
+
+
+def test_sessionize_on_rocksdb_state_store(spark, landing_dir):
+    """The stateful operators must run unchanged on the RocksDB state
+    store provider — at real scale per-key session state outgrows the
+    default in-heap HDFS-backed store, and RocksDB (off-heap, spillable,
+    changelog-checkpointed) is the store a 100 TB deployment runs. Same
+    sealed sessions as the default-store run, same batch twins."""
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    saved = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = read_events_stream(spark, landing_dir, max_files_per_trigger=1)
+        run_stream_to_memory(
+            sessionize_stream(stream, watermark="1 hour"),
+            "sessions_rocksdb",
+            complete=False,
+        )
+        streamed = {
+            (r.user_id, r.session_start, r.session_end): (r.n_events, r.total_value)
+            for r in spark.table("sessions_rocksdb").collect()
+        }
+    finally:
+        if saved is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, saved)
+    batch_keyed = {
+        (r.user_id, r.session_start, r.session_end): (r.n_events, r.total_value)
+        for r in sessionize_batch(load(spark, SF_SMOKE, "events")).collect()
+    }
+    assert streamed, "rocksdb stream emitted no sessions"
+    for key, val in streamed.items():
+        assert batch_keyed.get(key) == val, f"rocksdb-only session {key}"
