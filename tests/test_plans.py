@@ -352,3 +352,51 @@ def test_salted_join_spreads_key_over_salt(spark):
     assert key_lists, "expected equi-join key lists in the plan"
     for keys in key_lists:
         assert "_salt" in keys, f"join keys not salted: {keys}"
+
+
+def test_runtime_bloom_filter_reduces_shuffle_join(spark):
+    """Runtime filter injection (the non-partitioned cousin of DPP): a
+    selective dim filter on a sort-merge join side must inject a bloom
+    filter that prunes fact rows BEFORE the shuffle. Spark's size
+    thresholds correctly keep it off at toy scale, so the test lowers
+    them — what's pinned is that the engine's session still injects the
+    filter when the sizes warrant (a conf regression would silently drop
+    the optimization at real scale)."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_SMOKE
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        assert spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+        l = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+        o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").filter(
+            F.col("o_totalprice") > 400000
+        )
+        j = l.join(o, l.l_orderkey == o.o_orderkey).groupBy("l_returnflag").count()
+        phys = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in phys.lower()
+        got = {r.l_returnflag: r["count"] for r in j.collect()}
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    plain = (
+        spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+        .join(
+            spark.read.parquet(f"{SF_SMOKE}/orders.parquet").filter(
+                F.col("o_totalprice") > 400000
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_returnflag")
+        .count()
+    )
+    expected = {r.l_returnflag: r["count"] for r in plain.collect()}
+    assert got == expected
