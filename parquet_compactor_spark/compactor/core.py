@@ -261,7 +261,6 @@ class LakeCompactor:
 
         tmp_dir = f"{leaf}_compact_tmp_{uuid.uuid4().hex}"
         renamed: list[str] = []
-        saved_confs: dict[str, str | None] = {}
         try:
             reader = self.spark.read
             if self.config.merge_schema:
@@ -298,16 +297,17 @@ class LakeCompactor:
                 )
                 open_cost = 65536
                 split = (total_bytes + len(file_list) * open_cost) // n_chunks + 1
-                conf = self.spark.conf
-                for key, val in (
-                    ("spark.sql.files.maxPartitionBytes", str(split)),
-                    ("spark.sql.files.openCostInBytes", str(open_cost)),
-                    ("spark.sql.files.minPartitionNum", "1"),
-                ):
-                    saved_confs[key] = conf.get(key, None)
-                    conf.set(key, val)
-                # Re-plan under the tuned split confs (scan partitioning
-                # is decided when the write job runs).
+                # Isolated child session: same SparkContext/executors,
+                # PRIVATE SQLConf — concurrent leaf merges (compact's
+                # max_concurrency > 1 thread pool) each tune their own
+                # split size without racing on session-wide confs.
+                sess = self.spark.newSession()
+                sess.conf.set("spark.sql.files.maxPartitionBytes", str(split))
+                sess.conf.set("spark.sql.files.openCostInBytes", str(open_cost))
+                sess.conf.set("spark.sql.files.minPartitionNum", "1")
+                reader = sess.read
+                if self.config.merge_schema:
+                    reader = reader.option("mergeSchema", "true")
                 df = reader.parquet(*file_list)
             (
                 df
@@ -337,11 +337,6 @@ class LakeCompactor:
             print(f"compaction merge failed for {leaf}: {err}")
             return False
         finally:
-            for key, val in saved_confs.items():
-                if val is None:
-                    self.spark.conf.unset(key)
-                else:
-                    self.spark.conf.set(key, val)
             self.fs.delete(tmp_dir, recursive=True)
 
     def merge_files(self, leaf: str, base_name: str, file_list: list[str]) -> bool:
