@@ -400,3 +400,28 @@ def test_runtime_bloom_filter_reduces_shuffle_join(spark):
     )
     expected = {r.l_returnflag: r["count"] for r in plain.collect()}
     assert got == expected
+
+
+def test_no_unexpected_cartesian_in_any_registered_query(spark):
+    """Global scale-killer audit: EVERY registered query's plan is checked
+    for CartesianProduct / BroadcastNestedLoopJoin. The allowlist names
+    the deliberate scalar broadcasts (a 1-row or KB-scale side crossJoined
+    onto the stream — constant-size, never fact x fact) plus the one
+    intentional q_cross_join demo. A future query that accidentally
+    degrades to a pair-forming join fails here by name."""
+    allowed = {
+        "q_cross_join",  # the deliberate cartesian demo
+        "q_sim_topk",  # 1-row query vector broadcast
+        "q_percent_of_total",  # 1-row grand-total scalar
+        "q_tfidf_topterms",  # 1-row corpus document count
+        "q_bm25",  # 1-row corpus stats (N, avgdl)
+        "q_unigram_logprob",  # 1-row corpus token total
+        "q_domain_mix",  # 1-row global min source count
+        "q_equidepth_hist",  # 1-row broadcast percentile bounds
+        "q_gapfill_buckets",  # tiny day x type spine
+    }
+    offenders = []
+    for name in QUERIES:
+        if props(spark, name).has_cartesian and name not in allowed:
+            offenders.append(name)
+    assert not offenders, f"unexpected cartesian/nested-loop joins: {offenders}"
