@@ -611,6 +611,75 @@ def q_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_heavy_hitters",
+    oracle=None,  # DataSketches frequent-items state is engine-specific;
+    # exactness at this cardinality + sketch mergeability are pinned by
+    # tests/test_oracle.py.
+    doc="Approximate heavy hitters: approx_top_k(user_id, 5) per "
+    "event_type — the mergeable frequent-items sketch for 'top "
+    "domains / top tokens / hottest keys over 100 TB'. Map-side "
+    "sketches (approx_top_k_accumulate) combine associatively "
+    "(approx_top_k_combine) in KBs per group, so the hot-key census "
+    "never shuffles raw keys; with maxItemsTracked >= the true "
+    "cardinality the counts are exact, which is what the test pins at "
+    "this SF. Output: one row per (event_type, top-ranked user).",
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(F.expr("approx_top_k(user_id, 5)").alias("top"))
+        .select(
+            "event_type", F.explode("top").alias("hh")
+        )
+        .select(
+            "event_type",
+            F.col("hh.item").alias("user_id"),
+            F.col("hh.count").alias("n_events"),
+        )
+    )
+
+
+@register(
+    "q_kll_quantiles",
+    oracle=None,  # KLL sketch binaries are engine-specific; rank accuracy
+    # vs exact percentiles + merge associativity pinned in tests/test_oracle.py.
+    doc="Mergeable quantile sketches: kll_sketch_agg_double over "
+    "l_extendedprice per return flag, read back at p50/p90/p99. Like "
+    "the HLL operator, the sketch IS the partial-agg state — per-"
+    "executor KLL sketches merge associatively (kll_sketch_merge_"
+    "double) in KBs, which is how you track price distributions over "
+    "100 TB without a global sort; daily sketches roll up into monthly "
+    "distributions without rescanning. KLL gives a priori rank-error "
+    "bounds (~1.7% at the default k=200), unlike approx_percentile's "
+    "t-digest heuristic.",
+)
+def q_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    sk = l.groupBy("l_returnflag").agg(
+        F.expr("kll_sketch_agg_double(l_extendedprice)").alias("sk"),
+        F.expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))").alias(
+            "exact_q"
+        ),
+    )
+    return sk.select(
+        "l_returnflag",
+        F.round(
+            F.expr("kll_sketch_get_quantile_double(sk, 0.5)"), 2
+        ).alias("p50"),
+        F.round(
+            F.expr("kll_sketch_get_quantile_double(sk, 0.9)"), 2
+        ).alias("p90"),
+        F.round(
+            F.expr("kll_sketch_get_quantile_double(sk, 0.99)"), 2
+        ).alias("p99"),
+        F.round(F.element_at("exact_q", 1), 2).alias("exact_p50"),
+        F.round(F.element_at("exact_q", 2), 2).alias("exact_p90"),
+        F.round(F.element_at("exact_q", 3), 2).alias("exact_p99"),
+    )
+
+
+@register(
     "q_correlated_subquery",
     oracle="""
     SELECT o.o_custkey,

@@ -63,3 +63,121 @@ def test_hll_sketches_merge_across_partitions(spark):
         .est
     )
     assert whole == halves
+
+
+def test_heavy_hitters_exact_at_small_cardinality(spark):
+    """With maxItemsTracked (default 10k) >= true cardinality (150 users),
+    approx_top_k counts are exact: every reported (type, user, count) must
+    equal the exact groupBy count, and each type's reported users must be
+    a top-5-by-count set (ties at the boundary make the cut order free)."""
+    from pyspark.sql import functions as F
+
+    from parquet_compactor_spark.registry import load
+
+    got = QUERIES["q_heavy_hitters"].fn(spark, SF_SMOKE).collect()
+    assert got
+    e = load(spark, SF_SMOKE, "events")
+    exact = {
+        (r.event_type, r.user_id): r["count"]
+        for r in e.groupBy("event_type", "user_id").count().collect()
+    }
+    by_type: dict = {}
+    for r in got:
+        assert exact[(r.event_type, r.user_id)] == r.n_events
+        by_type.setdefault(r.event_type, []).append(r.n_events)
+    for etype, counts in by_type.items():
+        assert len(counts) == 5
+        type_counts = sorted(
+            (v for (t, _), v in exact.items() if t == etype), reverse=True
+        )
+        # The 5 reported counts are the 5 largest exact counts.
+        assert sorted(counts, reverse=True) == type_counts[:5], etype
+
+
+def test_heavy_hitter_sketches_merge_across_partitions(spark):
+    """approx_top_k state is mergeable: accumulate per half, combine,
+    estimate == a single-pass estimate (same items and counts)."""
+    from pyspark.sql import functions as F
+
+    from parquet_compactor_spark.registry import load
+
+    e = load(spark, SF_SMOKE, "events")
+    whole = (
+        e.agg(F.expr("approx_top_k(user_id, 10)").alias("top"))
+        .select(F.explode("top").alias("hh"))
+        .select("hh.item", "hh.count")
+        .collect()
+    )
+    halves = (
+        e.withColumn("half", (F.col("event_id") % 2).cast("int"))
+        .groupBy("half")
+        .agg(F.expr("approx_top_k_accumulate(user_id)").alias("acc"))
+        .agg(F.expr("approx_top_k_estimate(approx_top_k_combine(acc), 10)").alias("top"))
+        .select(F.explode("top").alias("hh"))
+        .select("hh.item", "hh.count")
+        .collect()
+    )
+    assert {(r.item, r["count"]) for r in whole} == {
+        (r.item, r["count"]) for r in halves
+    }
+
+
+def test_kll_quantiles_within_rank_error(spark):
+    """KLL at default k guarantees ~1.7% rank error; assert each reported
+    quantile's EXACT rank is within 3% of the requested rank."""
+    rows = QUERIES["q_kll_quantiles"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    from pyspark.sql import functions as F
+
+    from parquet_compactor_spark.registry import load
+
+    l = load(spark, SF_SMOKE, "lineitem")
+    for r in rows:
+        vals = [
+            x.l_extendedprice
+            for x in l.filter(F.col("l_returnflag") == r.l_returnflag)
+            .select("l_extendedprice")
+            .collect()
+        ]
+        vals.sort()
+        n = len(vals)
+        for q, est in [(0.5, r.p50), (0.9, r.p90), (0.99, r.p99)]:
+            import bisect
+
+            rank = bisect.bisect_right(vals, est) / n
+            assert abs(rank - q) <= 0.03, (r.l_returnflag, q, est, rank)
+
+
+def test_kll_sketches_merge_across_partitions(spark):
+    """KLL sketches built on disjoint halves merge to the same quantile
+    estimates as one pass over the whole."""
+    from pyspark.sql import functions as F
+
+    from parquet_compactor_spark.registry import load
+
+    l = load(spark, SF_SMOKE, "lineitem")
+    whole = l.agg(
+        F.expr(
+            "kll_sketch_get_quantile_double(kll_sketch_agg_double(l_extendedprice), 0.9)"
+        ).alias("p90")
+    ).collect()[0].p90
+    halves = (
+        l.withColumn("half", (F.col("l_orderkey") % 2).cast("int"))
+        .groupBy("half")
+        .agg(F.expr("kll_sketch_agg_double(l_extendedprice)").alias("sk"))
+        .agg(F.collect_list("sk").alias("sks"))
+        # kll_sketch_merge_double is a binary scalar merge: fold the
+        # per-half sketches with a higher-order reduce.
+        .select(
+            F.expr(
+                "kll_sketch_get_quantile_double("
+                "  reduce(slice(sks, 2, size(sks) - 1), sks[0],"
+                "         (acc, x) -> kll_sketch_merge_double(acc, x)),"
+                "  0.9)"
+            ).alias("p90")
+        )
+        .collect()[0]
+        .p90
+    )
+    # Merge is lossless for the k=200 default at this input size.
+    assert abs(whole - halves) / whole < 0.02
