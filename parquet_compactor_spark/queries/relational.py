@@ -630,3 +630,90 @@ def q_multiset_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ea = a.exceptAll(b).select(F.lit("except_all").alias("op"), "l_quantity")
     return ia.unionByName(ea)
+
+
+@register(
+    "q_promo_revenue",
+    oracle="""
+    SELECT ROUND(100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+                   THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END)
+                 / SUM(l.l_extendedprice * (1 - l.l_discount)), 4)
+               AS promo_share_pct,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= DATE '1995-09-01'
+      AND l.l_shipdate <  DATE '1995-10-01'
+    """,
+    doc="TPC-H Q14-shaped (promotion effect): one month of lineitem "
+    "joined to part, promo share as a conditional-sum ratio. The month "
+    "predicate pushes to the fact scan (row-group pruning carries it at "
+    "100 TB); part is fact-proportional so its join stays unhinted for "
+    "AQE, and both sums partial-aggregate into a single scalar row "
+    "(reference workload shape: TPC-H dbgen; no reference-engine "
+    "counterpart — north-star parity).",
+)
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-09-01") & (F.col("l_shipdate") < "1995-10-01")
+    )
+    p = load(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_share_pct"),
+            F.round(F.sum(rev), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q_nation_revenue",
+    oracle="""
+    SELECT n.n_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= DATE '1996-01-01'
+      AND o.o_orderdate <  DATE '1997-01-01'
+    GROUP BY n.n_name
+    """,
+    doc="TPC-H Q5-shaped (local-supplier volume, fixture-adapted to the "
+    "customer->nation path): a 5-table join tree where the constant "
+    "dims (nation, region — 25/5 rows at any SF) carry explicit "
+    "broadcast hints, the fact-proportional customer join is left to "
+    "AQE, the year predicate pushes to the orders scan, and revenue "
+    "partial-aggregates per nation. The join-ordering discipline is "
+    "q_join_multiway's, one fact deeper.",
+)
+def q_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = load(spark, sf_dir, "lineitem")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )

@@ -425,3 +425,20 @@ def test_no_unexpected_cartesian_in_any_registered_query(spark):
         if props(spark, name).has_cartesian and name not in allowed:
             offenders.append(name)
     assert not offenders, f"unexpected cartesian/nested-loop joins: {offenders}"
+
+
+def test_nation_revenue_pushes_dates_and_broadcasts_dims(spark):
+    """The Q5-shaped tree: year predicate reaches the orders scan, the
+    constant dims broadcast, and nothing degrades to a cartesian."""
+    p = props(spark, "q_nation_revenue")
+    assert p.has_broadcast_join
+    assert not p.has_cartesian
+    assert any("o_orderdate" in f for f in p.pushed_filters)
+    assert p.has_partial_agg
+
+
+def test_promo_revenue_pushes_month_predicate(spark):
+    p = props(spark, "q_promo_revenue")
+    assert any("l_shipdate" in f for f in p.pushed_filters)
+    assert not p.has_cartesian
+    assert p.has_partial_agg
