@@ -17,6 +17,7 @@ from parquet_compactor_spark.compactor.core import (
     filter_compacted_gcp,
     should_skip_compacting,
 )
+from parquet_compactor_spark.compactor.report import lake_report
 
 __all__ = [
     "CompactionConfig",
@@ -26,4 +27,5 @@ __all__ = [
     "filter_compacted",
     "filter_compacted_gcp",
     "should_skip_compacting",
+    "lake_report",
 ]

@@ -495,3 +495,37 @@ def test_compaction_with_zorder_layout(spark, lake):
     assert read_ids(leaf) == before  # row multiset preserved
     # Second run: outputs recognized as prior compactions -> no-op.
     assert list(c.compact().values()) == ["nothing_to_compact"]
+
+
+def test_lake_report_ranks_leaves_by_reclaimable_files(spark, lake):
+    """The metadata-only report: a leaf of many small files shows a high
+    small_file_ratio and a positive reclaimable count; after compaction
+    the same leaf reports nothing reclaimable. No data files are read —
+    only the listing feeds the report."""
+    from parquet_compactor_spark.compactor import lake_report
+
+    messy = lake / "acct1" / "source=OCP" / "year=2024" / "month=01"
+    for i in range(6):
+        write_small_parquet(messy / f"in-{i}.parquet", start=i * 100)
+
+    rep = {r.leaf: r for r in lake_report(spark, str(lake)).collect()}
+    (leaf_stats,) = rep.values()
+    assert leaf_stats.n_files == 6
+    assert leaf_stats.small_files == 6
+    assert leaf_stats.small_file_ratio == 1.0
+    assert leaf_stats.ideal_files == 1  # few KB -> one target-size file
+    assert leaf_stats.reclaimable_files == 5
+
+    compactor(spark, lake).compact()
+    rep2 = {r.leaf: r for r in lake_report(spark, str(lake)).collect()}
+    (after,) = rep2.values()
+    assert after.n_files == 1
+    assert after.reclaimable_files == 0
+
+
+def test_lake_report_empty_root(spark, tmp_path):
+    from parquet_compactor_spark.compactor import lake_report
+
+    df = lake_report(spark, str(tmp_path / "nothing"))
+    assert df.count() == 0
+    assert "reclaimable_files" in df.columns
