@@ -101,6 +101,12 @@ def _ensure_loaded() -> None:
 # correctness row from rounds 1-2, then the 2 negative-zero oracle refixes,
 # then 13 rotation slots re-verifying round-1-only greens against silent
 # regression. Everything not listed follows in registration order.
+#
+# Round-4 rotation plan: the 7 round-3 additions have no driver row yet —
+# q_funnel_steps, q_retention_cohorts, q_salted_join, q_promo_revenue,
+# q_nation_revenue (oracle-checked) and q_heavy_hitters, q_kll_quantiles
+# (rows-only sketches). List them first next round, then refill the
+# window with the oldest-checked greens.
 _PRIORITY: tuple[str, ...] = (
     # -- 35 never driver-checked (rounds 1+2 complement) --
     "q_char_trigrams",
