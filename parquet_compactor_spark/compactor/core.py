@@ -394,8 +394,18 @@ class LakeCompactor:
         of serializing one small job per leaf — the scale knob SURVEY.md
         §7 step 6 calls for. Default 1 mirrors the reference's sequential
         orchestration (parquet_compactor.py:295-328).
+
+        Leaves are processed WORST-FIRST (most candidate files first,
+        path as deterministic tiebreak): if a run is interrupted or
+        time-budgeted, the files reclaimed per minute are maximized —
+        the scheduling order lake_report would recommend. The reference
+        iterates in listing order, so an interrupted run can spend its
+        budget on leaves that barely need work.
         """
-        leaves = sorted(self.candidate_leaves().items())
+        leaves = sorted(
+            self.candidate_leaves().items(),
+            key=lambda kv: (-len(kv[1]), kv[0]),
+        )
         if max_concurrency <= 1:
             return {leaf: self._compact_leaf(leaf, files) for leaf, files in leaves}
 

@@ -529,3 +529,23 @@ def test_lake_report_empty_root(spark, tmp_path):
     df = lake_report(spark, str(tmp_path / "nothing"))
     assert df.count() == 0
     assert "reclaimable_files" in df.columns
+
+
+def test_compact_processes_worst_leaf_first(spark, lake):
+    """Interrupted or time-budgeted runs must reclaim the most files per
+    unit of work: the leaf with the most merge candidates compacts first
+    (path order breaks ties deterministically)."""
+    small = lake / "acct1" / "source=OCP" / "year=2024" / "month=01"
+    big = lake / "acct2" / "source=OCP" / "year=2024" / "month=01"
+    for i in range(2):
+        write_small_parquet(small / f"in-{i}.parquet", start=i * 100)
+    for i in range(6):
+        write_small_parquet(big / f"in-{i}.parquet", start=i * 100)
+
+    outcomes = compactor(spark, lake).compact()
+    first, second = list(outcomes)
+    assert "acct2" in first and "acct1" in second
+    assert sorted(outcomes.values()) == [
+        "compacted_2_files",
+        "compacted_6_files",
+    ]
