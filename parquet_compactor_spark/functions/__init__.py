@@ -8,9 +8,11 @@ from parquet_compactor_spark.functions.quality import (
     with_quality_metrics,
 )
 from parquet_compactor_spark.functions.skew import salted_aggregate, salted_join
+from parquet_compactor_spark.functions.topk import grouped_topk
 
 __all__ = [
     "asof_join",
+    "grouped_topk",
     "observed_metrics",
     "quality_aggs",
     "salted_aggregate",

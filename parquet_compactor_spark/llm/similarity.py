@@ -588,3 +588,71 @@ def semantic_dedup(
             ),
         )
     )
+
+
+N_BATCH_QUERIES = 5
+BATCH_TOPK = 3
+
+
+@register(
+    "q_batch_sim_topk",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qvec
+        FROM embeddings WHERE vec_id < {N_BATCH_QUERIES}
+    ),
+    scored AS (
+        SELECT q.query_id,
+               e.vec_id,
+               e.label,
+               ROUND(
+                 list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)), q.qvec)
+                 / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(q.qvec, x -> x * x)))),
+                 4) AS cos_sim
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id >= {N_BATCH_QUERIES}
+    )
+    SELECT query_id, vec_id, label, cos_sim, rn
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, vec_id) AS rn
+        FROM scored
+    )
+    WHERE rn <= {BATCH_TOPK}
+    """,
+    doc="Batched brute-force similarity: 5 query vectors scored against "
+    "the whole corpus, top-3 per query. The realistic retrieval shape "
+    "(queries arrive in batches, not one at a time) and the giant-"
+    "partition counterexample: ROW_NUMBER partitioned by query_id puts "
+    "the ENTIRE corpus in each of 5 tasks. Instead functions.topk."
+    "grouped_topk keeps a bounded per-key heap per input partition "
+    "(Arrow mapInPandas — Spark has no bounded-partial top-k "
+    "aggregate) and ranks only the O(partitions x k) survivors; the "
+    "query batch is a 5-row broadcast.",
+)
+def q_batch_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parquet_compactor_spark.functions.topk import grouped_topk
+
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_BATCH_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    scored = (
+        e.filter(F.col("vec_id") >= N_BATCH_QUERIES)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "query_id",
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("embedding"), F.col("qvec")), 4).alias("cos_sim"),
+        )
+    )
+    return grouped_topk(
+        scored,
+        key_cols=["query_id"],
+        sort_cols=["cos_sim", "vec_id"],
+        ascending=[False, True],
+        k=BATCH_TOPK,
+    )

@@ -249,3 +249,37 @@ def test_semantic_dedup_accepts_kmeans_centroids(spark):
     n_total = vecs.count()
     assert sum(r.n_vecs for r in out) == n_total
     assert {r.cluster_id for r in out} <= {cid for cid, _ in model}
+
+
+def test_grouped_topk_matches_window_reference(spark):
+    """grouped_topk (bounded map-side heap + candidate-sized final rank)
+    must return exactly what the naive giant-partition window returns."""
+    from pyspark.sql import Window
+
+    from parquet_compactor_spark.functions.topk import grouped_topk
+    from parquet_compactor_spark.registry import load
+    from tests.conftest import SF_SMOKE
+
+    e = load(spark, SF_SMOKE, "events").select(
+        "event_type", "event_id", "value"
+    )
+    got = {
+        (r.event_type, r.rn): (r.event_id, r.value)
+        for r in grouped_topk(
+            e,
+            key_cols=["event_type"],
+            sort_cols=["value", "event_id"],
+            ascending=[False, True],
+            k=4,
+        ).collect()
+    }
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("value"), F.asc("event_id")
+    )
+    expected = {
+        (r.event_type, r.rn): (r.event_id, r.value)
+        for r in e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 4)
+        .collect()
+    }
+    assert got == expected
