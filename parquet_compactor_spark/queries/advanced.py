@@ -713,3 +713,50 @@ def q_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o.o_custkey
         """
     )
+
+
+@register(
+    "q_recursive_cte",
+    oracle="""
+    WITH RECURSIVE chain AS (
+        SELECT c_custkey, CAST(0 AS INT) AS depth
+        FROM customer WHERE c_custkey = 1
+        UNION ALL
+        SELECT c.c_custkey, chain.depth + 1
+        FROM customer c JOIN chain ON c.c_custkey // 2 = chain.c_custkey
+        WHERE c.c_custkey > 1
+    )
+    SELECT depth,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           MIN(c_custkey) AS min_key,
+           MAX(c_custkey) AS max_key
+    FROM chain GROUP BY depth
+    """,
+    doc="Recursive CTE (WITH RECURSIVE, Spark 4): transitive closure of "
+    "a derived reporting hierarchy (manager = custkey div 2) from the "
+    "root, rolled up per depth. Each recursion level is one equi-join "
+    "of the frontier against the base table — the frontier is the only "
+    "state carried between levels, and termination is the join running "
+    "dry (log2(N) levels here). The SQL-native sibling of the "
+    "pointer-doubling loop in llm/dedup.py:connected_components; depth "
+    "is bounded by spark.sql.cteRecursionLevelLimit.",
+)
+def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer_rcte")
+    return spark.sql(
+        """
+        WITH RECURSIVE chain AS (
+            SELECT c_custkey, CAST(0 AS INT) AS depth
+            FROM customer_rcte WHERE c_custkey = 1
+            UNION ALL
+            SELECT c.c_custkey, chain.depth + 1
+            FROM customer_rcte c JOIN chain ON c.c_custkey DIV 2 = chain.c_custkey
+            WHERE c.c_custkey > 1
+        )
+        SELECT depth,
+               COUNT(*) AS n_members,
+               MIN(c_custkey) AS min_key,
+               MAX(c_custkey) AS max_key
+        FROM chain GROUP BY depth
+        """
+    )
