@@ -472,3 +472,39 @@ def q_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(longs).cast("int").alias("n_long"),
         F.explode_outer(longs).alias("long_token"),
     )
+
+
+@register(
+    "q_variant_props",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT)                          AS n_events,
+           CAST(SUM(CAST(props::JSON->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(MAX(CAST(props::JSON->>'k' AS BIGINT)) AS BIGINT) AS max_k,
+           CAST(SUM(CASE WHEN props::JSON->>'missing' IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT)       AS n_missing
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Semi-structured VARIANT ingestion (Spark 4): parse_json turns "
+    "the props JSON string into a binary VARIANT once, then typed "
+    "variant_get path extraction feeds ordinary aggregates — no schema "
+    "declared up front, unlike from_json (q_json_props's route). At "
+    "100 TB VARIANT's binary encoding beats re-parsing JSON text per "
+    "access, and shredded parquet storage (Spark 4.1) pushes path "
+    "reads down to the scan. Missing paths are SQL NULLs (n_missing "
+    "counts them); schema_of_variant introspects per row.",
+)
+def q_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    v = e.select(
+        "event_type", F.parse_json("props").alias("pv")
+    )
+    k = F.expr("variant_get(pv, '$.k', 'bigint')")
+    missing = F.expr("variant_get(pv, '$.missing', 'string')")
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(k).alias("sum_k"),
+        F.max(k).alias("max_k"),
+        F.sum(F.when(missing.isNull(), 1).otherwise(0)).alias("n_missing"),
+    )
