@@ -102,11 +102,12 @@ def _ensure_loaded() -> None:
 # then 13 rotation slots re-verifying round-1-only greens against silent
 # regression. Everything not listed follows in registration order.
 #
-# Round-4 rotation plan: the 7 round-3 additions have no driver row yet —
+# Round-4 rotation plan: the 10 round-3 additions have no driver row yet —
 # q_funnel_steps, q_retention_cohorts, q_salted_join, q_promo_revenue,
-# q_nation_revenue (oracle-checked) and q_heavy_hitters, q_kll_quantiles
-# (rows-only sketches). List them first next round, then refill the
-# window with the oldest-checked greens.
+# q_nation_revenue, q_batch_sim_topk, q_recursive_cte, q_variant_props
+# (oracle-checked) and q_heavy_hitters, q_kll_quantiles (rows-only
+# sketches). List them first next round, then refill the window with the
+# oldest-checked greens.
 _PRIORITY: tuple[str, ...] = (
     # -- 35 never driver-checked (rounds 1+2 complement) --
     "q_char_trigrams",
