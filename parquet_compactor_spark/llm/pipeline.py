@@ -334,17 +334,21 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT vec_id, label,
            ROUND(l2, 4) AS l2_norm,
-           list_transform(embedding,
-               x -> CAST(greatest(-127, least(127,
-                    round(127.0 * CAST(x AS DOUBLE) / l2))) AS BIGINT))[1:4]
-               AS q_head
+           array_to_string(
+               list_transform(embedding,
+                   x -> CAST(greatest(-127, least(127,
+                        round(127.0 * CAST(x AS DOUBLE) / l2))) AS BIGINT))[1:4],
+               ',') AS q_head
     FROM norms
     WHERE l2 > 0
     """,
     doc="Embedding preprocessing for ANN serving: L2-normalize then "
     "symmetric int8 quantization (scale 127, clamp to [-127,127]) — "
     "4x memory reduction before index build. Pure higher-order array "
-    "lambdas, zero Python; per-row map, no shuffle at all.",
+    "lambdas, zero Python; per-row map, no shuffle at all. q_head is "
+    "rendered as a comma-joined string (scalar-output convention: "
+    "differential harnesses canonicalize by sorting over all columns, "
+    "and list-typed sort keys are unhashable in pandas).",
 )
 def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
@@ -372,6 +376,6 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             "label",
             F.round("l2", 4).alias("l2_norm"),
-            F.slice(q, 1, 4).alias("q_head"),
+            F.concat_ws(",", F.slice(q, 1, 4).cast("array<string>")).alias("q_head"),
         )
     )

@@ -97,71 +97,80 @@ def _ensure_loaded() -> None:
 # Queries listed here are yielded FIRST by all_queries(), in this order.
 # External differential harnesses that sample a prefix of the registry
 # (the driver checks the first 50 entries) therefore verify these before
-# anything else. Round 3 (exactly 50 names): the 35 queries with no driver
-# correctness row from rounds 1-2, then the 2 negative-zero oracle refixes,
-# then 13 rotation slots re-verifying round-1-only greens against silent
-# regression. Everything not listed follows in registration order.
+# anything else. Round 4 (exactly 50 names):
+#   1-10  the 10 round-3 additions — never driver-checked;
+#   11    q_embed_quantize — r3 driver row errored on its array<bigint>
+#         output (pandas canonicalizer crash); output is now a scalar
+#         string, must stay in the window until driver-green;
+#   12-13 q_hll_sketch (reshaped this round: exact counts + tolerance
+#         invariant under an oracle) and its new rows-only twin
+#         q_hll_sketch_state;
+#   14-46 the 33 queries whose latest driver row is round 1 — oldest
+#         evidence, re-verify against silent regression;
+#   47-50 four round-2 greens with complex-type-heavy internals,
+#         re-checked after this round's scalar-output sweep.
+# Everything not listed follows in registration order.
 #
-# Round-4 rotation plan: the 10 round-3 additions have no driver row yet —
-# q_funnel_steps, q_retention_cohorts, q_salted_join, q_promo_revenue,
-# q_nation_revenue, q_batch_sim_topk, q_recursive_cte, q_variant_props
-# (oracle-checked) and q_heavy_hitters, q_kll_quantiles (rows-only
-# sketches). List them first next round, then refill the window with the
-# oldest-checked greens.
+# Round-5 rotation plan: by then every query should have a driver row and
+# none older than two rounds except the round-2 cohort — refill the window
+# with the remaining round-2-checked greens (44 of them), then the oldest
+# round-3 rows.
 _PRIORITY: tuple[str, ...] = (
-    # -- 35 never driver-checked (rounds 1+2 complement) --
-    "q_char_trigrams",
-    "q_contamination",
-    "q_pii_scrub",
-    "q_seq_packing",
-    "q_domain_mix",
-    "q_snapshot_delta",
-    "q_data_split",
-    "q_edit_distance",
-    "q_unigram_logprob",
-    "q_corpus_prep",
-    "q_bm25",
+    # -- 10 round-3 additions, never driver-checked --
+    "q_funnel_steps",
+    "q_retention_cohorts",
+    "q_salted_join",
+    "q_promo_revenue",
+    "q_nation_revenue",
+    "q_batch_sim_topk",
+    "q_recursive_cte",
+    "q_variant_props",
+    "q_heavy_hitters",
+    "q_kll_quantiles",
+    # -- r3 driver defect, output shape fixed this round --
     "q_embed_quantize",
-    "q_semantic_dedup",
-    "q_equidepth_hist",
-    "q_profile",
+    # -- reshaped sketch pair (oracle split this round) --
     "q_hll_sketch",
-    "q_correlated_subquery",
-    "q_null_safe_join",
-    "q_percent_of_total",
-    "q_asof_nearest",
-    "q_cume_dist",
-    "q_ship_priority",
-    "q_multiset_setops",
-    "q_safe_math",
-    "q_explode_outer",
-    "q_session_window",
-    "q_max_concurrency",
-    "q_time_weighted_avg",
-    "q_ohlc",
-    "q_scd2",
-    "q_mad_outliers",
-    "q_udtf_tokens",
-    "q_udaf_geomean",
-    "q_click_conversion",
-    "q_hourly_topk",
-    # -- 2 round-2 hash-fails, negative-zero oracles fixed this round --
-    "q_corr_covar",
-    "q_rate_of_change",
-    # -- 13 rotation slots: round-1-only greens, fresh driver row --
-    "q_agg_pricing",
-    "q_join_broadcast",
-    "q_filter_pushdown",
-    "q_outer_join",
-    "q_agg_distinct",
-    "q_rollup",
-    "q_grouping_sets",
-    "q_cube",
-    "q_pivot",
-    "q_percentiles",
-    "q_stats_agg",
-    "q_asof_join",
-    "q_scalar_subquery",
+    "q_hll_sketch_state",
+    # -- 33 round-1-only greens: oldest driver evidence --
+    "q_ann_ivf",
+    "q_ann_lsh",
+    "q_approx_stats",
+    "q_arg_extremes",
+    "q_array_agg",
+    "q_conditional_distinct",
+    "q_cross_join",
+    "q_dedup_exact",
+    "q_dedup_minhash",
+    "q_dedup_simhash",
+    "q_doc_chunking",
+    "q_dup_clusters",
+    "q_embed_near_dup",
+    "q_explode_posexplode",
+    "q_fingerprint",
+    "q_frame_sample",
+    "q_having",
+    "q_in_subquery",
+    "q_kmeans_clusters",
+    "q_lang_id",
+    "q_median_filtered",
+    "q_ngram_jaccard",
+    "q_null_handling",
+    "q_quality_score",
+    "q_regr_slope",
+    "q_rlike_filter",
+    "q_sim_topk",
+    "q_string_fns",
+    "q_tfidf_topterms",
+    "q_union_all",
+    "q_unpivot",
+    "q_window_first_last",
+    "q_window_ranks",
+    # -- 4 round-2 greens, complex-type-adjacent, post-sweep re-check --
+    "q_array_fns",
+    "q_higher_order_fns",
+    "q_json_props",
+    "q_map_props",
 )
 
 

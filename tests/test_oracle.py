@@ -37,7 +37,7 @@ def test_entry_smoke(spark):
 def test_hll_sketch_within_tolerance(spark):
     """HLL default lgK=12 gives ~1.6% standard error; assert every group's
     estimate lands within 5% of the exact distinct count."""
-    rows = QUERIES["q_hll_sketch"].fn(spark, SF_SMOKE).collect()
+    rows = QUERIES["q_hll_sketch_state"].fn(spark, SF_SMOKE).collect()
     assert rows
     for r in rows:
         assert r.rel_err <= 0.05, (r.event_type, r.approx_users, r.exact_users)
@@ -181,3 +181,29 @@ def test_kll_sketches_merge_across_partitions(spark):
     )
     # Merge is lossless for the k=200 default at this input size.
     assert abs(whole - halves) / whole < 0.02
+
+
+def test_oracle_outputs_are_scalar_only(spark):
+    """Registry convention: no oracle-bearing query emits a complex-typed
+    (array/map/struct) output column.
+
+    The driver's differential harness canonicalizes results with pandas
+    ``sort_values`` over ALL columns; list-typed cells are unhashable there
+    and crash the comparison (observed: q_embed_quantize, CORRECTNESS_r03).
+    Our local canonicalizer stringifies lists, so only this schema-level
+    test catches the hazard before the driver does. Queries needing array
+    results render them as strings (``concat_ws`` / ``array_to_string``).
+    """
+    offenders = {}
+    for name, q in QUERIES.items():
+        if q.oracle is None:
+            continue  # rows-only checks never reach the canonicalizer
+        df = q.fn(spark, SF_SMOKE)
+        complex_cols = [
+            (f.name, f.dataType.simpleString())
+            for f in df.schema.fields
+            if f.dataType.simpleString().startswith(("array", "map", "struct"))
+        ]
+        if complex_cols:
+            offenders[name] = complex_cols
+    assert not offenders, f"complex-typed oracle outputs: {offenders}"
