@@ -301,7 +301,21 @@ class LakeCompactor:
                 # PRIVATE SQLConf — concurrent leaf merges (compact's
                 # max_concurrency > 1 thread pool) each tune their own
                 # split size without racing on session-wide confs.
+                # newSession() does NOT inherit the parent's *runtime*
+                # SQL confs (parquet rebase modes, nanosAsLong,
+                # caseSensitive, ...), so a leaf readable via the
+                # caller's session could fail — or read differently — in
+                # the child, and the except-branch below would turn that
+                # conf mismatch into a silent skip. Copy the parent's
+                # modified confs first, then override the split sizing.
                 sess = self.spark.newSession()
+                for key, value in self.spark.conf.getAll.items():
+                    try:
+                        sess.conf.set(key, value)
+                    except Exception:
+                        # Static/immutable confs (already fixed at
+                        # context startup, identical in the child).
+                        pass
                 sess.conf.set("spark.sql.files.maxPartitionBytes", str(split))
                 sess.conf.set("spark.sql.files.openCostInBytes", str(open_cost))
                 sess.conf.set("spark.sql.files.minPartitionNum", "1")

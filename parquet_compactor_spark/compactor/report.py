@@ -36,9 +36,14 @@ def lake_report(
 
     Columns: leaf, n_files, total_bytes, small_files (< target size),
     small_bytes, largest_file_bytes, newest_mtime, plus derived
-    small_file_ratio and ideal_files (ceil(total/target)) —
+    small_file_ratio and ideal_files (ceil(small_bytes/target): how many
+    target-size files the SMALL files alone should occupy — already-big
+    files are not rewritten, so they don't enter the ideal) —
     ``small_files - ideal_files`` is the per-leaf reclaimable file count
-    a compaction run would eliminate.
+    a compaction run would eliminate. Only ``*.parquet`` objects are
+    counted: Spark-written leaves carry ``_SUCCESS``/checksum sidecars
+    that a merge would never read, and counting them would inflate
+    small_files/reclaimable_files.
 
     The listing is driver-side (it is the compactor's planning catalog —
     KBs per million files); the statistics become a DataFrame so ranking,
@@ -52,13 +57,16 @@ def lake_report(
     rows = [
         (f.path.rsplit("/", 1)[0] + "/", 1, f.size, f.modified)
         for f in fs.list_files(root)
+        if f.path.endswith(".parquet")
     ]
     if not rows:
         empty = spark.createDataFrame([], _REPORT_SCHEMA)
+        # Cast to long: the non-empty branch's ceil/greatest yield bigint,
+        # and a schema that flips int/bigint on emptiness breaks unions.
         return empty.withColumn(
             "small_file_ratio", F.lit(0.0)
-        ).withColumn("ideal_files", F.lit(0)).withColumn(
-            "reclaimable_files", F.lit(0)
+        ).withColumn("ideal_files", F.lit(0).cast("long")).withColumn(
+            "reclaimable_files", F.lit(0).cast("long")
         )
     target = config.file_size_bytes
     listing = spark.createDataFrame(

@@ -29,6 +29,22 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
 
+def _default_driver_mem() -> str:
+    """Heap default: half of detected system RAM, clamped to [1g, 24g].
+
+    Half leaves room for Python workers (Arrow batches live in both
+    worlds) and the OS page cache; the 24g cap is the local[32] sweet
+    spot measured in SCALE.md. Detection failure falls back to a safe 4g
+    rather than a value that can't launch. Overridden entirely by
+    SPARK_GRAFT_DRIVER_MEM.
+    """
+    try:
+        total_gb = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES") / 1024**3
+    except (ValueError, OSError, AttributeError):  # non-POSIX or sysconf gap
+        return "4g"
+    return f"{max(1, min(24, int(total_gb // 2)))}g"
+
+
 def get_spark(
     app_name: str = "parquet-compactor-spark",
     master: str | None = None,
@@ -53,10 +69,12 @@ def get_spark(
     # local[N] runs every task thread inside ONE driver JVM: the 1g
     # default heap gives ~32 MB per concurrent task at N=32 and OOMs on
     # GB-scale merges. Size the heap like a real executor fleet would be
-    # sized (heap ∝ cores); harmless on a cluster where spark-submit
-    # overrides it. Only effective at JVM launch — getOrCreate on an
-    # existing session keeps the session's original setting.
-    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
+    # sized (heap ∝ cores) but never beyond what the host can give —
+    # a flat 24g default fails JVM launch on small CI containers and
+    # laptops. Harmless on a cluster where spark-submit overrides it.
+    # Only effective at JVM launch — getOrCreate on an existing session
+    # keeps the session's original setting.
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM") or _default_driver_mem()
 
     builder = (
         SparkSession.builder.appName(app_name)

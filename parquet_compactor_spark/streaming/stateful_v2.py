@@ -79,12 +79,30 @@ class SessionProcessor(StatefulProcessor):  # type: ignore[misc]
     def init(self, handle: StatefulProcessorHandle) -> None:
         self._handle = handle
         self._sessions = handle.getValueState("sessions", _STATE_SCHEMA)
+        # The expiry (ms) of the key's single pending timer. Without this
+        # bookkeeping every batch would registerTimer() anew and pending
+        # timers would ACCUMULATE per key — each stale one a spurious
+        # handleExpiredTimer flush, unbounded timer state for hot keys.
+        self._timer_due = handle.getValueState("timer_due", "due BIGINT")
 
     def _load(self) -> list[tuple[int, int, int, float]]:
         if not self._sessions.exists():
             return []
         starts, ends, counts, totals = self._sessions.get()
         return list(zip(starts, ends, counts, totals))
+
+    def _set_timer(self, due_ms: int | None) -> None:
+        """Move the key's one pending timer to ``due_ms`` (None → none)."""
+        prev = self._timer_due.get()[0] if self._timer_due.exists() else None
+        if prev == due_ms:
+            return
+        if prev is not None:
+            self._handle.deleteTimer(prev)
+        if due_ms is None:
+            self._timer_due.clear()
+        else:
+            self._handle.registerTimer(due_ms)
+            self._timer_due.update((due_ms,))
 
     def _flush(
         self, user_id: int, sessions: list[tuple[int, int, int, float]], wm_us: int
@@ -101,9 +119,11 @@ class SessionProcessor(StatefulProcessor):  # type: ignore[misc]
                 )
             )
             next_due_ms = min(s[1] for s in still_open) // 1000 + _GAP_US // 1000 + 1
-            self._handle.registerTimer(max(next_due_ms, wm_us // 1000 + 1))
-        elif self._sessions.exists():
-            self._sessions.clear()
+            self._set_timer(max(next_due_ms, wm_us // 1000 + 1))
+        else:
+            if self._sessions.exists():
+                self._sessions.clear()
+            self._set_timer(None)
         if done:
             yield _sessions_to_pdf(user_id, done)
 
@@ -125,6 +145,9 @@ class SessionProcessor(StatefulProcessor):  # type: ignore[misc]
         self, key: tuple[Any, ...], timerValues: Any, expiredTimerInfo: Any
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
+        # The firing timer is consumed; drop its bookkeeping so _flush
+        # registers (not deletes) the next wake-up.
+        self._timer_due.clear()
         yield from self._flush(
             user_id, self._load(), timerValues.getCurrentWatermarkInMs() * 1000
         )

@@ -523,12 +523,35 @@ def test_lake_report_ranks_leaves_by_reclaimable_files(spark, lake):
     assert after.reclaimable_files == 0
 
 
-def test_lake_report_empty_root(spark, tmp_path):
+def test_lake_report_empty_root_schema_matches_nonempty(spark, tmp_path, lake):
+    """The empty-root branch must return the SAME schema as the non-empty
+    branch (int vs bigint drift breaks unions of per-root reports;
+    nullability flags are reconciled by union and may differ)."""
     from parquet_compactor_spark.compactor import lake_report
 
     df = lake_report(spark, str(tmp_path / "nothing"))
     assert df.count() == 0
-    assert "reclaimable_files" in df.columns
+    write_small_parquet(lake / "a" / "source=OCP" / "in-0.parquet")
+    nonempty = lake_report(spark, str(lake))
+    assert [(f.name, f.dataType) for f in df.schema.fields] == [
+        (f.name, f.dataType) for f in nonempty.schema.fields
+    ]
+
+
+def test_lake_report_ignores_non_parquet_sidecars(spark, lake):
+    """_SUCCESS / .crc sidecars on Spark-written leaves are not merge
+    inputs and must not count as (small) files."""
+    from parquet_compactor_spark.compactor import lake_report
+
+    leaf = lake / "acct1" / "source=OCP" / "year=2024" / "month=01"
+    for i in range(3):
+        write_small_parquet(leaf / f"in-{i}.parquet", start=i * 100)
+    (leaf / "_SUCCESS").write_text("")
+    (leaf / ".in-0.parquet.crc").write_bytes(b"x" * 8)
+
+    (stats,) = lake_report(spark, str(lake)).collect()
+    assert stats.n_files == 3
+    assert stats.small_files == 3
 
 
 def test_compact_processes_worst_leaf_first(spark, lake):
@@ -549,3 +572,43 @@ def test_compact_processes_worst_leaf_first(spark, lake):
         "compacted_2_files",
         "compacted_6_files",
     ]
+
+
+def test_merge_child_session_inherits_runtime_confs(spark, lake):
+    """The shuffle-free merge re-reads the leaf through spark.newSession();
+    a fresh session does NOT inherit the caller's *runtime* SQL confs, so a
+    leaf that reads differently under a caller-set conf (here:
+    spark.sql.parquet.binaryAsString promoting binary->string) would be
+    merged under the DEFAULT semantics and silently write the wrong
+    schema. The merge must copy the parent's runtime confs into the child.
+    (Builder-level confs like session.py's nanosAsLong are already in the
+    shared SparkConf and inherit for free; only runtime sets are at risk.)
+    """
+    leaf = lake / "acct1" / "source=OCP" / "year=2024" / "month=01"
+    leaf.mkdir(parents=True, exist_ok=True)
+    for i in range(4):
+        table = pa.table(
+            {
+                "id": list(range(i * 10, i * 10 + 10)),
+                "payload": pa.array([b"blob-%d" % j for j in range(10)]),
+            }
+        )
+        path = leaf / f"in-{i}.parquet"
+        pq.write_table(table, path, store_schema=False)
+        t = OLD.timestamp()
+        os.utime(path, (t, t))
+
+    spark.conf.set("spark.sql.parquet.binaryAsString", "true")
+    try:
+        outcomes = compactor(spark, lake).compact()
+    finally:
+        spark.conf.unset("spark.sql.parquet.binaryAsString")
+    assert list(outcomes.values()) == ["compacted_4_files"]
+    outputs = list(leaf.glob("*.parquet"))
+    assert len(outputs) == 1
+    merged = pq.read_table(outputs[0])
+    # Written under the parent's semantics: payload is string, not binary.
+    assert pa.types.is_string(merged.schema.field("payload").type) or pa.types.is_large_string(
+        merged.schema.field("payload").type
+    ), merged.schema
+    assert sorted(merged.column("id").to_pylist()) == list(range(40))

@@ -283,3 +283,46 @@ def test_grouped_topk_matches_window_reference(spark):
         .collect()
     }
     assert got == expected
+
+
+def test_grouped_topk_null_keys_and_nan_scores(spark):
+    """Null keys form a real group (map-side groupby must not drop them)
+    and NaN scores rank FIRST under desc (Spark: NaN > any double) — both
+    exactly as the giant-partition window reference would rank them."""
+    from pyspark.sql import Window
+
+    from parquet_compactor_spark.functions.topk import grouped_topk
+
+    rows = [
+        ("a", 1, 5.0),
+        ("a", 2, float("nan")),
+        ("a", 3, 7.0),
+        ("a", 4, 1.0),
+        (None, 5, 3.0),
+        (None, 6, float("nan")),
+        (None, 7, 9.0),
+        ("b", 8, 2.0),
+    ]
+    df = spark.createDataFrame(rows, "key string, id long, score double").repartition(
+        4, "id"
+    )
+    got = {
+        (r.key, r.rn): r.id
+        for r in grouped_topk(
+            df,
+            key_cols=["key"],
+            sort_cols=["score", "id"],
+            ascending=[False, True],
+            k=2,
+        ).collect()
+    }
+    w = Window.partitionBy("key").orderBy(F.desc("score"), F.asc("id"))
+    expected = {
+        (r.key, r.rn): r.id
+        for r in df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .collect()
+    }
+    assert got == expected
+    # NaN outranks every finite score; the null key group survives.
+    assert got[("a", 1)] == 2 and got[(None, 1)] == 6

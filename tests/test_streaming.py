@@ -420,3 +420,73 @@ def test_sessionize_on_rocksdb_state_store(spark, landing_dir):
     assert streamed, "rocksdb stream emitted no sessions"
     for key, val in streamed.items():
         assert batch_keyed.get(key) == val, f"rocksdb-only session {key}"
+
+
+def test_v2_session_processor_keeps_single_pending_timer():
+    """SessionProcessor must never accumulate pending timers: each batch
+    moves the key's ONE timer (deleteTimer old, registerTimer new) instead
+    of registering another. Runs against a fake handle so the logic is
+    pinned even while protobuf gates the live transformWithState path."""
+    import pandas as pd
+
+    from parquet_compactor_spark.streaming.stateful_v2 import SessionProcessor
+
+    class FakeValueState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+
+        def clear(self):
+            self._v = None
+
+    class FakeHandle:
+        def __init__(self):
+            self.pending = set()
+            self.states = {}
+
+        def getValueState(self, name, schema):
+            return self.states.setdefault(name, FakeValueState())
+
+        def registerTimer(self, ms):
+            self.pending.add(ms)
+
+        def deleteTimer(self, ms):
+            self.pending.discard(ms)
+
+    class TV:
+        def __init__(self, wm_ms):
+            self._wm = wm_ms
+
+        def getCurrentWatermarkInMs(self):
+            return self._wm
+
+    proc = SessionProcessor()
+    handle = FakeHandle()
+    proc.init(handle)
+
+    def batch(ts_us):
+        return [pd.DataFrame({"ts": [pd.Timestamp(ts_us, unit="us")], "value": [1.0]})]
+
+    # Three consecutive batches for the same key, each with an open session:
+    # pending timers must stay at exactly one, not grow per batch.
+    base = 1_700_000_000_000_000
+    for i in range(3):
+        list(proc.handleInputRows((7,), batch(base + i * 1_000_000), TV(0)))
+        assert len(handle.pending) == 1, handle.pending
+
+    # Watermark passes: the timer fires, the session seals, no timer left.
+    due_ms = next(iter(handle.pending))
+    handle.pending.clear()  # the runtime consumes the firing timer
+    out = list(proc.handleExpiredTimer((7,), TV(due_ms + 10_000_000), None))
+    assert len(out) == 1 and out[0].iloc[0]["n_events"] == 3
+    assert handle.pending == set()
+    assert not handle.states["sessions"].exists()
+    assert not handle.states["timer_due"].exists()
