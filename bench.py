@@ -104,6 +104,23 @@ def main() -> None:
     spark.stop()
 
 
+def _cpu_sample() -> tuple[int, int] | None:
+    """(total_jiffies, idle_jiffies) from /proc/stat; None off-Linux."""
+    try:
+        with open("/proc/stat") as fh:
+            vals = [int(x) for x in fh.readline().split()[1:]]
+        return sum(vals), vals[3] + vals[4]  # idle + iowait
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def _cpu_busy(before, after) -> float | None:
+    if before is None or after is None:
+        return None
+    total, idle = after[0] - before[0], after[1] - before[1]
+    return round(1 - idle / total, 3) if total > 0 else None
+
+
 def bench_compaction(spark, sf_dir: str) -> dict:
     """Compaction-core throughput: a leaf of many small lineitem files,
     compact, report bytes/s and file fan-in (BASELINE.md proxy metric).
@@ -114,6 +131,16 @@ def bench_compaction(spark, sf_dir: str) -> dict:
     seconds where regenerating that volume through Spark cost minutes),
     so the number measures merge throughput rather than fixed job
     overhead or fixture setup.
+
+    Two runs over the same bytes:
+    - ``codec_*``: the control — plain ``spark.read.parquet(leaf).write``
+      with NO compactor logic, i.e. the parquet decode+encode ceiling on
+      this host. Compactor throughput at/near this number means the merge
+      machinery (listing, planning, child-session sizing, rename) adds
+      nothing material and the bottleneck is the codec itself.
+    - the compactor run proper, plus ``cpu_busy`` system-wide utilization
+      for each phase (plateau forensics: codec-bound shows busy cores,
+      I/O-bound shows idle ones).
     """
     import shutil
     import tempfile
@@ -140,9 +167,21 @@ def bench_compaction(spark, sf_dir: str) -> dict:
             os.utime(f, (old, old))
         total_bytes = sum(f.stat().st_size for f in files_in)
 
+        # Codec-only control over the SAME bytes (page cache equally warm:
+        # the files were just copied either way).
+        ctrl_dir = P(tmp) / "_codec_control"
+        cpu0 = _cpu_sample()
+        t0 = time.perf_counter()
+        spark.read.parquet(str(leaf)).write.mode("overwrite").parquet(str(ctrl_dir))
+        codec_dt = time.perf_counter() - t0
+        codec_busy = _cpu_busy(cpu0, _cpu_sample())
+        shutil.rmtree(ctrl_dir, ignore_errors=True)
+
+        cpu0 = _cpu_sample()
         t0 = time.perf_counter()
         LakeCompactor(spark, tmp, CompactionConfig()).compact()
         dt = time.perf_counter() - t0
+        busy = _cpu_busy(cpu0, _cpu_sample())
         files_out = list(leaf.glob("*.parquet"))
         return {
             "files_in": len(files_in),
@@ -150,6 +189,10 @@ def bench_compaction(spark, sf_dir: str) -> dict:
             "bytes": total_bytes,
             "sec": round(dt, 3),
             "bytes_per_sec": round(total_bytes / dt, 1),
+            "cpu_busy": busy,
+            "codec_sec": round(codec_dt, 3),
+            "codec_bytes_per_sec": round(total_bytes / codec_dt, 1),
+            "codec_cpu_busy": codec_busy,
         }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

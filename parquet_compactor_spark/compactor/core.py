@@ -229,8 +229,14 @@ class LakeCompactor:
     # -- planning ----------------------------------------------------------
 
     def candidate_leaves(self) -> dict[str, list[FileMeta]]:
-        """List the lake once; group by leaf; drop already-big files (O3)."""
-        listing = self.fs.list_files(self.root)
+        """List the lake once; group by leaf; drop already-big files (O3).
+
+        The planning scan is lake-wide, so it uses the distributed
+        listing (one Spark metadata job, one collect) instead of the
+        per-file py4j iterator — the difference between seconds and
+        hours on a million-object lake.
+        """
+        listing = self.fs.list_files(self.root, distributed=True)
         leaves = group_by_leaf(listing)
         return {
             leaf: [f for f in files if f.size < self.config.file_size_bytes]
@@ -240,7 +246,7 @@ class LakeCompactor:
     # -- execution ---------------------------------------------------------
 
     def _write_merged(
-        self, file_list: list[str], leaf: str, name_fn
+        self, file_list: list[str], leaf: str, name_fn, sizes: dict[str, int]
     ) -> bool:
         """Merge ``file_list`` into ≈target-size files inside ``leaf``.
 
@@ -252,10 +258,11 @@ class LakeCompactor:
         ``{base}_{uuid4.hex}.parquet`` convention — the filename marker that
         makes re-runs incremental (filter_compacted's regex must match our
         own outputs or idempotence breaks).
+
+        ``sizes`` comes from the planning listing — re-listing the leaf
+        here would pay the per-file py4j iterator cost a second time for
+        metadata the planner already holds.
         """
-        sizes = {}
-        for f in self.fs.list_files(leaf):
-            sizes[f.path] = f.size
         total_bytes = sum(sizes.get(p, 0) for p in file_list)
         n_out = plan_output_files(total_bytes, self.config)
 
@@ -291,7 +298,24 @@ class LakeCompactor:
                 # leaf, so byte-sized splits track the 1M-row chunk rule;
                 # targeting 90% of the cap keeps maxRecordsPerFile (the
                 # hard cap below) from splitting off remainder files.
-                rows = df.count()  # parquet count() — row-group metadata
+                #
+                # Row count: extrapolated from a 3-file footer sample,
+                # not a full metadata count() — a leaf of thousands of
+                # files pays one footer open PER FILE for an exact count
+                # whose only use is split sizing, and the same uniform-
+                # density assumption this sizing already rests on makes
+                # the sample equivalent. maxRecordsPerFile stays the
+                # exact, per-task hard cap either way, so an estimate
+                # error changes file sizes slightly, never correctness.
+                stride = max(1, len(file_list) // 3)
+                sample = file_list[::stride][:3]
+                sample_rows = self.spark.read.parquet(*sample).count()
+                sample_bytes = sum(sizes.get(p, 0) for p in sample)
+                rows = (
+                    math.ceil(total_bytes * sample_rows / sample_bytes)
+                    if sample_bytes
+                    else 0
+                )
                 n_chunks = max(
                     n_out, math.ceil(rows / (0.9 * self.config.chunked_rows)), 1
                 )
@@ -335,11 +359,24 @@ class LakeCompactor:
                 for f in self.fs.list_files(tmp_dir)
                 if f.path.endswith(".parquet")
             ]
-            for src in written:
-                dst = f"{leaf}{name_fn()}"
-                if not self.fs.rename(src, dst):
-                    raise IOError(f"rename failed: {src} -> {dst}")
-                renamed.append(dst)
+            # Commit = N renames. Parallel (py4j is thread-safe, a
+            # connection per thread): a 400-output merge commits in one
+            # rename-latency instead of 400 — on an object store each
+            # rename is a remote round trip and the sequential loop is
+            # the slowest part of the job. Failures don't short-circuit:
+            # every completed rename is recorded so the except-branch can
+            # roll back ALL of them.
+            pairs = [(src, f"{leaf}{name_fn()}") for src in written]
+
+            def _rename(pair: tuple[str, str]) -> bool:
+                src, dst = pair
+                ok = self.fs.rename(src, dst)
+                if ok:
+                    renamed.append(dst)  # list.append is thread-safe
+                return ok
+
+            if not all(self._fs_parallel(_rename, pairs)):
+                raise IOError(f"rename failed in {leaf}")
             return True
         except Exception as err:  # failure → keep originals (R6)
             # A mid-loop rename failure must not leave partial merged
@@ -353,14 +390,29 @@ class LakeCompactor:
         finally:
             self.fs.delete(tmp_dir, recursive=True)
 
-    def merge_files(self, leaf: str, base_name: str, file_list: list[str]) -> bool:
+    @staticmethod
+    def _fs_parallel(fn, items, max_workers: int = 16) -> list:
+        """Run independent metadata ops (rename/delete) concurrently."""
+        if len(items) <= 1:
+            return [fn(x) for x in items]
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(max_workers, len(items))) as ex:
+            return list(ex.map(fn, items))
+
+    def merge_files(
+        self, leaf: str, base_name: str, file_list: list[str], sizes: dict[str, int]
+    ) -> bool:
         return self._write_merged(
             file_list,
             leaf,
             lambda: f"{base_name}_{uuid.uuid4().hex}.parquet",
+            sizes,
         )
 
-    def merge_files_gcp(self, leaf: str, file_list: list[str]) -> bool:
+    def merge_files_gcp(
+        self, leaf: str, file_list: list[str], sizes: dict[str, int]
+    ) -> bool:
         """Per-date grouped merge for GCP leaves (parquet_compactor.py:183-228)."""
         invoice_month, per_date = group_gcp_files(file_list)
         success = True
@@ -369,14 +421,20 @@ class LakeCompactor:
                 files,
                 leaf,
                 lambda: f"{invoice_month}_{date}_{uuid.uuid4().hex}.parquet",
+                sizes,
             )
             success = success and ok
         return success
 
     def remove_uncompacted_files(self, file_list: list[str]) -> None:
-        """Delete merged-away originals (parquet_compactor.py:230-234)."""
-        for path in file_list:
-            self.fs.delete(path, recursive=False)
+        """Delete merged-away originals (parquet_compactor.py:230-234).
+
+        Parallel: thousands of sequential per-object deletes would stall
+        the driver for round-trip-latency × N on an object store.
+        """
+        self._fs_parallel(
+            lambda path: self.fs.delete(path, recursive=False), file_list
+        )
 
     def _compact_leaf(self, leaf: str, files: list[FileMeta]) -> str:
         """Plan + execute one leaf; returns its outcome string."""
@@ -389,10 +447,11 @@ class LakeCompactor:
             file_list = filter_compacted(base, files, self.config)
         if len(file_list) <= 1:
             return "nothing_to_compact"
+        sizes = {f.path: f.size for f in files}
         if "GCP" in leaf:
-            success = self.merge_files_gcp(leaf, file_list)
+            success = self.merge_files_gcp(leaf, file_list, sizes)
         else:
-            success = self.merge_files(leaf, base, file_list)
+            success = self.merge_files(leaf, base, file_list, sizes)
         if success:
             self.remove_uncompacted_files(file_list)
             return f"compacted_{len(file_list)}_files"

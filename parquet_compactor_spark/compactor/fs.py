@@ -29,6 +29,7 @@ class HadoopFS:
     """Thin wrapper over org.apache.hadoop.fs.FileSystem for one root URI."""
 
     def __init__(self, spark: SparkSession, root: str):
+        self._spark = spark
         self._jvm = spark._jvm
         self._conf = spark._jsc.hadoopConfiguration()
         self._root = self.jpath(root)
@@ -37,16 +38,40 @@ class HadoopFS:
     def jpath(self, uri: str):
         return self._jvm.org.apache.hadoop.fs.Path(uri)
 
-    def list_files(self, prefix: str) -> list[ListedFile]:
+    def list_files(self, prefix: str, distributed: bool = False) -> list[ListedFile]:
         """Recursively list all files under ``prefix`` (one scan, not a DFS).
 
         Mirrors get_common_prefixes_recursive + convert_results
         (parquet_compactor.py:80-122) in a single FileSystem call.
+
+        ``distributed=True`` lists through Spark's binaryFile source
+        (metadata columns only — content is pruned, no data is read) and
+        collects the result in ONE round trip. The default py4j iterator
+        costs ~5 JVM round trips PER FILE (hasNext/next/getters) — fine
+        for a few hundred files, minutes of driver stalling for a
+        million-object lake. Lake-wide scans (planning, reporting) should
+        always pass distributed=True; leaf-scoped listings stay on the
+        iterator to avoid per-call Spark job overhead (~0.3 s).
         """
         out: list[ListedFile] = []
         p = self.jpath(prefix)
         if not self._fs.exists(p):
             return out
+        if distributed:
+            df = (
+                self._spark.read.format("binaryFile")
+                .option("recursiveFileLookup", "true")
+                .load(prefix)
+                .select("path", "length", "modificationTime")
+            )
+            return [
+                ListedFile(
+                    path=r.path,
+                    size=int(r.length),
+                    modified=r.modificationTime.timestamp(),
+                )
+                for r in df.collect()
+            ]
         it = self._fs.listFiles(p, True)
         while it.hasNext():
             st = it.next()

@@ -56,7 +56,7 @@ def lake_report(
     fs = HadoopFS(spark, root)
     rows = [
         (f.path.rsplit("/", 1)[0] + "/", 1, f.size, f.modified)
-        for f in fs.list_files(root)
+        for f in fs.list_files(root, distributed=True)
         if f.path.endswith(".parquet")
     ]
     if not rows:

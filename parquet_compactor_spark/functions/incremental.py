@@ -33,7 +33,8 @@ def _partition_mtimes(
     fs = HadoopFS(spark, lake_dir)
     out: dict[str, float] = {}
     prefix = f"{partition_col}="
-    for f in fs.list_files(lake_dir):
+    # Lake-wide scan: one Spark metadata job, not a py4j round trip per file.
+    for f in fs.list_files(lake_dir, distributed=True):
         for seg in f.path.split("/"):
             if seg.startswith(prefix):
                 val = seg[len(prefix):]
