@@ -10,5 +10,6 @@ from parquet_compactor_spark.queries import (  # noqa: F401
     relational,
     scalar_fns,
     timeseries,
+    tpch_extra,
     udx,
 )

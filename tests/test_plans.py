@@ -420,6 +420,7 @@ def test_no_unexpected_cartesian_in_any_registered_query(spark):
         "q_domain_mix",  # 1-row global min source count
         "q_equidepth_hist",  # 1-row broadcast percentile bounds
         "q_gapfill_buckets",  # tiny day x type spine
+        "q_idle_customers",  # 1-row scalar AVG(acctbal) broadcast (Q22)
     }
     offenders = []
     for name in QUERIES:
@@ -443,3 +444,27 @@ def test_promo_revenue_pushes_month_predicate(spark):
     assert any("l_shipdate" in f for f in p.pushed_filters)
     assert not p.has_cartesian
     assert p.has_partial_agg
+
+
+def test_tpch_extra_plans_scale(spark):
+    """The round-4 TPC-H completions keep the family's plan discipline:
+    dims broadcast, selective predicates reach the scans, aggregates
+    partial-combine map-side, and the top-N queries compile to heap
+    TakeOrderedAndProject rather than a global sort."""
+    p = props(spark, "q_market_share")
+    assert p.has_broadcast_join
+    assert any("p_type" in f for f in p.pushed_filters)
+    assert any("o_orderdate" in f for f in p.pushed_filters)
+    assert p.has_partial_agg
+
+    p = props(spark, "q_order_priority")
+    assert any("o_orderdate" in f for f in p.pushed_filters)
+    assert p.has_partial_agg
+
+    for name in ("q_returned_items", "q_large_orders"):
+        p = props(spark, name)
+        assert p.has_take_ordered, name
+
+    p = props(spark, "q_volume_shipping")
+    assert p.has_broadcast_join
+    assert any("l_shipdate" in f for f in p.pushed_filters)
