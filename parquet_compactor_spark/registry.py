@@ -105,16 +105,23 @@ def _ensure_loaded() -> None:
 #   12-13 q_hll_sketch (reshaped this round: exact counts + tolerance
 #         invariant under an oracle) and its new rows-only twin
 #         q_hll_sketch_state;
-#   14-46 the 33 queries whose latest driver row is round 1 — oldest
-#         evidence, re-verify against silent regression;
+#   14-23 the 10 round-4 TPC-H completions (queries/tpch_extra.py) —
+#         every registered query should have a driver row after this
+#         round, so first-time checks outrank re-verification;
+#   24-46 23 of the 33 queries whose latest driver row is round 1 —
+#         oldest evidence, re-verified against silent regression, with
+#         the LLM dedup/ANN family and plan-sensitive ops kept over the
+#         10 simplest untouched relational greens (q_cross_join,
+#         q_having, q_in_subquery, q_null_handling, q_rlike_filter,
+#         q_string_fns, q_union_all, q_unpivot, q_window_first_last,
+#         q_window_ranks — r1-green, untouched since, next in line);
 #   47-50 four round-2 greens with complex-type-heavy internals,
 #         re-checked after this round's scalar-output sweep.
 # Everything not listed follows in registration order.
 #
-# Round-5 rotation plan: by then every query should have a driver row and
-# none older than two rounds except the round-2 cohort — refill the window
-# with the remaining round-2-checked greens (44 of them), then the oldest
-# round-3 rows.
+# Round-5 rotation plan: with full first-time coverage after this round,
+# refill the window oldest-first: the 10 r1-greens named above, then the
+# round-2 cohort (44), then the oldest round-3 rows.
 _PRIORITY: tuple[str, ...] = (
     # -- 10 round-3 additions, never driver-checked --
     "q_funnel_steps",
@@ -132,14 +139,24 @@ _PRIORITY: tuple[str, ...] = (
     # -- reshaped sketch pair (oracle split this round) --
     "q_hll_sketch",
     "q_hll_sketch_state",
-    # -- 33 round-1-only greens: oldest driver evidence --
+    # -- 10 round-4 TPC-H completions, never driver-checked --
+    "q_order_priority",
+    "q_volume_shipping",
+    "q_market_share",
+    "q_returned_items",
+    "q_cust_order_dist",
+    "q_top_supplier",
+    "q_small_qty_revenue",
+    "q_large_orders",
+    "q_disjunctive_join",
+    "q_idle_customers",
+    # -- 23 round-1-only greens: oldest driver evidence --
     "q_ann_ivf",
     "q_ann_lsh",
     "q_approx_stats",
     "q_arg_extremes",
     "q_array_agg",
     "q_conditional_distinct",
-    "q_cross_join",
     "q_dedup_exact",
     "q_dedup_minhash",
     "q_dedup_simhash",
@@ -149,23 +166,14 @@ _PRIORITY: tuple[str, ...] = (
     "q_explode_posexplode",
     "q_fingerprint",
     "q_frame_sample",
-    "q_having",
-    "q_in_subquery",
     "q_kmeans_clusters",
     "q_lang_id",
     "q_median_filtered",
     "q_ngram_jaccard",
-    "q_null_handling",
     "q_quality_score",
     "q_regr_slope",
-    "q_rlike_filter",
     "q_sim_topk",
-    "q_string_fns",
     "q_tfidf_topterms",
-    "q_union_all",
-    "q_unpivot",
-    "q_window_first_last",
-    "q_window_ranks",
     # -- 4 round-2 greens, complex-type-adjacent, post-sweep re-check --
     "q_array_fns",
     "q_higher_order_fns",

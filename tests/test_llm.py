@@ -326,3 +326,50 @@ def test_grouped_topk_null_keys_and_nan_scores(spark):
     assert got == expected
     # NaN outranks every finite score; the null key group survives.
     assert got[("a", 1)] == 2 and got[(None, 1)] == 6
+
+
+def test_grouped_topk_property_matches_window(spark):
+    """Property check: for random keys (incl. null), random scores (incl.
+    NaN — per the documented contract, no SQL NULL in the float sort
+    column), and random k, grouped_topk returns EXACTLY the window
+    reference's rows."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import Window
+
+    from parquet_compactor_spark.functions.topk import grouped_topk
+
+    key_s = st.one_of(st.none(), st.sampled_from(["a", "b", "c"]))
+    score_s = st.one_of(
+        st.just(float("nan")),
+        st.floats(min_value=-5, max_value=5, allow_nan=False),
+    )
+    rows_s = st.lists(st.tuples(key_s, score_s), min_size=1, max_size=25)
+
+    @given(rows=rows_s, k=st.integers(min_value=1, max_value=4))
+    @settings(max_examples=6, deadline=None)
+    def check(rows, k):
+        data = [(key, i, score) for i, (key, score) in enumerate(rows)]
+        df = spark.createDataFrame(
+            data, "key string, id long, score double"
+        ).repartition(3, "id")
+        got = {
+            (r.key, r.rn): r.id
+            for r in grouped_topk(
+                df,
+                key_cols=["key"],
+                sort_cols=["score", "id"],
+                ascending=[False, True],
+                k=k,
+            ).collect()
+        }
+        w = Window.partitionBy("key").orderBy(F.desc("score"), F.asc("id"))
+        expected = {
+            (r.key, r.rn): r.id
+            for r in df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .collect()
+        }
+        assert got == expected
+
+    check()
