@@ -757,6 +757,44 @@ def q_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_lateral_topn",
+    oracle="""
+    SELECT n.n_name, c.c_name, ROUND(c.c_acctbal, 2) AS acctbal
+    FROM nation n,
+    LATERAL (
+        SELECT c_name, c_acctbal FROM customer
+        WHERE c_nationkey = n.n_nationkey
+        ORDER BY c_acctbal DESC, c_custkey
+        LIMIT 2
+    ) c
+    """,
+    doc="Correlated LATERAL subquery with a per-row ORDER BY ... LIMIT — "
+    "the 'top-2 customers per nation' shape written as a lateral "
+    "derived table instead of a ranking window. Catalyst decorrelates "
+    "the limit-bearing subquery into a partitioned rank filter on the "
+    "correlation key (DecorrelateInnerQuery), so the apparent "
+    "re-query-per-nation executes as ONE pass over customer with a "
+    "per-key top-2 — same plan family as q_window_topn, reached from "
+    "the opposite syntax. Complements q_udtf_tokens' LATERAL VIEW "
+    "(table function) with the correlated-subquery flavor of LATERAL.",
+)
+def q_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "nation").createOrReplaceTempView("nation_v")
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    return spark.sql(
+        """
+        SELECT n.n_name, c.c_name, ROUND(c.c_acctbal, 2) AS acctbal
+        FROM nation_v n
+        JOIN LATERAL (
+            SELECT c_name, c_acctbal FROM customer_v
+            WHERE c_nationkey = n.n_nationkey
+            ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+        ) c
+        """
+    )
+
+
+@register(
     "q_recursive_cte",
     oracle="""
     WITH RECURSIVE chain AS (

@@ -782,3 +782,86 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_outliers"),
         )
     )
+
+
+@register(
+    "q_merge_upsert",
+    oracle="""
+    WITH base AS (
+        SELECT user_id, value FROM (
+            SELECT user_id, value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events WHERE ts < TIMESTAMP '2024-01-20 00:00:00'
+        ) WHERE rn = 1
+    ),
+    changes AS (
+        SELECT user_id,
+               CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+               value
+        FROM (
+            SELECT user_id, event_type, value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'
+        ) WHERE rn = 1
+    )
+    SELECT COALESCE(c.user_id, b.user_id) AS user_id,
+           ROUND(CASE WHEN c.user_id IS NULL THEN b.value
+                      ELSE c.value END, 2) AS value,
+           CASE WHEN c.user_id IS NULL THEN 'kept'
+                WHEN b.user_id IS NULL THEN 'inserted'
+                ELSE 'updated' END AS action
+    FROM base b
+    FULL OUTER JOIN changes c ON b.user_id = c.user_id
+    WHERE c.op IS NULL OR c.op <> 'D'
+    """,
+    doc="Batch MERGE INTO (CDC apply): a snapshot (latest state per user "
+    "before the cutoff) merged with a changelog (latest post-cutoff "
+    "change per user; an 'error' event deletes the key) — WHEN MATCHED "
+    "UPDATE / DELETE, WHEN NOT MATCHED INSERT, untouched keys pass "
+    "through. The lakehouse-standard shape: both sides compact to "
+    "latest-per-key first (top-1 windows, O(1) per-key state), so the "
+    "FULL OUTER join — which cannot broadcast, by definition — joins "
+    "two key-sized tables, never two history-sized ones. Batch twin of "
+    "streaming/pipeline.py's materialize_latest_state foreachBatch "
+    "merge; the output 'action' column is the merge audit a Delta/"
+    "Iceberg MERGE reports as its operation metrics.",
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    cutoff = "2024-01-20 00:00:00"
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    base = (
+        e.filter(F.col("ts") < cutoff)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("user_id").alias("b_user"), F.col("value").alias("b_value"))
+    )
+    changes = (
+        e.filter(F.col("ts") >= cutoff)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+            F.col("value").alias("c_value"),
+        )
+    )
+    return (
+        base.join(changes, F.col("b_user") == F.col("c_user"), "full_outer")
+        .filter(F.col("op").isNull() | (F.col("op") != "D"))
+        .select(
+            F.coalesce("c_user", "b_user").alias("user_id"),
+            F.round(
+                F.when(F.col("c_user").isNull(), F.col("b_value")).otherwise(
+                    F.col("c_value")
+                ),
+                2,
+            ).alias("value"),
+            F.when(F.col("c_user").isNull(), "kept")
+            .when(F.col("b_user").isNull(), "inserted")
+            .otherwise("updated")
+            .alias("action"),
+        )
+    )

@@ -108,19 +108,22 @@ def _ensure_loaded() -> None:
 #   14-23 the 10 round-4 TPC-H completions (queries/tpch_extra.py) —
 #         every registered query should have a driver row after this
 #         round, so first-time checks outrank re-verification;
-#   24-46 23 of the 33 queries whose latest driver row is round 1 —
+#   24-25 the two other round-4 additions: q_merge_upsert (batch CDC
+#         MERGE) and q_lateral_topn (correlated LATERAL with LIMIT);
+#   26-46 21 of the 33 queries whose latest driver row is round 1 —
 #         oldest evidence, re-verified against silent regression, with
 #         the LLM dedup/ANN family and plan-sensitive ops kept over the
-#         10 simplest untouched relational greens (q_cross_join,
-#         q_having, q_in_subquery, q_null_handling, q_rlike_filter,
-#         q_string_fns, q_union_all, q_unpivot, q_window_first_last,
-#         q_window_ranks — r1-green, untouched since, next in line);
+#         12 simplest / weakest-value re-checks (q_cross_join, q_having,
+#         q_in_subquery, q_null_handling, q_rlike_filter, q_string_fns,
+#         q_union_all, q_unpivot, q_window_first_last, q_window_ranks,
+#         q_approx_stats (rows-only), q_arg_extremes — r1-green,
+#         untouched since, next in line);
 #   47-50 four round-2 greens with complex-type-heavy internals,
 #         re-checked after this round's scalar-output sweep.
 # Everything not listed follows in registration order.
 #
 # Round-5 rotation plan: with full first-time coverage after this round,
-# refill the window oldest-first: the 10 r1-greens named above, then the
+# refill the window oldest-first: the 12 r1-greens named above, then the
 # round-2 cohort (44), then the oldest round-3 rows.
 _PRIORITY: tuple[str, ...] = (
     # -- 10 round-3 additions, never driver-checked --
@@ -150,11 +153,12 @@ _PRIORITY: tuple[str, ...] = (
     "q_large_orders",
     "q_disjunctive_join",
     "q_idle_customers",
-    # -- 23 round-1-only greens: oldest driver evidence --
+    # -- 2 other round-4 additions, never driver-checked --
+    "q_merge_upsert",
+    "q_lateral_topn",
+    # -- 21 round-1-only greens: oldest driver evidence --
     "q_ann_ivf",
     "q_ann_lsh",
-    "q_approx_stats",
-    "q_arg_extremes",
     "q_array_agg",
     "q_conditional_distinct",
     "q_dedup_exact",
