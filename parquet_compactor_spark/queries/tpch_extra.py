@@ -64,7 +64,12 @@ def q_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
     )
-    li = load(spark, sf_dir, "lineitem")
+    # The join condition l_shipdate > o_orderdate is not pushable, but with
+    # o_orderdate >= 1996-01-01 it IMPLIES l_shipdate > 1996-01-01 — a
+    # derived bound Catalyst does not infer across the inequality, stated
+    # here so the probe side prunes at the parquet scan instead of
+    # shuffling the full history into the semi join.
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1996-01-01")
     return (
         o.join(
             li,
