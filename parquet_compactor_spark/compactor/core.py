@@ -182,6 +182,14 @@ def plan_output_files(total_bytes: int, config: CompactionConfig) -> int:
     return max(1, math.ceil(total_bytes / config.file_size_bytes))
 
 
+def _is_mergeable_data_file(path: str) -> bool:
+    """True for files a parquet merge would actually read: ``*.parquet``
+    with a non-hidden basename (Spark's readers skip ``_``/``.`` prefixed
+    files; sidecars like _SUCCESS/.crc are not parquet at all)."""
+    base = path.rsplit("/", 1)[-1]
+    return base.endswith(".parquet") and not base.startswith(("_", "."))
+
+
 def group_by_leaf(files: list[ListedFile]) -> dict[str, list[FileMeta]]:
     """Group a flat recursive listing by parent directory.
 
@@ -235,9 +243,20 @@ class LakeCompactor:
         listing (one Spark metadata job, one collect) instead of the
         per-file py4j iterator — the difference between seconds and
         hours on a million-object lake.
+
+        Planning considers only what a merge can READ: ``*.parquet``
+        files whose basename is not hidden (``_``/``.`` prefixed).
+        ``spark.read.parquet`` skips hidden files and cannot parse
+        sidecars (_SUCCESS, .crc), so treating them as candidates
+        either fails the merge or — worse — deletes a file whose rows
+        were never merged. This also makes both ``list_files`` modes
+        equivalent for planning (the distributed file index drops
+        hidden files on its own; the iterator does not).
         """
         listing = self.fs.list_files(self.root, distributed=True)
-        leaves = group_by_leaf(listing)
+        leaves = group_by_leaf(
+            [f for f in listing if _is_mergeable_data_file(f.path)]
+        )
         return {
             leaf: [f for f in files if f.size < self.config.file_size_bytes]
             for leaf, files in leaves.items()
@@ -333,13 +352,13 @@ class LakeCompactor:
                 # conf mismatch into a silent skip. Copy the parent's
                 # modified confs first, then override the split sizing.
                 sess = self.spark.newSession()
+                # isModifiable (not try/except) skips static confs: a
+                # blanket except would also swallow a transient failure
+                # on a genuinely modifiable conf — the exact class this
+                # copy exists to propagate.
                 for key, value in self.spark.conf.getAll.items():
-                    try:
+                    if sess.conf.isModifiable(key):
                         sess.conf.set(key, value)
-                    except Exception:
-                        # Static/immutable confs (already fixed at
-                        # context startup, identical in the child).
-                        pass
                 sess.conf.set("spark.sql.files.maxPartitionBytes", str(split))
                 sess.conf.set("spark.sql.files.openCostInBytes", str(open_cost))
                 sess.conf.set("spark.sql.files.minPartitionNum", "1")

@@ -52,23 +52,36 @@ class HadoopFS:
         million-object lake. Lake-wide scans (planning, reporting) should
         always pass distributed=True; leaf-scoped listings stay on the
         iterator to avoid per-call Spark job overhead (~0.3 s).
+
+        Mode divergence callers must know: Spark's file index SKIPS
+        hidden files (basename starting ``_`` or ``.``) and everything
+        under hidden directories, while the iterator lists them. Spark's
+        own readers skip the same set, so for planning what a merge/scan
+        will touch the distributed view is the truthful one; callers
+        needing sidecars (_SUCCESS, .crc) must use the iterator.
         """
         out: list[ListedFile] = []
         p = self.jpath(prefix)
         if not self._fs.exists(p):
             return out
         if distributed:
+            from pyspark.sql import functions as F
+
             df = (
                 self._spark.read.format("binaryFile")
                 .option("recursiveFileLookup", "true")
                 .load(prefix)
-                .select("path", "length", "modificationTime")
+                # unix_micros: epoch extracted JVM-side from the instant.
+                # Collecting the timestamp and calling .timestamp() on the
+                # naive local datetime would resolve a DST fall-back fold
+                # to the wrong hour on DST-observing hosts.
+                .select("path", "length", F.unix_micros("modificationTime").alias("mtime_us"))
             )
             return [
                 ListedFile(
                     path=r.path,
                     size=int(r.length),
-                    modified=r.modificationTime.timestamp(),
+                    modified=r.mtime_us / 1_000_000.0,
                 )
                 for r in df.collect()
             ]

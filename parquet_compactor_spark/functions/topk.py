@@ -22,11 +22,15 @@ shuffle still carries every row.
 Same partial/final shape as Spark's own TakeOrderedAndProject,
 generalized from global top-k to per-key.
 
-Why ``mapInArrow`` and not ``mapInPandas``: the pandas→Arrow return path
-uses ``from_pandas`` semantics, which silently turns float NaN into SQL
-NULL — a NaN score that the final window would rank FIRST (Spark orders
-NaN as the largest double) comes back as a NULL it ranks LAST. Owning
-the Arrow conversion keeps NaN a value on the wire.
+Why ``mapInArrow`` and not ``mapInPandas``: the pandas seam on both
+sides of ``mapInPandas`` collapses SQL NULL and float NaN into one
+``NaN`` and returns it as NULL — so a NaN score the final window ranks
+FIRST (Spark: NaN > any double) silently became a NULL it ranks LAST,
+and NULLs in float *payload* columns came back as NaN values. Owning
+the Arrow conversion with pandas' masked (nullable) dtypes keeps NULL
+and NaN distinct end-to-end: Arrow null → ``pd.NA``, NaN stays a value,
+and ``pa.array(..., from_pandas=True)`` on a masked array maps only NA
+back to null.
 """
 
 from __future__ import annotations
@@ -50,22 +54,20 @@ def grouped_topk(
     Deterministic when ``sort_cols`` is a total order per key (include a
     unique id as the last sort column).
 
-    Null/NaN parity with the final window (the map stage must never prune
-    a row the window would rank ≤ k):
+    Null/NaN parity with the final window (the map stage must never
+    prune a row the window would rank ≤ k, and must never alter a
+    value):
 
     - **Null keys** are real groups: the map-side groupby runs with
       ``dropna=False``, matching the window's PARTITION BY.
-    - **Float sort columns**: Spark orders NaN as the LARGEST double, so
-      the local sort places NaN last on ascending / first on descending,
-      and the Arrow return path preserves NaN as a value (see module
-      docstring). Caveat: Arrow→pandas hands SQL NULL and NaN to the
-      local sort as the same ``NaN``, so a float sort column containing
-      BOTH cannot be pruned faithfully map-side (Spark ranks NULL
-      smallest, NaN largest) — coalesce or filter NULLs in float sort
-      columns before calling.
-    - **Int/bool/other sort columns**: nullable pandas dtypes keep NULL
-      distinct, ordered per Spark's default (ASC NULLS FIRST / DESC
-      NULLS LAST — null smallest).
+    - **Sort ordering** matches Spark exactly, including float columns
+      holding BOTH SQL NULL and NaN: with masked dtypes pandas sorts a
+      genuine NaN as the largest value (Spark: NaN > any double) while
+      NA follows ``na_position``, which is set per direction to Spark's
+      default null rule (ASC NULLS FIRST / DESC NULLS LAST).
+    - **Values round-trip bit-faithfully**: nullable Int/Float/Boolean
+      dtypes keep NULL ≠ NaN and NULL-bearing int columns never degrade
+      to float.
     """
     import pandas as pd
     import pyarrow as pa
@@ -75,45 +77,38 @@ def grouped_topk(
     schema = df.schema
     schema_arrow = to_arrow_schema(schema)
 
-    # Arrow→pandas with nullable dtypes for ints/bools so NULLs survive
-    # the round trip (default conversion would degrade int64+NULL to
-    # float64 NaN and re-emit it as a *value* gone wrong).
+    # Arrow→pandas with masked (nullable) dtypes: Arrow null → pd.NA,
+    # float NaN stays a value, int columns keep their type under NULLs.
     _nullable = {
         pa.int8(): pd.Int8Dtype(),
         pa.int16(): pd.Int16Dtype(),
         pa.int32(): pd.Int32Dtype(),
         pa.int64(): pd.Int64Dtype(),
+        pa.float32(): pd.Float32Dtype(),
+        pa.float64(): pd.Float64Dtype(),
         pa.bool_(): pd.BooleanDtype(),
     }
 
     def spark_ordered(cand: pd.DataFrame) -> pd.DataFrame:
         # Lexicographic sort as a stable per-column pass (last key first)
-        # so na_position can differ per column, mirroring Spark ordering.
+        # so na_position can differ per column direction. NULL (pd.NA) is
+        # the smallest value in Spark's default asc/desc orderings; NaN
+        # needs no handling — masked-dtype sorts place it largest, which
+        # is Spark's rule.
         for c, asc in reversed(list(zip(sort_cols, ascending))):
-            if pd.api.types.is_float_dtype(cand[c]):
-                na_pos = "last" if asc else "first"  # NaN = largest (Spark)
-            else:
-                na_pos = "first" if asc else "last"  # NULL = smallest (Spark)
+            na_pos = "first" if asc else "last"
             cand = cand.sort_values(
                 c, ascending=asc, kind="mergesort", na_position=na_pos
             )
         return cand
 
     def to_batch(acc: pd.DataFrame) -> pa.RecordBatch:
-        arrays = []
-        for f in schema_arrow:
-            col = acc[f.name]
-            if pa.types.is_floating(f.type):
-                # from_pandas=False: NaN stays a NaN value, not NULL.
-                arrays.append(
-                    pa.array(
-                        col.to_numpy(dtype="float64"),
-                        type=f.type,
-                        from_pandas=False,
-                    )
-                )
-            else:
-                arrays.append(pa.array(col, type=f.type, from_pandas=True))
+        # from_pandas=True on masked arrays maps pd.NA → null and keeps
+        # NaN as a value (plain-numpy NaN→null coercion never applies).
+        arrays = [
+            pa.array(acc[f.name], type=f.type, from_pandas=True)
+            for f in schema_arrow
+        ]
         return pa.RecordBatch.from_arrays(arrays, schema=schema_arrow)
 
     def local_topk(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:

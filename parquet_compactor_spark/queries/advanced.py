@@ -610,11 +610,16 @@ def q_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             "exact_users",
-            (
+            # Guard the all-null-users group: exact = 0 would make the
+            # ratio NULL (never TRUE) — there the invariant is simply
+            # that the sketch also saw nothing.
+            F.when(F.col("exact_users") == 0, F.col("approx_users") == 0)
+            .otherwise(
                 F.abs(F.col("approx_users") - F.col("exact_users"))
                 / F.col("exact_users")
                 <= 0.05
-            ).alias("within_tol"),
+            )
+            .alias("within_tol"),
         )
     )
 

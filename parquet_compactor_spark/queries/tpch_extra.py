@@ -251,9 +251,7 @@ def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     n = load(spark, sf_dir, "nation")
-    vol = F.col("l_extendedprice").cast("decimal(18,4)") * (
-        F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)")
-    )
+    vol = _dec_vol()
     return (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(c, F.col("o_custkey") == F.col("c_custkey"))

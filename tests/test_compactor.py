@@ -612,3 +612,32 @@ def test_merge_child_session_inherits_runtime_confs(spark, lake):
         merged.schema.field("payload").type
     ), merged.schema
     assert sorted(merged.column("id").to_pylist()) == list(range(40))
+
+
+def test_compact_ignores_hidden_and_sidecar_files(spark, lake):
+    """Planning must only consider files a parquet merge can READ:
+    _SUCCESS / .crc sidecars and _/.-hidden parquet files are skipped by
+    spark.read.parquet, so treating them as candidates either fails the
+    merge or deletes a file whose rows were never merged."""
+    leaf = lake / "acct1" / "source=OCP" / "year=2024" / "month=01"
+    for i in range(4):
+        write_small_parquet(leaf / f"in-{i}.parquet", start=i * 100)
+    (leaf / "_SUCCESS").write_text("")
+    # Hidden dotfile sidecar; named after no data file so Hadoop's
+    # ChecksumFileSystem never tries to validate a real read against it.
+    (leaf / ".orphan.crc").write_bytes(b"x" * 8)
+    write_small_parquet(leaf / "_hidden.parquet", start=9000)
+    old = OLD.timestamp()
+    for f in leaf.iterdir():
+        os.utime(f, (old, old))
+
+    outcomes = compactor(spark, lake).compact()
+    assert list(outcomes.values()) == ["compacted_4_files"]
+    # Sidecars and the hidden parquet file survive untouched; the merged
+    # output carries exactly the 4 readable files' rows.
+    assert (leaf / "_SUCCESS").exists()
+    assert (leaf / ".orphan.crc").exists()
+    assert (leaf / "_hidden.parquet").exists()
+    visible = [p for p in leaf.glob("*.parquet") if not p.name.startswith("_")]
+    assert len(visible) == 1
+    assert sorted(pq.read_table(visible[0]).column("id").to_pylist()) == list(range(400))

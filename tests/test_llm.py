@@ -328,11 +328,62 @@ def test_grouped_topk_null_keys_and_nan_scores(spark):
     assert got[("a", 1)] == 2 and got[(None, 1)] == 6
 
 
+def test_grouped_topk_preserves_null_vs_nan_everywhere(spark):
+    """The Arrow seam must not corrupt values: SQL NULL in float PAYLOAD
+    columns stays NULL (not NaN), NaN stays NaN, and a sort column
+    holding BOTH orders exactly like Spark (NaN largest, NULL smallest).
+    An earlier mapInPandas/from_pandas seam failed all three."""
+    import math
+
+    from pyspark.sql import Window
+
+    from parquet_compactor_spark.functions.topk import grouped_topk
+
+    rows = [
+        ("a", 1, 5.0, None),
+        ("a", 2, float("nan"), 1.5),
+        ("a", 3, None, float("nan")),
+        ("a", 4, 7.0, float("nan")),
+        ("b", 5, None, None),
+        ("b", 6, 1.0, 3.5),
+    ]
+    df = spark.createDataFrame(
+        rows, "key string, id long, score double, payload double"
+    ).repartition(3, "id")
+    out = {
+        r.id: r
+        for r in grouped_topk(
+            df,
+            key_cols=["key"],
+            sort_cols=["score", "id"],
+            ascending=[False, True],
+            k=3,
+        ).collect()
+    }
+    w = Window.partitionBy("key").orderBy(F.desc("score"), F.asc("id"))
+    expected = {
+        r.id: r
+        for r in df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .collect()
+    }
+    assert {i: r.rn for i, r in out.items()} == {
+        i: r.rn for i, r in expected.items()
+    }
+    # Spark desc on mixed column: NaN(2) first, 7.0(4), 5.0(1), NULL(3) out at k=3.
+    assert out[2].rn == 1 and out[4].rn == 2 and out[1].rn == 3 and 3 not in out
+    # Payload values survive bit-faithfully: NULL stays NULL, NaN stays
+    # NaN, finite values untouched.
+    assert out[1].payload is None
+    assert out[2].payload == 1.5
+    assert math.isnan(out[4].payload)
+    assert out[5].payload is None and out[5].score is None
+
+
 def test_grouped_topk_property_matches_window(spark):
     """Property check: for random keys (incl. null), random scores (incl.
-    NaN — per the documented contract, no SQL NULL in the float sort
-    column), and random k, grouped_topk returns EXACTLY the window
-    reference's rows."""
+    BOTH SQL NULL and NaN in the same float sort column), and random k,
+    grouped_topk returns EXACTLY the window reference's rows."""
     from hypothesis import given, settings
     from hypothesis import strategies as st
     from pyspark.sql import Window
@@ -341,6 +392,7 @@ def test_grouped_topk_property_matches_window(spark):
 
     key_s = st.one_of(st.none(), st.sampled_from(["a", "b", "c"]))
     score_s = st.one_of(
+        st.none(),
         st.just(float("nan")),
         st.floats(min_value=-5, max_value=5, allow_nan=False),
     )
