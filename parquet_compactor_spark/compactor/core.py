@@ -445,15 +445,25 @@ class LakeCompactor:
             success = success and ok
         return success
 
-    def remove_uncompacted_files(self, file_list: list[str]) -> None:
+    def remove_uncompacted_files(self, file_list: list[str]) -> list[str]:
         """Delete merged-away originals (parquet_compactor.py:230-234).
 
         Parallel: thousands of sequential per-object deletes would stall
         the driver for round-trip-latency × N on an object store.
+
+        Returns the paths whose delete returned False (and logs them): a
+        leftover original sits next to the committed merged output and its
+        rows are read twice by every subsequent scan until the next run's
+        incremental filter re-merges it — silent data duplication unless
+        surfaced.
         """
-        self._fs_parallel(
+        results = self._fs_parallel(
             lambda path: self.fs.delete(path, recursive=False), file_list
         )
+        failed = [p for p, ok in zip(file_list, results) if not ok]
+        for p in failed:
+            print(f"delete of compacted-away original failed (rows will duplicate): {p}")
+        return failed
 
     def _compact_leaf(self, leaf: str, files: list[FileMeta]) -> str:
         """Plan + execute one leaf; returns its outcome string."""
@@ -472,7 +482,12 @@ class LakeCompactor:
         else:
             success = self.merge_files(leaf, base, file_list, sizes)
         if success:
-            self.remove_uncompacted_files(file_list)
+            failed = self.remove_uncompacted_files(file_list)
+            if failed:
+                return (
+                    f"compacted_{len(file_list)}_files_"
+                    f"{len(failed)}_deletes_failed"
+                )
             return f"compacted_{len(file_list)}_files"
         return "merge_failed_originals_kept"
 

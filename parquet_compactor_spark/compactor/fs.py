@@ -15,7 +15,27 @@ key-prefix scan, which is the scalable way to enumerate a 100 TB lake.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from urllib.parse import unquote, urlsplit, urlunsplit
+
 from pyspark.sql import SparkSession
+
+
+def _decode_uri_path(uri: str) -> str:
+    """Decode %xx escapes in the *path component* of a file URI.
+
+    Spark's binaryFile source returns ``path`` in URI-encoded form
+    (space -> %20), while Hadoop Path-based rename/delete/read and the
+    py4j listFiles iterator treat %xx literally. Without decoding, a lake
+    path containing URI-escaping characters would fail every merge read
+    (AnalysisException) and silently never compact. Only the path segment
+    is decoded — scheme/authority are left untouched.
+    """
+    if "://" not in uri:
+        return unquote(uri)
+    parts = urlsplit(uri)
+    return urlunsplit(
+        (parts.scheme, parts.netloc, unquote(parts.path), parts.query, parts.fragment)
+    )
 
 
 @dataclass(frozen=True)
@@ -79,7 +99,7 @@ class HadoopFS:
             )
             return [
                 ListedFile(
-                    path=r.path,
+                    path=_decode_uri_path(r.path),
                     size=int(r.length),
                     modified=r.mtime_us / 1_000_000.0,
                 )

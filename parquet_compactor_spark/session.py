@@ -29,20 +29,56 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
 
-def _default_driver_mem() -> str:
-    """Heap default: half of detected system RAM, clamped to [1g, 24g].
+# cgroup v2 then v1; module-level so tests can point at fixture files.
+_CGROUP_PATHS = (
+    "/sys/fs/cgroup/memory.max",
+    "/sys/fs/cgroup/memory/memory.limit_in_bytes",
+)
 
-    Half leaves room for Python workers (Arrow batches live in both
-    worlds) and the OS page cache; the 24g cap is the local[32] sweet
-    spot measured in SCALE.md. Detection failure falls back to a safe 4g
-    rather than a value that can't launch. Overridden entirely by
+
+def _cgroup_mem_limit_bytes() -> int | None:
+    """Container memory limit from cgroup v2 (memory.max) or v1, if any.
+
+    sysconf sees the HOST's RAM; inside a memory-limited container on a
+    big host that over-sizes the heap and invites OOM-kills. A missing
+    file, "max" (v2 unlimited), or a v1 sentinel >= 2^60 means no
+    effective limit.
+    """
+    for path in _CGROUP_PATHS:
+        try:
+            raw = open(path).read().strip()
+        except OSError:
+            continue
+        if raw == "max":
+            return None
+        try:
+            limit = int(raw)
+        except ValueError:
+            continue
+        if 0 < limit < 1 << 60:
+            return limit
+    return None
+
+
+def _default_driver_mem() -> str:
+    """Heap default: half of available RAM, clamped to [1g, 24g].
+
+    "Available" is min(host RAM via sysconf, cgroup limit if present) —
+    the cgroup limit is what the kernel will actually enforce in a
+    container. Half leaves room for Python workers (Arrow batches live in
+    both worlds) and the OS page cache; the 24g cap is the local[32]
+    sweet spot measured in SCALE.md. Detection failure falls back to a
+    safe 4g rather than a value that can't launch. Overridden entirely by
     SPARK_GRAFT_DRIVER_MEM.
     """
     try:
-        total_gb = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES") / 1024**3
+        total = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
     except (ValueError, OSError, AttributeError):  # non-POSIX or sysconf gap
         return "4g"
-    return f"{max(1, min(24, int(total_gb // 2)))}g"
+    cg = _cgroup_mem_limit_bytes()
+    if cg is not None:
+        total = min(total, cg)
+    return f"{max(1, min(24, int(total / 1024**3 // 2)))}g"
 
 
 def get_spark(

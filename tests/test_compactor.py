@@ -641,3 +641,75 @@ def test_compact_ignores_hidden_and_sidecar_files(spark, lake):
     visible = [p for p in leaf.glob("*.parquet") if not p.name.startswith("_")]
     assert len(visible) == 1
     assert sorted(pq.read_table(visible[0]).column("id").to_pylist()) == list(range(400))
+
+
+def test_distributed_listing_decodes_uri_escapes(spark, tmp_path):
+    """binaryFile returns URI-encoded paths (space -> %20); the Hadoop
+    Path APIs (rename/delete/read) treat %xx literally. The distributed
+    listing must decode so both modes name the same file (ADVICE r4)."""
+    from parquet_compactor_spark.compactor.fs import HadoopFS
+
+    d = tmp_path / "odd names"
+    d.mkdir()
+    write_small_parquet(d / "with space.parquet", start=0, rows=5)
+    fs = HadoopFS(spark, str(tmp_path))
+    iter_paths = {f.path for f in fs.list_files(str(tmp_path))}
+    dist_paths = {f.path for f in fs.list_files(str(tmp_path), distributed=True)}
+    assert iter_paths == dist_paths
+    (path,) = dist_paths
+    assert "%20" not in path and "with space.parquet" in path
+    # The decoded path round-trips through the Hadoop Path API.
+    assert fs.exists(path)
+
+
+def test_distributed_listing_preserves_literal_percent(spark, tmp_path):
+    """A file literally named with %xx must still resolve after decode —
+    pin the trade-off: %-literal names are decoded too, so both modes
+    must agree on the same (decoded) spelling or neither."""
+    from parquet_compactor_spark.compactor.fs import _decode_uri_path
+
+    assert _decode_uri_path("file:/a/b%20c.parquet") == "file:/a/b c.parquet"
+    assert _decode_uri_path("/plain/no scheme.parquet") == "/plain/no scheme.parquet"
+    # Authority (host:port) is never decoded.
+    assert (
+        _decode_uri_path("s3a://bucket/k%2By.parquet") == "s3a://bucket/k+y.parquet"
+    )
+
+
+def test_driver_mem_respects_cgroup_limit(tmp_path, monkeypatch):
+    """Inside a memory-limited container on a big host, the heap must be
+    sized from the cgroup limit, not host RAM (ADVICE r4)."""
+    import parquet_compactor_spark.session as sess
+
+    limit_file = tmp_path / "memory.max"
+    limit_file.write_text(str(4 * 1024**3))  # 4 GiB container
+    monkeypatch.setattr(sess, "_CGROUP_PATHS", (str(limit_file),))
+    assert sess._default_driver_mem() == "2g"  # half of 4 GiB, not host/2
+
+    limit_file.write_text("max")  # v2 unlimited → fall back to sysconf
+    host_half = sess._default_driver_mem()
+    assert host_half.endswith("g") and int(host_half[:-1]) >= 1
+
+    limit_file.write_text(str(1 << 62))  # v1 "unlimited" sentinel
+    assert sess._default_driver_mem() == host_half
+
+
+def test_failed_delete_surfaced_in_outcome(spark, lake, capsys):
+    """A delete returning False leaves an original whose rows duplicate
+    on every scan — it must be logged and visible in the leaf outcome."""
+    leaf = lake / "acct1" / "source=OCP" / "year=2024" / "month=01"
+    for i in range(4):
+        write_small_parquet(leaf / f"in-{i}.parquet", start=i * 100)
+    c = compactor(spark, lake)
+    real_delete = c.fs.delete
+
+    def flaky_delete(path, recursive=False):
+        if path.endswith("in-0.parquet"):
+            return False  # simulate object-store delete refusal
+        return real_delete(path, recursive)
+
+    c.fs.delete = flaky_delete
+    outcomes = c.compact()
+    assert list(outcomes.values()) == ["compacted_4_files_1_deletes_failed"]
+    assert "in-0.parquet" in capsys.readouterr().out
+    assert (leaf / "in-0.parquet").exists()
