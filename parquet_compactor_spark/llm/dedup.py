@@ -212,16 +212,39 @@ def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
 
 @register(
     "q_dedup_minhash",
-    oracle=None,  # banded-LSH bucketing is not practically SQL-expressible
-    doc="MinHash-LSH near-duplicate candidate pairs over documents, "
-    "verified with exact shingle Jaccard (pairs with jaccard >= 0.5). "
-    "Deterministic: seeded permutations. The fixture corpus is random "
-    "word-soup so 0 rows is the expected (and checked) shape; "
-    "tests/test_llm.py proves recall on a corpus with planted near-dups.",
+    oracle="""
+    WITH sp AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+    sh AS (SELECT doc_id,
+             CASE WHEN len(w) >= 3
+                  THEN list_distinct(list_transform(range(1, len(w) - 1),
+                                                    i -> array_to_string(w[i:i+2], ' ')))
+                  ELSE [text] END AS s
+           FROM sp),
+    jc AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+                  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.s, b.s))) AS j
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+    SELECT id1, id2, ROUND(j, 4) AS jaccard, TRUE AS est_ok
+    FROM jc WHERE j >= 0.5
+    """,
+    doc="MinHash-LSH near-duplicate pairs over documents, verified with "
+    "exact 3-word-shingle Jaccard (pairs with jaccard >= 0.5). "
+    "Deterministic: seeded permutations. DIFFERENTIAL ORACLE: DuckDB "
+    "computes the ground-truth edge set by brute-force all-pairs Jaccard "
+    "(O(n^2) — fine for an oracle, never for the engine); a hash match "
+    "therefore proves BOTH shingling parity and 100% LSH recall on every "
+    "qualifying pair, plus est_ok pins the 64-perm signature estimate "
+    "within 0.2 of exact. tests/test_llm.py adds planted-near-dup recall.",
 )
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
-    return minhash_candidate_pairs(d).filter(F.col("jaccard") >= 0.5)
+    pairs = minhash_candidate_pairs(d).filter(F.col("jaccard") >= 0.5)
+    return pairs.select(
+        "id1",
+        "id2",
+        "jaccard",
+        (F.abs(F.col("est_jaccard") - F.col("jaccard")) <= 0.2).alias("est_ok"),
+    )
 
 
 # --------------------------------------------------------------------------
@@ -256,18 +279,30 @@ def simhash64(hashes_col: str = "hashes") -> Column:
     )
 
 
-def simhash_signatures_exploded(docs: DataFrame) -> DataFrame:
-    """(doc_id, sim) via explode + 64 bit-vote sum-aggregates — the scale
-    form: each token hashed once, votes partial-aggregated map-side."""
+def simhash_signatures_exploded(
+    docs: DataFrame, bits: int = 64, portable: bool = False
+) -> DataFrame:
+    """(doc_id, sim) via explode + per-bit vote sum-aggregates — the scale
+    form: each token hashed once, votes partial-aggregated map-side.
+
+    ``portable=True`` hashes tokens with a 60-bit md5-derived value
+    (``conv(substr(md5(t),1,15),16,10)``) that an independent engine can
+    reproduce bit-for-bit (DuckDB: ``('0x' || substr(md5(t),1,15))::BIGINT``),
+    making the whole signature engine-independent and differentially
+    checkable. Default xxhash64 is the production fast path (~4x cheaper
+    per token); the vote/merge algebra is identical.
+    """
     import functools
 
-    hashed = docs.select(
-        "doc_id",
-        F.explode(F.array_distinct(F.split(F.col("text"), " ", -1))).alias("tk"),
-    ).select("doc_id", F.xxhash64("tk").alias("h"))
+    tok = F.explode(F.array_distinct(F.split(F.col("text"), " ", -1))).alias("tk")
+    if portable:
+        h = F.expr("cast(conv(substr(md5(tk), 1, 15), 16, 10) as bigint)")
+    else:
+        h = F.xxhash64("tk")
+    hashed = docs.select("doc_id", tok).select("doc_id", h.alias("h"))
     votes = [
         F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"b{b}")
-        for b in range(64)
+        for b in range(bits)
     ]
     voted = hashed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"), *votes)
     bit_terms = [
@@ -275,20 +310,24 @@ def simhash_signatures_exploded(docs: DataFrame) -> DataFrame:
             F.col(f"b{b}") * 2 >= F.col("n"),
             F.shiftleft(F.lit(1).cast("bigint"), b),
         ).otherwise(F.lit(0).cast("bigint"))
-        for b in range(64)
+        for b in range(bits)
     ]
     sim = functools.reduce(lambda x, y: x.bitwiseOR(y), bit_terms)
     return voted.select("doc_id", sim.alias("sim"))
 
 
-def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
-    """Near-dup pairs by SimHash: 16-bit chunk blocking + Hamming verify.
+def simhash_near_pairs(
+    docs: DataFrame, max_hamming: int = 8, bits: int = 64, portable: bool = False
+) -> DataFrame:
+    """Near-dup pairs by SimHash: 4-chunk blocking + Hamming verify.
 
     Two signatures within Hamming distance 3 must agree on at least one of
-    four 16-bit chunks (pigeonhole), so chunk-equality blocking has full
-    recall at distance <= 3 and high recall below ``max_hamming``.
+    four ``bits/4``-wide chunks (pigeonhole), so chunk-equality blocking
+    has FULL recall at distance <= 3 and high recall below ``max_hamming``.
     """
-    sigs = simhash_signatures_exploded(docs)
+    chunk_bits = bits // 4
+    chunk_mask = (1 << chunk_bits) - 1
+    sigs = simhash_signatures_exploded(docs, bits=bits, portable=portable)
     chunks = sigs.select(
         "doc_id",
         "sim",
@@ -297,8 +336,8 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(c).alias("chunk_id"),
-                        F.shiftright(F.col("sim"), c * 16)
-                        .bitwiseAND(F.lit(65535))
+                        F.shiftright(F.col("sim"), c * chunk_bits)
+                        .bitwiseAND(F.lit(chunk_mask))
                         .alias("chunk_val"),
                     )
                     for c in range(4)
@@ -327,14 +366,40 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
 
 @register(
     "q_dedup_simhash",
-    oracle=None,  # engine-specific 64-bit token hashing; verified in tests
-    doc="SimHash near-duplicate pairs (Hamming <= 8 over 64-bit bit-vote "
-    "signatures, 16-bit chunk LSH blocking). Deterministic. Random-corpus "
-    "fixture yields ~0 pairs; planted-near-dup recall proven in tests.",
+    oracle="""
+    WITH tk AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+                FROM documents),
+    h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS hv FROM tk),
+    v AS (SELECT doc_id, bb.b AS b,
+                 SUM(CASE WHEN (hv >> bb.b) & 1 = 1 THEN 1 ELSE 0 END) AS ones,
+                 COUNT(*) AS n
+          FROM h, (SELECT unnest(range(0, 60)) AS b) bb
+          GROUP BY 1, 2),
+    sig AS (SELECT doc_id,
+                   CAST(SUM(CASE WHEN ones * 2 >= n
+                                 THEN (1::BIGINT << CAST(b AS INT)) ELSE 0 END)
+                        AS BIGINT) AS sim
+            FROM v GROUP BY 1)
+    SELECT a.doc_id AS id1, b.doc_id AS id2,
+           CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sim, b.sim)) <= 3
+    """,
+    doc="SimHash near-duplicate pairs: 60-bit bit-vote signatures over an "
+    "engine-portable md5-derived token hash, 15-bit 4-chunk LSH blocking, "
+    "Hamming <= 3 verify. DIFFERENTIAL ORACLE: DuckDB rebuilds the exact "
+    "signatures independently and brute-forces all pairs; by the "
+    "pigeonhole principle two signatures within Hamming 3 must agree on "
+    "one of the four chunks, so the blocked join provably has FULL recall "
+    "at the emitted distance and the hash match proves it end-to-end. "
+    "Production would swap the token hash to xxhash64 (same algebra, ~4x "
+    "cheaper — the default of simhash_near_pairs); Hamming 4-8 operation "
+    "uses multi-probe or 8-chunk blocking. Planted-near-dup recall at "
+    "Hamming <= 8 is pinned in tests/test_llm.py.",
 )
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
-    return simhash_near_pairs(d)
+    return simhash_near_pairs(d, max_hamming=3, bits=60, portable=True)
 
 
 # --------------------------------------------------------------------------
