@@ -19,35 +19,67 @@ K = 8
 N_ITER = 3
 SEED_IDS = (100, 107)  # deterministic seed centroids: vec_ids 100..107
 
+# Above this K, literal centroid arrays bloat the expression tree (K x dim
+# literals re-analyzed per pass); switch to ONE broadcast row carrying the
+# matrix as an array column — plan size O(1) in K, still a zero-shuffle map.
+LITERAL_CENTROID_MAX = 64
 
-def _assign(vecs: DataFrame, centroids: list[tuple[int, list[float]]]) -> DataFrame:
+
+def _sq_dist(vec_col, cvec):
+    """Squared L2 between a vector column and a centroid array column —
+    zip_with + left-fold, same IEEE order for both centroid encodings."""
+    return F.aggregate(
+        F.zip_with(vec_col, cvec, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _assign(
+    vecs: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    literal_max: int = LITERAL_CENTROID_MAX,
+) -> DataFrame:
     """Assign each vector to its nearest centroid — pure map, zero shuffle.
 
-    Centroids are embedded as literal arrays (the KB-scale model state);
-    each row computes its K squared-L2 distances JVM-side and argmins via
-    array_position (first minimum → lowest centroid id on ties). No join,
-    no aggregation: assignment cost is exactly one pass over the data.
+    Small K (<= ``literal_max``): centroids are embedded as literal arrays
+    (the KB-scale model state); each row computes its K squared-L2
+    distances JVM-side and argmins via array_position (first minimum →
+    lowest centroid id on ties). No join, no aggregation: assignment cost
+    is exactly one pass over the data.
+
+    Large K: the same K x dim doubles ride along as ONE array<array<double>>
+    column on a broadcast single-row relation (BroadcastNestedLoopJoin with
+    a 1-row build side — still a map, no shuffle), and the distance array
+    is a ``transform`` over it, so the expression tree stays O(1) in K.
+    Both forms compute identical IEEE doubles in identical fold order —
+    bit-equal assignments (pinned by tests/test_llm.py).
     """
-
-    def sq_dist(cvec: list[float]):
-        lits = F.array(*[F.lit(float(x)) for x in cvec])
-        return F.aggregate(
-            F.zip_with(F.col("vec"), lits, lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+    if len(centroids) <= literal_max:
+        dist_arr = F.array(
+            *[
+                _sq_dist(F.col("vec"), F.array(*[F.lit(float(x)) for x in cvec]))
+                for _, cvec in centroids
+            ]
         )
-
-    dist_arr = F.array(*[sq_dist(vec) for _, vec in centroids])
-    return (
-        vecs.withColumn("dists", dist_arr)
-        .select(
-            "vec_id",
-            "vec",
-            (F.array_position(F.col("dists"), F.array_min("dists")) - 1)
-            .cast("int")
-            .alias("cluster"),
-            F.array_min("dists").alias("dist"),
+        staged = vecs.withColumn("dists", dist_arr)
+    else:
+        spark = vecs.sparkSession
+        matrix = [[float(x) for x in cvec] for _, cvec in centroids]
+        cents = spark.createDataFrame(
+            [(matrix,)], "_cents array<array<double>>"
         )
+        staged = vecs.crossJoin(F.broadcast(cents)).withColumn(
+            "dists",
+            F.transform(F.col("_cents"), lambda cv: _sq_dist(F.col("vec"), cv)),
+        )
+    return staged.select(
+        "vec_id",
+        "vec",
+        (F.array_position(F.col("dists"), F.array_min("dists")) - 1)
+        .cast("int")
+        .alias("cluster"),
+        F.array_min("dists").alias("dist"),
     )
 
 
@@ -76,7 +108,12 @@ def per_dim_means(
     )
 
 
-def kmeans(vecs: DataFrame, k: int = K, n_iter: int = N_ITER) -> DataFrame:
+def kmeans(
+    vecs: DataFrame,
+    k: int = K,
+    n_iter: int = N_ITER,
+    literal_max: int = LITERAL_CENTROID_MAX,
+) -> DataFrame:
     """Lloyd's k-means: returns (vec_id, cluster, dist) after ``n_iter``
     iterations from deterministic seeds. ``vecs``: (vec_id, vec:array<double>).
     """
@@ -88,7 +125,7 @@ def kmeans(vecs: DataFrame, k: int = K, n_iter: int = N_ITER) -> DataFrame:
     )
     centroids = [(i, list(r.vec)) for i, r in enumerate(seeds[:k])]
 
-    assigned = _assign(vecs, centroids)
+    assigned = _assign(vecs, centroids, literal_max)
     for _ in range(n_iter - 1):
         # K rows of dim doubles — model state, not row data.
         means = per_dim_means(assigned)
@@ -96,7 +133,7 @@ def kmeans(vecs: DataFrame, k: int = K, n_iter: int = N_ITER) -> DataFrame:
         # centroid forward for clusters that went empty.
         new = {r.cluster: list(r.cvec) for r in means}
         centroids = [(cid, new.get(cid, old)) for cid, old in centroids]
-        assigned = _assign(vecs, centroids)
+        assigned = _assign(vecs, centroids, literal_max)
     return assigned.select("vec_id", "cluster", "dist")
 
 

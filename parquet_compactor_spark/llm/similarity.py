@@ -289,12 +289,28 @@ def _argmax_bucket(csims: Column, cids: Column) -> Column:
 
 
 def ann_ivf(
-    spark: SparkSession, sf_dir: str, n_probe: int = IVF_N_PROBE, lloyd: bool = True
+    spark: SparkSession,
+    sf_dir: str,
+    n_probe: int = IVF_N_PROBE,
+    lloyd: bool = True,
+    literal_max: int | None = None,
 ) -> DataFrame:
-    """IVF ANN with optional Lloyd refinement and multi-probe (see q_ann_ivf)."""
-    from parquet_compactor_spark.llm.cluster import per_dim_means
+    """IVF ANN with optional Lloyd refinement and multi-probe (see q_ann_ivf).
+
+    ``literal_max`` caps the centroid count embedded as literal
+    expressions; above it the centroid matrix rides along as one
+    broadcast array column (see ``_with_csims``). Default: the shared
+    ``LITERAL_CENTROID_MAX`` threshold.
+    """
+    from parquet_compactor_spark.llm.cluster import (
+        LITERAL_CENTROID_MAX,
+        per_dim_means,
+    )
 
     import math
+
+    if literal_max is None:
+        literal_max = LITERAL_CENTROID_MAX
 
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id",
@@ -308,10 +324,12 @@ def ann_ivf(
     e = e.withColumn("_vnorm", l2_norm(F.col("vec")))
     lo, hi = IVF_CENTROID_IDS
     # Centroids are model state (K x dim doubles — KBs): collect once and
-    # embed as literals so each assignment pass is a zero-shuffle map
-    # (argmax via array_position over a per-row cosine array), not a
-    # join + aggregate. Centroid norms are Python-computed constants
-    # (identical left-fold sum → bit-identical to the column form).
+    # re-ship so each assignment pass is a zero-shuffle map (argmax via
+    # array_position over a per-row cosine array), not a join + aggregate.
+    # Small K embeds them as literals; large K broadcasts ONE row carrying
+    # array<struct<cid,cvec,cnorm>> so the plan stays O(1) in K — both
+    # forms compute bit-identical doubles (same fold order; centroid norms
+    # are Python-computed constants either way).
     seed_rows = e.filter(F.col("vec_id").between(lo, hi)).orderBy("vec_id").collect()
     centroids = [(int(r.vec_id) - lo, [float(x) for x in r.vec]) for r in seed_rows]
 
@@ -321,38 +339,58 @@ def ann_ivf(
             s += x * x
         return math.sqrt(s)
 
-    def csims_for(cents: list[tuple[int, list[float]]]) -> tuple[Column, Column]:
-        sims = F.array(
-            *[
-                dot(F.col("vec"), F.array(*[F.lit(x) for x in v]))
-                / (F.col("_vnorm") * F.lit(_cnorm(v)))
-                for _, v in cents
-            ]
+    def with_csims(
+        df: DataFrame, cents: list[tuple[int, list[float]]]
+    ) -> tuple[DataFrame, Column, Column]:
+        """(staged_df, sims, ids): per-row cosine-to-each-centroid array
+        plus the aligned centroid-id array, under either encoding."""
+        if len(cents) <= literal_max:
+            sims = F.array(
+                *[
+                    dot(F.col("vec"), F.array(*[F.lit(x) for x in v]))
+                    / (F.col("_vnorm") * F.lit(_cnorm(v)))
+                    for _, v in cents
+                ]
+            )
+            ids = F.array(*[F.lit(b) for b, _ in cents])
+            return df, sims, ids
+        rows = [(int(b), [float(x) for x in v], _cnorm(v)) for b, v in cents]
+        cdf = spark.createDataFrame(
+            [(rows,)],
+            "_cents array<struct<cid:int,cvec:array<double>,cnorm:double>>",
         )
-        ids = F.array(*[F.lit(b) for b, _ in cents])
-        return sims, ids
+        staged = df.crossJoin(F.broadcast(cdf))
+        sims = F.transform(
+            F.col("_cents"),
+            lambda c: dot(F.col("vec"), c["cvec"])
+            / (F.col("_vnorm") * c["cnorm"]),
+        )
+        ids = F.transform(F.col("_cents"), lambda c: c["cid"])
+        return staged, sims, ids
 
     if lloyd:
         # One Lloyd round: coarse-assign, then refine each cell to the
         # per-dimension mean of its members (rounded so the differential
         # oracle reproduces the exact doubles). Cells that went empty
         # simply drop out, as in the oracle.
-        sims, ids = csims_for(centroids)
-        assign1 = e.select(_argmax_bucket(sims, ids).alias("cluster"), "vec")
+        staged, sims, ids = with_csims(e, centroids)
+        assign1 = staged.select(_argmax_bucket(sims, ids).alias("cluster"), "vec")
         means = per_dim_means(assign1, ndigits=IVF_ROUND)
         centroids = sorted(
             (int(r.cluster), [float(x) for x in r.cvec]) for r in means
         )
 
-    sims, ids = csims_for(centroids)
-    assign = e.select("vec_id", "label", "vec", _argmax_bucket(sims, ids).alias("bucket"))
+    staged, sims, ids = with_csims(e, centroids)
+    assign = staged.select(
+        "vec_id", "label", "vec", _argmax_bucket(sims, ids).alias("bucket")
+    )
 
     # Probe ranking happens on a K-row DF (one row per surviving cell):
     # the query row's cosine to every refined centroid, ranked, top-n —
     # no row data leaves the executors.
-    qsims, qids = csims_for(centroids)
+    qstaged, qsims, qids = with_csims(e.filter(F.col("vec_id") == 0), centroids)
     qcells = (
-        e.filter(F.col("vec_id") == 0)
+        qstaged
         .select(
             F.col("vec").alias("qvec"),
             F.posexplode(
