@@ -61,6 +61,22 @@ class CompactionConfig:
     # stats on ALL listed columns at once (sources/io.py write_zordered
     # rationale). Mutually exclusive with cluster_by; zorder_by wins.
     zorder_by: tuple[str, ...] = ()
+    # Object-store commit mode. The default commit writes to a temp dir
+    # and renames outputs to the reference's ``{base}_{32hex}.parquet``
+    # convention — correct everywhere, but on s3a each rename is a
+    # server-side COPY, so a 100 TB rewrite pays every byte twice.
+    # ``direct_commit=True`` writes the merged output ONCE, directly into
+    # the leaf under Spark's own ``part-*.parquet`` names, and records
+    # committed outputs in a hidden ``_compacted.manifest`` sidecar that
+    # replaces the filename marker for idempotence (SURVEY §7 anticipated
+    # exactly this trade: widen the "already compacted" test symmetrically
+    # with the naming change). Engine-side data-file renames: zero. On
+    # s3a, pair with the magic committer (fs.s3a.committer.name=magic) so
+    # Spark's task commit is a multipart-upload completion, not a copy —
+    # then every data byte is written exactly once. GCP leaves fall back
+    # to the rename commit (their outputs must encode invoice_month/date
+    # in the filename micro-schema).
+    direct_commit: bool = False
 
     @property
     def file_size_bytes(self) -> int:
@@ -100,7 +116,10 @@ def should_skip_compacting(path: str, config: CompactionConfig) -> bool:
 
 
 def filter_compacted(
-    basename: str, files: list[FileMeta], config: CompactionConfig
+    basename: str,
+    files: list[FileMeta],
+    config: CompactionConfig,
+    manifest: set[str] | None = None,
 ) -> list[str]:
     """Incremental/idempotence filter. Parity: parquet_compactor.py:262-293.
 
@@ -110,15 +129,28 @@ def filter_compacted(
     - other ("new") files are merged only if modified more than
       ``hold_back_days`` ago (date granularity — still-being-written data);
     - everything else is left untouched.
+
+    ``manifest``: basenames the direct-commit path has recorded as
+    committed outputs (they keep Spark's ``part-*`` names, which must NOT
+    be treated as markers — upstream producers write part-names too, and
+    those are exactly the new files compaction exists to merge). A
+    basename in the manifest is a prior output regardless of its name —
+    the symmetric widening of the "already compacted" test that the
+    naming change requires.
     """
     check_date = (config.utcnow() - timedelta(days=config.hold_back_days)).date()
     compacted_re = re.compile(rf"/{re.escape(basename)}_[0-9a-f]{{32}}\.parquet")
     numbered_re = re.compile(rf"/{re.escape(basename)}_[0-9]+\.parquet")
+    manifest = manifest or set()
 
     new_files: list[str] = []
     prior: list[FileMeta] = []
     for f in files:
-        if compacted_re.search(f.path) or numbered_re.search(f.path):
+        if (
+            compacted_re.search(f.path)
+            or numbered_re.search(f.path)
+            or f.path.rsplit("/", 1)[-1] in manifest
+        ):
             prior.append(f)
         elif f.modified.date() < check_date:
             new_files.append(f.path)
@@ -288,84 +320,7 @@ class LakeCompactor:
         tmp_dir = f"{leaf}_compact_tmp_{uuid.uuid4().hex}"
         renamed: list[str] = []
         try:
-            reader = self.spark.read
-            if self.config.merge_schema:
-                reader = reader.option("mergeSchema", "true")
-            df = reader.parquet(*file_list)
-            if self.config.zorder_by:
-                from parquet_compactor_spark.sources.io import zorder_key
-
-                z = zorder_key(df, list(self.config.zorder_by))
-                df = (
-                    df.withColumn("_zkey", z)
-                    .repartitionByRange(n_out, "_zkey")
-                    .sortWithinPartitions("_zkey")
-                    .drop("_zkey")
-                )
-            elif self.config.cluster_by:
-                df = df.repartitionByRange(
-                    n_out, *self.config.cluster_by
-                ).sortWithinPartitions(*self.config.cluster_by)
-            else:
-                # Shuffle-free merge. repartition(n) is a full shuffle of
-                # the leaf — at lake scale the compactor would shuffle
-                # EVERYTHING it rewrites just to resize files. Instead,
-                # size the READ splits so each scan task holds ≈ one
-                # output file's worth, and write straight through: the
-                # plan is scan → write, zero exchanges, parallelism =
-                # output file count. Row density is uniform within a
-                # leaf, so byte-sized splits track the 1M-row chunk rule;
-                # targeting 90% of the cap keeps maxRecordsPerFile (the
-                # hard cap below) from splitting off remainder files.
-                #
-                # Row count: extrapolated from a 3-file footer sample,
-                # not a full metadata count() — a leaf of thousands of
-                # files pays one footer open PER FILE for an exact count
-                # whose only use is split sizing, and the same uniform-
-                # density assumption this sizing already rests on makes
-                # the sample equivalent. maxRecordsPerFile stays the
-                # exact, per-task hard cap either way, so an estimate
-                # error changes file sizes slightly, never correctness.
-                stride = max(1, len(file_list) // 3)
-                sample = file_list[::stride][:3]
-                sample_rows = self.spark.read.parquet(*sample).count()
-                sample_bytes = sum(sizes.get(p, 0) for p in sample)
-                rows = (
-                    math.ceil(total_bytes * sample_rows / sample_bytes)
-                    if sample_bytes
-                    else 0
-                )
-                n_chunks = max(
-                    n_out, math.ceil(rows / (0.9 * self.config.chunked_rows)), 1
-                )
-                open_cost = 65536
-                split = (total_bytes + len(file_list) * open_cost) // n_chunks + 1
-                # Isolated child session: same SparkContext/executors,
-                # PRIVATE SQLConf — concurrent leaf merges (compact's
-                # max_concurrency > 1 thread pool) each tune their own
-                # split size without racing on session-wide confs.
-                # newSession() does NOT inherit the parent's *runtime*
-                # SQL confs (parquet rebase modes, nanosAsLong,
-                # caseSensitive, ...), so a leaf readable via the
-                # caller's session could fail — or read differently — in
-                # the child, and the except-branch below would turn that
-                # conf mismatch into a silent skip. Copy the parent's
-                # modified confs first, then override the split sizing.
-                sess = self.spark.newSession()
-                # isModifiable (not try/except) skips static confs: a
-                # blanket except would also swallow a transient failure
-                # on a genuinely modifiable conf — the exact class this
-                # copy exists to propagate.
-                for key, value in self.spark.conf.getAll.items():
-                    if sess.conf.isModifiable(key):
-                        sess.conf.set(key, value)
-                sess.conf.set("spark.sql.files.maxPartitionBytes", str(split))
-                sess.conf.set("spark.sql.files.openCostInBytes", str(open_cost))
-                sess.conf.set("spark.sql.files.minPartitionNum", "1")
-                reader = sess.read
-                if self.config.merge_schema:
-                    reader = reader.option("mergeSchema", "true")
-                df = reader.parquet(*file_list)
+            df = self._plan_merge_df(file_list, sizes, total_bytes, n_out)
             (
                 df
                 .write.option("compression", "snappy")
@@ -408,6 +363,147 @@ class LakeCompactor:
             return False
         finally:
             self.fs.delete(tmp_dir, recursive=True)
+
+    def _plan_merge_df(
+        self, file_list: list[str], sizes: dict[str, int], total_bytes: int, n_out: int
+    ):
+        """Build the merged DataFrame (shared by both commit modes)."""
+        reader = self.spark.read
+        if self.config.merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        df = reader.parquet(*file_list)
+        if self.config.zorder_by:
+            from parquet_compactor_spark.sources.io import zorder_key
+
+            z = zorder_key(df, list(self.config.zorder_by))
+            df = (
+                df.withColumn("_zkey", z)
+                .repartitionByRange(n_out, "_zkey")
+                .sortWithinPartitions("_zkey")
+                .drop("_zkey")
+            )
+        elif self.config.cluster_by:
+            df = df.repartitionByRange(
+                n_out, *self.config.cluster_by
+            ).sortWithinPartitions(*self.config.cluster_by)
+        else:
+            # Shuffle-free merge. repartition(n) is a full shuffle of
+            # the leaf — at lake scale the compactor would shuffle
+            # EVERYTHING it rewrites just to resize files. Instead,
+            # size the READ splits so each scan task holds ≈ one
+            # output file's worth, and write straight through: the
+            # plan is scan → write, zero exchanges, parallelism =
+            # output file count. Row density is uniform within a
+            # leaf, so byte-sized splits track the 1M-row chunk rule;
+            # targeting 90% of the cap keeps maxRecordsPerFile (the
+            # hard cap below) from splitting off remainder files.
+            #
+            # Row count: extrapolated from a 3-file footer sample,
+            # not a full metadata count() — a leaf of thousands of
+            # files pays one footer open PER FILE for an exact count
+            # whose only use is split sizing, and the same uniform-
+            # density assumption this sizing already rests on makes
+            # the sample equivalent. maxRecordsPerFile stays the
+            # exact, per-task hard cap either way, so an estimate
+            # error changes file sizes slightly, never correctness.
+            stride = max(1, len(file_list) // 3)
+            sample = file_list[::stride][:3]
+            sample_rows = self.spark.read.parquet(*sample).count()
+            sample_bytes = sum(sizes.get(p, 0) for p in sample)
+            rows = (
+                math.ceil(total_bytes * sample_rows / sample_bytes)
+                if sample_bytes
+                else 0
+            )
+            n_chunks = max(
+                n_out, math.ceil(rows / (0.9 * self.config.chunked_rows)), 1
+            )
+            open_cost = 65536
+            split = (total_bytes + len(file_list) * open_cost) // n_chunks + 1
+            # Isolated child session: same SparkContext/executors,
+            # PRIVATE SQLConf — concurrent leaf merges (compact's
+            # max_concurrency > 1 thread pool) each tune their own
+            # split size without racing on session-wide confs.
+            # newSession() does NOT inherit the parent's *runtime*
+            # SQL confs (parquet rebase modes, nanosAsLong,
+            # caseSensitive, ...), so a leaf readable via the
+            # caller's session could fail — or read differently — in
+            # the child, and the except-branch below would turn that
+            # conf mismatch into a silent skip. Copy the parent's
+            # modified confs first, then override the split sizing.
+            sess = self.spark.newSession()
+            # isModifiable (not try/except) skips static confs: a
+            # blanket except would also swallow a transient failure
+            # on a genuinely modifiable conf — the exact class this
+            # copy exists to propagate.
+            for key, value in self.spark.conf.getAll.items():
+                if sess.conf.isModifiable(key):
+                    sess.conf.set(key, value)
+            sess.conf.set("spark.sql.files.maxPartitionBytes", str(split))
+            sess.conf.set("spark.sql.files.openCostInBytes", str(open_cost))
+            sess.conf.set("spark.sql.files.minPartitionNum", "1")
+            reader = sess.read
+            if self.config.merge_schema:
+                reader = reader.option("mergeSchema", "true")
+            df = reader.parquet(*file_list)
+        return df
+
+    # Hidden sidecar recording direct-commit outputs (one basename per
+    # line). Hidden name → invisible to planning and to spark.read.
+    MANIFEST_NAME = "_compacted.manifest"
+
+    def _read_manifest(self, leaf: str) -> set[str]:
+        path = f"{leaf}{self.MANIFEST_NAME}"
+        if not self.fs.exists(path):
+            return set()
+        return {ln for ln in self.fs.read_text(path).splitlines() if ln}
+
+    def _write_manifest(self, leaf: str, names: set[str]) -> None:
+        self.fs.write_text(
+            f"{leaf}{self.MANIFEST_NAME}", "\n".join(sorted(names))
+        )
+
+    def _write_merged_direct(
+        self, file_list: list[str], leaf: str, sizes: dict[str, int]
+    ) -> tuple[bool, set[str]]:
+        """Object-store commit: write merged output ONCE, straight into the
+        leaf, under Spark's own ``part-*`` names — zero engine-side renames
+        of data files, so no rename-as-copy tax on s3a (pair with the
+        magic committer there and each data byte is written exactly once;
+        the reference writes once with final names too,
+        parquet_compactor.py:161-171). Idempotence moves from the filename
+        marker to the ``_compacted.manifest`` sidecar. Returns
+        (success, basenames written). Crash window parity with the rename
+        commit: outputs committed but originals not yet deleted → the next
+        run re-merges the originals alongside the newest prior output,
+        exactly the reference's documented temporary-duplication semantics
+        (SURVEY §3.3)."""
+        total_bytes = sum(sizes.get(p, 0) for p in file_list)
+        n_out = plan_output_files(total_bytes, self.config)
+        target = leaf.rstrip("/")
+        before = {
+            f.path.rsplit("/", 1)[-1]
+            for f in self.fs.list_files(leaf)
+            if f.path.endswith(".parquet")
+        }
+        try:
+            df = self._plan_merge_df(file_list, sizes, total_bytes, n_out)
+            (
+                df
+                .write.option("compression", "snappy")
+                .option("maxRecordsPerFile", self.config.chunked_rows)
+                .mode("append")
+                .parquet(target)
+            )
+            written = {
+                f.path.rsplit("/", 1)[-1]
+                for f in self.fs.list_files(leaf)
+                if f.path.endswith(".parquet")
+            } - before
+            return True, written
+        except Exception as err:  # failure → keep originals (R6)
+            print(f"compaction merge failed for {leaf}: {err}")
+            return False, set()
 
     @staticmethod
     def _fs_parallel(fn, items, max_workers: int = 16) -> list:
@@ -470,19 +566,40 @@ class LakeCompactor:
         if should_skip_compacting(leaf, self.config):
             return "skipped_current_month"
         base = determine_base_file_name(leaf)
+        # GCP leaves always use the rename commit: their outputs must
+        # encode {invoice_month}_{date} in the filename micro-schema.
+        use_direct = self.config.direct_commit and "GCP" not in leaf
+        manifest = self._read_manifest(leaf) if use_direct else set()
         if "GCP" in leaf:
             file_list = filter_compacted_gcp(files, self.config)
         else:
-            file_list = filter_compacted(base, files, self.config)
+            file_list = filter_compacted(base, files, self.config, manifest=manifest)
         if len(file_list) <= 1:
             return "nothing_to_compact"
         sizes = {f.path: f.size for f in files}
+        written: set[str] = set()
         if "GCP" in leaf:
             success = self.merge_files_gcp(leaf, file_list, sizes)
+        elif use_direct:
+            success, written = self._write_merged_direct(file_list, leaf, sizes)
         else:
             success = self.merge_files(leaf, base, file_list, sizes)
+        if success and use_direct:
+            # Record outputs BEFORE deleting inputs: if the delete (or a
+            # crash) intervenes, outputs are at worst re-merged as inputs
+            # next run — reference's temporary-duplication semantics —
+            # whereas unrecorded outputs would never be recognized as
+            # prior compactions.
+            self._write_manifest(leaf, manifest | written)
         if success:
             failed = self.remove_uncompacted_files(file_list)
+            if use_direct:
+                # Prune deleted inputs (e.g. the re-merged newest prior
+                # output) so the manifest tracks only live files.
+                deleted = {p.rsplit("/", 1)[-1] for p in file_list} - {
+                    p.rsplit("/", 1)[-1] for p in failed
+                }
+                self._write_manifest(leaf, (manifest | written) - deleted)
             if failed:
                 return (
                     f"compacted_{len(file_list)}_files_"

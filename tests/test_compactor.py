@@ -713,3 +713,107 @@ def test_failed_delete_surfaced_in_outcome(spark, lake, capsys):
     assert list(outcomes.values()) == ["compacted_4_files_1_deletes_failed"]
     assert "in-0.parquet" in capsys.readouterr().out
     assert (leaf / "in-0.parquet").exists()
+
+
+# --------------------------------------------------------------------------
+# Direct (object-store) commit mode
+# --------------------------------------------------------------------------
+
+
+def test_direct_commit_merges_without_renaming_data_files(spark, lake):
+    """direct_commit writes merged output once under Spark part-names and
+    never renames a data file — the zero-copy commit for s3a, where a
+    rename is a server-side COPY of every byte."""
+    leaf = lake / "acct1" / "source=OCP" / "year=2024" / "month=01"
+    for i in range(8):
+        write_small_parquet(leaf / f"in-{i}.parquet", start=i * 100)
+    before = read_ids(leaf)
+
+    c = LakeCompactor(spark, str(lake), CompactionConfig(now=NOW, direct_commit=True))
+    renames = []
+    real_rename = c.fs.rename
+    c.fs.rename = lambda src, dst: (renames.append((src, dst)), real_rename(src, dst))[1]
+
+    outcomes = c.compact()
+    assert list(outcomes.values()) == ["compacted_8_files"]
+    # Zero engine-side renames of parquet data files (the manifest
+    # sidecar's atomic tmp+rename is metadata, not data).
+    assert not [r for r in renames if r[0].endswith(".parquet")]
+
+    outputs = [p for p in leaf.glob("*.parquet") if not p.name.startswith("_")]
+    assert len(outputs) == 1
+    assert outputs[0].name.startswith("part-")
+    assert read_ids(leaf) == before  # row multiset preserved
+    # Manifest records exactly the committed outputs.
+    manifest = (leaf / "_compacted.manifest").read_text().splitlines()
+    assert manifest == [outputs[0].name]
+
+
+def test_direct_commit_idempotent_second_run(spark, lake):
+    """Part-named outputs must be recognized as prior compactions via the
+    manifest — NOT via their names (upstream part-files are new data)."""
+    leaf = lake / "acct1" / "source=OCP" / "year=2024" / "month=01"
+    for i in range(4):
+        write_small_parquet(leaf / f"in-{i}.parquet", start=i * 100)
+    cfg = CompactionConfig(now=NOW, direct_commit=True)
+    c = LakeCompactor(spark, str(lake), cfg)
+    c.compact()
+    first = {p.name for p in leaf.glob("*.parquet")}
+    outcomes = c.compact()
+    assert list(outcomes.values()) == ["nothing_to_compact"]
+    assert {p.name for p in leaf.glob("*.parquet")} == first
+
+
+def test_direct_commit_incremental_new_files_merge_with_newest_prior(spark, lake):
+    """New (old-enough) files re-merge together with the newest manifest
+    output; the merged-away prior is deleted and pruned from the manifest."""
+    leaf = lake / "acct1" / "source=OCP" / "year=2024" / "month=01"
+    for i in range(4):
+        write_small_parquet(leaf / f"in-{i}.parquet", start=i * 100)
+    cfg = CompactionConfig(now=NOW, direct_commit=True)
+    c = LakeCompactor(spark, str(lake), cfg)
+    c.compact()
+    (prior,) = [p for p in leaf.glob("part-*.parquet")]
+    # age the prior output past the hold-back window (it is manifest-
+    # recognized, so age only matters for new files; set anyway for realism)
+    old = OLD.timestamp()
+    os.utime(prior, (old, old))
+    write_small_parquet(leaf / "late-0.parquet", start=9000)
+
+    outcomes = c.compact()
+    assert list(outcomes.values()) == ["compacted_2_files"]
+    assert not prior.exists()  # newest prior was re-merged and deleted
+    outputs = [p for p in leaf.glob("part-*.parquet")]
+    assert len(outputs) == 1
+    assert read_ids(leaf) == sorted(list(range(400)) + list(range(9000, 9100)))
+    manifest = (leaf / "_compacted.manifest").read_text().splitlines()
+    assert manifest == [outputs[0].name]
+
+
+def test_direct_commit_upstream_part_files_are_still_merged(spark, lake):
+    """An upstream producer writing part-*.parquet names must NOT be
+    mistaken for prior compaction output — only manifest entries are."""
+    leaf = lake / "acct1" / "source=OCP" / "year=2024" / "month=02"
+    write_small_parquet(leaf / "part-00000-deadbeef-c000.snappy.parquet", start=0)
+    write_small_parquet(leaf / "part-00001-deadbeef-c000.snappy.parquet", start=100)
+    cfg = CompactionConfig(now=NOW, direct_commit=True)
+    outcomes = LakeCompactor(spark, str(lake), cfg).compact()
+    assert list(outcomes.values()) == ["compacted_2_files"]
+    names = {p.name for p in leaf.glob("*.parquet")}
+    assert "part-00000-deadbeef-c000.snappy.parquet" not in names
+    assert read_ids(leaf) == sorted(list(range(100)) + list(range(100, 200)))
+
+
+def test_direct_commit_gcp_leaf_falls_back_to_rename_convention(spark, lake):
+    """GCP leaves keep the {invoice_month}_{date}_{uuid} rename commit —
+    their filename micro-schema cannot be expressed in part-names."""
+    import re
+
+    leaf = lake / "acct1" / "GCP" / "source=gcp1" / "year=2024" / "month=03"
+    for i in range(2):
+        write_small_parquet(leaf / f"202403_2024-03-10_{i}x.parquet", start=i * 100)
+    cfg = CompactionConfig(now=NOW, direct_commit=True)
+    outcomes = LakeCompactor(spark, str(lake), cfg).compact()
+    assert list(outcomes.values()) == ["compacted_2_files"]
+    (out,) = [p for p in leaf.glob("*.parquet")]
+    assert re.fullmatch(r"202403_2024-03-10_[0-9a-f]{32}\.parquet", out.name)
