@@ -1,0 +1,196 @@
+"""Scale-ramp bench: measured scaling curves for the heavy queries.
+
+Every 100-TB claim in SCALE.md rests on plan-reading at sf0.1, where
+stage-scheduling overhead dominates. This harness buys MEASURED evidence:
+it replicates the sf0.1 tables to x5 / x10 / x25 corpus multiples with
+key-shifted, similarity-preserving copies and times the most expensive
+queries at each level, so the wall-clock slope separates fixed overhead
+from data-bound cost. Run:  python scale_ramp.py
+
+Replication semantics (copy k of K):
+- All synthetic keys shift by k*10M (doc_id, vec_id, event_id, user_id,
+  orderkey/custkey/partkey/suppkey) so exact-dedup / join / groupBy key
+  cardinality scales with the data, as it would in a real lake.
+- documents.text gets a per-copy word suffix, so no cross-copy shingle
+  overlap: the near-dup pair count scales LINEARLY with copies (the
+  planted-pair density of the fixture is preserved; naive duplication
+  would grow it quadratically and change the workload's shape).
+- embeddings are cyclically rolled by k dimensions: norms and value
+  distribution are preserved, but a rolled copy is uncorrelated with its
+  original, so ANN/near-dup candidate density stays realistic.
+- region/nation (5/25-row dims) are never replicated — broadcast dims
+  stay broadcast at every scale, exactly as on a real cluster.
+
+Levels are written once to /tmp/scale_ramp/x{N}/ (x1 is generated through
+the same writer so the file layout is comparable). Results go to
+SCALE_RAMP.json and a markdown table on stdout for SCALE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO_ROOT = str(Path(__file__).resolve().parent)
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+OUT_ROOT = Path(os.environ.get("SCALE_RAMP_DIR", "/tmp/scale_ramp"))
+LEVELS = [int(x) for x in os.environ.get("SCALE_RAMP_LEVELS", "1,5,10,25").split(",")]
+
+# The data-bound heavy hitters from BENCH_DETAIL.json, spanning every
+# family: near-dup (documents), ANN/cluster (embeddings), text pipeline,
+# TPC-H joins/aggs, events windows/sketches.
+RAMP_QUERIES = [
+    "q_dup_clusters",
+    "q_dedup_minhash",
+    "q_dedup_simhash",
+    "q_char_trigrams",
+    "q_corpus_prep",
+    "q_tfidf_topterms",
+    "q_ann_ivf",
+    "q_kmeans_clusters",
+    "q_batch_sim_topk",
+    "q_embed_near_dup",
+    "q_market_share",
+    "q_agg_pricing",
+    "q_retention_cohorts",
+    "q_hll_sketch",
+]
+
+OFF = 10_000_000  # per-copy key shift
+
+# table -> key columns to shift per copy
+SHIFTS: dict[str, list[str]] = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+COPY_AS_IS = ["region", "nation"]
+
+
+def build_level(spark, copies: int, dest: Path) -> None:
+    from pyspark.sql import functions as F
+
+    from parquet_compactor_spark.registry import TABLES, load
+
+    if (dest / "_DONE").exists():
+        return
+    dest.mkdir(parents=True, exist_ok=True)
+    for table in TABLES:
+        src_df = load(spark, SRC, table)
+        if table in COPY_AS_IS:
+            out = src_df
+        else:
+            parts = []
+            for k in range(copies):
+                df = src_df
+                for col in SHIFTS[table]:
+                    df = df.withColumn(col, F.col(col) + F.lit(k * OFF))
+                if table == "documents" and k > 0:
+                    new_text = F.array_join(
+                        F.transform(
+                            F.split(F.col("text"), " ", -1),
+                            lambda w: F.concat(w, F.lit(f"_k{k}")),
+                        ),
+                        " ",
+                    )
+                    df = df.withColumn("text", new_text).withColumn(
+                        "n_chars", F.length("text").cast("long")
+                    )
+                if table == "embeddings" and k > 0:
+                    r = k % 64
+                    df = df.withColumn(
+                        "embedding",
+                        F.expr(
+                            f"concat(slice(embedding, {r + 1}, size(embedding) - {r}),"
+                            f" slice(embedding, 1, {r}))"
+                        ),
+                    )
+                parts.append(df)
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+        n_files = max(1, (copies * {"lineitem": 4, "orders": 2}.get(table, 1)) // 4)
+        out.repartition(n_files).write.mode("overwrite").parquet(
+            str(dest / f"{table}.parquet")
+        )
+    (dest / "_DONE").write_text("ok")
+
+
+def main() -> None:
+    from parquet_compactor_spark.registry import all_queries
+    from parquet_compactor_spark.session import get_spark
+
+    spark = get_spark(app_name="pcs-scale-ramp")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = all_queries()
+
+    results: dict[str, dict[str, float]] = {}
+    for copies in LEVELS:
+        dest = OUT_ROOT / f"x{copies}"
+        t0 = time.perf_counter()
+        build_level(spark, copies, dest)
+        build_s = time.perf_counter() - t0
+        sf_dir = str(dest)
+        # Warm footer caches / JVM so timings measure execution.
+        queries["q_agg_pricing"].fn(spark, sf_dir).count()
+        level: dict[str, float] = {}
+        for name in RAMP_QUERIES:
+            # min of 2 runs: the first execution of a query's code path
+            # pays Python plan construction + codegen compilation; the
+            # min isolates the data-bound cost the slope is meant to show.
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                queries[name].fn(spark, sf_dir).count()
+                best = min(best, time.perf_counter() - t0)
+            level[name] = round(best, 3)
+        results[f"x{copies}"] = level
+        print(f"# level x{copies} built in {build_s:.1f}s:", json.dumps(level))
+
+    # Compaction throughput ramp: same file size, growing file count.
+    from bench import bench_compaction
+
+    compaction: dict[str, dict] = {}
+    for files_n in (128, 256, 512):
+        os.environ["BENCH_COMPACT_FILES"] = str(files_n)
+        compaction[str(files_n)] = bench_compaction(spark, SRC)
+        print(f"# compaction {files_n} files:", json.dumps(compaction[str(files_n)]))
+
+    out = {
+        "levels": results,
+        "ramp_queries": RAMP_QUERIES,
+        "compaction": compaction,
+        "src": SRC,
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count())),
+    }
+    with open(Path(REPO_ROOT) / "SCALE_RAMP.json", "w") as fh:
+        json.dump(out, fh, indent=1)
+
+    # Markdown table for SCALE.md.
+    cols = [f"x{c}" for c in LEVELS]
+    print("\n| query | " + " | ".join(f"{c} (s)" for c in cols) + " | slope x1->x25 |")
+    print("|---|" + "---|" * (len(cols) + 1))
+    for name in RAMP_QUERIES:
+        row = [results[c].get(name, float("nan")) for c in cols]
+        slope = row[-1] / row[0] if row[0] else float("nan")
+        print(
+            f"| {name} | "
+            + " | ".join(f"{v:.2f}" for v in row)
+            + f" | {slope:.1f}x |"
+        )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
