@@ -83,70 +83,6 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(10)
 
 
-@register(
-    "q_embed_near_dup",
-    oracle="""
-    WITH v AS (
-        SELECT vec_id, label,
-               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
-        FROM embeddings
-    ),
-    pairs AS (
-        SELECT a.label,
-               a.vec_id AS id1,
-               b.vec_id AS id2,
-               list_dot_product(a.vec, b.vec)
-                 / (sqrt(list_sum(list_transform(a.vec, x -> x * x)))
-                  * sqrt(list_sum(list_transform(b.vec, x -> x * x)))) AS cos_raw
-        FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
-    ),
-    ranked AS (
-        SELECT label, id1, id2, ROUND(cos_raw, 4) AS cos_sim,
-               ROW_NUMBER() OVER (PARTITION BY label
-                                  ORDER BY cos_raw DESC, id1, id2) AS rn
-        FROM pairs
-    )
-    SELECT label, id1, id2, cos_sim, rn FROM ranked WHERE rn <= 3
-    """,
-    doc="Embedding-cosine near-duplicate detection with label blocking: "
-    "pairwise cosine only within a label bucket (the blocking key bounds "
-    "the quadratic blowup), top-3 most-similar pairs per label. The "
-    "blocked self-join is an equi-join on label → one hash shuffle.",
-)
-def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    e = load(spark, sf_dir, "embeddings")
-    # Norms are materialized per side BEFORE the pair join (computed once
-    # per input row, O(n·d)); only the dot product is per-pair. Same
-    # arithmetic/rounding path as the oracle: dot / (n1 * n2).
-    a = e.select(
-        "label",
-        F.col("vec_id").alias("id1"),
-        F.col("embedding").alias("v1"),
-        l2_norm(F.col("embedding")).alias("n1"),
-    )
-    b = e.select(
-        "label",
-        F.col("vec_id").alias("id2"),
-        F.col("embedding").alias("v2"),
-        l2_norm(F.col("embedding")).alias("n2"),
-    )
-    pairs = a.join(b, "label").filter(F.col("id1") < F.col("id2"))
-    scored = pairs.select(
-        "label",
-        "id1",
-        "id2",
-        (dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2"))).alias("cos_raw"),
-    )
-    w = Window.partitionBy("label").orderBy(F.desc("cos_raw"), "id1", "id2")
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3)
-        .select("label", "id1", "id2", F.round("cos_raw", 4).alias("cos_sim"), "rn")
-    )
-
-
 # --------------------------------------------------------------------------
 # LSH-bucketed approximate nearest neighbors (the scale path)
 # --------------------------------------------------------------------------
@@ -201,6 +137,91 @@ _ANN_ORACLE = f"""
     ORDER BY cos_sim DESC, b.vec_id
     LIMIT 5
 """
+
+
+
+@register(
+    "q_embed_near_dup",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        FROM embeddings
+    ),
+    blocked AS (
+        SELECT vec_id, label, vec, {_bucket_expr_sql('vec')} AS bucket,
+               sqrt(list_sum(list_transform(vec, x -> x * x))) AS nrm
+        FROM v
+    ),
+    pairs AS (
+        SELECT a.label,
+               a.vec_id AS id1,
+               b.vec_id AS id2,
+               list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm) AS cos_raw
+        FROM blocked a JOIN blocked b
+          ON a.label = b.label AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ),
+    ranked AS (
+        SELECT label, id1, id2, ROUND(cos_raw, 4) AS cos_sim,
+               ROW_NUMBER() OVER (PARTITION BY label
+                                  ORDER BY cos_raw DESC, id1, id2) AS rn
+        FROM pairs
+    )
+    SELECT label, id1, id2, cos_sim, rn FROM ranked WHERE rn <= 3
+    """,
+    doc="Embedding-cosine near-duplicate detection with TWO-LEVEL blocking: "
+    "label AND the 8-hyperplane sign bucket (the same seeded planes as "
+    "q_ann_lsh, reproduced literally in the oracle). Round 5's scale-ramp "
+    "measured the earlier label-only blocking at 154x cost for 25x data — "
+    "label cardinality is FIXED, so block sizes grow linearly and the "
+    "within-block self-join grows quadratically. The sign bucket multiplies "
+    "the block count by 2^H (H=8 here; H is the corpus-growth knob — pick "
+    "H ~ log2(n / target_block_size) so blocks stay bounded), and true "
+    "near-dups co-locate with probability (1 - theta/pi)^H, which tends to "
+    "1 exactly for the cos->1 pairs dedup cares about. Top-3 most-similar "
+    "co-blocked pairs per label; one hash shuffle on (label, bucket).",
+)
+def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "embeddings")
+    # Norms and buckets are materialized per input row BEFORE the pair
+    # join (O(n*d)); only the dot product is per-pair. Same arithmetic/
+    # rounding path as the oracle: dot / (n1 * n2).
+    blocked = e.select(
+        "label",
+        "vec_id",
+        F.col("embedding").alias("v"),
+        _bucket_expr_spark(F.col("embedding")).alias("bucket"),
+        l2_norm(F.col("embedding")).alias("nrm"),
+    )
+    a = blocked.select(
+        "label",
+        "bucket",
+        F.col("vec_id").alias("id1"),
+        F.col("v").alias("v1"),
+        F.col("nrm").alias("n1"),
+    )
+    b = blocked.select(
+        "label",
+        "bucket",
+        F.col("vec_id").alias("id2"),
+        F.col("v").alias("v2"),
+        F.col("nrm").alias("n2"),
+    )
+    pairs = a.join(b, ["label", "bucket"]).filter(F.col("id1") < F.col("id2"))
+    scored = pairs.select(
+        "label",
+        "id1",
+        "id2",
+        (dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2"))).alias("cos_raw"),
+    )
+    w = Window.partitionBy("label").orderBy(F.desc("cos_raw"), "id1", "id2")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("label", "id1", "id2", F.round("cos_raw", 4).alias("cos_sim"), "rn")
+    )
 
 
 IVF_CENTROID_IDS = (100, 107)  # seed centroids: vec_ids 100..107 (K=8)
