@@ -81,6 +81,32 @@ def _default_driver_mem() -> str:
     return f"{max(1, min(24, int(total / 1024**3 // 2)))}g"
 
 
+def object_store_confs() -> dict[str, str]:
+    """Recommended Spark/Hadoop settings for compacting an s3a lake.
+
+    Pairs with ``CompactionConfig.direct_commit``: the S3A *magic
+    committer* turns Spark's task/job commit into multipart-upload
+    completions instead of rename-as-copy, so a direct-commit merge
+    writes each data byte exactly once. These are the standard
+    cloud-committer bindings from the Hadoop S3A and Spark cloud-
+    integration docs; pass to ``get_spark(extra_conf=...)``. Harmless on
+    local runs (they only bind for the s3a scheme).
+    """
+    return {
+        "spark.hadoop.fs.s3a.committer.name": "magic",
+        "spark.hadoop.fs.s3a.committer.magic.enabled": "true",
+        "spark.hadoop.mapreduce.outputcommitter.factory.scheme.s3a": (
+            "org.apache.hadoop.fs.s3a.commit.S3ACommitterFactory"
+        ),
+        "spark.sql.sources.commitProtocolClass": (
+            "org.apache.spark.internal.io.cloud.PathOutputCommitProtocol"
+        ),
+        "spark.sql.parquet.output.committer.class": (
+            "org.apache.spark.internal.io.cloud.BindingParquetOutputCommitter"
+        ),
+    }
+
+
 def get_spark(
     app_name: str = "parquet-compactor-spark",
     master: str | None = None,

@@ -817,3 +817,16 @@ def test_direct_commit_gcp_leaf_falls_back_to_rename_convention(spark, lake):
     assert list(outcomes.values()) == ["compacted_2_files"]
     (out,) = [p for p in leaf.glob("*.parquet")]
     assert re.fullmatch(r"202403_2024-03-10_[0-9a-f]{32}\.parquet", out.name)
+
+
+def test_object_store_confs_bind_magic_committer():
+    """The direct-commit companion confs bind the S3A magic committer and
+    the cloud commit protocol (zero-copy task commit on object stores)."""
+    from parquet_compactor_spark.session import object_store_confs
+
+    confs = object_store_confs()
+    assert confs["spark.hadoop.fs.s3a.committer.name"] == "magic"
+    assert "PathOutputCommitProtocol" in confs["spark.sql.sources.commitProtocolClass"]
+    assert "S3ACommitterFactory" in confs[
+        "spark.hadoop.mapreduce.outputcommitter.factory.scheme.s3a"
+    ]

@@ -468,3 +468,16 @@ def test_tpch_extra_plans_scale(spark):
     p = props(spark, "q_volume_shipping")
     assert p.has_broadcast_join
     assert any("l_shipdate" in f for f in p.pushed_filters)
+
+
+def test_embed_near_dup_blocks_on_label_and_bucket(spark):
+    """Scale-ramp regression guard (round 5): label-only blocking measured
+    154x cost at 25x data (fixed label cardinality -> quadratic pair
+    join). The self-join must key on BOTH label and the hyperplane sign
+    bucket so block count scales with 2^H, not just #labels."""
+    df = QUERIES["q_embed_near_dup"].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    import re
+
+    (join_cond,) = re.findall(r"Join Inner, (.+)", plan)
+    assert "label" in join_cond and "bucket" in join_cond, join_cond
