@@ -97,92 +97,86 @@ def _ensure_loaded() -> None:
 # Queries listed here are yielded FIRST by all_queries(), in this order.
 # External differential harnesses that sample a prefix of the registry
 # (the driver checks the first 50 entries) therefore verify these before
-# anything else. Round 4 (exactly 50 names):
-#   1-10  the 10 round-3 additions — never driver-checked;
-#   11    q_embed_quantize — r3 driver row errored on its array<bigint>
-#         output (pandas canonicalizer crash); output is now a scalar
-#         string, must stay in the window until driver-green;
-#   12-13 q_hll_sketch (reshaped this round: exact counts + tolerance
-#         invariant under an oracle) and its new rows-only twin
-#         q_hll_sketch_state;
-#   14-23 the 10 round-4 TPC-H completions (queries/tpch_extra.py) —
-#         every registered query should have a driver row after this
-#         round, so first-time checks outrank re-verification;
-#   24-25 the two other round-4 additions: q_merge_upsert (batch CDC
-#         MERGE) and q_lateral_topn (correlated LATERAL with LIMIT);
-#   26-46 21 of the 33 queries whose latest driver row is round 1 —
-#         oldest evidence, re-verified against silent regression, with
-#         the LLM dedup/ANN family and plan-sensitive ops kept over the
-#         12 simplest / weakest-value re-checks (q_cross_join, q_having,
-#         q_in_subquery, q_null_handling, q_rlike_filter, q_string_fns,
-#         q_union_all, q_unpivot, q_window_first_last, q_window_ranks,
-#         q_approx_stats (rows-only), q_arg_extremes — r1-green,
-#         untouched since, next in line);
-#   47-50 four round-2 greens with complex-type-heavy internals,
-#         re-checked after this round's scalar-output sweep.
+# anything else. Round 5 (exactly 50 names):
+#   1-10  queries whose SOURCE or ORACLE changed this round, so their
+#         existing driver rows no longer attest to the current code:
+#         the six rows-only→derived-invariant oracle conversions
+#         (q_dedup_minhash, q_dedup_simhash, q_approx_stats,
+#         q_kll_quantiles, q_heavy_hitters, q_hll_sketch_state — first
+#         hash-compare ever for each), q_hll_sketch (same advanced.py
+#         sweep), q_embed_near_dup (two-level label+sign-bucket blocking
+#         after the measured x25 quadratic, oracle rewritten to match),
+#         q_ann_ivf (broadcast-matrix centroid path) and
+#         q_kmeans_clusters (same _assign rework; stays rows-only);
+#   11-21 the 11 remaining queries whose latest driver row is round 1
+#         (q_approx_stats, the 12th, is already in the changed set) —
+#         oldest evidence in the ledger, deferred twice, now due;
+#   22-50 29 of the 44 round-2-only greens, complex/plan-sensitive
+#         first: joins, windows, time-series, sampling, multimodal,
+#         q_topk (a TakeOrderedAndProject pin whose helper family was
+#         reworked in r4).
 # Everything not listed follows in registration order.
 #
-# Round-5 rotation plan: with full first-time coverage after this round,
-# refill the window oldest-first: the 12 r1-greens named above, then the
-# round-2 cohort (44), then the oldest round-3 rows.
+# Round-6 rotation plan: the 15 remaining r2-only simple-scalar queries
+# (q_bit_bool_agg q_case_bucketing q_date_arithmetic q_date_buckets
+# q_except q_intersect q_math_fns q_repetition_ratio q_string_agg
+# q_string_extract q_text_stats q_token_count q_top_bigrams
+# q_value_histogram q_whitespace_cleanup), then the oldest round-3 rows,
+# plus anything whose source changes in round 5's remaining work.
 _PRIORITY: tuple[str, ...] = (
-    # -- 10 round-3 additions, never driver-checked --
-    "q_funnel_steps",
-    "q_retention_cohorts",
-    "q_salted_join",
-    "q_promo_revenue",
-    "q_nation_revenue",
-    "q_batch_sim_topk",
-    "q_recursive_cte",
-    "q_variant_props",
-    "q_heavy_hitters",
-    "q_kll_quantiles",
-    # -- r3 driver defect, output shape fixed this round --
-    "q_embed_quantize",
-    # -- reshaped sketch pair (oracle split this round) --
-    "q_hll_sketch",
-    "q_hll_sketch_state",
-    # -- 10 round-4 TPC-H completions, never driver-checked --
-    "q_order_priority",
-    "q_volume_shipping",
-    "q_market_share",
-    "q_returned_items",
-    "q_cust_order_dist",
-    "q_top_supplier",
-    "q_small_qty_revenue",
-    "q_large_orders",
-    "q_disjunctive_join",
-    "q_idle_customers",
-    # -- 2 other round-4 additions, never driver-checked --
-    "q_merge_upsert",
-    "q_lateral_topn",
-    # -- 21 round-1-only greens: oldest driver evidence --
-    "q_ann_ivf",
-    "q_ann_lsh",
-    "q_array_agg",
-    "q_conditional_distinct",
-    "q_dedup_exact",
+    # -- source or oracle changed in round 5: re-verify first --
     "q_dedup_minhash",
     "q_dedup_simhash",
-    "q_doc_chunking",
-    "q_dup_clusters",
+    "q_approx_stats",
+    "q_kll_quantiles",
+    "q_heavy_hitters",
+    "q_hll_sketch_state",
+    "q_hll_sketch",
     "q_embed_near_dup",
-    "q_explode_posexplode",
-    "q_fingerprint",
-    "q_frame_sample",
+    "q_ann_ivf",
     "q_kmeans_clusters",
-    "q_lang_id",
-    "q_median_filtered",
-    "q_ngram_jaccard",
-    "q_quality_score",
-    "q_regr_slope",
-    "q_sim_topk",
-    "q_tfidf_topterms",
-    # -- 4 round-2 greens, complex-type-adjacent, post-sweep re-check --
-    "q_array_fns",
-    "q_higher_order_fns",
-    "q_json_props",
-    "q_map_props",
+    # -- 11 remaining round-1-only greens: oldest driver evidence --
+    "q_arg_extremes",
+    "q_cross_join",
+    "q_having",
+    "q_in_subquery",
+    "q_null_handling",
+    "q_rlike_filter",
+    "q_string_fns",
+    "q_union_all",
+    "q_unpivot",
+    "q_window_first_last",
+    "q_window_ranks",
+    # -- 29 round-2-only greens, plan-sensitive first --
+    "q_topk",
+    "q_anti_join",
+    "q_semi_join",
+    "q_full_outer_join",
+    "q_join_multiway",
+    "q_range_join",
+    "q_event_attribution",
+    "q_event_enrich",
+    "q_window_lag",
+    "q_window_ntile",
+    "q_window_range_frame",
+    "q_window_running",
+    "q_window_topn",
+    "q_running_distinct",
+    "q_tumbling_window",
+    "q_sliding_window",
+    "q_sessionize",
+    "q_gapfill_buckets",
+    "q_locf_interpolate",
+    "q_ewma",
+    "q_month_over_month",
+    "q_latest_snapshot",
+    "q_zscore_outliers",
+    "q_salted_agg",
+    "q_grouped_sample",
+    "q_stratified_sample",
+    "q_multimodal_meta",
+    "q_union_dedup",
+    "q_vector_norm",
 )
 
 
