@@ -113,9 +113,18 @@ def kmeans(
     k: int = K,
     n_iter: int = N_ITER,
     literal_max: int = LITERAL_CENTROID_MAX,
+    ndigits: int | None = None,
 ) -> DataFrame:
     """Lloyd's k-means: returns (vec_id, cluster, dist) after ``n_iter``
     iterations from deterministic seeds. ``vecs``: (vec_id, vec:array<double>).
+
+    ``ndigits`` rounds each iteration's centroid means to that many decimal
+    digits. With rounding on, the whole fixed-point loop becomes
+    engine-independent: seed vectors are exact parquet floats, the
+    assignment's squared-L2 fold has a pinned IEEE evaluation order
+    (``_sq_dist``), and rounding the means quashes the summation-order ULP
+    noise that would otherwise make centroids differ across engines — so a
+    differential oracle can replay the identical iterations.
     """
     lo, hi = SEED_IDS
     seeds = (
@@ -128,7 +137,7 @@ def kmeans(
     assigned = _assign(vecs, centroids, literal_max)
     for _ in range(n_iter - 1):
         # K rows of dim doubles — model state, not row data.
-        means = per_dim_means(assigned)
+        means = per_dim_means(assigned, ndigits=ndigits)
         # Preserve list order (cluster id == position) and carry the old
         # centroid forward for clusters that went empty.
         new = {r.cluster: list(r.cvec) for r in means}
@@ -137,14 +146,82 @@ def kmeans(
     return assigned.select("vec_id", "cluster", "dist")
 
 
+def _lloyd_sql_unrolled(n_iter: int = N_ITER, ndigits: int = 6) -> str:
+    """ANSI-SQL replay of the exact loop above for the DuckDB oracle.
+
+    A fixed-point loop is not one SQL query, but with ``n_iter`` fixed the
+    loop UNROLLS into a straight-line CTE chain: assign -> means -> assign
+    -> ... The distance uses list_zip + list_reduce so the fold order is
+    bit-identical to ``_sq_dist``'s aggregate (0.0 + x1 == x1 in IEEE, so
+    DuckDB's first-element seed matches Spark's explicit 0.0 seed), and
+    ties argmin to the lowest cluster id exactly like array_position-of-min.
+    """
+    lo, hi = SEED_IDS
+    parts = [
+        f"""WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+),
+c0 AS (
+  SELECT CAST(vec_id - {lo} AS INT) AS cluster, vec AS cvec
+  FROM v WHERE vec_id BETWEEN {lo} AND {hi}
+)"""
+    ]
+    for i in range(1, n_iter + 1):
+        prev_c = f"c{i - 1}"
+        parts.append(
+            f""",
+a{i} AS (
+  SELECT vec_id, vec, cluster, dist FROM (
+    SELECT v.vec_id, v.vec, c.cluster,
+           list_reduce(list_transform(list_zip(v.vec, c.cvec),
+                       p -> (p[1] - p[2]) * (p[1] - p[2])),
+                       (acc, x) -> acc + x) AS dist,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY dist, c.cluster) AS rn
+    FROM v CROSS JOIN {prev_c} c)
+  WHERE rn = 1
+)"""
+        )
+        if i < n_iter:
+            parts.append(
+                f""",
+m{i} AS (
+  SELECT cluster, pos, ROUND(AVG(x), {ndigits}) AS m
+  FROM (SELECT cluster, unnest(vec) AS x,
+               generate_subscripts(vec, 1) AS pos FROM a{i})
+  GROUP BY cluster, pos
+),
+c{i} AS (
+  SELECT c.cluster, COALESCE(mm.cvec, c.cvec) AS cvec
+  FROM {prev_c} c LEFT JOIN (
+    SELECT cluster, list(m ORDER BY pos) AS cvec FROM m{i} GROUP BY cluster
+  ) mm USING (cluster)
+)"""
+            )
+    parts.append(
+        f"""
+SELECT cluster,
+       COUNT(*) AS n_vectors,
+       ROUND(AVG(dist), 4) AS mean_sq_dist
+FROM a{n_iter}
+GROUP BY cluster"""
+    )
+    return "".join(parts)
+
+
 @register(
     "q_kmeans_clusters",
-    oracle=None,  # iterative fixed-point loop — not SQL-expressible
+    oracle=_lloyd_sql_unrolled(),
     doc="Distributed Lloyd's k-means over embeddings (K=8, 3 iterations, "
     "deterministic seeds): per-iteration broadcast assignment + "
     "per-dimension mean aggregation; driver holds only the KxD centroid "
     "matrix. Output: cluster sizes and mean within-cluster squared "
-    "distance. Convergence asserted in tests/test_llm.py.",
+    "distance. The fixed-point loop is not one SQL query, but with the "
+    "iteration count fixed it unrolls into a straight-line CTE chain the "
+    "oracle replays step for step: 6dp-rounded iteration means plus a "
+    "pinned IEEE fold order make every intermediate centroid and distance "
+    "engine-independent. Convergence asserted in tests/test_llm.py.",
 )
 def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
@@ -152,7 +229,7 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("vec"),
     )
-    assigned = kmeans(vecs)
+    assigned = kmeans(vecs, ndigits=6)
     return assigned.groupBy("cluster").agg(
         F.count(F.lit(1)).alias("n_vectors"),
         F.round(F.avg("dist"), 4).alias("mean_sq_dist"),

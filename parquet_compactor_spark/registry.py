@@ -107,7 +107,8 @@ def _ensure_loaded() -> None:
 #         sweep), q_embed_near_dup (two-level label+sign-bucket blocking
 #         after the measured x25 quadratic, oracle rewritten to match),
 #         q_ann_ivf (broadcast-matrix centroid path) and
-#         q_kmeans_clusters (same _assign rework; stays rows-only);
+#         q_kmeans_clusters (same _assign rework, plus its new unrolled
+#         Lloyd oracle — the registry's LAST rows-only query converted);
 #   11-21 the 11 remaining queries whose latest driver row is round 1
 #         (q_approx_stats, the 12th, is already in the changed set) —
 #         oldest evidence in the ledger, deferred twice, now due;

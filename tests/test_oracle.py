@@ -251,3 +251,17 @@ def test_oracle_outputs_are_scalar_only(spark):
         if complex_cols:
             offenders[name] = complex_cols
     assert not offenders, f"complex-typed oracle outputs: {offenders}"
+
+
+def test_every_registered_query_has_an_oracle():
+    """Milestone guard: the registry carries ZERO rows-only queries.
+
+    Every query — including the iterative ones (k-means replays its
+    fixed-iteration Lloyd loop as an unrolled CTE chain, connected
+    components is verified through q_dup_clusters) — now ships an ANSI-SQL
+    differential oracle. A new query landing without one should be a
+    deliberate, visible decision, not an accident: update this test's
+    docstring with the justification if that ever happens.
+    """
+    missing = [n for n, q in QUERIES.items() if q.oracle is None]
+    assert missing == []
