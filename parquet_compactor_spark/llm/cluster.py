@@ -19,10 +19,16 @@ K = 8
 N_ITER = 3
 SEED_IDS = (100, 107)  # deterministic seed centroids: vec_ids 100..107
 
-# Above this K, literal centroid arrays bloat the expression tree (K x dim
-# literals re-analyzed per pass); switch to ONE broadcast row carrying the
-# matrix as an array column — plan size O(1) in K, still a zero-shuffle map.
-LITERAL_CENTROID_MAX = 64
+# Centroid-matrix encoding threshold: above this K, embed-as-literals is
+# replaced by ONE broadcast row carrying the matrix as an array column —
+# plan size O(1) in K, still a zero-shuffle map. Set to 0 (broadcast is
+# the default at every K): building K x dim literal expressions costs
+# hundreds of py4j round-trips per assignment pass, and the measured
+# steady-state at K=8/dim=64/sf0.01 is 1.44 s broadcast vs 2.21 s literal
+# for a 3-iteration k-means. The literal path stays available (pass
+# ``literal_max`` explicitly) and is pinned bit-equal by
+# tests/test_llm.py::test_centroid_encodings_agree_bitwise.
+LITERAL_CENTROID_MAX = 0
 
 
 def _sq_dist(vec_col, cvec):

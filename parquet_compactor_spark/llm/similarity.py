@@ -309,6 +309,62 @@ def _argmax_bucket(csims: Column, cids: Column) -> Column:
     )
 
 
+def _py_l2norm(vec: list[float]) -> float:
+    """Python left-fold L2 norm — identical accumulation order to the
+    ``l2_norm`` column aggregate, so the doubles are bit-identical to the
+    engine's (and to the DuckDB oracle's in-order list_sum)."""
+    import math
+
+    s = 0.0
+    for x in vec:
+        s += x * x
+    return math.sqrt(s)
+
+
+def centroid_cosines(
+    df: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    literal_max: int | None = None,
+) -> tuple[DataFrame, Column, Column]:
+    """(staged_df, sims, ids): per-row cosine-to-each-centroid array plus
+    the aligned centroid-id array. ``df`` must carry ``vec`` and ``_vnorm``.
+
+    Centroids are KB-scale model state (K x dim doubles). Up to
+    ``literal_max`` of them are embedded as literal expressions; above it
+    (the default — see ``cluster.LITERAL_CENTROID_MAX``) the matrix rides
+    along as ONE array<struct> column on a broadcast single-row relation
+    (BroadcastNestedLoopJoin with a 1-row build side — still a map, no
+    shuffle), keeping the plan and the py4j expression-building cost O(1)
+    in K. Both encodings compute bit-identical IEEE doubles (same fold
+    order; centroid norms are Python-computed constants either way)."""
+    from parquet_compactor_spark.llm.cluster import LITERAL_CENTROID_MAX
+
+    if literal_max is None:
+        literal_max = LITERAL_CENTROID_MAX
+    if len(cents) <= literal_max:
+        sims = F.array(
+            *[
+                dot(F.col("vec"), F.array(*[F.lit(x) for x in v]))
+                / (F.col("_vnorm") * F.lit(_py_l2norm(v)))
+                for _, v in cents
+            ]
+        )
+        ids = F.array(*[F.lit(b) for b, _ in cents])
+        return df, sims, ids
+    rows = [(int(b), [float(x) for x in v], _py_l2norm(v)) for b, v in cents]
+    cdf = df.sparkSession.createDataFrame(
+        [(rows,)],
+        "_cents array<struct<cid:int,cvec:array<double>,cnorm:double>>",
+    )
+    staged = df.crossJoin(F.broadcast(cdf))
+    sims = F.transform(
+        F.col("_cents"),
+        lambda c: dot(F.col("vec"), c["cvec"]) / (F.col("_vnorm") * c["cnorm"]),
+    )
+    ids = F.transform(F.col("_cents"), lambda c: c["cid"])
+    return staged, sims, ids
+
+
 def ann_ivf(
     spark: SparkSession,
     sf_dir: str,
@@ -323,15 +379,7 @@ def ann_ivf(
     broadcast array column (see ``_with_csims``). Default: the shared
     ``LITERAL_CENTROID_MAX`` threshold.
     """
-    from parquet_compactor_spark.llm.cluster import (
-        LITERAL_CENTROID_MAX,
-        per_dim_means,
-    )
-
-    import math
-
-    if literal_max is None:
-        literal_max = LITERAL_CENTROID_MAX
+    from parquet_compactor_spark.llm.cluster import per_dim_means
 
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id",
@@ -347,47 +395,14 @@ def ann_ivf(
     # Centroids are model state (K x dim doubles — KBs): collect once and
     # re-ship so each assignment pass is a zero-shuffle map (argmax via
     # array_position over a per-row cosine array), not a join + aggregate.
-    # Small K embeds them as literals; large K broadcasts ONE row carrying
-    # array<struct<cid,cvec,cnorm>> so the plan stays O(1) in K — both
-    # forms compute bit-identical doubles (same fold order; centroid norms
-    # are Python-computed constants either way).
+    # Encoding (literal vs broadcast matrix) per centroid_cosines.
     seed_rows = e.filter(F.col("vec_id").between(lo, hi)).orderBy("vec_id").collect()
     centroids = [(int(r.vec_id) - lo, [float(x) for x in r.vec]) for r in seed_rows]
-
-    def _cnorm(v: list[float]) -> float:
-        s = 0.0
-        for x in v:
-            s += x * x
-        return math.sqrt(s)
 
     def with_csims(
         df: DataFrame, cents: list[tuple[int, list[float]]]
     ) -> tuple[DataFrame, Column, Column]:
-        """(staged_df, sims, ids): per-row cosine-to-each-centroid array
-        plus the aligned centroid-id array, under either encoding."""
-        if len(cents) <= literal_max:
-            sims = F.array(
-                *[
-                    dot(F.col("vec"), F.array(*[F.lit(x) for x in v]))
-                    / (F.col("_vnorm") * F.lit(_cnorm(v)))
-                    for _, v in cents
-                ]
-            )
-            ids = F.array(*[F.lit(b) for b, _ in cents])
-            return df, sims, ids
-        rows = [(int(b), [float(x) for x in v], _cnorm(v)) for b, v in cents]
-        cdf = spark.createDataFrame(
-            [(rows,)],
-            "_cents array<struct<cid:int,cvec:array<double>,cnorm:double>>",
-        )
-        staged = df.crossJoin(F.broadcast(cdf))
-        sims = F.transform(
-            F.col("_cents"),
-            lambda c: dot(F.col("vec"), c["cvec"])
-            / (F.col("_vnorm") * c["cnorm"]),
-        )
-        ids = F.transform(F.col("_cents"), lambda c: c["cid"])
-        return staged, sims, ids
+        return centroid_cosines(df, cents, literal_max)
 
     if lloyd:
         # One Lloyd round: coarse-assign, then refine each cell to the
@@ -451,7 +466,7 @@ def ann_ivf(
     doc="Approximate nearest neighbors via IVF (inverted-file coarse "
     "quantizer) with ONE Lloyd refinement round and 2-cell multi-probe: "
     "8 seed centroids (deterministic: vec_ids 100-107) → coarse "
-    "max-cosine assignment (zero-shuffle literal argmax) → refine each "
+    "max-cosine assignment (zero-shuffle broadcast-matrix argmax) → refine each "
     "cell to its per-dimension mean (one explode-agg shuffle; K×dim "
     "doubles collected as model state, rounded to 6 decimals so the "
     "DuckDB oracle reproduces the exact values) → reassign against the "
@@ -574,14 +589,13 @@ def semantic_dedup(
     quadratic step bounded). When omitted, the first ``k`` vectors seed the
     blocks deterministically (what the DuckDB oracle replays).
 
-    Assignment is the same zero-shuffle literal-argmax map as ``ann_ivf``:
-    centroids are KB-scale model state embedded as literals, each row
-    computes its K cosines JVM-side and argmaxes via array_position (first
-    max → lowest cid on ties, the ROW_NUMBER tie-break). No N×K crossJoin,
-    no window — assignment is exactly one pass over the data.
+    Assignment is the same zero-shuffle argmax map as ``ann_ivf``
+    (``centroid_cosines``): centroids are KB-scale model state riding
+    along as a broadcast matrix, each row computes its K cosines JVM-side
+    and argmaxes via array_position (first max → lowest cid on ties, the
+    ROW_NUMBER tie-break). No N×K crossJoin, no window — assignment is
+    exactly one pass over the data.
     """
-    import math
-
     e = load(spark, sf_dir, "embeddings")
     v = e.select(
         "vec_id",
@@ -591,23 +605,8 @@ def semantic_dedup(
         seed_rows = v.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
         centroids = [(int(r.vec_id), [float(x) for x in r.vec]) for r in seed_rows]
 
-    def _cnorm(vec: list[float]) -> float:
-        # Python left-fold sum — identical order to the l2_norm column
-        # aggregate, so the doubles are bit-identical to the oracle's.
-        s = 0.0
-        for x in vec:
-            s += x * x
-        return math.sqrt(s)
-
-    sims = F.array(
-        *[
-            dot(F.col("vec"), F.array(*[F.lit(x) for x in cvec]))
-            / (F.col("_vnorm") * F.lit(_cnorm(cvec)))
-            for _, cvec in centroids
-        ]
-    )
-    cids = F.array(*[F.lit(cid) for cid, _ in centroids])
-    assigned = v.select(
+    staged, sims, cids = centroid_cosines(v, centroids)
+    assigned = staged.select(
         "vec_id", _argmax_bucket(sims, cids).alias("cid"), "vec", "_vnorm"
     )
     a = assigned.select(

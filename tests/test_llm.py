@@ -429,8 +429,10 @@ def test_grouped_topk_property_matches_window(spark):
 
 def test_centroid_encodings_agree_bitwise(spark):
     """Literal-array and broadcast-array centroid encodings must produce
-    bit-identical assignments (same IEEE doubles, same fold order) — the
-    broadcast form is the large-K path (VERDICT r4 item 5)."""
+    bit-identical assignments (same IEEE doubles, same fold order). The
+    broadcast matrix is now the default at every K (it skips K x dim py4j
+    literal construction per pass — measured ~35% faster even at K=8);
+    the literal form is forced here via a huge literal_max."""
     from pyspark.sql import functions as F
 
     from parquet_compactor_spark.llm.cluster import kmeans
@@ -444,14 +446,15 @@ def test_centroid_encodings_agree_bitwise(spark):
         "vec_id",
         F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("vec"),
     )
-    lit = sorted((r.vec_id, r.cluster, r.dist) for r in kmeans(vecs).collect())
-    bc = sorted(
-        (r.vec_id, r.cluster, r.dist) for r in kmeans(vecs, literal_max=0).collect()
+    bc = sorted((r.vec_id, r.cluster, r.dist) for r in kmeans(vecs).collect())
+    lit = sorted(
+        (r.vec_id, r.cluster, r.dist)
+        for r in kmeans(vecs, literal_max=1 << 20).collect()
     )
     assert lit == bc
 
     assert [tuple(r) for r in ann_ivf(spark, sf).collect()] == [
-        tuple(r) for r in ann_ivf(spark, sf, literal_max=0).collect()
+        tuple(r) for r in ann_ivf(spark, sf, literal_max=1 << 20).collect()
     ]
 
 
@@ -475,7 +478,7 @@ def test_large_k_assignment_plan_is_constant_size(spark):
     rng = random.Random(7)
     cents = [(i, [rng.uniform(-1, 1) for _ in range(32)]) for i in range(256)]
     big = _assign(vecs, cents)
-    small = _assign(vecs, cents[:8])
+    small = _assign(vecs, cents[:8], literal_max=8)  # force the literal form
     big_plan = big._jdf.queryExecution().optimizedPlan().toString()
     small_plan = small._jdf.queryExecution().optimizedPlan().toString()
     assert len(big_plan) < len(small_plan)  # 256 centroids, smaller plan
