@@ -11,5 +11,6 @@ from parquet_compactor_spark.queries import (  # noqa: F401
     scalar_fns,
     timeseries,
     tpch_extra,
+    tpch_final,
     udx,
 )
