@@ -389,3 +389,78 @@ def q_data_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("bigint").alias("total_chars"),
         )
     )
+
+
+@register(
+    "q_gopher_rules",
+    oracle=r"""
+    WITH scored AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_words,
+               CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                 / len(string_split(text, ' ')) AS mwl,
+               len(regexp_extract_all(text, '\b(the|a|and|of|to|in|is|it)\b'))
+                 AS stop_hits,
+               CAST(len(list_filter(string_split(text, ' '),
+                                    w -> regexp_matches(w, '[a-zA-Z]')))
+                    AS DOUBLE)
+                 / len(string_split(text, ' ')) AS alpha_ratio
+        FROM documents
+    )
+    SELECT doc_id,
+           n_words,
+           ROUND(mwl, 4) AS mean_word_len,
+           CASE WHEN n_words BETWEEN 40 AND 1000 THEN 1 ELSE 0 END
+             AS ok_word_count,
+           CASE WHEN mwl >= 3.5 AND mwl <= 10.0 THEN 1 ELSE 0 END
+             AS ok_word_len,
+           CASE WHEN stop_hits >= 2 THEN 1 ELSE 0 END AS ok_stopwords,
+           CASE WHEN alpha_ratio > 0.8 THEN 1 ELSE 0 END AS ok_alpha,
+           CASE WHEN n_words BETWEEN 40 AND 1000
+                 AND mwl >= 3.5 AND mwl <= 10.0
+                 AND stop_hits >= 2
+                 AND alpha_ratio > 0.8 THEN 1 ELSE 0 END AS keep_flag
+    FROM scored
+    """,
+    doc="Gopher-style rule-based quality filter (Rae et al. 2021 §A1.1, "
+    "public paper): each document is scored against explicit repair-"
+    "proof rules — word-count bounds, mean-word-length bounds, minimum "
+    "stopword evidence, alphabetic-word ratio — emitted as separate "
+    "boolean columns plus the conjunctive keep flag, so downstream "
+    "curation can audit WHICH rule dropped a document (the difference "
+    "from q_quality_score's single opaque score). All rules are "
+    "JVM-side string expressions over one scan: at 100 TB this is a "
+    "map-only pass with zero shuffles; the per-rule booleans make the "
+    "filter's selectivity observable per rule via one follow-up "
+    "aggregation. Mean word length divides two exact integers, so the "
+    "4dp rounding is engine-stable.",
+)
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ", -1)
+    n_words = F.size(words)
+    mwl = F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast(
+        "double"
+    ) / n_words
+    stop_hits = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(r"\b(the|a|and|of|to|in|is|it)\b"))
+    )
+    alpha_ratio = (
+        F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]"))).cast("double") / n_words
+    )
+    ok_word_count = n_words.between(40, 1000)
+    ok_word_len = (mwl >= 3.5) & (mwl <= 10.0)
+    ok_stopwords = stop_hits >= 2
+    ok_alpha = alpha_ratio > 0.8
+    keep = ok_word_count & ok_word_len & ok_stopwords & ok_alpha
+    as_int = lambda c: F.when(c, 1).otherwise(0)  # noqa: E731
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(mwl, 4).alias("mean_word_len"),
+        as_int(ok_word_count).alias("ok_word_count"),
+        as_int(ok_word_len).alias("ok_word_len"),
+        as_int(ok_stopwords).alias("ok_stopwords"),
+        as_int(ok_alpha).alias("ok_alpha"),
+        as_int(keep).alias("keep_flag"),
+    )

@@ -714,3 +714,48 @@ def q_batch_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ascending=[False, True],
         k=BATCH_TOPK,
     )
+
+
+@register(
+    "q_embed_dim_stats",
+    oracle="""
+    WITH flat AS (
+        SELECT generate_subscripts(embedding, 1) AS dim,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    )
+    SELECT dim,
+           count(*) AS n,
+           ROUND(avg(v), 4) AS mean_v,
+           ROUND(stddev_samp(v), 4) AS std_v,
+           min(v) AS min_v,
+           max(v) AS max_v
+    FROM flat
+    GROUP BY dim
+    """,
+    doc="Per-dimension embedding statistics (the feature-normalization "
+    "profile a training pipeline computes before z-scoring or "
+    "quantizing a vector column): posexplode the array<float> to "
+    "(dim, value) pairs and hash-aggregate per dimension. The explode "
+    "is a map-side row multiplier (64x rows but 2 tiny columns) and "
+    "the aggregate partial-combines to exactly 64 groups — shuffle "
+    "traffic is O(dims x partitions), independent of corpus size, so "
+    "the pass stays scan-bound at 100 TB. min/max are exact float "
+    "selections; mean/std are rounded to 4dp on both engines (fp "
+    "accumulation noise is ~1e-10 relative, far inside the rounding). "
+    "Dims are 1-based to match SQL generate_subscripts.",
+)
+def q_embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    return (
+        e.select(F.posexplode("embedding").alias("pos", "v"))
+        .select((F.col("pos") + 1).alias("dim"), F.col("v").cast("double").alias("v"))
+        .groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("v"), 4).alias("mean_v"),
+            F.round(F.stddev_samp("v"), 4).alias("std_v"),
+            F.min("v").alias("min_v"),
+            F.max("v").alias("max_v"),
+        )
+    )

@@ -98,10 +98,11 @@ def _ensure_loaded() -> None:
 # External differential harnesses that sample a prefix of the registry
 # (the driver checks the first 50 entries) therefore verify these before
 # anything else. Round 5 (exactly 50 names):
-#   1-7   the seven NEW TPC-H-completion queries (queries/tpch_final.py:
-#         Q2/Q9/Q11/Q12/Q16/Q20/Q21 shapes) — no driver row exists at
+#   1-9   the NEW round-5 queries — seven TPC-H completions
+#         (queries/tpch_final.py: Q2/Q9/Q11/Q12/Q16/Q20/Q21 shapes) plus
+#         q_gopher_rules and q_embed_dim_stats — no driver row exists at
 #         all yet, so they outrank every re-verification;
-#   8-17  queries whose SOURCE or ORACLE changed this round, so their
+#   10-19 queries whose SOURCE or ORACLE changed this round, so their
 #         existing driver rows no longer attest to the current code:
 #         the six rows-only→derived-invariant oracle conversions
 #         (q_dedup_minhash, q_dedup_simhash, q_approx_stats,
@@ -112,17 +113,18 @@ def _ensure_loaded() -> None:
 #         q_ann_ivf (broadcast-matrix centroid path) and
 #         q_kmeans_clusters (same _assign rework, plus its new unrolled
 #         Lloyd oracle — the registry's LAST rows-only query converted);
-#   18-28 the 11 remaining queries whose latest driver row is round 1
+#   20-30 the 11 remaining queries whose latest driver row is round 1
 #         (q_approx_stats, the 12th, is already in the changed set) —
 #         oldest evidence in the ledger, deferred twice, now due;
-#   29-50 22 of the 44 round-2-only greens, complex/plan-sensitive
+#   31-50 20 of the 44 round-2-only greens, complex/plan-sensitive
 #         first: joins, windows, time-series, q_topk (a
 #         TakeOrderedAndProject pin whose helper family was reworked
 #         in r4).
 # Everything not listed follows in registration order.
 #
-# Round-6 rotation plan: the 7 r2-only greens displaced by the new
-# TPC-H block (q_zscore_outliers q_salted_agg q_grouped_sample
+# Round-6 rotation plan: the 9 r2-only greens displaced by the new
+# round-5 blocks (q_month_over_month q_latest_snapshot
+# q_zscore_outliers q_salted_agg q_grouped_sample
 # q_stratified_sample q_multimodal_meta q_union_dedup q_vector_norm),
 # then the 15 remaining r2-only simple-scalar queries
 # (q_bit_bool_agg q_case_bucketing q_date_arithmetic q_date_buckets
@@ -139,6 +141,8 @@ _PRIORITY: tuple[str, ...] = (
     "q_supplier_part_count",
     "q_promo_part_suppliers",
     "q_waiting_suppliers",
+    "q_gopher_rules",
+    "q_embed_dim_stats",
     # -- source or oracle changed in round 5: re-verify first --
     "q_dedup_minhash",
     "q_dedup_simhash",
@@ -162,7 +166,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_unpivot",
     "q_window_first_last",
     "q_window_ranks",
-    # -- 22 round-2-only greens, plan-sensitive first --
+    # -- 20 round-2-only greens, plan-sensitive first --
     "q_topk",
     "q_anti_join",
     "q_semi_join",
@@ -183,8 +187,6 @@ _PRIORITY: tuple[str, ...] = (
     "q_gapfill_buckets",
     "q_locf_interpolate",
     "q_ewma",
-    "q_month_over_month",
-    "q_latest_snapshot",
 )
 
 

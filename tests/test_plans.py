@@ -421,6 +421,7 @@ def test_no_unexpected_cartesian_in_any_registered_query(spark):
         "q_equidepth_hist",  # 1-row broadcast percentile bounds
         "q_gapfill_buckets",  # tiny day x type spine
         "q_idle_customers",  # 1-row scalar AVG(acctbal) broadcast (Q22)
+        "q_important_parts",  # 1-row global value-total threshold (Q11)
         # 1-row broadcast centroid MATRIX (KB model state riding along as
         # one array<struct> column — the default encoding at every K):
         "q_kmeans_clusters",
@@ -473,6 +474,46 @@ def test_tpch_extra_plans_scale(spark):
     p = props(spark, "q_volume_shipping")
     assert p.has_broadcast_join
     assert any("l_shipdate" in f for f in p.pushed_filters)
+
+
+def test_tpch_final_plans_scale(spark):
+    """The round-5 TPC-H completions (queries/tpch_final.py) keep the
+    family's plan discipline: constant dims broadcast, selective
+    predicates reach the parquet scans, and every aggregate partial-
+    combines map-side. The correlated-subquery members (Q2/Q21) must
+    stay decorrelated — one aggregate joined back, never a per-row
+    re-execution, which would show as a nested-loop join."""
+    p = props(spark, "q_min_cost_supplier")
+    assert p.has_broadcast_join
+    assert any("p_size" in f for f in p.pushed_filters)
+    assert p.has_partial_agg
+    assert not p.has_cartesian
+
+    p = props(spark, "q_product_profit")
+    assert p.has_broadcast_join
+    assert any("p_name" in f for f in p.pushed_filters)
+    assert p.has_partial_agg
+
+    p = props(spark, "q_late_line_priority")
+    assert any("l_shipdate" in f for f in p.pushed_filters)
+    assert p.has_partial_agg
+    assert not p.has_cartesian
+
+    p = props(spark, "q_supplier_part_count")
+    assert p.has_broadcast_join
+    assert any("p_brand" in f for f in p.pushed_filters)
+    assert not p.has_cartesian
+
+    p = props(spark, "q_promo_part_suppliers")
+    assert any("p_name" in f for f in p.pushed_filters)
+    assert p.has_partial_agg
+    assert not p.has_cartesian
+
+    p = props(spark, "q_waiting_suppliers")
+    assert p.has_broadcast_join
+    assert any("o_orderstatus" in f for f in p.pushed_filters)
+    assert p.has_partial_agg
+    assert not p.has_cartesian
 
 
 def test_embed_near_dup_blocks_on_label_and_bucket(spark):
