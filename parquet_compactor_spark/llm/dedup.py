@@ -630,3 +630,58 @@ def q_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sim"),
         )
     )
+
+
+@register(
+    "q_prefix_dups",
+    oracle="""
+    WITH keyed AS (
+        SELECT doc_id, source, substr(text, 1, 40) AS prefix
+        FROM documents
+    ),
+    grp AS (
+        SELECT prefix,
+               count(*) AS n_docs,
+               min(doc_id) AS canonical_id,
+               count(DISTINCT source) AS n_sources
+        FROM keyed
+        GROUP BY prefix
+        HAVING count(*) > 1
+    )
+    SELECT k.doc_id, g.canonical_id, g.n_docs, g.n_sources,
+           CAST(k.doc_id = g.canonical_id AS INT) AS is_canonical
+    FROM keyed k JOIN grp g ON g.prefix = k.prefix
+    """,
+    doc="Boilerplate / shared-prefix duplicate detection (the cheap "
+    "first pass a crawl pipeline runs before MinHash: repeated "
+    "headers, licence blocks, and templated pages collide on their "
+    "opening bytes). Block on the first-40-char prefix, keep only "
+    "groups of >1, and emit per-doc keep/drop plus how many distinct "
+    "sources share the boilerplate. At 100 TB this is one groupBy on "
+    "a short uniform string key (hash-partitioned, map-side partial "
+    "agg) and a semi-join-shaped re-join of the colliding groups — "
+    "no pairwise comparison ever forms, unlike similarity dedup. "
+    "Production would hash the prefix (xxhash64) to shrink shuffle "
+    "keys; the raw prefix is kept here for oracle transparency.",
+)
+def q_prefix_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id", "source", F.substring("text", 1, 40).alias("prefix")
+    )
+    grp = (
+        keyed.groupBy("prefix")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("canonical_id"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+    return keyed.join(grp, "prefix").select(
+        "doc_id",
+        "canonical_id",
+        "n_docs",
+        "n_sources",
+        (F.col("doc_id") == F.col("canonical_id")).cast("int").alias("is_canonical"),
+    )

@@ -929,3 +929,71 @@ def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM chain GROUP BY depth
         """
     )
+
+
+@register(
+    "q_chisq_independence",
+    oracle="""
+    WITH cells AS (
+        SELECT event_type,
+               CASE WHEN value >= 50 THEN 'high' ELSE 'low' END AS vbucket,
+               count(*) AS o
+        FROM events
+        GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT event_type, vbucket, o,
+               SUM(o) OVER (PARTITION BY event_type) AS row_tot,
+               SUM(o) OVER (PARTITION BY vbucket) AS col_tot,
+               SUM(o) OVER () AS n
+        FROM cells
+    )
+    SELECT ROUND(SUM((o - row_tot * col_tot / CAST(n AS DOUBLE))
+                     * (o - row_tot * col_tot / CAST(n AS DOUBLE))
+                     / (row_tot * col_tot / CAST(n AS DOUBLE))), 4) AS chi2,
+           CAST((count(DISTINCT event_type) - 1)
+                * (count(DISTINCT vbucket) - 1) AS INT) AS dof
+    FROM tot
+    """,
+    doc="Chi-squared independence profile between event_type and a "
+    "value bucket — the data-quality check a feature pipeline runs to "
+    "detect unexpected correlation between a categorical and a "
+    "binned measure. One fact-table hash-agg produces the O(types x "
+    "buckets) contingency table (10 cells); expected counts and the "
+    "chi-squared sum are windows/aggregates over that TINY result, so "
+    "the statistic costs one scan regardless of data size. All inputs "
+    "to the float math are exact integer counts -> 4dp rounding is "
+    "engine-stable (the sum spans 10 cells; fp association error "
+    "~1e-15 relative).",
+)
+def q_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    cells = (
+        e.withColumn(
+            "vbucket", F.when(F.col("value") >= 50, "high").otherwise("low")
+        )
+        .groupBy("event_type", "vbucket")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    row_w = Window.partitionBy("event_type")
+    col_w = Window.partitionBy("vbucket")
+    all_w = Window.partitionBy()
+    with_tot = cells.select(
+        "event_type",
+        "vbucket",
+        "o",
+        F.sum("o").over(row_w).alias("row_tot"),
+        F.sum("o").over(col_w).alias("col_tot"),
+        F.sum("o").over(all_w).alias("n"),
+    )
+    expected = F.col("row_tot") * F.col("col_tot") / F.col("n").cast("double")
+    return with_tot.agg(
+        F.round(
+            F.sum((F.col("o") - expected) * (F.col("o") - expected) / expected), 4
+        ).alias("chi2"),
+        (
+            (F.countDistinct("event_type") - 1) * (F.countDistinct("vbucket") - 1)
+        ).cast("int").alias("dof"),
+    )

@@ -156,3 +156,52 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
+
+
+@register(
+    "q_event_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    )
+    SELECT prev_type, event_type, count(*) AS n,
+           ROUND(CAST(count(*) AS DOUBLE)
+                 / SUM(count(*)) OVER (PARTITION BY prev_type), 4) AS p
+    FROM seq
+    WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    """,
+    doc="First-order Markov transition matrix over per-user event "
+    "sequences: LAG per user gives (prev, next) bigrams, one hash-agg "
+    "counts them, and a window over the |types|^2-row RESULT (25 rows "
+    "here — never the fact table) normalizes each row to transition "
+    "probabilities. The per-user window partitions on the uniform "
+    "user_id key, so state per task is one user's events; the "
+    "normalizing window runs on dimension-sized data. (user_id, ts) "
+    "is unique in the fixture, with event_id as a deterministic "
+    "tiebreak. Probabilities divide two exact counts -> 4dp rounding "
+    "is engine-stable.",
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    seq = e.withColumn(
+        "prev_type",
+        F.lag("event_type").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ),
+    ).filter(F.col("prev_type").isNotNull())
+    counts = seq.groupBy("prev_type", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    row_total = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "event_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(row_total), 4).alias("p"),
+    )

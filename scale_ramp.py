@@ -60,6 +60,13 @@ RAMP_QUERIES = [
     "q_agg_pricing",
     "q_retention_cohorts",
     "q_hll_sketch",
+    # round-5 additions: the heaviest new TPC-H completions (fact-fact
+    # join + per-order profile; 5-way join profit) and the two new LLM
+    # passes (map-only rules; dims-bounded explode-agg).
+    "q_waiting_suppliers",
+    "q_product_profit",
+    "q_gopher_rules",
+    "q_embed_dim_stats",
 ]
 
 OFF = 10_000_000  # per-copy key shift
