@@ -516,6 +516,24 @@ def test_tpch_final_plans_scale(spark):
     assert not p.has_cartesian
 
 
+def test_round5_additions_plan_discipline(spark):
+    """The non-TPC-H round-5 queries keep their documented plan shapes:
+    the Gopher rule filter is a pure map pass (zero exchanges — at
+    100 TB it is scan-bound by construction), the per-dimension stats
+    partial-combine before their 64-group shuffle, and the bigram /
+    blocking queries never degrade to pair-forming joins."""
+    p = props(spark, "q_gopher_rules")
+    assert p.exchange_count == 0
+    assert not p.has_cartesian
+
+    p = props(spark, "q_embed_dim_stats")
+    assert p.has_partial_agg
+    assert not p.has_cartesian
+
+    for name in ("q_event_transitions", "q_chisq_independence", "q_prefix_dups"):
+        assert not props(spark, name).has_cartesian, name
+
+
 def test_embed_near_dup_blocks_on_label_and_bucket(spark):
     """Scale-ramp regression guard (round 5): label-only blocking measured
     154x cost at 25x data (fixed label cardinality -> quadratic pair
