@@ -145,6 +145,21 @@ class HadoopFS:
         finally:
             stream.close()
 
+    def read_bytes(self, path: str) -> bytes:
+        """Read one file fully as bytes (header sniffing, small sidecars).
+
+        Goes through commons-io's toByteArray so the payload crosses
+        py4j ONCE as a byte[] return value — iterating a JavaArray
+        byte-by-byte would be a py4j round-trip per byte.
+        """
+        stream = self._fs.open(self.jpath(path))
+        try:
+            return bytes(
+                self._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+            )
+        finally:
+            stream.close()
+
     def write_text(self, path: str, text: str) -> None:
         """Atomically replace a small sidecar file (write-new + rename)."""
         tmp = self.jpath(f"{path}.tmp")

@@ -1,0 +1,461 @@
+"""Pure-Python Avro Object Container File reader — the no-classpath
+fallback behind ``read_table(..., fmt="avro")``.
+
+Spark's avro support lives in the external ``spark-avro`` package; in an
+environment that cannot add jars (air-gapped clusters, this sandbox) the
+format was previously a hard ImportError. This module opens that gate
+with a Spark-FIRST fallback: the driver sniffs ONE file header for the
+embedded writer schema (schema resolution is driver-side metadata, KBs),
+then the files themselves are read DISTRIBUTED via the binaryFile source
+and decoded executor-side in Arrow-batched ``mapInPandas`` — no data
+bytes ever reach the driver, and decode parallelism is one task per
+file-split exactly like any other source.
+
+Implements the public Avro 1.11 spec (container format + binary
+encoding): magic ``Obj\\x01``, avro-encoded metadata map carrying
+``avro.schema``/``avro.codec``, 16-byte sync markers, zigzag-varint
+longs, IEEE little-endian floats, length-prefixed bytes/strings, and the
+full type subset a lake actually stores: primitives, records, enums,
+fixed, arrays, maps, named-type references, ``[null, T]`` unions →
+nullable columns, and the timestamp-micros/millis + date logical types.
+Codecs: null and deflate (raw zlib); snappy needs python-snappy and
+raises actionably when absent.
+
+Scale notes: binaryFile loads a whole file per row, so decode memory is
+O(largest file) per task — the normal Avro-on-Spark contract (spark-avro
+splits blocks, this fallback splits files; Avro lakes are many-file by
+construction). The embedded writer schema of the FIRST listed file
+defines the session schema; files written with a different schema fail
+loudly at decode, never silently coerce.
+
+A driver-side writer (``write_avro_records``) exists for fixtures and
+small sidecar exports only — it is deliberately not wired into
+write_table, which would hide a non-distributed path behind a
+distributed-looking API.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import struct
+import zlib
+from datetime import date, datetime, timedelta
+
+MAGIC = b"Obj\x01"
+_EPOCH = datetime(1970, 1, 1)
+_EPOCH_DATE = date(1970, 1, 1)
+
+
+# --------------------------------------------------------------------------
+# binary decoding primitives (Avro spec §"Binary encoding")
+# --------------------------------------------------------------------------
+
+
+class _Cursor:
+    __slots__ = ("buf", "pos")
+
+    def __init__(self, buf: bytes, pos: int = 0):
+        self.buf = buf
+        self.pos = pos
+
+    def take(self, n: int) -> bytes:
+        b = self.buf[self.pos : self.pos + n]
+        if len(b) != n:
+            raise EOFError("truncated avro data")
+        self.pos += n
+        return b
+
+
+def _read_long(c: _Cursor) -> int:
+    """Zigzag varint (int and long share the encoding)."""
+    shift = 0
+    acc = 0
+    while True:
+        byte = c.buf[c.pos]
+        c.pos += 1
+        acc |= (byte & 0x7F) << shift
+        if not byte & 0x80:
+            break
+        shift += 7
+    return (acc >> 1) ^ -(acc & 1)
+
+
+def _read_bytes(c: _Cursor) -> bytes:
+    return c.take(_read_long(c))
+
+
+def _read_map_of_bytes(c: _Cursor) -> dict[bytes, bytes]:
+    """The file-metadata map: map<string, bytes> with block counts."""
+    out: dict[bytes, bytes] = {}
+    while True:
+        n = _read_long(c)
+        if n == 0:
+            return out
+        if n < 0:  # negative count → a byte size follows (skippable form)
+            n = -n
+            _read_long(c)
+        for _ in range(n):
+            key = _read_bytes(c)
+            out[key] = _read_bytes(c)
+
+
+# --------------------------------------------------------------------------
+# schema → decoder and Spark type
+# --------------------------------------------------------------------------
+
+_PRIMITIVES = {
+    "null": (lambda c: None, "void"),
+    "boolean": (lambda c: c.take(1) == b"\x01", "boolean"),
+    "int": (_read_long, "int"),
+    "long": (_read_long, "long"),
+    "float": (lambda c: struct.unpack("<f", c.take(4))[0], "float"),
+    "double": (lambda c: struct.unpack("<d", c.take(8))[0], "double"),
+    "bytes": (_read_bytes, "binary"),
+    "string": (lambda c: _read_bytes(c).decode("utf-8"), "string"),
+}
+
+
+def _logical(schema: dict):
+    """Return (decoder, spark_type) for a recognized logical type, else None."""
+    lt = schema.get("logicalType")
+    t = schema.get("type")
+    if lt == "timestamp-micros" and t == "long":
+        return (lambda c: _EPOCH + timedelta(microseconds=_read_long(c)), "timestamp")
+    if lt == "timestamp-millis" and t == "long":
+        return (lambda c: _EPOCH + timedelta(milliseconds=_read_long(c)), "timestamp")
+    if lt == "date" and t == "int":
+        return (lambda c: _EPOCH_DATE + timedelta(days=_read_long(c)), "date")
+    return None
+
+
+def _compile(schema, named: dict[str, tuple]) -> tuple:
+    """Recursively build (decoder(cursor) -> value, spark_ddl_type).
+
+    ``named`` registers record/enum/fixed definitions so later references
+    by full name resolve (the spec allows either inline or by-name).
+    """
+    if isinstance(schema, str):
+        if schema in _PRIMITIVES:
+            return _PRIMITIVES[schema]
+        if schema in named:
+            return named[schema]
+        raise NotImplementedError(f"unresolved avro type reference: {schema}")
+
+    if isinstance(schema, list):  # union
+        branches = [b for b in schema if b != "null"]
+        if len(branches) != 1 or len(schema) > 2:
+            raise NotImplementedError(
+                f"only [null, T] unions are supported, got {schema}"
+            )
+        dec, typ = _compile(branches[0], named)
+        null_index = schema.index("null") if "null" in schema else -1
+
+        def union_dec(c, dec=dec, null_index=null_index):
+            idx = _read_long(c)
+            if idx == null_index:
+                return None
+            return dec(c)
+
+        return union_dec, typ
+
+    t = schema["type"]
+    log = _logical(schema)
+    if log:
+        return log
+    if t in _PRIMITIVES:
+        return _PRIMITIVES[t]
+
+    if t == "record":
+        fullname = schema.get("namespace", "")
+        fullname = (fullname + "." if fullname else "") + schema["name"]
+        fields: list[tuple] = []
+        # Pre-register a lazy self-reference so recursive records resolve.
+        def rec_dec(c, fields=fields):
+            return {name: d(c) for name, d, _ in fields}
+
+        placeholder_type: list[str] = ["struct<>"]
+        named[fullname] = (rec_dec, placeholder_type)
+        named[schema["name"]] = named[fullname]
+        for f in schema["fields"]:
+            d, typ = _compile(f["type"], named)
+            fields.append((f["name"], d, typ))
+        ddl = "struct<" + ",".join(f"{n}:{typ}" for n, _, typ in fields) + ">"
+        named[fullname] = (rec_dec, ddl)
+        named[schema["name"]] = named[fullname]
+        return rec_dec, ddl
+
+    if t == "enum":
+        symbols = schema["symbols"]
+        dec = lambda c, s=symbols: s[_read_long(c)]  # noqa: E731
+        named[schema["name"]] = (dec, "string")
+        return named[schema["name"]]
+
+    if t == "fixed":
+        size = schema["size"]
+        dec = lambda c, n=size: c.take(n)  # noqa: E731
+        named[schema["name"]] = (dec, "binary")
+        return named[schema["name"]]
+
+    if t == "array":
+        item_dec, item_typ = _compile(schema["items"], named)
+
+        def arr_dec(c, item_dec=item_dec):
+            out = []
+            while True:
+                n = _read_long(c)
+                if n == 0:
+                    return out
+                if n < 0:
+                    n = -n
+                    _read_long(c)
+                for _ in range(n):
+                    out.append(item_dec(c))
+
+        return arr_dec, f"array<{item_typ}>"
+
+    if t == "map":
+        val_dec, val_typ = _compile(schema["values"], named)
+
+        def map_dec(c, val_dec=val_dec):
+            out = {}
+            while True:
+                n = _read_long(c)
+                if n == 0:
+                    return out
+                if n < 0:
+                    n = -n
+                    _read_long(c)
+                for _ in range(n):
+                    # NB: assignment would evaluate the RHS before the key
+                    # subscript — read the key into a local first.
+                    key = _read_bytes(c).decode("utf-8")
+                    out[key] = val_dec(c)
+
+        return map_dec, f"map<string,{val_typ}>"
+
+    raise NotImplementedError(f"unsupported avro type: {t}")
+
+
+# --------------------------------------------------------------------------
+# container file parsing
+# --------------------------------------------------------------------------
+
+
+def parse_header(buf: bytes) -> tuple[dict, str, bytes, int]:
+    """-> (schema_json, codec, sync_marker, body_offset)."""
+    c = _Cursor(buf)
+    if c.take(4) != MAGIC:
+        raise ValueError("not an avro object container file (bad magic)")
+    meta = _read_map_of_bytes(c)
+    schema = json.loads(meta[b"avro.schema"].decode("utf-8"))
+    codec = meta.get(b"avro.codec", b"null").decode("ascii")
+    sync = c.take(16)
+    return schema, codec, sync, c.pos
+
+
+def _decompress(data: bytes, codec: str) -> bytes:
+    if codec == "null":
+        return data
+    if codec == "deflate":
+        return zlib.decompress(data, -15)
+    if codec == "snappy":
+        try:
+            import snappy  # type: ignore
+        except ImportError as err:  # pragma: no cover - env-dependent
+            raise ImportError(
+                "avro file uses the snappy codec; pip install python-snappy "
+                "or rewrite the lake with deflate/null"
+            ) from err
+        return snappy.decompress(data[:-4])  # trailing CRC32 per spec
+    raise NotImplementedError(f"unsupported avro codec: {codec}")
+
+
+def iter_file_records(buf: bytes):
+    """Decode every record of one container file (executor-side)."""
+    schema, codec, sync, pos = parse_header(buf)
+    if not (isinstance(schema, dict) and schema.get("type") == "record"):
+        raise NotImplementedError("top-level avro schema must be a record")
+    dec, _ = _compile(schema, {})
+    c = _Cursor(buf, pos)
+    while c.pos < len(buf):
+        count = _read_long(c)
+        size = _read_long(c)
+        block = _Cursor(_decompress(c.take(size), codec))
+        for _ in range(count):
+            yield dec(block)
+        if c.take(16) != sync:
+            raise ValueError("avro block sync mismatch (corrupt file)")
+
+
+def spark_schema_ddl(schema: dict) -> str:
+    """Top-level record schema → Spark DDL column list."""
+    _, ddl = _compile(schema, {})
+    # struct<a:int,b:string> → "a int, b string" at the top level.
+    assert ddl.startswith("struct<") and ddl.endswith(">")
+    inner = ddl[len("struct<") : -1]
+    cols = []
+    depth = 0
+    start = 0
+    for i, ch in enumerate(inner + ","):
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            name, typ = inner[start:i].split(":", 1)
+            cols.append(f"`{name}` {typ}")
+            start = i + 1
+    return ", ".join(cols)
+
+
+# --------------------------------------------------------------------------
+# the Spark-facing read path
+# --------------------------------------------------------------------------
+
+
+def read_avro_fallback(spark, path: str, **options: str):
+    """Distributed Avro read without spark-avro.
+
+    Driver: sniff the first file's header for the writer schema.
+    Executors: binaryFile rows → mapInPandas pure-Python block decode.
+    """
+    from parquet_compactor_spark.compactor.fs import HadoopFS
+
+    fs = HadoopFS(spark, path)
+    listed = [
+        f
+        for f in fs.list_files(path)
+        if not f.path.rsplit("/", 1)[-1].startswith(("_", "."))
+    ]
+    if not listed:
+        raise FileNotFoundError(f"no avro files under {path}")
+    header_buf = fs.read_bytes(sorted(f.path for f in listed)[0])
+    schema, _codec, _sync, _pos = parse_header(header_buf)
+    ddl = spark_schema_ddl(schema)
+    col_names = [f["name"] for f in schema["fields"]]
+
+    binary_opts = {
+        k: v for k, v in options.items() if k in ("pathGlobFilter", "recursiveFileLookup")
+    }
+    blobs = (
+        spark.read.format("binaryFile").options(**binary_opts).load(path)
+        .select("content")
+    )
+
+    def decode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for blob in pdf["content"]:
+                rows = list(iter_file_records(bytes(blob)))
+                yield pd.DataFrame(
+                    {n: [r[n] for r in rows] for n in col_names},
+                    columns=col_names,
+                )
+
+    return blobs.mapInPandas(decode, schema=ddl)
+
+
+# --------------------------------------------------------------------------
+# driver-side writer (fixtures / small sidecars ONLY — not distributed)
+# --------------------------------------------------------------------------
+
+
+def _write_long(out: io.BytesIO, v: int) -> None:
+    v = (v << 1) ^ (v >> 63)
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.write(bytes([b | 0x80]))
+        else:
+            out.write(bytes([b]))
+            return
+
+
+def _write_bytes(out: io.BytesIO, b: bytes) -> None:
+    _write_long(out, len(b))
+    out.write(b)
+
+
+def _encode(schema, value, out: io.BytesIO) -> None:
+    if isinstance(schema, list):  # [null, T]
+        branches = [b for b in schema if b != "null"]
+        if value is None:
+            _write_long(out, schema.index("null"))
+            return
+        _write_long(out, schema.index(branches[0]))
+        _encode(branches[0], value, out)
+        return
+    t = schema["type"] if isinstance(schema, dict) else schema
+    if t == "record":
+        for f in schema["fields"]:
+            _encode(f["type"], value[f["name"]], out)
+    elif t == "array":
+        if value:
+            _write_long(out, len(value))
+            for v in value:
+                _encode(schema["items"], v, out)
+        _write_long(out, 0)
+    elif t == "map":
+        if value:
+            _write_long(out, len(value))
+            for k, v in value.items():
+                _write_bytes(out, k.encode("utf-8"))
+                _encode(schema["values"], v, out)
+        _write_long(out, 0)
+    elif t == "enum":
+        _write_long(out, schema["symbols"].index(value))
+    elif t == "fixed":
+        out.write(value)
+    elif t in ("int", "long"):
+        _write_long(out, value)
+    elif t == "boolean":
+        out.write(b"\x01" if value else b"\x00")
+    elif t == "float":
+        out.write(struct.pack("<f", value))
+    elif t == "double":
+        out.write(struct.pack("<d", value))
+    elif t == "bytes":
+        _write_bytes(out, value)
+    elif t == "string":
+        _write_bytes(out, value.encode("utf-8"))
+    elif t == "null":
+        pass
+    else:
+        raise NotImplementedError(f"writer: unsupported type {t}")
+
+
+def write_avro_records(
+    path: str, schema: dict, records: list[dict], codec: str = "deflate"
+) -> None:
+    """Write one container file driver-side (test fixtures, tiny exports)."""
+    sync = b"\x00\x01\x02\x03\x04\x05\x06\x07\x08\x09\x0a\x0b\x0c\x0d\x0e\x0f"
+    out = io.BytesIO()
+    out.write(MAGIC)
+    meta = {
+        b"avro.schema": json.dumps(schema).encode("utf-8"),
+        b"avro.codec": codec.encode("ascii"),
+    }
+    _write_long(out, len(meta))
+    for k, v in meta.items():
+        _write_bytes(out, k)
+        _write_bytes(out, v)
+    _write_long(out, 0)
+    out.write(sync)
+    body = io.BytesIO()
+    for r in records:
+        _encode(schema, r, body)
+    raw = body.getvalue()
+    if codec == "deflate":
+        compressor = zlib.compressobj(9, zlib.DEFLATED, -15)
+        raw = compressor.compress(raw) + compressor.flush()
+    elif codec != "null":
+        raise NotImplementedError(f"writer codec: {codec}")
+    _write_long(out, len(records))
+    _write_long(out, len(raw))
+    out.write(raw)
+    out.write(sync)
+    with open(path, "wb") as fh:
+        fh.write(out.getvalue())

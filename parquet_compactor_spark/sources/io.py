@@ -69,7 +69,21 @@ def read_table(
         reader = reader.option("rowTag", "row")
     try:
         return reader.options(**options).load(path)
-    except Exception as err:  # pragma: no cover - depends on classpath
+    except Exception as err:
+        if fmt == "avro" and "Failed to find data source" in str(err):
+            # No spark-avro on the classpath: fall back to the pure-Python
+            # distributed decoder (driver sniffs one header for the writer
+            # schema; executors decode via binaryFile + mapInPandas).
+            from parquet_compactor_spark.sources.avro_fallback import (
+                read_avro_fallback,
+            )
+
+            if schema:
+                raise ValueError(
+                    "the avro fallback reader uses the file-embedded writer "
+                    "schema; drop the explicit schema or add spark-avro"
+                ) from err
+            return read_avro_fallback(spark, path, **options)
         _raise_if_missing_source(err, fmt)
 
 

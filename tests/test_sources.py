@@ -50,9 +50,10 @@ def test_roundtrip_xml(spark, tmp_path):
 
 
 def test_roundtrip_avro_or_clean_import_error(spark, tmp_path):
-    """Avro rides the external spark-avro package: a classpath that has
-    it round-trips; one that doesn't gets an actionable ImportError
-    (never a raw planner stack trace)."""
+    """Avro WRITES ride the external spark-avro package: a classpath that
+    has it round-trips; one that doesn't gets an actionable ImportError
+    (never a raw planner stack trace). Reads no longer gate — see the
+    fallback tests below."""
     df = load(spark, SF_SMOKE, "nation").select("n_nationkey", "n_name")
     path = str(tmp_path / "avro")
     try:
@@ -62,6 +63,114 @@ def test_roundtrip_avro_or_clean_import_error(spark, tmp_path):
         pytest.skip("spark-avro package not on the classpath")
     back = read_table(spark, path, fmt="avro")
     assert back.count() == df.count()
+
+
+_AVRO_SCHEMA = {
+    "type": "record",
+    "name": "Event",
+    "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "name", "type": ["null", "string"]},
+        {"name": "score", "type": "double"},
+        {"name": "tags", "type": {"type": "array", "items": "string"}},
+        {"name": "attrs", "type": {"type": "map", "values": "int"}},
+        {
+            "name": "kind",
+            "type": {"type": "enum", "name": "Kind", "symbols": ["A", "B"]},
+        },
+        {
+            "name": "ts",
+            "type": {"type": "long", "logicalType": "timestamp-micros"},
+        },
+        {
+            "name": "nested",
+            "type": {
+                "type": "record",
+                "name": "Sub",
+                "fields": [
+                    {"name": "x", "type": "int"},
+                    {"name": "y", "type": ["null", "double"]},
+                ],
+            },
+        },
+    ],
+}
+
+
+def _avro_fixture_records(n=300):
+    return [
+        {
+            "id": i,
+            "name": None if i % 3 == 0 else f"n{i}",
+            "score": i * 1.5,
+            "tags": [f"t{i}", "z"],
+            "attrs": {"a": i, "b": -i},
+            "kind": "A" if i % 2 else "B",
+            "ts": 1700000000_000000 + i,
+            "nested": {"x": i, "y": None if i % 4 == 0 else i / 3.0},
+        }
+        for i in range(n)
+    ]
+
+
+def test_avro_fallback_reads_distributed_without_spark_avro(spark, tmp_path):
+    """read_table(fmt='avro') works with NO spark-avro on the classpath:
+    the pure-Python fallback sniffs one header driver-side and decodes
+    the files executor-side (binaryFile → mapInPandas). Covers both
+    container codecs (null, deflate), nullable unions, arrays, maps,
+    enums, nested records, and the timestamp-micros logical type."""
+    from parquet_compactor_spark.sources.avro_fallback import write_avro_records
+
+    recs = _avro_fixture_records()
+    for part in range(3):
+        write_avro_records(
+            str(tmp_path / f"part-{part}.avro"),
+            _AVRO_SCHEMA,
+            recs[part::3],
+            codec="deflate" if part % 2 == 0 else "null",
+        )
+    df = read_table(spark, str(tmp_path), fmt="avro")
+    assert df.schema.simpleString() == (
+        "struct<id:bigint,name:string,score:double,tags:array<string>,"
+        "attrs:map<string,int>,kind:string,ts:timestamp,"
+        "nested:struct<x:int,y:double>>"
+    )
+    assert df.count() == len(recs)
+    row = df.filter("id = 7").collect()[0]
+    assert row.name == "n7"
+    assert row.tags == ["t7", "z"]
+    assert row.attrs == {"a": 7, "b": -7}
+    assert row.kind == "A"
+    assert row.nested.x == 7
+    # union-null branches materialize as SQL NULLs
+    assert df.filter("name IS NULL").count() == len([r for r in recs if r["name"] is None])
+    # and the decode is distributed: one input row per container file
+    assert df.rdd.getNumPartitions() >= 1
+
+
+def test_avro_fallback_rejects_explicit_schema(spark, tmp_path):
+    from parquet_compactor_spark.sources.avro_fallback import write_avro_records
+
+    write_avro_records(
+        str(tmp_path / "a.avro"), _AVRO_SCHEMA, _avro_fixture_records(5)
+    )
+    with pytest.raises(ValueError, match="file-embedded writer schema"):
+        read_table(spark, str(tmp_path), fmt="avro", schema="id long")
+
+
+def test_avro_fallback_detects_corruption(spark, tmp_path):
+    """A flipped sync marker fails the block checksum loudly at decode —
+    never a silent truncation."""
+    from parquet_compactor_spark.sources.avro_fallback import write_avro_records
+
+    p = tmp_path / "a.avro"
+    write_avro_records(str(p), _AVRO_SCHEMA, _avro_fixture_records(50))
+    raw = bytearray(p.read_bytes())
+    raw[-1] ^= 0xFF  # corrupt the trailing sync marker
+    p.write_bytes(bytes(raw))
+    df = read_table(spark, str(tmp_path), fmt="avro")
+    with pytest.raises(Exception, match="sync mismatch"):
+        df.count()
 
 
 def test_partitioned_write_hive_layout(spark, tmp_path):
