@@ -42,7 +42,15 @@ def _phys(bucket: str) -> Path:
 
 def _build_lake(bucket: str, n_files: int = 8) -> str:
     """8 small parquet files in one leaf, physically under MOCKS3_ROOT —
-    identical layout to the file:// lake fixture, addressed via mocks3://."""
+    identical layout to the file:// lake fixture, addressed via mocks3://.
+
+    MOCKS3_ROOT persists across pytest invocations (it lives next to the
+    compiled jar), so the bucket is recreated from scratch: a previous
+    run's compacted outputs would otherwise leak into this run's listing
+    and shift the expected file counts."""
+    import shutil
+
+    shutil.rmtree(_phys(bucket), ignore_errors=True)
     leaf = _phys(bucket) / LEAF_REL
     for i in range(n_files):
         write_small_parquet(leaf / f"in-{i}.parquet", start=i * 100)
