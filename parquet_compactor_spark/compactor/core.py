@@ -77,6 +77,12 @@ class CompactionConfig:
     # to the rename commit (their outputs must encode invoice_month/date
     # in the filename micro-schema).
     direct_commit: bool = False
+    # Orphan temp-dir GC: a hard crash (OOM-kill) skips the merge's
+    # finally-cleanup and leaves a ``*_compact_tmp_<32hex>`` dir behind.
+    # Each compact() pass reclaims orphans whose NEWEST file is at least
+    # this many hours old (protecting a concurrently-running merge,
+    # whose tmp files are seconds old). None disables the sweep.
+    gc_orphan_tmp_hours: float | None = 24.0
 
     @property
     def file_size_bytes(self) -> int:
@@ -214,6 +220,18 @@ def plan_output_files(total_bytes: int, config: CompactionConfig) -> int:
     return max(1, math.ceil(total_bytes / config.file_size_bytes))
 
 
+#: A merge's temp output dir: ``{leaf}_compact_tmp_{uuid4.hex}``. A hard
+#: crash (OOM-kill, SIGKILL) skips _write_merged's finally-cleanup, so
+#: these can survive as orphans; they must never be PLANNED as data
+#: leaves (their part-files would read as a real leaf and get compacted
+#: as data) and are reclaimed age-gated by gc_orphan_tmp_dirs.
+TMP_DIR_RE = re.compile(r"_compact_tmp_[0-9a-f]{32}(/|$)")
+
+
+def _in_tmp_dir(path: str) -> bool:
+    return TMP_DIR_RE.search(path) is not None
+
+
 def _is_mergeable_data_file(path: str) -> bool:
     """True for files a parquet merge would actually read: ``*.parquet``
     with a non-hidden basename (Spark's readers skip ``_``/``.`` prefixed
@@ -287,7 +305,11 @@ class LakeCompactor:
         """
         listing = self.fs.list_files(self.root, distributed=True)
         leaves = group_by_leaf(
-            [f for f in listing if _is_mergeable_data_file(f.path)]
+            [
+                f
+                for f in listing
+                if _is_mergeable_data_file(f.path) and not _in_tmp_dir(f.path)
+            ]
         )
         return {
             leaf: [f for f in files if f.size < self.config.file_size_bytes]
@@ -608,6 +630,40 @@ class LakeCompactor:
             return f"compacted_{len(file_list)}_files"
         return "merge_failed_originals_kept"
 
+    def gc_orphan_tmp_dirs(self, min_age_hours: float = 24.0) -> list[str]:
+        """Reclaim merge temp dirs orphaned by a hard crash.
+
+        ``_write_merged`` deletes its ``{leaf}_compact_tmp_{hex}`` dir in
+        a finally-block, but a killed JVM never runs it; the orphan then
+        sits in the lake forever (planning already refuses to treat it as
+        a data leaf — ``_in_tmp_dir`` — so the only cost is storage, but
+        at lake scale crashed runs accumulate). A tmp dir is deleted only
+        when its NEWEST file is at least ``min_age_hours`` old by the
+        injectable clock — an actively-writing merge touches its files
+        continuously, so the age gate makes the sweep safe to run beside
+        live jobs. Returns the deleted dir paths; failed deletes are
+        reported, not silently dropped (same discipline as
+        remove_uncompacted_files).
+        """
+        cutoff = self.config.utcnow() - timedelta(hours=min_age_hours)
+        newest: dict[str, datetime] = {}
+        for f in self.fs.list_files(self.root, distributed=True):
+            m = TMP_DIR_RE.search(f.path)
+            if not m:
+                continue
+            tmp_root = f.path[: m.start() + len(m.group(0).rstrip("/"))]
+            mtime = datetime.fromtimestamp(f.modified, tz=timezone.utc)
+            if tmp_root not in newest or mtime > newest[tmp_root]:
+                newest[tmp_root] = mtime
+        stale = sorted(d for d, ts in newest.items() if ts < cutoff)
+        deleted: list[str] = []
+        for d in stale:
+            if self.fs.delete(d, recursive=True):
+                deleted.append(d)
+            else:
+                print(f"orphan tmp gc: delete returned False for {d}")
+        return deleted
+
     def compact(self, max_concurrency: int = 1) -> dict[str, str]:
         """Run one compaction pass. Returns {leaf: outcome} for observability.
 
@@ -626,6 +682,8 @@ class LakeCompactor:
         iterates in listing order, so an interrupted run can spend its
         budget on leaves that barely need work.
         """
+        if self.config.gc_orphan_tmp_hours is not None:
+            self.gc_orphan_tmp_dirs(self.config.gc_orphan_tmp_hours)
         leaves = sorted(
             self.candidate_leaves().items(),
             key=lambda kv: (-len(kv[1]), kv[0]),

@@ -830,3 +830,54 @@ def test_object_store_confs_bind_magic_committer():
     assert "S3ACommitterFactory" in confs[
         "spark.hadoop.mapreduce.outputcommitter.factory.scheme.s3a"
     ]
+
+
+def test_orphan_tmp_dir_never_planned_and_gc_is_age_gated(spark, lake):
+    """A hard crash (OOM-kill) skips _write_merged's finally-cleanup and
+    strands a ``{leaf}_compact_tmp_<hex>`` dir. Planning must never treat
+    it as a data leaf (its part-files would be compacted as data), and
+    the GC sweep must reclaim only STALE orphans — a dir whose newest
+    file is recent belongs to a concurrently-running merge."""
+    leaf = lake / "acct1" / "source=OCP" / "year=2024" / "month=01"
+    for i in range(4):
+        write_small_parquet(leaf / f"in-{i}.parquet", start=i * 100)
+    before = read_ids(leaf)
+
+    stale_hex = "a" * 32
+    fresh_hex = "b" * 32
+    stale_tmp = lake / "acct1" / "source=OCP" / "year=2024" / (
+        f"month=01_compact_tmp_{stale_hex}"
+    )
+    fresh_tmp = lake / "acct1" / "source=OCP" / "year=2024" / (
+        f"month=01_compact_tmp_{fresh_hex}"
+    )
+    write_small_parquet(stale_tmp / "part-0.parquet", start=9000, mtime=OLD)
+    write_small_parquet(
+        fresh_tmp / "part-0.parquet", start=9500, mtime=NOW - timedelta(hours=1)
+    )
+
+    comp = compactor(spark, lake)
+    # Planning: the tmp dirs are invisible — exactly one real leaf
+    # (candidate keys are FS URIs; compare on the path suffix).
+    leaves = set(comp.candidate_leaves())
+    assert {lf.split(":", 1)[-1] for lf in leaves} == {str(leaf) + "/"}
+
+    outcomes = comp.compact()
+    assert list(outcomes.values()) == ["compacted_4_files"]
+    # The stale orphan (10 days old) was reclaimed; the fresh one (1 h,
+    # under the 24 h gate) survived for its still-running owner.
+    assert not stale_tmp.exists()
+    assert fresh_tmp.exists()
+    # The real leaf's data was never contaminated by tmp part-files.
+    assert read_ids(leaf) == before
+
+
+def test_gc_orphan_tmp_can_be_disabled(spark, lake):
+    leaf = lake / "acct1" / "source=OCP" / "year=2024" / "month=01"
+    write_small_parquet(leaf / "in-0.parquet")
+    stale_tmp = leaf.parent / ("month=01_compact_tmp_" + "c" * 32)
+    write_small_parquet(stale_tmp / "part-0.parquet", start=9000, mtime=OLD)
+
+    cfg = CompactionConfig(now=NOW, gc_orphan_tmp_hours=None)
+    LakeCompactor(spark, str(lake), cfg).compact()
+    assert stale_tmp.exists()
