@@ -8,6 +8,11 @@ compactor → compact()). Run as:
 
 with LAKE_ROOT (or REQUESTED_BUCKET [+ S3_ENDPOINT/keys], or
 PROVIDER_CONFIG_ENABLED + PROVIDER_CONFIG_PATH) in the env.
+
+Plan-audit subcommand (the dev loop SCALE.md prescribes — iterate on
+``.explain`` until the plan is the one you'd want at 100 TB):
+
+    python -m parquet_compactor_spark.app explain q_agg_pricing [sf_dir]
 """
 
 from __future__ import annotations
@@ -38,7 +43,32 @@ def setup_logging(stream=None) -> logging.Logger:
     return logging.getLogger(__name__)
 
 
+def explain_main(argv: list[str]) -> int:
+    """Print a registered query's formatted physical plan.
+
+    ``argv``: [query_name, sf_dir?]. The formatted mode surfaces exactly
+    what the plan tests pin (PushedFilters, ReadSchema, Exchange count,
+    WholeStageCodegen spans), so a regression is visible before it is
+    test-encoded.
+    """
+    from parquet_compactor_spark.registry import all_queries
+
+    name = argv[0]
+    sf_dir = argv[1] if len(argv) > 1 else "/root/testdata/sf0.001"
+    queries = all_queries()
+    if name not in queries:
+        print(f"unknown query: {name}; known: {', '.join(sorted(queries))}")
+        return 2
+    spark = get_spark(app_name="pcs-explain")
+    df = queries[name].fn(spark, sf_dir)
+    df.explain("formatted")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    if argv and argv[0] == "explain":
+        return explain_main(argv[1:])
     log = setup_logging()
     # The requested bucket seeds the configurator lookups, as in the
     # reference main() (app.py:24-34).

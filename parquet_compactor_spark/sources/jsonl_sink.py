@@ -1,0 +1,128 @@
+"""Custom PySpark DataSource WRITER: a two-phase-commit JSON-lines sink.
+
+Completes the custom-source story started by ``sources/eventgen.py``
+(reader + stream reader): this is the WRITE half of the Python
+DataSource API (Spark 4) — ``df.write.format("jsonlsink").save(path)``
+runs one ``write()`` per partition on the executors and a single
+``commit()``/``abort()`` on the driver, the same two-phase protocol the
+compactor's rename-commit implements by hand (compactor/core.py
+``_write_merged``) and the reference performs implicitly via
+write-once-with-final-name (parquet_compactor.py:161-171).
+
+Commit protocol (the point of the exercise):
+- each task streams its rows to ``part-<uuid>.jsonl.tmp`` — a name no
+  reader ever matches — and returns the tmp name in its commit message;
+- the driver's ``commit()`` renames every tmp to its final
+  ``part-<uuid>.jsonl`` name and then writes ``_SUCCESS``; a reader that
+  requires ``_SUCCESS`` sees either the whole job or none of it, and a
+  crashed/aborted job leaves only ``.tmp`` litter that the next
+  overwrite-or-GC sweeps (exactly the orphan-tmp discipline the
+  compactor applies, ``gc_orphan_tmp_dirs``);
+- ``abort()`` deletes whatever tmp files the failed job managed to
+  write.
+
+Serialization: values are JSON-encoded with timestamps/dates as ISO
+strings, binary as hex, Decimal as str — deterministic and
+re-parseable. Rows stream through without buffering the partition in
+memory.
+
+Scope: executor-local filesystem paths (the Python worker writes with
+plain ``open``). On an object store this sink would swap ``open`` for
+an fsspec handle and the rename-commit for the store's multipart
+complete — the PROTOCOL above is unchanged, which is the pattern this
+module exists to pin down. Spark cannot guarantee exactly-once across
+retries for a custom sink by itself; the uuid-per-task tmp names make
+retried tasks idempotent (the duplicate tmp is simply never committed —
+only the attempt whose message reaches commit() is renamed).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass
+from typing import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceWriter,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import StructType
+
+
+def _json_cell(v):
+    import datetime
+    import decimal
+
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    if isinstance(v, dict):
+        return {k: _json_cell(x) for k, x in v.items()}
+    if isinstance(v, (list, tuple)):
+        return [_json_cell(x) for x in v]
+    return v
+
+
+@dataclass
+class _Committed(WriterCommitMessage):
+    tmp_name: str
+
+
+class JsonlWriter(DataSourceWriter):
+    def __init__(self, options: dict, overwrite: bool) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonlsink requires a save path")
+        self.overwrite = overwrite
+
+    # -- executor side -----------------------------------------------------
+
+    def write(self, iterator: Iterator) -> _Committed:
+        os.makedirs(self.path, exist_ok=True)
+        tmp_name = f"part-{uuid.uuid4().hex}.jsonl.tmp"
+        with open(os.path.join(self.path, tmp_name), "w", encoding="utf-8") as fh:
+            for row in iterator:
+                fh.write(json.dumps(_json_cell(row.asDict()), sort_keys=True))
+                fh.write("\n")
+        return _Committed(tmp_name=tmp_name)
+
+    # -- driver side -------------------------------------------------------
+
+    def commit(self, messages) -> None:
+        if self.overwrite:
+            for name in os.listdir(self.path):
+                if name.endswith(".jsonl") or name == "_SUCCESS":
+                    os.remove(os.path.join(self.path, name))
+        for m in messages:
+            if m is None:
+                continue
+            tmp = os.path.join(self.path, m.tmp_name)
+            os.rename(tmp, tmp[: -len(".tmp")])
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as fh:
+            fh.write("")
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is None:
+                continue
+            tmp = os.path.join(self.path, m.tmp_name)
+            if os.path.exists(tmp):
+                os.remove(tmp)
+
+
+class JsonlSinkDataSource(DataSource):
+    """``spark.dataSource.register(JsonlSinkDataSource)`` then
+    ``df.write.format("jsonlsink").mode(...).save(path)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonlsink"
+
+    def writer(self, schema: StructType, overwrite: bool) -> JsonlWriter:
+        return JsonlWriter(self.options, overwrite)

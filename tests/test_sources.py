@@ -576,3 +576,63 @@ def test_observe_metrics_per_streaming_micro_batch(spark, tmp_path):
     assert rows, "no observed metrics in any progress event"
     total = sum(r["n_rows"] for r in rows)
     assert total == load(spark, SF_SMOKE, "events").count()
+
+
+def test_jsonl_sink_two_phase_commit(spark, tmp_path):
+    """The custom Python DataSource WRITER: per-task tmp files become
+    visible only through the driver-side commit rename + _SUCCESS — the
+    same write-once/commit-by-rename protocol the compactor implements
+    for parquet leaves."""
+    import json
+
+    from parquet_compactor_spark.sources.jsonl_sink import JsonlSinkDataSource
+
+    spark.dataSource.register(JsonlSinkDataSource)
+    df = load(spark, SF_SMOKE, "nation").select("n_nationkey", "n_name")
+    out = str(tmp_path / "sink")
+    # Python DataSources accept only Append/Overwrite save modes.
+    df.repartition(4).write.format("jsonlsink").mode("append").save(out)
+
+    names = sorted(p.name for p in (tmp_path / "sink").iterdir())
+    assert "_SUCCESS" in names
+    assert not [n for n in names if n.endswith(".tmp")]  # all committed
+    assert len([n for n in names if n.endswith(".jsonl")]) == 4  # one per task
+
+    rows = []
+    for p in (tmp_path / "sink").glob("*.jsonl"):
+        rows += [json.loads(line) for line in p.read_text().splitlines()]
+    assert sorted((r["n_nationkey"], r["n_name"]) for r in rows) == sorted(
+        (r.n_nationkey, r.n_name) for r in df.collect()
+    )
+
+    # Overwrite mode replaces the committed files atomically-by-protocol.
+    df.limit(3).repartition(1).write.format("jsonlsink").mode("overwrite").save(out)
+    files = list((tmp_path / "sink").glob("*.jsonl"))
+    assert len(files) == 1
+    assert len(files[0].read_text().splitlines()) == 3
+
+
+def test_jsonl_sink_abort_leaves_no_committed_files(spark, tmp_path):
+    """A failing task aborts the job: no .jsonl output, no _SUCCESS —
+    readers requiring the marker see 'nothing happened'."""
+    import pytest as _pytest
+
+    from parquet_compactor_spark.sources.jsonl_sink import JsonlSinkDataSource
+
+    spark.dataSource.register(JsonlSinkDataSource)
+    out = str(tmp_path / "sink")
+
+    @F.udf("int")
+    def boom(x):
+        raise RuntimeError("injected task failure")
+
+    df = load(spark, SF_SMOKE, "nation").withColumn("b", boom("n_nationkey"))
+    with _pytest.raises(Exception):
+        df.write.format("jsonlsink").mode("append").save(out)
+    leftover = (
+        sorted(p.name for p in (tmp_path / "sink").iterdir())
+        if (tmp_path / "sink").exists()
+        else []
+    )
+    assert "_SUCCESS" not in leftover
+    assert not [n for n in leftover if n.endswith(".jsonl")]
