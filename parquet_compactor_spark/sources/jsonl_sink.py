@@ -46,6 +46,7 @@ from typing import Iterator
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceStreamWriter,
     DataSourceWriter,
     WriterCommitMessage,
 )
@@ -116,6 +117,50 @@ class JsonlWriter(DataSourceWriter):
                 os.remove(tmp)
 
 
+class JsonlStreamWriter(DataSourceStreamWriter):
+    """The streaming half: one two-phase commit PER MICRO-BATCH.
+
+    Committed files are ``batch-<id>-part-<uuid>.jsonl`` so each epoch's
+    output is identifiable; re-delivery of an epoch after a crash-replay
+    first clears that epoch's previously-committed files (idempotent
+    re-commit — Structured Streaming replays a batch whose commit wasn't
+    recorded in the checkpoint, and without the sweep its rows would
+    double)."""
+
+    def __init__(self, options: dict) -> None:
+        self.path = options.get("path") or options.get("checkpointpath_sink")
+        if not self.path:
+            raise ValueError("jsonlsink requires a path option")
+
+    def write(self, iterator: Iterator) -> _Committed:
+        os.makedirs(self.path, exist_ok=True)
+        tmp_name = f"part-{uuid.uuid4().hex}.jsonl.tmp"
+        with open(os.path.join(self.path, tmp_name), "w", encoding="utf-8") as fh:
+            for row in iterator:
+                fh.write(json.dumps(_json_cell(row.asDict()), sort_keys=True))
+                fh.write("\n")
+        return _Committed(tmp_name=tmp_name)
+
+    def commit(self, messages, batchId: int) -> None:
+        prefix = f"batch-{batchId}-"
+        for name in os.listdir(self.path):
+            if name.startswith(prefix) and name.endswith(".jsonl"):
+                os.remove(os.path.join(self.path, name))  # replayed epoch
+        for m in messages:
+            if m is None:
+                continue
+            tmp = os.path.join(self.path, m.tmp_name)
+            os.rename(tmp, os.path.join(self.path, prefix + m.tmp_name[: -len(".tmp")]))
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is None:
+                continue
+            tmp = os.path.join(self.path, m.tmp_name)
+            if os.path.exists(tmp):
+                os.remove(tmp)
+
+
 class JsonlSinkDataSource(DataSource):
     """``spark.dataSource.register(JsonlSinkDataSource)`` then
     ``df.write.format("jsonlsink").mode(...).save(path)``."""
@@ -126,3 +171,6 @@ class JsonlSinkDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> JsonlWriter:
         return JsonlWriter(self.options, overwrite)
+
+    def streamWriter(self, schema: StructType, overwrite: bool) -> JsonlStreamWriter:
+        return JsonlStreamWriter(self.options)

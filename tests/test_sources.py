@@ -636,3 +636,36 @@ def test_jsonl_sink_abort_leaves_no_committed_files(spark, tmp_path):
     )
     assert "_SUCCESS" not in leftover
     assert not [n for n in leftover if n.endswith(".jsonl")]
+
+
+def test_jsonl_stream_sink_commits_per_epoch(spark, tmp_path):
+    """writeStream through the custom Python sink: each micro-batch
+    commits its own epoch-tagged files; nothing .tmp survives."""
+    import json
+
+    from parquet_compactor_spark.sources.eventgen import EventGenDataSource
+    from parquet_compactor_spark.sources.jsonl_sink import JsonlSinkDataSource
+
+    spark.dataSource.register(EventGenDataSource)
+    spark.dataSource.register(JsonlSinkDataSource)
+    out = tmp_path / "stream_sink"
+    q = (
+        spark.readStream.format("eventgen")
+        .option("rowsPerBatch", "50")
+        .load()
+        .writeStream.format("jsonlsink")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    names = sorted(p.name for p in out.iterdir())
+    assert not [n for n in names if n.endswith(".tmp")]
+    committed = [n for n in names if n.endswith(".jsonl")]
+    assert committed and all(n.startswith("batch-") for n in committed)
+    rows = []
+    for p in out.glob("*.jsonl"):
+        rows += [json.loads(line) for line in p.read_text().splitlines()]
+    assert len(rows) == len({r["event_id"] for r in rows})  # no duplicates
+    assert len(rows) > 0
