@@ -759,3 +759,74 @@ def q_embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("v").alias("max_v"),
         )
     )
+
+
+@register(
+    "q_hard_negatives",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, label AS qlabel,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qvec
+        FROM embeddings WHERE vec_id < {N_BATCH_QUERIES}
+    ),
+    scored AS (
+        SELECT q.query_id,
+               e.vec_id,
+               e.label,
+               ROUND(
+                 list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)), q.qvec)
+                 / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(q.qvec, x -> x * x)))),
+                 4) AS cos_sim
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id >= {N_BATCH_QUERIES}
+          AND e.label <> q.qlabel
+    )
+    SELECT query_id, vec_id, label, cos_sim, rn
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, vec_id) AS rn
+        FROM scored
+    )
+    WHERE rn <= {BATCH_TOPK}
+    """,
+    doc="Hard-negative mining for embedding-model training (the data-prep "
+    "step behind contrastive fine-tuning, e.g. DPR/Contriever: the most "
+    "USEFUL negatives are the most similar items with a DIFFERENT "
+    "label). Same plan skeleton as q_batch_sim_topk — 5-row query-batch "
+    "broadcast, map-side cosine, bounded per-key heap via grouped_topk "
+    "— with the label-mismatch predicate applied BEFORE ranking, so the "
+    "heap only ever holds eligible negatives. At 100 TB the label "
+    "filter is a per-row comparison against the broadcast row (no "
+    "extra shuffle); mining k negatives for B queries stays one "
+    "scan + O(B x k) output. Similarities are rounded to 4dp before "
+    "ranking in BOTH engines, so rank ties resolve identically by "
+    "vec_id.",
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parquet_compactor_spark.functions.topk import grouped_topk
+
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_BATCH_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qvec"),
+    )
+    scored = (
+        e.filter(F.col("vec_id") >= N_BATCH_QUERIES)
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("label") != F.col("qlabel"))
+        .select(
+            "query_id",
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("embedding"), F.col("qvec")), 4).alias("cos_sim"),
+        )
+    )
+    return grouped_topk(
+        scored,
+        key_cols=["query_id"],
+        sort_cols=["cos_sim", "vec_id"],
+        ascending=[False, True],
+        k=BATCH_TOPK,
+    )
