@@ -66,7 +66,8 @@ class CompactionConfig:
     # convention — correct everywhere, but on s3a each rename is a
     # server-side COPY, so a 100 TB rewrite pays every byte twice.
     # ``direct_commit=True`` writes the merged output ONCE, directly into
-    # the leaf under Spark's own ``part-*.parquet`` names, and records
+    # the leaf under a job-unique ``merged-<32hex>-*.parquet`` basename
+    # (mapreduce.output.basename), and records
     # committed outputs in a hidden ``_compacted.manifest`` sidecar that
     # replaces the filename marker for idempotence (SURVEY §7 anticipated
     # exactly this trade: widen the "already compacted" test symmetrically
@@ -137,12 +138,13 @@ def filter_compacted(
     - everything else is left untouched.
 
     ``manifest``: basenames the direct-commit path has recorded as
-    committed outputs (they keep Spark's ``part-*`` names, which must NOT
-    be treated as markers — upstream producers write part-names too, and
-    those are exactly the new files compaction exists to merge). A
-    basename in the manifest is a prior output regardless of its name —
-    the symmetric widening of the "already compacted" test that the
-    naming change requires.
+    committed outputs (``merged-<32hex>-*`` Spark task names — but name
+    patterns must NOT be treated as markers: upstream producers choose
+    their own names, including Spark part-names, and those are exactly
+    the new files compaction exists to merge). A basename in the
+    manifest is a prior output regardless of its name — the symmetric
+    widening of the "already compacted" test that the naming change
+    requires.
     """
     check_date = (config.utcnow() - timedelta(days=config.hold_back_days)).date()
     compacted_re = re.compile(rf"/{re.escape(basename)}_[0-9a-f]{{32}}\.parquet")
@@ -220,11 +222,14 @@ def plan_output_files(total_bytes: int, config: CompactionConfig) -> int:
     return max(1, math.ceil(total_bytes / config.file_size_bytes))
 
 
-#: A merge's temp output dir: ``{leaf}_compact_tmp_{uuid4.hex}``. A hard
-#: crash (OOM-kill, SIGKILL) skips _write_merged's finally-cleanup, so
-#: these can survive as orphans; they must never be PLANNED as data
-#: leaves (their part-files would read as a real leaf and get compacted
-#: as data) and are reclaimed age-gated by gc_orphan_tmp_dirs.
+#: A merge's temp output dir: ``{leaf}_compact_tmp_{uuid4.hex}`` — since
+#: the leaf path ends with ``/``, an underscore-prefixed (hidden) CHILD
+#: of the leaf. A hard crash (OOM-kill, SIGKILL) skips _write_merged's
+#: finally-cleanup, so these can survive as orphans. Hidden names mean
+#: Spark's readers and the distributed planning listing never see them;
+#: the explicit ``_in_tmp_dir`` planning guard defends the iterator-mode
+#: listing (which DOES surface hidden files), and gc_orphan_tmp_dirs
+#: reclaims stale orphans via per-leaf listStatus probes.
 TMP_DIR_RE = re.compile(r"_compact_tmp_[0-9a-f]{32}(/|$)")
 
 
@@ -489,8 +494,9 @@ class LakeCompactor:
         self, file_list: list[str], leaf: str, sizes: dict[str, int]
     ) -> tuple[bool, set[str]]:
         """Object-store commit: write merged output ONCE, straight into the
-        leaf, under Spark's own ``part-*`` names — zero engine-side renames
-        of data files, so no rename-as-copy tax on s3a (pair with the
+        leaf, under a job-unique ``merged-<hex>-*`` basename — zero
+        engine-side renames of data files, so no rename-as-copy tax on s3a
+        (pair with the
         magic committer there and each data byte is written exactly once;
         the reference writes once with final names too,
         parquet_compactor.py:161-171). Idempotence moves from the filename
@@ -503,25 +509,31 @@ class LakeCompactor:
         total_bytes = sum(sizes.get(p, 0) for p in file_list)
         n_out = plan_output_files(total_bytes, self.config)
         target = leaf.rstrip("/")
-        before = {
-            f.path.rsplit("/", 1)[-1]
-            for f in self.fs.list_files(leaf)
-            if f.path.endswith(".parquet")
-        }
+        # A unique output basename POSITIVELY identifies this job's files
+        # (``{basename}-00000-{taskUUID}-c000.snappy.parquet``). The
+        # earlier before/after listing diff was racy: a part-file an
+        # upstream producer dropped into the leaf DURING the merge would
+        # land in the manifest as a compaction output and be excluded
+        # from compaction forever. ``mapreduce.output.basename`` rides
+        # the per-write hadoop conf (newHadoopConfWithOptions), so
+        # concurrent merges in one session don't clobber each other.
+        basename = f"merged-{uuid.uuid4().hex}"
         try:
             df = self._plan_merge_df(file_list, sizes, total_bytes, n_out)
             (
                 df
                 .write.option("compression", "snappy")
                 .option("maxRecordsPerFile", self.config.chunked_rows)
+                .option("mapreduce.output.basename", basename)
                 .mode("append")
                 .parquet(target)
             )
             written = {
-                f.path.rsplit("/", 1)[-1]
+                name
                 for f in self.fs.list_files(leaf)
-                if f.path.endswith(".parquet")
-            } - before
+                if (name := f.path.rsplit("/", 1)[-1]).startswith(basename)
+                and name.endswith(".parquet")
+            }
             return True, written
         except Exception as err:  # failure → keep originals (R6)
             print(f"compaction merge failed for {leaf}: {err}")
@@ -630,38 +642,51 @@ class LakeCompactor:
             return f"compacted_{len(file_list)}_files"
         return "merge_failed_originals_kept"
 
-    def gc_orphan_tmp_dirs(self, min_age_hours: float = 24.0) -> list[str]:
+    def gc_orphan_tmp_dirs(
+        self, min_age_hours: float = 24.0, leaves: list[str] | None = None
+    ) -> list[str]:
         """Reclaim merge temp dirs orphaned by a hard crash.
 
         ``_write_merged`` deletes its ``{leaf}_compact_tmp_{hex}`` dir in
         a finally-block, but a killed JVM never runs it; the orphan then
-        sits in the lake forever (planning already refuses to treat it as
-        a data leaf — ``_in_tmp_dir`` — so the only cost is storage, but
-        at lake scale crashed runs accumulate). A tmp dir is deleted only
-        when its NEWEST file is at least ``min_age_hours`` old by the
-        injectable clock — an actively-writing merge touches its files
-        continuously, so the age gate makes the sweep safe to run beside
-        live jobs. Returns the deleted dir paths; failed deletes are
-        reported, not silently dropped (same discipline as
-        remove_uncompacted_files).
+        sits in the lake forever. Because the leaf path ends with ``/``,
+        the tmp dir is an UNDERSCORE-PREFIXED CHILD of the leaf — hidden
+        from Spark's readers and from the distributed listing alike (so
+        a merge can never read it as data, but a distributed sweep can
+        never find it either). The sweep therefore probes each leaf's
+        immediate children with one py4j listStatus (``fs.list_dirs``):
+        cost is one metadata call per leaf — proportional to the pass's
+        existing work, never a second lake-wide listing.
+
+        A tmp dir is deleted only when nothing under it (nor the dir
+        itself) is newer than ``min_age_hours`` by the injectable clock —
+        an actively-writing merge touches its files continuously, so the
+        age gate makes the sweep safe beside live jobs. Returns the
+        deleted dir paths; failed deletes are reported, not silently
+        dropped (same discipline as remove_uncompacted_files).
+
+        ``leaves``: the leaf dirs to probe; defaults to the lake's
+        planned leaves (compact() passes the set it already computed).
         """
+        if leaves is None:
+            leaves = list(self.candidate_leaves())
         cutoff = self.config.utcnow() - timedelta(hours=min_age_hours)
-        newest: dict[str, datetime] = {}
-        for f in self.fs.list_files(self.root, distributed=True):
-            m = TMP_DIR_RE.search(f.path)
-            if not m:
-                continue
-            tmp_root = f.path[: m.start() + len(m.group(0).rstrip("/"))]
-            mtime = datetime.fromtimestamp(f.modified, tz=timezone.utc)
-            if tmp_root not in newest or mtime > newest[tmp_root]:
-                newest[tmp_root] = mtime
-        stale = sorted(d for d, ts in newest.items() if ts < cutoff)
         deleted: list[str] = []
-        for d in stale:
-            if self.fs.delete(d, recursive=True):
-                deleted.append(d)
-            else:
-                print(f"orphan tmp gc: delete returned False for {d}")
+        for leaf in leaves:
+            for d in self.fs.list_dirs(leaf):
+                if not TMP_DIR_RE.search(d.path):
+                    continue
+                newest = datetime.fromtimestamp(d.modified, tz=timezone.utc)
+                for f in self.fs.list_files(d.path):
+                    mtime = datetime.fromtimestamp(f.modified, tz=timezone.utc)
+                    if mtime > newest:
+                        newest = mtime
+                if newest >= cutoff:
+                    continue
+                if self.fs.delete(d.path, recursive=True):
+                    deleted.append(d.path)
+                else:
+                    print(f"orphan tmp gc: delete returned False for {d.path}")
         return deleted
 
     def compact(self, max_concurrency: int = 1) -> dict[str, str]:
@@ -682,12 +707,16 @@ class LakeCompactor:
         iterates in listing order, so an interrupted run can spend its
         budget on leaves that barely need work.
         """
-        if self.config.gc_orphan_tmp_hours is not None:
-            self.gc_orphan_tmp_dirs(self.config.gc_orphan_tmp_hours)
         leaves = sorted(
             self.candidate_leaves().items(),
             key=lambda kv: (-len(kv[1]), kv[0]),
         )
+        if self.config.gc_orphan_tmp_hours is not None:
+            # Reuses the leaf set this pass already listed — the sweep
+            # adds one listStatus per leaf, never a second lake listing.
+            self.gc_orphan_tmp_dirs(
+                self.config.gc_orphan_tmp_hours, leaves=[lf for lf, _ in leaves]
+            )
         if max_concurrency <= 1:
             return {leaf: self._compact_leaf(leaf, files) for leaf, files in leaves}
 

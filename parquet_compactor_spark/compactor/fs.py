@@ -117,6 +117,26 @@ class HadoopFS:
             )
         return out
 
+    def list_dirs(self, path: str) -> list[ListedFile]:
+        """Immediate CHILD DIRECTORIES of ``path`` (one listStatus call),
+        hidden ones included — the py4j surface the orphan-tmp sweep
+        needs, since Spark's distributed listing skips hidden dirs by
+        design. ``modified`` is the directory's own mtime."""
+        p = self.jpath(path)
+        if not self._fs.exists(p):
+            return []
+        out: list[ListedFile] = []
+        for st in self._fs.listStatus(p):
+            if st.isDirectory():
+                out.append(
+                    ListedFile(
+                        path=st.getPath().toString(),
+                        size=0,
+                        modified=st.getModificationTime() / 1000.0,
+                    )
+                )
+        return out
+
     def rename(self, src: str, dst: str) -> bool:
         return bool(self._fs.rename(self.jpath(src), self.jpath(dst)))
 

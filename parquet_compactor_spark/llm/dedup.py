@@ -206,6 +206,10 @@ def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
             "id2",
             F.round(est, 4).alias("est_jaccard"),
             F.round(exact, 4).alias("jaccard"),
+            # Unrounded, for threshold cuts: filtering on the 4dp-rounded
+            # value would admit pairs in [threshold-0.00005, threshold)
+            # that an exact-valued engine excludes.
+            exact.alias("jaccard_exact"),
         )
     )
 
@@ -238,7 +242,10 @@ def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
 )
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
-    pairs = minhash_candidate_pairs(d).filter(F.col("jaccard") >= 0.5)
+    # Cut on the UNROUNDED jaccard — the oracle's WHERE j >= 0.5 is
+    # unrounded too, and cutting on the 4dp value would differ for
+    # pairs in [0.49995, 0.5).
+    pairs = minhash_candidate_pairs(d).filter(F.col("jaccard_exact") >= 0.5)
     return pairs.select(
         "id1",
         "id2",

@@ -194,7 +194,8 @@ def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_partkey,
            CAST(ROUND(part_value, 2) AS DOUBLE) AS part_value
     FROM value
-    WHERE part_value > (SELECT 0.001 * SUM(part_value) FROM value)
+    WHERE CAST(part_value AS DECIMAL(30,8)) * CAST(1000 AS DECIMAL(4,0))
+          > (SELECT CAST(SUM(part_value) AS DECIMAL(38,8)) FROM value)
     """,
     doc="TPC-H Q11 (important stock; ps_supplycost × ps_availqty is "
     "adapted to discounted revenue through EUROPE-region suppliers). "
@@ -202,9 +203,15 @@ def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "consumed twice — grouped rows and the global-total scalar "
     "subquery — and the threshold comparison happens on the EXACT "
     "decimal sums (rounding only at output), so the > cut is "
-    "deterministic. In Spark the scalar is a 1-row broadcast cross "
-    "join; the view itself is one partial-agg shuffle on the uniform "
-    "partkey.",
+    "deterministic. The fraction is expressed as value x 1000 > total "
+    "rather than value > 0.001 x total: 0.001 is not a binary "
+    "fraction, so multiplying by it would silently promote one side "
+    "to double and reopen the cross-engine boundary wobble the "
+    "decimal pipeline exists to close; x1000 stays inside decimal "
+    "arithmetic in BOTH engines (casts sized to keep the product "
+    "under each engine's 38-digit cap). In Spark the scalar is a "
+    "1-row broadcast cross join; the view itself is one partial-agg "
+    "shuffle on the uniform partkey.",
 )
 def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load(spark, sf_dir, "supplier")
@@ -221,10 +228,16 @@ def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(F.sum(_dec_vol()).alias("part_value_exact"))
     )
-    total = value.agg((F.sum("part_value_exact") * F.lit(0.001)).alias("threshold"))
+    total = value.agg(
+        F.sum("part_value_exact").cast("decimal(38,8)").alias("total_value")
+    )
     return (
         value.join(F.broadcast(total))
-        .filter(F.col("part_value_exact") > F.col("threshold"))
+        .filter(
+            F.col("part_value_exact").cast("decimal(30,8)")
+            * F.lit(1000).cast("decimal(4,0)")
+            > F.col("total_value")
+        )
         .select(
             "l_partkey",
             F.round("part_value_exact", 2).cast("double").alias("part_value"),

@@ -116,6 +116,11 @@ _PRIMITIVES = {
 }
 
 
+#: Sentinel type for a record that is still being compiled (see the
+#: record branch of _compile) — referencing it means the schema recurses.
+_IN_PROGRESS = object()
+
+
 def _logical(schema: dict):
     """Return (decoder, spark_type) for a recognized logical type, else None."""
     lt = schema.get("logicalType")
@@ -139,7 +144,17 @@ def _compile(schema, named: dict[str, tuple]) -> tuple:
         if schema in _PRIMITIVES:
             return _PRIMITIVES[schema]
         if schema in named:
-            return named[schema]
+            dec, typ = named[schema]
+            if typ is _IN_PROGRESS:
+                # The reference points at a record still being compiled —
+                # a recursive schema (legal Avro), which has no finite
+                # Spark column type. Fail here with the cause, not later
+                # with an opaque DDL ParseException.
+                raise NotImplementedError(
+                    f"recursive avro record '{schema}' is not representable "
+                    "as a Spark column type"
+                )
+            return dec, typ
         raise NotImplementedError(f"unresolved avro type reference: {schema}")
 
     if isinstance(schema, list):  # union
@@ -170,12 +185,15 @@ def _compile(schema, named: dict[str, tuple]) -> tuple:
         fullname = schema.get("namespace", "")
         fullname = (fullname + "." if fullname else "") + schema["name"]
         fields: list[tuple] = []
-        # Pre-register a lazy self-reference so recursive records resolve.
+
         def rec_dec(c, fields=fields):
             return {name: d(c) for name, d, _ in fields}
 
-        placeholder_type: list[str] = ["struct<>"]
-        named[fullname] = (rec_dec, placeholder_type)
+        # Pre-register with an IN-PROGRESS sentinel type: a reference hit
+        # while the record is still compiling is a recursive schema,
+        # which the str-reference branch rejects with a clear error
+        # (Spark columns cannot express recursion).
+        named[fullname] = (rec_dec, _IN_PROGRESS)
         named[schema["name"]] = named[fullname]
         for f in schema["fields"]:
             d, typ = _compile(f["type"], named)
@@ -320,14 +338,37 @@ def read_avro_fallback(spark, path: str, **options: str):
     Driver: sniff the first file's header for the writer schema.
     Executors: binaryFile rows → mapInPandas pure-Python block decode.
     """
+    import fnmatch
+
     from parquet_compactor_spark.compactor.fs import HadoopFS
 
     fs = HadoopFS(spark, path)
-    listed = [
-        f
-        for f in fs.list_files(path)
-        if not f.path.rsplit("/", 1)[-1].startswith(("_", "."))
-    ]
+    # The sniff MUST see the same file set binaryFile will read, or the
+    # session schema could come from a file the executors never decode:
+    # honor pathGlobFilter, and without recursiveFileLookup restrict to
+    # direct children of the load path (binaryFile's default).
+    glob = options.get("pathGlobFilter")
+    recursive = str(options.get("recursiveFileLookup", "")).lower() == "true"
+    base = path.rstrip("/")
+
+    def _path_component(p: str) -> str:
+        # listed paths are URIs (file:/..., s3a://bucket/...); the caller
+        # may pass a bare path — compare on the slash-normalized suffix.
+        return p.split(":", 1)[-1].lstrip("/")
+
+    def _visible(p: str) -> bool:
+        name = p.rsplit("/", 1)[-1]
+        if name.startswith(("_", ".")):
+            return False
+        if glob and not fnmatch.fnmatch(name, glob):
+            return False
+        if not recursive:
+            parent = _path_component(p[: p.rfind("/")])
+            if parent != _path_component(base) and _path_component(p) != _path_component(base):
+                return False  # nested file; binaryFile won't read it
+        return True
+
+    listed = [f for f in fs.list_files(path) if _visible(f.path)]
     if not listed:
         raise FileNotFoundError(f"no avro files under {path}")
     header_buf = fs.read_bytes(sorted(f.path for f in listed)[0])

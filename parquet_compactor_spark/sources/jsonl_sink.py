@@ -15,9 +15,10 @@ Commit protocol (the point of the exercise):
 - the driver's ``commit()`` renames every tmp to its final
   ``part-<uuid>.jsonl`` name and then writes ``_SUCCESS``; a reader that
   requires ``_SUCCESS`` sees either the whole job or none of it, and a
-  crashed/aborted job leaves only ``.tmp`` litter that the next
-  overwrite-or-GC sweeps (exactly the orphan-tmp discipline the
-  compactor applies, ``gc_orphan_tmp_dirs``);
+  crashed job leaves only ``.tmp`` litter that the next
+  ``mode("overwrite")`` commit sweeps — sparing the sweeping job's own
+  staged files (the orphan-tmp discipline the compactor applies,
+  ``gc_orphan_tmp_dirs``);
 - ``abort()`` deletes whatever tmp files the failed job managed to
   write.
 
@@ -75,6 +76,28 @@ class _Committed(WriterCommitMessage):
     tmp_name: str
 
 
+def _write_partition(path: str, iterator: Iterator) -> _Committed:
+    """One task's half of the protocol, shared by the batch and streaming
+    writers: stream rows to a uuid-named ``.tmp`` the commit will rename."""
+    os.makedirs(path, exist_ok=True)
+    tmp_name = f"part-{uuid.uuid4().hex}.jsonl.tmp"
+    with open(os.path.join(path, tmp_name), "w", encoding="utf-8") as fh:
+        for row in iterator:
+            fh.write(json.dumps(_json_cell(row.asDict()), sort_keys=True))
+            fh.write("\n")
+    return _Committed(tmp_name=tmp_name)
+
+
+def _remove_tmps(path: str, messages) -> None:
+    """Shared abort: delete whatever this job's failed attempt staged."""
+    for m in messages:
+        if m is None:
+            continue
+        tmp = os.path.join(path, m.tmp_name)
+        if os.path.exists(tmp):
+            os.remove(tmp)
+
+
 class JsonlWriter(DataSourceWriter):
     def __init__(self, options: dict, overwrite: bool) -> None:
         self.path = options.get("path")
@@ -85,20 +108,18 @@ class JsonlWriter(DataSourceWriter):
     # -- executor side -----------------------------------------------------
 
     def write(self, iterator: Iterator) -> _Committed:
-        os.makedirs(self.path, exist_ok=True)
-        tmp_name = f"part-{uuid.uuid4().hex}.jsonl.tmp"
-        with open(os.path.join(self.path, tmp_name), "w", encoding="utf-8") as fh:
-            for row in iterator:
-                fh.write(json.dumps(_json_cell(row.asDict()), sort_keys=True))
-                fh.write("\n")
-        return _Committed(tmp_name=tmp_name)
+        return _write_partition(self.path, iterator)
 
     # -- driver side -------------------------------------------------------
 
     def commit(self, messages) -> None:
         if self.overwrite:
+            own = {m.tmp_name for m in messages if m is not None}
             for name in os.listdir(self.path):
-                if name.endswith(".jsonl") or name == "_SUCCESS":
+                # Sweep prior committed output AND crashed-job .tmp
+                # litter — but never this job's own staged files.
+                stale_tmp = name.endswith(".jsonl.tmp") and name not in own
+                if name.endswith(".jsonl") or name == "_SUCCESS" or stale_tmp:
                     os.remove(os.path.join(self.path, name))
         for m in messages:
             if m is None:
@@ -109,12 +130,7 @@ class JsonlWriter(DataSourceWriter):
             fh.write("")
 
     def abort(self, messages) -> None:
-        for m in messages:
-            if m is None:
-                continue
-            tmp = os.path.join(self.path, m.tmp_name)
-            if os.path.exists(tmp):
-                os.remove(tmp)
+        _remove_tmps(self.path, messages)
 
 
 class JsonlStreamWriter(DataSourceStreamWriter):
@@ -133,13 +149,7 @@ class JsonlStreamWriter(DataSourceStreamWriter):
             raise ValueError("jsonlsink requires a path option")
 
     def write(self, iterator: Iterator) -> _Committed:
-        os.makedirs(self.path, exist_ok=True)
-        tmp_name = f"part-{uuid.uuid4().hex}.jsonl.tmp"
-        with open(os.path.join(self.path, tmp_name), "w", encoding="utf-8") as fh:
-            for row in iterator:
-                fh.write(json.dumps(_json_cell(row.asDict()), sort_keys=True))
-                fh.write("\n")
-        return _Committed(tmp_name=tmp_name)
+        return _write_partition(self.path, iterator)
 
     def commit(self, messages, batchId: int) -> None:
         prefix = f"batch-{batchId}-"
@@ -153,12 +163,7 @@ class JsonlStreamWriter(DataSourceStreamWriter):
             os.rename(tmp, os.path.join(self.path, prefix + m.tmp_name[: -len(".tmp")]))
 
     def abort(self, messages, batchId: int) -> None:
-        for m in messages:
-            if m is None:
-                continue
-            tmp = os.path.join(self.path, m.tmp_name)
-            if os.path.exists(tmp):
-                os.remove(tmp)
+        _remove_tmps(self.path, messages)
 
 
 class JsonlSinkDataSource(DataSource):

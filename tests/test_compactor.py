@@ -721,9 +721,12 @@ def test_failed_delete_surfaced_in_outcome(spark, lake, capsys):
 
 
 def test_direct_commit_merges_without_renaming_data_files(spark, lake):
-    """direct_commit writes merged output once under Spark part-names and
-    never renames a data file — the zero-copy commit for s3a, where a
-    rename is a server-side COPY of every byte."""
+    """direct_commit writes merged output once under a job-unique
+    ``merged-<hex>-*`` basename and never renames a data file — the
+    zero-copy commit for s3a, where a rename is a server-side COPY of
+    every byte. The unique basename positively identifies this job's
+    outputs, so a concurrent upstream part-file can never be mistaken
+    for one (it lands in neither the manifest nor the delete list)."""
     leaf = lake / "acct1" / "source=OCP" / "year=2024" / "month=01"
     for i in range(8):
         write_small_parquet(leaf / f"in-{i}.parquet", start=i * 100)
@@ -742,7 +745,7 @@ def test_direct_commit_merges_without_renaming_data_files(spark, lake):
 
     outputs = [p for p in leaf.glob("*.parquet") if not p.name.startswith("_")]
     assert len(outputs) == 1
-    assert outputs[0].name.startswith("part-")
+    assert outputs[0].name.startswith("merged-")
     assert read_ids(leaf) == before  # row multiset preserved
     # Manifest records exactly the committed outputs.
     manifest = (leaf / "_compacted.manifest").read_text().splitlines()
@@ -750,8 +753,9 @@ def test_direct_commit_merges_without_renaming_data_files(spark, lake):
 
 
 def test_direct_commit_idempotent_second_run(spark, lake):
-    """Part-named outputs must be recognized as prior compactions via the
-    manifest — NOT via their names (upstream part-files are new data)."""
+    """Direct-commit outputs must be recognized as prior compactions via
+    the manifest — NOT via name patterns (upstream producers may write
+    arbitrary names, including Spark part-names)."""
     leaf = lake / "acct1" / "source=OCP" / "year=2024" / "month=01"
     for i in range(4):
         write_small_parquet(leaf / f"in-{i}.parquet", start=i * 100)
@@ -773,7 +777,7 @@ def test_direct_commit_incremental_new_files_merge_with_newest_prior(spark, lake
     cfg = CompactionConfig(now=NOW, direct_commit=True)
     c = LakeCompactor(spark, str(lake), cfg)
     c.compact()
-    (prior,) = [p for p in leaf.glob("part-*.parquet")]
+    (prior,) = [p for p in leaf.glob("merged-*.parquet")]
     # age the prior output past the hold-back window (it is manifest-
     # recognized, so age only matters for new files; set anyway for realism)
     old = OLD.timestamp()
@@ -783,7 +787,7 @@ def test_direct_commit_incremental_new_files_merge_with_newest_prior(spark, lake
     outcomes = c.compact()
     assert list(outcomes.values()) == ["compacted_2_files"]
     assert not prior.exists()  # newest prior was re-merged and deleted
-    outputs = [p for p in leaf.glob("part-*.parquet")]
+    outputs = [p for p in leaf.glob("merged-*.parquet")]
     assert len(outputs) == 1
     assert read_ids(leaf) == sorted(list(range(400)) + list(range(9000, 9100)))
     manifest = (leaf / "_compacted.manifest").read_text().splitlines()
@@ -843,18 +847,21 @@ def test_orphan_tmp_dir_never_planned_and_gc_is_age_gated(spark, lake):
         write_small_parquet(leaf / f"in-{i}.parquet", start=i * 100)
     before = read_ids(leaf)
 
-    stale_hex = "a" * 32
-    fresh_hex = "b" * 32
-    stale_tmp = lake / "acct1" / "source=OCP" / "year=2024" / (
-        f"month=01_compact_tmp_{stale_hex}"
-    )
-    fresh_tmp = lake / "acct1" / "source=OCP" / "year=2024" / (
-        f"month=01_compact_tmp_{fresh_hex}"
-    )
+    # The REAL orphan location: leaf paths end with "/", so the tmp dir
+    # _write_merged creates is a hidden CHILD of the leaf named
+    # `_compact_tmp_<hex>` — reproduce exactly what a killed merge leaves.
+    stale_tmp = leaf / ("_compact_tmp_" + "a" * 32)
+    fresh_tmp = leaf / ("_compact_tmp_" + "b" * 32)
     write_small_parquet(stale_tmp / "part-0.parquet", start=9000, mtime=OLD)
     write_small_parquet(
         fresh_tmp / "part-0.parquet", start=9500, mtime=NOW - timedelta(hours=1)
     )
+    # Age the DIRECTORIES too: the sweep takes max(dir mtime, file
+    # mtimes) — a live merge bumps its dir mtime with every added file,
+    # and a genuinely-crashed run's dir is as old as its files.
+    os.utime(stale_tmp, (OLD.timestamp(), OLD.timestamp()))
+    fresh_ts = (NOW - timedelta(hours=1)).timestamp()
+    os.utime(fresh_tmp, (fresh_ts, fresh_ts))
 
     comp = compactor(spark, lake)
     # Planning: the tmp dirs are invisible — exactly one real leaf
@@ -875,8 +882,9 @@ def test_orphan_tmp_dir_never_planned_and_gc_is_age_gated(spark, lake):
 def test_gc_orphan_tmp_can_be_disabled(spark, lake):
     leaf = lake / "acct1" / "source=OCP" / "year=2024" / "month=01"
     write_small_parquet(leaf / "in-0.parquet")
-    stale_tmp = leaf.parent / ("month=01_compact_tmp_" + "c" * 32)
+    stale_tmp = leaf / ("_compact_tmp_" + "c" * 32)
     write_small_parquet(stale_tmp / "part-0.parquet", start=9000, mtime=OLD)
+    os.utime(stale_tmp, (OLD.timestamp(), OLD.timestamp()))
 
     cfg = CompactionConfig(now=NOW, gc_orphan_tmp_hours=None)
     LakeCompactor(spark, str(lake), cfg).compact()

@@ -605,11 +605,16 @@ def test_jsonl_sink_two_phase_commit(spark, tmp_path):
         (r.n_nationkey, r.n_name) for r in df.collect()
     )
 
-    # Overwrite mode replaces the committed files atomically-by-protocol.
+    # Overwrite mode replaces the committed files atomically-by-protocol,
+    # and sweeps crashed-job .tmp litter (never its own staged files).
+    litter = tmp_path / "sink" / "part-deadbeef.jsonl.tmp"
+    litter.write_text("{}\n")
     df.limit(3).repartition(1).write.format("jsonlsink").mode("overwrite").save(out)
     files = list((tmp_path / "sink").glob("*.jsonl"))
     assert len(files) == 1
     assert len(files[0].read_text().splitlines()) == 3
+    assert not litter.exists()
+    assert not list((tmp_path / "sink").glob("*.tmp"))
 
 
 def test_jsonl_sink_abort_leaves_no_committed_files(spark, tmp_path):
@@ -669,3 +674,43 @@ def test_jsonl_stream_sink_commits_per_epoch(spark, tmp_path):
         rows += [json.loads(line) for line in p.read_text().splitlines()]
     assert len(rows) == len({r["event_id"] for r in rows})  # no duplicates
     assert len(rows) > 0
+
+
+def test_avro_fallback_sniff_matches_binaryfile_file_set(spark, tmp_path):
+    """The driver-side schema sniff honors pathGlobFilter and non-recursive
+    semantics, so the session schema always comes from a file the
+    executors actually decode."""
+    from parquet_compactor_spark.sources.avro_fallback import write_avro_records
+
+    other_schema = {
+        "type": "record",
+        "name": "Other",
+        "fields": [{"name": "zzz", "type": "string"}],
+    }
+    # Alphabetically FIRST file has a different schema and a non-matching
+    # extension; a naive sniff would pick it.
+    write_avro_records(str(tmp_path / "aaa.avro.bak"), other_schema, [{"zzz": "x"}])
+    # A nested file that non-recursive binaryFile will not read.
+    (tmp_path / "sub").mkdir()
+    write_avro_records(str(tmp_path / "sub" / "deep.avro"), other_schema, [{"zzz": "y"}])
+    recs = _avro_fixture_records(30)
+    write_avro_records(str(tmp_path / "data.avro"), _AVRO_SCHEMA, recs)
+
+    df = read_table(spark, str(tmp_path), fmt="avro", pathGlobFilter="*.avro")
+    assert df.columns[0] == "id"
+    assert df.count() == len(recs)
+
+
+def test_avro_fallback_rejects_recursive_record(spark, tmp_path):
+    from parquet_compactor_spark.sources.avro_fallback import _compile
+
+    rec = {
+        "type": "record",
+        "name": "Node",
+        "fields": [
+            {"name": "v", "type": "int"},
+            {"name": "kids", "type": {"type": "array", "items": "Node"}},
+        ],
+    }
+    with pytest.raises(NotImplementedError, match="recursive"):
+        _compile(rec, {})
