@@ -714,3 +714,53 @@ def test_avro_fallback_rejects_recursive_record(spark, tmp_path):
     }
     with pytest.raises(NotImplementedError, match="recursive"):
         _compile(rec, {})
+
+
+@given(
+    st.lists(
+        st.fixed_dictionaries(
+            {
+                "id": st.integers(min_value=-(2**62), max_value=2**62),
+                "name": st.one_of(st.none(), st.text(max_size=40)),
+                "score": st.floats(allow_nan=False, allow_infinity=False, width=64),
+                "tags": st.lists(st.text(max_size=8), max_size=5),
+                "attrs": st.dictionaries(
+                    st.text(min_size=1, max_size=6),
+                    st.integers(min_value=-(2**31), max_value=2**31 - 1),
+                    max_size=4,
+                ),
+                "raw": st.binary(max_size=16),
+            }
+        ),
+        max_size=50,
+    ),
+    st.sampled_from(["null", "deflate"]),
+)
+@settings(max_examples=60, deadline=None)
+def test_avro_codec_roundtrip_property(records, codec):
+    """Property: write_avro_records → iter_file_records is the identity
+    for any record set over the supported type algebra (both codecs).
+    Pure local codec test — no Spark session involved."""
+    import tempfile
+
+    from parquet_compactor_spark.sources.avro_fallback import (
+        iter_file_records,
+        write_avro_records,
+    )
+
+    schema = {
+        "type": "record",
+        "name": "R",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "name", "type": ["null", "string"]},
+            {"name": "score", "type": "double"},
+            {"name": "tags", "type": {"type": "array", "items": "string"}},
+            {"name": "attrs", "type": {"type": "map", "values": "int"}},
+            {"name": "raw", "type": "bytes"},
+        ],
+    }
+    with tempfile.NamedTemporaryFile(suffix=".avro") as fh:
+        write_avro_records(fh.name, schema, records, codec=codec)
+        back = list(iter_file_records(open(fh.name, "rb").read()))
+    assert back == records
