@@ -665,28 +665,53 @@ class LakeCompactor:
         deleted dir paths; failed deletes are reported, not silently
         dropped (same discipline as remove_uncompacted_files).
 
-        ``leaves``: the leaf dirs to probe; defaults to the lake's
-        planned leaves (compact() passes the set it already computed).
+        ``leaves``: the leaf dirs to probe (compact() passes the set it
+        already computed, paying one listStatus per leaf). ``leaves=None``
+        is the DEEP sweep for a maintenance run: one iterator walk of the
+        whole lake (the listing mode that surfaces hidden files), which
+        also reaches orphans in leaves whose data files have since been
+        deleted — a leaf planning no longer sees.
         """
-        if leaves is None:
-            leaves = list(self.candidate_leaves())
         cutoff = self.config.utcnow() - timedelta(hours=min_age_hours)
+        newest: dict[str, datetime] = {}
+        if leaves is None:
+            # Deep sweep: hidden-inclusive lake walk; one pass collects
+            # every tmp dir and its newest file mtime together.
+            for f in self.fs.list_files(self.root):
+                m = TMP_DIR_RE.search(f.path)
+                if not m:
+                    continue
+                root = f.path[: m.start() + len(m.group(0).rstrip("/"))]
+                ts = datetime.fromtimestamp(f.modified, tz=timezone.utc)
+                if root not in newest or ts > newest[root]:
+                    newest[root] = ts
+        else:
+            # Per-leaf probes, parallel like the rename/delete fan-outs —
+            # sequential py4j listStatus per leaf would stall the driver
+            # for minutes on a 100k-leaf lake just to usually find nothing.
+            def _probe(leaf: str) -> list[tuple[str, datetime]]:
+                found = []
+                for d in self.fs.list_dirs(leaf):
+                    if not TMP_DIR_RE.search(d.path):
+                        continue
+                    ts = datetime.fromtimestamp(d.modified, tz=timezone.utc)
+                    for f in self.fs.list_files(d.path):
+                        fts = datetime.fromtimestamp(f.modified, tz=timezone.utc)
+                        if fts > ts:
+                            ts = fts
+                    found.append((d.path, ts))
+                return found
+
+            for probed in self._fs_parallel(_probe, list(leaves)):
+                for path, ts in probed:
+                    newest[path] = ts
+
         deleted: list[str] = []
-        for leaf in leaves:
-            for d in self.fs.list_dirs(leaf):
-                if not TMP_DIR_RE.search(d.path):
-                    continue
-                newest = datetime.fromtimestamp(d.modified, tz=timezone.utc)
-                for f in self.fs.list_files(d.path):
-                    mtime = datetime.fromtimestamp(f.modified, tz=timezone.utc)
-                    if mtime > newest:
-                        newest = mtime
-                if newest >= cutoff:
-                    continue
-                if self.fs.delete(d.path, recursive=True):
-                    deleted.append(d.path)
-                else:
-                    print(f"orphan tmp gc: delete returned False for {d.path}")
+        for d in sorted(p for p, ts in newest.items() if ts < cutoff):
+            if self.fs.delete(d, recursive=True):
+                deleted.append(d)
+            else:
+                print(f"orphan tmp gc: delete returned False for {d}")
         return deleted
 
     def compact(self, max_concurrency: int = 1) -> dict[str, str]:

@@ -58,6 +58,11 @@ class HadoopFS:
     def jpath(self, uri: str):
         return self._jvm.org.apache.hadoop.fs.Path(uri)
 
+    def qualified(self, uri: str) -> str:
+        """Fully-qualified URI string (scheme + authority), matching the
+        form listing entries carry — for path comparisons."""
+        return str(self._fs.makeQualified(self.jpath(uri)))
+
     def list_files(self, prefix: str, distributed: bool = False) -> list[ListedFile]:
         """Recursively list all files under ``prefix`` (one scan, not a DFS).
 

@@ -151,7 +151,11 @@ def minhash_signatures_exploded(docs: DataFrame) -> DataFrame:
 def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
     """LSH candidate pairs (id1 < id2) with estimated + exact Jaccard.
 
-    docs: (doc_id, text). Returns (id1, id2, est_jaccard, jaccard).
+    docs: (doc_id, text). Returns (id1, id2, est_jaccard, jaccard,
+    jaccard_exact) — est_jaccard/jaccard are 4dp-rounded for display and
+    oracle comparison; jaccard_exact is the unrounded value threshold
+    cuts must use (cutting on the rounded one admits pairs just below
+    the threshold).
     """
     shingle_sets = docs.select(
         "doc_id", word_shingles(F.col("text")).alias("shingles")

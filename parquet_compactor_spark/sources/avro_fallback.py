@@ -116,8 +116,13 @@ _PRIMITIVES = {
 }
 
 
-#: Sentinel type for a record that is still being compiled (see the
-#: record branch of _compile) — referencing it means the schema recurses.
+#: Type marker for a reference hit while its record is still compiling —
+#: a recursive schema. Decoding recursive records to nested dicts works
+#: fine (the decoder closure is lazy); only the SPARK COLUMN TYPE is
+#: unrepresentable, so the marker propagates through the type algebra
+#: (array<...>, struct fields) and spark_schema_ddl rejects it at the
+#: point the DDL is actually needed.
+_RECURSIVE = "<<recursive>>"
 _IN_PROGRESS = object()
 
 
@@ -146,14 +151,10 @@ def _compile(schema, named: dict[str, tuple]) -> tuple:
         if schema in named:
             dec, typ = named[schema]
             if typ is _IN_PROGRESS:
-                # The reference points at a record still being compiled —
-                # a recursive schema (legal Avro), which has no finite
-                # Spark column type. Fail here with the cause, not later
-                # with an opaque DDL ParseException.
-                raise NotImplementedError(
-                    f"recursive avro record '{schema}' is not representable "
-                    "as a Spark column type"
-                )
+                # Reference to a record still being compiled — a recursive
+                # schema (legal Avro). The decoder works (lazy closure);
+                # mark the type so only DDL consumers reject it.
+                return dec, _RECURSIVE
             return dec, typ
         raise NotImplementedError(f"unresolved avro type reference: {schema}")
 
@@ -190,9 +191,8 @@ def _compile(schema, named: dict[str, tuple]) -> tuple:
             return {name: d(c) for name, d, _ in fields}
 
         # Pre-register with an IN-PROGRESS sentinel type: a reference hit
-        # while the record is still compiling is a recursive schema,
-        # which the str-reference branch rejects with a clear error
-        # (Spark columns cannot express recursion).
+        # while the record is still compiling marks its type _RECURSIVE
+        # (decode stays possible; Spark DDL production rejects it).
         named[fullname] = (rec_dec, _IN_PROGRESS)
         named[schema["name"]] = named[fullname]
         for f in schema["fields"]:
@@ -307,8 +307,18 @@ def iter_file_records(buf: bytes):
 
 
 def spark_schema_ddl(schema: dict) -> str:
-    """Top-level record schema → Spark DDL column list."""
+    """Top-level record schema → Spark DDL column list.
+
+    Raises NotImplementedError for recursive record schemas: the
+    pure-Python decoder handles them (nested dicts), but no finite Spark
+    column type exists for them.
+    """
     _, ddl = _compile(schema, {})
+    if _RECURSIVE in ddl:
+        raise NotImplementedError(
+            "recursive avro record schemas are not representable as Spark "
+            "column types (iter_file_records can still decode them)"
+        )
     # struct<a:int,b:string> → "a int, b string" at the top level.
     assert ddl.startswith("struct<") and ddl.endswith(">")
     inner = ddl[len("struct<") : -1]
@@ -345,16 +355,26 @@ def read_avro_fallback(spark, path: str, **options: str):
     fs = HadoopFS(spark, path)
     # The sniff MUST see the same file set binaryFile will read, or the
     # session schema could come from a file the executors never decode:
-    # honor pathGlobFilter, and without recursiveFileLookup restrict to
-    # direct children of the load path (binaryFile's default).
+    # honor pathGlobFilter, restrict to direct children of the load path
+    # unless recursiveFileLookup, and prune files under HIDDEN
+    # DIRECTORIES (Spark's file index prunes whole hidden dirs; the py4j
+    # iterator surfaces their contents).
     glob = options.get("pathGlobFilter")
+    if glob and any(ch in glob for ch in "{}^"):
+        # fnmatch has no {a,b} alternation, and class negation is [!x]
+        # not [^x] — refusing beats silently diverging from Hadoop's
+        # GlobFilter semantics.
+        raise NotImplementedError(
+            "avro fallback supports only *, ?, and [!...] classes in "
+            f"pathGlobFilter (got {glob!r}); add spark-avro for full "
+            "Hadoop glob syntax"
+        )
     recursive = str(options.get("recursiveFileLookup", "")).lower() == "true"
-    base = path.rstrip("/")
-
-    def _path_component(p: str) -> str:
-        # listed paths are URIs (file:/..., s3a://bucket/...); the caller
-        # may pass a bare path — compare on the slash-normalized suffix.
-        return p.split(":", 1)[-1].lstrip("/")
+    # Qualify the base through the SAME FileSystem that produced the
+    # listing, so parent comparisons are URI-vs-URI (a bare /data path
+    # vs hdfs://nn:8020/data listing entries would never match on
+    # string suffixes).
+    base = fs.qualified(path.rstrip("/"))
 
     def _visible(p: str) -> bool:
         name = p.rsplit("/", 1)[-1]
@@ -362,10 +382,14 @@ def read_avro_fallback(spark, path: str, **options: str):
             return False
         if glob and not fnmatch.fnmatch(name, glob):
             return False
+        parent = p[: p.rfind("/")]
         if not recursive:
-            parent = _path_component(p[: p.rfind("/")])
-            if parent != _path_component(base) and _path_component(p) != _path_component(base):
+            if parent != base and p != base:
                 return False  # nested file; binaryFile won't read it
+        elif parent.startswith(base + "/"):
+            rel_dirs = parent[len(base) + 1 :].split("/")
+            if any(seg.startswith(("_", ".")) for seg in rel_dirs):
+                return False  # Spark prunes whole hidden directories
         return True
 
     listed = [f for f in fs.list_files(path) if _visible(f.path)]
@@ -420,35 +444,41 @@ def _write_bytes(out: io.BytesIO, b: bytes) -> None:
     out.write(b)
 
 
-def _encode(schema, value, out: io.BytesIO) -> None:
+def _encode(schema, value, out: io.BytesIO, named: dict | None = None) -> None:
+    named = named if named is not None else {}
+    if isinstance(schema, str) and schema in named:
+        schema = named[schema]  # resolve record/enum/fixed by name
     if isinstance(schema, list):  # [null, T]
         branches = [b for b in schema if b != "null"]
         if value is None:
             _write_long(out, schema.index("null"))
             return
         _write_long(out, schema.index(branches[0]))
-        _encode(branches[0], value, out)
+        _encode(branches[0], value, out, named)
         return
     t = schema["type"] if isinstance(schema, dict) else schema
     if t == "record":
+        named[schema["name"]] = schema
         for f in schema["fields"]:
-            _encode(f["type"], value[f["name"]], out)
+            _encode(f["type"], value[f["name"]], out, named)
     elif t == "array":
         if value:
             _write_long(out, len(value))
             for v in value:
-                _encode(schema["items"], v, out)
+                _encode(schema["items"], v, out, named)
         _write_long(out, 0)
     elif t == "map":
         if value:
             _write_long(out, len(value))
             for k, v in value.items():
                 _write_bytes(out, k.encode("utf-8"))
-                _encode(schema["values"], v, out)
+                _encode(schema["values"], v, out, named)
         _write_long(out, 0)
     elif t == "enum":
+        named[schema["name"]] = schema
         _write_long(out, schema["symbols"].index(value))
     elif t == "fixed":
+        named[schema["name"]] = schema
         out.write(value)
     elif t in ("int", "long"):
         _write_long(out, value)

@@ -16,8 +16,9 @@ Commit protocol (the point of the exercise):
   ``part-<uuid>.jsonl`` name and then writes ``_SUCCESS``; a reader that
   requires ``_SUCCESS`` sees either the whole job or none of it, and a
   crashed job leaves only ``.tmp`` litter that the next
-  ``mode("overwrite")`` commit sweeps — sparing the sweeping job's own
-  staged files (the orphan-tmp discipline the compactor applies,
+  ``mode("overwrite")`` commit sweeps, age-gated — sparing its own
+  staged files and any fresh ``.tmp`` a concurrent live job may be
+  staging (the orphan-tmp discipline the compactor applies,
   ``gc_orphan_tmp_dirs``);
 - ``abort()`` deletes whatever tmp files the failed job managed to
   write.
@@ -112,15 +113,31 @@ class JsonlWriter(DataSourceWriter):
 
     # -- driver side -------------------------------------------------------
 
+    #: A .tmp this much older than the sweeping commit is crashed-job
+    #: litter, not a concurrent live job's staged file (live tasks wrote
+    #: theirs within their job's runtime). Same age-gate discipline as
+    #: the compactor's gc_orphan_tmp_dirs.
+    TMP_LITTER_AGE_S = 3600.0
+
     def commit(self, messages) -> None:
         if self.overwrite:
+            import time
+
             own = {m.tmp_name for m in messages if m is not None}
+            cutoff = time.time() - self.TMP_LITTER_AGE_S
             for name in os.listdir(self.path):
+                full = os.path.join(self.path, name)
                 # Sweep prior committed output AND crashed-job .tmp
-                # litter — but never this job's own staged files.
-                stale_tmp = name.endswith(".jsonl.tmp") and name not in own
+                # litter — never this job's own staged files, and never
+                # a fresh .tmp that may belong to a concurrent live job
+                # (deleting it would crash that job's commit renames).
+                stale_tmp = (
+                    name.endswith(".jsonl.tmp")
+                    and name not in own
+                    and os.path.getmtime(full) < cutoff
+                )
                 if name.endswith(".jsonl") or name == "_SUCCESS" or stale_tmp:
-                    os.remove(os.path.join(self.path, name))
+                    os.remove(full)
         for m in messages:
             if m is None:
                 continue

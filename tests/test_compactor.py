@@ -889,3 +889,20 @@ def test_gc_orphan_tmp_can_be_disabled(spark, lake):
     cfg = CompactionConfig(now=NOW, gc_orphan_tmp_hours=None)
     LakeCompactor(spark, str(lake), cfg).compact()
     assert stale_tmp.exists()
+
+
+def test_gc_deep_sweep_reaches_dataless_leaves(spark, lake):
+    """gc_orphan_tmp_dirs(leaves=None) walks the lake with the hidden-
+    inclusive iterator listing, so it reclaims an orphan in a leaf whose
+    visible data files were deleted after the crash — a leaf planning no
+    longer returns."""
+    leaf = lake / "acct1" / "source=OCP" / "year=2024" / "month=01"
+    orphan = leaf / ("_compact_tmp_" + "d" * 32)
+    write_small_parquet(orphan / "part-0.parquet", start=9000, mtime=OLD)
+    os.utime(orphan, (OLD.timestamp(), OLD.timestamp()))
+    # No visible data files in the leaf at all.
+    comp = compactor(spark, lake)
+    assert comp.candidate_leaves() == {}  # planning can't see it
+    deleted = comp.gc_orphan_tmp_dirs(24.0)  # deep sweep
+    assert len(deleted) == 1
+    assert not orphan.exists()

@@ -606,15 +606,23 @@ def test_jsonl_sink_two_phase_commit(spark, tmp_path):
     )
 
     # Overwrite mode replaces the committed files atomically-by-protocol,
-    # and sweeps crashed-job .tmp litter (never its own staged files).
-    litter = tmp_path / "sink" / "part-deadbeef.jsonl.tmp"
-    litter.write_text("{}\n")
+    # and sweeps STALE crashed-job .tmp litter (age-gated: a fresh .tmp
+    # may belong to a concurrent live job and must survive).
+    import os as _os
+    import time as _time
+
+    stale = tmp_path / "sink" / "part-deadbeef.jsonl.tmp"
+    stale.write_text("{}\n")
+    old_ts = _time.time() - 7200
+    _os.utime(stale, (old_ts, old_ts))
+    fresh = tmp_path / "sink" / "part-cafebabe.jsonl.tmp"
+    fresh.write_text("{}\n")
     df.limit(3).repartition(1).write.format("jsonlsink").mode("overwrite").save(out)
     files = list((tmp_path / "sink").glob("*.jsonl"))
     assert len(files) == 1
     assert len(files[0].read_text().splitlines()) == 3
-    assert not litter.exists()
-    assert not list((tmp_path / "sink").glob("*.tmp"))
+    assert not stale.exists()
+    assert fresh.exists()  # possibly a live concurrent job's staging
 
 
 def test_jsonl_sink_abort_leaves_no_committed_files(spark, tmp_path):
@@ -701,8 +709,15 @@ def test_avro_fallback_sniff_matches_binaryfile_file_set(spark, tmp_path):
     assert df.count() == len(recs)
 
 
-def test_avro_fallback_rejects_recursive_record(spark, tmp_path):
-    from parquet_compactor_spark.sources.avro_fallback import _compile
+def test_avro_fallback_recursive_record_decodes_but_has_no_spark_type(tmp_path):
+    """Recursive record schemas are legal Avro: the pure-Python decoder
+    handles them (nested dicts), while Spark DDL production — the only
+    part with no finite representation — rejects them with the cause."""
+    from parquet_compactor_spark.sources.avro_fallback import (
+        iter_file_records,
+        spark_schema_ddl,
+        write_avro_records,
+    )
 
     rec = {
         "type": "record",
@@ -712,8 +727,37 @@ def test_avro_fallback_rejects_recursive_record(spark, tmp_path):
             {"name": "kids", "type": {"type": "array", "items": "Node"}},
         ],
     }
+    tree = {"v": 1, "kids": [{"v": 2, "kids": []}, {"v": 3, "kids": [{"v": 4, "kids": []}]}]}
+    p = tmp_path / "tree.avro"
+    write_avro_records(str(p), rec, [tree])
+    assert list(iter_file_records(p.read_bytes())) == [tree]
     with pytest.raises(NotImplementedError, match="recursive"):
-        _compile(rec, {})
+        spark_schema_ddl(rec)
+
+
+def test_avro_fallback_sniff_skips_hidden_directories_recursive(spark, tmp_path):
+    """With recursiveFileLookup, Spark prunes whole hidden directories;
+    the sniff must too, or the session schema could come from a file the
+    executors never decode."""
+    from parquet_compactor_spark.sources.avro_fallback import write_avro_records
+
+    other = {"type": "record", "name": "O", "fields": [{"name": "zzz", "type": "string"}]}
+    (tmp_path / ".trash").mkdir()
+    write_avro_records(str(tmp_path / ".trash" / "aaa.avro"), other, [{"zzz": "x"}])
+    (tmp_path / "sub").mkdir()
+    recs = _avro_fixture_records(20)
+    write_avro_records(str(tmp_path / "sub" / "data.avro"), _AVRO_SCHEMA, recs)
+    df = read_table(spark, str(tmp_path), fmt="avro", recursiveFileLookup="true")
+    assert df.columns[0] == "id"
+    assert df.count() == len(recs)
+
+
+def test_avro_fallback_rejects_hadoop_only_glob_syntax(spark, tmp_path):
+    from parquet_compactor_spark.sources.avro_fallback import write_avro_records
+
+    write_avro_records(str(tmp_path / "a.avro"), _AVRO_SCHEMA, _avro_fixture_records(3))
+    with pytest.raises(NotImplementedError, match="pathGlobFilter"):
+        read_table(spark, str(tmp_path), fmt="avro", pathGlobFilter="*.{avro,avr}")
 
 
 @given(
