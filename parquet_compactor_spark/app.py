@@ -13,6 +13,12 @@ Plan-audit subcommand (the dev loop SCALE.md prescribes — iterate on
 ``.explain`` until the plan is the one you'd want at 100 TB):
 
     python -m parquet_compactor_spark.app explain q_agg_pricing [sf_dir]
+
+Maintenance subcommand — the deep orphan-tmp sweep (hidden-inclusive
+lake walk; reclaims crash-stranded merge temp dirs even in leaves whose
+data files were since deleted):
+
+    python -m parquet_compactor_spark.app gc [min_age_hours]
 """
 
 from __future__ import annotations
@@ -65,10 +71,36 @@ def explain_main(argv: list[str]) -> int:
     return 0
 
 
+def gc_main(argv: list[str]) -> int:
+    """Deep orphan-tmp sweep over the configured lake root.
+
+    ``argv``: [min_age_hours?] (default 24). Uses the same env-resolved
+    root as a compaction run; prints the reclaimed dirs as JSON.
+    """
+    log = setup_logging()
+    min_age = float(argv[0]) if argv else 24.0
+    settings = resolve(requested_bucket=os.environ.get("REQUESTED_BUCKET", ""))
+    root = settings.resolved_root()
+    spark = get_spark(
+        app_name="parquet-compactor-gc",
+        s3_endpoint=settings.endpoint,
+        s3_access_key=settings.access_key,
+        s3_secret_key=settings.secret_key,
+    )
+    deleted = LakeCompactor(spark, root, settings.compaction).gc_orphan_tmp_dirs(
+        min_age, leaves=None
+    )
+    log.info("orphan tmp gc reclaimed %d dirs", len(deleted))
+    print(json.dumps({"root": root, "reclaimed": deleted}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     if argv and argv[0] == "explain":
         return explain_main(argv[1:])
+    if argv and argv[0] == "gc":
+        return gc_main(argv[1:])
     log = setup_logging()
     # The requested bucket seeds the configurator lookups, as in the
     # reference main() (app.py:24-34).

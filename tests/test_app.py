@@ -10,7 +10,7 @@ import pytest
 
 from parquet_compactor_spark.compactor import CompactionConfig, LakeCompactor
 from parquet_compactor_spark.config import EngineSettings, from_env
-from tests.test_compactor import NOW, write_small_parquet
+from tests.test_compactor import NOW, OLD, write_small_parquet
 
 
 def test_from_env_defaults():
@@ -92,3 +92,43 @@ def test_parallel_compaction_matches_sequential(spark, tmp_path):
     assert sorted(outcomes.values()) == ["compacted_3_files"] * 4
     # Second parallel pass is a no-op (idempotence holds under concurrency).
     assert sorted(c.compact(max_concurrency=4).values()) == ["nothing_to_compact"] * 4
+
+
+def test_app_explain_subcommand(capsys):
+    import parquet_compactor_spark.app as app
+
+    rc = app.main(["explain", "q_agg_pricing", "/root/testdata/sf0.001"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "Physical Plan" in out
+    assert "PushedFilters" in out
+
+    rc = app.main(["explain", "q_no_such_query"])
+    assert rc == 2
+    assert "unknown query" in capsys.readouterr().out
+
+
+def test_app_gc_subcommand_runs_deep_sweep(spark, tmp_path, monkeypatch, capsys):
+    import json as _json
+
+    import parquet_compactor_spark.app as app
+
+    lake = tmp_path / "data" / "parquet"
+    leaf = lake / "acct" / "source=OCP" / "year=2024" / "month=01"
+    orphan = leaf / ("_compact_tmp_" + "e" * 32)
+    write_small_parquet(orphan / "part-0.parquet", start=0, mtime=OLD)
+    os.utime(orphan, (OLD.timestamp(), OLD.timestamp()))
+
+    monkeypatch.setattr(
+        app,
+        "resolve",
+        lambda requested_bucket="": EngineSettings(
+            lake_root=str(lake), compaction=CompactionConfig(now=NOW)
+        ),
+    )
+    rc = app.main(["gc", "24"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    payload = _json.loads(out.strip().splitlines()[-1])
+    assert len(payload["reclaimed"]) == 1
+    assert not orphan.exists()
