@@ -265,3 +265,17 @@ def test_every_registered_query_has_an_oracle():
     """
     missing = [n for n, q in QUERIES.items() if q.oracle is None]
     assert missing == []
+
+
+def test_priority_window_is_exactly_the_driver_sample_size():
+    """The external driver verifies the FIRST 50 registry entries per
+    round; the rotation only works if _PRIORITY stays exactly 50 valid
+    names and all_queries() yields them first, in order."""
+    from parquet_compactor_spark.registry import _PRIORITY, all_queries
+
+    qs = all_queries()
+    assert len(_PRIORITY) == 50
+    missing = [n for n in _PRIORITY if n not in qs]
+    assert not missing, f"_PRIORITY names not registered: {missing}"
+    assert list(qs)[:50] == list(_PRIORITY)
+    assert len(set(_PRIORITY)) == 50  # no duplicates silently shrinking the window
