@@ -59,6 +59,9 @@ def explain_main(argv: list[str]) -> int:
     """
     from parquet_compactor_spark.registry import all_queries
 
+    if not argv:
+        print("usage: explain <query_name> [sf_dir]")
+        return 2
     name = argv[0]
     sf_dir = argv[1] if len(argv) > 1 else "/root/testdata/sf0.001"
     queries = all_queries()
@@ -118,8 +121,16 @@ def main(argv: list[str] | None = None) -> int:
     outcomes = compactor.compact()
     log.info("compaction outcomes: %s", outcomes)
     print(json.dumps({"root": root, "leaves": outcomes}))
-    # Non-zero exit if any leaf failed (originals were kept — safe to rerun).
-    return 1 if any(o == "merge_failed_originals_kept" for o in outcomes.values()) else 0
+    # Non-zero exit if any leaf failed (originals kept — safe to rerun) OR
+    # any post-merge delete failed (rows read twice until remediated —
+    # an orchestrator alerting on exit status must see this state).
+    bad = any(
+        o == "merge_failed_originals_kept"
+        or "deletes_failed" in o
+        or "deletes_pending" in o
+        for o in outcomes.values()
+    )
+    return 1 if bad else 0
 
 
 if __name__ == "__main__":

@@ -478,6 +478,13 @@ class LakeCompactor:
     # Hidden sidecar recording direct-commit outputs (one basename per
     # line). Hidden name → invisible to planning and to spark.read.
     MANIFEST_NAME = "_compacted.manifest"
+    # Hidden sidecar recording originals whose rows are already committed
+    # in merged outputs but whose post-merge delete FAILED. Without it,
+    # the next run's incremental filter re-merges the leftover alongside
+    # the newest prior output — permanently baking the duplicate rows
+    # into the new output. Pending files are excluded from every future
+    # merge and their deletes retried each pass until they succeed.
+    PENDING_DELETES_NAME = "_pending_deletes.manifest"
 
     def _read_manifest(self, leaf: str) -> set[str]:
         path = f"{leaf}{self.MANIFEST_NAME}"
@@ -489,6 +496,40 @@ class LakeCompactor:
         self.fs.write_text(
             f"{leaf}{self.MANIFEST_NAME}", "\n".join(sorted(names))
         )
+
+    def _read_pending_deletes(self, leaf: str) -> set[str]:
+        path = f"{leaf}{self.PENDING_DELETES_NAME}"
+        if not self.fs.exists(path):
+            return set()
+        return {ln for ln in self.fs.read_text(path).splitlines() if ln}
+
+    def _write_pending_deletes(self, leaf: str, names: set[str]) -> None:
+        path = f"{leaf}{self.PENDING_DELETES_NAME}"
+        if names:
+            self.fs.write_text(path, "\n".join(sorted(names)))
+        elif self.fs.exists(path):
+            self.fs.delete(path, recursive=False)
+
+    def _retry_pending_deletes(self, leaf: str) -> tuple[set[str], set[str]]:
+        """Retry deletes recorded by a previous pass.
+
+        Returns (pending_at_start, still_pending). Callers must exclude
+        EVERYTHING in pending_at_start from this pass's merge — a
+        successfully retried file was just deleted AFTER the planning
+        listing snapshotted it, so merging it would fail on a missing
+        input (and a still-pending one must never be re-merged at all).
+        """
+        pending = self._read_pending_deletes(leaf)
+        if not pending:
+            return set(), set()
+        still: set[str] = set()
+        for name in sorted(pending):
+            path = f"{leaf}{name}"
+            if self.fs.exists(path) and not self.fs.delete(path, recursive=False):
+                still.add(name)
+                print(f"retry delete still failing (rows duplicate): {path}")
+        self._write_pending_deletes(leaf, still)
+        return pending, still
 
     def _write_merged_direct(
         self, file_list: list[str], leaf: str, sizes: dict[str, int]
@@ -583,9 +624,11 @@ class LakeCompactor:
 
         Returns the paths whose delete returned False (and logs them): a
         leftover original sits next to the committed merged output and its
-        rows are read twice by every subsequent scan until the next run's
-        incremental filter re-merges it — silent data duplication unless
-        surfaced.
+        rows are read twice by every subsequent scan until a later pass's
+        delete retry succeeds (_compact_leaf records failures in the
+        pending-deletes sidecar, which quarantines the file from ever
+        being re-MERGED — re-merging it alongside the output that already
+        holds its rows would make the duplication permanent).
         """
         results = self._fs_parallel(
             lambda path: self.fs.delete(path, recursive=False), file_list
@@ -600,6 +643,15 @@ class LakeCompactor:
         if should_skip_compacting(leaf, self.config):
             return "skipped_current_month"
         base = determine_base_file_name(leaf)
+        # First, retry deletes a previous pass failed to complete; any
+        # file STILL pending has its rows already committed in a merged
+        # output, so it must never re-enter a merge (that would bake the
+        # duplication in permanently).
+        pending_at_start, still_pending = self._retry_pending_deletes(leaf)
+        if pending_at_start:
+            files = [
+                f for f in files if f.path.rsplit("/", 1)[-1] not in pending_at_start
+            ]
         # GCP leaves always use the rename commit: their outputs must
         # encode {invoice_month}_{date} in the filename micro-schema.
         use_direct = self.config.direct_commit and "GCP" not in leaf
@@ -609,6 +661,8 @@ class LakeCompactor:
         else:
             file_list = filter_compacted(base, files, self.config, manifest=manifest)
         if len(file_list) <= 1:
+            if still_pending:
+                return f"nothing_to_compact_{len(still_pending)}_deletes_pending"
             return "nothing_to_compact"
         sizes = {f.path: f.size for f in files}
         written: set[str] = set()
@@ -635,9 +689,20 @@ class LakeCompactor:
                 }
                 self._write_manifest(leaf, (manifest | written) - deleted)
             if failed:
+                # Quarantine the leftovers from future merges and retry
+                # their deletes every subsequent pass.
+                self._write_pending_deletes(
+                    leaf,
+                    still_pending | {p.rsplit("/", 1)[-1] for p in failed},
+                )
                 return (
                     f"compacted_{len(file_list)}_files_"
                     f"{len(failed)}_deletes_failed"
+                )
+            if still_pending:
+                return (
+                    f"compacted_{len(file_list)}_files_"
+                    f"{len(still_pending)}_deletes_pending"
                 )
             return f"compacted_{len(file_list)}_files"
         return "merge_failed_originals_kept"
@@ -665,42 +730,57 @@ class LakeCompactor:
         deleted dir paths; failed deletes are reported, not silently
         dropped (same discipline as remove_uncompacted_files).
 
+        Besides ``_compact_tmp_<hex>`` dirs, the sweep reclaims stale
+        ``_temporary`` committer litter — a crashed direct-commit merge
+        leaves the FileOutputCommitter's ``{leaf}/_temporary/...`` tree
+        behind the same way (on real s3a with the magic committer, pair
+        this with an abort-incomplete-multipart-uploads lifecycle rule,
+        which no filesystem listing can reclaim).
+
         ``leaves``: the leaf dirs to probe (compact() passes the set it
         already computed, paying one listStatus per leaf). ``leaves=None``
-        is the DEEP sweep for a maintenance run: one iterator walk of the
-        whole lake (the listing mode that surfaces hidden files), which
-        also reaches orphans in leaves whose data files have since been
-        deleted — a leaf planning no longer sees.
+        is the DEEP sweep for a maintenance run: a recursive DIRECTORY
+        walk from the root (listStatus DFS — the only traversal that
+        finds EMPTY orphan dirs and orphans in leaves whose data files
+        have since been deleted, both invisible to any file listing).
         """
         cutoff = self.config.utcnow() - timedelta(hours=min_age_hours)
         newest: dict[str, datetime] = {}
+
+        def _reclaimable(dir_path: str) -> bool:
+            name = dir_path.rstrip("/").rsplit("/", 1)[-1]
+            return name == "_temporary" or bool(TMP_DIR_RE.search(name))
+
+        def _newest_under(d) -> datetime:
+            ts = datetime.fromtimestamp(d.modified, tz=timezone.utc)
+            for f in self.fs.list_files(d.path):
+                fts = datetime.fromtimestamp(f.modified, tz=timezone.utc)
+                if fts > ts:
+                    ts = fts
+            return ts
+
         if leaves is None:
-            # Deep sweep: hidden-inclusive lake walk; one pass collects
-            # every tmp dir and its newest file mtime together.
-            for f in self.fs.list_files(self.root):
-                m = TMP_DIR_RE.search(f.path)
-                if not m:
-                    continue
-                root = f.path[: m.start() + len(m.group(0).rstrip("/"))]
-                ts = datetime.fromtimestamp(f.modified, tz=timezone.utc)
-                if root not in newest or ts > newest[root]:
-                    newest[root] = ts
+            # Deep sweep: recursive dir DFS. Matched dirs are evaluated
+            # and not descended into; lake depth is a handful of levels,
+            # dir count ~ leaf count — fine for a maintenance command.
+            stack = [self.root.rstrip("/")]
+            while stack:
+                cur = stack.pop()
+                for d in self.fs.list_dirs(cur):
+                    if _reclaimable(d.path):
+                        newest[d.path] = _newest_under(d)
+                    else:
+                        stack.append(d.path)
         else:
             # Per-leaf probes, parallel like the rename/delete fan-outs —
             # sequential py4j listStatus per leaf would stall the driver
             # for minutes on a 100k-leaf lake just to usually find nothing.
             def _probe(leaf: str) -> list[tuple[str, datetime]]:
-                found = []
-                for d in self.fs.list_dirs(leaf):
-                    if not TMP_DIR_RE.search(d.path):
-                        continue
-                    ts = datetime.fromtimestamp(d.modified, tz=timezone.utc)
-                    for f in self.fs.list_files(d.path):
-                        fts = datetime.fromtimestamp(f.modified, tz=timezone.utc)
-                        if fts > ts:
-                            ts = fts
-                    found.append((d.path, ts))
-                return found
+                return [
+                    (d.path, _newest_under(d))
+                    for d in self.fs.list_dirs(leaf)
+                    if _reclaimable(d.path)
+                ]
 
             for probed in self._fs_parallel(_probe, list(leaves)):
                 for path, ts in probed:

@@ -788,9 +788,12 @@ def q_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))").alias(
             "exact_q"
         ),
+        # Rank bounds at XX±2.5% (the documented invariant; the a-priori
+        # KLL bound at k=200 is ~1.7%, so 2.5% holds with margin).
+        # p99's upper bound clamps to the max.
         F.expr(
             "percentile(l_extendedprice,"
-            " array(0.45, 0.55, 0.85, 0.95, 0.965, 1.0))"
+            " array(0.475, 0.525, 0.875, 0.925, 0.965, 1.0))"
         ).alias("rb"),
     )
     def _rank_ok(q: float, lo: int, hi: int):
@@ -934,12 +937,19 @@ def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_chisq_independence",
     oracle="""
-    WITH cells AS (
+    WITH observed AS (
         SELECT event_type,
                CASE WHEN value >= 50 THEN 'high' ELSE 'low' END AS vbucket,
                count(*) AS o
         FROM events
         GROUP BY 1, 2
+    ),
+    cells AS (
+        SELECT t.event_type, b.vbucket, COALESCE(obs.o, 0) AS o
+        FROM (SELECT DISTINCT event_type FROM observed) t
+        CROSS JOIN (SELECT DISTINCT vbucket FROM observed) b
+        LEFT JOIN observed obs
+          ON obs.event_type = t.event_type AND obs.vbucket = b.vbucket
     ),
     tot AS (
         SELECT event_type, vbucket, o,
@@ -970,12 +980,24 @@ def q_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     e = load(spark, sf_dir, "events")
-    cells = (
+    observed = (
         e.withColumn(
             "vbucket", F.when(F.col("value") >= 50, "high").otherwise("low")
         )
         .groupBy("event_type", "vbucket")
         .agg(F.count(F.lit(1)).alias("o"))
+    )
+    # Complete the contingency grid: a (type, bucket) cell nobody hit
+    # still contributes its expected count to the statistic ((0-E)^2/E
+    # = E) — dropping empty cells understates chi2. The grid is a tiny
+    # dims-cross-dims broadcast (types x buckets rows), never fact data.
+    grid = (
+        observed.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(observed.select("vbucket").distinct()))
+    )
+    cells = grid.join(observed, ["event_type", "vbucket"], "left").select(
+        "event_type", "vbucket", F.coalesce("o", F.lit(0)).alias("o")
     )
     row_w = Window.partitionBy("event_type")
     col_w = Window.partitionBy("vbucket")

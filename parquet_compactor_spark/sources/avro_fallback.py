@@ -116,6 +116,17 @@ _PRIMITIVES = {
 }
 
 
+def _register_named(named: dict, schema: dict, ns: str | None, entry: tuple) -> None:
+    """Register an enum/fixed under its simple AND qualified names
+    (records do this inline; same-simple-name definitions in different
+    namespaces shadow on the simple key — qualified references stay
+    unambiguous)."""
+    eff_ns = schema.get("namespace", ns)
+    named[schema["name"]] = entry
+    if eff_ns:
+        named[f"{eff_ns}.{schema['name']}"] = entry
+
+
 #: Type marker for a reference hit while its record is still compiling —
 #: a recursive schema. Decoding recursive records to nested dicts works
 #: fine (the decoder closure is lazy); only the SPARK COLUMN TYPE is
@@ -139,17 +150,20 @@ def _logical(schema: dict):
     return None
 
 
-def _compile(schema, named: dict[str, tuple]) -> tuple:
+def _compile(schema, named: dict[str, tuple], ns: str | None = None) -> tuple:
     """Recursively build (decoder(cursor) -> value, spark_ddl_type).
 
-    ``named`` registers record/enum/fixed definitions so later references
-    by full name resolve (the spec allows either inline or by-name).
+    ``named`` registers record/enum/fixed definitions under BOTH their
+    simple and namespace-qualified full names, so later references in
+    either spelling resolve (the spec allows inline or by-name, and
+    nested definitions inherit the enclosing namespace ``ns``).
     """
     if isinstance(schema, str):
         if schema in _PRIMITIVES:
             return _PRIMITIVES[schema]
-        if schema in named:
-            dec, typ = named[schema]
+        key = schema if schema in named else (f"{ns}.{schema}" if ns else schema)
+        if key in named:
+            dec, typ = named[key]
             if typ is _IN_PROGRESS:
                 # Reference to a record still being compiled — a recursive
                 # schema (legal Avro). The decoder works (lazy closure);
@@ -164,7 +178,7 @@ def _compile(schema, named: dict[str, tuple]) -> tuple:
             raise NotImplementedError(
                 f"only [null, T] unions are supported, got {schema}"
             )
-        dec, typ = _compile(branches[0], named)
+        dec, typ = _compile(branches[0], named, ns)
         null_index = schema.index("null") if "null" in schema else -1
 
         def union_dec(c, dec=dec, null_index=null_index):
@@ -183,8 +197,8 @@ def _compile(schema, named: dict[str, tuple]) -> tuple:
         return _PRIMITIVES[t]
 
     if t == "record":
-        fullname = schema.get("namespace", "")
-        fullname = (fullname + "." if fullname else "") + schema["name"]
+        rec_ns = schema.get("namespace", ns)
+        fullname = (f"{rec_ns}." if rec_ns else "") + schema["name"]
         fields: list[tuple] = []
 
         def rec_dec(c, fields=fields):
@@ -196,7 +210,8 @@ def _compile(schema, named: dict[str, tuple]) -> tuple:
         named[fullname] = (rec_dec, _IN_PROGRESS)
         named[schema["name"]] = named[fullname]
         for f in schema["fields"]:
-            d, typ = _compile(f["type"], named)
+            # Nested definitions inherit this record's namespace (spec).
+            d, typ = _compile(f["type"], named, rec_ns)
             fields.append((f["name"], d, typ))
         ddl = "struct<" + ",".join(f"{n}:{typ}" for n, _, typ in fields) + ">"
         named[fullname] = (rec_dec, ddl)
@@ -206,17 +221,17 @@ def _compile(schema, named: dict[str, tuple]) -> tuple:
     if t == "enum":
         symbols = schema["symbols"]
         dec = lambda c, s=symbols: s[_read_long(c)]  # noqa: E731
-        named[schema["name"]] = (dec, "string")
-        return named[schema["name"]]
+        _register_named(named, schema, ns, (dec, "string"))
+        return dec, "string"
 
     if t == "fixed":
         size = schema["size"]
         dec = lambda c, n=size: c.take(n)  # noqa: E731
-        named[schema["name"]] = (dec, "binary")
-        return named[schema["name"]]
+        _register_named(named, schema, ns, (dec, "binary"))
+        return dec, "binary"
 
     if t == "array":
-        item_dec, item_typ = _compile(schema["items"], named)
+        item_dec, item_typ = _compile(schema["items"], named, ns)
 
         def arr_dec(c, item_dec=item_dec):
             out = []
@@ -233,7 +248,7 @@ def _compile(schema, named: dict[str, tuple]) -> tuple:
         return arr_dec, f"array<{item_typ}>"
 
     if t == "map":
-        val_dec, val_typ = _compile(schema["values"], named)
+        val_dec, val_typ = _compile(schema["values"], named, ns)
 
         def map_dec(c, val_dec=val_dec):
             out = {}
@@ -444,41 +459,50 @@ def _write_bytes(out: io.BytesIO, b: bytes) -> None:
     out.write(b)
 
 
-def _encode(schema, value, out: io.BytesIO, named: dict | None = None) -> None:
+def _encode(schema, value, out: io.BytesIO, named: dict | None = None, ns: str | None = None) -> None:
     named = named if named is not None else {}
-    if isinstance(schema, str) and schema in named:
-        schema = named[schema]  # resolve record/enum/fixed by name
+    if isinstance(schema, str) and schema not in ("null", "boolean", "int",
+                                                  "long", "float", "double",
+                                                  "bytes", "string"):
+        # Resolve record/enum/fixed references, simple or fullname,
+        # mirroring the reader's namespace inheritance.
+        key = schema if schema in named else (f"{ns}.{schema}" if ns else schema)
+        if key in named:
+            schema = named[key]
     if isinstance(schema, list):  # [null, T]
         branches = [b for b in schema if b != "null"]
         if value is None:
             _write_long(out, schema.index("null"))
             return
         _write_long(out, schema.index(branches[0]))
-        _encode(branches[0], value, out, named)
+        _encode(branches[0], value, out, named, ns)
         return
     t = schema["type"] if isinstance(schema, dict) else schema
     if t == "record":
+        rec_ns = schema.get("namespace", ns)
         named[schema["name"]] = schema
+        if rec_ns:
+            named[f"{rec_ns}.{schema['name']}"] = schema
         for f in schema["fields"]:
-            _encode(f["type"], value[f["name"]], out, named)
+            _encode(f["type"], value[f["name"]], out, named, rec_ns)
     elif t == "array":
         if value:
             _write_long(out, len(value))
             for v in value:
-                _encode(schema["items"], v, out, named)
+                _encode(schema["items"], v, out, named, ns)
         _write_long(out, 0)
     elif t == "map":
         if value:
             _write_long(out, len(value))
             for k, v in value.items():
                 _write_bytes(out, k.encode("utf-8"))
-                _encode(schema["values"], v, out, named)
+                _encode(schema["values"], v, out, named, ns)
         _write_long(out, 0)
     elif t == "enum":
-        named[schema["name"]] = schema
+        _register_named(named, schema, ns, schema)
         _write_long(out, schema["symbols"].index(value))
     elif t == "fixed":
-        named[schema["name"]] = schema
+        _register_named(named, schema, ns, schema)
         out.write(value)
     elif t in ("int", "long"):
         _write_long(out, value)

@@ -59,6 +59,12 @@ def _json_cell(v):
     import datetime
     import decimal
 
+    from pyspark.sql import Row
+
+    if isinstance(v, Row):
+        # Row subclasses tuple; without this it would serialize as a
+        # positional array, dropping the struct's field names.
+        return {k: _json_cell(x) for k, x in v.asDict().items()}
     if isinstance(v, (datetime.datetime, datetime.date)):
         return v.isoformat()
     if isinstance(v, (bytes, bytearray)):

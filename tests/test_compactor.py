@@ -906,3 +906,80 @@ def test_gc_deep_sweep_reaches_dataless_leaves(spark, lake):
     deleted = comp.gc_orphan_tmp_dirs(24.0)  # deep sweep
     assert len(deleted) == 1
     assert not orphan.exists()
+
+
+def test_failed_delete_quarantined_never_remerged_then_healed(spark, lake):
+    """A merged-away original whose delete fails must NEVER re-enter a
+    merge (its rows are already in the committed output — re-merging
+    would bake the duplication in permanently). It is recorded in the
+    pending-deletes sidecar, excluded from subsequent merges, retried
+    each pass, and the sidecar clears once the delete finally works."""
+    leaf = lake / "acct1" / "source=OCP" / "year=2024" / "month=01"
+    for i in range(4):
+        write_small_parquet(leaf / f"in-{i}.parquet", start=i * 100)
+    original_ids = read_ids(leaf)
+
+    c = compactor(spark, lake)
+    blocked = {"active": True}
+    real_delete = c.fs.delete
+
+    def flaky_delete(path, recursive=False):
+        if blocked["active"] and path.endswith("in-0.parquet"):
+            return False
+        return real_delete(path, recursive)
+
+    c.fs.delete = flaky_delete
+
+    outcomes = c.compact()
+    assert list(outcomes.values()) == ["compacted_4_files_1_deletes_failed"]
+    sidecar = leaf / "_pending_deletes.manifest"
+    assert sidecar.read_text().splitlines() == ["in-0.parquet"]
+    # Duplication is live (leftover + output) until remediated.
+    assert read_ids(leaf) == sorted(original_ids + list(range(100)))
+
+    # A new file arrives; delete still broken. The pass retries (fails),
+    # EXCLUDES in-0 from the merge, and merges prior output + new file.
+    write_small_parquet(leaf / "late-0.parquet", start=9000)
+    outcomes = c.compact()
+    assert list(outcomes.values()) == ["compacted_2_files_1_deletes_pending"]
+    assert sidecar.read_text().splitlines() == ["in-0.parquet"]
+    # Still duplicated exactly ONCE — the re-merge did not amplify it.
+    assert read_ids(leaf) == sorted(
+        original_ids + list(range(100)) + list(range(9000, 9100))
+    )
+
+    # Delete starts working: the next pass heals and clears the sidecar.
+    blocked["active"] = False
+    outcomes = c.compact()
+    assert list(outcomes.values()) == ["nothing_to_compact"]
+    assert not sidecar.exists()
+    assert read_ids(leaf) == sorted(original_ids + list(range(9000, 9100)))
+
+
+def test_gc_reclaims_stale_committer_temporary_litter(spark, lake):
+    """A crashed direct-commit merge leaves {leaf}/_temporary/... —
+    the sweep reclaims it once stale, same age gate as _compact_tmp."""
+    leaf = lake / "acct1" / "source=OCP" / "year=2024" / "month=01"
+    write_small_parquet(leaf / "in-0.parquet")
+    litter = leaf / "_temporary" / "0" / "_temporary" / "attempt_x"
+    write_small_parquet(litter / "part-0.parquet", start=5000, mtime=OLD)
+    for d in (litter, litter.parent, litter.parent.parent, leaf / "_temporary"):
+        os.utime(d, (OLD.timestamp(), OLD.timestamp()))
+
+    comp = compactor(spark, lake)
+    deleted = comp.gc_orphan_tmp_dirs(24.0, leaves=[str(leaf) + "/"])
+    assert len(deleted) == 1
+    assert not (leaf / "_temporary").exists()
+
+
+def test_gc_deep_sweep_reclaims_empty_orphan_dir(spark, lake):
+    """Crash after mkdir but before any part file: the dir is empty, so
+    no file listing can find it — the deep sweep's dir walk must."""
+    leaf = lake / "acct1" / "source=OCP" / "year=2024" / "month=01"
+    write_small_parquet(leaf / "in-0.parquet")
+    empty_orphan = leaf / ("_compact_tmp_" + "f" * 32)
+    empty_orphan.mkdir(parents=True)
+    os.utime(empty_orphan, (OLD.timestamp(), OLD.timestamp()))
+
+    deleted = compactor(spark, lake).gc_orphan_tmp_dirs(24.0)  # deep sweep
+    assert deleted and not empty_orphan.exists()

@@ -419,6 +419,7 @@ def test_no_unexpected_cartesian_in_any_registered_query(spark):
         "q_bm25",  # 1-row corpus stats (N, avgdl)
         "q_unigram_logprob",  # 1-row corpus token total
         "q_domain_mix",  # 1-row global min source count
+        "q_chisq_independence",  # types x buckets contingency grid (10 rows)
         "q_equidepth_hist",  # 1-row broadcast percentile bounds
         "q_gapfill_buckets",  # tiny day x type spine
         "q_idle_customers",  # 1-row scalar AVG(acctbal) broadcast (Q22)

@@ -808,3 +808,31 @@ def test_avro_codec_roundtrip_property(records, codec):
         write_avro_records(fh.name, schema, records, codec=codec)
         back = list(iter_file_records(open(fh.name, "rb").read()))
     assert back == records
+
+
+def test_avro_fallback_namespace_qualified_references(tmp_path):
+    """avro-tools emits by-fullname references (com.x.Kind); nested
+    definitions inherit the enclosing record's namespace — both must
+    resolve."""
+    from parquet_compactor_spark.sources.avro_fallback import (
+        iter_file_records,
+        write_avro_records,
+    )
+
+    schema = {
+        "type": "record",
+        "name": "Env",
+        "namespace": "com.x",
+        "fields": [
+            {
+                "name": "k1",
+                "type": {"type": "enum", "name": "Kind", "symbols": ["A", "B"]},
+            },
+            {"name": "k2", "type": "com.x.Kind"},  # qualified reference
+            {"name": "k3", "type": "Kind"},  # simple reference
+        ],
+    }
+    recs = [{"k1": "A", "k2": "B", "k3": "A"}]
+    p = tmp_path / "ns.avro"
+    write_avro_records(str(p), schema, recs)
+    assert list(iter_file_records(p.read_bytes())) == recs
