@@ -532,8 +532,12 @@ def test_round5_additions_plan_discipline(spark):
     assert p.has_partial_agg
     assert not p.has_cartesian
 
-    for name in ("q_event_transitions", "q_chisq_independence", "q_prefix_dups"):
+    for name in ("q_event_transitions", "q_prefix_dups"):
         assert not props(spark, name).has_cartesian, name
+    # q_chisq_independence's one cartesian is the DELIBERATE types x
+    # buckets contingency grid (≤10 rows, broadcast) that completes
+    # zero-count cells — allowlisted in the global audit.
+    assert props(spark, "q_chisq_independence").has_partial_agg
 
 
 def test_embed_near_dup_blocks_on_label_and_bucket(spark):
