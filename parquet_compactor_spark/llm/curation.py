@@ -464,3 +464,55 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         as_int(ok_alpha).alias("ok_alpha"),
         as_int(keep).alias("keep_flag"),
     )
+
+
+@register(
+    "q_winsorize",
+    oracle="""
+    WITH bounds AS (
+        SELECT quantile_cont(value, 0.05) AS lo,
+               quantile_cont(value, 0.95) AS hi
+        FROM events
+    )
+    SELECT e.event_type,
+           count(*) AS n,
+           ROUND(avg(e.value), 4) AS mean_raw,
+           ROUND(avg(LEAST(GREATEST(e.value, b.lo), b.hi)), 4)
+             AS mean_winsorized,
+           SUM(CASE WHEN e.value < b.lo OR e.value > b.hi
+                    THEN 1 ELSE 0 END) AS n_clipped
+    FROM events e CROSS JOIN bounds b
+    GROUP BY e.event_type
+    """,
+    doc="Winsorization (percentile clipping) — the outlier-taming step a "
+    "feature pipeline runs before normalizing a heavy-tailed measure "
+    "for training: values are clamped to the global [p5, p95] band and "
+    "the per-type mean is reported before/after along with the clip "
+    "count. Two-pass shape: the exact percentile bounds are ONE tiny "
+    "row broadcast back onto the fact scan (same discipline as "
+    "q_zscore_outliers/q_mad_outliers — never a giant analytic "
+    "window), then one hash-agg per type. At 100 TB the exact "
+    "percentile pass would swap for approx_percentile (documented "
+    "sketch trade as q_percentiles -> q_approx_stats); the clamp and "
+    "aggregation are unchanged. Spark's percentile and DuckDB's "
+    "quantile_cont both interpolate linearly, so the bounds are "
+    "engine-identical and the 4dp-rounded means compare exactly.",
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.expr("percentile(value, 0.05)").alias("lo"),
+        F.expr("percentile(value, 0.95)").alias("hi"),
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    out_of_band = (F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))
+    return (
+        e.join(F.broadcast(bounds))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 4).alias("mean_raw"),
+            F.round(F.avg(clipped), 4).alias("mean_winsorized"),
+            F.sum(F.when(out_of_band, 1).otherwise(0)).alias("n_clipped"),
+        )
+    )

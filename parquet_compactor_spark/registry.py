@@ -98,13 +98,13 @@ def _ensure_loaded() -> None:
 # External differential harnesses that sample a prefix of the registry
 # (the driver checks the first 50 entries) therefore verify these before
 # anything else. Round 5 (exactly 50 names):
-#   1-13  the NEW round-5 queries — seven TPC-H completions
+#   1-14  the NEW round-5 queries — seven TPC-H completions
 #         (queries/tpch_final.py: Q2/Q9/Q11/Q12/Q16/Q20/Q21 shapes) plus
 #         q_gopher_rules, q_embed_dim_stats, q_event_transitions,
-#         q_chisq_independence, q_prefix_dups, and q_hard_negatives —
-#         no driver row exists at all yet, so they outrank every
-#         re-verification;
-#   14-23 queries whose SOURCE or ORACLE changed this round, so their
+#         q_chisq_independence, q_prefix_dups, q_hard_negatives, and
+#         q_winsorize — no driver row exists at all yet, so they
+#         outrank every re-verification;
+#   15-24 queries whose SOURCE or ORACLE changed this round, so their
 #         existing driver rows no longer attest to the current code:
 #         the six rows-only→derived-invariant oracle conversions
 #         (q_dedup_minhash, q_dedup_simhash, q_approx_stats,
@@ -115,17 +115,18 @@ def _ensure_loaded() -> None:
 #         q_ann_ivf (broadcast-matrix centroid path) and
 #         q_kmeans_clusters (same _assign rework, plus its new unrolled
 #         Lloyd oracle — the registry's LAST rows-only query converted);
-#   24-34 the 11 remaining queries whose latest driver row is round 1
+#   25-35 the 11 remaining queries whose latest driver row is round 1
 #         (q_approx_stats, the 12th, is already in the changed set) —
 #         oldest evidence in the ledger, deferred twice, now due;
-#   35-50 16 of the 44 round-2-only greens, complex/plan-sensitive
+#   36-50 15 of the 44 round-2-only greens, complex/plan-sensitive
 #         first: joins, windows, time-series, q_topk (a
 #         TakeOrderedAndProject pin whose helper family was reworked
 #         in r4).
 # Everything not listed follows in registration order.
 #
-# Round-6 rotation plan: the 13 r2-only greens displaced by the new
-# round-5 blocks (q_sessionize q_gapfill_buckets q_locf_interpolate q_ewma
+# Round-6 rotation plan: the 14 r2-only greens displaced by the new
+# round-5 blocks (q_sliding_window
+# q_sessionize q_gapfill_buckets q_locf_interpolate q_ewma
 # q_month_over_month q_latest_snapshot
 # q_zscore_outliers q_salted_agg q_grouped_sample
 # q_stratified_sample q_multimodal_meta q_union_dedup q_vector_norm),
@@ -150,6 +151,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_chisq_independence",
     "q_prefix_dups",
     "q_hard_negatives",
+    "q_winsorize",
     # -- source or oracle changed in round 5: re-verify first --
     "q_dedup_minhash",
     "q_dedup_simhash",
@@ -173,7 +175,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_unpivot",
     "q_window_first_last",
     "q_window_ranks",
-    # -- 16 round-2-only greens, plan-sensitive first --
+    # -- 15 round-2-only greens, plan-sensitive first --
     "q_topk",
     "q_anti_join",
     "q_semi_join",
@@ -189,7 +191,6 @@ _PRIORITY: tuple[str, ...] = (
     "q_window_topn",
     "q_running_distinct",
     "q_tumbling_window",
-    "q_sliding_window",
 )
 
 

@@ -421,6 +421,7 @@ def test_no_unexpected_cartesian_in_any_registered_query(spark):
         "q_domain_mix",  # 1-row global min source count
         "q_chisq_independence",  # types x buckets contingency grid (10 rows)
         "q_equidepth_hist",  # 1-row broadcast percentile bounds
+        "q_winsorize",  # 1-row broadcast [p5, p95] clip bounds
         "q_gapfill_buckets",  # tiny day x type spine
         "q_idle_customers",  # 1-row scalar AVG(acctbal) broadcast (Q22)
         "q_important_parts",  # 1-row global value-total threshold (Q11)
