@@ -81,7 +81,11 @@ def gc_main(argv: list[str]) -> int:
     root as a compaction run; prints the reclaimed dirs as JSON.
     """
     log = setup_logging()
-    min_age = float(argv[0]) if argv else 24.0
+    try:
+        min_age = float(argv[0]) if argv else 24.0
+    except ValueError:
+        print("usage: gc [min_age_hours]")
+        return 2
     settings = resolve(requested_bucket=os.environ.get("REQUESTED_BUCKET", ""))
     root = settings.resolved_root()
     spark = get_spark(
@@ -90,12 +94,15 @@ def gc_main(argv: list[str]) -> int:
         s3_access_key=settings.access_key,
         s3_secret_key=settings.secret_key,
     )
-    deleted = LakeCompactor(spark, root, settings.compaction).gc_orphan_tmp_dirs(
-        min_age, leaves=None
+    deleted, failed = LakeCompactor(
+        spark, root, settings.compaction
+    ).gc_orphan_tmp_dirs(min_age, leaves=None)
+    log.info(
+        "orphan tmp gc reclaimed %d dirs, %d failed", len(deleted), len(failed)
     )
-    log.info("orphan tmp gc reclaimed %d dirs", len(deleted))
-    print(json.dumps({"root": root, "reclaimed": deleted}))
-    return 0
+    print(json.dumps({"root": root, "reclaimed": deleted, "failed": failed}))
+    # Non-zero when a reclaim failed, same alerting contract as main().
+    return 1 if failed else 0
 
 
 def main(argv: list[str] | None = None) -> int:

@@ -709,7 +709,7 @@ class LakeCompactor:
 
     def gc_orphan_tmp_dirs(
         self, min_age_hours: float = 24.0, leaves: list[str] | None = None
-    ) -> list[str]:
+    ) -> tuple[list[str], list[str]]:
         """Reclaim merge temp dirs orphaned by a hard crash.
 
         ``_write_merged`` deletes its ``{leaf}_compact_tmp_{hex}`` dir in
@@ -752,8 +752,16 @@ class LakeCompactor:
             return name == "_temporary" or bool(TMP_DIR_RE.search(name))
 
         def _newest_under(d) -> datetime:
-            ts = datetime.fromtimestamp(d.modified, tz=timezone.utc)
-            for f in self.fs.list_files(d.path):
+            files = self.fs.list_files(d.path)
+            if not files and d.modified <= 0:
+                # Object stores may report directory mtime as 0/unknown
+                # (S3A keeps no dir mtime). An EMPTY dir with an unknown
+                # mtime could be a live merge's just-created staging dir
+                # — treat unknown as fresh and never reclaim it here
+                # (once a file lands, file mtimes take over).
+                return self.config.utcnow()
+            ts = datetime.fromtimestamp(max(d.modified, 0), tz=timezone.utc)
+            for f in files:
                 fts = datetime.fromtimestamp(f.modified, tz=timezone.utc)
                 if fts > ts:
                     ts = fts
@@ -787,12 +795,14 @@ class LakeCompactor:
                     newest[path] = ts
 
         deleted: list[str] = []
+        failed: list[str] = []
         for d in sorted(p for p, ts in newest.items() if ts < cutoff):
             if self.fs.delete(d, recursive=True):
                 deleted.append(d)
             else:
+                failed.append(d)
                 print(f"orphan tmp gc: delete returned False for {d}")
-        return deleted
+        return deleted, failed
 
     def compact(self, max_concurrency: int = 1) -> dict[str, str]:
         """Run one compaction pass. Returns {leaf: outcome} for observability.

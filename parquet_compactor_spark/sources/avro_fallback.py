@@ -161,7 +161,11 @@ def _compile(schema, named: dict[str, tuple], ns: str | None = None) -> tuple:
     if isinstance(schema, str):
         if schema in _PRIMITIVES:
             return _PRIMITIVES[schema]
-        key = schema if schema in named else (f"{ns}.{schema}" if ns else schema)
+        # Spec resolution order: a bare name resolves against the
+        # namespace in effect FIRST — the simple key is shadowable by a
+        # same-named definition in another namespace.
+        qualified = f"{ns}.{schema}" if ns and "." not in schema else schema
+        key = qualified if qualified in named else schema
         if key in named:
             dec, typ = named[key]
             if typ is _IN_PROGRESS:
@@ -461,12 +465,11 @@ def _write_bytes(out: io.BytesIO, b: bytes) -> None:
 
 def _encode(schema, value, out: io.BytesIO, named: dict | None = None, ns: str | None = None) -> None:
     named = named if named is not None else {}
-    if isinstance(schema, str) and schema not in ("null", "boolean", "int",
-                                                  "long", "float", "double",
-                                                  "bytes", "string"):
-        # Resolve record/enum/fixed references, simple or fullname,
-        # mirroring the reader's namespace inheritance.
-        key = schema if schema in named else (f"{ns}.{schema}" if ns else schema)
+    if isinstance(schema, str) and schema not in _PRIMITIVES:
+        # Resolve record/enum/fixed references, simple or fullname —
+        # qualified-by-effective-namespace first, mirroring the reader.
+        qualified = f"{ns}.{schema}" if ns and "." not in schema else schema
+        key = qualified if qualified in named else schema
         if key in named:
             schema = named[key]
     if isinstance(schema, list):  # [null, T]
@@ -480,9 +483,7 @@ def _encode(schema, value, out: io.BytesIO, named: dict | None = None, ns: str |
     t = schema["type"] if isinstance(schema, dict) else schema
     if t == "record":
         rec_ns = schema.get("namespace", ns)
-        named[schema["name"]] = schema
-        if rec_ns:
-            named[f"{rec_ns}.{schema['name']}"] = schema
+        _register_named(named, schema, ns, schema)
         for f in schema["fields"]:
             _encode(f["type"], value[f["name"]], out, named, rec_ns)
     elif t == "array":

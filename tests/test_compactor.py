@@ -903,8 +903,8 @@ def test_gc_deep_sweep_reaches_dataless_leaves(spark, lake):
     # No visible data files in the leaf at all.
     comp = compactor(spark, lake)
     assert comp.candidate_leaves() == {}  # planning can't see it
-    deleted = comp.gc_orphan_tmp_dirs(24.0)  # deep sweep
-    assert len(deleted) == 1
+    deleted, failed = comp.gc_orphan_tmp_dirs(24.0)  # deep sweep
+    assert len(deleted) == 1 and not failed
     assert not orphan.exists()
 
 
@@ -967,8 +967,8 @@ def test_gc_reclaims_stale_committer_temporary_litter(spark, lake):
         os.utime(d, (OLD.timestamp(), OLD.timestamp()))
 
     comp = compactor(spark, lake)
-    deleted = comp.gc_orphan_tmp_dirs(24.0, leaves=[str(leaf) + "/"])
-    assert len(deleted) == 1
+    deleted, failed = comp.gc_orphan_tmp_dirs(24.0, leaves=[str(leaf) + "/"])
+    assert len(deleted) == 1 and not failed
     assert not (leaf / "_temporary").exists()
 
 
@@ -981,5 +981,5 @@ def test_gc_deep_sweep_reclaims_empty_orphan_dir(spark, lake):
     empty_orphan.mkdir(parents=True)
     os.utime(empty_orphan, (OLD.timestamp(), OLD.timestamp()))
 
-    deleted = compactor(spark, lake).gc_orphan_tmp_dirs(24.0)  # deep sweep
-    assert deleted and not empty_orphan.exists()
+    deleted, failed = compactor(spark, lake).gc_orphan_tmp_dirs(24.0)
+    assert deleted and not failed and not empty_orphan.exists()

@@ -836,3 +836,50 @@ def test_avro_fallback_namespace_qualified_references(tmp_path):
     p = tmp_path / "ns.avro"
     write_avro_records(str(p), schema, recs)
     assert list(iter_file_records(p.read_bytes())) == recs
+
+
+def test_avro_fallback_simple_name_shadowing_resolves_by_namespace(tmp_path):
+    """Two enums named Kind in different namespaces: a bare reference
+    resolves against the namespace in effect (spec order), not whichever
+    definition compiled last."""
+    from parquet_compactor_spark.sources.avro_fallback import (
+        iter_file_records,
+        write_avro_records,
+    )
+
+    schema = {
+        "type": "record",
+        "name": "Env",
+        "namespace": "com.x",
+        "fields": [
+            {
+                "name": "xk",
+                "type": {"type": "enum", "name": "Kind", "symbols": ["A", "B"]},
+            },
+            {
+                "name": "sub",
+                "type": {
+                    "type": "record",
+                    "name": "Inner",
+                    "namespace": "com.y",
+                    "fields": [
+                        {
+                            "name": "yk",
+                            "type": {
+                                "type": "enum",
+                                "name": "Kind",
+                                "symbols": ["P", "Q", "R"],
+                            },
+                        }
+                    ],
+                },
+            },
+            # Bare reference back in com.x scope: MUST be com.x.Kind
+            # even though com.y.Kind registered later on the simple key.
+            {"name": "xk2", "type": "Kind"},
+        ],
+    }
+    recs = [{"xk": "B", "sub": {"yk": "R"}, "xk2": "A"}]
+    p = tmp_path / "shadow.avro"
+    write_avro_records(str(p), schema, recs)
+    assert list(iter_file_records(p.read_bytes())) == recs
