@@ -884,3 +884,45 @@ def locf_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def quality_gate_stream(docs: DataFrame) -> DataFrame:
+    """Streaming curation gate: q_gopher_rules' rule expressions applied
+    to an incoming DOCUMENT stream — the shape of an ingest pipeline
+    that tags (or drops) low-quality crawl records before they land.
+
+    Entirely stateless (every rule is a per-row JVM expression), so no
+    watermark or state store is involved and stream/batch parity is
+    exact by construction; at 100 TB/day the gate is a map over the
+    ingest stream with zero shuffles, the same plan the batch twin's
+    zero-exchange pin asserts. Returns the per-rule booleans plus the
+    conjunctive keep flag, mirroring q_gopher_rules column-for-column so
+    that query's DuckDB oracle is also this stream's semantic oracle.
+    """
+    words = F.split(F.col("text"), " ", -1)
+    n_words = F.size(words)
+    mwl = F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast(
+        "double"
+    ) / n_words
+    stop_hits = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(r"\b(the|a|and|of|to|in|is|it)\b"))
+    )
+    alpha_ratio = (
+        F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]"))).cast("double") / n_words
+    )
+    ok_word_count = n_words.between(40, 1000)
+    ok_word_len = (mwl >= 3.5) & (mwl <= 10.0)
+    ok_stopwords = stop_hits >= 2
+    ok_alpha = alpha_ratio > 0.8
+    keep = ok_word_count & ok_word_len & ok_stopwords & ok_alpha
+    as_int = lambda c: F.when(c, 1).otherwise(0)  # noqa: E731
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(mwl, 4).alias("mean_word_len"),
+        as_int(ok_word_count).alias("ok_word_count"),
+        as_int(ok_word_len).alias("ok_word_len"),
+        as_int(ok_stopwords).alias("ok_stopwords"),
+        as_int(ok_alpha).alias("ok_alpha"),
+        as_int(keep).alias("keep_flag"),
+    )

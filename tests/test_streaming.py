@@ -490,3 +490,33 @@ def test_v2_session_processor_keeps_single_pending_timer():
     assert handle.pending == set()
     assert not handle.states["sessions"].exists()
     assert not handle.states["timer_due"].exists()
+
+
+def test_streaming_quality_gate_matches_batch(spark, tmp_path):
+    """The streaming curation gate is stateless, so it must reproduce
+    q_gopher_rules row-for-row when the documents table arrives as a
+    multi-batch file stream."""
+    from parquet_compactor_spark.registry import all_queries, load
+    from parquet_compactor_spark.streaming.pipeline import (
+        quality_gate_stream,
+        run_stream_to_memory,
+    )
+
+    docs = load(spark, SF_SMOKE, "documents")
+    landing = str(tmp_path / "docs_landing")
+    docs.repartition(4).write.parquet(landing)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing)
+    )
+    run_stream_to_memory(quality_gate_stream(stream), "gated", complete=False)
+    streamed = {
+        r.doc_id: (r.n_words, r.mean_word_len, r.keep_flag)
+        for r in spark.table("gated").collect()
+    }
+    batch = {
+        r.doc_id: (r.n_words, r.mean_word_len, r.keep_flag)
+        for r in all_queries()["q_gopher_rules"].fn(spark, SF_SMOKE).collect()
+    }
+    assert streamed == batch
