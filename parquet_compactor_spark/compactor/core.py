@@ -656,6 +656,16 @@ class LakeCompactor:
         # encode {invoice_month}_{date} in the filename micro-schema.
         use_direct = self.config.direct_commit and "GCP" not in leaf
         manifest = self._read_manifest(leaf) if use_direct else set()
+        if use_direct and manifest:
+            # Prune entries whose files no longer exist (e.g. a prior
+            # output whose failed delete succeeded on a LATER pass's
+            # retry — that path prunes pending but not the manifest).
+            # Without this the sidecar grows one stale line per such
+            # event forever.
+            live = {f.path.rsplit("/", 1)[-1] for f in files}
+            if manifest - live:
+                manifest &= live
+                self._write_manifest(leaf, manifest)
         if "GCP" in leaf:
             file_list = filter_compacted_gcp(files, self.config)
         else:

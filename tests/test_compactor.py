@@ -983,3 +983,26 @@ def test_gc_deep_sweep_reclaims_empty_orphan_dir(spark, lake):
 
     deleted, failed = compactor(spark, lake).gc_orphan_tmp_dirs(24.0)
     assert deleted and not failed and not empty_orphan.exists()
+
+
+def test_direct_commit_manifest_prunes_stale_entries(spark, lake):
+    """Manifest lines whose files no longer exist (retry-deleted on a
+    later pass, or removed out-of-band) are pruned — the sidecar must
+    not grow one stale line per event forever."""
+    leaf = lake / "acct1" / "source=OCP" / "year=2024" / "month=01"
+    for i in range(3):
+        write_small_parquet(leaf / f"in-{i}.parquet", start=i * 100)
+    cfg = CompactionConfig(now=NOW, direct_commit=True)
+    c = LakeCompactor(spark, str(lake), cfg)
+    c.compact()
+    manifest_path = leaf / "_compacted.manifest"
+    (real_entry,) = manifest_path.read_text().splitlines()
+    # Inject a stale line for a file that does not exist — through the
+    # compactor's own writer (a raw pathlib write would orphan the
+    # Hadoop checksum sidecar and fail the next read).
+    leaf_uri = str(leaf) + "/"
+    c._write_manifest(
+        leaf_uri, {real_entry, f"ghost-{'0' * 32}-c000.snappy.parquet"}
+    )
+    c.compact()
+    assert c._read_manifest(leaf_uri) == {real_entry}
