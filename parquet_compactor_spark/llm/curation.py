@@ -469,50 +469,73 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_winsorize",
     oracle="""
-    WITH bounds AS (
-        SELECT quantile_cont(value, 0.05) AS lo,
-               quantile_cont(value, 0.95) AS hi
-        FROM events
+    WITH params AS (
+        SELECT count(*) AS n_total, count(*) // 20 AS k FROM events
+    ),
+    ranked AS (
+        SELECT value, row_number() OVER (ORDER BY value) AS r FROM events
+    ),
+    bounds AS (
+        SELECT max(CASE WHEN r <= (SELECT k FROM params)
+                        THEN value END) AS lo,
+               min(CASE WHEN r >= (SELECT n_total - k + 1 FROM params)
+                        THEN value END) AS hi
+        FROM ranked
     )
     SELECT e.event_type,
            count(*) AS n,
-           ROUND(avg(e.value), 4) AS mean_raw,
-           ROUND(avg(LEAST(GREATEST(e.value, b.lo), b.hi)), 4)
-             AS mean_winsorized,
-           SUM(CASE WHEN e.value < b.lo OR e.value > b.hi
-                    THEN 1 ELSE 0 END) AS n_clipped
+           ROUND(CAST(sum(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE)
+                 / count(*), 4) AS mean_raw,
+           ROUND(CAST(sum(CAST(LEAST(GREATEST(e.value, b.lo), b.hi)
+                              AS DECIMAL(18,4))) AS DOUBLE)
+                 / count(*), 4) AS mean_winsorized,
+           CAST(SUM(CASE WHEN e.value < b.lo OR e.value > b.hi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
     FROM events e CROSS JOIN bounds b
     GROUP BY e.event_type
     """,
-    doc="Winsorization (percentile clipping) — the outlier-taming step a "
+    doc="Winsorization (tail clipping) — the outlier-taming step a "
     "feature pipeline runs before normalizing a heavy-tailed measure "
-    "for training: values are clamped to the global [p5, p95] band and "
-    "the per-type mean is reported before/after along with the clip "
-    "count. Two-pass shape: the exact percentile bounds are ONE tiny "
-    "row broadcast back onto the fact scan (same discipline as "
-    "q_zscore_outliers/q_mad_outliers — never a giant analytic "
-    "window), then one hash-agg per type. At 100 TB the exact "
-    "percentile pass would swap for approx_percentile (documented "
+    "for training: values are clamped to the global [k-th smallest, "
+    "k-th largest] band (k = n//20, i.e. the exact 5%/95% ORDER "
+    "STATISTICS, not interpolated percentiles) and the per-type mean "
+    "is reported before/after along with the clip count. Rank-based "
+    "bounds are integer-indexed and engine-identical by construction "
+    "— round-5 driver evidence showed interpolated percentile() vs "
+    "quantile_cont() can land 1 ulp apart, flipping the strict "
+    "n_clipped comparisons. Means accumulate in DECIMAL(18,4) (the "
+    "values are 2dp) so partial-aggregation order can never wobble "
+    "the 4dp rounding. Plan shape: the k-th order statistics come "
+    "from TakeOrderedAndProject (bounded map-side heaps of size k, "
+    "never a global sort/window), broadcast as ONE tiny row back "
+    "onto the fact scan, then one hash-agg per type. At 100 TB the "
+    "exact bound pass would swap for approx_percentile (documented "
     "sketch trade as q_percentiles -> q_approx_stats); the clamp and "
-    "aggregation are unchanged. Spark's percentile and DuckDB's "
-    "quantile_cont both interpolate linearly, so the bounds are "
-    "engine-identical and the 4dp-rounded means compare exactly.",
+    "aggregation are unchanged.",
 )
 def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
-    bounds = e.agg(
-        F.expr("percentile(value, 0.05)").alias("lo"),
-        F.expr("percentile(value, 0.95)").alias("hi"),
+    # Exact order statistics via bounded top-k (TakeOrderedAndProject),
+    # k is a scalar collected driver-side (model-state sized).
+    k = e.count() // 20
+    lo = e.select("value").orderBy(F.col("value").asc()).limit(k).agg(
+        F.max("value").alias("lo")
     )
+    hi = e.select("value").orderBy(F.col("value").desc()).limit(k).agg(
+        F.min("value").alias("hi")
+    )
+    bounds = lo.crossJoin(hi)
+    dec = lambda c: c.cast("decimal(18,4)")  # noqa: E731
     clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
     out_of_band = (F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))
+    n = F.count(F.lit(1))
     return (
         e.join(F.broadcast(bounds))
         .groupBy("event_type")
         .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("value"), 4).alias("mean_raw"),
-            F.round(F.avg(clipped), 4).alias("mean_winsorized"),
+            n.alias("n"),
+            F.round(F.sum(dec(F.col("value"))).cast("double") / n, 4).alias("mean_raw"),
+            F.round(F.sum(dec(clipped)).cast("double") / n, 4).alias("mean_winsorized"),
             F.sum(F.when(out_of_band, 1).otherwise(0)).alias("n_clipped"),
         )
     )

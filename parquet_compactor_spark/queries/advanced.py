@@ -501,7 +501,7 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                              [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS b
         FROM orders
     )
-    SELECT len(list_filter(b, x -> x <= o_totalprice)) + 1 AS decile,
+    SELECT len(list_filter(b, x -> ROUND(x, 6) <= o_totalprice)) + 1 AS decile,
            COUNT(*) AS n_orders,
            ROUND(MIN(o_totalprice), 2) AS lo,
            ROUND(MAX(o_totalprice), 2) AS hi
@@ -513,9 +513,11 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(9 doubles), broadcast back, and each row finds its bucket by "
     "counting boundaries at or below it — a per-row lambda over a "
     "9-element literal. The naive NTILE form is a single-partition "
-    "window over every row; this is one agg + one map, and the "
-    "boundary arithmetic (x0 + (x1-x0)*f) is bit-identical across "
-    "engines (verified), so the oracle matches exactly.",
+    "window over every row; this is one agg + one map. Both engines "
+    "round the boundary to 6dp before the <= compare: the true "
+    "boundary x0 + (x1-x0)*f has at most 3 decimals (2dp data, f a "
+    "multiple of 0.1), so a last-ulp difference between the engines' "
+    "interpolation formulas can never flip the bucket edge.",
 )
 def q_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
@@ -525,7 +527,7 @@ def q_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("b")
     )
     bucket = (
-        F.size(F.filter("b", lambda x: x <= F.col("o_totalprice"))) + 1
+        F.size(F.filter("b", lambda x: F.round(x, 6) <= F.col("o_totalprice"))) + 1
     ).alias("decile")
     return (
         o.crossJoin(F.broadcast(bounds))

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from parquet_compactor_spark.registry import load, register
+from parquet_compactor_spark.registry import load, load_ntz, register
 
 
 @register(
@@ -69,25 +69,30 @@ def q_date_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_date_arithmetic",
     oracle="""
     SELECT o_orderkey,
-           CAST(strftime(o_orderdate, '%Y-%m-%d') AS VARCHAR)                  AS order_day,
-           CAST(strftime(o_orderdate + INTERVAL 90 DAY, '%Y-%m-%d') AS VARCHAR) AS due_day,
-           CAST(date_part('dow', o_orderdate) AS INT)                          AS order_dow
+           CAST(strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS VARCHAR)       AS order_day,
+           CAST(strftime(CAST(o_orderdate AS DATE) + 90, '%Y-%m-%d') AS VARCHAR)  AS due_day,
+           CAST(date_part('dow', CAST(o_orderdate AS DATE)) AS INT)               AS order_dow
     FROM orders
-    WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+    WHERE CAST(o_orderdate AS DATE) >= DATE '2000-01-01'
     """,
     doc="Date arithmetic: day addition (the reference's 5-day hold-back "
-    "relativedelta, parquet_compactor.py:275) and day-of-week extraction.",
+    "relativedelta, parquet_compactor.py:275) and day-of-week extraction. "
+    "Representation-proofed (round-6 sweep): NTZ read + DATE cast + "
+    "date_add — calendar day arithmetic on DATEs is session/DST-free, "
+    "unlike `timestamp + INTERVAL 90 DAYS` (a duration under LTZ "
+    "inference, which shifts the rendered due_day across DST).",
 )
 def q_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load(spark, sf_dir, "orders")
-    return o.filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")).select(
+    import datetime
+
+    o = load_ntz(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    return o.filter(d >= F.lit(datetime.date(2000, 1, 1))).select(
         "o_orderkey",
-        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
-        F.date_format(F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"), "yyyy-MM-dd").alias(
-            "due_day"
-        ),
+        d.cast("string").alias("order_day"),
+        F.date_add(d, 90).cast("string").alias("due_day"),
         # Spark dayofweek: 1=Sunday; DuckDB dow: 0=Sunday.
-        (F.dayofweek("o_orderdate") - F.lit(1)).cast("int").alias("order_dow"),
+        (F.dayofweek(d) - F.lit(1)).cast("int").alias("order_dow"),
     )
 
 

@@ -746,7 +746,7 @@ def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(MAX(d.med), 4) AS med,
            ROUND(MAX(m.mad), 4) AS mad,
            COUNT(*) AS n,
-           CAST(SUM(CASE WHEN d.adev > 3 * 1.4826 * m.mad
+           CAST(SUM(CASE WHEN ROUND(d.adev, 6) > ROUND(3 * 1.4826 * m.mad, 6)
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
     FROM dev d JOIN mad m USING (event_type)
     GROUP BY d.event_type
@@ -757,7 +757,11 @@ def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     "breakdown-point-0.5 alternative to q_zscore_outliers (mean/stddev "
     "are dragged by the very outliers they're meant to find; the "
     "median isn't). Same two-pass + broadcast-join shape as zscore, so "
-    "the fact table never re-shuffles.",
+    "the fact table never re-shuffles. The outlier cut rounds both "
+    "sides to 6dp first: adev is exactly 3-decimal (2dp data, median "
+    "on a 0.005 grid) and the threshold 3*1.4826*mad exactly 6-decimal, "
+    "so a last-ulp median-interpolation difference between engines "
+    "cannot flip the strict compare.",
 )
 def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
@@ -776,7 +780,10 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("mad"), 4).alias("mad"),
             F.count(F.lit(1)).alias("n"),
             F.sum(
-                (F.col("adev") > 3 * 1.4826 * F.col("mad")).cast("int")
+                (
+                    F.round(F.col("adev"), 6)
+                    > F.round(3 * 1.4826 * F.col("mad"), 6)
+                ).cast("int")
             )
             .cast("bigint")
             .alias("n_outliers"),

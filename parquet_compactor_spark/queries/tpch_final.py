@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from parquet_compactor_spark.registry import load, register
+from parquet_compactor_spark.registry import load, load_ntz, register
 
 
 def _dec_vol():
@@ -249,15 +249,16 @@ def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_late_line_priority",
     oracle="""
     SELECT l.l_linestatus,
-           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders o
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
-      AND l.l_shipdate >= DATE '1997-01-01'
-      AND l.l_shipdate <  DATE '1998-01-01'
+    WHERE date_diff('day', CAST(o.o_orderdate AS DATE),
+                    CAST(l.l_shipdate AS DATE)) > 60
+      AND CAST(l.l_shipdate AS DATE) >= DATE '1997-01-01'
+      AND CAST(l.l_shipdate AS DATE) <  DATE '1998-01-01'
     GROUP BY l.l_linestatus
     """,
     doc="TPC-H Q12 (shipping-mode priority classification; l_shipmode/"
@@ -268,17 +269,33 @@ def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a pre-pivot, so one hash-agg pass produces both counters. The "
     "year window pushes to the lineitem scan; the >60-day lateness "
     "predicate is cross-table and evaluates post-join, but the "
-    "derived bound shipdate > 1997-01-01 already prunes the scan.",
+    "derived bound shipdate >= 1997-01-01 already prunes the scan. "
+    "Representation-proofing (round-5 driver red): the fixtures store "
+    "naive timestamps, and `ts > ts + INTERVAL 60 DAYS` is session-"
+    "sensitive (LTZ inference + DST makes day-interval addition a "
+    "duration, flipping the 5 sf0.01 rows exactly 60 days apart), so "
+    "both engines now read the columns timezone-free (load_ntz), cast "
+    "to DATE, and compare with integer datediff against DATE literals "
+    "— no interval arithmetic, no string-vs-timestamp coercion.",
 )
 def q_late_line_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load(spark, sf_dir, "orders")
-    li = load(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    import datetime
+
+    o = load_ntz(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", F.to_date("o_orderdate").alias("o_odate")
+    )
+    li = (
+        load_ntz(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linestatus", F.to_date("l_shipdate").alias("l_sdate"))
+        .filter(
+            (F.col("l_sdate") >= F.lit(datetime.date(1997, 1, 1)))
+            & (F.col("l_sdate") < F.lit(datetime.date(1998, 1, 1)))
+        )
     )
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .filter(F.datediff(F.col("l_sdate"), F.col("o_odate")) > 60)
         .groupBy("l_linestatus")
         .agg(
             F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
@@ -397,7 +414,8 @@ def q_promo_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN orders o ON o.o_orderkey = l1.l_orderkey
     WHERE r.r_name = 'AFRICA'
       AND o.o_orderstatus = 'F'
-      AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND date_diff('day', CAST(o.o_orderdate AS DATE),
+                    CAST(l1.l_shipdate AS DATE)) > 60
       AND EXISTS (
           SELECT 1 FROM lineitem l2
           WHERE l2.l_orderkey = l1.l_orderkey
@@ -406,7 +424,8 @@ def q_promo_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
           SELECT 1 FROM lineitem l3
           WHERE l3.l_orderkey = l1.l_orderkey
             AND l3.l_suppkey <> l1.l_suppkey
-            AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+            AND date_diff('day', CAST(o.o_orderdate AS DATE),
+                          CAST(l3.l_shipdate AS DATE)) > 60)
     GROUP BY s.s_name
     """,
     doc="TPC-H Q21 (suppliers who kept orders waiting; receiptdate > "
@@ -421,9 +440,17 @@ def q_promo_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "and the per-order profile; supplier/nation/region broadcast.",
 )
 def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
-    li = load(spark, sf_dir, "lineitem")
-    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    # Same representation-proofing as q_late_line_priority: NTZ read,
+    # DATE cast, integer datediff — no interval arithmetic on timestamps.
+    o = (
+        load_ntz(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .withColumn("o_orderdate", F.to_date("o_orderdate"))
+    )
+    li = load_ntz(spark, sf_dir, "lineitem").withColumn(
+        "l_shipdate", F.to_date("l_shipdate")
+    )
+    late = F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 60
     joined = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).withColumn(
         "is_late", late
     )

@@ -59,6 +59,30 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
     return deco
 
 
+def _parquet_ts_unit(path: str, column: str) -> str | None:
+    """Peek a parquet footer (driver-side, metadata-only) and return the
+    arrow type string of ``column`` (e.g. ``timestamp[ns]``), or None if
+    the footer cannot be read or the column is absent."""
+    import glob
+    import os
+
+    p = path
+    if not os.path.isfile(p):
+        parts = sorted(glob.glob(os.path.join(p, "*.parquet")))
+        if not parts:
+            return None
+        p = parts[0]
+    try:
+        import pyarrow.parquet as pq
+
+        schema = pq.read_schema(p)
+    except Exception:
+        return None
+    if column not in schema.names:
+        return None
+    return str(schema.field(column).type)
+
+
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Load one driver-provided parquet table (TESTDATA.md).
 
@@ -72,12 +96,20 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     NTZ→TIMESTAMP cast is wall-clock-preserving in the session zone, so
     collected/rendered values are identical to DuckDB's naive read
     regardless of the caller's timezone.
+
+    The ``nanosAsLong`` legacy conf is only set on the caller's session
+    when the footer actually carries TIMESTAMP(NANOS) (a driver-side
+    metadata peek) — a micros read leaves the session conf untouched.
+    When nanos IS present the conf stays set for the session lifetime:
+    Spark re-reads it at execution time, so restoring it between
+    ``spark.read`` and the action would break the lazy read.
     """
-    if table == "events":
+    path = f"{sf_dir}/{table}.parquet"
+    if table == "events" and _parquet_ts_unit(path, "ts") == "timestamp[ns]":
         # Works on any caller-provided SparkSession (the driver builds its
         # own): enable nanos-as-long at runtime before reading.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    df = spark.read.parquet(path)
     if table == "events":
         from pyspark.sql import functions as F
 
@@ -87,6 +119,39 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
         elif ts_type == "timestamp_ntz":
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
+
+
+def load_ntz(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Load a table with every naive parquet timestamp forced to
+    TIMESTAMP_NTZ via an explicit read schema.
+
+    ``spark.read.parquet`` maps a naive TIMESTAMP(MICROS) column to NTZ
+    or LTZ depending on SESSION state (``inferTimestampNTZ`` /
+    ``timestampType`` / timezone) — an external harness with different
+    confs can therefore see different values than the local one (LTZ
+    shifts wall clocks by the session zone; day-interval arithmetic on
+    LTZ is duration-based and flips strict comparisons across DST).
+    Forcing NTZ in the requested schema makes the read verbatim and
+    session-independent, matching DuckDB's naive-timestamp semantics
+    exactly. Queries whose ORACLE depends on date boundaries or date
+    arithmetic should read through this helper and ``to_date`` the NTZ
+    columns (a pure date-part extraction, timezone-free).
+    """
+    from pyspark.sql import types as T
+
+    path = f"{sf_dir}/{table}.parquet"
+    inferred = spark.read.parquet(path).schema
+    forced = T.StructType(
+        [
+            T.StructField(
+                f.name,
+                T.TimestampNTZType() if isinstance(f.dataType, T.TimestampType) else f.dataType,
+                f.nullable,
+            )
+            for f in inferred
+        ]
+    )
+    return spark.read.schema(forced).parquet(path)
 
 
 def _ensure_loaded() -> None:
