@@ -129,12 +129,15 @@ def main(argv: list[str] | None = None) -> int:
     log.info("compaction outcomes: %s", outcomes)
     print(json.dumps({"root": root, "leaves": outcomes}))
     # Non-zero exit if any leaf failed (originals kept — safe to rerun) OR
-    # any post-merge delete failed (rows read twice until remediated —
-    # an orchestrator alerting on exit status must see this state).
+    # any post-merge delete failed (rows read twice until remediated) OR
+    # the in-pass orphan-tmp GC could not reclaim a dir (storage leaks
+    # until a maintenance sweep) — an orchestrator alerting on exit
+    # status must see all three states.
     bad = any(
         o == "merge_failed_originals_kept"
         or "deletes_failed" in o
         or "deletes_pending" in o
+        or "reclaim_failed" in o
         for o in outcomes.values()
     )
     return 1 if bad else 0

@@ -661,8 +661,17 @@ class LakeCompactor:
             # output whose failed delete succeeded on a LATER pass's
             # retry — that path prunes pending but not the manifest).
             # Without this the sidecar grows one stale line per such
-            # event forever.
-            live = {f.path.rsplit("/", 1)[-1] for f in files}
+            # event forever. The live set must come from an UNFILTERED
+            # leaf listing: ``files`` already dropped at/above-target
+            # files (candidate_leaves, O3), and a merged output that
+            # grew past the size target is still live — pruning it
+            # would strip its prior-compaction marker and re-merge it
+            # if file_size_bytes is later raised (churn, not loss).
+            live = {
+                f.path.rsplit("/", 1)[-1]
+                for f in self.fs.list_files(leaf)
+                if _is_mergeable_data_file(f.path) and not _in_tmp_dir(f.path)
+            }
             if manifest - live:
                 manifest &= live
                 self._write_manifest(leaf, manifest)
@@ -836,17 +845,29 @@ class LakeCompactor:
             self.candidate_leaves().items(),
             key=lambda kv: (-len(kv[1]), kv[0]),
         )
+        gc_failed: list[str] = []
         if self.config.gc_orphan_tmp_hours is not None:
             # Reuses the leaf set this pass already listed — the sweep
             # adds one listStatus per leaf, never a second lake listing.
-            self.gc_orphan_tmp_dirs(
+            _, gc_failed = self.gc_orphan_tmp_dirs(
                 self.config.gc_orphan_tmp_hours, leaves=[lf for lf, _ in leaves]
             )
         if max_concurrency <= 1:
-            return {leaf: self._compact_leaf(leaf, files) for leaf, files in leaves}
+            outcomes = {leaf: self._compact_leaf(leaf, files) for leaf, files in leaves}
+        else:
+            from concurrent.futures import ThreadPoolExecutor
 
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(max_workers=max_concurrency) as pool:
-            results = pool.map(lambda lf: self._compact_leaf(*lf), leaves)
-            return {leaf: outcome for (leaf, _), outcome in zip(leaves, results)}
+            with ThreadPoolExecutor(max_workers=max_concurrency) as pool:
+                results = pool.map(lambda lf: self._compact_leaf(*lf), leaves)
+                outcomes = {
+                    leaf: outcome for (leaf, _), outcome in zip(leaves, results)
+                }
+        if gc_failed:
+            # A reclaim failure must reach the pass outcomes (and through
+            # them main()'s exit code) — stdout-only reporting left the
+            # in-pass sweep outside the alerting contract the standalone
+            # ``gc`` subcommand honors.
+            outcomes["__gc_orphan_tmp__"] = (
+                f"gc_{len(gc_failed)}_reclaim_failed"
+            )
+        return outcomes

@@ -1006,3 +1006,62 @@ def test_direct_commit_manifest_prunes_stale_entries(spark, lake):
     )
     c.compact()
     assert c._read_manifest(leaf_uri) == {real_entry}
+
+
+def test_manifest_prune_keeps_live_above_target_output(spark, lake):
+    """Manifest pruning must compute liveness from an UNFILTERED leaf
+    listing: a prior merged output at/above the size target is dropped
+    from the candidate list by candidate_leaves (O3) but is still LIVE —
+    pruning its manifest entry would strip the prior-compaction marker
+    and re-merge it (churn) if file_size_bytes is later raised."""
+    leaf = lake / "acct1" / "source=OCP" / "year=2024" / "month=01"
+    for i in range(4):
+        write_small_parquet(leaf / f"in-{i}.parquet", start=i * 100)
+    cfg = CompactionConfig(now=NOW, direct_commit=True)
+    LakeCompactor(spark, str(lake), cfg).compact()
+    (prior,) = leaf.glob("merged-*.parquet")
+    os.utime(prior, (OLD.timestamp(), OLD.timestamp()))
+    # Two fresh tiny files; a target at exactly the prior's size excludes
+    # the prior from candidates (strict <) while keeping the tiny files.
+    write_small_parquet(leaf / "late-0.parquet", start=9000, rows=5)
+    write_small_parquet(leaf / "late-1.parquet", start=9100, rows=5)
+    assert (leaf / "late-0.parquet").stat().st_size < prior.stat().st_size
+    small_cfg = CompactionConfig(
+        now=NOW,
+        direct_commit=True,
+        target_file_size_gb=prior.stat().st_size / 2**30,
+    )
+    outcomes = LakeCompactor(spark, str(lake), small_cfg).compact()
+    assert list(outcomes.values()) == ["compacted_2_files"]
+    assert prior.exists()
+    manifest = set((leaf / "_compacted.manifest").read_text().splitlines())
+    outputs = {p.name for p in leaf.glob("merged-*.parquet")}
+    assert prior.name in manifest  # the above-target output stays marked
+    assert manifest == outputs
+
+
+def test_in_pass_gc_reclaim_failure_reaches_outcomes(spark, lake):
+    """A failed orphan-tmp reclaim during a normal compact() pass must
+    surface in the pass outcomes (and through them main()'s non-zero
+    exit), not just stdout — previously only the standalone ``gc``
+    subcommand honored the alerting contract."""
+    leaf = lake / "acct1" / "source=OCP" / "year=2024" / "month=01"
+    for i in range(3):
+        write_small_parquet(leaf / f"in-{i}.parquet", start=i * 100)
+    orphan = leaf / ("_compact_tmp_" + "9" * 32)
+    write_small_parquet(orphan / "part-0.parquet", start=0, mtime=OLD)
+    os.utime(orphan, (OLD.timestamp(), OLD.timestamp()))
+
+    c = compactor(spark, lake)
+    real_delete = c.fs.delete
+
+    def flaky_delete(path, recursive=False):
+        if orphan.name in path:
+            return False  # emulate an object-store delete denial
+        return real_delete(path, recursive=recursive)
+
+    c.fs.delete = flaky_delete
+    outcomes = c.compact()
+    assert outcomes.pop("__gc_orphan_tmp__") == "gc_1_reclaim_failed"
+    assert list(outcomes.values()) == ["compacted_3_files"]
+    assert orphan.exists()  # the litter is still there — hence the alert
