@@ -2,10 +2,12 @@
 
 Image/audio/video content is carried as opaque ``binary`` columns with
 typed metadata alongside. The Spark-side plumbing — schema, Arrow batch
-shape, ``mapInPandas`` signatures, partitioning — is real and tested; the
-actual codec step is stubbed (the decode libraries are not in this
-container) behind a deterministic fake keyed on payload bytes, with the
-real-codec entry point raising ``NotImplementedError``.
+shape, ``mapInPandas`` signatures, partitioning — is real and tested.
+Image HEADER decoding (dimensions/bit-depth/mode for PNG, JPEG, GIF) is
+real too — a pure-Python byte parse, no codec library (``decode_image``).
+Pixel decoding and non-image codecs remain the documented external-
+library seam; non-image payloads take a deterministic fake keyed on
+payload bytes so the pipeline stays SQL-oracle-expressible.
 
 The fixture lake has no binary table, so payloads are derived from
 ``documents.text`` utf-8 bytes — which also makes the fake-decode
@@ -43,20 +45,104 @@ def fake_decode_meta(payload: bytes) -> tuple[int, int, int, str]:
     return width, height, n_frames, modality
 
 
-def decode_image(payload: bytes):
-    """Real image decode — NOT IMPLEMENTED in this container (no PIL/cv2).
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_PNG_MODES = {0: "L", 2: "RGB", 3: "P", 4: "LA", 6: "RGBA"}
+_JPEG_MODES = {1: "L", 3: "RGB", 4: "CMYK"}
+# SOF0..SOF15 carry frame dimensions, EXCEPT the non-frame members of
+# the 0xC0 block: DHT (C4), JPG (C8), DAC (CC).
+_JPEG_NON_FRAME = (0xC4, 0xC8, 0xCC)
 
-    Kept as the explicit seam where a codec library plugs in; the Spark
-    plumbing around it (binary column → mapInPandas → struct metadata) is
-    exercised via :func:`fake_decode_meta`.
+
+def decode_image(payload: bytes) -> dict:
+    """Real image HEADER decode — pure Python, no codec library.
+
+    Parses the three formats whose headers are fully specified by public
+    byte layouts: PNG (8-byte magic + IHDR at offset 12: width/height as
+    big-endian u32, bit depth, color type — PNG spec §11.2.2), JPEG
+    (SOI then marker segments; the first SOF frame header carries
+    precision/height/width/components — ITU T.81 §B.2.2), and GIF
+    (``GIF87a``/``GIF89a`` + little-endian u16 logical screen size).
+
+    Returns ``{"format", "width", "height", "bit_depth", "mode"}``.
+    Raises ``ValueError`` for a recognized-but-corrupt payload (loud
+    failure, same discipline as the avro decoder) and
+    ``NotImplementedError`` for genuinely unsupported codecs — PIXEL
+    decoding (and every other format) still needs an external library;
+    this seam is where it plugs in.
     """
-    try:
-        from PIL import Image  # noqa: F401
-    except ImportError as err:
-        raise NotImplementedError(
-            "image decoding requires PIL/opencv, not available in this environment"
-        ) from err
-    raise NotImplementedError("real decode path intentionally stubbed")
+    import struct
+
+    if payload[:8] == _PNG_MAGIC:
+        if len(payload) < 26 or payload[12:16] != b"IHDR":
+            raise ValueError("corrupt PNG: IHDR chunk not at byte 12")
+        w, h, depth, color_type = struct.unpack(">IIBB", payload[16:26])
+        if not w or not h:
+            raise ValueError(f"corrupt PNG: zero dimension {w}x{h}")
+        return {
+            "format": "png",
+            "width": w,
+            "height": h,
+            "bit_depth": depth,
+            "mode": _PNG_MODES.get(color_type, f"type{color_type}"),
+        }
+    if payload[:2] == b"\xff\xd8":  # JPEG SOI
+        i = 2
+        while i + 4 <= len(payload):
+            if payload[i] != 0xFF:
+                raise ValueError(f"corrupt JPEG: expected marker at byte {i}")
+            marker = payload[i + 1]
+            if marker == 0xFF:  # fill byte padding before a marker
+                i += 1
+                continue
+            if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
+                i += 2  # standalone markers carry no length
+                continue
+            if marker == 0xD9:  # EOI before any SOF
+                break
+            (seg_len,) = struct.unpack(">H", payload[i + 2 : i + 4])
+            if 0xC0 <= marker <= 0xCF and marker not in _JPEG_NON_FRAME:
+                if i + 10 > len(payload):
+                    raise ValueError("corrupt JPEG: truncated SOF header")
+                depth, h, w, ncomp = struct.unpack(
+                    ">BHHB", payload[i + 4 : i + 10]
+                )
+                return {
+                    "format": "jpeg",
+                    "width": w,
+                    "height": h,
+                    "bit_depth": depth,
+                    "mode": _JPEG_MODES.get(ncomp, f"{ncomp}comp"),
+                }
+            i += 2 + seg_len
+        raise ValueError("corrupt JPEG: no SOF frame header before EOI")
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        if len(payload) < 10:
+            raise ValueError("corrupt GIF: truncated logical screen descriptor")
+        w, h = struct.unpack("<HH", payload[6:10])
+        return {"format": "gif", "width": w, "height": h, "bit_depth": 8, "mode": "P"}
+    raise NotImplementedError(
+        f"unsupported image format (magic {payload[:8]!r}): PNG/JPEG/GIF "
+        "headers are parsed natively; other codecs (and pixel decoding) "
+        "require an external library at this seam"
+    )
+
+
+def _blob_meta(payload: bytes) -> tuple[int, int, int, str]:
+    """Per-blob metadata: real header parse for real images, fake elsewhere.
+
+    Only the pure-binary magics (PNG ``\\x89PNG``, JPEG ``\\xff\\xd8``) are
+    auto-sniffed here: neither byte sequence can occur in utf-8 text, so
+    the fixture's text-derived payloads deterministically take the fake
+    path and stay SQL-oracle-expressible, while any genuine image blob
+    (e.g. via :func:`ingest_binary_dir`) gets its actual dimensions. GIF's
+    ASCII magic could collide with text content, so GIF decoding is
+    explicit-call only (:func:`decode_image`).
+    """
+    b = bytes(payload)
+    if b[:8] == _PNG_MAGIC or b[:2] == b"\xff\xd8":
+        m = decode_image(b)
+        return m["width"], m["height"], 1, "image"
+    return fake_decode_meta(b)
 
 
 def extract_media_meta(df: DataFrame) -> DataFrame:
@@ -64,13 +150,15 @@ def extract_media_meta(df: DataFrame) -> DataFrame:
 
     Arrow-batched: each pandas batch maps payload bytes → typed metadata
     columns. This is the canonical shape for any per-blob Python work
-    (decode, feature-extract, resize) — swap ``fake_decode_meta`` for the
-    real codec and the distributed plumbing is unchanged.
+    (decode, feature-extract, resize): PNG/JPEG payloads get a real
+    header parse (:func:`_blob_meta`), everything else the deterministic
+    fake — swap in a full codec at the same seam and the distributed
+    plumbing is unchanged.
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            metas = [fake_decode_meta(b) for b in pdf["payload"]]
+            metas = [_blob_meta(b) for b in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

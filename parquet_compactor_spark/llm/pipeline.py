@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from parquet_compactor_spark.registry import load, register
 
 from parquet_compactor_spark.llm.text import STOPWORD_REGEX as _STOPWORD_REGEX
+from parquet_compactor_spark.llm.text import broadcast_if_bounded
 
 CHUNK_TOKENS = 32
 CHUNK_STRIDE = 24  # 8-token overlap
@@ -93,8 +94,10 @@ def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, term, tfidf, rn FROM ranked WHERE rn <= 3
     """,
     doc="TF-IDF top-3 terms per document: tokenize → term/doc frequencies "
-    "(two hash aggs) → idf join (document-frequency table is vocabulary-"
-    "sized → broadcastable) → per-doc top-k window. The canonical "
+    "(two hash aggs) → idf join (document-frequency table rides the "
+    "measured broadcast guard: hint only when approx_count_distinct("
+    "term) <= 2M rows, shuffle join above — see text.py "
+    "VOCAB_BROADCAST_ROW_LIMIT) → per-doc top-k window. The canonical "
     "multi-stage text pipeline as one declarative plan.",
 )
 def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -104,7 +107,7 @@ def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_tbl = terms.distinct().groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
     n_docs = d.select(F.countDistinct("doc_id").alias("n"))
     scored = (
-        tf.join(F.broadcast(df_tbl), "term")
+        tf.join(broadcast_if_bounded(df_tbl, terms, "term"), "term")
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",
@@ -284,10 +287,12 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="BM25 relevance scoring (k1=1.2, b=0.75) of every document "
     "against a term query — the ranking function under Lucene and most "
     "retrieval-based data curation. Term frequencies and document "
-    "lengths are grouped aggregates; document-frequency idf and the "
-    "corpus stats are vocabulary-/scalar-sized and broadcast, so the "
-    "posting stream shuffles only on (doc_id). The query-term filter "
-    "prunes the posting list BEFORE the scoring join.",
+    "lengths are grouped aggregates; the document-frequency table is "
+    "pruned to the QUERY terms before its broadcast (|query| rows — "
+    "bounded by construction, no vocabulary-size assumption) and the "
+    "corpus stats are one scalar row, so the posting stream shuffles "
+    "only on (doc_id). The query-term filter prunes the posting list "
+    "BEFORE the scoring join.",
 )
 def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
@@ -314,7 +319,7 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         tf.filter(F.col("term").isin(query_terms))
-        .join(F.broadcast(df_tbl), "term")
+        .join(F.broadcast(df_tbl.filter(F.col("term").isin(query_terms))), "term")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")

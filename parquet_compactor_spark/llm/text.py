@@ -20,6 +20,34 @@ TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
 # Tiny English stopword inventory for the heuristic scorer.
 STOPWORD_REGEX = r"\b(the|a|and|of|to|in|is|it)\b"
 
+# Ceiling for hinting a vocabulary-shaped table into a broadcast. A
+# (term, count) row serializes to ~50-100 bytes, so 2M rows is a
+# ~100-200 MB broadcast — near the practical executor-memory limit. A
+# web-scale corpus's term space is OPEN-ENDED (URLs, typos, code
+# identifiers), so "vocabulary-sized" is a measured property, never an
+# assumption.
+VOCAB_BROADCAST_ROW_LIMIT = 2_000_000
+
+
+def broadcast_if_bounded(
+    small: DataFrame,
+    probe: DataFrame,
+    col: str,
+    limit: int = VOCAB_BROADCAST_ROW_LIMIT,
+) -> DataFrame:
+    """Broadcast hint gated on a MEASURED cardinality bound.
+
+    Probes ``approx_count_distinct(col)`` over ``probe`` (one extra scan,
+    partial-aggregated to a single HLL row — no shuffle, scalar driver
+    traffic only) and returns ``small`` with a broadcast hint only when
+    the distinct count fits ``limit``. Above the bound the plain frame is
+    returned and the join falls back to a shuffle (or to AQE's own
+    size-based broadcast decision) instead of OOMing every executor with
+    an unbounded vocabulary broadcast.
+    """
+    n = probe.agg(F.approx_count_distinct(col).alias("n")).first()["n"]
+    return F.broadcast(small) if n <= limit else small
+
 
 def whitespace_tokens(col: Column) -> Column:
     return F.split(col, " ", -1)
@@ -300,10 +328,13 @@ def q_char_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Perplexity-proxy quality score: per-document mean unigram "
     "log-probability under the corpus's own unigram model (rare-word-"
     "heavy or OOV-dense documents score low — the classic cheap quality "
-    "filter when a real LM is too expensive). The unigram table is "
-    "vocabulary-sized → broadcast back onto the exploded tokens; the "
-    "corpus total is a 1-row scalar crossJoin. Shuffles: vocab agg + "
-    "per-doc rollup, both partial-aggregated.",
+    "filter when a real LM is too expensive). The unigram table joins "
+    "back onto the exploded tokens behind the measured broadcast guard "
+    "(broadcast hint only when approx_count_distinct(term) <= "
+    "VOCAB_BROADCAST_ROW_LIMIT = 2M rows; above it the join falls back "
+    "to a shuffle — term space is open-ended at 100 TB); the corpus "
+    "total is a 1-row scalar crossJoin. Shuffles: vocab agg + per-doc "
+    "rollup, both partial-aggregated.",
 )
 def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
@@ -311,7 +342,7 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     freq = terms.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
     total = terms.agg(F.count(F.lit(1)).cast("double").alias("n_total"))
     return (
-        terms.join(F.broadcast(freq), "term")
+        terms.join(broadcast_if_bounded(freq, terms, "term"), "term")
         .crossJoin(F.broadcast(total))
         .groupBy("doc_id")
         .agg(

@@ -165,11 +165,91 @@ def test_ivf_multiprobe_lloyd_improves_recall(spark):
     assert multi >= 0.2
 
 
-def test_decode_image_is_explicit_stub():
+def _png_bytes(width: int, height: int, pixels: bytes | None = None) -> bytes:
+    """Build a real, spec-valid RGB PNG from scratch (no codec library)."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)  # 8-bit RGB
+    raw = pixels or b"".join(
+        b"\x00" + b"\x7f\x00\xff" * width for _ in range(height)
+    )  # filter byte 0 per scanline
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _jpeg_bytes(width: int, height: int) -> bytes:
+    """Minimal JPEG header stream: SOI + APP0 + SOF0 (enough for T.81 §B.2.2)."""
+    import struct
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + b"\x00" * 6
+    sof0 = (
+        b"\xff\xc0"
+        + struct.pack(">HBHHB", 11, 8, height, width, 3)
+        + b"\x01\x11\x00"  # one of three component specs (len covers 11 bytes)
+    )
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def test_decode_image_parses_real_headers():
+    """PNG IHDR, JPEG SOF0, and GIF screen descriptors decode without any
+    codec library; corrupt-but-recognized payloads fail loud (ValueError)
+    and unknown codecs keep the NotImplementedError seam."""
     from parquet_compactor_spark.llm.multimodal import decode_image
 
-    with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG")
+    png = decode_image(_png_bytes(1, 1))
+    assert (png["format"], png["width"], png["height"], png["bit_depth"], png["mode"]) == (
+        "png", 1, 1, 8, "RGB",
+    )
+    assert decode_image(_png_bytes(640, 480)) == {
+        "format": "png", "width": 640, "height": 480, "bit_depth": 8, "mode": "RGB",
+    }
+    jpg = decode_image(_jpeg_bytes(320, 200))
+    assert (jpg["format"], jpg["width"], jpg["height"], jpg["mode"]) == (
+        "jpeg", 320, 200, "RGB",
+    )
+    gif = decode_image(b"GIF89a" + (300).to_bytes(2, "little") + (150).to_bytes(2, "little"))
+    assert (gif["format"], gif["width"], gif["height"]) == ("gif", 300, 150)
+
+    with pytest.raises(ValueError):  # PNG magic but IHDR missing
+        decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 30)
+    with pytest.raises(ValueError):  # JPEG SOI but no SOF before EOI
+        decode_image(b"\xff\xd8\xff\xd9")
+    with pytest.raises(NotImplementedError):  # unknown codec → explicit seam
+        decode_image(b"RIFF....WEBP")
+
+
+def test_media_meta_real_images_get_real_dimensions(spark):
+    """End-to-end through the distributed mapInPandas path: a real PNG
+    payload reports its ACTUAL dimensions (decode is no longer a stub),
+    while a non-image payload still takes the deterministic fake."""
+    from parquet_compactor_spark.llm.multimodal import extract_media_meta
+
+    png = _png_bytes(17, 5)
+    text = b"just some document text"
+    df = spark.createDataFrame(
+        [(1, png), (2, text)], "doc_id bigint, payload binary"
+    )
+    rows = {r.doc_id: r for r in extract_media_meta(df).collect()}
+    assert (rows[1].width, rows[1].height, rows[1].n_frames, rows[1].modality) == (
+        17, 5, 1, "image",
+    )
+    w, h, nf, mod = fake_decode_meta(text)
+    assert (rows[2].width, rows[2].height, rows[2].n_frames, rows[2].modality) == (
+        w, h, nf, mod,
+    )
 
 
 def test_connected_components_arbitrary_topology(spark):

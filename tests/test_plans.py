@@ -552,3 +552,46 @@ def test_embed_near_dup_blocks_on_label_and_bucket(spark):
 
     (join_cond,) = re.findall(r"Join Inner, (.+)", plan)
     assert "label" in join_cond and "bucket" in join_cond, join_cond
+
+
+def test_vocab_broadcast_guard_both_branches(spark):
+    """The vocabulary joins (q_unigram_logprob / q_tfidf_topterms) hint a
+    broadcast only when a measured approx_count_distinct probe fits
+    VOCAB_BROADCAST_ROW_LIMIT; above the bound the hint is withheld so
+    the join can shuffle instead of OOMing on an open-ended term space.
+    Both branches pinned: hinted -> BroadcastHashJoin even with auto-
+    broadcast disabled; unhinted -> no broadcast under the same conf."""
+    from pyspark.sql import functions as F
+
+    from parquet_compactor_spark.llm.text import broadcast_if_bounded
+    from parquet_compactor_spark.registry import load
+
+    d = load(spark, SF_SMOKE, "documents")
+    terms = d.select("doc_id", F.explode(F.split("text", " ", -1)).alias("term"))
+    freq = terms.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        hinted = terms.join(broadcast_if_bounded(freq, terms, "term"), "term")
+        assert "BroadcastHashJoin" in (
+            hinted._jdf.queryExecution().executedPlan().toString()
+        )
+        guarded = terms.join(
+            broadcast_if_bounded(freq, terms, "term", limit=0), "term"
+        )
+        assert "BroadcastHashJoin" not in (
+            guarded._jdf.queryExecution().executedPlan().toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+
+
+def test_bm25_df_table_pruned_to_query_terms_before_broadcast(spark):
+    """q_bm25 broadcasts a |query|-rows df table (pruned before the
+    hint), never the full vocabulary: the optimized plan must carry the
+    term IN-filter on BOTH sides of the scoring join."""
+    p = props(spark, "q_bm25")
+    df = QUERIES["q_bm25"].fn(spark, SF_SMOKE)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert optimized.count("spark") >= 2  # IN-list literal on both sides
+    assert p.has_broadcast_join
