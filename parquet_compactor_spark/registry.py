@@ -162,100 +162,91 @@ def _ensure_loaded() -> None:
 # Queries listed here are yielded FIRST by all_queries(), in this order.
 # External differential harnesses that sample a prefix of the registry
 # (the driver checks the first 50 entries) therefore verify these before
-# anything else. Round 5 (exactly 50 names):
-#   1-14  the NEW round-5 queries — seven TPC-H completions
-#         (queries/tpch_final.py: Q2/Q9/Q11/Q12/Q16/Q20/Q21 shapes) plus
-#         q_gopher_rules, q_embed_dim_stats, q_event_transitions,
-#         q_chisq_independence, q_prefix_dups, q_hard_negatives, and
-#         q_winsorize — no driver row exists at all yet, so they
-#         outrank every re-verification;
-#   15-24 queries whose SOURCE or ORACLE changed this round, so their
+# anything else. Round 6 (exactly 50 names):
+#   1-11  queries whose SOURCE or ORACLE changed this round, so their
 #         existing driver rows no longer attest to the current code:
-#         the six rows-only→derived-invariant oracle conversions
-#         (q_dedup_minhash, q_dedup_simhash, q_approx_stats,
-#         q_kll_quantiles, q_heavy_hitters, q_hll_sketch_state — first
-#         hash-compare ever for each), q_hll_sketch (same advanced.py
-#         sweep), q_embed_near_dup (two-level label+sign-bucket blocking
-#         after the measured x25 quadratic, oracle rewritten to match),
-#         q_ann_ivf (broadcast-matrix centroid path) and
-#         q_kmeans_clusters (same _assign rework, plus its new unrolled
-#         Lloyd oracle — the registry's LAST rows-only query converted);
-#   25-35 the 11 remaining queries whose latest driver row is round 1
-#         (q_approx_stats, the 12th, is already in the changed set) —
-#         oldest evidence in the ledger, deferred twice, now due;
-#   36-50 15 of the 44 round-2-only greens, complex/plan-sensitive
-#         first: joins, windows, time-series, q_topk (a
-#         TakeOrderedAndProject pin whose helper family was reworked
-#         in r4).
+#         the two round-5 driver-reds rebuilt session-representation-
+#         proof (q_late_line_priority: DATE-cast datediff predicate;
+#         q_winsorize: rank-based order-statistic bounds + DECIMAL
+#         means), the proactive same-class hardenings
+#         (q_waiting_suppliers, q_date_arithmetic — interval-on-
+#         timestamp; q_equidepth_hist, q_mad_outliers — strict compares
+#         against interpolated floats), the real PNG/JPEG header decode
+#         behind the multimodal path (q_multimodal_meta,
+#         q_frame_sample), and the vocabulary-broadcast guard
+#         (q_unigram_logprob, q_tfidf_topterms, q_bm25);
+#   12-38 ALL 27 remaining queries whose latest driver row is round 2
+#         (the ledger's oldest evidence — after this round nothing is
+#         older than round 3), displaced/plan-sensitive members first;
+#   39-50 the 12 oldest round-3 rows, complex/plan-sensitive first
+#         (flagship agg, pushdown pin, broadcast join, as-of family,
+#         SCD2, session window, curation pipelines).
 # Everything not listed follows in registration order.
 #
-# Round-6 rotation plan: the 14 r2-only greens displaced by the new
-# round-5 blocks (q_sliding_window
-# q_sessionize q_gapfill_buckets q_locf_interpolate q_ewma
-# q_month_over_month q_latest_snapshot
-# q_zscore_outliers q_salted_agg q_grouped_sample
-# q_stratified_sample q_multimodal_meta q_union_dedup q_vector_norm),
-# then the 15 remaining r2-only simple-scalar queries
-# (q_bit_bool_agg q_case_bucketing q_date_arithmetic q_date_buckets
-# q_except q_intersect q_math_fns q_repetition_ratio q_string_agg
-# q_string_extract q_text_stats q_token_count q_top_bigrams
-# q_value_histogram q_whitespace_cleanup), then the oldest round-3 rows,
-# plus anything whose source changes in round 5's remaining work.
+# Round-7 rotation plan: the 32 remaining r3-latest rows
+# (q_agg_distinct q_char_trigrams q_click_conversion q_corr_covar
+# q_correlated_subquery q_cube q_cume_dist q_data_split q_domain_mix
+# q_edit_distance q_explode_outer q_grouping_sets q_hourly_topk
+# q_max_concurrency q_multiset_setops q_ohlc q_percent_of_total
+# q_percentiles q_pii_scrub q_pivot q_profile q_rate_of_change q_rollup
+# q_safe_math q_scalar_subquery q_seq_packing q_ship_priority
+# q_snapshot_delta q_stats_agg q_time_weighted_avg q_udaf_geomean
+# q_udtf_tokens), then the oldest r4 rows, plus anything whose source
+# changes in round 6's remaining work.
 _PRIORITY: tuple[str, ...] = (
-    # -- new this round (queries/tpch_final.py): first driver row ever --
-    "q_min_cost_supplier",
-    "q_product_profit",
-    "q_important_parts",
+    # -- source or oracle changed in round 6: re-verify first --
     "q_late_line_priority",
-    "q_supplier_part_count",
-    "q_promo_part_suppliers",
-    "q_waiting_suppliers",
-    "q_gopher_rules",
-    "q_embed_dim_stats",
-    "q_event_transitions",
-    "q_chisq_independence",
-    "q_prefix_dups",
-    "q_hard_negatives",
     "q_winsorize",
-    # -- source or oracle changed in round 5: re-verify first --
-    "q_dedup_minhash",
-    "q_dedup_simhash",
-    "q_approx_stats",
-    "q_kll_quantiles",
-    "q_heavy_hitters",
-    "q_hll_sketch_state",
-    "q_hll_sketch",
-    "q_embed_near_dup",
-    "q_ann_ivf",
-    "q_kmeans_clusters",
-    # -- 11 remaining round-1-only greens: oldest driver evidence --
-    "q_arg_extremes",
-    "q_cross_join",
-    "q_having",
-    "q_in_subquery",
-    "q_null_handling",
-    "q_rlike_filter",
-    "q_string_fns",
-    "q_union_all",
-    "q_unpivot",
-    "q_window_first_last",
-    "q_window_ranks",
-    # -- 15 round-2-only greens, plan-sensitive first --
-    "q_topk",
-    "q_anti_join",
-    "q_semi_join",
-    "q_full_outer_join",
-    "q_join_multiway",
-    "q_range_join",
-    "q_event_attribution",
-    "q_event_enrich",
-    "q_window_lag",
-    "q_window_ntile",
-    "q_window_range_frame",
-    "q_window_running",
-    "q_window_topn",
-    "q_running_distinct",
-    "q_tumbling_window",
+    "q_waiting_suppliers",
+    "q_date_arithmetic",
+    "q_equidepth_hist",
+    "q_mad_outliers",
+    "q_multimodal_meta",
+    "q_frame_sample",
+    "q_unigram_logprob",
+    "q_tfidf_topterms",
+    "q_bm25",
+    # -- all 27 remaining round-2-latest rows: oldest evidence --
+    "q_sliding_window",
+    "q_sessionize",
+    "q_gapfill_buckets",
+    "q_locf_interpolate",
+    "q_ewma",
+    "q_month_over_month",
+    "q_latest_snapshot",
+    "q_zscore_outliers",
+    "q_salted_agg",
+    "q_grouped_sample",
+    "q_stratified_sample",
+    "q_union_dedup",
+    "q_vector_norm",
+    "q_bit_bool_agg",
+    "q_case_bucketing",
+    "q_date_buckets",
+    "q_except",
+    "q_intersect",
+    "q_math_fns",
+    "q_repetition_ratio",
+    "q_string_agg",
+    "q_string_extract",
+    "q_text_stats",
+    "q_token_count",
+    "q_top_bigrams",
+    "q_value_histogram",
+    "q_whitespace_cleanup",
+    # -- 12 oldest round-3 rows, plan-sensitive first --
+    "q_agg_pricing",
+    "q_filter_pushdown",
+    "q_join_broadcast",
+    "q_asof_join",
+    "q_asof_nearest",
+    "q_null_safe_join",
+    "q_outer_join",
+    "q_scd2",
+    "q_session_window",
+    "q_contamination",
+    "q_corpus_prep",
+    "q_semantic_dedup",
 )
 
 
