@@ -28,10 +28,11 @@ construction). The embedded writer schema of the FIRST listed file
 defines the session schema; files written with a different schema fail
 loudly at decode, never silently coerce.
 
-A driver-side writer (``write_avro_records``) exists for fixtures and
-small sidecar exports only — it is deliberately not wired into
-write_table, which would hide a non-distributed path behind a
-distributed-looking API.
+Writes: a driver-side writer (``write_avro_records``) exists for
+fixtures and small sidecar exports; the DISTRIBUTED write path is
+``avro_sink.py`` — a two-phase-commit Python DataSource sink reusing
+this module's binary encoder, wired into ``write_table(fmt="avro")``
+as the no-classpath fallback.
 """
 
 from __future__ import annotations
@@ -442,7 +443,8 @@ def read_avro_fallback(spark, path: str, **options: str):
 
 
 # --------------------------------------------------------------------------
-# driver-side writer (fixtures / small sidecars ONLY — not distributed)
+# binary encoder + driver-side fixture writer (the DISTRIBUTED write
+# path is avro_sink.py, which reuses _encode/_write_* from here)
 # --------------------------------------------------------------------------
 
 

@@ -1,6 +1,9 @@
 """Format-agnostic table IO (parquet / csv / json / orc / text / xml /
-avro) with sizing knobs. Avro needs the external spark-avro package and
-fails with an actionable ImportError when it is absent.
+avro) with sizing knobs. Avro prefers the external spark-avro package;
+when it is absent BOTH directions fall back to the pure-Python
+distributed paths (``avro_fallback.py`` read, ``avro_sink.py``
+two-phase-commit write) — the only fallback gaps are partitionBy on
+write and snappy (downgraded to deflate, declared in the metadata).
 
 The reference reads and writes only snappy parquet
 (parquet_compactor.py:158-171); this module generalizes the same
@@ -144,7 +147,28 @@ def write_table(
         writer = writer.partitionBy(*partition_by)
     try:
         writer.options(**options).save(path)
-    except Exception as err:  # pragma: no cover - depends on classpath
+    except Exception as err:
+        if fmt == "avro" and "Failed to find data source" in str(err):
+            # No spark-avro on the classpath: fall back to the pure-Python
+            # two-phase-commit DataSource sink (distributed — one container
+            # file per partition, executor-side encode; avro_sink.py).
+            if partition_by:
+                raise NotImplementedError(
+                    "avro fallback sink has no partitionBy — add spark-avro "
+                    "or write partitioned parquet/orc"
+                ) from err
+            from parquet_compactor_spark.sources.avro_sink import (
+                write_avro_fallback,
+            )
+
+            # snappy needs python-snappy (absent here); deflate is the
+            # pure-Python codec and is DECLARED in the container metadata,
+            # so any avro reader handles the output.
+            codec = {"snappy": "deflate", "none": "null", "uncompressed": "null"}.get(
+                compression, compression
+            )
+            write_avro_fallback(df, path, mode=mode, codec=codec)
+            return
         _raise_if_missing_source(err, fmt)
 
 

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import datetime
 import math
 
 import pytest
@@ -49,20 +50,19 @@ def test_roundtrip_xml(spark, tmp_path):
     )
 
 
-def test_roundtrip_avro_or_clean_import_error(spark, tmp_path):
-    """Avro WRITES ride the external spark-avro package: a classpath that
-    has it round-trips; one that doesn't gets an actionable ImportError
-    (never a raw planner stack trace). Reads no longer gate — see the
-    fallback tests below."""
+def test_roundtrip_avro(spark, tmp_path):
+    """Avro round-trips through write_table/read_table on ANY classpath:
+    with spark-avro those are the package's paths; without it the write
+    falls back to the two-phase-commit Python sink (avro_sink.py) and
+    the read to the pure-Python distributed decoder — either way the
+    caller sees the same declarative API and the same rows back."""
     df = load(spark, SF_SMOKE, "nation").select("n_nationkey", "n_name")
     path = str(tmp_path / "avro")
-    try:
-        write_table(df, path, fmt="avro")
-    except ImportError as e:
-        assert "spark-avro" in str(e)
-        pytest.skip("spark-avro package not on the classpath")
+    write_table(df, path, fmt="avro")
     back = read_table(spark, path, fmt="avro")
-    assert back.count() == df.count()
+    assert sorted((r.n_nationkey, r.n_name) for r in back.collect()) == sorted(
+        (r.n_nationkey, r.n_name) for r in df.collect()
+    )
 
 
 _AVRO_SCHEMA = {
@@ -682,6 +682,161 @@ def test_jsonl_stream_sink_commits_per_epoch(spark, tmp_path):
         rows += [json.loads(line) for line in p.read_text().splitlines()]
     assert len(rows) == len({r["event_id"] for r in rows})  # no duplicates
     assert len(rows) > 0
+
+
+def test_avro_sink_distributed_typed_roundtrip(spark, tmp_path):
+    """The avro fallback SINK: one container file per partition, committed
+    two-phase (tmp → rename + _SUCCESS), and a full-fidelity round trip
+    through the fallback reader across the supported type surface —
+    nullable primitives, date/timestamp logical types, binary, arrays,
+    string-keyed maps, and nested structs."""
+    from pyspark.sql import Row
+
+    from parquet_compactor_spark.sources.avro_sink import write_avro_fallback
+
+    df = spark.createDataFrame(
+        [
+            Row(
+                id=i,
+                name=None if i % 7 == 0 else f"doc-{i}",
+                score=i * 0.25,
+                flag=i % 2 == 0,
+                d=datetime.date(2024, 1, 1 + i % 28),
+                ts=datetime.datetime(2024, 1, 1, 0, 0, 0) + datetime.timedelta(seconds=i),
+                blob=bytes([i % 256, (i * 3) % 256]),
+                tags=[f"t{i % 3}", f"t{i % 5}"],
+                attrs={"a": i, "b": i * 2},
+                sub=Row(x=i, y=None if i % 5 == 0 else float(i)),
+            )
+            for i in range(200)
+        ]
+    )
+    out = str(tmp_path / "sink")
+    write_avro_fallback(df.repartition(4), out, mode="append")
+
+    names = sorted(p.name for p in (tmp_path / "sink").iterdir())
+    assert "_SUCCESS" in names
+    assert not [n for n in names if n.endswith(".tmp")]
+    assert len([n for n in names if n.endswith(".avro")]) == 4  # one per task
+
+    back = read_table(spark, out, fmt="avro")
+    assert back.schema == df.schema
+    got = {r.id: r for r in back.collect()}
+    for r in df.collect():
+        b = got[r.id]
+        assert (b.name, b.score, b.flag, b.d, b.ts) == (r.name, r.score, r.flag, r.d, r.ts)
+        assert bytes(b.blob) == bytes(r.blob)
+        assert (b.tags, b.attrs, b.sub) == (r.tags, r.attrs, r.sub)
+
+
+def test_avro_sink_overwrite_and_litter_sweep(spark, tmp_path):
+    """Overwrite replaces the prior commit and sweeps STALE crashed-job
+    .tmp litter, age-gated so a concurrent live job's fresh staging
+    survives — the jsonl sink's protocol, byte format swapped."""
+    import os as _os
+    import time as _time
+
+    from parquet_compactor_spark.sources.avro_sink import write_avro_fallback
+
+    df = load(spark, SF_SMOKE, "nation").select("n_nationkey", "n_name")
+    out = str(tmp_path / "sink")
+    write_avro_fallback(df.repartition(3), out, mode="append")
+    # Staged names are _-prefixed, so even while present they are
+    # invisible to every Spark file listing (readers never see them).
+    stale = tmp_path / "sink" / "_part-deadbeef.avro.tmp"
+    stale.write_bytes(b"junk")
+    old_ts = _time.time() - 7200
+    _os.utime(stale, (old_ts, old_ts))
+    fresh = tmp_path / "sink" / "_part-cafebabe.avro.tmp"
+    fresh.write_bytes(b"junk")
+
+    write_avro_fallback(df.limit(3).repartition(1), out, mode="overwrite")
+    files = [p for p in (tmp_path / "sink").iterdir() if p.name.endswith(".avro")]
+    assert len(files) == 1
+    assert read_table(spark, out, fmt="avro").count() == 3
+    assert not stale.exists()
+    assert fresh.exists()  # possibly a live concurrent job's staging
+    fresh.unlink()
+
+
+def test_avro_sink_abort_leaves_no_committed_files(spark, tmp_path):
+    """A failing task aborts the job: no .avro output, no _SUCCESS."""
+    from parquet_compactor_spark.sources.avro_sink import register
+
+    register(spark)
+    out = str(tmp_path / "sink")
+
+    @F.udf("int")
+    def boom(x):
+        raise RuntimeError("injected task failure")
+
+    df = load(spark, SF_SMOKE, "nation").select(
+        "n_nationkey", F.col("n_name").alias("name")
+    ).withColumn("b", boom("n_nationkey"))
+    with pytest.raises(Exception):
+        df.write.format("avrosink").mode("append").save(out)
+    leftover = (
+        sorted(p.name for p in (tmp_path / "sink").iterdir())
+        if (tmp_path / "sink").exists()
+        else []
+    )
+    assert "_SUCCESS" not in leftover
+    assert not [n for n in leftover if n.endswith(".avro")]
+
+
+def test_avro_sink_refuses_decimal_at_plan_time(spark, tmp_path):
+    """Unsupported schemas fail on the DRIVER before any task launches
+    (the fallback reader has no decimal logical type)."""
+    from parquet_compactor_spark.sources.avro_sink import register
+
+    register(spark)
+    df = spark.sql("SELECT CAST(1.5 AS DECIMAL(10,2)) AS amount")
+    with pytest.raises(Exception, match="(?i)decimal"):
+        df.write.format("avrosink").mode("append").save(str(tmp_path / "sink"))
+
+
+def test_avro_sink_partitionby_refused_actionably(spark, tmp_path):
+    from parquet_compactor_spark.sources.io import write_table as _wt
+
+    df = load(spark, SF_SMOKE, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    try:
+        _wt(df, str(tmp_path / "p"), fmt="avro", partition_by=["n_regionkey"])
+    except NotImplementedError as e:
+        assert "partitionBy" in str(e)
+    else:
+        pytest.skip("spark-avro present: package path handles partitionBy")
+
+
+def test_avro_stream_sink_commits_per_epoch(spark, tmp_path):
+    """writeStream through the avro fallback sink: epoch-tagged commits,
+    no .tmp survivors, decodable output with no duplicate events."""
+    from parquet_compactor_spark.sources.avro_sink import register
+    from parquet_compactor_spark.sources.eventgen import EventGenDataSource
+
+    spark.dataSource.register(EventGenDataSource)
+    register(spark)
+    out = tmp_path / "stream_sink"
+    q = (
+        spark.readStream.format("eventgen")
+        .option("rowsPerBatch", "50")
+        .load()
+        .writeStream.format("avrosink")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    names = sorted(p.name for p in out.iterdir())
+    assert not [n for n in names if n.endswith(".tmp")]
+    committed = [n for n in names if n.endswith(".avro")]
+    assert committed and all(n.startswith("batch-") for n in committed)
+    from parquet_compactor_spark.sources.avro_fallback import iter_file_records
+
+    rows = []
+    for p in out.glob("*.avro"):
+        rows += list(iter_file_records(p.read_bytes()))
+    assert rows and len(rows) == len({r["event_id"] for r in rows})
 
 
 def test_avro_fallback_sniff_matches_binaryfile_file_set(spark, tmp_path):
