@@ -392,7 +392,7 @@ def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_large_orders",
     oracle="""
     SELECT c.c_name, c.c_custkey, o.o_orderkey,
-           o.o_orderdate,
+           CAST(o.o_orderdate AS DATE) AS o_orderdate,
            ROUND(o.o_totalprice, 2) AS o_totalprice,
            ROUND(SUM(l.l_quantity), 2) AS total_qty
     FROM customer c
@@ -401,7 +401,7 @@ def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem
                            GROUP BY l_orderkey
                            HAVING SUM(l_quantity) > 300)
-    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, CAST(o.o_orderdate AS DATE),
              ROUND(o.o_totalprice, 2)
     ORDER BY o_totalprice DESC, o.o_orderkey
     LIMIT 100
@@ -431,7 +431,13 @@ def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_name",
             "c_custkey",
             "o_orderkey",
-            "o_orderdate",
+            # DATE, not bare TIMESTAMP: a raw timestamp output column
+            # renders session-dependently once an LTZ-inferring harness
+            # collects it (wall clock preserved by load(), but the
+            # rendered instant shifts); the date part is the
+            # representation-proof form. Same convention as
+            # q_late_line_priority.
+            F.to_date("o_orderdate").alias("o_orderdate"),
             F.round("o_totalprice", 2).alias("o_totalprice"),
         )
         .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))

@@ -104,20 +104,50 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     Spark re-reads it at execution time, so restoring it between
     ``spark.read`` and the action would break the lazy read.
     """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
     path = f"{sf_dir}/{table}.parquet"
     if table == "events" and _parquet_ts_unit(path, "ts") == "timestamp[ns]":
         # Works on any caller-provided SparkSession (the driver builds its
         # own): enable nanos-as-long at runtime before reading.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
+    # Session-proof the naive timestamps: whether the caller's session
+    # infers them as NTZ (Spark 4 default) or LTZ (inferTimestampNTZ
+    # disabled — which would reinterpret the stored micros as UTC
+    # instants and SHIFT every wall clock by the session zone), force
+    # the read to NTZ via an explicit schema, then cast to plain
+    # TIMESTAMP. The NTZ→TIMESTAMP cast is wall-clock-preserving in the
+    # session zone, so every downstream wall-clock operation
+    # (date_trunc/date_format/string-literal compares) sees exactly the
+    # values DuckDB's naive read sees, under ANY session confs.
+    ts_fields = [
+        f.name
+        for f in df.schema
+        if isinstance(f.dataType, (T.TimestampType, T.TimestampNTZType))
+    ]
+    if ts_fields:
+        forced = T.StructType(
+            [
+                T.StructField(
+                    f.name,
+                    T.TimestampNTZType()
+                    if isinstance(f.dataType, (T.TimestampType, T.TimestampNTZType))
+                    else f.dataType,
+                    f.nullable,
+                )
+                for f in df.schema
+            ]
+        )
+        df = spark.read.schema(forced).parquet(path)
+        df = df.withColumns(
+            {name: F.col(name).cast("timestamp") for name in ts_fields}
+        )
     if table == "events":
-        from pyspark.sql import functions as F
-
         ts_type = dict(df.dtypes).get("ts")
         if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        elif ts_type == "timestamp_ntz":
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
@@ -163,27 +193,34 @@ def _ensure_loaded() -> None:
 # External differential harnesses that sample a prefix of the registry
 # (the driver checks the first 50 entries) therefore verify these before
 # anything else. Round 6 (exactly 50 names):
-#   1-11  queries whose SOURCE or ORACLE changed this round, so their
-#         existing driver rows no longer attest to the current code:
+#   1-14  queries NEW or whose SOURCE or ORACLE changed this round, so
+#         any existing driver row no longer attests to the current
+#         code: q_doc_chunks (new sliding-window chunking operator);
 #         the two round-5 driver-reds rebuilt session-representation-
 #         proof (q_late_line_priority: DATE-cast datediff predicate;
 #         q_winsorize: rank-based order-statistic bounds + DECIMAL
-#         means), the proactive same-class hardenings
-#         (q_waiting_suppliers, q_date_arithmetic — interval-on-
-#         timestamp; q_equidepth_hist, q_mad_outliers — strict compares
-#         against interpolated floats), the real PNG/JPEG header decode
-#         behind the multimodal path (q_multimodal_meta,
-#         q_frame_sample), and the vocabulary-broadcast guard
-#         (q_unigram_logprob, q_tfidf_topterms, q_bm25);
-#   12-38 ALL 27 remaining queries whose latest driver row is round 2
+#         means); the two hostile-session-sweep finds hardened the
+#         same way (q_large_orders → DATE output, q_event_attribution
+#         → wall-clock string output — bare TIMESTAMP output columns
+#         render session-dependently under an LTZ-inferring harness);
+#         the proactive same-class hardenings (q_waiting_suppliers,
+#         q_date_arithmetic — interval-on-timestamp; q_equidepth_hist,
+#         q_mad_outliers — strict compares against interpolated
+#         floats); the real PNG/JPEG header decode behind the
+#         multimodal path (q_multimodal_meta, q_frame_sample); and the
+#         vocabulary-broadcast guard (q_unigram_logprob,
+#         q_tfidf_topterms, q_bm25);
+#   15-41 ALL 27 remaining queries whose latest driver row is round 2
 #         (the ledger's oldest evidence — after this round nothing is
 #         older than round 3), displaced/plan-sensitive members first;
-#   39-50 the 12 oldest round-3 rows, complex/plan-sensitive first
+#   42-50 the 9 oldest round-3 rows, complex/plan-sensitive first
 #         (flagship agg, pushdown pin, broadcast join, as-of family,
-#         SCD2, session window, curation pipelines).
+#         SCD2, session window).
 # Everything not listed follows in registration order.
 #
-# Round-7 rotation plan: the 32 remaining r3-latest rows
+# Round-7 rotation plan: q_contamination q_corpus_prep q_semantic_dedup
+# (displaced from round 6 by the three source/output changes above),
+# then the 32 remaining r3-latest rows
 # (q_agg_distinct q_char_trigrams q_click_conversion q_corr_covar
 # q_correlated_subquery q_cube q_cume_dist q_data_split q_domain_mix
 # q_edit_distance q_explode_outer q_grouping_sets q_hourly_topk
@@ -192,9 +229,12 @@ def _ensure_loaded() -> None:
 # q_safe_math q_scalar_subquery q_seq_packing q_ship_priority
 # q_snapshot_delta q_stats_agg q_time_weighted_avg q_udaf_geomean
 # q_udtf_tokens), then the oldest r4 rows, plus anything whose source
-# changes in round 6's remaining work.
+# changes in round 7's work.
 _PRIORITY: tuple[str, ...] = (
     # -- source or oracle changed in round 6: re-verify first --
+    "q_doc_chunks",  # NEW in r6 (no driver row yet): sliding-window chunking
+    "q_large_orders",  # output hardened: DATE instead of bare TIMESTAMP
+    "q_event_attribution",  # output hardened: wall-clock string timestamp
     "q_late_line_priority",
     "q_winsorize",
     "q_waiting_suppliers",
@@ -244,9 +284,8 @@ _PRIORITY: tuple[str, ...] = (
     "q_outer_join",
     "q_scd2",
     "q_session_window",
-    "q_contamination",
-    "q_corpus_prep",
-    "q_semantic_dedup",
+    # (q_contamination, q_corpus_prep, q_semantic_dedup displaced to the
+    # round-7 rotation by the three round-6 source/output changes above.)
 )
 
 

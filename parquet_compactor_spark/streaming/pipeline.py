@@ -446,7 +446,7 @@ def attribute_purchases_batch(events: DataFrame) -> DataFrame:
     SELECT p.user_id,
            c.event_id            AS click_id,
            p.event_id            AS purchase_id,
-           p.ts                  AS purchase_ts,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
            ROUND(p.value, 2)     AS purchase_value
     FROM events c JOIN events p
       ON p.user_id = c.user_id
@@ -457,10 +457,16 @@ def attribute_purchases_batch(events: DataFrame) -> DataFrame:
     "batch twin (and oracle carrier) of the stream-stream interval join "
     "attribute_purchases_stream. Equi-join on user_id carries the "
     "shuffle; the time interval is a post-join filter, so no O(n^2) "
-    "theta-join blowup.",
+    "theta-join blowup. The oracle-facing output formats purchase_ts as "
+    "a wall-clock string (date_format renders in the session zone, "
+    "which load()'s NTZ-forcing made wall-clock-true under any session "
+    "confs) — a bare TIMESTAMP output column would render "
+    "session-dependently once an LTZ-inferring harness collects it.",
 )
 def q_event_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return attribute_purchases_batch(load(spark, sf_dir, "events"))
+    return attribute_purchases_batch(load(spark, sf_dir, "events")).withColumn(
+        "purchase_ts", F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+    )
 
 
 def sliding_event_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:

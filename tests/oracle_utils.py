@@ -40,8 +40,10 @@ def _canon_cell(v) -> str:
                 return "-0"
             return str(int(r))
         return repr(r)
-    if isinstance(v, (datetime, date)):
+    if isinstance(v, datetime):  # before date: datetime subclasses date
         return v.isoformat(sep=" ")
+    if isinstance(v, date):
+        return v.isoformat()
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(_canon_cell(x) for x in v) + "]"
     if isinstance(v, bytes):

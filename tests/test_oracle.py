@@ -364,7 +364,11 @@ def test_former_driver_reds_survive_hostile_session(spark):
         for k, v in hostile.items():
             spark.conf.set(k, v)
         for name in ("q_late_line_priority", "q_winsorize", "q_waiting_suppliers",
-                     "q_date_arithmetic", "q_equidepth_hist", "q_mad_outliers"):
+                     "q_date_arithmetic", "q_equidepth_hist", "q_mad_outliers",
+                     # round-6 hostile-sweep finds: bare TIMESTAMP output
+                     # columns render session-dependently on collect —
+                     # hardened to DATE / wall-clock-string outputs.
+                     "q_large_orders", "q_event_attribution"):
             q = QUERIES[name]
             compare_to_oracle(q.fn(spark, SF_SMOKE), q.oracle, SF_SMOKE)
     finally:
