@@ -540,71 +540,3 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-
-#: RAG / pretraining chunking window: tokens per chunk and stride
-#: (CHUNK - STRIDE tokens of overlap between consecutive chunks).
-CHUNK_TOKENS = 32
-CHUNK_STRIDE = 24
-
-
-@register(
-    "q_doc_chunks",
-    oracle=f"""
-    WITH toks AS (
-        SELECT doc_id, string_split(text, ' ') AS t,
-               len(string_split(text, ' ')) AS n
-        FROM documents
-    )
-    SELECT doc_id, i AS chunk_id,
-           array_to_string(
-               list_slice(t, i*{CHUNK_STRIDE}+1,
-                          least(i*{CHUNK_STRIDE}+{CHUNK_TOKENS}, n)), ' '
-           ) AS chunk_text,
-           least({CHUNK_TOKENS}, n - i*{CHUNK_STRIDE}) AS n_chunk_tok
-    FROM toks, LATERAL (
-        SELECT unnest(generate_series(0,
-            CASE WHEN n <= {CHUNK_TOKENS} THEN 0
-                 ELSE (n - {CHUNK_TOKENS} + {CHUNK_STRIDE} - 1) // {CHUNK_STRIDE}
-            END)) AS i
-    ) g
-    """,
-    doc="Sliding-window document chunking (RAG indexing / long-doc "
-    "pretraining prep): each document becomes ceil((n-CHUNK)/STRIDE)+1 "
-    "overlapping chunks of CHUNK_TOKENS whitespace tokens advancing by "
-    "CHUNK_STRIDE, the final chunk truncated at the document end and "
-    "short documents passing through as one chunk. Chunk counts are "
-    "derived with pure integer arithmetic (div/least — no float ceil to "
-    "drift between engines) and the text is re-materialized via "
-    "slice+array_join, all JVM-side higher-order expressions. The plan "
-    "is MAP-ONLY — split, sequence-explode, slice; zero shuffles, zero "
-    "Python — so at 100 TB it pipelines with the parquet scan and "
-    "parallelism is purely input-split-bound; output size is "
-    "~(1 + overlap/stride)x input, the expected chunking amplification.",
-)
-def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id",
-        F.split("text", " ", -1).alias("t"),
-        F.size(F.split("text", " ", -1)).alias("n"),
-    )
-    last_chunk = F.when(
-        F.col("n") <= CHUNK_TOKENS, F.lit(0)
-    ).otherwise(
-        F.expr(f"(n - {CHUNK_TOKENS} + {CHUNK_STRIDE} - 1) div {CHUNK_STRIDE}")
-    )
-    exploded = toks.select(
-        "doc_id",
-        "t",
-        "n",
-        F.explode(F.sequence(F.lit(0), last_chunk)).alias("chunk_id"),
-    )
-    start = F.col("chunk_id") * CHUNK_STRIDE
-    return exploded.select(
-        "doc_id",
-        "chunk_id",
-        F.array_join(F.slice(F.col("t"), start + 1, F.lit(CHUNK_TOKENS)), " ").alias(
-            "chunk_text"
-        ),
-        F.least(F.lit(CHUNK_TOKENS), F.col("n") - start).alias("n_chunk_tok"),
-    )

@@ -16,6 +16,7 @@ arithmetic SQL-expressible, so even the pandas-UDF path is oracle-checked.
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -70,8 +71,6 @@ def decode_image(payload: bytes) -> dict:
     decoding (and every other format) still needs an external library;
     this seam is where it plugs in.
     """
-    import struct
-
     if payload[:8] == _PNG_MAGIC:
         if len(payload) < 26 or payload[12:16] != b"IHDR":
             raise ValueError("corrupt PNG: IHDR chunk not at byte 12")
@@ -137,10 +136,20 @@ def _blob_meta(payload: bytes) -> tuple[int, int, int, str]:
     (e.g. via :func:`ingest_binary_dir`) gets its actual dimensions. GIF's
     ASCII magic could collide with text content, so GIF decoding is
     explicit-call only (:func:`decode_image`).
+
+    A magic match is a HINT, not proof: arbitrary binary (audio, video,
+    truncated uploads) hits the two-byte JPEG magic at ~1/65536, which
+    is a certainty across a real lake. A failed parse therefore degrades
+    to the fake-meta path instead of propagating — one corrupt blob must
+    never abort a whole extract job; :func:`decode_image` stays strict
+    for callers that want the loud failure.
     """
     b = bytes(payload)
     if b[:8] == _PNG_MAGIC or b[:2] == b"\xff\xd8":
-        m = decode_image(b)
+        try:
+            m = decode_image(b)
+        except (ValueError, NotImplementedError, struct.error):
+            return fake_decode_meta(b)
         return m["width"], m["height"], 1, "image"
     return fake_decode_meta(b)
 

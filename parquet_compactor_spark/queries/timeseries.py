@@ -730,23 +730,38 @@ def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_mad_outliers",
     oracle="""
-    WITH med AS (
-        SELECT event_type, median(value) AS med
-        FROM events GROUP BY event_type
+    WITH ranked AS (
+        SELECT event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+               COUNT(*)   OVER (PARTITION BY event_type) AS cnt
+        FROM events
+    ),
+    med AS (
+        SELECT event_type, SUM(value) / COUNT(*) AS med
+        FROM ranked WHERE rn IN ((cnt + 1) // 2, (cnt + 2) // 2)
+        GROUP BY event_type
     ),
     dev AS (
         SELECT e.event_type, e.value, m.med,
                abs(e.value - m.med) AS adev
         FROM events e JOIN med m USING (event_type)
     ),
+    dev_ranked AS (
+        SELECT event_type, adev,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY adev) AS rn,
+               COUNT(*)   OVER (PARTITION BY event_type) AS cnt
+        FROM dev
+    ),
     mad AS (
-        SELECT event_type, median(adev) AS mad FROM dev GROUP BY event_type
+        SELECT event_type, SUM(adev) / COUNT(*) AS mad
+        FROM dev_ranked WHERE rn IN ((cnt + 1) // 2, (cnt + 2) // 2)
+        GROUP BY event_type
     )
     SELECT d.event_type,
            ROUND(MAX(d.med), 4) AS med,
            ROUND(MAX(m.mad), 4) AS mad,
            COUNT(*) AS n,
-           CAST(SUM(CASE WHEN ROUND(d.adev, 6) > ROUND(3 * 1.4826 * m.mad, 6)
+           CAST(SUM(CASE WHEN d.adev > 3 * 1.4826 * m.mad
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
     FROM dev d JOIN mad m USING (event_type)
     GROUP BY d.event_type
@@ -757,21 +772,40 @@ def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     "breakdown-point-0.5 alternative to q_zscore_outliers (mean/stddev "
     "are dragged by the very outliers they're meant to find; the "
     "median isn't). Same two-pass + broadcast-join shape as zscore, so "
-    "the fact table never re-shuffles. The outlier cut rounds both "
-    "sides to 6dp first: adev is exactly 3-decimal (2dp data, median "
-    "on a 0.005 grid) and the threshold 3*1.4826*mad exactly 6-decimal, "
-    "so a last-ulp median-interpolation difference between engines "
-    "cannot flip the strict compare.",
+    "the fact table never re-shuffles. Both medians are RANK-BASED "
+    "order statistics, not engine median() calls: each engine picks the "
+    "two middle elements by row_number and averages them with the same "
+    "two IEEE ops (sum of two doubles, divide by two), so med, adev, "
+    "mad, and the 3*1.4826*mad threshold are all BIT-identical across "
+    "engines and the strict outlier compare needs no rounding grid at "
+    "all (an engine median() may interpolate as a+(b-a)/2 vs (a+b)/2 — "
+    "a last-ulp difference that a 6dp round can still land on a tie; "
+    "the q_winsorize convention, taken to its conclusion).",
 )
 def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
-    med = e.groupBy("event_type").agg(F.median("value").alias("med"))
+
+    def _rank_median(df: DataFrame, col: str, alias: str) -> DataFrame:
+        # sort_array(collect_list(...)), not a row_number window: the
+        # exact median inherently buffers the group's values (engine
+        # median() does too), but a window would additionally pull EVERY
+        # fact row through one task per group. Middle elements averaged
+        # with the same two IEEE ops as the oracle's SUM-of-two/2.
+        grouped = df.groupBy("event_type").agg(
+            F.sort_array(F.collect_list(col)).alias("s"),
+            F.count(col).alias("cnt"),
+        )
+        lo = F.element_at("s", F.expr("int((cnt + 1) div 2)"))
+        hi = F.element_at("s", F.expr("int((cnt + 2) div 2)"))
+        return grouped.select("event_type", ((lo + hi) / 2).alias(alias))
+
+    med = _rank_median(e, "value", "med")
     dev = e.join(F.broadcast(med), "event_type").select(
         "event_type",
         "med",
         F.abs(F.col("value") - F.col("med")).alias("adev"),
     )
-    mad = dev.groupBy("event_type").agg(F.median("adev").alias("mad"))
+    mad = _rank_median(dev, "adev", "mad")
     return (
         dev.join(F.broadcast(mad), "event_type")
         .groupBy("event_type")
@@ -779,12 +813,7 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("med"), 4).alias("med"),
             F.round(F.max("mad"), 4).alias("mad"),
             F.count(F.lit(1)).alias("n"),
-            F.sum(
-                (
-                    F.round(F.col("adev"), 6)
-                    > F.round(3 * 1.4826 * F.col("mad"), 6)
-                ).cast("int")
-            )
+            F.sum((F.col("adev") > 3 * 1.4826 * F.col("mad")).cast("int"))
             .cast("bigint")
             .alias("n_outliers"),
         )

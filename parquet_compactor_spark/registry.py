@@ -108,11 +108,23 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     from pyspark.sql import types as T
 
     path = f"{sf_dir}/{table}.parquet"
-    if table == "events" and _parquet_ts_unit(path, "ts") == "timestamp[ns]":
-        # Works on any caller-provided SparkSession (the driver builds its
-        # own): enable nanos-as-long at runtime before reading.
+    unit = _parquet_ts_unit(path, "ts") if table == "events" else None
+    if unit is not None and unit.startswith("timestamp[ns"):
+        # startswith, not equality: an isAdjustedToUTC nanos column reads
+        # as "timestamp[ns, tz=UTC]". Works on any caller-provided
+        # SparkSession (the driver builds its own): enable nanos-as-long
+        # at runtime before reading.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
+    try:
+        df = spark.read.parquet(path)
+    except Exception as err:
+        if table == "events" and "NANOS" in str(err):
+            # Fallback when the metadata peek couldn't run (no pyarrow):
+            # Spark's own schema resolution names the illegal NANOS type.
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = spark.read.parquet(path)
+        else:
+            raise
     # Session-proof the naive timestamps: whether the caller's session
     # infers them as NTZ (Spark 4 default) or LTZ (inferTimestampNTZ
     # disabled — which would reinterpret the stored micros as UTC
@@ -122,6 +134,14 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     # session zone, so every downstream wall-clock operation
     # (date_trunc/date_format/string-literal compares) sees exactly the
     # values DuckDB's naive read sees, under ANY session confs.
+    # Known residual: a wall clock that falls INSIDE a session-zone DST
+    # gap (midnight-transition zones — America/Havana, America/Santiago)
+    # has no LTZ representation and shifts forward by the gap (00:00 →
+    # 01:00). The shift never crosses a day boundary backward, so DATE
+    # parts survive — which is why oracle-bearing outputs render dates
+    # or DATE-derived strings, never raw time-of-day from the date-
+    # valued TPC-H columns (pinned by the output-schema sweep in
+    # tests/test_oracle.py).
     ts_fields = [
         f.name
         for f in df.schema
@@ -193,9 +213,8 @@ def _ensure_loaded() -> None:
 # External differential harnesses that sample a prefix of the registry
 # (the driver checks the first 50 entries) therefore verify these before
 # anything else. Round 6 (exactly 50 names):
-#   1-14  queries NEW or whose SOURCE or ORACLE changed this round, so
-#         any existing driver row no longer attests to the current
-#         code: q_doc_chunks (new sliding-window chunking operator);
+#   1-13  queries whose SOURCE or ORACLE changed this round, so any
+#         existing driver row no longer attests to the current code:
 #         the two round-5 driver-reds rebuilt session-representation-
 #         proof (q_late_line_priority: DATE-cast datediff predicate;
 #         q_winsorize: rank-based order-statistic bounds + DECIMAL
@@ -210,17 +229,17 @@ def _ensure_loaded() -> None:
 #         multimodal path (q_multimodal_meta, q_frame_sample); and the
 #         vocabulary-broadcast guard (q_unigram_logprob,
 #         q_tfidf_topterms, q_bm25);
-#   15-41 ALL 27 remaining queries whose latest driver row is round 2
+#   14-40 ALL 27 remaining queries whose latest driver row is round 2
 #         (the ledger's oldest evidence — after this round nothing is
 #         older than round 3), displaced/plan-sensitive members first;
-#   42-50 the 9 oldest round-3 rows, complex/plan-sensitive first
+#   41-50 the 10 oldest round-3 rows, complex/plan-sensitive first
 #         (flagship agg, pushdown pin, broadcast join, as-of family,
-#         SCD2, session window).
+#         SCD2, session window, contamination).
 # Everything not listed follows in registration order.
 #
-# Round-7 rotation plan: q_contamination q_corpus_prep q_semantic_dedup
-# (displaced from round 6 by the three source/output changes above),
-# then the 32 remaining r3-latest rows
+# Round-7 rotation plan: q_corpus_prep q_semantic_dedup (displaced from
+# round 6 by the two output hardenings above), then the 32 remaining
+# r3-latest rows
 # (q_agg_distinct q_char_trigrams q_click_conversion q_corr_covar
 # q_correlated_subquery q_cube q_cume_dist q_data_split q_domain_mix
 # q_edit_distance q_explode_outer q_grouping_sets q_hourly_topk
@@ -232,7 +251,6 @@ def _ensure_loaded() -> None:
 # changes in round 7's work.
 _PRIORITY: tuple[str, ...] = (
     # -- source or oracle changed in round 6: re-verify first --
-    "q_doc_chunks",  # NEW in r6 (no driver row yet): sliding-window chunking
     "q_large_orders",  # output hardened: DATE instead of bare TIMESTAMP
     "q_event_attribution",  # output hardened: wall-clock string timestamp
     "q_late_line_priority",
@@ -274,7 +292,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_top_bigrams",
     "q_value_histogram",
     "q_whitespace_cleanup",
-    # -- 12 oldest round-3 rows, plan-sensitive first --
+    # -- 10 oldest round-3 rows, plan-sensitive first --
     "q_agg_pricing",
     "q_filter_pushdown",
     "q_join_broadcast",
@@ -284,8 +302,9 @@ _PRIORITY: tuple[str, ...] = (
     "q_outer_join",
     "q_scd2",
     "q_session_window",
-    # (q_contamination, q_corpus_prep, q_semantic_dedup displaced to the
-    # round-7 rotation by the three round-6 source/output changes above.)
+    "q_contamination",
+    # (q_corpus_prep, q_semantic_dedup displaced to the round-7 rotation
+    # by the two round-6 output hardenings above.)
 )
 
 

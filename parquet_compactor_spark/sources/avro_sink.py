@@ -104,11 +104,6 @@ def avro_schema_of(schema: StructType, name: str = "topLevelRecord") -> dict:
     (``topLevelRecord.addr.geo`` → record ``r_addr_geo``) because Avro
     requires every record name in a schema to be unique.
     """
-    counter = {"n": 0}
-
-    def field_schema(dt, path: str):
-        avro = _avro_type(dt, path)
-        return avro
 
     def _avro_type(dt, path: str):
         for cls, prim in _PRIMITIVE_AVRO.items():
@@ -146,7 +141,6 @@ def avro_schema_of(schema: StructType, name: str = "topLevelRecord") -> dict:
                 "values": ["null", val] if dt.valueContainsNull else val,
             }
         if isinstance(dt, T.StructType):
-            counter["n"] += 1
             return {
                 "type": "record",
                 "name": f"r_{path}" if path else name,
@@ -154,9 +148,9 @@ def avro_schema_of(schema: StructType, name: str = "topLevelRecord") -> dict:
                     {
                         "name": f.name,
                         "type": (
-                            ["null", field_schema(f.dataType, f"{path}_{f.name}".lstrip("_"))]
+                            ["null", _avro_type(f.dataType, f"{path}_{f.name}".lstrip("_"))]
                             if f.nullable
-                            else field_schema(f.dataType, f"{path}_{f.name}".lstrip("_"))
+                            else _avro_type(f.dataType, f"{path}_{f.name}".lstrip("_"))
                         ),
                     }
                     for f in dt.fields
@@ -258,40 +252,73 @@ class _BlockFileWriter:
 
 @dataclass
 class _Committed(WriterCommitMessage):
-    tmp_name: str
+    tmp_names: tuple
 
 
 def _write_partition(
-    path: str, schema: StructType, codec: str, iterator: Iterator
+    path: str,
+    schema: StructType,
+    codec: str,
+    max_records: int | None,
+    iterator: Iterator,
 ) -> _Committed:
-    """One task: stream this partition's rows into a uuid-named
-    ``_part-*.avro.tmp`` container file the driver commit will rename.
+    """One task: stream this partition's rows into uuid-named
+    ``_part-*.avro.tmp`` container files the driver commit will rename,
+    rolling to a new file every ``max_records`` rows (the
+    maxRecordsPerFile contract — bounds worst-case file size exactly
+    like Spark's built-in sinks).
 
-    The staging name is UNDERSCORE-prefixed, not just ``.tmp``-suffixed:
-    Spark file listings (binaryFile, spark-avro, every FileIndex) prune
-    ``_``/``.``-prefixed names, so an uncommitted or crashed task's file
-    is invisible to ANY reader of the directory — unlike jsonl, avro
-    readers match files regardless of extension."""
+    The staging names are UNDERSCORE-prefixed, not just
+    ``.tmp``-suffixed: Spark file listings (binaryFile, spark-avro,
+    every FileIndex) prune ``_``/``.``-prefixed names, so an
+    uncommitted or crashed task's file is invisible to ANY reader of
+    the directory — unlike jsonl, avro readers match files regardless
+    of extension."""
     os.makedirs(path, exist_ok=True)
     avro_schema = avro_schema_of(schema)
     convs = [(f.name, _converter(f.dataType)) for f in schema.fields]
-    tmp_name = f"_part-{uuid.uuid4().hex}.avro.tmp"
-    with open(os.path.join(path, tmp_name), "wb") as fh:
+    tmp_names: list[str] = []
+    fh = None
+    w = None
+    n_in_file = 0
+
+    def _roll():
+        nonlocal fh, w, n_in_file
+        if fh is not None:
+            w.close()
+            fh.close()
+        name = f"_part-{uuid.uuid4().hex}.avro.tmp"
+        tmp_names.append(name)
+        fh = open(os.path.join(path, name), "wb")
         w = _BlockFileWriter(fh, avro_schema, codec)
-        for row in iterator:
-            d = row.asDict()
-            w.append({n: c(d.get(n)) for n, c in convs})
-        w.close()
-    return _Committed(tmp_name=tmp_name)
+        n_in_file = 0
+
+    for row in iterator:
+        if fh is None or (max_records and n_in_file >= max_records):
+            _roll()
+        d = row.asDict()
+        w.append({n: c(d.get(n)) for n, c in convs})
+        n_in_file += 1
+    if fh is None:
+        _roll()  # empty partition: a header-only file keeps the schema discoverable
+    w.close()
+    fh.close()
+    return _Committed(tmp_names=tuple(tmp_names))
 
 
 def _remove_tmps(path: str, messages) -> None:
     for m in messages:
         if m is None:
             continue
-        tmp = os.path.join(path, m.tmp_name)
-        if os.path.exists(tmp):
-            os.remove(tmp)
+        for name in m.tmp_names:
+            tmp = os.path.join(path, name)
+            if os.path.exists(tmp):
+                os.remove(tmp)
+
+
+def _max_records_opt(options: dict) -> int | None:
+    v = options.get("maxrecordsperfile") or options.get("maxRecordsPerFile")
+    return int(v) if v else None
 
 
 class AvroWriter(DataSourceWriter):
@@ -301,6 +328,7 @@ class AvroWriter(DataSourceWriter):
             raise ValueError("avrosink requires a save path")
         self.schema = schema
         self.codec = options.get("codec", "deflate")
+        self.max_records = _max_records_opt(options)
         self.overwrite = overwrite
         # Fail on unsupported schema/codec at PLAN time on the driver,
         # not per-task on the executors.
@@ -311,7 +339,9 @@ class AvroWriter(DataSourceWriter):
             )
 
     def write(self, iterator: Iterator) -> _Committed:
-        return _write_partition(self.path, self.schema, self.codec, iterator)
+        return _write_partition(
+            self.path, self.schema, self.codec, self.max_records, iterator
+        )
 
     #: Same age-gate discipline as the jsonl sink / compactor GC: a
     #: .tmp this much older than the sweeping commit is crashed-job
@@ -319,10 +349,13 @@ class AvroWriter(DataSourceWriter):
     TMP_LITTER_AGE_S = 3600.0
 
     def commit(self, messages) -> None:
+        # A zero-task job (empty/zero-partition frame) reaches commit
+        # without any task having created the directory.
+        os.makedirs(self.path, exist_ok=True)
         if self.overwrite:
             import time
 
-            own = {m.tmp_name for m in messages if m is not None}
+            own = {n for m in messages if m is not None for n in m.tmp_names}
             cutoff = time.time() - self.TMP_LITTER_AGE_S
             for name in os.listdir(self.path):
                 full = os.path.join(self.path, name)
@@ -336,10 +369,11 @@ class AvroWriter(DataSourceWriter):
         for m in messages:
             if m is None:
                 continue
-            final = m.tmp_name.lstrip("_")[: -len(".tmp")]
-            os.rename(
-                os.path.join(self.path, m.tmp_name), os.path.join(self.path, final)
-            )
+            for name in m.tmp_names:
+                final = name.lstrip("_")[: -len(".tmp")]
+                os.rename(
+                    os.path.join(self.path, name), os.path.join(self.path, final)
+                )
         with open(os.path.join(self.path, "_SUCCESS"), "w") as fh:
             fh.write("")
 
@@ -357,11 +391,15 @@ class AvroStreamWriter(DataSourceStreamWriter):
             raise ValueError("avrosink requires a path option")
         self.schema = schema
         self.codec = options.get("codec", "deflate")
+        self.max_records = _max_records_opt(options)
 
     def write(self, iterator: Iterator) -> _Committed:
-        return _write_partition(self.path, self.schema, self.codec, iterator)
+        return _write_partition(
+            self.path, self.schema, self.codec, self.max_records, iterator
+        )
 
     def commit(self, messages, batchId: int) -> None:
+        os.makedirs(self.path, exist_ok=True)  # zero-task micro-batch
         prefix = f"batch-{batchId}-"
         for name in os.listdir(self.path):
             if name.startswith(prefix) and name.endswith(".avro"):
@@ -369,10 +407,11 @@ class AvroStreamWriter(DataSourceStreamWriter):
         for m in messages:
             if m is None:
                 continue
-            final = prefix + m.tmp_name.lstrip("_")[: -len(".tmp")]
-            os.rename(
-                os.path.join(self.path, m.tmp_name), os.path.join(self.path, final)
-            )
+            for name in m.tmp_names:
+                final = prefix + name.lstrip("_")[: -len(".tmp")]
+                os.rename(
+                    os.path.join(self.path, name), os.path.join(self.path, final)
+                )
 
     def abort(self, messages, batchId: int) -> None:
         _remove_tmps(self.path, messages)
@@ -393,18 +432,25 @@ class AvroSinkDataSource(DataSource):
         return AvroStreamWriter(self.options, schema)
 
 
-_REGISTERED_SESSIONS: set[int] = set()
-
-
 def register(spark) -> None:
-    """Idempotently register the sink on a session."""
-    key = id(spark)
-    if key not in _REGISTERED_SESSIONS:
-        spark.dataSource.register(AvroSinkDataSource)
-        _REGISTERED_SESSIONS.add(key)
+    """Register the sink on a session. Unconditional: re-registering the
+    same name is a cheap overwrite, while any driver-side cache keyed on
+    the session object (or its id(), which CPython recycles) would
+    silently skip a FRESH session and fail the save with 'Failed to
+    find data source'."""
+    spark.dataSource.register(AvroSinkDataSource)
 
 
-def write_avro_fallback(df, path: str, mode: str = "overwrite", codec: str = "deflate") -> None:
+def write_avro_fallback(
+    df,
+    path: str,
+    mode: str = "overwrite",
+    codec: str = "deflate",
+    max_records_per_file: int | None = None,
+) -> None:
     """Distributed avro write via the two-phase-commit sink."""
     register(df.sparkSession)
-    df.write.format("avrosink").mode(mode).option("codec", codec).save(path)
+    writer = df.write.format("avrosink").mode(mode).option("codec", codec)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    writer.save(path)

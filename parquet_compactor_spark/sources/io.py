@@ -157,6 +157,14 @@ def write_table(
                     "avro fallback sink has no partitionBy — add spark-avro "
                     "or write partitioned parquet/orc"
                 ) from err
+            if options:
+                # Never silently produce different output than the
+                # spark-avro path would for the same call.
+                raise NotImplementedError(
+                    f"avro fallback sink ignores writer options "
+                    f"{sorted(options)} — add spark-avro for full option "
+                    "support"
+                ) from err
             from parquet_compactor_spark.sources.avro_sink import (
                 write_avro_fallback,
             )
@@ -167,7 +175,13 @@ def write_table(
             codec = {"snappy": "deflate", "none": "null", "uncompressed": "null"}.get(
                 compression, compression
             )
-            write_avro_fallback(df, path, mode=mode, codec=codec)
+            write_avro_fallback(
+                df,
+                path,
+                mode=mode,
+                codec=codec,
+                max_records_per_file=max_records_per_file,
+            )
             return
         _raise_if_missing_source(err, fmt)
 

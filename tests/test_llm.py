@@ -231,6 +231,26 @@ def test_decode_image_parses_real_headers():
         decode_image(b"RIFF....WEBP")
 
 
+def test_blob_meta_degrades_corrupt_magic_to_fake():
+    """The batch path must never abort a job on a magic-collision:
+    arbitrary binary (audio/video payloads, truncated uploads) starts
+    with FF D8 at ~1/65536 — a certainty across a real lake. _blob_meta
+    degrades a failed parse to the deterministic fake; decode_image
+    stays strict for callers that want the loud failure."""
+    from parquet_compactor_spark.llm.multimodal import _blob_meta, fake_decode_meta
+
+    for corrupt in (
+        b"\xff\xd8\xff\xd9",  # JPEG SOI but no SOF before EOI
+        b"\xff\xd8" + b"\x00" * 5,  # FF D8 then arbitrary binary
+        b"\xff\xd8",  # nothing but the magic (truncated upload)
+        b"\x89PNG\r\n\x1a\n" + b"\x00" * 30,  # PNG magic, IHDR missing
+    ):
+        assert _blob_meta(corrupt) == fake_decode_meta(corrupt)
+    # Real images still parse through the same path.
+    assert _blob_meta(_jpeg_bytes(320, 200))[:2] == (320, 200)
+    assert _blob_meta(_png_bytes(17, 5))[:2] == (17, 5)
+
+
 def test_media_meta_real_images_get_real_dimensions(spark):
     """End-to-end through the distributed mapInPandas path: a real PNG
     payload reports its ACTUAL dimensions (decode is no longer a stub),

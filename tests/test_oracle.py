@@ -237,20 +237,28 @@ def test_oracle_outputs_are_scalar_only(spark):
     Our local canonicalizer stringifies lists, so only this schema-level
     test catches the hazard before the driver does. Queries needing array
     results render them as strings (``concat_ws`` / ``array_to_string``).
+
+    Round-6 extension: bare TIMESTAMP output columns are banned too. The
+    collected rendering of an LTZ timestamp is session-dependent (an
+    LTZ-inferring harness collects the instant, not the wall clock —
+    reproduced: the hostile-conf sweep flipped q_large_orders and
+    q_event_attribution by the session-zone offset). Queries render
+    timestamps as DATE or as wall-clock-formatted strings instead.
     """
     offenders = {}
     for name, q in QUERIES.items():
         if q.oracle is None:
             continue  # rows-only checks never reach the canonicalizer
         df = q.fn(spark, SF_SMOKE)
-        complex_cols = [
+        bad_cols = [
             (f.name, f.dataType.simpleString())
             for f in df.schema.fields
             if f.dataType.simpleString().startswith(("array", "map", "struct"))
+            or f.dataType.simpleString() in ("timestamp", "timestamp_ntz")
         ]
-        if complex_cols:
-            offenders[name] = complex_cols
-    assert not offenders, f"complex-typed oracle outputs: {offenders}"
+        if bad_cols:
+            offenders[name] = bad_cols
+    assert not offenders, f"complex- or timestamp-typed oracle outputs: {offenders}"
 
 
 def test_every_registered_query_has_an_oracle():

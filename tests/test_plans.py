@@ -541,16 +541,6 @@ def test_round5_additions_plan_discipline(spark):
     assert props(spark, "q_chisq_independence").has_partial_agg
 
 
-def test_round6_doc_chunks_is_map_only(spark):
-    """q_doc_chunks documents a MAP-ONLY plan (split → sequence-explode →
-    slice, zero shuffles, zero Python): at 100 TB the chunker pipelines
-    with the parquet scan, so any Exchange appearing here is a
-    regression that would serialize the corpus through a shuffle."""
-    p = props(spark, "q_doc_chunks")
-    assert p.exchange_count == 0
-    assert not p.has_cartesian
-
-
 def test_embed_near_dup_blocks_on_label_and_bucket(spark):
     """Scale-ramp regression guard (round 5): label-only blocking measured
     154x cost at 25x data (fixed label cardinality -> quadratic pair

@@ -784,6 +784,32 @@ def test_avro_sink_abort_leaves_no_committed_files(spark, tmp_path):
     assert not [n for n in leftover if n.endswith(".avro")]
 
 
+def test_avro_sink_rolls_files_at_max_records(spark, tmp_path):
+    """maxRecordsPerFile is honored, not silently dropped: a 200-row
+    single-partition write with a 60-row cap commits ceil(200/60)=4
+    container files, and an empty frame still commits (_SUCCESS +
+    schema-bearing header-only file) instead of crashing at the
+    zero-task/zero-row edge."""
+    from parquet_compactor_spark.sources.avro_fallback import iter_file_records
+    from parquet_compactor_spark.sources.avro_sink import write_avro_fallback
+
+    df = spark.range(200).selectExpr("id", "CAST(id AS STRING) AS s")
+    out = str(tmp_path / "rolled")
+    write_avro_fallback(df.coalesce(1), out, mode="append", max_records_per_file=60)
+    files = sorted((tmp_path / "rolled").glob("*.avro"))
+    assert len(files) == 4
+    counts = sorted(len(list(iter_file_records(p.read_bytes()))) for p in files)
+    assert counts == [20, 60, 60, 60]
+    assert read_table(spark, out, fmt="avro").count() == 200
+
+    empty = df.filter("id < 0")
+    out2 = str(tmp_path / "empty")
+    write_avro_fallback(empty, out2, mode="overwrite")
+    names = sorted(p.name for p in (tmp_path / "empty").iterdir())
+    assert "_SUCCESS" in names
+    assert read_table(spark, out2, fmt="avro").count() == 0
+
+
 def test_avro_sink_refuses_decimal_at_plan_time(spark, tmp_path):
     """Unsupported schemas fail on the DRIVER before any task launches
     (the fallback reader has no decimal logical type)."""
