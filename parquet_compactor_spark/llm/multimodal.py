@@ -144,7 +144,7 @@ def _blob_meta(payload: bytes) -> tuple[int, int, int, str]:
     never abort a whole extract job; :func:`decode_image` stays strict
     for callers that want the loud failure.
     """
-    b = bytes(payload)
+    b = b"" if payload is None else bytes(payload)  # NULL cell ≠ job abort
     if b[:8] == _PNG_MAGIC or b[:2] == b"\xff\xd8":
         try:
             m = decode_image(b)
@@ -171,7 +171,7 @@ def extract_media_meta(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "n_bytes": [len(b) for b in pdf["payload"]],
+                    "n_bytes": [0 if b is None else len(b) for b in pdf["payload"]],
                     "width": [m[0] for m in metas],
                     "height": [m[1] for m in metas],
                     "n_frames": [m[2] for m in metas],

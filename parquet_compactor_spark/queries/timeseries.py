@@ -730,11 +730,17 @@ def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_mad_outliers",
     oracle="""
-    WITH ranked AS (
+    WITH nn AS (
+        -- NULL discipline pinned on BOTH sides: Spark's collect_list
+        -- drops NULLs while a window COUNT(*) would count them, so the
+        -- whole query is defined over non-null values explicitly.
+        SELECT event_type, value FROM events WHERE value IS NOT NULL
+    ),
+    ranked AS (
         SELECT event_type, value,
                ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
                COUNT(*)   OVER (PARTITION BY event_type) AS cnt
-        FROM events
+        FROM nn
     ),
     med AS (
         SELECT event_type, SUM(value) / COUNT(*) AS med
@@ -744,7 +750,7 @@ def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     dev AS (
         SELECT e.event_type, e.value, m.med,
                abs(e.value - m.med) AS adev
-        FROM events e JOIN med m USING (event_type)
+        FROM nn e JOIN med m USING (event_type)
     ),
     dev_ranked AS (
         SELECT event_type, adev,
@@ -783,7 +789,9 @@ def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the q_winsorize convention, taken to its conclusion).",
 )
 def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "events")
+    # Non-null scope matches the oracle's nn CTE exactly (collect_list
+    # drops NULLs; a window COUNT(*) oracle would count them).
+    e = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
 
     def _rank_median(df: DataFrame, col: str, alias: str) -> DataFrame:
         # sort_array(collect_list(...)), not a row_number window: the

@@ -293,16 +293,22 @@ def _write_partition(
         w = _BlockFileWriter(fh, avro_schema, codec)
         n_in_file = 0
 
-    for row in iterator:
-        if fh is None or (max_records and n_in_file >= max_records):
-            _roll()
-        d = row.asDict()
-        w.append({n: c(d.get(n)) for n, c in convs})
-        n_in_file += 1
-    if fh is None:
-        _roll()  # empty partition: a header-only file keeps the schema discoverable
-    w.close()
-    fh.close()
+    try:
+        for row in iterator:
+            if fh is None or (max_records and n_in_file >= max_records):
+                _roll()
+            d = row.asDict()
+            w.append({n: c(d.get(n)) for n, c in convs})
+            n_in_file += 1
+        if fh is None:
+            _roll()  # empty partition: header-only file keeps the schema discoverable
+        w.close()
+    finally:
+        # Close on ANY exit — a mid-partition converter error or full
+        # disk must not leak the handle (the staged tmps themselves are
+        # swept by abort()/the age-gated overwrite sweep).
+        if fh is not None:
+            fh.close()
     return _Committed(tmp_names=tuple(tmp_names))
 
 
@@ -318,7 +324,10 @@ def _remove_tmps(path: str, messages) -> None:
 
 def _max_records_opt(options: dict) -> int | None:
     v = options.get("maxrecordsperfile") or options.get("maxRecordsPerFile")
-    return int(v) if v else None
+    # Spark's maxRecordsPerFile contract: zero-or-negative means NO
+    # limit (callers port -1 configs); a naive positive check would
+    # roll one file per record instead.
+    return int(v) if v and int(v) > 0 else None
 
 
 class AvroWriter(DataSourceWriter):

@@ -246,6 +246,7 @@ def test_blob_meta_degrades_corrupt_magic_to_fake():
         b"\x89PNG\r\n\x1a\n" + b"\x00" * 30,  # PNG magic, IHDR missing
     ):
         assert _blob_meta(corrupt) == fake_decode_meta(corrupt)
+    assert _blob_meta(None) == fake_decode_meta(b"")  # NULL cell ≠ job abort
     # Real images still parse through the same path.
     assert _blob_meta(_jpeg_bytes(320, 200))[:2] == (320, 200)
     assert _blob_meta(_png_bytes(17, 5))[:2] == (17, 5)

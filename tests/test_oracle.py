@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import pytest
 
-from parquet_compactor_spark.registry import all_queries
+from parquet_compactor_spark.registry import TABLES, all_queries
 from tests.conftest import SF_SMOKE
 from tests.oracle_utils import compare_to_oracle
 
@@ -338,6 +338,39 @@ def test_load_nanos_fixture_still_sets_conf_and_reads(spark, tmp_path):
         assert spark.conf.get(_NANOS_KEY) == "true"
     finally:
         spark.conf.unset(_NANOS_KEY)
+
+
+def test_mad_outliers_null_values_match_oracle_on_synthetic_fixture(spark, tmp_path):
+    """The driver HAS regenerated fixtures between rounds; the current
+    ones happen to be null-free. q_mad_outliers' rank-median construction
+    pins its NULL discipline explicitly on both sides (Spark collect_list
+    drops NULLs; the oracle scopes to value IS NOT NULL) — prove the two
+    agree on a fixture where NULLs actually occur, including a group with
+    an even non-null count (the interpolating case)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "sfnull"
+    d.mkdir()
+    # 3 groups: odd count, even count (interpolation), and NULL-heavy.
+    types, values = [], []
+    for i in range(7):
+        types.append("click"); values.append(float(i) if i % 3 else None)
+    for i in range(8):
+        types.append("view"); values.append(round(i * 1.25, 2))
+    for i in range(5):
+        types.append("error"); values.append(None if i < 4 else 42.0)
+    pq.write_table(
+        pa.table({"event_type": pa.array(types), "value": pa.array(values)}),
+        d / "events.parquet",
+    )
+    for t in TABLES:  # oracle view registration needs every table present
+        if t != "events":
+            os.symlink(f"{SF_SMOKE}/{t}.parquet", d / f"{t}.parquet")
+    q = QUERIES["q_mad_outliers"]
+    compare_to_oracle(q.fn(spark, str(d)), q.oracle, str(d))
 
 
 def test_load_ntz_forces_ntz_regardless_of_session_confs(spark):
