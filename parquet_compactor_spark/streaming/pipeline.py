@@ -464,8 +464,20 @@ def attribute_purchases_batch(events: DataFrame) -> DataFrame:
     "session-dependently once an LTZ-inferring harness collects it.",
 )
 def q_event_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The micros fraction renders via unix_micros + format_string, NOT a
+    # date_format sub-second pattern: under timeParserPolicy=LEGACY,
+    # SimpleDateFormat's SSSSSS means zero-padded MILLISECONDS
+    # (.138624 → .000138) — found by the kitchen-sink hostile sweep.
+    # Whole-second fields render identically under both parser policies,
+    # and 2024 zone offsets are whole minutes, so the instant's micros
+    # fraction equals the wall clock's.
     return attribute_purchases_batch(load(spark, sf_dir, "events")).withColumn(
-        "purchase_ts", F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        "purchase_ts",
+        F.concat(
+            F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss"),
+            F.lit("."),
+            F.format_string("%06d", F.pmod(F.unix_micros("purchase_ts"), F.lit(1000000))),
+        ),
     )
 
 

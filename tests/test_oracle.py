@@ -399,6 +399,11 @@ def test_former_driver_reds_survive_hostile_session(spark):
     hostile = {
         "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
         "spark.sql.session.timeZone": "America/New_York",
+        # LEGACY flips sub-second date_format semantics: SimpleDateFormat
+        # SSSSSS is zero-padded MILLIS, not fraction (flipped
+        # q_event_attribution's rendering until it switched to
+        # unix_micros + format_string).
+        "spark.sql.legacy.timeParserPolicy": "LEGACY",
     }
     prior = {k: spark.conf.get(k, None) for k in hostile}
     try:
