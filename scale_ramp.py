@@ -67,6 +67,10 @@ RAMP_QUERIES = [
     "q_product_profit",
     "q_gopher_rules",
     "q_embed_dim_stats",
+    # round-6 reshape: exact rank-medians via sort_array(collect_list)
+    # — O(group) reducer memory by design; the ramp proves the slope is
+    # linear (shuffle-bound), not blow-up, as event counts grow.
+    "q_mad_outliers",
 ]
 
 OFF = 10_000_000  # per-copy key shift
