@@ -1064,3 +1064,97 @@ def test_avro_fallback_simple_name_shadowing_resolves_by_namespace(tmp_path):
     p = tmp_path / "shadow.avro"
     write_avro_records(str(p), schema, recs)
     assert list(iter_file_records(p.read_bytes())) == recs
+
+
+@given(
+    st.lists(
+        st.fixed_dictionaries(
+            {
+                "id": st.integers(min_value=-(2**62), max_value=2**62),
+                "d": st.one_of(
+                    st.none(),
+                    st.dates(
+                        min_value=datetime.date(1900, 1, 1),
+                        max_value=datetime.date(2100, 1, 1),
+                    ),
+                ),
+                "ts": st.one_of(
+                    st.none(),
+                    st.datetimes(
+                        min_value=datetime.datetime(1900, 1, 1),
+                        max_value=datetime.datetime(2100, 1, 1),
+                    ),
+                ),
+                "vals": st.lists(
+                    st.one_of(
+                        st.none(),
+                        st.floats(allow_nan=False, allow_infinity=False, width=64),
+                    ),
+                    max_size=4,
+                ),
+                "sub": st.one_of(
+                    st.none(),
+                    st.fixed_dictionaries(
+                        {"x": st.one_of(st.none(), st.integers(-(2**31), 2**31 - 1))}
+                    ),
+                ),
+            }
+        ),
+        max_size=40,
+    ),
+    st.sampled_from(["null", "deflate"]),
+)
+@settings(max_examples=50, deadline=None)
+def test_avro_sink_schema_and_converters_roundtrip_property(rows, codec):
+    """Property: the SINK's pipeline — avro_schema_of over a nested
+    nullable Spark schema, the logical-type converters, and the
+    block-rolling file writer (block size forced tiny so multi-block
+    framing is always exercised) — round-trips through the fallback
+    decoder for any value set. Dates/timestamps come back value-exact
+    (the converters are the integer inverse of the reader's decoders).
+    Pure local test — no Spark session."""
+    import io as _io
+
+    from pyspark.sql import types as T
+
+    from parquet_compactor_spark.sources import avro_sink
+    from parquet_compactor_spark.sources.avro_fallback import iter_file_records
+    from parquet_compactor_spark.sources.avro_sink import (
+        _BlockFileWriter,
+        _converter,
+        avro_schema_of,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("d", T.DateType(), True),
+            T.StructField("ts", T.TimestampNTZType(), True),
+            T.StructField("vals", T.ArrayType(T.DoubleType(), True), False),
+            T.StructField(
+                "sub",
+                T.StructType([T.StructField("x", T.IntegerType(), True)]),
+                True,
+            ),
+        ]
+    )
+    avro_schema = avro_schema_of(schema)
+    convs = [(f.name, _converter(f.dataType)) for f in schema.fields]
+    buf = _io.BytesIO()
+    w = _BlockFileWriter(buf, avro_schema, codec)
+    orig_block = avro_sink._BLOCK_BYTES
+    avro_sink._BLOCK_BYTES = 64  # force multi-block framing
+    try:
+        for r in rows:
+            w.append({n: c(r[n]) for n, c in convs})
+        w.close()
+    finally:
+        avro_sink._BLOCK_BYTES = orig_block
+    back = list(iter_file_records(buf.getvalue()))
+    assert len(back) == len(rows)
+    for r, b in zip(rows, back):
+        assert b["id"] == r["id"]
+        assert b["d"] == r["d"]
+        assert b["ts"] == r["ts"]
+        assert b["vals"] == r["vals"]
+        assert b["sub"] == r["sub"]
