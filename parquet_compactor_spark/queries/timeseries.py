@@ -210,24 +210,37 @@ def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_ewma",
     oracle="""
     WITH hist AS (
+        -- value IS NOT NULL on BOTH sides: DuckDB's list() keeps NULLs
+        -- while Spark's collect_list drops them, so a NULL-bearing
+        -- fixture generation would silently misalign the frames.
         SELECT event_id, user_id, value,
                list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                  ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS vals
-        FROM events
+        FROM events WHERE value IS NOT NULL
     )
     SELECT event_id, user_id,
            ROUND(value, 2) AS value,
-           ROUND(list_reduce(vals, (acc, x) -> acc * 0.7 + x * 0.3), 4) AS ewma10
+           -- floor-based 4dp rounding, NOT ROUND(): the fold result is
+           -- bit-identical across engines (same IEEE op sequence), but
+           -- Spark's round() rounds the double's SHORTEST DECIMAL REPR
+           -- half-up while DuckDB rounds the binary value — a fold
+           -- landing on x.xxxx5 splits (4.85345 -> 4.8535 vs 4.8534).
+           -- floor(x*1e4 + 0.5)/1e4 is the same doubles math on both.
+           FLOOR(list_reduce(vals, (acc, x) -> acc * 0.7 + x * 0.3)
+                 * 10000 + 0.5) / 10000 AS ewma10
     FROM hist
     """,
     doc="Exponentially-weighted moving average (alpha=0.3) over the last 10 "
     "readings per user: ordered-frame collect_list + a sequential left fold "
     "(list_reduce seeds with the first element — the standard EWMA "
     "recursion). The recursion is not a distributive aggregate, so the "
-    "bounded frame keeps state O(window) per row at any scale.",
+    "bounded frame keeps state O(window) per row at any scale. EWMA is "
+    "defined over OBSERVED readings: both engines scope to non-null "
+    "values explicitly (collect_list drops NULLs, DuckDB list() keeps "
+    "them — the frames would misalign on a NULL-bearing fixture).",
 )
 def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "events")
+    e = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -243,7 +256,8 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         F.round("value", 2).alias("value"),
-        F.round(ewma, 4).alias("ewma10"),
+        # floor-form 4dp: bit-identical to the oracle (see oracle note).
+        (F.floor(ewma * 10000 + F.lit(0.5)) / 10000).alias("ewma10"),
     )
 
 

@@ -340,17 +340,23 @@ def test_load_nanos_fixture_still_sets_conf_and_reads(spark, tmp_path):
         spark.conf.unset(_NANOS_KEY)
 
 
-def test_mad_outliers_null_values_match_oracle_on_synthetic_fixture(spark, tmp_path):
+def test_null_bearing_fixture_matches_oracle(spark, tmp_path):
     """The driver HAS regenerated fixtures between rounds; the current
-    ones happen to be null-free. q_mad_outliers' rank-median construction
-    pins its NULL discipline explicitly on both sides (Spark collect_list
-    drops NULLs; the oracle scopes to value IS NOT NULL) — prove the two
-    agree on a fixture where NULLs actually occur, including a group with
-    an even non-null count (the interpolating case)."""
+    ones happen to be null-free. The queries whose constructions have
+    engine-divergent NULL semantics (Spark collect_list drops NULLs,
+    DuckDB window list()/COUNT(*) keep them) pin their discipline
+    explicitly on both sides — prove they agree on a fixture where NULLs
+    actually occur, including a group with an even non-null count (the
+    interpolating case). This fixture also caught the Spark-round class:
+    Spark round() rounds the double's shortest decimal repr half-up
+    while DuckDB rounds the binary value, splitting folds that land on
+    x.xxxx5 — q_ewma uses floor-form rounding for bit-identity."""
     import os
 
     import pyarrow as pa
     import pyarrow.parquet as pq
+
+    import datetime as _dt
 
     d = tmp_path / "sfnull"
     d.mkdir()
@@ -362,15 +368,28 @@ def test_mad_outliers_null_values_match_oracle_on_synthetic_fixture(spark, tmp_p
         types.append("view"); values.append(round(i * 1.25, 2))
     for i in range(5):
         types.append("error"); values.append(None if i < 4 else 42.0)
+    n = len(values)
     pq.write_table(
-        pa.table({"event_type": pa.array(types), "value": pa.array(values)}),
+        pa.table(
+            {
+                "event_id": pa.array(range(n), type=pa.int64()),
+                "user_id": pa.array([i % 3 for i in range(n)], type=pa.int64()),
+                "ts": pa.array(
+                    [_dt.datetime(2024, 1, 1) + _dt.timedelta(minutes=i) for i in range(n)],
+                    type=pa.timestamp("us"),
+                ),
+                "event_type": pa.array(types),
+                "value": pa.array(values),
+            }
+        ),
         d / "events.parquet",
     )
     for t in TABLES:  # oracle view registration needs every table present
         if t != "events":
             os.symlink(f"{SF_SMOKE}/{t}.parquet", d / f"{t}.parquet")
-    q = QUERIES["q_mad_outliers"]
-    compare_to_oracle(q.fn(spark, str(d)), q.oracle, str(d))
+    for name in ("q_mad_outliers", "q_ewma"):
+        q = QUERIES[name]
+        compare_to_oracle(q.fn(spark, str(d)), q.oracle, str(d))
 
 
 def test_load_ntz_forces_ntz_regardless_of_session_confs(spark):
