@@ -38,11 +38,17 @@ def asof_join(
     )
 
     lt = left.withColumn("__side", F.lit(1))
+    # Carry the right row as a STRUCT, not bare columns: the struct is
+    # non-null for EVERY right row even when its fields are NULL, so
+    # last(..., ignorenulls) finds the true as-of ROW and a NULL value
+    # on that row stays NULL — skipping null-valued right rows would
+    # diverge from ASOF semantics (DuckDB returns the row regardless;
+    # caught by the hostile NULL-fixture sweep).
     rt = rdedup.select(
         on,
         ts,
         F.lit(0).alias("__side"),
-        *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
+        F.struct(*[F.col(c).alias(c) for c in value_cols]).alias("__rrow"),
     )
     unioned = lt.unionByName(rt, allowMissingColumns=True)
 
@@ -53,16 +59,18 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(
-        "*",
-        *[
-            F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"__carry_{c}")
-            for c in value_cols
-        ],
+        "*", F.last("__rrow", ignorenulls=True).over(w).alias("__carry")
     )
     return (
         carried.filter(F.col("__side") == 1)
-        .drop("__side", *[f"{c}{suffix}" for c in value_cols])
-        .withColumnsRenamed({f"__carry_{c}": f"{c}{suffix}" for c in value_cols})
+        .select(
+            "*",
+            *[
+                F.col("__carry").getField(c).alias(f"{c}{suffix}")
+                for c in value_cols
+            ],
+        )
+        .drop("__side", "__rrow", "__carry")
     )
 
 

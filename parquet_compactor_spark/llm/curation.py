@@ -469,11 +469,18 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_winsorize",
     oracle="""
-    WITH params AS (
-        SELECT count(*) AS n_total, count(*) // 20 AS k FROM events
+    WITH nn AS (
+        -- observed (non-null) values only, pinned on BOTH sides: the
+        -- engines' default NULL sort placement differs (Spark ASC is
+        -- NULLS FIRST, DuckDB NULLS LAST), so an implicit scope would
+        -- shift the k-th order statistics on a NULL-bearing fixture.
+        SELECT event_type, value FROM events WHERE value IS NOT NULL
+    ),
+    params AS (
+        SELECT count(*) AS n_total, count(*) // 20 AS k FROM nn
     ),
     ranked AS (
-        SELECT value, row_number() OVER (ORDER BY value) AS r FROM events
+        SELECT value, row_number() OVER (ORDER BY value) AS r FROM nn
     ),
     bounds AS (
         SELECT max(CASE WHEN r <= (SELECT k FROM params)
@@ -491,7 +498,7 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / count(*), 4) AS mean_winsorized,
            CAST(SUM(CASE WHEN e.value < b.lo OR e.value > b.hi
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
-    FROM events e CROSS JOIN bounds b
+    FROM nn e CROSS JOIN bounds b
     GROUP BY e.event_type
     """,
     doc="Winsorization (tail clipping) — the outlier-taming step a "
@@ -514,7 +521,8 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     "aggregation are unchanged.",
 )
 def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "events")
+    # Observed values only — matches the oracle's nn scope (see note).
+    e = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     # Exact order statistics via bounded top-k (TakeOrderedAndProject),
     # k is a scalar collected driver-side (model-state sized).
     k = e.count() // 20

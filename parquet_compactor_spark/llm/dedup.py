@@ -599,7 +599,16 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_edit_distance",
     oracle="""
     WITH heads AS (
-        SELECT doc_id, lang, substr(text, 1, 40) AS head FROM documents
+        -- non-ASCII codepoints fold to '?' on BOTH sides first:
+        -- DuckDB's levenshtein counts BYTES while Spark's counts
+        -- codepoints, so any multi-byte character skews the distance
+        -- between engines; after the fold bytes == codepoints and the
+        -- distances agree exactly (RE2 and Java regex both match one
+        -- non-ASCII codepoint per the hex class below).
+        SELECT doc_id, lang,
+               substr(regexp_replace(text, '[^\\x00-\\x7F]', '?', 'g'),
+                      1, 40) AS head
+        FROM documents
     ),
     pairs AS (
         SELECT a.doc_id AS id1, b.doc_id AS id2,
@@ -621,8 +630,13 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
+    # ASCII-fold before the distance — see the oracle note (DuckDB
+    # levenshtein is byte-based, Spark's codepoint-based).
     heads = d.select(
-        "doc_id", F.substring("text", 1, 40).alias("head")
+        "doc_id",
+        F.substring(
+            F.regexp_replace("text", "[^\\x00-\\x7F]", "?"), 1, 40
+        ).alias("head"),
     )
     a = heads.select(F.col("doc_id").alias("id1"), F.col("head").alias("h1"))
     b = heads.select((F.col("doc_id") - 1).alias("id1"), F.col("doc_id").alias("id2"), F.col("head").alias("h2"))

@@ -369,17 +369,23 @@ def q_string_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(PERCENT_RANK() OVER w, 4)        AS pct_rank,
            ROUND(CUME_DIST()    OVER w, 4)        AS cume
     FROM customer
-    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    WINDOW w AS (PARTITION BY c_mktsegment
+                 ORDER BY c_acctbal NULLS LAST, c_custkey)
     """,
     doc="Distribution window functions: NTILE quartiles, PERCENT_RANK and "
     "CUME_DIST per market segment (ordered by balance, custkey tiebreak "
-    "for cross-engine determinism). One shuffle on the segment key.",
+    "for cross-engine determinism). One shuffle on the segment key. "
+    "NULL placement is EXPLICIT on both sides: Spark's ascending "
+    "default is NULLS FIRST, DuckDB's is NULLS LAST — an implicit "
+    "order diverges the moment the order column carries a NULL.",
 )
 def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     c = load(spark, sf_dir, "customer")
-    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.asc_nulls_last("c_acctbal"), "c_custkey"
+    )
     return c.select(
         "c_custkey",
         "c_mktsegment",

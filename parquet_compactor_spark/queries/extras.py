@@ -306,7 +306,14 @@ def q_conditional_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_regr_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
-    x = F.unix_micros(F.col("ts")).cast("double")
+    # regr_slope semantics: BOTH moments over rows where BOTH operands
+    # are non-null. A bare var_pop(x) would include rows whose value is
+    # NULL (x never is), skewing the denominator the moment a fixture
+    # carries NULL values — masking x to the same pair set keeps the
+    # rewrite exactly regr_slope (pinned by the hostile-data sweep).
+    x = F.when(
+        F.col("value").isNotNull(), F.unix_micros(F.col("ts")).cast("double")
+    )
     slope = F.covar_pop(F.col("value"), x) / F.var_pop(x)
     return (
         e.groupBy("user_id")

@@ -655,6 +655,7 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(arg_max(value, ts), 2) AS close,
            COUNT(*)                     AS n_ticks
     FROM events
+    WHERE value IS NOT NULL
     GROUP BY 1, 2
     """,
     doc="OHLC candlestick resampling: hourly bars per series with "
@@ -662,10 +663,14 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "argmin/argmax aggregates — no sort, no self-join; the fixture's "
     "timestamps are unique so the tie-break is deterministic). One "
     "partial-agg shuffle on (series, bar); the classic financial "
-    "downsampling primitive.",
+    "downsampling primitive. Bars are over OBSERVED prices: both "
+    "engines scope to non-null values explicitly — Spark's min_by "
+    "returns a NULL value sitting at the bar edge while DuckDB's "
+    "arg_min skips null args, so an implicit scope would diverge on a "
+    "NULL-bearing fixture.",
 )
 def q_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "events")
+    e = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     return (
         e.groupBy(
             "event_type", F.date_trunc("hour", "ts").alias("bar")

@@ -1,0 +1,133 @@
+"""Hostile-DATA differential sweep: NULLs and adversarial strings.
+
+The driver HAS regenerated fixtures between rounds; the shipped ones
+happen to be NULL-free and ASCII-only. Round 6 built this fixture
+mutation (NULL measure values, NULL dimension balances, empty/unicode/
+multi-space document texts) and swept the full 168-query surface on it
+— six queries diverged, each a distinct cross-engine semantics class,
+all fixed at the source:
+
+- Spark ``collect_list``/window functions DROP NULLs where DuckDB's
+  window ``list()``/``COUNT(*)`` keep them (q_ewma, q_mad_outliers);
+- Spark ascending sort is NULLS FIRST, DuckDB's NULLS LAST — implicit
+  ORDER BY over a nullable column shifts NTILE buckets and k-th order
+  statistics (q_window_ntile, q_winsorize);
+- Spark ``min_by``/``max_by`` return a NULL value sitting at the
+  extremum while DuckDB ``arg_min``/``arg_max`` skip null args
+  (q_ohlc);
+- a covar/var rewrite of ``regr_slope`` must mask BOTH moments to the
+  non-null pair set (q_regr_slope);
+- carried as-of values must ride a STRUCT so a NULL value on the
+  as-of row stays NULL instead of being skipped (q_asof_join);
+- DuckDB ``levenshtein`` counts BYTES, Spark's counts codepoints —
+  non-ASCII text skews distances unless folded (q_edit_distance).
+
+This module pins all six plus their nearest construct-neighbors on the
+mutated fixture. (The synthetic-fixture test in test_oracle.py covers
+the NULL classes on a hand-built micro table; this one mutates the real
+driver fixture wholesale, so join keys, distributions, and scale stay
+realistic.)
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+from parquet_compactor_spark.registry import all_queries
+from tests.conftest import SF_SMOKE
+from tests.oracle_utils import compare_to_oracle
+
+QUERIES = all_queries()
+
+#: The six fixed queries plus neighbors sharing the sensitive constructs
+#: (value ordering / argmin-argmax / window frames over nullable
+#: measures / text distance), kept curated so the suite cost stays
+#: ~a minute — the full-surface hostile sweep is a round-time check
+#: (168/168 green, round 6).
+SENSITIVE = [
+    "q_asof_join",
+    "q_asof_nearest",
+    "q_edit_distance",
+    "q_ngram_jaccard",
+    "q_ewma",
+    "q_locf_interpolate",
+    "q_mad_outliers",
+    "q_ohlc",
+    "q_regr_slope",
+    "q_window_ntile",
+    "q_window_range_frame",
+    "q_winsorize",
+    "q_zscore_outliers",
+    "q_value_histogram",
+    "q_equidepth_hist",
+    "q_merge_upsert",
+    "q_time_weighted_avg",
+    "q_stats_agg",
+]
+
+
+@pytest.fixture(scope="module")
+def hostile_dir(tmp_path_factory):
+    """Mutate the sf0.001 fixture: 5% NULL event values, 5% NULL customer
+    balances, and adversarial document texts (empty, single-token,
+    multi-space, non-ASCII, surrounding whitespace). Keys, timestamps,
+    and every other table ship through unchanged so joins stay real."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    dst = tmp_path_factory.mktemp("hostile_sf")
+    rng = np.random.default_rng(7)
+    for t in (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ):
+        tab = pq.read_table(f"{SF_SMOKE}/{t}.parquet")
+        n = tab.num_rows
+        if t == "events":
+            vals = tab.column("value").to_pylist()
+            for i in rng.choice(n, n // 20, replace=False):
+                vals[i] = None
+            tab = tab.set_column(
+                tab.schema.get_field_index("value"),
+                "value",
+                pa.array(vals, type=pa.float64()),
+            )
+        if t == "customer":
+            bal = tab.column("c_acctbal").to_pylist()
+            for i in rng.choice(n, max(1, n // 20), replace=False):
+                bal[i] = None
+            tab = tab.set_column(
+                tab.schema.get_field_index("c_acctbal"),
+                "c_acctbal",
+                pa.array(bal, type=pa.float64()),
+            )
+        if t == "documents":
+            txt = tab.column("text").to_pylist()
+            for j, repl in [
+                (0, ""),
+                (1, "solo"),
+                (2, "a  b   c"),
+                (3, "héllo wörld ünïcode"),
+                (4, " leading trailing "),
+            ]:
+                if j < len(txt):
+                    txt[j] = repl
+            tab = tab.set_column(
+                tab.schema.get_field_index("text"),
+                "text",
+                pa.array(txt, type=pa.string()),
+            )
+        pq.write_table(tab, str(dst / f"{t}.parquet"))
+    yield str(dst)
+    shutil.rmtree(dst, ignore_errors=True)
+
+
+@pytest.mark.parametrize("name", SENSITIVE)
+def test_sensitive_query_matches_oracle_on_hostile_data(spark, hostile_dir, name):
+    q = QUERIES[name]
+    assert q.oracle is not None
+    compare_to_oracle(q.fn(spark, hostile_dir), q.oracle, hostile_dir)
