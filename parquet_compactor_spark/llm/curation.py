@@ -548,3 +548,178 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+
+
+@register(
+    "q_dsir_weights",
+    oracle="""
+    WITH terms AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    freq AS (
+        SELECT term,
+               COUNT(*) AS c_all,
+               SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c_tgt
+        FROM terms GROUP BY term
+    ),
+    stats AS (
+        SELECT CAST(SUM(c_all) AS DOUBLE) AS n_all,
+               CAST(SUM(c_tgt) AS DOUBLE) AS n_tgt,
+               CAST(COUNT(*)  AS DOUBLE) AS v
+        FROM freq
+    ),
+    perdoc AS (
+        SELECT t.doc_id,
+               COUNT(*) AS n_tokens,
+               AVG(ln(f.c_tgt + 0.5) - ln(f.c_all + 0.5)) AS lr_raw
+        FROM terms t JOIN freq f USING (term)
+        GROUP BY t.doc_id
+    ),
+    scored AS (
+        -- floor-form 4dp round: same IEEE ops as the Spark side, so the
+        -- rounded weight (and the rank cut below) is bit-identical.
+        SELECT p.doc_id, p.n_tokens,
+               FLOOR((p.lr_raw + ln(s.n_all + 0.5 * s.v)
+                               - ln(s.n_tgt + 0.5 * s.v)) * 10000 + 0.5)
+                   / 10000 AS logratio
+        FROM perdoc p CROSS JOIN stats s
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY logratio DESC, doc_id) AS rn
+        FROM scored
+    )
+    SELECT doc_id, n_tokens, logratio,
+           CAST(CASE WHEN rn <= (SELECT COUNT(*) // 5 FROM documents)
+                     THEN 1 ELSE 0 END AS BIGINT) AS selected
+    FROM ranked
+    """,
+    doc="DSIR-style data selection (Xie et al. 2023, 'Data Selection for "
+    "Language Models via Importance Resampling'): per-document importance "
+    "weight = mean log-likelihood ratio of its unigrams under the target "
+    "domain's distribution (here lang='en') vs the raw corpus, with "
+    "add-0.5 smoothing over the corpus vocabulary, then a deterministic "
+    "top-20% selection (the rank-based stand-in for Gumbel-top-k "
+    "resampling — same selection set in expectation, reproducible). "
+    "Plan: ONE token explode feeds ONE vocabulary aggregation computing "
+    "BOTH distributions (c_all + conditional c_tgt — no second corpus "
+    "pass); corpus totals reduce to a 1-row broadcast; the frequency "
+    "table joins back behind the measured vocabulary-broadcast guard "
+    "(shuffle fallback above 2M terms — term space is open-ended at "
+    "100 TB); the top-20% cut is TakeOrderedAndProject (bounded map-side "
+    "heaps, never a global sort) + one keyed semi-join back. At 100 TB "
+    "the exact rank cut would swap for an approx-quantile threshold on "
+    "the weight; the scoring plan is unchanged. The paper's production "
+    "form hashes features into 10k buckets instead of exact unigrams — "
+    "same plan shape (the agg key becomes pmod(xxhash64(term), B)). "
+    "Selection is computed on the 4dp floor-rounded weight with doc_id "
+    "tiebreak, so the cut is engine-exact (never ranks a raw float).",
+)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parquet_compactor_spark.llm.text import broadcast_if_bounded, whitespace_tokens
+
+    d = load(spark, sf_dir, "documents")
+    terms = d.select(
+        "doc_id", "lang", F.explode(whitespace_tokens(F.col("text"))).alias("term")
+    )
+    freq = terms.groupBy("term").agg(
+        F.count(F.lit(1)).alias("c_all"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("c_tgt"),
+    )
+    stats = freq.agg(
+        F.sum("c_all").cast("double").alias("n_all"),
+        F.sum("c_tgt").cast("double").alias("n_tgt"),
+        F.count(F.lit(1)).cast("double").alias("v"),
+    )
+    lr_term = F.log(F.col("c_tgt") + 0.5) - F.log(F.col("c_all") + 0.5)
+    perdoc = (
+        terms.join(broadcast_if_bounded(freq, terms, "term"), "term")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.avg(lr_term).alias("lr_raw"))
+    )
+    const = F.log(F.col("n_all") + 0.5 * F.col("v")) - F.log(
+        F.col("n_tgt") + 0.5 * F.col("v")
+    )
+    scored = perdoc.crossJoin(F.broadcast(stats)).select(
+        "doc_id",
+        "n_tokens",
+        (F.floor((F.col("lr_raw") + const) * 10000 + 0.5) / 10000).alias("logratio"),
+    )
+    n_sel = d.count() // 5  # scalar, model-state sized
+    sel = (
+        scored.orderBy(F.desc("logratio"), F.asc("doc_id"))
+        .limit(n_sel)
+        .select("doc_id", F.lit(1).alias("selected"))
+    )
+    return scored.join(sel, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        "logratio",
+        F.coalesce(F.col("selected"), F.lit(0)).cast("bigint").alias("selected"),
+    )
+
+
+@register(
+    "q_dup_ngram_coverage",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    grams AS (
+        SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS gram
+        FROM words, UNNEST(range(1, greatest(len(w) - 4, 0) + 1)) AS t(i)
+    ),
+    gram_docs AS (
+        SELECT gram, COUNT(*) AS nd FROM grams GROUP BY gram
+    )
+    SELECT g.doc_id,
+           COUNT(*) AS n_grams,
+           CAST(SUM(CASE WHEN gd.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup,
+           FLOOR(CAST(SUM(CASE WHEN gd.nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*) * 10000 + 0.5) / 10000 AS dup_frac
+    FROM grams g JOIN gram_docs gd USING (gram)
+    GROUP BY g.doc_id
+    """,
+    doc="Cross-document duplicated n-gram coverage (Lee et al. 2022, "
+    "'Deduplicating Training Data Makes Language Models Better'): for "
+    "each document, the fraction of its distinct 5-word-grams that also "
+    "appear in at least one OTHER document — the per-document "
+    "memorization-risk score that drives substring-level dedup decisions "
+    "(q_repetition_ratio is the INTRA-doc cousin; q_ngram_jaccard is "
+    "pairwise — this is corpus-global per doc). Documents shorter than "
+    "5 tokens drop out on both engines (the shingle guard yields an "
+    "empty array; inner semantics). Plan: gram generation is a JVM "
+    "higher-order transform (map-side, within-doc distinct BEFORE the "
+    "explode so the doc-frequency count is a plain COUNT(*)); one "
+    "partial-aggregated shuffle keyed on gram builds the doc-frequency "
+    "table; it joins back behind the measured vocabulary-broadcast "
+    "guard (gram space is open-ended at 100 TB -> shuffle join), then "
+    "one per-doc rollup. Never forms document PAIRS — cost is O(total "
+    "grams), not O(docs^2). dup_frac uses the floor-form 4dp round: "
+    "exact integer ratios can land on representable x.xxxx5 boundaries "
+    "(e.g. odd/32) where the engines' native round() disagree.",
+)
+def q_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parquet_compactor_spark.llm.text import broadcast_if_bounded, whitespace_tokens
+
+    d = load(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(word_shingles(whitespace_tokens(F.col("text")), 5))
+        ).alias("gram"),
+    )
+    gram_docs = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("nd"))
+    dup = F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
+    return (
+        grams.join(broadcast_if_bounded(gram_docs, grams, "gram"), "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            dup.cast("bigint").alias("n_dup"),
+            (
+                F.floor(dup.cast("double") / F.count(F.lit(1)) * 10000 + 0.5) / 10000
+            ).alias("dup_frac"),
+        )
+    )

@@ -53,6 +53,8 @@ SENSITIVE = [
     "q_asof_nearest",
     "q_edit_distance",
     "q_ngram_jaccard",
+    "q_dsir_weights",
+    "q_dup_ngram_coverage",
     "q_ewma",
     "q_locf_interpolate",
     "q_mad_outliers",

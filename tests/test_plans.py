@@ -414,6 +414,7 @@ def test_no_unexpected_cartesian_in_any_registered_query(spark):
         "q_sim_topk",  # 1-row query vector broadcast
         "q_batch_sim_topk",  # 5-row query-batch broadcast
         "q_hard_negatives",  # same 5-row query-batch broadcast
+        "q_dsir_weights",  # 1-row corpus-totals broadcast (n_all/n_tgt/v)
         "q_percent_of_total",  # 1-row grand-total scalar
         "q_tfidf_topterms",  # 1-row corpus document count
         "q_bm25",  # 1-row corpus stats (N, avgdl)
