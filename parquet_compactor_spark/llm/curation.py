@@ -723,3 +723,66 @@ def q_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_frac"),
         )
     )
+
+
+@register(
+    "q_quality_classifier",
+    oracle="""
+    WITH tk AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        FROM documents
+    ),
+    w AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(t), 1, 15))::BIGINT % 2001 - 1000 AS wt
+        FROM tk
+    ),
+    agg AS (
+        SELECT doc_id, COUNT(*) AS n_tokens, SUM(wt) AS logit_sum
+        FROM w GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(n_tokens  AS BIGINT) AS n_tokens,
+           CAST(logit_sum AS BIGINT) AS logit_sum,
+           FLOOR(CAST(logit_sum AS DOUBLE) / n_tokens * 10000 + 0.5)
+               / 10000 AS mean_weight,
+           CAST(CASE WHEN logit_sum >= 0 THEN 1 ELSE 0 END AS BIGINT)
+               AS keep
+    FROM agg
+    """,
+    doc="Hashing-trick linear quality classifier — the learned-filter "
+    "stage of DCLM / FineWeb-Edu pipelines (a fastText-style linear "
+    "model scores every page; only top-scoring pages enter the training "
+    "mix). The model here is the degenerate-but-exact stand-in: each "
+    "token's weight is derived from the engine-portable 60-bit md5 hash "
+    "(w = h % 2001 - 1000, an INTEGER in [-1000, 1000]), the document "
+    "logit is the integer SUM of token weights (exact under ANY "
+    "summation order — no float-accumulation drift between engines or "
+    "partitionings), and keep thresholds the raw logit at 0 (sigmoid is "
+    "monotone, so thresholding the probability IS thresholding the "
+    "logit — the float sigmoid never needs to be computed, let alone "
+    "compared). mean_weight renders via the floor-form 4dp round on one "
+    "IEEE division of identical integers — bit-identical. Plan: ZERO "
+    "shuffles — the token fold is a JVM higher-order aggregate over the "
+    "split array (map-only, whole-stage codegen); with a real trained "
+    "model the only change is a broadcast int-weight array indexed by "
+    "pmod(hash, B) (hashing trick, B~1M buckets, a few MB) — the plan "
+    "gains one broadcast variable and stays map-only.",
+)
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    logit = F.expr(
+        "aggregate(split(text, ' ', -1), 0L, (acc, t) -> acc"
+        " + pmod(cast(conv(substr(md5(t), 1, 15), 16, 10) as bigint), 2001L)"
+        " - 1000L)"
+    )
+    n = F.size(F.split(F.col("text"), " ", -1)).cast("bigint")
+    return d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        logit.alias("logit_sum"),
+        (F.floor(logit.cast("double") / n * 10000 + 0.5) / 10000).alias(
+            "mean_weight"
+        ),
+        (logit >= 0).cast("bigint").alias("keep"),
+    )

@@ -710,3 +710,94 @@ def q_prefix_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_sources",
         (F.col("doc_id") == F.col("canonical_id")).cast("int").alias("is_canonical"),
     )
+
+
+@register(
+    "q_span_dedup",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    spans AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS span_idx,
+               array_to_string(w[(i-1)*10+1:(i-1)*10+10], ' ') AS span
+        FROM words, UNNEST(range(1, len(w) // 10 + 1)) AS t(i)
+    ),
+    o AS (
+        SELECT doc_id, span, doc_id * 1048576 + span_idx AS ord
+        FROM spans
+    ),
+    firsts AS (SELECT span, MIN(ord) AS first_ord FROM o GROUP BY span),
+    j AS (SELECT o.doc_id, o.ord, f.first_ord
+          FROM o JOIN firsts f USING (span))
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(CASE WHEN ord <> first_ord THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dropped,
+           FLOOR(CAST(COUNT(*) - SUM(CASE WHEN ord <> first_ord
+                                          THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*) * 10000 + 0.5) / 10000 AS kept_frac
+    FROM j GROUP BY doc_id
+    """,
+    doc="C4-style global span-level dedup DECISION (Raffel et al. 2020 "
+    "removed every repeated three-sentence span corpus-wide, keeping "
+    "only its first occurrence): split each doc into NON-overlapping "
+    "10-token spans and drop every span whose exact text occurred "
+    "earlier in the corpus — earlier = smaller (doc_id, span_idx), "
+    "encoded as the exact bigint doc_id*2^20+span_idx so the "
+    "first-occurrence winner is engine-identical integer MIN, never a "
+    "float or struct compare (span_idx < 2^20 bounds docs at ~10M "
+    "tokens; the upstream chunker enforces far less). Distinct from "
+    "q_dup_ngram_coverage (a symmetric per-doc risk SCORE over sliding "
+    "distinct 5-grams): this is the asymmetric KEEP/DROP rule, and it "
+    "drops within-doc repeats too. Docs under 10 tokens yield no span "
+    "and drop out (inner semantics, both engines). Plan: span "
+    "generation is a JVM higher-order transform (map-side; "
+    "non-overlapping spans mean the exploded row count is ~corpus "
+    "tokens / 10, CHEAPER than the corpus itself); one span-keyed "
+    "shuffle with map-side partial MIN builds the first-occurrence "
+    "table; it joins back behind the measured vocabulary-broadcast "
+    "guard (span space is open-ended at 100 TB -> shuffle join); one "
+    "per-doc rollup. Never forms document pairs — O(total spans). "
+    "Production would key the shuffle on xxhash64(span) to shrink "
+    "shuffle bytes; the raw span is kept for oracle transparency.",
+)
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parquet_compactor_spark.llm.text import broadcast_if_bounded, whitespace_tokens
+
+    d = load(spark, sf_dir, "documents")
+    words = whitespace_tokens(F.col("text"))
+    span_structs = F.when(
+        F.size(words) >= 10,
+        F.transform(
+            F.sequence(F.lit(1), F.floor(F.size(words) / 10).cast("int")),
+            lambda i: F.struct(
+                i.cast("bigint").alias("span_idx"),
+                F.array_join(F.slice(words, (i - 1) * 10 + 1, 10), " ").alias("span"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<span_idx:bigint,span:string>>"))
+    spans = (
+        d.select("doc_id", F.explode(span_structs).alias("s"))
+        .select(
+            "doc_id",
+            "s.span",
+            (F.col("doc_id") * 1048576 + F.col("s.span_idx")).alias("ord"),
+        )
+    )
+    firsts = spans.groupBy("span").agg(F.min("ord").alias("first_ord"))
+    j = spans.join(broadcast_if_bounded(firsts, spans, "span"), "span")
+    dropped = F.sum(F.when(F.col("ord") != F.col("first_ord"), 1).otherwise(0))
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+        dropped.cast("bigint").alias("n_dropped"),
+        (
+            F.floor(
+                (F.count(F.lit(1)) - dropped).cast("double")
+                / F.count(F.lit(1))
+                * 10000
+                + 0.5
+            )
+            / 10000
+        ).alias("kept_frac"),
+    )

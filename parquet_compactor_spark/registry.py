@@ -213,12 +213,13 @@ def _ensure_loaded() -> None:
 # External differential harnesses that sample a prefix of the registry
 # (the driver checks the first 50 entries) therefore verify these before
 # anything else. Round 6 (exactly 50 names):
-#   1-2   the two queries ADDED this round — no driver row exists at
+#   1-4   the four queries ADDED this round — no driver row exists at
 #         all, so they outrank every re-verification (q_dsir_weights:
 #         DSIR importance weights + top-20% selection;
 #         q_dup_ngram_coverage: cross-document duplicated-5-gram
-#         fraction per doc);
-#   3-19  queries whose SOURCE or ORACLE changed this round, so any
+#         fraction per doc; q_span_dedup: C4-style first-occurrence
+#         span drop; q_quality_classifier: hashed linear filter);
+#   5-21  queries whose SOURCE or ORACLE changed this round, so any
 #         existing driver row no longer attests to the current code:
 #         the four hostile-DATA sweep fixes (q_ohlc, q_regr_slope,
 #         q_window_ntile, q_edit_distance — NULL/unicode cross-engine
@@ -237,15 +238,16 @@ def _ensure_loaded() -> None:
 #         multimodal path (q_multimodal_meta, q_frame_sample); and the
 #         vocabulary-broadcast guard (q_unigram_logprob,
 #         q_tfidf_topterms, q_bm25);
-#   20-46 ALL 27 remaining queries whose latest driver row is round 2
+#   22-48 ALL 27 remaining queries whose latest driver row is round 2
 #         (the ledger's oldest evidence — after this round nothing is
 #         older than round 3), displaced/plan-sensitive members first;
-#   47-50 the 4 oldest round-3 rows, complex/plan-sensitive first
-#         (flagship agg, pushdown pin, broadcast join, and q_asof_join
-#         whose underlying asof_join source changed this round).
+#   49-50 the 2 highest-stakes round-3 rows (flagship agg, and
+#         q_asof_join whose underlying asof_join source changed this
+#         round).
 # Everything not listed follows in registration order.
 #
-# Round-7 rotation plan: q_asof_nearest q_null_safe_join q_outer_join
+# Round-7 rotation plan: q_filter_pushdown q_join_broadcast
+# q_asof_nearest q_null_safe_join q_outer_join
 # q_scd2 q_session_window
 # q_contamination q_corpus_prep q_semantic_dedup (displaced from round 6
 # by the source changes above), then the remaining r3-latest rows
@@ -263,6 +265,8 @@ _PRIORITY: tuple[str, ...] = (
     # -- NEW in round 6 (no driver row yet): verify before everything --
     "q_dsir_weights",
     "q_dup_ngram_coverage",
+    "q_span_dedup",
+    "q_quality_classifier",
     # -- source or oracle changed in round 6: re-verify first --
     # hostile-DATA sweep fixes (NULL/unicode cross-engine semantics):
     "q_ohlc",  # min_by NULL-value vs arg_min skip — non-null scope pinned
@@ -310,17 +314,16 @@ _PRIORITY: tuple[str, ...] = (
     "q_top_bigrams",
     "q_value_histogram",
     "q_whitespace_cleanup",
-    # -- oldest round-3 rows, plan-sensitive first; q_asof_join stays
-    # because functions/asof.py (its operator) changed this round --
+    # -- highest-stakes round-3 rows; q_asof_join stays because
+    # functions/asof.py (its operator) changed this round --
     "q_agg_pricing",
-    "q_filter_pushdown",
-    "q_join_broadcast",
     "q_asof_join",
-    # (q_asof_nearest, q_null_safe_join, q_outer_join, q_scd2,
-    # q_session_window, q_contamination, q_corpus_prep, q_semantic_dedup
-    # displaced to the round-7 rotation by the round-6 source changes
-    # and additions above — new/changed sources outrank re-verification
-    # of unchanged ones.)
+    # (q_filter_pushdown, q_join_broadcast, q_asof_nearest,
+    # q_null_safe_join, q_outer_join, q_scd2, q_session_window,
+    # q_contamination, q_corpus_prep, q_semantic_dedup displaced to the
+    # round-7 rotation by the round-6 source changes and additions
+    # above — new/changed sources outrank re-verification of unchanged
+    # ones.)
 )
 
 

@@ -55,6 +55,8 @@ SENSITIVE = [
     "q_ngram_jaccard",
     "q_dsir_weights",
     "q_dup_ngram_coverage",
+    "q_span_dedup",
+    "q_quality_classifier",
     "q_ewma",
     "q_locf_interpolate",
     "q_mad_outliers",
