@@ -71,6 +71,13 @@ RAMP_QUERIES = [
     # — O(group) reducer memory by design; the ramp proves the slope is
     # linear (shuffle-bound), not blow-up, as event counts grow.
     "q_mad_outliers",
+    # round-6 additions: the three new corpus passes with open-ended
+    # key spaces (gram/span/term) — the ramp proves the doc-frequency
+    # shuffle + guarded join-back stays linear as the key space grows
+    # with the corpus (no quadratic candidate formation anywhere).
+    "q_dup_ngram_coverage",
+    "q_span_dedup",
+    "q_dsir_weights",
 ]
 
 OFF = 10_000_000  # per-copy key shift
