@@ -563,25 +563,37 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
                SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c_tgt
         FROM terms GROUP BY term
     ),
+    wfreq AS (
+        -- integer-exact per-term micro-weight: 6dp floor-form round of
+        -- the per-term log ratio. The per-doc SUM below is then exact
+        -- BIGINT arithmetic — identical under ANY accumulation order /
+        -- partitioning, unlike AVG over raw doubles.
+        SELECT term, c_all, c_tgt,
+               CAST(FLOOR((ln(c_tgt + 0.5) - ln(c_all + 0.5)) * 1000000
+                          + 0.5) AS BIGINT) AS w_micro
+        FROM freq
+    ),
     stats AS (
         SELECT CAST(SUM(c_all) AS DOUBLE) AS n_all,
                CAST(SUM(c_tgt) AS DOUBLE) AS n_tgt,
                CAST(COUNT(*)  AS DOUBLE) AS v
-        FROM freq
+        FROM wfreq
     ),
     perdoc AS (
         SELECT t.doc_id,
                COUNT(*) AS n_tokens,
-               AVG(ln(f.c_tgt + 0.5) - ln(f.c_all + 0.5)) AS lr_raw
-        FROM terms t JOIN freq f USING (term)
+               SUM(f.w_micro) AS w_sum
+        FROM terms t JOIN wfreq f USING (term)
         GROUP BY t.doc_id
     ),
     scored AS (
-        -- floor-form 4dp round: same IEEE ops as the Spark side, so the
-        -- rounded weight (and the rank cut below) is bit-identical.
+        -- floor-form 4dp round over ONE IEEE divide chain of identical
+        -- operands: bit-identical to the Spark side.
         SELECT p.doc_id, p.n_tokens,
-               FLOOR((p.lr_raw + ln(s.n_all + 0.5 * s.v)
-                               - ln(s.n_tgt + 0.5 * s.v)) * 10000 + 0.5)
+               FLOOR((CAST(p.w_sum AS DOUBLE) / 1000000.0
+                          / CAST(p.n_tokens AS DOUBLE)
+                      + ln(s.n_all + 0.5 * s.v)
+                      - ln(s.n_tgt + 0.5 * s.v)) * 10000 + 0.5)
                    / 10000 AS logratio
         FROM perdoc p CROSS JOIN stats s
     ),
@@ -601,41 +613,58 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "add-0.5 smoothing over the corpus vocabulary, then a deterministic "
     "top-20% selection (the rank-based stand-in for Gumbel-top-k "
     "resampling — same selection set in expectation, reproducible). "
-    "Plan: ONE token explode feeds ONE vocabulary aggregation computing "
-    "BOTH distributions (c_all + conditional c_tgt — no second corpus "
-    "pass); corpus totals reduce to a 1-row broadcast; the frequency "
-    "table joins back behind the measured vocabulary-broadcast guard "
-    "(shuffle fallback above 2M terms — term space is open-ended at "
-    "100 TB); the top-20% cut is TakeOrderedAndProject (bounded map-side "
-    "heaps, never a global sort) + one keyed semi-join back. At 100 TB "
-    "the exact rank cut would swap for an approx-quantile threshold on "
-    "the weight; the scoring plan is unchanged. The paper's production "
-    "form hashes features into 10k buckets instead of exact unigrams — "
-    "same plan shape (the agg key becomes pmod(xxhash64(term), B)). "
-    "Selection is computed on the 4dp floor-rounded weight with doc_id "
-    "tiebreak, so the cut is engine-exact (never ranks a raw float).",
+    "Per-term weights are ROUNDED TO INTEGER MICRO-UNITS (6dp floor "
+    "form) in the vocabulary table, so the per-doc score is an exact "
+    "BIGINT sum + one IEEE divide — order-independent under any "
+    "partitioning (AVG over raw doubles drifts with accumulation order "
+    "between Spark partitionings and DuckDB's sequential scan; same "
+    "class q_winsorize hit). Plan: ONE token explode feeds ONE "
+    "vocabulary aggregation computing BOTH distributions (c_all + "
+    "conditional c_tgt — no second corpus pass); corpus totals reduce "
+    "over the guard's CACHED vocabulary to a 1-row broadcast; the "
+    "frequency table joins back behind the measured vocabulary-"
+    "broadcast guard (shuffle fallback above 2M terms — term space is "
+    "open-ended at 100 TB); n_sel comes from a 1-row count of "
+    "documents crossJoined in-plan (the whole query is ONE action plus "
+    "the guard's cache-build count — no per-query driver collect). The "
+    "top-20% cut is a row_number over the 4dp floor-rounded weight "
+    "with doc_id tiebreak (engine-exact — never ranks a raw float); "
+    "the global rank window is a deliberate small-result reducer here, "
+    "and at 100 TB it (like the TakeOrdered heap that would otherwise "
+    "hold 20% of the corpus) swaps for an approx-quantile threshold "
+    "on the weight; the scoring plan is unchanged. The paper's "
+    "production form hashes features into 10k buckets instead of exact "
+    "unigrams — same plan shape (the agg key becomes "
+    "pmod(xxhash64(term), B)).",
 )
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     from parquet_compactor_spark.llm.text import broadcast_if_bounded, whitespace_tokens
 
     d = load(spark, sf_dir, "documents")
     terms = d.select(
         "doc_id", "lang", F.explode(whitespace_tokens(F.col("text"))).alias("term")
     )
-    freq = terms.groupBy("term").agg(
-        F.count(F.lit(1)).alias("c_all"),
-        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("c_tgt"),
+    lr_term = F.log(F.col("c_tgt") + 0.5) - F.log(F.col("c_all") + 0.5)
+    wfreq = broadcast_if_bounded(
+        terms.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("c_all"),
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("c_tgt"),
+        )
+        .withColumn("w_micro", F.floor(lr_term * 1000000 + 0.5).cast("bigint"))
     )
-    stats = freq.agg(
+    stats = wfreq.agg(
         F.sum("c_all").cast("double").alias("n_all"),
         F.sum("c_tgt").cast("double").alias("n_tgt"),
         F.count(F.lit(1)).cast("double").alias("v"),
     )
-    lr_term = F.log(F.col("c_tgt") + 0.5) - F.log(F.col("c_all") + 0.5)
+    n_sel = d.agg(F.floor(F.count(F.lit(1)) / 5).alias("n_sel"))
     perdoc = (
-        terms.join(broadcast_if_bounded(freq, terms, "term"), "term")
+        terms.join(wfreq, "term")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_tokens"), F.avg(lr_term).alias("lr_raw"))
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("w_micro").alias("w_sum"))
     )
     const = F.log(F.col("n_all") + 0.5 * F.col("v")) - F.log(
         F.col("n_tgt") + 0.5 * F.col("v")
@@ -643,19 +672,30 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = perdoc.crossJoin(F.broadcast(stats)).select(
         "doc_id",
         "n_tokens",
-        (F.floor((F.col("lr_raw") + const) * 10000 + 0.5) / 10000).alias("logratio"),
+        (
+            F.floor(
+                (
+                    F.col("w_sum").cast("double")
+                    / 1000000.0
+                    / F.col("n_tokens").cast("double")
+                    + const
+                )
+                * 10000
+                + 0.5
+            )
+            / 10000
+        ).alias("logratio"),
     )
-    n_sel = d.count() // 5  # scalar, model-state sized
-    sel = (
-        scored.orderBy(F.desc("logratio"), F.asc("doc_id"))
-        .limit(n_sel)
-        .select("doc_id", F.lit(1).alias("selected"))
-    )
-    return scored.join(sel, "doc_id", "left").select(
-        "doc_id",
-        "n_tokens",
-        "logratio",
-        F.coalesce(F.col("selected"), F.lit(0)).cast("bigint").alias("selected"),
+    rn = F.row_number().over(Window.orderBy(F.desc("logratio"), F.asc("doc_id")))
+    return (
+        scored.withColumn("rn", rn)
+        .crossJoin(F.broadcast(n_sel))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "logratio",
+            (F.col("rn") <= F.col("n_sel")).cast("bigint").alias("selected"),
+        )
     )
 
 
@@ -713,7 +753,7 @@ def q_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     gram_docs = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("nd"))
     dup = F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
     return (
-        grams.join(broadcast_if_bounded(gram_docs, grams, "gram"), "gram")
+        grams.join(broadcast_if_bounded(gram_docs), "gram")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
@@ -729,8 +769,12 @@ def q_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_quality_classifier",
     oracle="""
     WITH tk AS (
+        -- NULL text is excluded EXPLICITLY on both engines: Spark's
+        -- map-only select would emit a NULL-scored row while unnest of
+        -- a NULL split drops the doc here — a row-count divergence
+        -- unless both sides pin the same scope.
         SELECT doc_id, unnest(string_split(text, ' ')) AS t
-        FROM documents
+        FROM documents WHERE text IS NOT NULL
     ),
     w AS (
         SELECT doc_id,
@@ -770,7 +814,8 @@ def q_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     "gains one broadcast variable and stays map-only.",
 )
 def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    # Scope pinned to non-NULL text on both engines (see oracle note).
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     logit = F.expr(
         "aggregate(split(text, ' ', -1), 0L, (acc, t) -> acc"
         " + pmod(cast(conv(substr(md5(t), 1, 15), 16, 10) as bigint), 2001L)"

@@ -786,7 +786,7 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     firsts = spans.groupBy("span").agg(F.min("ord").alias("first_ord"))
-    j = spans.join(broadcast_if_bounded(firsts, spans, "span"), "span")
+    j = spans.join(broadcast_if_bounded(firsts), "span")
     dropped = F.sum(F.when(F.col("ord") != F.col("first_ord"), 1).otherwise(0))
     return j.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_spans"),

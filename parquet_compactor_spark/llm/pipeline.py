@@ -95,19 +95,23 @@ def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="TF-IDF top-3 terms per document: tokenize → term/doc frequencies "
     "(two hash aggs) → idf join (document-frequency table rides the "
-    "measured broadcast guard: hint only when approx_count_distinct("
-    "term) <= 2M rows, shuffle join above — see text.py "
-    "VOCAB_BROADCAST_ROW_LIMIT) → per-doc top-k window. The canonical "
-    "multi-stage text pipeline as one declarative plan.",
+    "measured broadcast guard: the cached-and-counted vocabulary agg, "
+    "hint only below 2M distinct terms, shuffle join above — see "
+    "text.py VOCAB_BROADCAST_ROW_LIMIT) → per-doc top-k window. The "
+    "canonical multi-stage text pipeline as one declarative plan; the "
+    "exploded corpus feeds the tf agg once and the df table reads from "
+    "the guard's cache.",
 )
 def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     terms = d.select("doc_id", F.explode(F.split("text", " ", -1)).alias("term"))
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("term_freq"))
-    df_tbl = terms.distinct().groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    df_tbl = broadcast_if_bounded(
+        terms.distinct().groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    )
     n_docs = d.select(F.countDistinct("doc_id").alias("n"))
     scored = (
-        tf.join(broadcast_if_bounded(df_tbl, terms, "term"), "term")
+        tf.join(df_tbl, "term")
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",

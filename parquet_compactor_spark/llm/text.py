@@ -31,21 +31,34 @@ VOCAB_BROADCAST_ROW_LIMIT = 2_000_000
 
 def broadcast_if_bounded(
     small: DataFrame,
-    probe: DataFrame,
-    col: str,
     limit: int = VOCAB_BROADCAST_ROW_LIMIT,
 ) -> DataFrame:
     """Broadcast hint gated on a MEASURED cardinality bound.
 
-    Probes ``approx_count_distinct(col)`` over ``probe`` (one extra scan,
-    partial-aggregated to a single HLL row — no shuffle, scalar driver
-    traffic only) and returns ``small`` with a broadcast hint only when
-    the distinct count fits ``limit``. Above the bound the plain frame is
-    returned and the join falls back to a shuffle (or to AQE's own
-    size-based broadcast decision) instead of OOMing every executor with
-    an unbounded vocabulary broadcast.
+    ``small`` must be the aggregated vocabulary-shaped table itself (one
+    row per distinct key — every caller passes a ``groupBy(key).agg``).
+    The frame is persisted and counted ONCE: the count materializes the
+    cache AND is the exact distinct-key cardinality, so no separate
+    probe pass over the raw/exploded corpus is needed (rounds 4-6 ran an
+    ``approx_count_distinct`` over the big side — a full extra corpus
+    scan per guarded query). The caller's join then reads the vocabulary
+    from the cache (``InMemoryTableScan``), so the main plan scans the
+    corpus exactly once — pinned by
+    ``tests/test_plans.py::test_guarded_queries_scan_corpus_once``.
+
+    Below ``limit`` the cached frame is returned with a broadcast hint;
+    above it the plain cached frame is returned and the join falls back
+    to a shuffle (or AQE's size-based runtime broadcast) instead of
+    OOMing every executor with an unbounded vocabulary broadcast.
+
+    Scale: the cache holds the POST-aggregation table — the same order
+    of bytes the join's build/shuffle side materializes anyway — under
+    the default MEMORY_AND_DISK level, so an open-ended gram space at
+    100 TB spills to local disk rather than failing; Spark's LRU storage
+    eviction bounds residency across many queries on a shared session.
     """
-    n = probe.agg(F.approx_count_distinct(col).alias("n")).first()["n"]
+    small = small.persist()
+    n = small.count()
     return F.broadcast(small) if n <= limit else small
 
 
@@ -330,19 +343,23 @@ def q_char_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     "heavy or OOV-dense documents score low — the classic cheap quality "
     "filter when a real LM is too expensive). The unigram table joins "
     "back onto the exploded tokens behind the measured broadcast guard "
-    "(broadcast hint only when approx_count_distinct(term) <= "
-    "VOCAB_BROADCAST_ROW_LIMIT = 2M rows; above it the join falls back "
-    "to a shuffle — term space is open-ended at 100 TB); the corpus "
-    "total is a 1-row scalar crossJoin. Shuffles: vocab agg + per-doc "
+    "(the cached-and-counted vocabulary agg; broadcast hint only below "
+    "VOCAB_BROADCAST_ROW_LIMIT = 2M rows, shuffle join above — term "
+    "space is open-ended at 100 TB); the corpus total is SUM over the "
+    "cached unigram table (identical value to counting the exploded "
+    "tokens, zero extra corpus scans), a 1-row scalar crossJoin. The "
+    "main plan scans documents ONCE. Shuffles: vocab agg + per-doc "
     "rollup, both partial-aggregated.",
 )
 def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     terms = d.select("doc_id", F.explode(whitespace_tokens(F.col("text"))).alias("term"))
-    freq = terms.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
-    total = terms.agg(F.count(F.lit(1)).cast("double").alias("n_total"))
+    freq = broadcast_if_bounded(
+        terms.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = freq.agg(F.sum("n").cast("double").alias("n_total"))
     return (
-        terms.join(broadcast_if_bounded(freq, terms, "term"), "term")
+        terms.join(freq, "term")
         .crossJoin(F.broadcast(total))
         .groupBy("doc_id")
         .agg(

@@ -78,7 +78,7 @@ SENSITIVE = [
 def hostile_dir(tmp_path_factory):
     """Mutate the sf0.001 fixture: 5% NULL event values, 5% NULL customer
     balances, and adversarial document texts (empty, single-token,
-    multi-space, non-ASCII, surrounding whitespace). Keys, timestamps,
+    multi-space, non-ASCII, surrounding whitespace, NULL). Keys, timestamps,
     and every other table ship through unchanged so joins stay real."""
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -117,6 +117,11 @@ def hostile_dir(tmp_path_factory):
                 (2, "a  b   c"),
                 (3, "héllo wörld ünïcode"),
                 (4, " leading trailing "),
+                # NULL text (round 7): Spark map-only selects emit a
+                # NULL-scored row while an oracle's unnest(string_split)
+                # drops the doc — queries must pin ONE scope explicitly
+                # (q_quality_classifier was the unpinned instance).
+                (5, None),
             ]:
                 if j < len(txt):
                     txt[j] = repl

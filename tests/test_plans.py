@@ -414,7 +414,7 @@ def test_no_unexpected_cartesian_in_any_registered_query(spark):
         "q_sim_topk",  # 1-row query vector broadcast
         "q_batch_sim_topk",  # 5-row query-batch broadcast
         "q_hard_negatives",  # same 5-row query-batch broadcast
-        "q_dsir_weights",  # 1-row corpus-totals broadcast (n_all/n_tgt/v)
+        "q_dsir_weights",  # 1-row corpus-totals + 1-row n_sel broadcasts
         "q_percent_of_total",  # 1-row grand-total scalar
         "q_tfidf_topterms",  # 1-row corpus document count
         "q_bm25",  # 1-row corpus stats (N, avgdl)
@@ -556,12 +556,14 @@ def test_embed_near_dup_blocks_on_label_and_bucket(spark):
 
 
 def test_vocab_broadcast_guard_both_branches(spark):
-    """The vocabulary joins (q_unigram_logprob / q_tfidf_topterms) hint a
-    broadcast only when a measured approx_count_distinct probe fits
-    VOCAB_BROADCAST_ROW_LIMIT; above the bound the hint is withheld so
-    the join can shuffle instead of OOMing on an open-ended term space.
-    Both branches pinned: hinted -> BroadcastHashJoin even with auto-
-    broadcast disabled; unhinted -> no broadcast under the same conf."""
+    """The vocabulary joins hint a broadcast only when the cached-and-
+    counted vocabulary agg fits VOCAB_BROADCAST_ROW_LIMIT; above the
+    bound the hint is withheld so the join can shuffle instead of
+    OOMing on an open-ended term space. Both branches pinned: hinted ->
+    BroadcastHashJoin even with auto-broadcast disabled; unhinted -> no
+    broadcast under the same conf. Either way the guarded side must
+    come back as an InMemoryTableScan (the guard's count doubles as the
+    cache build — no re-scan of the corpus for the vocabulary side)."""
     from pyspark.sql import functions as F
 
     from parquet_compactor_spark.llm.text import broadcast_if_bounded
@@ -573,18 +575,57 @@ def test_vocab_broadcast_guard_both_branches(spark):
     prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        hinted = terms.join(broadcast_if_bounded(freq, terms, "term"), "term")
-        assert "BroadcastHashJoin" in (
-            hinted._jdf.queryExecution().executedPlan().toString()
-        )
-        guarded = terms.join(
-            broadcast_if_bounded(freq, terms, "term", limit=0), "term"
-        )
-        assert "BroadcastHashJoin" not in (
-            guarded._jdf.queryExecution().executedPlan().toString()
-        )
+        bounded = broadcast_if_bounded(freq)
+        hinted = terms.join(bounded, "term")
+        hplan = hinted._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in hplan
+        assert "InMemoryTableScan" in hplan
+        guarded = terms.join(broadcast_if_bounded(freq, limit=0), "term")
+        gplan = guarded._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in gplan
+        assert "InMemoryTableScan" in gplan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+        freq.unpersist()
+
+
+def test_guarded_queries_scan_corpus_once(spark):
+    """Round-7 regression pin: the vocabulary-broadcast guard used to run
+    a separate approx_count_distinct probe over the exploded corpus — a
+    full extra scan per guarded query. The guard now persists + counts
+    the aggregated vocabulary itself, so each guarded query's MAIN plan
+    reads the documents parquet exactly once for the fact stream (plus,
+    where pinned as 2, one column-pruned 1-row corpus-count branch),
+    with the vocabulary side served from the cache."""
+    expected_scans = {
+        "q_unigram_logprob": 1,  # corpus total derives from cached vocab
+        "q_tfidf_topterms": 2,  # tf stream + 1-row n_docs count
+        "q_dsir_weights": 2,  # terms stream + 1-row n_sel count
+        "q_dup_ngram_coverage": 1,
+        "q_span_dedup": 1,
+    }
+    for name, want in expected_scans.items():
+        df = QUERIES[name].fn(spark, SF_SMOKE)
+        leaves = _plan_leaves(df)
+        got = sum(
+            1
+            for kind, s in leaves
+            if "Scan parquet" in kind and "documents.parquet" in s
+        )
+        assert got == want, f"{name}: {got} documents scans, want {want}"
+        assert any(kind == "InMemoryTableScan" for kind, _ in leaves), name
+
+
+def _plan_leaves(df):
+    """(nodeName, simpleString) for each leaf of the pre-AQE physical
+    plan — FileScan leaves count real scans; the guard's cached
+    vocabulary shows up as an InMemoryTableScan leaf (whose stringified
+    body would otherwise double-count the ORIGINAL cache-build scan)."""
+    leaves = df._jdf.queryExecution().sparkPlan().collectLeaves()
+    return [
+        (leaves.apply(i).nodeName(), leaves.apply(i).simpleString(500))
+        for i in range(leaves.size())
+    ]
 
 
 def test_bm25_df_table_pruned_to_query_terms_before_broadcast(spark):
