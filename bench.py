@@ -196,18 +196,24 @@ def bench_compaction(spark, sf_dir: str) -> dict:
 
         cpu0 = _cpu_sample()
         t0 = time.perf_counter()
-        LakeCompactor(spark, str(rename_root), CompactionConfig()).compact()
+        lc = LakeCompactor(spark, str(rename_root), CompactionConfig())
+        lc.compact()
         dt = time.perf_counter() - t0
         busy = _cpu_busy(cpu0, _cpu_sample())
         files_out = list(leaf.glob("*.parquet"))
+        phases = {k: round(v, 3) for k, v in sorted(lc.phase_timings.items())}
 
         cpu0 = _cpu_sample()
         t0 = time.perf_counter()
-        LakeCompactor(
+        lc_direct = LakeCompactor(
             spark, str(direct_root), CompactionConfig(direct_commit=True)
-        ).compact()
+        )
+        lc_direct.compact()
         direct_dt = time.perf_counter() - t0
         direct_busy = _cpu_busy(cpu0, _cpu_sample())
+        direct_phases = {
+            k: round(v, 3) for k, v in sorted(lc_direct.phase_timings.items())
+        }
 
         return {
             "files_in": len(files_in),
@@ -222,6 +228,15 @@ def bench_compaction(spark, sf_dir: str) -> dict:
             "codec_sec": round(codec_dt, 3),
             "codec_bytes_per_sec": round(total_bytes / codec_dt, 1),
             "codec_cpu_busy": codec_busy,
+            # Per-phase breakdown (listing / plan / write / commit /
+            # delete) for BOTH commit modes, so round-over-round mode
+            # comparisons read per-phase instead of re-litigating
+            # end-to-end medians under multi-x VM jitter: the write
+            # phase tracks codec_sec; the phases that DIFFER by design
+            # are commit (N renames vs manifest write) and the fixed
+            # plan/listing machinery.
+            "phases": phases,
+            "direct_phases": direct_phases,
         }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

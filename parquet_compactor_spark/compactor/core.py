@@ -18,7 +18,10 @@ from __future__ import annotations
 
 import math
 import re
+import threading
+import time
 import uuid
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 from datetime import datetime, timedelta, timezone
 
@@ -288,6 +291,25 @@ class LakeCompactor:
         self.root = root.rstrip("/") + "/"
         self.config = config or CompactionConfig()
         self.fs = HadoopFS(spark, self.root)
+        #: Cumulative wall-clock seconds per pass phase (listing / plan /
+        #: write / commit / delete), accumulated across leaves and passes
+        #: on this instance. Observability only — never consulted by the
+        #: compaction logic. Lock-guarded so concurrent leaf threads
+        #: (compact(max_concurrency>1)) don't lose increments; under
+        #: concurrency the per-phase SUMS remain exact but overlap in
+        #: wall time, so they no longer add up to the pass duration.
+        self.phase_timings: dict[str, float] = {}
+        self._phase_lock = threading.Lock()
+
+    @contextmanager
+    def _phase(self, name: str):
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            dt = time.perf_counter() - t0
+            with self._phase_lock:
+                self.phase_timings[name] = self.phase_timings.get(name, 0.0) + dt
 
     # -- planning ----------------------------------------------------------
 
@@ -308,7 +330,8 @@ class LakeCompactor:
         equivalent for planning (the distributed file index drops
         hidden files on its own; the iterator does not).
         """
-        listing = self.fs.list_files(self.root, distributed=True)
+        with self._phase("listing"):
+            listing = self.fs.list_files(self.root, distributed=True)
         leaves = group_by_leaf(
             [
                 f
@@ -347,14 +370,16 @@ class LakeCompactor:
         tmp_dir = f"{leaf}_compact_tmp_{uuid.uuid4().hex}"
         renamed: list[str] = []
         try:
-            df = self._plan_merge_df(file_list, sizes, total_bytes, n_out)
-            (
-                df
-                .write.option("compression", "snappy")
-                .option("maxRecordsPerFile", self.config.chunked_rows)
-                .mode("overwrite")
-                .parquet(tmp_dir)
-            )
+            with self._phase("plan"):
+                df = self._plan_merge_df(file_list, sizes, total_bytes, n_out)
+            with self._phase("write"):
+                (
+                    df
+                    .write.option("compression", "snappy")
+                    .option("maxRecordsPerFile", self.config.chunked_rows)
+                    .mode("overwrite")
+                    .parquet(tmp_dir)
+                )
             written = [
                 f.path
                 for f in self.fs.list_files(tmp_dir)
@@ -376,8 +401,9 @@ class LakeCompactor:
                     renamed.append(dst)  # list.append is thread-safe
                 return ok
 
-            if not all(self._fs_parallel(_rename, pairs)):
-                raise IOError(f"rename failed in {leaf}")
+            with self._phase("commit"):
+                if not all(self._fs_parallel(_rename, pairs)):
+                    raise IOError(f"rename failed in {leaf}")
             return True
         except Exception as err:  # failure → keep originals (R6)
             # A mid-loop rename failure must not leave partial merged
@@ -493,9 +519,10 @@ class LakeCompactor:
         return {ln for ln in self.fs.read_text(path).splitlines() if ln}
 
     def _write_manifest(self, leaf: str, names: set[str]) -> None:
-        self.fs.write_text(
-            f"{leaf}{self.MANIFEST_NAME}", "\n".join(sorted(names))
-        )
+        with self._phase("commit"):
+            self.fs.write_text(
+                f"{leaf}{self.MANIFEST_NAME}", "\n".join(sorted(names))
+            )
 
     def _read_pending_deletes(self, leaf: str) -> set[str]:
         path = f"{leaf}{self.PENDING_DELETES_NAME}"
@@ -560,21 +587,24 @@ class LakeCompactor:
         # concurrent merges in one session don't clobber each other.
         basename = f"merged-{uuid.uuid4().hex}"
         try:
-            df = self._plan_merge_df(file_list, sizes, total_bytes, n_out)
-            (
-                df
-                .write.option("compression", "snappy")
-                .option("maxRecordsPerFile", self.config.chunked_rows)
-                .option("mapreduce.output.basename", basename)
-                .mode("append")
-                .parquet(target)
-            )
-            written = {
-                name
-                for f in self.fs.list_files(leaf)
-                if (name := f.path.rsplit("/", 1)[-1]).startswith(basename)
-                and name.endswith(".parquet")
-            }
+            with self._phase("plan"):
+                df = self._plan_merge_df(file_list, sizes, total_bytes, n_out)
+            with self._phase("write"):
+                (
+                    df
+                    .write.option("compression", "snappy")
+                    .option("maxRecordsPerFile", self.config.chunked_rows)
+                    .option("mapreduce.output.basename", basename)
+                    .mode("append")
+                    .parquet(target)
+                )
+            with self._phase("commit"):
+                written = {
+                    name
+                    for f in self.fs.list_files(leaf)
+                    if (name := f.path.rsplit("/", 1)[-1]).startswith(basename)
+                    and name.endswith(".parquet")
+                }
             return True, written
         except Exception as err:  # failure → keep originals (R6)
             print(f"compaction merge failed for {leaf}: {err}")
@@ -630,9 +660,10 @@ class LakeCompactor:
         being re-MERGED — re-merging it alongside the output that already
         holds its rows would make the duplication permanent).
         """
-        results = self._fs_parallel(
-            lambda path: self.fs.delete(path, recursive=False), file_list
-        )
+        with self._phase("delete"):
+            results = self._fs_parallel(
+                lambda path: self.fs.delete(path, recursive=False), file_list
+            )
         failed = [p for p, ok in zip(file_list, results) if not ok]
         for p in failed:
             print(f"delete of compacted-away original failed (rows will duplicate): {p}")

@@ -831,3 +831,156 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (logit >= 0).cast("bigint").alias("keep"),
     )
+
+
+# BPE-ish pre-tokenization regex, shared with q_token_count (text.py);
+# duplicated as a literal into the f-string oracles below via this import.
+from parquet_compactor_spark.llm.text import TOKEN_REGEX as _TOKEN_REGEX  # noqa: E402
+
+
+@register(
+    "q_context_length",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               len(regexp_extract_all(text, '{_TOKEN_REGEX}')) AS n_tok
+        FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST(SUM(CASE WHEN n_tok <= {PACK_BUDGET} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_fit,
+           CAST(SUM(CASE WHEN n_tok > {PACK_BUDGET}
+                         THEN n_tok - {PACK_BUDGET} ELSE 0 END)
+                AS BIGINT) AS truncated_tokens,
+           CAST(SUM((n_tok + {PACK_BUDGET} - 1) // {PACK_BUDGET}) AS BIGINT)
+               AS windows_needed,
+           CAST(SUM(((n_tok + {PACK_BUDGET} - 1) // {PACK_BUDGET})
+                    * {PACK_BUDGET} - n_tok) AS BIGINT) AS pad_tokens,
+           CASE WHEN SUM((n_tok + {PACK_BUDGET} - 1) // {PACK_BUDGET}) = 0
+                THEN NULL
+                ELSE FLOOR(CAST(SUM(n_tok) AS DOUBLE)
+                           / (CAST(SUM((n_tok + {PACK_BUDGET} - 1)
+                                       // {PACK_BUDGET}) AS DOUBLE)
+                              * {PACK_BUDGET}) * 10000 + 0.5) / 10000
+           END AS fill_frac
+    FROM toks GROUP BY source
+    """,
+    doc="Tokenizer-aware context-length statistics per source: BPE-ish "
+    "token counts (q_token_count's regex pre-tokenizer, NOT whitespace "
+    "words) against the PACK_BUDGET-token context window. Reports the "
+    "two packing regimes' costs side by side: TRUNCATION (docs cut to "
+    "one window: truncated_tokens lost) and DOC-BOUNDARY PADDING (each "
+    "doc padded up to a whole number of windows: windows_needed, "
+    "pad_tokens wasted, fill_frac achieved) — the numbers that decide "
+    "between truncation, padding, and q_seq_packing's concat-then-chunk "
+    "(whose avg_fill is the third regime's same metric; at these "
+    "budgets concat packing always wins on fill, and this query prices "
+    "exactly what padding throws away). All integer-exact arithmetic "
+    "(bigint div/ceil; the one float division is floor-form-rounded "
+    "over identical operands, guarded against an all-empty source). "
+    "Plan: scan -> map (regexp count is JVM codegen) -> one partial-"
+    "aggregated rollup on source; no joins, no windows — scales as a "
+    "single pass at 100 TB.",
+)
+def q_context_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    n_tok = F.size(F.regexp_extract_all(F.col("text"), F.lit(_TOKEN_REGEX), 0))
+    B = PACK_BUDGET
+    toks = d.select("doc_id", "source", n_tok.alias("n_tok"))
+    windows = F.floor((F.col("n_tok") + (B - 1)) / B).cast("bigint")
+    sum_windows = F.sum(windows)
+    return toks.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        F.sum(F.when(F.col("n_tok") <= B, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_fit"),
+        F.sum(F.when(F.col("n_tok") > B, F.col("n_tok") - B).otherwise(0))
+        .cast("bigint")
+        .alias("truncated_tokens"),
+        sum_windows.cast("bigint").alias("windows_needed"),
+        F.sum(windows * B - F.col("n_tok")).cast("bigint").alias("pad_tokens"),
+        F.when(
+            sum_windows == 0, F.lit(None).cast("double")
+        )
+        .otherwise(
+            F.floor(
+                F.sum("n_tok").cast("double")
+                / (sum_windows.cast("double") * B)
+                * 10000
+                + 0.5
+            )
+            / 10000
+        )
+        .alias("fill_frac"),
+    )
+
+
+@register(
+    "q_lang_temperature",
+    oracle="""
+    WITH counts AS (
+        SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+    ),
+    scored AS (
+        SELECT lang, n_docs,
+               CAST(SUM(n_docs) OVER () AS BIGINT) AS n_total
+        FROM counts
+    ),
+    u AS (
+        SELECT lang, n_docs, n_total,
+               CAST(FLOOR(exp(0.3 * ln(CAST(n_docs AS DOUBLE)
+                                       / CAST(n_total AS DOUBLE)))
+                          * 1000000 + 0.5) AS BIGINT) AS u_micro
+        FROM scored
+    )
+    SELECT lang,
+           n_docs,
+           (n_docs * 1000000) // n_total AS share_ppm,
+           (u_micro * 1000000) // SUM(u_micro) OVER () AS sample_ppm,
+           (u_micro * 100000) // SUM(u_micro) OVER () AS budget_docs
+    FROM u
+    """,
+    doc="Temperature-scaled multilingual sampling weights (Conneau et "
+    "al. 2020, XLM-R SS3: sample language l with p_l proportional to "
+    "(n_l/N)^alpha, alpha=0.3 — upsamples low-resource languages "
+    "relative to their raw share without letting any language dominate). "
+    "Emits each language's raw corpus share, its temperature-adjusted "
+    "sampling probability, and its document budget out of a 100k-doc "
+    "epoch. The single pow() chain per LANGUAGE (not per doc) is "
+    "floor-rounded to integer micro-units immediately, so the "
+    "normalization and budget allocation are exact bigint division — "
+    "engine-identical regardless of accumulation order. Plan: one "
+    "partial-aggregated count rollup on lang, then two unpartitioned "
+    "window sums over the LANGUAGE table (cardinality ~dozens — a "
+    "deliberate single-partition reduction of an already-tiny frame, "
+    "never over docs). At 100 TB the per-doc work is one count; "
+    "everything downstream is O(languages).",
+)
+def q_lang_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    w_all = Window.partitionBy()
+    scored = counts.withColumn(
+        "n_total", F.sum("n_docs").over(w_all).cast("bigint")
+    )
+    u_micro = F.floor(
+        F.exp(
+            F.lit(0.3)
+            * F.log(F.col("n_docs").cast("double") / F.col("n_total").cast("double"))
+        )
+        * 1000000
+        + 0.5
+    ).cast("bigint")
+    u = scored.withColumn("u_micro", u_micro).withColumn(
+        "den", F.sum("u_micro").over(w_all)
+    )
+    return u.select(
+        "lang",
+        "n_docs",
+        F.expr("(n_docs * 1000000) div n_total").alias("share_ppm"),
+        F.expr("(u_micro * 1000000) div den").alias("sample_ppm"),
+        F.expr("(u_micro * 100000) div den").alias("budget_docs"),
+    )

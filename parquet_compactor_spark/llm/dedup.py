@@ -801,3 +801,89 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000
         ).alias("kept_frac"),
     )
+
+
+@register(
+    "q_paragraph_dedup",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    paras AS (
+        SELECT doc_id,
+               md5(trim(regexp_replace(
+                   lower(array_to_string(w[(i-1)*30+1:(i-1)*30+30], ' ')),
+                   '[^a-z0-9]+', ' ', 'g'))) AS ph
+        FROM words,
+             UNNEST(range(1, (len(w) + 29) // 30 + 1)) AS t(i)
+    ),
+    grp AS (
+        SELECT ph, COUNT(DISTINCT doc_id) AS nd FROM paras GROUP BY ph
+    )
+    SELECT p.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_paras,
+           CAST(SUM(CASE WHEN g.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_boiler,
+           FLOOR(CAST(COUNT(*) - SUM(CASE WHEN g.nd >= 2 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*) * 10000 + 0.5) / 10000
+               AS kept_frac
+    FROM paras p JOIN grp g USING (ph)
+    GROUP BY p.doc_id
+    """,
+    doc="CCNet-style cross-document paragraph dedup DECISION (Wenzek et "
+    "al. 2020 hash every normalized paragraph across the shard and drop "
+    "the duplicated ones — repeated paragraphs across DIFFERENT pages "
+    "are near-always boilerplate: headers, licence blocks, nav text). "
+    "Paragraphs here are non-overlapping 30-token chunks INCLUDING the "
+    "ragged tail, case-folded and punctuation-collapsed before hashing "
+    "(CCNet normalizes before hashing; the md5 is the join key, so "
+    "shuffle bytes stay 16-byte-fixed no matter how long paragraphs "
+    "get). Distinct from q_span_dedup (asymmetric KEEP-FIRST of every "
+    "repeated raw 10-token span, within-doc repeats included) and from "
+    "q_dup_ngram_coverage (symmetric risk SCORE over sliding 5-grams): "
+    "this drops EVERY occurrence of a paragraph seen in >= 2 distinct "
+    "documents — the boilerplate rule, where no copy is the 'original'. "
+    "Plan: one map-side explode (~tokens/30 rows, cheaper than the "
+    "corpus), one hash-keyed agg with map-side partial countDistinct, "
+    "join-back behind the measured vocabulary-broadcast guard "
+    "(paragraph space is open-ended at 100 TB -> shuffle join), one "
+    "per-doc rollup. Never forms document pairs — O(total paragraphs). "
+    "Reference parity note: the reference engine "
+    "(parquet_compactor.py) has no text operators; this is north-star "
+    "surface per SURVEY.md SS2B.",
+)
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parquet_compactor_spark.llm.text import broadcast_if_bounded, whitespace_tokens
+
+    d = load(spark, sf_dir, "documents")
+    words = whitespace_tokens(F.col("text"))
+    n_paras = F.floor((F.size(words) + 29) / 30).cast("int")
+    paras = F.transform(
+        F.sequence(F.lit(1), n_paras),
+        lambda i: F.md5(
+            F.trim(
+                F.regexp_replace(
+                    F.lower(F.array_join(F.slice(words, (i - 1) * 30 + 1, 30), " ")),
+                    "[^a-z0-9]+",
+                    " ",
+                )
+            )
+        ),
+    )
+    p = d.select("doc_id", F.explode(paras).alias("ph"))
+    grp = p.groupBy("ph").agg(F.countDistinct("doc_id").alias("nd"))
+    j = p.join(broadcast_if_bounded(grp), "ph")
+    boiler = F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_paras"),
+        boiler.cast("bigint").alias("n_boiler"),
+        (
+            F.floor(
+                (F.count(F.lit(1)) - boiler).cast("double")
+                / F.count(F.lit(1))
+                * 10000
+                + 0.5
+            )
+            / 10000
+        ).alias("kept_frac"),
+    )

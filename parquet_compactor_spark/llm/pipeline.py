@@ -388,3 +388,113 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws(",", F.slice(q, 1, 4).cast("array<string>")).alias("q_head"),
         )
     )
+
+
+@register(
+    "q_funnel_attrition",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, source,
+               (text IS NOT NULL AND trim(text) <> '') AS nonempty,
+               len(string_split(text, ' ')) AS n_tokens,
+               CAST(len(regexp_extract_all(text, '{_STOPWORD_REGEX}'))
+                    AS DOUBLE)
+                 / len(string_split(text, ' ')) AS stop_ratio,
+               md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+                   AS fp
+        FROM documents
+    ),
+    flagged AS (
+        SELECT doc_id, source, fp, nonempty,
+               (nonempty AND n_tokens BETWEEN 20 AND 1000) AS len_ok,
+               (nonempty AND n_tokens BETWEEN 20 AND 1000
+                         AND stop_ratio > 0.01) AS quality_ok
+        FROM scored
+    ),
+    ranked AS (
+        SELECT *,
+               ROW_NUMBER() OVER (
+                   PARTITION BY fp
+                   ORDER BY CASE WHEN quality_ok THEN 0 ELSE 1 END, doc_id
+               ) AS rn
+        FROM flagged
+    )
+    SELECT source,
+           COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN nonempty THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_nonempty,
+           CAST(SUM(CASE WHEN len_ok THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_len_ok,
+           CAST(SUM(CASE WHEN quality_ok THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_quality_ok,
+           CAST(SUM(CASE WHEN quality_ok AND rn = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_canonical,
+           (CAST(SUM(CASE WHEN quality_ok AND rn = 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) * 1000000) // COUNT(*) AS keep_ppm
+    FROM ranked
+    GROUP BY source
+    """,
+    doc="Curation-funnel attrition dashboard: per SOURCE, how many "
+    "documents survive each cumulative gate — nonempty text -> token-"
+    "length band (20..1000) -> stopword-density quality gate -> exact-"
+    "dedup canonical (first quality survivor per normalized md5 "
+    "fingerprint, lowest doc_id wins). q_corpus_prep runs the same "
+    "gates but reports only the FINAL per-language budget; a pipeline "
+    "operator needs to know WHERE documents die per upstream source — "
+    "the number that says a crawl went bad or a filter is too tight. "
+    "Gates are cumulative ANDs, so each column is <= the previous and "
+    "keep_ppm is exact bigint parts-per-million. The canonical flag "
+    "avoids a second corpus scan: non-survivors rank AFTER survivors "
+    "inside each fingerprint partition (ORDER BY quality DESC, doc_id), "
+    "so rn=1 AND quality_ok is exactly 'first surviving copy' in the "
+    "same window pass. Plan: scan -> map (flags + fingerprint) -> one "
+    "fingerprint-keyed window shuffle -> one source rollup; at 100 TB "
+    "the fingerprint shuffle is the only wide stage and its key is an "
+    "md5 — uniform by construction.",
+)
+def q_funnel_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.col("text"), " ", -1))
+    stop_ratio = (
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_STOPWORD_REGEX))).cast(
+            "double"
+        )
+        / n_tokens
+    )
+    nonempty = F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
+    len_ok = nonempty & n_tokens.between(20, 1000)
+    quality_ok = len_ok & (stop_ratio > 0.01)
+    fp = F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9]+", " ")))
+    flagged = d.select(
+        "doc_id",
+        "source",
+        fp.alias("fp"),
+        nonempty.alias("nonempty"),
+        len_ok.alias("len_ok"),
+        quality_ok.alias("quality_ok"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("fp").orderBy(
+            F.when(F.col("quality_ok"), 0).otherwise(1), "doc_id"
+        )
+    )
+    ranked = flagged.withColumn("rn", rn)
+    canonical = F.col("quality_ok") & (F.col("rn") == 1)
+    n_canonical = F.sum(F.when(canonical, 1).otherwise(0)).cast("bigint")
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(F.col("nonempty"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_nonempty"),
+        F.sum(F.when(F.col("len_ok"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_len_ok"),
+        F.sum(F.when(F.col("quality_ok"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_quality_ok"),
+        n_canonical.alias("n_canonical"),
+        F.expr(
+            "(cast(sum(case when quality_ok and rn = 1 then 1 else 0 end)"
+            " as bigint) * 1000000) div count(1)"
+        ).alias("keep_ppm"),
+    )

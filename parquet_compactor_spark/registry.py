@@ -212,118 +212,88 @@ def _ensure_loaded() -> None:
 # Queries listed here are yielded FIRST by all_queries(), in this order.
 # External differential harnesses that sample a prefix of the registry
 # (the driver checks the first 50 entries) therefore verify these before
-# anything else. Round 6 (exactly 50 names):
+# anything else. Round 7 (exactly 50 names):
 #   1-4   the four queries ADDED this round — no driver row exists at
-#         all, so they outrank every re-verification (q_dsir_weights:
-#         DSIR importance weights + top-20% selection;
-#         q_dup_ngram_coverage: cross-document duplicated-5-gram
-#         fraction per doc; q_span_dedup: C4-style first-occurrence
-#         span drop; q_quality_classifier: hashed linear filter);
-#   5-21  queries whose SOURCE or ORACLE changed this round, so any
-#         existing driver row no longer attests to the current code:
-#         the four hostile-DATA sweep fixes (q_ohlc, q_regr_slope,
-#         q_window_ntile, q_edit_distance — NULL/unicode cross-engine
-#         semantics pinned explicitly on both sides);
-#         the two round-5 driver-reds rebuilt session-representation-
-#         proof (q_late_line_priority: DATE-cast datediff predicate;
-#         q_winsorize: rank-based order-statistic bounds + DECIMAL
-#         means); the two hostile-session-sweep finds hardened the
-#         same way (q_large_orders → DATE output, q_event_attribution
-#         → wall-clock string output — bare TIMESTAMP output columns
-#         render session-dependently under an LTZ-inferring harness);
-#         the proactive same-class hardenings (q_waiting_suppliers,
-#         q_date_arithmetic — interval-on-timestamp; q_equidepth_hist,
-#         q_mad_outliers — strict compares against interpolated
-#         floats); the real PNG/JPEG header decode behind the
-#         multimodal path (q_multimodal_meta, q_frame_sample); and the
-#         vocabulary-broadcast guard (q_unigram_logprob,
-#         q_tfidf_topterms, q_bm25);
-#   22-48 ALL 27 remaining queries whose latest driver row is round 2
-#         (the ledger's oldest evidence — after this round nothing is
-#         older than round 3), displaced/plan-sensitive members first;
-#   49-50 the 2 highest-stakes round-3 rows (flagship agg, and
-#         q_asof_join whose underlying asof_join source changed this
-#         round).
+#         all, so they outrank every re-verification (q_paragraph_dedup:
+#         CCNet cross-doc paragraph-hash boilerplate drop;
+#         q_context_length: tokenizer-aware context-window cost stats;
+#         q_lang_temperature: XLM-R temperature-scaled multilingual
+#         sampling; q_funnel_attrition: per-source curation-funnel
+#         attrition dashboard);
+#   5-10  queries whose SOURCE changed this round, so the round-6 row
+#         no longer attests to the current code: the vocabulary-
+#         broadcast guard was rebuilt cache-and-count (no probe scan —
+#         q_unigram_logprob, q_tfidf_topterms, q_dup_ngram_coverage,
+#         q_span_dedup), q_dsir_weights went single-job with integer-
+#         exact per-term micro-weights, and q_quality_classifier pinned
+#         non-NULL text scope on both engines;
+#   11-20 the ten rows displaced from the round-6 window by that
+#         round's source changes (planned there as this round's debt);
+#   21-50 ALL 30 remaining queries whose latest driver row is round 3 —
+#         after this round the ledger floor is round 4.
 # Everything not listed follows in registration order.
 #
-# Round-7 rotation plan: q_filter_pushdown q_join_broadcast
-# q_asof_nearest q_null_safe_join q_outer_join
-# q_scd2 q_session_window
-# q_contamination q_corpus_prep q_semantic_dedup (displaced from round 6
-# by the source changes above), then the remaining r3-latest rows
-# (q_agg_distinct q_char_trigrams q_click_conversion q_corr_covar
-# q_correlated_subquery q_cube q_cume_dist q_data_split q_domain_mix
-# q_explode_outer q_grouping_sets q_hourly_topk
-# q_max_concurrency q_multiset_setops q_percent_of_total
-# q_percentiles q_pii_scrub q_pivot q_profile q_rate_of_change q_rollup
-# q_safe_math q_scalar_subquery q_seq_packing q_ship_priority
-# q_snapshot_delta q_stats_agg q_time_weighted_avg q_udaf_geomean
-# q_udtf_tokens — q_edit_distance and q_ohlc left this list via the
-# round-6 source changes), then the oldest r4 rows, plus anything whose
-# source changes in round 7's work.
+# Round-8 rotation plan: no r3-or-older rows remain after this window,
+# so the next cohort is the ~37 queries whose latest driver row is
+# round 4 (see COVERAGE.md freshness column), oldest-evidence and
+# plan-sensitive members first — minus whatever round 8 itself adds or
+# changes, which (per the standing convention) outranks re-verification
+# of unchanged sources.
 _PRIORITY: tuple[str, ...] = (
-    # -- NEW in round 6 (no driver row yet): verify before everything --
-    "q_dsir_weights",
+    # -- NEW in round 7 (no driver row yet): verify before everything --
+    "q_paragraph_dedup",
+    "q_context_length",
+    "q_lang_temperature",
+    "q_funnel_attrition",
+    # -- source changed in round 7: re-verify first --
+    "q_dsir_weights",  # single-job, integer-exact micro-weights
+    "q_quality_classifier",  # non-NULL text scope pinned on both engines
+    "q_unigram_logprob",  # guard rework: cached vocab, corpus scanned once
+    "q_tfidf_topterms",
     "q_dup_ngram_coverage",
     "q_span_dedup",
-    "q_quality_classifier",
-    # -- source or oracle changed in round 6: re-verify first --
-    # hostile-DATA sweep fixes (NULL/unicode cross-engine semantics):
-    "q_ohlc",  # min_by NULL-value vs arg_min skip — non-null scope pinned
-    "q_regr_slope",  # var_pop now masked to the non-null pair set
-    "q_window_ntile",  # explicit NULLS LAST (engine defaults differ)
-    "q_edit_distance",  # ASCII fold (DuckDB levenshtein is byte-based)
-    "q_large_orders",  # output hardened: DATE instead of bare TIMESTAMP
-    "q_event_attribution",  # output hardened: wall-clock string timestamp
-    "q_late_line_priority",
-    "q_winsorize",
-    "q_waiting_suppliers",
-    "q_date_arithmetic",
-    "q_equidepth_hist",
-    "q_mad_outliers",
-    "q_multimodal_meta",
-    "q_frame_sample",
-    "q_unigram_logprob",
-    "q_tfidf_topterms",
-    "q_bm25",
-    # -- all 27 remaining round-2-latest rows: oldest evidence --
-    "q_sliding_window",
-    "q_sessionize",
-    "q_gapfill_buckets",
-    "q_locf_interpolate",
-    "q_ewma",
-    "q_month_over_month",
-    "q_latest_snapshot",
-    "q_zscore_outliers",
-    "q_salted_agg",
-    "q_grouped_sample",
-    "q_stratified_sample",
-    "q_union_dedup",
-    "q_vector_norm",
-    "q_bit_bool_agg",
-    "q_case_bucketing",
-    "q_date_buckets",
-    "q_except",
-    "q_intersect",
-    "q_math_fns",
-    "q_repetition_ratio",
-    "q_string_agg",
-    "q_string_extract",
-    "q_text_stats",
-    "q_token_count",
-    "q_top_bigrams",
-    "q_value_histogram",
-    "q_whitespace_cleanup",
-    # -- highest-stakes round-3 rows; q_asof_join stays because
-    # functions/asof.py (its operator) changed this round --
-    "q_agg_pricing",
-    "q_asof_join",
-    # (q_filter_pushdown, q_join_broadcast, q_asof_nearest,
-    # q_null_safe_join, q_outer_join, q_scd2, q_session_window,
-    # q_contamination, q_corpus_prep, q_semantic_dedup displaced to the
-    # round-7 rotation by the round-6 source changes and additions
-    # above — new/changed sources outrank re-verification of unchanged
-    # ones.)
+    # -- displaced from the round-6 window by its source changes --
+    "q_filter_pushdown",
+    "q_join_broadcast",
+    "q_asof_nearest",
+    "q_null_safe_join",
+    "q_outer_join",
+    "q_scd2",
+    "q_session_window",
+    "q_contamination",
+    "q_corpus_prep",
+    "q_semantic_dedup",
+    # -- all 30 remaining round-3-latest rows: the ledger's oldest --
+    "q_agg_distinct",
+    "q_char_trigrams",
+    "q_click_conversion",
+    "q_corr_covar",
+    "q_correlated_subquery",
+    "q_cube",
+    "q_cume_dist",
+    "q_data_split",
+    "q_domain_mix",
+    "q_explode_outer",
+    "q_grouping_sets",
+    "q_hourly_topk",
+    "q_max_concurrency",
+    "q_multiset_setops",
+    "q_percent_of_total",
+    "q_percentiles",
+    "q_pii_scrub",
+    "q_pivot",
+    "q_profile",
+    "q_rate_of_change",
+    "q_rollup",
+    "q_safe_math",
+    "q_scalar_subquery",
+    "q_seq_packing",
+    "q_ship_priority",
+    "q_snapshot_delta",
+    "q_stats_agg",
+    "q_time_weighted_avg",
+    "q_udaf_geomean",
+    "q_udtf_tokens",
 )
 
 

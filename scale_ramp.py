@@ -78,6 +78,15 @@ RAMP_QUERIES = [
     "q_dup_ngram_coverage",
     "q_span_dedup",
     "q_dsir_weights",
+    # round-7 additions: the two new corpus-heavy passes. Paragraph
+    # dedup has an open-ended hash key space (like span_dedup but
+    # 3x coarser chunks and a countDistinct agg); funnel_attrition's
+    # wide stage is one md5-keyed window over the whole corpus. Both
+    # must ramp linearly. (q_context_length / q_lang_temperature are
+    # single-pass rollups — covered by the same slope family as
+    # q_gopher_rules.)
+    "q_paragraph_dedup",
+    "q_funnel_attrition",
 ]
 
 OFF = 10_000_000  # per-copy key shift

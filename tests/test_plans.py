@@ -603,6 +603,7 @@ def test_guarded_queries_scan_corpus_once(spark):
         "q_dsir_weights": 2,  # terms stream + 1-row n_sel count
         "q_dup_ngram_coverage": 1,
         "q_span_dedup": 1,
+        "q_paragraph_dedup": 1,
     }
     for name, want in expected_scans.items():
         df = QUERIES[name].fn(spark, SF_SMOKE)
