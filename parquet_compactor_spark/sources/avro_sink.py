@@ -52,6 +52,8 @@ from __future__ import annotations
 import io
 import json
 import os
+import re
+import shutil
 import uuid
 import zlib
 from dataclasses import dataclass
@@ -82,6 +84,22 @@ _US = timedelta(microseconds=1)
 #: bounds task memory at O(block) while keeping per-block overhead
 #: (26 bytes of framing + codec reset) negligible.
 _BLOCK_BYTES = 1 << 20
+
+#: Avro name grammar (spec 1.11 "Names"): strict readers reject a
+#: container file whose schema declares names outside it, so refuse at
+#: plan time — same discipline as the DECIMAL refusal.
+_AVRO_NAME_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*\Z")
+
+
+def _check_avro_name(name: str, where: str) -> str:
+    if not _AVRO_NAME_RE.match(name):
+        raise NotImplementedError(
+            f"avro fallback writer: {where} {name!r} is not a valid Avro "
+            "name ([A-Za-z_][A-Za-z0-9_]*); rename the column "
+            "(withColumnRenamed) or add spark-avro"
+        )
+    return name
+
 
 _PRIMITIVE_AVRO: dict[type, str] = {
     T.ByteType: "int",
@@ -146,7 +164,7 @@ def avro_schema_of(schema: StructType, name: str = "topLevelRecord") -> dict:
                 "name": f"r_{path}" if path else name,
                 "fields": [
                     {
-                        "name": f.name,
+                        "name": _check_avro_name(f.name, "field name"),
                         "type": (
                             ["null", _avro_type(f.dataType, f"{path}_{f.name}".lstrip("_"))]
                             if f.nullable
@@ -161,7 +179,7 @@ def avro_schema_of(schema: StructType, name: str = "topLevelRecord") -> dict:
         )
 
     top = _avro_type(schema, "")
-    top["name"] = name
+    top["name"] = _check_avro_name(name, "record name")
     return top
 
 
@@ -358,6 +376,19 @@ class AvroWriter(DataSourceWriter):
     TMP_LITTER_AGE_S = 3600.0
 
     def commit(self, messages) -> None:
+        """Rename staged tmps to final names; on overwrite, truncate first.
+
+        Overwrite semantics match spark-avro's (InsertIntoHadoopFsRelation
+        deletes the output directory): EVERY non-hidden entry goes —
+        including data files a previous job wrote in another format
+        (jsonl/parquet), which the narrower *.avro-only sweep used to
+        retain silently. The one intentional difference: hidden entries
+        (``_``/``.`` prefixed — Spark readers skip them anyway) are
+        preserved, because this sink's own two-phase staging area is
+        underscore-hidden and a concurrent live writer's staged tmps must
+        survive another job's overwrite; hidden ``.avro.tmp`` litter
+        older than TMP_LITTER_AGE_S is still reclaimed.
+        """
         # A zero-task job (empty/zero-partition frame) reaches commit
         # without any task having created the directory.
         os.makedirs(self.path, exist_ok=True)
@@ -368,13 +399,17 @@ class AvroWriter(DataSourceWriter):
             cutoff = time.time() - self.TMP_LITTER_AGE_S
             for name in os.listdir(self.path):
                 full = os.path.join(self.path, name)
+                hidden = name.startswith(("_", "."))
                 stale_tmp = (
                     name.endswith(".avro.tmp")
                     and name not in own
                     and os.path.getmtime(full) < cutoff
                 )
-                if name.endswith(".avro") or name == "_SUCCESS" or stale_tmp:
-                    os.remove(full)
+                if (not hidden) or name == "_SUCCESS" or stale_tmp:
+                    if os.path.isdir(full):
+                        shutil.rmtree(full)
+                    else:
+                        os.remove(full)
         for m in messages:
             if m is None:
                 continue

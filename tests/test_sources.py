@@ -759,6 +759,54 @@ def test_avro_sink_overwrite_and_litter_sweep(spark, tmp_path):
     fresh.unlink()
 
 
+def test_avro_sink_overwrite_truncates_foreign_formats(spark, tmp_path):
+    """Overwrite matches spark-avro's directory truncation: non-hidden
+    files a previous job wrote in ANOTHER format (jsonl/parquet) go too
+    — the *.avro-only sweep used to retain them silently, so a reader
+    pointed at the directory saw a mixed-format lake. Hidden entries
+    (the sink's own staging class) survive by design."""
+    from parquet_compactor_spark.sources.avro_sink import write_avro_fallback
+
+    df = load(spark, SF_SMOKE, "nation").select("n_nationkey", "n_name")
+    out = tmp_path / "sink"
+    out.mkdir()
+    (out / "part-00000.jsonl").write_text('{"a": 1}\n')
+    (out / "leftover.parquet").write_bytes(b"PAR1junk")
+    (out / "subdir").mkdir()
+    (out / "subdir" / "old.avro").write_bytes(b"junk")
+    (out / "_hidden.marker").write_text("keep")
+
+    write_avro_fallback(df.limit(3).repartition(1), str(out), mode="overwrite")
+    assert not (out / "part-00000.jsonl").exists()
+    assert not (out / "leftover.parquet").exists()
+    assert not (out / "subdir").exists()
+    assert (out / "_hidden.marker").exists()
+    assert read_table(spark, str(out), fmt="avro").count() == 3
+
+
+def test_avro_sink_refuses_invalid_avro_names_at_plan_time(spark, tmp_path):
+    """Column names outside Avro's name grammar ([A-Za-z_][A-Za-z0-9_]*)
+    would produce a container file strict readers reject — refused with
+    an actionable error BEFORE any task runs, like the DECIMAL refusal."""
+    import pytest as _pytest
+
+    from parquet_compactor_spark.sources.avro_sink import avro_schema_of, write_avro_fallback
+
+    df = load(spark, SF_SMOKE, "nation").select(
+        F.col("n_nationkey").alias("my-col")
+    )
+    with _pytest.raises(Exception, match="not a valid Avro name"):
+        write_avro_fallback(df, str(tmp_path / "sink"), mode="append")
+    with _pytest.raises(Exception, match="not a valid Avro name"):
+        avro_schema_of(df.schema, name="2bad")
+    # nested struct field names are checked too
+    nested = load(spark, SF_SMOKE, "nation").select(
+        F.struct(F.col("n_nationkey").alias("ok"), F.col("n_name").alias("2x")).alias("s")
+    )
+    with _pytest.raises(Exception, match="not a valid Avro name"):
+        avro_schema_of(nested.schema)
+
+
 def test_avro_sink_abort_leaves_no_committed_files(spark, tmp_path):
     """A failing task aborts the job: no .avro output, no _SUCCESS."""
     from parquet_compactor_spark.sources.avro_sink import register
