@@ -310,6 +310,55 @@ def test_write_clustered_files_have_disjoint_ranges(spark, tmp_path):
         assert hi_prev <= lo_next  # disjoint (boundary equality allowed)
 
 
+def test_clustered_write_skips_row_groups_on_read(spark, tmp_path):
+    """The READ-side payoff of write_clustered, measured end-to-end: a
+    selective filter on the clustering column over a clustered leaf
+    emits a fraction of the rows the SAME filter emits over the same
+    data written round-robin, because parquet row-group min/max stats
+    (tight only under clustering) let the pushed predicate skip whole
+    row groups. This is the runtime half of
+    test_write_clustered_files_have_disjoint_ranges — footer stats
+    being disjoint is only worth anything if the scan actually skips;
+    at 100 TB this is the difference between reading one file and
+    reading the lake."""
+    from parquet_compactor_spark.sources import write_clustered
+
+    df = load(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_quantity")
+    clustered = str(tmp_path / "clustered")
+    write_clustered(df, clustered, cluster_by=["l_orderkey"], n_files=8)
+    plain = str(tmp_path / "plain")
+    df.repartition(8).write.mode("overwrite").parquet(plain)
+
+    cutoff = df.agg(F.expr("percentile_approx(l_orderkey, 0.05)")).first()[0]
+
+    def scan_output_rows(path: str) -> tuple[int, int]:
+        q = spark.read.parquet(path).filter(F.col("l_orderkey") <= cutoff)
+        # collect() (not count()) so the metrics below belong to THIS
+        # DataFrame's execution — count() runs a different query plan.
+        n = len(q.collect())
+        plan = q._jdf.queryExecution().executedPlan()
+        if plan.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+            plan = plan.executedPlan()
+        leaves = plan.collectLeaves()
+        rows = 0
+        for i in range(leaves.size()):
+            node = leaves.apply(i)
+            opt = node.metrics().get("numOutputRows")
+            if opt.isDefined():
+                rows += opt.get().value()
+        return n, rows
+
+    n_clustered, scanned_clustered = scan_output_rows(clustered)
+    n_plain, scanned_plain = scan_output_rows(plain)
+    assert n_clustered == n_plain > 0  # same answer either way
+    # Round-robin layout: every row group's key range spans the filter,
+    # nothing skips, the scan emits ~all rows. Clustered: only the row
+    # groups whose disjoint range meets the 5% cutoff emit.
+    total = df.count()
+    assert scanned_plain > total * 0.9
+    assert scanned_clustered < scanned_plain / 4
+
+
 def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     """Co-located fact-to-fact join: both sides bucketed on the join key
     → sort-merge join with ZERO exchanges (vs 2 for plain parquet)."""
