@@ -380,11 +380,12 @@ class LakeCompactor:
                     .mode("overwrite")
                     .parquet(tmp_dir)
                 )
-            written = [
-                f.path
-                for f in self.fs.list_files(tmp_dir)
-                if f.path.endswith(".parquet")
-            ]
+            with self._phase("commit"):
+                written = [
+                    f.path
+                    for f in self.fs.list_files(tmp_dir)
+                    if f.path.endswith(".parquet")
+                ]
             # Commit = N renames. Parallel (py4j is thread-safe, a
             # connection per thread): a 400-output merge commits in one
             # rename-latency instead of 400 — on an object store each

@@ -638,8 +638,6 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pmod(xxhash64(term), B)).",
 )
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     from parquet_compactor_spark.llm.text import broadcast_if_bounded, whitespace_tokens
 
     d = load(spark, sf_dir, "documents")

@@ -18,6 +18,15 @@ from parquet_compactor_spark.llm.text import broadcast_if_bounded
 CHUNK_TOKENS = 32
 CHUNK_STRIDE = 24  # 8-token overlap
 
+#: Quality-gate + fingerprint constants shared by q_corpus_prep and
+#: q_funnel_attrition: the attrition dashboard explains corpus_prep's
+#: budget, so the two must stay in lockstep — single source of truth
+#: (interpolated into both Spark code and both f-string oracles).
+QUALITY_TOKEN_MIN = 20
+QUALITY_TOKEN_MAX = 1000
+QUALITY_STOP_MIN = 0.01
+FINGERPRINT_STRIP = "[^a-z0-9]+"
+
 
 @register(
     "q_doc_chunking",
@@ -202,13 +211,14 @@ def q_grouped_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                len(string_split(text, ' ')) AS n_tokens,
                CAST(len(regexp_extract_all(text, '{_STOPWORD_REGEX}')) AS DOUBLE)
                  / len(string_split(text, ' ')) AS stop_ratio,
-               md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+               md5(trim(regexp_replace(lower(text), '{FINGERPRINT_STRIP}', ' ', 'g')))
                    AS fingerprint
         FROM documents
     ),
     kept AS (
         SELECT * FROM scored
-        WHERE n_tokens BETWEEN 20 AND 1000 AND stop_ratio > 0.01
+        WHERE n_tokens BETWEEN {QUALITY_TOKEN_MIN} AND {QUALITY_TOKEN_MAX}
+          AND stop_ratio > {QUALITY_STOP_MIN}
     ),
     deduped AS (
         SELECT * FROM (
@@ -242,11 +252,14 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         / n_tokens
     )
     fingerprint = F.md5(
-        F.trim(F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9]+", " "))
+        F.trim(F.regexp_replace(F.lower(F.col("text")), FINGERPRINT_STRIP, " "))
     )
     kept = d.select(
         "doc_id", "lang", n_tokens.alias("n_tokens"), fingerprint.alias("fp")
-    ).filter(n_tokens.between(20, 1000) & (stop_ratio > 0.01))
+    ).filter(
+        n_tokens.between(QUALITY_TOKEN_MIN, QUALITY_TOKEN_MAX)
+        & (stop_ratio > QUALITY_STOP_MIN)
+    )
     w = Window.partitionBy("fp").orderBy("doc_id")
     deduped = kept.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
     return deduped.groupBy("lang").agg(
@@ -400,15 +413,17 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(len(regexp_extract_all(text, '{_STOPWORD_REGEX}'))
                     AS DOUBLE)
                  / len(string_split(text, ' ')) AS stop_ratio,
-               md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+               md5(trim(regexp_replace(lower(text), '{FINGERPRINT_STRIP}', ' ', 'g')))
                    AS fp
         FROM documents
     ),
     flagged AS (
         SELECT doc_id, source, fp, nonempty,
-               (nonempty AND n_tokens BETWEEN 20 AND 1000) AS len_ok,
-               (nonempty AND n_tokens BETWEEN 20 AND 1000
-                         AND stop_ratio > 0.01) AS quality_ok
+               (nonempty AND n_tokens BETWEEN {QUALITY_TOKEN_MIN}
+                                          AND {QUALITY_TOKEN_MAX}) AS len_ok,
+               (nonempty AND n_tokens BETWEEN {QUALITY_TOKEN_MIN}
+                                          AND {QUALITY_TOKEN_MAX}
+                         AND stop_ratio > {QUALITY_STOP_MIN}) AS quality_ok
         FROM scored
     ),
     ranked AS (
@@ -462,9 +477,9 @@ def q_funnel_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
         / n_tokens
     )
     nonempty = F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
-    len_ok = nonempty & n_tokens.between(20, 1000)
-    quality_ok = len_ok & (stop_ratio > 0.01)
-    fp = F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9]+", " ")))
+    len_ok = nonempty & n_tokens.between(QUALITY_TOKEN_MIN, QUALITY_TOKEN_MAX)
+    quality_ok = len_ok & (stop_ratio > QUALITY_STOP_MIN)
+    fp = F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), FINGERPRINT_STRIP, " ")))
     flagged = d.select(
         "doc_id",
         "source",

@@ -400,16 +400,23 @@ class AvroWriter(DataSourceWriter):
             for name in os.listdir(self.path):
                 full = os.path.join(self.path, name)
                 hidden = name.startswith(("_", "."))
-                stale_tmp = (
-                    name.endswith(".avro.tmp")
-                    and name not in own
-                    and os.path.getmtime(full) < cutoff
-                )
-                if (not hidden) or name == "_SUCCESS" or stale_tmp:
-                    if os.path.isdir(full):
-                        shutil.rmtree(full)
-                    else:
-                        os.remove(full)
+                # The listdir snapshot races with concurrent jobs (a live
+                # writer's commit renames its staged tmp away between our
+                # listing and the stat/remove below) — vanished entries
+                # are simply no longer ours to sweep, never an error.
+                try:
+                    stale_tmp = (
+                        name.endswith(".avro.tmp")
+                        and name not in own
+                        and os.path.getmtime(full) < cutoff
+                    )
+                    if (not hidden) or name == "_SUCCESS" or stale_tmp:
+                        if os.path.isdir(full):
+                            shutil.rmtree(full)
+                        else:
+                            os.remove(full)
+                except FileNotFoundError:
+                    pass
         for m in messages:
             if m is None:
                 continue
@@ -436,6 +443,14 @@ class AvroStreamWriter(DataSourceStreamWriter):
         self.schema = schema
         self.codec = options.get("codec", "deflate")
         self.max_records = _max_records_opt(options)
+        # Same plan-time refusals as the batch writer: invalid Avro
+        # names / unsupported types / codecs must fail on the driver
+        # BEFORE the stream starts, not per-task inside micro-batches.
+        avro_schema_of(schema)
+        if self.codec not in ("null", "deflate"):
+            raise NotImplementedError(
+                f"avro fallback writer codec {self.codec!r} (null/deflate supported)"
+            )
 
     def write(self, iterator: Iterator) -> _Committed:
         return _write_partition(

@@ -605,16 +605,21 @@ def test_guarded_queries_scan_corpus_once(spark):
         "q_span_dedup": 1,
         "q_paragraph_dedup": 1,
     }
-    for name, want in expected_scans.items():
-        df = QUERIES[name].fn(spark, SF_SMOKE)
-        leaves = _plan_leaves(df)
-        got = sum(
-            1
-            for kind, s in leaves
-            if "Scan parquet" in kind and "documents.parquet" in s
-        )
-        assert got == want, f"{name}: {got} documents scans, want {want}"
-        assert any(kind == "InMemoryTableScan" for kind, _ in leaves), name
+    try:
+        for name, want in expected_scans.items():
+            df = QUERIES[name].fn(spark, SF_SMOKE)
+            leaves = _plan_leaves(df)
+            got = sum(
+                1
+                for kind, s in leaves
+                if "Scan parquet" in kind and "documents.parquet" in s
+            )
+            assert got == want, f"{name}: {got} documents scans, want {want}"
+            assert any(kind == "InMemoryTableScan" for kind, _ in leaves), name
+    finally:
+        # Each build persisted a vocabulary frame; drop them so later
+        # tests' plan-shape assertions never silently hit these caches.
+        spark.catalog.clearCache()
 
 
 def _plan_leaves(df):
