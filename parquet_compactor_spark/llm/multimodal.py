@@ -193,7 +193,10 @@ def extract_media_meta(df: DataFrame) -> DataFrame:
                64 + (strlen(text) * 7) % 512   AS height,
                1 + strlen(text) % 30           AS n_frames,
                ['image', 'audio', 'video'][1 + strlen(text) % 3] AS modality
-        FROM documents
+        -- a NULL payload has no modality: pinned out on BOTH engines
+        -- (the decode stage skips it; the oracle would otherwise grow a
+        -- NULL-modality group — r7 hostile NULL-text sweep find)
+        FROM documents WHERE text IS NOT NULL
     )
     SELECT source,
            modality,
@@ -211,7 +214,7 @@ def extract_media_meta(df: DataFrame) -> DataFrame:
     "full binary-column plumbing end-to-end against a SQL oracle.",
 )
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     payloads = d.select(
         "doc_id", "source", F.encode(F.col("text"), "utf-8").alias("payload")
     )

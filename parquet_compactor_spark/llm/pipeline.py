@@ -32,7 +32,11 @@ FINGERPRINT_STRIP = "[^a-z0-9]+"
     "q_doc_chunking",
     oracle=f"""
     WITH toks AS (
+        -- NULL text pinned out on BOTH engines: Spark's concat_ws over
+        -- a NULL slice yields '' where array_to_string yields NULL
+        -- (r7 hostile NULL-text sweep find).
         SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+        WHERE text IS NOT NULL
     ),
     starts AS (
         SELECT doc_id, tokens,
@@ -54,7 +58,7 @@ FINGERPRINT_STRIP = "[^a-z0-9]+"
     "One explode per stride position; map-only, no shuffle.",
 )
 def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     toks = d.select("doc_id", F.split("text", " ", -1).alias("tokens"))
     starts = F.sequence(
         F.lit(0),

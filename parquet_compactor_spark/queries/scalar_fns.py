@@ -460,14 +460,18 @@ def q_safe_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            CAST(len(longs) AS INT) AS n_long,
-           unnest(CASE WHEN len(longs) = 0 THEN [NULL] ELSE longs END)
+           unnest(CASE WHEN longs IS NULL OR len(longs) = 0
+                       THEN [NULL] ELSE longs END)
                AS long_token
     FROM lists
     """,
     doc="explode_outer semantics: documents with NO qualifying array "
     "elements keep one row with a NULL element (a plain explode silently "
     "drops them — the classic lost-rows bug in lateral expansion). The "
-    "oracle emulates outer unnest with a [NULL] placeholder list.",
+    "oracle emulates outer unnest with a [NULL] placeholder list — "
+    "covering the NULL-text doc too (split(NULL) is a NULL array; "
+    "explode_outer keeps its row, so the oracle's placeholder must fire "
+    "on IS NULL as well as empty — r7 hostile NULL-text sweep find).",
 )
 def q_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")

@@ -45,7 +45,11 @@ class SplitTokens:
     "q_udtf_tokens",
     oracle="""
     WITH toks AS (
+        -- NULL text pinned out on BOTH engines: the UDTF yields nothing
+        -- for a NULL doc while tokens[n] over a NULL list would emit
+        -- NULL-token rows here (r7 hostile NULL-text sweep find).
         SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+        WHERE text IS NOT NULL
     ),
     expl AS (
         SELECT doc_id, tokens,
@@ -68,6 +72,7 @@ def q_udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT d.doc_id, t.pos, t.token
         FROM _udx_documents d, LATERAL split_tokens(d.text) t
+        WHERE d.text IS NOT NULL
         """
     )
 

@@ -233,8 +233,9 @@ def _ensure_loaded() -> None:
 #         after this round the ledger floor is round 4.
 # Everything not listed follows in registration order.
 #
-# Round-8 rotation plan: no r3-or-older rows remain after this window,
-# so the next cohort is the ~37 queries whose latest driver row is
+# Round-8 rotation plan: first the two r3 rows displaced from this
+# window (q_time_weighted_avg, q_udaf_geomean — after them no r3-or-
+# older rows remain), then the ~37 queries whose latest driver row is
 # round 4 (see COVERAGE.md freshness column), oldest-evidence and
 # plan-sensitive members first — minus whatever round 8 itself adds or
 # changes, which (per the standing convention) outranks re-verification
@@ -252,6 +253,10 @@ _PRIORITY: tuple[str, ...] = (
     "q_tfidf_topterms",
     "q_dup_ngram_coverage",
     "q_span_dedup",
+    # NULL-text hostile-sweep fixes (q_explode_outer and q_udtf_tokens
+    # also changed but already sit in the r3 cohort below):
+    "q_doc_chunking",  # non-NULL scope pinned ('' vs NULL chunk)
+    "q_multimodal_meta",  # non-NULL payload scope pinned
     # -- displaced from the round-6 window by its source changes --
     "q_filter_pushdown",
     "q_join_broadcast",
@@ -291,9 +296,10 @@ _PRIORITY: tuple[str, ...] = (
     "q_ship_priority",
     "q_snapshot_delta",
     "q_stats_agg",
-    "q_time_weighted_avg",
-    "q_udaf_geomean",
     "q_udtf_tokens",
+    # (q_time_weighted_avg and q_udaf_geomean — r3 rows — displaced to
+    # the HEAD of the round-8 rotation by the two NULL-text source
+    # changes above: changed sources outrank re-verification.)
 )
 
 

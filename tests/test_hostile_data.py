@@ -27,6 +27,15 @@ mutated fixture. (The synthetic-fixture test in test_oracle.py covers
 the NULL classes on a hand-built micro table; this one mutates the real
 driver fixture wholesale, so join keys, distributions, and scale stay
 realistic.)
+
+Round 7 added a NULL text row to the document mutations and re-swept the
+full surface: four more instances of one class fell out — a map-only
+Spark plan carries the NULL-text doc while an unnest/strlen-based oracle
+drops or re-groups it (q_doc_chunking '' vs NULL chunk, q_udtf_tokens
+UDTF-yields-nothing vs NULL-token rows, q_multimodal_meta NULL-modality
+group, q_explode_outer whose oracle needed the IS NULL placeholder since
+explode_outer deliberately keeps the row). Scope pinned explicitly on
+both engines per query; full surface green on the mutated fixture.
 """
 
 from __future__ import annotations
@@ -49,6 +58,17 @@ QUERIES = all_queries()
 #: ~a minute — the full-surface hostile sweep is a round-time check
 #: (168/168 green, round 6).
 SENSITIVE = [
+    # round-7 NULL-text finds (map-only Spark vs unnest-based oracle
+    # scope): q_doc_chunking/q_udtf_tokens/q_multimodal_meta pin
+    # text IS NOT NULL on both engines; q_explode_outer's oracle
+    # learned the IS NULL placeholder (explode_outer KEEPS the row).
+    "q_doc_chunking",
+    "q_explode_outer",
+    "q_udtf_tokens",
+    "q_multimodal_meta",
+    "q_paragraph_dedup",
+    "q_context_length",
+    "q_funnel_attrition",
     "q_asof_join",
     "q_asof_nearest",
     "q_edit_distance",
