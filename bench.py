@@ -55,6 +55,10 @@ def main() -> None:
         dt = time.perf_counter() - t0
         timings[name] = round(dt, 3)
         total += dt
+        # Guarded queries persist vocabulary tables at construction;
+        # drop them (outside the timer) so caches never accumulate
+        # across the 170+ queries or leak into a later query's timing.
+        spark.catalog.clearCache()
 
     compaction = bench_compaction(spark, sf_dir)
 
