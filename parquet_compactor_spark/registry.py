@@ -233,13 +233,24 @@ def _ensure_loaded() -> None:
 #         after this round the ledger floor is round 4.
 # Everything not listed follows in registration order.
 #
-# Round-8 rotation plan: first the two r3 rows displaced from this
-# window (q_time_weighted_avg, q_udaf_geomean — after them no r3-or-
-# older rows remain), then the ~37 queries whose latest driver row is
-# round 4 (see COVERAGE.md freshness column), oldest-evidence and
-# plan-sensitive members first — minus whatever round 8 itself adds or
-# changes, which (per the standing convention) outranks re-verification
-# of unchanged sources.
+# Round-8 rotation plan (computed from CORRECTNESS_r0{1..6}.json,
+# latest-row-wins, after this window's 50 names are re-verified):
+# first the two r3 rows displaced from this window
+# (q_time_weighted_avg q_udaf_geomean — after them no r3-or-older rows
+# remain), then ALL 36 remaining r4-latest rows:
+# q_ann_lsh q_array_agg q_array_fns q_batch_sim_topk
+# q_conditional_distinct q_cust_order_dist q_dedup_exact
+# q_disjunctive_join q_dup_clusters q_embed_quantize
+# q_explode_posexplode q_fingerprint q_funnel_steps q_higher_order_fns
+# q_idle_customers q_json_props q_lang_id q_lateral_topn q_map_props
+# q_market_share q_median_filtered q_merge_upsert q_nation_revenue
+# q_ngram_jaccard q_order_priority q_promo_revenue q_quality_score
+# q_recursive_cte q_retention_cohorts q_returned_items q_salted_join
+# q_sim_topk q_small_qty_revenue q_top_supplier q_variant_props
+# q_volume_shipping
+# — 38 names; the remaining ~12 slots go to the oldest r5 rows, all
+# minus whatever round 8 itself adds or changes, which (per the
+# standing convention) outranks re-verification of unchanged sources.
 _PRIORITY: tuple[str, ...] = (
     # -- NEW in round 7 (no driver row yet): verify before everything --
     "q_paragraph_dedup",
