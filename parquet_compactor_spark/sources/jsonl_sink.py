@@ -42,6 +42,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import uuid
 from dataclasses import dataclass
 from typing import Iterator
@@ -133,17 +134,36 @@ class JsonlWriter(DataSourceWriter):
             cutoff = time.time() - self.TMP_LITTER_AGE_S
             for name in os.listdir(self.path):
                 full = os.path.join(self.path, name)
-                # Sweep prior committed output AND crashed-job .tmp
-                # litter — never this job's own staged files, and never
-                # a fresh .tmp that may belong to a concurrent live job
-                # (deleting it would crash that job's commit renames).
-                stale_tmp = (
-                    name.endswith(".jsonl.tmp")
-                    and name not in own
-                    and os.path.getmtime(full) < cutoff
-                )
-                if name.endswith(".jsonl") or name == "_SUCCESS" or stale_tmp:
-                    os.remove(full)
+                # Overwrite truncates like Spark's file sinks: EVERY
+                # non-hidden entry goes, including data a previous job
+                # wrote in another format (a *.jsonl-only sweep silently
+                # retained those — same fix as the avro sink). Spared:
+                # hidden entries (other sinks' staging/metadata, except
+                # _SUCCESS which is ours to replace) and any .jsonl.tmp
+                # that is this job's own staged file or fresh enough to
+                # belong to a concurrent LIVE job (deleting it would
+                # crash that job's commit renames); stale .tmp litter
+                # from crashed jobs is reclaimed. The listdir snapshot
+                # races with those live jobs — vanished entries are
+                # simply done, never an error.
+                try:
+                    is_tmp = name.endswith(".jsonl.tmp")
+                    stale_tmp = (
+                        is_tmp
+                        and name not in own
+                        and os.path.getmtime(full) < cutoff
+                    )
+                    hidden = name.startswith(("_", "."))
+                    spare = (hidden and name != "_SUCCESS") or (
+                        is_tmp and not stale_tmp
+                    )
+                    if not spare:
+                        if os.path.isdir(full):
+                            shutil.rmtree(full)
+                        else:
+                            os.remove(full)
+                except FileNotFoundError:
+                    pass
         for m in messages:
             if m is None:
                 continue

@@ -666,12 +666,24 @@ def test_jsonl_sink_two_phase_commit(spark, tmp_path):
     _os.utime(stale, (old_ts, old_ts))
     fresh = tmp_path / "sink" / "part-cafebabe.jsonl.tmp"
     fresh.write_text("{}\n")
+    # Overwrite truncates like Spark's file sinks: non-hidden entries a
+    # previous job wrote in ANOTHER format go too (r7, same as avro).
+    foreign = tmp_path / "sink" / "leftover.parquet"
+    foreign.write_bytes(b"PAR1junk")
+    subdir = tmp_path / "sink" / "subdir"
+    subdir.mkdir()
+    (subdir / "old.jsonl").write_text("{}\n")
+    hidden = tmp_path / "sink" / "_hidden.marker"
+    hidden.write_text("keep")
     df.limit(3).repartition(1).write.format("jsonlsink").mode("overwrite").save(out)
     files = list((tmp_path / "sink").glob("*.jsonl"))
     assert len(files) == 1
     assert len(files[0].read_text().splitlines()) == 3
     assert not stale.exists()
     assert fresh.exists()  # possibly a live concurrent job's staging
+    assert not foreign.exists()
+    assert not subdir.exists()
+    assert hidden.exists()  # other sinks' staging/metadata class
 
 
 def test_jsonl_sink_abort_leaves_no_committed_files(spark, tmp_path):
