@@ -8,9 +8,13 @@ Env:
   SPARK_GRAFT_CPUS    local[] parallelism (default all cores)
   BENCH_QUERIES       comma-separated subset (default: all registered)
 
-Each query is executed to completion with a count-collect (forces the full
-plan, returns only a scalar to the driver — no toPandas materialization
-cost in the measurement).
+Each query is executed to completion through the noop sink
+(``df.write.format("noop")``): every output column of every row is fully
+computed on the executors and nothing is materialized to the driver.
+A bare ``count()`` is NOT a valid timing action — Catalyst prunes unused
+projections under it (a map-only query collapses to a parquet metadata
+count and times flat at any corpus size; found round 7 when
+q_gopher_rules ramped flat x1→x25).
 """
 
 from __future__ import annotations
@@ -51,7 +55,7 @@ def main() -> None:
     total = 0.0
     for name in names:
         t0 = time.perf_counter()
-        queries[name].fn(spark, sf_dir).count()
+        queries[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         dt = time.perf_counter() - t0
         timings[name] = round(dt, 3)
         total += dt
