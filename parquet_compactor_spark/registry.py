@@ -220,17 +220,21 @@ def _ensure_loaded() -> None:
 #         q_lang_temperature: XLM-R temperature-scaled multilingual
 #         sampling; q_funnel_attrition: per-source curation-funnel
 #         attrition dashboard);
-#   5-10  queries whose SOURCE changed this round, so the round-6 row
-#         no longer attests to the current code: the vocabulary-
-#         broadcast guard was rebuilt cache-and-count (no probe scan —
+#   5-12  queries whose SOURCE changed this round, so the prior row no
+#         longer attests to the current code: the vocabulary-broadcast
+#         guard rebuilt cache-and-count (no probe scan —
 #         q_unigram_logprob, q_tfidf_topterms, q_dup_ngram_coverage,
-#         q_span_dedup), q_dsir_weights went single-job with integer-
-#         exact per-term micro-weights, and q_quality_classifier pinned
-#         non-NULL text scope on both engines;
-#   11-20 the ten rows displaced from the round-6 window by that
+#         q_span_dedup), q_dsir_weights single-job with integer-exact
+#         per-term micro-weights, q_quality_classifier non-NULL text
+#         scope, and the NULL-text hostile-sweep fixes q_doc_chunking +
+#         q_multimodal_meta (q_explode_outer and q_udtf_tokens also
+#         changed but already sit in the r3 cohort below);
+#   13-22 the ten rows displaced from the round-6 window by that
 #         round's source changes (planned there as this round's debt);
-#   21-50 ALL 30 remaining queries whose latest driver row is round 3 —
-#         after this round the ledger floor is round 4.
+#   23-50 28 of the 30 remaining queries whose latest driver row is
+#         round 3 (q_time_weighted_avg and q_udaf_geomean displaced to
+#         round 8 by the two NULL-text source changes — so the ledger
+#         floor reaches round 4 only after round 8's first two slots).
 # Everything not listed follows in registration order.
 #
 # Round-8 rotation plan (computed from CORRECTNESS_r0{1..6}.json,

@@ -53,7 +53,6 @@ import io
 import json
 import os
 import re
-import shutil
 import uuid
 import zlib
 from dataclasses import dataclass
@@ -181,6 +180,18 @@ def avro_schema_of(schema: StructType, name: str = "topLevelRecord") -> dict:
     top = _avro_type(schema, "")
     top["name"] = _check_avro_name(name, "record name")
     return top
+
+
+def _check_plan(schema: StructType, codec: str) -> None:
+    """Plan-time refusals shared by the batch AND streaming writers:
+    invalid Avro names / unsupported types / codecs must fail on the
+    driver before any task (or micro-batch) runs. One helper so the two
+    __init__s cannot drift apart."""
+    avro_schema_of(schema)
+    if codec not in ("null", "deflate"):
+        raise NotImplementedError(
+            f"avro fallback writer codec {codec!r} (null/deflate supported)"
+        )
 
 
 def _converter(dt) -> Callable:
@@ -357,13 +368,7 @@ class AvroWriter(DataSourceWriter):
         self.codec = options.get("codec", "deflate")
         self.max_records = _max_records_opt(options)
         self.overwrite = overwrite
-        # Fail on unsupported schema/codec at PLAN time on the driver,
-        # not per-task on the executors.
-        avro_schema_of(schema)
-        if self.codec not in ("null", "deflate"):
-            raise NotImplementedError(
-                f"avro fallback writer codec {self.codec!r} (null/deflate supported)"
-            )
+        _check_plan(schema, self.codec)
 
     def write(self, iterator: Iterator) -> _Committed:
         return _write_partition(
@@ -379,44 +384,24 @@ class AvroWriter(DataSourceWriter):
         """Rename staged tmps to final names; on overwrite, truncate first.
 
         Overwrite semantics match spark-avro's (InsertIntoHadoopFsRelation
-        deletes the output directory): EVERY non-hidden entry goes —
-        including data files a previous job wrote in another format
-        (jsonl/parquet), which the narrower *.avro-only sweep used to
-        retain silently. The one intentional difference: hidden entries
-        (``_``/``.`` prefixed — Spark readers skip them anyway) are
-        preserved, because this sink's own two-phase staging area is
-        underscore-hidden and a concurrent live writer's staged tmps must
-        survive another job's overwrite; hidden ``.avro.tmp`` litter
-        older than TMP_LITTER_AGE_S is still reclaimed.
+        deletes the output directory): every non-hidden entry goes —
+        including data files a previous job wrote in ANOTHER format.
+        Policy shared with the jsonl sink:
+        :func:`sink_common.truncate_for_overwrite` (spares hidden
+        entries, this job's own staging, and ANY format's fresh tmp —
+        the age gate, not the suffix, separates live staging from
+        crashed-job litter).
         """
+        from parquet_compactor_spark.sources.sink_common import (
+            truncate_for_overwrite,
+        )
+
         # A zero-task job (empty/zero-partition frame) reaches commit
         # without any task having created the directory.
         os.makedirs(self.path, exist_ok=True)
         if self.overwrite:
-            import time
-
             own = {n for m in messages if m is not None for n in m.tmp_names}
-            cutoff = time.time() - self.TMP_LITTER_AGE_S
-            for name in os.listdir(self.path):
-                full = os.path.join(self.path, name)
-                hidden = name.startswith(("_", "."))
-                # The listdir snapshot races with concurrent jobs (a live
-                # writer's commit renames its staged tmp away between our
-                # listing and the stat/remove below) — vanished entries
-                # are simply no longer ours to sweep, never an error.
-                try:
-                    stale_tmp = (
-                        name.endswith(".avro.tmp")
-                        and name not in own
-                        and os.path.getmtime(full) < cutoff
-                    )
-                    if (not hidden) or name == "_SUCCESS" or stale_tmp:
-                        if os.path.isdir(full):
-                            shutil.rmtree(full)
-                        else:
-                            os.remove(full)
-                except FileNotFoundError:
-                    pass
+            truncate_for_overwrite(self.path, own, self.TMP_LITTER_AGE_S)
         for m in messages:
             if m is None:
                 continue
@@ -443,14 +428,7 @@ class AvroStreamWriter(DataSourceStreamWriter):
         self.schema = schema
         self.codec = options.get("codec", "deflate")
         self.max_records = _max_records_opt(options)
-        # Same plan-time refusals as the batch writer: invalid Avro
-        # names / unsupported types / codecs must fail on the driver
-        # BEFORE the stream starts, not per-task inside micro-batches.
-        avro_schema_of(schema)
-        if self.codec not in ("null", "deflate"):
-            raise NotImplementedError(
-                f"avro fallback writer codec {self.codec!r} (null/deflate supported)"
-            )
+        _check_plan(schema, self.codec)
 
     def write(self, iterator: Iterator) -> _Committed:
         return _write_partition(

@@ -42,7 +42,6 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 import uuid
 from dataclasses import dataclass
 from typing import Iterator
@@ -127,43 +126,18 @@ class JsonlWriter(DataSourceWriter):
     TMP_LITTER_AGE_S = 3600.0
 
     def commit(self, messages) -> None:
+        # Overwrite truncates like Spark's file sinks; policy shared
+        # with the avro sink (sink_common.truncate_for_overwrite):
+        # every non-hidden entry goes, sparing this job's own staging,
+        # ANY format's fresh tmp (possibly a concurrent live job), and
+        # hidden entries; stale crashed-job tmp litter is reclaimed.
         if self.overwrite:
-            import time
+            from parquet_compactor_spark.sources.sink_common import (
+                truncate_for_overwrite,
+            )
 
             own = {m.tmp_name for m in messages if m is not None}
-            cutoff = time.time() - self.TMP_LITTER_AGE_S
-            for name in os.listdir(self.path):
-                full = os.path.join(self.path, name)
-                # Overwrite truncates like Spark's file sinks: EVERY
-                # non-hidden entry goes, including data a previous job
-                # wrote in another format (a *.jsonl-only sweep silently
-                # retained those — same fix as the avro sink). Spared:
-                # hidden entries (other sinks' staging/metadata, except
-                # _SUCCESS which is ours to replace) and any .jsonl.tmp
-                # that is this job's own staged file or fresh enough to
-                # belong to a concurrent LIVE job (deleting it would
-                # crash that job's commit renames); stale .tmp litter
-                # from crashed jobs is reclaimed. The listdir snapshot
-                # races with those live jobs — vanished entries are
-                # simply done, never an error.
-                try:
-                    is_tmp = name.endswith(".jsonl.tmp")
-                    stale_tmp = (
-                        is_tmp
-                        and name not in own
-                        and os.path.getmtime(full) < cutoff
-                    )
-                    hidden = name.startswith(("_", "."))
-                    spare = (hidden and name != "_SUCCESS") or (
-                        is_tmp and not stale_tmp
-                    )
-                    if not spare:
-                        if os.path.isdir(full):
-                            shutil.rmtree(full)
-                        else:
-                            os.remove(full)
-                except FileNotFoundError:
-                    pass
+            truncate_for_overwrite(self.path, own, self.TMP_LITTER_AGE_S)
         for m in messages:
             if m is None:
                 continue

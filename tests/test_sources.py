@@ -845,6 +845,53 @@ def test_avro_sink_overwrite_truncates_foreign_formats(spark, tmp_path):
     assert read_table(spark, str(out), fmt="avro").count() == 3
 
 
+def test_overwrite_sweep_spares_cross_format_live_staging(spark, tmp_path):
+    """An avro overwrite must not delete a concurrent LIVE jsonl job's
+    fresh staged .tmp (and vice versa): the shared sweep age-gates ANY
+    format's tmp suffix, not just its own — the suffix-scoped gate
+    deleted cross-format staging and crashed the other job's commit
+    renames. Stale cross-format litter is still reclaimed."""
+    import os as _os
+    import time as _time
+
+    from parquet_compactor_spark.sources.avro_sink import write_avro_fallback
+
+    df = load(spark, SF_SMOKE, "nation").select("n_nationkey", "n_name")
+    out = tmp_path / "sink"
+    out.mkdir()
+    fresh_jsonl = out / "part-cafebabe.jsonl.tmp"  # live jsonl staging
+    fresh_jsonl.write_text("{}\n")
+    stale_jsonl = out / "part-deadbeef.jsonl.tmp"  # crashed-job litter
+    stale_jsonl.write_text("{}\n")
+    old_ts = _time.time() - 7200
+    _os.utime(stale_jsonl, (old_ts, old_ts))
+
+    write_avro_fallback(df.limit(3).repartition(1), str(out), mode="overwrite")
+    assert fresh_jsonl.exists()
+    assert not stale_jsonl.exists()
+
+
+def test_avro_stream_writer_refuses_at_plan_time(spark):
+    """The streaming writer applies the SAME plan-time refusals as the
+    batch writer (shared _check_plan): invalid names and unsupported
+    codecs fail at construction on the driver, never per-task inside
+    micro-batches."""
+    import pytest as _pytest
+
+    from parquet_compactor_spark.sources.avro_sink import AvroStreamWriter
+
+    ok_schema = load(spark, SF_SMOKE, "nation").select("n_nationkey").schema
+    with _pytest.raises(Exception, match="codec"):
+        AvroStreamWriter({"path": "/tmp/x", "codec": "zstd"}, ok_schema)
+    bad_schema = (
+        load(spark, SF_SMOKE, "nation")
+        .select(F.col("n_nationkey").alias("my-col"))
+        .schema
+    )
+    with _pytest.raises(Exception, match="not a valid Avro name"):
+        AvroStreamWriter({"path": "/tmp/x"}, bad_schema)
+
+
 def test_avro_sink_refuses_invalid_avro_names_at_plan_time(spark, tmp_path):
     """Column names outside Avro's name grammar ([A-Za-z_][A-Za-z0-9_]*)
     would produce a container file strict readers reject — refused with
