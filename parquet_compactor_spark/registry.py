@@ -220,7 +220,7 @@ def _ensure_loaded() -> None:
 #         q_lang_temperature: XLM-R temperature-scaled multilingual
 #         sampling; q_funnel_attrition: per-source curation-funnel
 #         attrition dashboard);
-#   5-12  queries whose SOURCE changed this round, so the prior row no
+#   5-13  queries whose SOURCE changed this round, so the prior row no
 #         longer attests to the current code: the vocabulary-broadcast
 #         guard rebuilt cache-and-count (no probe scan —
 #         q_unigram_logprob, q_tfidf_topterms, q_dup_ngram_coverage,
@@ -228,20 +228,22 @@ def _ensure_loaded() -> None:
 #         per-term micro-weights, q_quality_classifier non-NULL text
 #         scope, and the NULL-text hostile-sweep fixes q_doc_chunking +
 #         q_multimodal_meta (q_explode_outer and q_udtf_tokens also
-#         changed but already sit in the r3 cohort below);
-#   13-22 the ten rows displaced from the round-6 window by that
+#         changed but already sit in the r3 cohort below; q_approx_stats
+#         split its exact-distinct agg out of the sketch agg — the mixed
+#         form Expanded every row and fell out of hash aggregation);
+#   14-23 the ten rows displaced from the round-6 window by that
 #         round's source changes (planned there as this round's debt);
-#   23-50 28 of the 30 remaining queries whose latest driver row is
-#         round 3 (q_time_weighted_avg and q_udaf_geomean displaced to
-#         round 8 by the two NULL-text source changes — so the ledger
-#         floor reaches round 4 only after round 8's first two slots).
+#   24-50 27 of the 30 remaining queries whose latest driver row is
+#         round 3 (q_time_weighted_avg, q_udaf_geomean, q_stats_agg
+#         displaced to round 8 by the three source changes — the ledger
+#         floor reaches round 4 after round 8's first three slots).
 # Everything not listed follows in registration order.
 #
 # Round-8 rotation plan (computed from CORRECTNESS_r0{1..6}.json,
 # latest-row-wins, after this window's 50 names are re-verified):
-# first the two r3 rows displaced from this window
-# (q_time_weighted_avg q_udaf_geomean — after them no r3-or-older rows
-# remain), then ALL 36 remaining r4-latest rows:
+# first the three r3 rows displaced from this window
+# (q_time_weighted_avg q_udaf_geomean q_stats_agg — after them no
+# r3-or-older rows remain), then ALL 36 remaining r4-latest rows:
 # q_ann_lsh q_array_agg q_array_fns q_batch_sim_topk
 # q_conditional_distinct q_cust_order_dist q_dedup_exact
 # q_disjunctive_join q_dup_clusters q_embed_quantize
@@ -252,7 +254,7 @@ def _ensure_loaded() -> None:
 # q_recursive_cte q_retention_cohorts q_returned_items q_salted_join
 # q_sim_topk q_small_qty_revenue q_top_supplier q_variant_props
 # q_volume_shipping
-# — 38 names; the remaining ~12 slots go to the oldest r5 rows, all
+# — 39 names; the remaining ~11 slots go to the oldest r5 rows, all
 # minus whatever round 8 itself adds or changes, which (per the
 # standing convention) outranks re-verification of unchanged sources.
 _PRIORITY: tuple[str, ...] = (
@@ -272,6 +274,7 @@ _PRIORITY: tuple[str, ...] = (
     # also changed but already sit in the r3 cohort below):
     "q_doc_chunking",  # non-NULL scope pinned ('' vs NULL chunk)
     "q_multimodal_meta",  # non-NULL payload scope pinned
+    "q_approx_stats",  # distinct agg split out of the sketch agg (40x)
     # -- displaced from the round-6 window by its source changes --
     "q_filter_pushdown",
     "q_join_broadcast",
@@ -310,11 +313,11 @@ _PRIORITY: tuple[str, ...] = (
     "q_seq_packing",
     "q_ship_priority",
     "q_snapshot_delta",
-    "q_stats_agg",
     "q_udtf_tokens",
-    # (q_time_weighted_avg and q_udaf_geomean — r3 rows — displaced to
-    # the HEAD of the round-8 rotation by the two NULL-text source
-    # changes above: changed sources outrank re-verification.)
+    # (q_time_weighted_avg, q_udaf_geomean, and q_stats_agg — r3 rows —
+    # displaced to the HEAD of the round-8 rotation by the three
+    # round-7 source changes above: changed sources outrank
+    # re-verification of unchanged ones.)
 )
 
 
