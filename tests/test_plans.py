@@ -643,3 +643,17 @@ def test_bm25_df_table_pruned_to_query_terms_before_broadcast(spark):
     optimized = df._jdf.queryExecution().optimizedPlan().toString()
     assert optimized.count("spark") >= 2  # IN-list literal on both sides
     assert p.has_broadcast_join
+
+
+def test_approx_stats_sketch_agg_never_expands(spark):
+    """Round-7 regression pin: mixing countDistinct with the t-digest /
+    percentile typed-imperative aggregates in ONE agg triggers the
+    distinct rewrite — an Expand doubles every input row and the whole
+    aggregation falls out of hash aggregation (measured 108 s and a
+    default-heap OOM vs 2.6 s at sf0.1). The query must keep the exact-
+    distinct count in its own hash-aggregated plan, broadcast-joined
+    back: no Expand anywhere, and a broadcast join present."""
+    df = QUERIES["q_approx_stats"].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan
+    assert "BroadcastHashJoin" in plan
