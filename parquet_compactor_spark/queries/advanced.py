@@ -168,18 +168,30 @@ def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exact = l.groupBy("l_returnflag").agg(
         F.countDistinct("l_orderkey").alias("exact_orders")
-    )
+    ).withColumnRenamed("l_returnflag", "rf_e")
     return (
-        sketches.join(F.broadcast(exact), "l_returnflag")
+        # eqNullSafe: a NULL returnflag group must survive the join —
+        # both aggs produce it and the oracle's GROUP BY keeps it; an
+        # inner USING-join would silently drop it (NULL keys never
+        # match). Still a broadcast HASH join (null-safe equi-key).
+        sketches.join(
+            F.broadcast(exact),
+            sketches["l_returnflag"].eqNullSafe(exact["rf_e"]),
+        )
         .select(
             "l_returnflag",
             "n_rows",
             "exact_orders",
-            (
+            # 0/0 guard: a group whose l_orderkey values are all NULL has
+            # exact_orders = 0; the estimate is within tolerance iff it
+            # is also 0 (the oracle states the invariant as TRUE).
+            F.when(F.col("exact_orders") == 0, F.col("acd") == 0)
+            .otherwise(
                 F.abs(F.col("acd") - F.col("exact_orders"))
                 / F.col("exact_orders")
                 <= 0.05
-            ).alias("hll_within_tol"),
+            )
+            .alias("hll_within_tol"),
             F.col("ap50")
             .between(F.element_at("rb", 1), F.element_at("rb", 2))
             .alias("p50_within_rank"),

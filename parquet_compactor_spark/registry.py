@@ -286,7 +286,8 @@ _PRIORITY: tuple[str, ...] = (
     "q_contamination",
     "q_corpus_prep",
     "q_semantic_dedup",
-    # -- all 30 remaining round-3-latest rows: the ledger's oldest --
+    # -- 27 of the 30 remaining round-3-latest rows (3 displaced to
+    # round 8 by this round's source changes): the ledger's oldest --
     "q_agg_distinct",
     "q_char_trigrams",
     "q_click_conversion",

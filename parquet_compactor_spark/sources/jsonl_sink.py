@@ -126,6 +126,11 @@ class JsonlWriter(DataSourceWriter):
     TMP_LITTER_AGE_S = 3600.0
 
     def commit(self, messages) -> None:
+        # A zero-task job (empty/zero-partition frame) reaches commit
+        # without any task having created the directory — the sweep's
+        # listdir and the _SUCCESS write below both need it to exist
+        # (same guard as the avro sink).
+        os.makedirs(self.path, exist_ok=True)
         # Overwrite truncates like Spark's file sinks; policy shared
         # with the avro sink (sink_common.truncate_for_overwrite):
         # every non-hidden entry goes, sparing this job's own staging,

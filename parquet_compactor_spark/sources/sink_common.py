@@ -49,7 +49,12 @@ def truncate_for_overwrite(
                 and os.path.getmtime(full) < cutoff
             )
             if stale_tmp:
-                os.remove(full)
+                # Stage DIRECTORIES named *.tmp (hadoop/fsspec-style
+                # sinks) are litter too — rmtree, not remove.
+                if os.path.isdir(full):
+                    shutil.rmtree(full)
+                else:
+                    os.remove(full)
                 continue
             if is_tmp:
                 continue  # own or possibly-live staging: spare
