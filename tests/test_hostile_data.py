@@ -160,3 +160,46 @@ def test_sensitive_query_matches_oracle_on_hostile_data(spark, hostile_dir, name
     q = QUERIES[name]
     assert q.oracle is not None
     compare_to_oracle(q.fn(spark, hostile_dir), q.oracle, hostile_dir)
+
+
+def test_approx_stats_keeps_null_flag_group(spark, tmp_path):
+    """Round-7 re-review pin: q_approx_stats' two-plan split must not
+    lose a NULL l_returnflag group (inner USING-joins drop NULL keys;
+    the GROUP BY oracle keeps them) and must emit TRUE — not 0/0 NULL —
+    for a group whose l_orderkey values are all NULL."""
+    import shutil as _shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    for t in (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ):
+        _shutil.copy(f"{SF_SMOKE}/{t}.parquet", str(d / f"{t}.parquet"))
+    tab = pq.read_table(str(d / "lineitem.parquet"))
+    rf = tab.column("l_returnflag").to_pylist()
+    ok = tab.column("l_orderkey").to_pylist()
+    for i in range(5):
+        rf[i] = None
+        ok[i] = None
+    tab = tab.set_column(
+        tab.schema.get_field_index("l_returnflag"),
+        "l_returnflag",
+        pa.array(rf, type=pa.string()),
+    )
+    tab = tab.set_column(
+        tab.schema.get_field_index("l_orderkey"),
+        "l_orderkey",
+        pa.array(ok, type=pa.int64()),
+    )
+    pq.write_table(tab, str(d / "lineitem.parquet"))
+
+    q = QUERIES["q_approx_stats"]
+    compare_to_oracle(q.fn(spark, str(d)), q.oracle, str(d))
+    rows = {r.l_returnflag: r for r in q.fn(spark, str(d)).collect()}
+    assert None in rows
+    assert rows[None].exact_orders == 0
+    assert rows[None].hll_within_tol is True

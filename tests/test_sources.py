@@ -1314,3 +1314,38 @@ def test_avro_sink_schema_and_converters_roundtrip_property(rows, codec):
         assert b["ts"] == r["ts"]
         assert b["vals"] == r["vals"]
         assert b["sub"] == r["sub"]
+
+
+def test_jsonl_zero_task_overwrite_creates_directory(spark, tmp_path):
+    """A zero-task overwrite (empty frame) reaches commit without any
+    task having created the output directory: the sweep's listdir and
+    the _SUCCESS write need the makedirs guard (round-7 re-review pin;
+    the avro sink had it, the jsonl sink did not)."""
+    from parquet_compactor_spark.sources.jsonl_sink import JsonlSinkDataSource
+
+    spark.dataSource.register(JsonlSinkDataSource)
+    out = tmp_path / "deep" / "nonexistent" / "sink"
+    spark.range(0).write.format("jsonlsink").mode("overwrite").save(str(out))
+    assert (out / "_SUCCESS").exists()
+
+
+def test_overwrite_sweep_reclaims_stale_tmp_directory(spark, tmp_path):
+    """A stale DIRECTORY named *.tmp (hadoop/fsspec-style staging) is
+    crashed-job litter: the shared sweep must rmtree it, not crash the
+    commit with IsADirectoryError (round-7 re-review pin)."""
+    import os as _os
+    import time as _time
+
+    from parquet_compactor_spark.sources.avro_sink import write_avro_fallback
+
+    df = load(spark, SF_SMOKE, "nation").select("n_nationkey", "n_name")
+    out = tmp_path / "sink"
+    out.mkdir()
+    stale_dir = out / "staging.tmp"
+    stale_dir.mkdir()
+    (stale_dir / "junk").write_bytes(b"x")
+    old_ts = _time.time() - 7200
+    _os.utime(stale_dir, (old_ts, old_ts))
+
+    write_avro_fallback(df.limit(3).repartition(1), str(out), mode="overwrite")
+    assert not stale_dir.exists()
