@@ -937,8 +937,13 @@ def q_context_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang,
            n_docs,
            (n_docs * 1000000) // n_total AS share_ppm,
-           (u_micro * 1000000) // SUM(u_micro) OVER () AS sample_ppm,
-           (u_micro * 100000) // SUM(u_micro) OVER () AS budget_docs
+           -- CAST: DuckDB types BIGINT // (windowed SUM of BIGINT) as
+           -- HUGEINT (the windowed SUM is HUGEINT); values fit bigint but
+           -- the driver hashes representations, so pin the output type.
+           CAST((u_micro * 1000000) // SUM(u_micro) OVER () AS BIGINT)
+               AS sample_ppm,
+           CAST((u_micro * 100000) // SUM(u_micro) OVER () AS BIGINT)
+               AS budget_docs
     FROM u
     """,
     doc="Temperature-scaled multilingual sampling weights (Conneau et "

@@ -146,9 +146,16 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "DERIVED-INVARIANT ORACLE: the estimates themselves are "
     "engine-specific, so the query emits engine-independent derived "
     "booleans — HLL estimate within 5% of exact (5 sigma at rsd=0.01), "
-    "and the approx p50 landing between the exact 0.45 and 0.55 "
-    "quantiles (rank-error bound) — which the oracle states as "
-    "invariants (TRUE) alongside the exact counts it can verify.",
+    "and the sketch's p50 landing between its own 0.45/0.55 evaluations "
+    "(digest self-consistency: querying one t-digest at increasing "
+    "percentiles is monotone, so this is a plan/plumbing invariant, not "
+    "a statistical one) — stated as TRUE alongside the exact counts the "
+    "oracle can verify. The STATISTICAL rank-error check (approx p50 vs "
+    "the EXACT 0.45/0.55 quantiles, which needs a full per-group value "
+    "buffer) lives in a test-only twin "
+    "(tests/test_oracle.py::test_approx_stats_p50_within_exact_rank_"
+    "bound), keeping the registered sketch pass literally "
+    "constant-memory at any scale.",
 )
 def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load(spark, sf_dir, "lineitem")
@@ -159,12 +166,17 @@ def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregation — measured 108 s (and an OOM on a default heap) vs 2.6 s
     # split, at sf0.1. Two scans beat one 2x-expanded sort-agg scan at any
     # scale; at 100 TB the sketch pass stays partial-aggregated and
-    # constant-memory, which is this query's whole point.
+    # constant-memory, which is this query's whole point. One t-digest
+    # buffer evaluated at three percentiles (round 8: the exact
+    # percentile(array(0.45, 0.55)) rank-bound scaffolding moved to the
+    # test-only twin — it was the single non-constant-memory aggregate
+    # left in this plan).
     sketches = l.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.approx_count_distinct("l_orderkey", 0.01).alias("acd"),
-        F.expr("approx_percentile(l_extendedprice, 0.5)").alias("ap50"),
-        F.expr("percentile(l_extendedprice, array(0.45, 0.55))").alias("rb"),
+        F.expr(
+            "approx_percentile(l_extendedprice, array(0.45, 0.5, 0.55))"
+        ).alias("ap"),
     )
     exact = l.groupBy("l_returnflag").agg(
         F.countDistinct("l_orderkey").alias("exact_orders")
@@ -192,8 +204,8 @@ def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 <= 0.05
             )
             .alias("hll_within_tol"),
-            F.col("ap50")
-            .between(F.element_at("rb", 1), F.element_at("rb", 2))
+            F.element_at("ap", 2)
+            .between(F.element_at("ap", 1), F.element_at("ap", 3))
             .alias("p50_within_rank"),
         )
     )

@@ -10,7 +10,7 @@ import pytest
 
 from parquet_compactor_spark.registry import TABLES, all_queries
 from tests.conftest import SF_SMOKE
-from tests.oracle_utils import compare_to_oracle
+from tests.oracle_utils import compare_to_oracle, duck_connection
 
 QUERIES = all_queries()
 
@@ -227,6 +227,41 @@ def test_kll_sketches_merge_across_partitions(spark):
     assert abs(whole - halves) / whole < 0.02
 
 
+def test_approx_stats_p50_within_exact_rank_bound(spark):
+    """Test-only twin of q_approx_stats' rank-error check (round 8).
+
+    The registered query's ``p50_within_rank`` is a digest
+    self-consistency invariant (one t-digest queried at 0.45/0.5/0.55 is
+    monotone by construction) so its sketch pass stays literally
+    constant-memory. The STATISTICAL claim — the t-digest's p50 estimate
+    lands between the EXACT 0.45 and 0.55 quantiles (the documented
+    rank-error bound at default accuracy 10000) — needs an exact
+    per-group percentile, i.e. a full value buffer, so it lives here in
+    test scope instead of the 100 TB plan.
+    """
+    from pyspark.sql import functions as F
+
+    from parquet_compactor_spark.registry import load
+
+    l = load(spark, SF_SMOKE, "lineitem")
+    rows = (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.expr("approx_percentile(l_extendedprice, 0.5)").alias("ap50"),
+            F.expr(
+                "percentile(l_extendedprice, array(0.45, 0.55))"
+            ).alias("rb"),
+        )
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert r.rb[0] <= r.ap50 <= r.rb[1], (
+            f"group {r.l_returnflag}: approx p50 {r.ap50} outside exact "
+            f"rank bound {r.rb}"
+        )
+
+
 def test_oracle_outputs_are_scalar_only(spark):
     """Registry convention: no oracle-bearing query emits a complex-typed
     (array/map/struct) output column.
@@ -259,6 +294,43 @@ def test_oracle_outputs_are_scalar_only(spark):
         if bad_cols:
             offenders[name] = bad_cols
     assert not offenders, f"complex- or timestamp-typed oracle outputs: {offenders}"
+
+
+def test_oracle_output_types_are_hash_stable():
+    """DuckDB-side output-TYPE lint over every registered oracle (round 8;
+    sibling of the bare-TIMESTAMP ban above, but on the ORACLE's side).
+
+    The driver's hasher is representation-sensitive: a DuckDB column whose
+    type differs from Spark's hashes differently even when every value is
+    identical. Reproduced in round 7: ``q_lang_temperature``'s
+    ``BIGINT // SUM(BIGINT) OVER ()`` divisions came back HUGEINT (DuckDB
+    types a windowed SUM of BIGINT as HUGEINT), the driver went
+    hash-red, and the local harness — which compares Python ints — stayed
+    green. Values matched tuple-for-tuple; only the type diverged.
+
+    Allowed types are exactly those the 175 historically driver-green
+    oracles emit: BIGINT, INTEGER, DOUBLE, VARCHAR, DATE, BOOLEAN.
+    Anything else (HUGEINT, DECIMAL, FLOAT, TIMESTAMP, UINTEGER, ...)
+    must be CAST in the oracle SQL before it ships.
+    """
+    allowed = {"BIGINT", "INTEGER", "DOUBLE", "VARCHAR", "DATE", "BOOLEAN"}
+    offenders = {}
+    for name, q in QUERIES.items():
+        if q.oracle is None:
+            continue
+        con = duck_connection(SF_SMOKE)
+        try:
+            rel = con.sql(q.oracle)
+            bad = [
+                (c, str(t))
+                for c, t in zip(rel.columns, rel.types)
+                if str(t) not in allowed
+            ]
+        finally:
+            con.close()
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"hash-unstable oracle output types: {offenders}"
 
 
 def test_every_registered_query_has_an_oracle():
