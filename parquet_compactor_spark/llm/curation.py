@@ -987,3 +987,67 @@ def q_lang_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(u_micro * 1000000) div den").alias("sample_ppm"),
         F.expr("(u_micro * 100000) div den").alias("budget_docs"),
     )
+
+
+@register(
+    "q_bpe_merge_pairs",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS w
+        FROM documents WHERE text IS NOT NULL
+    ),
+    p AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(w)),
+                                     i -> w[i] || ' ' || w[i+1])) AS pair
+        FROM t WHERE len(w) >= 2
+    )
+    SELECT pair, COUNT(*) AS cnt, COUNT(DISTINCT doc_id) AS n_docs
+    FROM p GROUP BY pair
+    ORDER BY cnt DESC, pair LIMIT 50
+    """,
+    doc="BPE merge-pair statistics (Sennrich et al. 2016's vocabulary-"
+    "induction inner loop): the 50 most frequent ADJACENT token pairs "
+    "over the corpus, with corpus frequency and document frequency — "
+    "the argmax of this table is the next merge a BPE trainer would "
+    "apply. Deterministic: ties at the cut broken by pair text (both "
+    "engines binary collation). Plan: one map-side transform+explode "
+    "(O(tokens) rows, no doc pairs), then a TWO-LEVEL hash aggregate — "
+    "(pair, doc_id) partial counts, then per-pair sum/count — instead "
+    "of count+countDistinct in one agg, which would trigger the "
+    "distinct-rewrite Expand (the q_approx_stats pathology class); "
+    "both levels partial-aggregate map-side. Top-50 is orderBy+limit "
+    "= TakeOrderedAndProject, a bounded per-partition heap merged on "
+    "the driver — no global sort of the pair vocabulary (which at "
+    "100 TB is billions of distinct bigrams). Empty tokens from "
+    "multi-space runs are filtered on both engines; NULL text is "
+    "scoped out on both. Reference parity note: the reference engine "
+    "(parquet_compactor.py) has no text operators — north-star "
+    "surface per SURVEY.md SS2B.",
+)
+def q_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parquet_compactor_spark.llm.text import whitespace_tokens
+
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    ws = F.filter(whitespace_tokens(F.col("text")), lambda x: x != "")
+    toks = d.select("doc_id", ws.alias("ws"))
+    pairs = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                """
+                CASE WHEN size(ws) >= 2
+                THEN transform(sequence(0, size(ws) - 2),
+                               i -> concat(ws[i], ' ', ws[i+1]))
+                ELSE array() END
+                """
+            )
+        ).alias("pair"),
+    )
+    per_doc = pairs.groupBy("pair", "doc_id").agg(F.count(F.lit(1)).alias("c"))
+    g = per_doc.groupBy("pair").agg(
+        F.sum("c").alias("cnt"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    return g.orderBy(F.col("cnt").desc(), F.col("pair").asc()).limit(50)

@@ -887,3 +887,116 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000
         ).alias("kept_frac"),
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental (cross-snapshot) MinHash near-dup
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_minhash_incremental",
+    oracle="""
+    WITH sp AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+    sh AS (SELECT doc_id,
+             CASE WHEN len(w) >= 3
+                  THEN list_distinct(list_transform(range(1, len(w) - 1),
+                                                    i -> array_to_string(w[i:i+2], ' ')))
+                  ELSE [text] END AS s
+           FROM sp),
+    jc AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+                  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.s, b.s))) AS j
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE a.doc_id % 3 = 0 OR b.doc_id % 3 = 0)
+    SELECT id1, id2, ROUND(j, 4) AS jaccard,
+           CASE WHEN id1 % 3 = 0 AND id2 % 3 = 0 THEN 'new-new'
+                ELSE 'new-old' END AS pair_type,
+           TRUE AS est_ok
+    FROM jc WHERE j >= 0.5
+    """,
+    doc="INCREMENTAL cross-snapshot MinHash near-dup: dedup a newly "
+    "ingested shard (snapshot convention shared with q_snapshot_delta: "
+    "new = doc_id % 3 = 0, old = the prior snapshot) against the "
+    "existing corpus WITHOUT re-pairing old x old — the production "
+    "shape of continuous corpus growth, where each ingest must only "
+    "pay for its own documents. The LSH band-bucket join's LEFT side "
+    "is restricted to new-shard buckets, so candidate generation is "
+    "O(|new| x bands + collisions); an old x old collision can never "
+    "form a pair. At 100 TB the old shard's signatures and band "
+    "buckets are a PERSISTED signature store (written once at ingest, "
+    "~64 ints + 16 band hashes per doc — orders of magnitude narrower "
+    "than the corpus) and only the new shard is shingled per batch; "
+    "here both sides recompute from the single fixture table for "
+    "self-containment, sharing one scan via ReusedExchange. "
+    "DIFFERENTIAL ORACLE: DuckDB brute-forces ground truth over every "
+    "pair touching the new shard (O(n^2) fine for an oracle, never "
+    "for the engine), so a hash match proves 100% LSH recall on the "
+    "incremental shape; est_ok pins the 64-perm estimate within 0.2 "
+    "of exact. Builds on q_dedup_minhash's helpers (llm/dedup.py:128); "
+    "reference parity note: the reference engine (parquet_compactor.py) "
+    "has no text operators — north-star surface per SURVEY.md SS2B.",
+)
+def q_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    is_new = F.col("doc_id") % 3 == 0
+
+    shingle_sets = d.select("doc_id", word_shingles(F.col("text")).alias("shingles"))
+    sigs = minhash_signatures_exploded(d).join(shingle_sets, "doc_id")
+
+    buckets = sigs.select(
+        "doc_id",
+        F.posexplode(lsh_band_hashes(F.col("sig"))).alias("band", "band_hash"),
+    )
+    # Probe side = NEW docs only; build side = the full bucket index.
+    # old x old bucket collisions never become candidates.
+    new_buckets = buckets.filter(is_new).select(
+        F.col("doc_id").alias("nid"), "band", "band_hash"
+    )
+    all_buckets = buckets.select(F.col("doc_id").alias("oid"), "band", "band_hash")
+    pairs = (
+        new_buckets.join(all_buckets, ["band", "band_hash"])
+        .filter(F.col("nid") != F.col("oid"))
+        .select(
+            F.least("nid", "oid").alias("id1"),
+            F.greatest("nid", "oid").alias("id2"),
+        )
+        .distinct()
+    )
+
+    s1 = sigs.select(
+        F.col("doc_id").alias("id1"),
+        F.col("sig").alias("sig1"),
+        F.col("shingles").alias("sh1"),
+    )
+    s2 = sigs.select(
+        F.col("doc_id").alias("id2"),
+        F.col("sig").alias("sig2"),
+        F.col("shingles").alias("sh2"),
+    )
+    est = F.aggregate(
+        F.zip_with(F.col("sig1"), F.col("sig2"), lambda a, b: (a == b).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ) / F.lit(NUM_PERM)
+    exact = F.size(F.array_intersect(F.col("sh1"), F.col("sh2"))).cast(
+        "double"
+    ) / F.size(F.array_union(F.col("sh1"), F.col("sh2")))
+    # Cut on the UNROUNDED jaccard (round-then-filter bug class).
+    return (
+        pairs.join(s1, "id1")
+        .join(s2, "id2")
+        .withColumn("jx", exact)
+        .filter(F.col("jx") >= 0.5)
+        .select(
+            "id1",
+            "id2",
+            F.round("jx", 4).alias("jaccard"),
+            F.when(
+                (F.col("id1") % 3 == 0) & (F.col("id2") % 3 == 0), "new-new"
+            )
+            .otherwise("new-old")
+            .alias("pair_type"),
+            (F.abs(est - F.col("jx")) <= 0.2).alias("est_ok"),
+        )
+    )

@@ -212,113 +212,108 @@ def _ensure_loaded() -> None:
 # Queries listed here are yielded FIRST by all_queries(), in this order.
 # External differential harnesses that sample a prefix of the registry
 # (the driver checks the first 50 entries) therefore verify these before
-# anything else. Round 7 (exactly 50 names):
-#   1-4   the four queries ADDED this round — no driver row exists at
-#         all, so they outrank every re-verification (q_paragraph_dedup:
-#         CCNet cross-doc paragraph-hash boilerplate drop;
-#         q_context_length: tokenizer-aware context-window cost stats;
-#         q_lang_temperature: XLM-R temperature-scaled multilingual
-#         sampling; q_funnel_attrition: per-source curation-funnel
-#         attrition dashboard);
-#   5-13  queries whose SOURCE changed this round, so the prior row no
-#         longer attests to the current code: the vocabulary-broadcast
-#         guard rebuilt cache-and-count (no probe scan —
-#         q_unigram_logprob, q_tfidf_topterms, q_dup_ngram_coverage,
-#         q_span_dedup), q_dsir_weights single-job with integer-exact
-#         per-term micro-weights, q_quality_classifier non-NULL text
-#         scope, and the NULL-text hostile-sweep fixes q_doc_chunking +
-#         q_multimodal_meta (q_explode_outer and q_udtf_tokens also
-#         changed but already sit in the r3 cohort below; q_approx_stats
-#         split its exact-distinct agg out of the sketch agg — the mixed
-#         form Expanded every row and fell out of hash aggregation);
-#   14-23 the ten rows displaced from the round-6 window by that
-#         round's source changes (planned there as this round's debt);
-#   24-50 27 of the 30 remaining queries whose latest driver row is
-#         round 3 (q_time_weighted_avg, q_udaf_geomean, q_stats_agg
-#         displaced to round 8 by the three source changes — the ledger
-#         floor reaches round 4 after round 8's first three slots).
+# anything else. Round 8 (exactly 50 names):
+#   1-2   the two queries ADDED this round — no driver row exists at
+#         all, so they outrank every re-verification
+#         (q_minhash_incremental: cross-snapshot incremental MinHash
+#         near-dup, new-shard-probe LSH bucket join, never old x old;
+#         q_bpe_merge_pairs: BPE vocabulary-induction inner loop —
+#         top adjacent-token-pair frequencies);
+#   3-4   queries whose SOURCE changed this round, so the prior row no
+#         longer attests to the current code: q_lang_temperature (the
+#         round-7 driver red — its oracle's two //-by-windowed-SUM
+#         columns came back HUGEINT from DuckDB and the driver hash
+#         diverged on representation; now CAST AS BIGINT, plus a
+#         permanent DuckDB output-type lint over all oracles) and
+#         q_approx_stats (the exact percentile rank-bound scaffolding
+#         moved to a test-only twin; the sketch pass evaluates one
+#         t-digest at 0.45/0.5/0.55 and is now literally
+#         constant-memory);
+#   5-7   the three round-3 rows displaced from the round-7 window
+#         (q_time_weighted_avg, q_udaf_geomean, q_stats_agg — after
+#         these, no r3-or-older driver row remains anywhere);
+#   8-43  ALL 36 remaining queries whose latest driver row is round 4
+#         (the ledger floor reaches round 5 after this window);
+#   44-50 the 7 alphabetically-first round-5 rows (q_ann_ivf,
+#         q_anti_join, q_arg_extremes, q_chisq_independence,
+#         q_cross_join, q_dedup_minhash, q_dedup_simhash).
 # Everything not listed follows in registration order.
 #
-# Round-8 rotation plan (computed from CORRECTNESS_r0{1..6}.json,
+# Round-9 rotation plan (computed from CORRECTNESS_r0{1..7}.json,
 # latest-row-wins, after this window's 50 names are re-verified):
-# first the three r3 rows displaced from this window
-# (q_time_weighted_avg q_udaf_geomean q_stats_agg — after them no
-# r3-or-older rows remain), then ALL 36 remaining r4-latest rows:
-# q_ann_lsh q_array_agg q_array_fns q_batch_sim_topk
-# q_conditional_distinct q_cust_order_dist q_dedup_exact
-# q_disjunctive_join q_dup_clusters q_embed_quantize
-# q_explode_posexplode q_fingerprint q_funnel_steps q_higher_order_fns
-# q_idle_customers q_json_props q_lang_id q_lateral_topn q_map_props
-# q_market_share q_median_filtered q_merge_upsert q_nation_revenue
-# q_ngram_jaccard q_order_priority q_promo_revenue q_quality_score
-# q_recursive_cte q_retention_cohorts q_returned_items q_salted_join
-# q_sim_topk q_small_qty_revenue q_top_supplier q_variant_props
-# q_volume_shipping
-# — 39 names; the remaining ~11 slots go to the oldest r5 rows, all
-# minus whatever round 8 itself adds or changes, which (per the
+# the 37 remaining r5-latest rows:
+# q_embed_dim_stats q_embed_near_dup q_event_enrich q_event_transitions
+# q_full_outer_join q_gopher_rules q_hard_negatives q_having
+# q_heavy_hitters q_hll_sketch q_hll_sketch_state q_important_parts
+# q_in_subquery q_join_multiway q_kll_quantiles q_kmeans_clusters
+# q_min_cost_supplier q_null_handling q_prefix_dups q_product_profit
+# q_promo_part_suppliers q_range_join q_rlike_filter q_running_distinct
+# q_semi_join q_string_fns q_supplier_part_count q_topk
+# q_tumbling_window q_union_all q_unpivot q_window_first_last
+# q_window_lag q_window_range_frame q_window_ranks q_window_running
+# q_window_topn
+# — then the remaining ~13 slots go to the alphabetically-first
+# r6-latest rows (q_agg_pricing q_asof_join q_bit_bool_agg q_bm25
+# q_case_bucketing q_date_arithmetic q_date_buckets q_edit_distance
+# q_equidepth_hist q_event_attribution q_ewma q_except q_frame_sample),
+# all minus whatever round 9 itself adds or changes, which (per the
 # standing convention) outranks re-verification of unchanged sources.
 _PRIORITY: tuple[str, ...] = (
-    # -- NEW in round 7 (no driver row yet): verify before everything --
-    "q_paragraph_dedup",
-    "q_context_length",
-    "q_lang_temperature",
-    "q_funnel_attrition",
-    # -- source changed in round 7: re-verify first --
-    "q_dsir_weights",  # single-job, integer-exact micro-weights
-    "q_quality_classifier",  # non-NULL text scope pinned on both engines
-    "q_unigram_logprob",  # guard rework: cached vocab, corpus scanned once
-    "q_tfidf_topterms",
-    "q_dup_ngram_coverage",
-    "q_span_dedup",
-    # NULL-text hostile-sweep fixes (q_explode_outer and q_udtf_tokens
-    # also changed but already sit in the r3 cohort below):
-    "q_doc_chunking",  # non-NULL scope pinned ('' vs NULL chunk)
-    "q_multimodal_meta",  # non-NULL payload scope pinned
-    "q_approx_stats",  # distinct agg split out of the sketch agg (40x)
-    # -- displaced from the round-6 window by its source changes --
-    "q_filter_pushdown",
-    "q_join_broadcast",
-    "q_asof_nearest",
-    "q_null_safe_join",
-    "q_outer_join",
-    "q_scd2",
-    "q_session_window",
-    "q_contamination",
-    "q_corpus_prep",
-    "q_semantic_dedup",
-    # -- 27 of the 30 remaining round-3-latest rows (3 displaced to
-    # round 8 by this round's source changes): the ledger's oldest --
-    "q_agg_distinct",
-    "q_char_trigrams",
-    "q_click_conversion",
-    "q_corr_covar",
-    "q_correlated_subquery",
-    "q_cube",
-    "q_cume_dist",
-    "q_data_split",
-    "q_domain_mix",
-    "q_explode_outer",
-    "q_grouping_sets",
-    "q_hourly_topk",
-    "q_max_concurrency",
-    "q_multiset_setops",
-    "q_percent_of_total",
-    "q_percentiles",
-    "q_pii_scrub",
-    "q_pivot",
-    "q_profile",
-    "q_rate_of_change",
-    "q_rollup",
-    "q_safe_math",
-    "q_scalar_subquery",
-    "q_seq_packing",
-    "q_ship_priority",
-    "q_snapshot_delta",
-    "q_udtf_tokens",
-    # (q_time_weighted_avg, q_udaf_geomean, and q_stats_agg — r3 rows —
-    # displaced to the HEAD of the round-8 rotation by the three
-    # round-7 source changes above: changed sources outrank
-    # re-verification of unchanged ones.)
+    # -- NEW in round 8 (no driver row yet): verify before everything --
+    "q_minhash_incremental",
+    "q_bpe_merge_pairs",
+    # -- source changed in round 8: re-verify first --
+    "q_lang_temperature",  # oracle CAST AS BIGINT (r7 driver red fixed)
+    "q_approx_stats",  # exact-percentile scaffolding moved to test twin
+    # -- the three displaced r3 rows: the ledger's oldest --
+    "q_time_weighted_avg",
+    "q_udaf_geomean",
+    "q_stats_agg",
+    # -- ALL 36 remaining r4-latest rows --
+    "q_ann_lsh",
+    "q_array_agg",
+    "q_array_fns",
+    "q_batch_sim_topk",
+    "q_conditional_distinct",
+    "q_cust_order_dist",
+    "q_dedup_exact",
+    "q_disjunctive_join",
+    "q_dup_clusters",
+    "q_embed_quantize",
+    "q_explode_posexplode",
+    "q_fingerprint",
+    "q_funnel_steps",
+    "q_higher_order_fns",
+    "q_idle_customers",
+    "q_json_props",
+    "q_lang_id",
+    "q_lateral_topn",
+    "q_map_props",
+    "q_market_share",
+    "q_median_filtered",
+    "q_merge_upsert",
+    "q_nation_revenue",
+    "q_ngram_jaccard",
+    "q_order_priority",
+    "q_promo_revenue",
+    "q_quality_score",
+    "q_recursive_cte",
+    "q_retention_cohorts",
+    "q_returned_items",
+    "q_salted_join",
+    "q_sim_topk",
+    "q_small_qty_revenue",
+    "q_top_supplier",
+    "q_variant_props",
+    "q_volume_shipping",
+    # -- the 7 alphabetically-first r5-latest rows --
+    "q_ann_ivf",
+    "q_anti_join",
+    "q_arg_extremes",
+    "q_chisq_independence",
+    "q_cross_join",
+    "q_dedup_minhash",
+    "q_dedup_simhash",
 )
 
 

@@ -87,6 +87,13 @@ RAMP_QUERIES = [
     # q_gopher_rules.)
     "q_paragraph_dedup",
     "q_funnel_attrition",
+    # round-8 additions: incremental MinHash (the bucket join's probe
+    # side is the new third of the corpus — must ramp like
+    # q_dedup_minhash, never quadratic) and BPE merge pairs (explode +
+    # two-level hash agg + TakeOrdered over an open-ended bigram
+    # vocabulary — must stay linear-then-flat like the gram families).
+    "q_minhash_incremental",
+    "q_bpe_merge_pairs",
 ]
 
 OFF = 10_000_000  # per-copy key shift

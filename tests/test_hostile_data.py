@@ -69,6 +69,9 @@ SENSITIVE = [
     "q_paragraph_dedup",
     "q_context_length",
     "q_funnel_attrition",
+    # round-8 additions (text tokenization + NULL-text scope):
+    "q_bpe_merge_pairs",
+    "q_minhash_incremental",
     "q_asof_join",
     "q_asof_nearest",
     "q_edit_distance",

@@ -586,3 +586,68 @@ def test_large_k_assignment_plan_is_constant_size(spark):
     assert len(big_plan) < 4000
     # Still a correct assignment over every row.
     assert big.count() == vecs.count()
+
+
+# --------------------------------------------------------------------------
+# Round 8: incremental MinHash + BPE merge pairs
+# --------------------------------------------------------------------------
+
+
+def _write_docs(spark, tmp_path, rows):
+    """Materialize a minimal documents.parquet a registered query can load."""
+    df = spark.createDataFrame(
+        [(i, t, "en", "src0", len(t) if t is not None else None) for i, t in rows],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_minhash_incremental_excludes_old_old_pairs(spark, tmp_path):
+    """The whole point of the incremental shape: a duplicate pair wholly
+    inside the OLD snapshot (both doc_id % 3 != 0) must never be emitted,
+    while new-new and new-old duplicates are; pair_type labels them."""
+    from parquet_compactor_spark.llm.dedup import q_minhash_incremental
+
+    base_a = BASE
+    base_b = BASE.replace("quick", "swift").replace("river", "creek")
+    base_c = (
+        "distributed query engines shuffle partitioned data across many "
+        "executor nodes while the optimizer prunes columns and pushes "
+        "filters into the parquet scan for every analytical workload"
+    )
+    rows = [
+        (1, base_a),  # old (1 % 3 = 1)
+        (2, base_a),  # old (2 % 3 = 2) -> (1,2) is an OLD-OLD exact dup
+        (3, base_b),  # new
+        (6, base_b),  # new -> (3,6) new-new
+        (5, base_c),  # old
+        (9, base_c),  # new -> (5,9) new-old
+        (7, "totally unrelated words about gardens birds and morning song"),
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    got = {
+        (r.id1, r.id2): r.pair_type
+        for r in q_minhash_incremental(spark, sf).collect()
+    }
+    assert (1, 2) not in got, "old-old pair leaked into the incremental output"
+    assert got.get((3, 6)) == "new-new"
+    assert got.get((5, 9)) == "new-old"
+
+
+def test_bpe_merge_pairs_counts(spark, tmp_path):
+    """Adjacent-pair frequencies: corpus count vs document frequency, empty
+    tokens from multi-space runs filtered, sub-2-token docs contribute
+    nothing."""
+    from parquet_compactor_spark.llm.curation import q_bpe_merge_pairs
+
+    rows = [
+        (0, "a b a b"),       # pairs: 'a b' x2, 'b a' x1
+        (1, "a  b"),          # multi-space -> one pair 'a b'
+        (2, "solo"),          # single token -> no pairs
+        (3, ""),              # empty -> no pairs
+        (4, None),            # NULL text -> scoped out
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    got = {r.pair: (r.cnt, r.n_docs) for r in q_bpe_merge_pairs(spark, sf).collect()}
+    assert got == {"a b": (3, 2), "b a": (1, 1)}
