@@ -34,6 +34,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(Path(sf_dir).name.replace("sf", "") or 0.1)
 
+    from parquet_compactor_spark.llm.text import release_guard_caches
     from parquet_compactor_spark.registry import all_queries
     from parquet_compactor_spark.session import get_spark
 
@@ -62,7 +63,9 @@ def main() -> None:
         # Guarded queries persist vocabulary tables at construction;
         # drop them (outside the timer) so caches never accumulate
         # across the 170+ queries or leak into a later query's timing.
-        spark.catalog.clearCache()
+        # Targeted release: evicts exactly the guard's entries, not any
+        # unrelated cache a harness session may hold.
+        release_guard_caches()
 
     compaction = bench_compaction(spark, sf_dir)
 

@@ -628,17 +628,24 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "documents crossJoined in-plan (the whole query is ONE action plus "
     "the guard's cache-build count — no per-query driver collect). The "
     "top-20% cut is a row_number over the 4dp floor-rounded weight "
-    "with doc_id tiebreak (engine-exact — never ranks a raw float); "
-    "the global rank window is a deliberate small-result reducer here, "
-    "and at 100 TB it (like the TakeOrdered heap that would otherwise "
-    "hold 20% of the corpus) swaps for an approx-quantile threshold "
-    "on the weight; the scoring plan is unchanged. The paper's "
+    "with doc_id tiebreak (engine-exact — never ranks a raw float), "
+    "TWO-LEVEL since round 8: an approx_percentile(0.70) pre-filter "
+    "(rank error ~1e-4 << the 0.10 margin) bounds the exact global "
+    "window to the ~30% of docs that can possibly rank top-20%, so the "
+    "one-task reducer holds a third of the corpus instead of all of "
+    "it; non-survivors are selected=0 by construction and exactness "
+    "is unchanged. At 100 TB the cut swaps for a pure threshold "
+    "(no exact window at all); the scoring plan is unchanged. The paper's "
     "production form hashes features into 10k buckets instead of exact "
     "unigrams — same plan shape (the agg key becomes "
     "pmod(xxhash64(term), B)).",
 )
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from parquet_compactor_spark.llm.text import broadcast_if_bounded, whitespace_tokens
+    from parquet_compactor_spark.llm.text import (
+        broadcast_if_bounded,
+        persist_tracked,
+        whitespace_tokens,
+    )
 
     d = load(spark, sf_dir, "documents")
     terms = d.select(
@@ -684,9 +691,35 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000
         ).alias("logratio"),
     )
+    scored = persist_tracked(scored)
+
+    # Two-level exact top-20% cut (round 8): the single-partition
+    # row_number window previously funneled the ENTIRE scored corpus
+    # through one task. scored is referenced by THREE branches below
+    # (threshold agg, survivor window, non-survivor pass-through);
+    # persist the narrow per-doc frame (3 columns, one row per doc) so
+    # the corpus-scanning subtree runs once — without it each branch
+    # re-traverses the whole explode+join+agg (pre-AQE plan showed 21
+    # documents scans). Pre-filter on an approximate threshold first:
+    # t = approx_percentile(logratio, 0.70) has rank error ~1/accuracy
+    # (1e-4 at the default 10000), so every top-20% row (ascending rank
+    # > 0.80) satisfies logratio >= t with a 0.10-rank margin — the
+    # exact global window only ranks the ~30% of docs that survive, and
+    # because every survivor outranks every non-survivor under the
+    # (logratio DESC, doc_id) order, a survivor's rank among survivors
+    # IS its global rank. Non-survivors are selected=0 by construction.
+    # Exactness is unchanged (the oracle's full ROW_NUMBER agrees); the
+    # one-task reducer now holds 30% of docs instead of 100% — and at
+    # 100 TB the documented swap to a threshold-only cut still applies.
+    thresh = scored.agg(
+        F.expr("approx_percentile(logratio, 0.70)").alias("t_lo")
+    )
+    survivors = scored.crossJoin(F.broadcast(thresh)).filter(
+        F.col("logratio") >= F.col("t_lo")
+    )
     rn = F.row_number().over(Window.orderBy(F.desc("logratio"), F.asc("doc_id")))
-    return (
-        scored.withColumn("rn", rn)
+    ranked = (
+        survivors.withColumn("rn", rn)
         .crossJoin(F.broadcast(n_sel))
         .select(
             "doc_id",
@@ -695,6 +728,12 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("rn") <= F.col("n_sel")).cast("bigint").alias("selected"),
         )
     )
+    rest = (
+        scored.crossJoin(F.broadcast(thresh))
+        .filter(~(F.col("logratio") >= F.col("t_lo")))
+        .select("doc_id", "n_tokens", "logratio", F.lit(0).cast("bigint").alias("selected"))
+    )
+    return ranked.unionByName(rest)
 
 
 @register(

@@ -28,6 +28,52 @@ STOPWORD_REGEX = r"\b(the|a|and|of|to|in|is|it)\b"
 # assumption.
 VOCAB_BROADCAST_ROW_LIMIT = 2_000_000
 
+#: Every frame broadcast_if_bounded has persisted and not yet released.
+#: Strong refs on purpose: the cache entry outlives the caller's local
+#: variable, so release must too.
+_GUARD_CACHES: list[DataFrame] = []
+
+
+def release_guard_caches() -> int:
+    """Unpersist every vocabulary frame :func:`broadcast_if_bounded` has
+    cached so far and return how many were released.
+
+    This is the TARGETED alternative to ``spark.catalog.clearCache()``
+    for long-lived sessions: it evicts exactly the guard's own entries
+    and leaves unrelated user caches alone. bench.py / scale_ramp.py
+    call it between timed queries so no query's timing reads another's
+    vocabulary cache. Frames whose session has already stopped are
+    skipped silently (their cache died with the session).
+    """
+    released = 0
+    while _GUARD_CACHES:
+        df = _GUARD_CACHES.pop()
+        try:
+            df.unpersist()
+            released += 1
+        except Exception:
+            pass  # session gone; nothing left to release
+    return released
+
+
+def persist_tracked(df: DataFrame) -> DataFrame:
+    """Persist ``df`` (lazily — no job runs here) and track it for
+    :func:`release_guard_caches`.
+
+    For intermediate frames a query references from SEVERAL plan
+    branches (e.g. q_dsir_weights' per-doc scored table feeding the
+    threshold agg, the survivor window, and the non-survivor branch):
+    without the cache each reference re-traverses the whole subtree —
+    Spark's plan-level exchange reuse does NOT collapse them pre-AQE —
+    so a 3-consumer subtree would scan the corpus three times. The
+    cached frame shows up as one InMemoryTableScan per consumer
+    instead. Same MEMORY_AND_DISK + LRU posture as the vocabulary
+    guard; release with :func:`release_guard_caches`.
+    """
+    df = df.persist()
+    _GUARD_CACHES.append(df)
+    return df
+
 
 def broadcast_if_bounded(
     small: DataFrame,
@@ -56,8 +102,19 @@ def broadcast_if_bounded(
     the default MEMORY_AND_DISK level, so an open-ended gram space at
     100 TB spills to local disk rather than failing; Spark's LRU storage
     eviction bounds residency across many queries on a shared session.
+
+    Lifecycle: construction is EAGER (the count() runs a job here — that
+    count IS the guard measurement, there is no lazy way to have it) and
+    the cache entry outlives the returned frame's local variable. Every
+    persisted frame is tracked module-side; call
+    :func:`release_guard_caches` to unpersist exactly the guard's
+    entries (harnesses previously had to use the blunt
+    ``spark.catalog.clearCache()``, which also evicts unrelated user
+    caches). Left unreleased, entries degrade gracefully via LRU
+    eviction — correctness never depends on the cache.
     """
     small = small.persist()
+    _GUARD_CACHES.append(small)
     n = small.count()
     return F.broadcast(small) if n <= limit else small
 

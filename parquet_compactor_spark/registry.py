@@ -219,7 +219,7 @@ def _ensure_loaded() -> None:
 #         near-dup, new-shard-probe LSH bucket join, never old x old;
 #         q_bpe_merge_pairs: BPE vocabulary-induction inner loop —
 #         top adjacent-token-pair frequencies);
-#   3-4   queries whose SOURCE changed this round, so the prior row no
+#   3-5   queries whose SOURCE changed this round, so the prior row no
 #         longer attests to the current code: q_lang_temperature (the
 #         round-7 driver red — its oracle's two //-by-windowed-SUM
 #         columns came back HUGEINT from DuckDB and the driver hash
@@ -228,20 +228,26 @@ def _ensure_loaded() -> None:
 #         q_approx_stats (the exact percentile rank-bound scaffolding
 #         moved to a test-only twin; the sketch pass evaluates one
 #         t-digest at 0.45/0.5/0.55 and is now literally
-#         constant-memory);
-#   5-7   the three round-3 rows displaced from the round-7 window
+#         constant-memory) and q_dsir_weights (the top-20% cut is now
+#         two-level — approx-percentile pre-filter bounding the exact
+#         rank window to ~30% of docs — with the scored frame
+#         persist_tracked so its three consumers share one corpus
+#         scan);
+#   6-8   the three round-3 rows displaced from the round-7 window
 #         (q_time_weighted_avg, q_udaf_geomean, q_stats_agg — after
 #         these, no r3-or-older driver row remains anywhere);
-#   8-43  ALL 36 remaining queries whose latest driver row is round 4
+#   9-44  ALL 36 remaining queries whose latest driver row is round 4
 #         (the ledger floor reaches round 5 after this window);
-#   44-50 the 7 alphabetically-first round-5 rows (q_ann_ivf,
+#   45-50 the 6 alphabetically-first round-5 rows (q_ann_ivf,
 #         q_anti_join, q_arg_extremes, q_chisq_independence,
-#         q_cross_join, q_dedup_minhash, q_dedup_simhash).
+#         q_cross_join, q_dedup_minhash — q_dedup_simhash displaced to
+#         round 9 by the q_dsir_weights source change).
 # Everything not listed follows in registration order.
 #
 # Round-9 rotation plan (computed from CORRECTNESS_r0{1..7}.json,
 # latest-row-wins, after this window's 50 names are re-verified):
-# the 37 remaining r5-latest rows:
+# first q_dedup_simhash (displaced from this window), then the 37
+# remaining r5-latest rows:
 # q_embed_dim_stats q_embed_near_dup q_event_enrich q_event_transitions
 # q_full_outer_join q_gopher_rules q_hard_negatives q_having
 # q_heavy_hitters q_hll_sketch q_hll_sketch_state q_important_parts
@@ -265,6 +271,7 @@ _PRIORITY: tuple[str, ...] = (
     # -- source changed in round 8: re-verify first --
     "q_lang_temperature",  # oracle CAST AS BIGINT (r7 driver red fixed)
     "q_approx_stats",  # exact-percentile scaffolding moved to test twin
+    "q_dsir_weights",  # two-level top-20% cut + persist_tracked scored
     # -- the three displaced r3 rows: the ledger's oldest --
     "q_time_weighted_avg",
     "q_udaf_geomean",
@@ -313,7 +320,6 @@ _PRIORITY: tuple[str, ...] = (
     "q_chisq_independence",
     "q_cross_join",
     "q_dedup_minhash",
-    "q_dedup_simhash",
 )
 
 

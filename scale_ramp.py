@@ -162,6 +162,7 @@ def build_level(spark, copies: int, dest: Path) -> None:
 
 
 def main() -> None:
+    from parquet_compactor_spark.llm.text import release_guard_caches
     from parquet_compactor_spark.registry import all_queries
     from parquet_compactor_spark.session import get_spark
 
@@ -189,8 +190,9 @@ def main() -> None:
                 # DataFrame construction; Spark's CacheManager matches
                 # the second run's identical plan to the first run's
                 # cache, which would hide the corpus-scan cost from the
-                # min and flatten the slope. Every timed run starts cold.
-                spark.catalog.clearCache()
+                # min and flatten the slope. Every timed run starts cold
+                # (targeted: only the guard's own cache entries).
+                release_guard_caches()
                 t0 = time.perf_counter()
                 # noop sink, NOT count(): Catalyst prunes projections
                 # under count(), collapsing map-only queries to a

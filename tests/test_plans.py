@@ -600,7 +600,12 @@ def test_guarded_queries_scan_corpus_once(spark):
     expected_scans = {
         "q_unigram_logprob": 1,  # corpus total derives from cached vocab
         "q_tfidf_topterms": 2,  # tf stream + 1-row n_docs count
-        "q_dsir_weights": 2,  # terms stream + 1-row n_sel count
+        # r8: the scored frame is persist_tracked (three consumers —
+        # threshold agg, survivor window, non-survivor branch — would
+        # otherwise each re-traverse the corpus subtree), so the terms
+        # stream lives inside the cache build; the one visible parquet
+        # scan is the 1-row n_sel count.
+        "q_dsir_weights": 1,
         "q_dup_ngram_coverage": 1,
         "q_span_dedup": 1,
         "q_paragraph_dedup": 1,
@@ -619,7 +624,10 @@ def test_guarded_queries_scan_corpus_once(spark):
     finally:
         # Each build persisted a vocabulary frame; drop them so later
         # tests' plan-shape assertions never silently hit these caches.
-        spark.catalog.clearCache()
+        from parquet_compactor_spark.llm.text import release_guard_caches
+
+        assert release_guard_caches() > 0  # the guard tracked its caches
+        assert not spark.sparkContext._jsc.sc().getPersistentRDDs().size()
 
 
 def _plan_leaves(df):
@@ -657,3 +665,44 @@ def test_approx_stats_sketch_agg_never_expands(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Expand" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+# Round-8 stretch (round-7 verdict #7): physical-plan SHAPE snapshot over
+# the most expensive queries by BENCH_DETAIL cost. A snapshot like this
+# would have caught q_approx_stats' distinct-rewrite Expand three rounds
+# earlier: accidental plan drift (a new Exchange from a lost
+# co-partitioning, an Expand from a mixed agg, a CartesianProduct /
+# BroadcastNestedLoopJoin from a dropped join key) shows up as a count
+# change long before it shows up in bench numbers. Counts are pinned at
+# SF_SMOKE on the suite session; a deliberate plan change must update
+# the pin in the same commit (and a fixture regeneration may move
+# q_dup_clusters' counts — its returned frame hangs off the iteration's
+# last localCheckpoint).
+PLAN_SHAPE_PINS = {
+    #                     exch  expand  cartesian  bnlj
+    "q_dup_clusters":       (2,  0, 0, 0),
+    # q_ann_ivf's 2 BroadcastNestedLoopJoins are its two pinned 1-row
+    # scalar broadcasts (centroid matrix + probe radius), not pair
+    # blowups — a THIRD appearing is drift.
+    "q_ann_ivf":            (3,  0, 0, 2),
+    "q_dedup_minhash":      (11, 0, 0, 0),
+    "q_dup_ngram_coverage": (4,  0, 0, 0),
+    "q_ngram_jaccard":      (1,  0, 0, 0),
+}
+
+
+@pytest.mark.parametrize("name", sorted(PLAN_SHAPE_PINS))
+def test_expensive_query_plan_shape_is_pinned(spark, name):
+    exch, expand, cart, bnlj = PLAN_SHAPE_PINS[name]
+    df = QUERIES[name].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    got = (
+        plan.count("Exchange"),
+        plan.count("Expand"),
+        plan.count("CartesianProduct"),
+        plan.count("BroadcastNestedLoop"),
+    )
+    assert got == (exch, expand, cart, bnlj), (
+        f"{name} plan shape drifted: (exchange, expand, cartesian, bnlj) "
+        f"= {got}, pinned {(exch, expand, cart, bnlj)}"
+    )
