@@ -424,3 +424,90 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(F.log(F.col("n") / F.col("n_total"))), 4).alias("avg_logprob"),
         )
     )
+
+
+@register(
+    "q_perplexity_buckets",
+    oracle="""
+    WITH terms AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    freq AS (SELECT term, COUNT(*) AS n FROM terms GROUP BY term),
+    total AS (SELECT CAST(SUM(n) AS DOUBLE) AS n_total FROM freq),
+    perdoc AS (
+        SELECT t.doc_id, t.lang,
+               COUNT(*) AS n_tokens,
+               SUM(CAST(FLOOR(ln(f.n / total.n_total) * 1000000 + 0.5)
+                        AS BIGINT)) AS lp_sum
+        FROM terms t JOIN freq f USING (term) CROSS JOIN total
+        GROUP BY t.doc_id, t.lang
+    ),
+    ranked AS (
+        SELECT doc_id, lang, n_tokens,
+               NTILE(3) OVER (
+                   PARTITION BY lang
+                   ORDER BY CAST(lp_sum AS DOUBLE) / n_tokens DESC, doc_id
+               ) AS b
+        FROM perdoc
+    )
+    SELECT doc_id, lang, n_tokens,
+           CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+               AS bucket
+    FROM ranked
+    """,
+    doc="CCNet-style perplexity bucketing (Wenzek et al. 2020 split each "
+    "language's crawl into head/middle/tail thirds by LM perplexity and "
+    "train preferentially on the head): each document's perplexity "
+    "proxy is its mean unigram log-probability under the corpus's own "
+    "unigram model, and NTILE(3) per language assigns the tier. "
+    "Engine-exactness: per-term log-probs are floor-rounded to integer "
+    "MICRO-units on the vocabulary side, so the per-doc sum is exact "
+    "BIGINT under any partitioning, and the ranking key is ONE IEEE "
+    "divide of identical operands (sum/len) with doc_id tiebreak — the "
+    "same discipline as q_dsir_weights. Plan: one token explode feeds "
+    "the guarded vocabulary agg (cached + counted, broadcast below 2M "
+    "terms, shuffle join above); corpus total reduces over the cached "
+    "vocab (1-row broadcast, zero extra corpus scans); one per-doc "
+    "rollup; one per-LANG window — partitions are languages, so the "
+    "sort parallelizes across them, and at 100 TB the tier cut swaps "
+    "for two approx-percentile thresholds per language (the same swap "
+    "documented for q_dsir_weights' top-k). Output is integers and "
+    "labels only — no float column crosses the engine boundary. "
+    "Reference parity note: the reference engine has no text "
+    "operators; north-star surface per SURVEY.md SS2B.",
+)
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    terms = d.select(
+        "doc_id", "lang", F.explode(whitespace_tokens(F.col("text"))).alias("term")
+    )
+    freq = broadcast_if_bounded(
+        terms.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = freq.agg(F.sum("n").cast("double").alias("n_total"))
+    lp_micro = F.floor(
+        F.log(F.col("n") / F.col("n_total")) * 1000000 + 0.5
+    ).cast("bigint")
+    perdoc = (
+        terms.join(freq, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(lp_micro).alias("lp_sum"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(
+        (F.col("lp_sum").cast("double") / F.col("n_tokens")).desc(),
+        F.col("doc_id").asc(),
+    )
+    b = F.ntile(3).over(w)
+    return perdoc.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.when(b == 1, "head").when(b == 2, "middle").otherwise("tail").alias("bucket"),
+    )

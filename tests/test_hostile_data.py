@@ -72,6 +72,7 @@ SENSITIVE = [
     # round-8 additions (text tokenization + NULL-text scope):
     "q_bpe_merge_pairs",
     "q_minhash_incremental",
+    "q_perplexity_buckets",
     "q_asof_join",
     "q_asof_nearest",
     "q_edit_distance",

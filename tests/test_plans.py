@@ -419,6 +419,7 @@ def test_no_unexpected_cartesian_in_any_registered_query(spark):
         "q_tfidf_topterms",  # 1-row corpus document count
         "q_bm25",  # 1-row corpus stats (N, avgdl)
         "q_unigram_logprob",  # 1-row corpus token total
+        "q_perplexity_buckets",  # 1-row corpus token total (same shape)
         "q_domain_mix",  # 1-row global min source count
         "q_chisq_independence",  # types x buckets contingency grid (10 rows)
         "q_equidepth_hist",  # 1-row broadcast percentile bounds
@@ -609,6 +610,8 @@ def test_guarded_queries_scan_corpus_once(spark):
         "q_dup_ngram_coverage": 1,
         "q_span_dedup": 1,
         "q_paragraph_dedup": 1,
+        # r8: corpus total reduces over the cached vocab — one scan.
+        "q_perplexity_buckets": 1,
     }
     try:
         for name, want in expected_scans.items():
