@@ -1090,3 +1090,120 @@ def q_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
     )
     return g.orderBy(F.col("cnt").desc(), F.col("pair").asc()).limit(50)
+
+
+@register(
+    "q_collocation_pmi",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS w
+        FROM documents WHERE text IS NOT NULL
+    ),
+    bg AS (
+        SELECT p.w1 AS w1, p.w2 AS w2
+        FROM (SELECT unnest(list_transform(range(1, len(w)),
+                                           i -> {'w1': w[i], 'w2': w[i+1]})) AS p
+              FROM t WHERE len(w) >= 2)
+    ),
+    pc AS (SELECT w1, w2, COUNT(*) AS n_xy FROM bg GROUP BY w1, w2),
+    uni AS (
+        SELECT term, COUNT(*) AS n_x
+        FROM (SELECT unnest(w) AS term FROM t) GROUP BY term
+    ),
+    tot AS (
+        SELECT (SELECT CAST(SUM(n_xy) AS DOUBLE) FROM pc) AS n_pairs,
+               (SELECT CAST(SUM(n_x) AS DOUBLE) FROM uni) AS n_tok
+    )
+    SELECT pc.w1, pc.w2, pc.n_xy AS pair_n,
+           CAST(FLOOR(ln((CAST(pc.n_xy AS DOUBLE) / tot.n_pairs)
+                         / ((CAST(u1.n_x AS DOUBLE) / tot.n_tok)
+                            * (CAST(u2.n_x AS DOUBLE) / tot.n_tok)))
+                      * 1000000 + 0.5) AS BIGINT) AS pmi_micro
+    FROM pc
+    JOIN uni u1 ON pc.w1 = u1.term
+    JOIN uni u2 ON pc.w2 = u2.term
+    CROSS JOIN tot
+    WHERE pc.n_xy >= 5
+    ORDER BY pmi_micro DESC, pc.w1, pc.w2
+    LIMIT 20
+    """,
+    doc="PMI collocation extraction (Church & Hanks 1990's word-"
+    "association ratio — the classic phrase-mining statistic, and the "
+    "scoring rule behind multi-word vocabulary induction): "
+    "pmi(x,y) = ln( p(xy) / (p(x)p(y)) ) over ADJACENT token pairs, "
+    "with p(xy) normalized by total bigram count and the unigram "
+    "marginals by total token count; pairs seen <5 times are dropped "
+    "(the standard variance guard — PMI of a hapax pair is pure "
+    "noise), and the top-20 by PMI is the proposed collocation list. "
+    "Differs from q_bpe_merge_pairs by NORMALIZATION: raw pair "
+    "frequency finds 'of the'; PMI finds pairs whose words rarely "
+    "appear apart. Engine-exactness: the PMI expression is written in "
+    "the identical IEEE shape on both engines and floor-rounded to "
+    "integer micro-units, with (w1, w2) tiebreaks at the cut — only "
+    "BIGINTs and strings cross the boundary. Plan: one tokenized scan "
+    "feeds the pair explode; pair counts and unigram marginals "
+    "aggregate behind the measured broadcast guard (cached + counted "
+    "— gram space is open-ended at 100 TB, so broadcast only below "
+    "the measured 2M-row bound); both corpus totals reduce over the "
+    "CACHED aggregates (1-row broadcast crossJoin, zero extra corpus "
+    "scans); the min-count filter prunes the pair table BEFORE its "
+    "two marginal joins; top-20 is TakeOrderedAndProject (bounded "
+    "per-partition heaps, no global sort of the pair vocabulary). "
+    "Reference parity note: the reference engine has no text "
+    "operators; north-star surface per SURVEY.md SS2B.",
+)
+def q_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parquet_compactor_spark.llm.text import broadcast_if_bounded, whitespace_tokens
+
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    ws = F.filter(whitespace_tokens(F.col("text")), lambda x: x != "")
+    toks = d.select("doc_id", ws.alias("ws"))
+    pair_expr = F.expr(
+        """
+        CASE WHEN size(ws) >= 2
+        THEN transform(sequence(0, size(ws) - 2),
+                       i -> struct(ws[i] AS w1, ws[i + 1] AS w2))
+        ELSE CAST(array() AS array<struct<w1: string, w2: string>>) END
+        """
+    )
+    bg = toks.select(F.explode(pair_expr).alias("p")).select("p.w1", "p.w2")
+    pc = broadcast_if_bounded(
+        bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_xy"))
+    )
+    uni = broadcast_if_bounded(
+        toks.select(F.explode("ws").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_x"))
+    )
+    tot = pc.agg(F.sum("n_xy").cast("double").alias("n_pairs")).crossJoin(
+        uni.agg(F.sum("n_x").cast("double").alias("n_tok"))
+    )
+    u1 = uni.select(F.col("term").alias("w1"), F.col("n_x").alias("nx1"))
+    u2 = uni.select(F.col("term").alias("w2"), F.col("n_x").alias("nx2"))
+    pmi_micro = F.floor(
+        F.log(
+            (F.col("n_xy").cast("double") / F.col("n_pairs"))
+            / (
+                (F.col("nx1").cast("double") / F.col("n_tok"))
+                * (F.col("nx2").cast("double") / F.col("n_tok"))
+            )
+        )
+        * 1000000
+        + 0.5
+    ).cast("bigint")
+    scored = (
+        pc.filter(F.col("n_xy") >= 5)
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            F.col("n_xy").alias("pair_n"),
+            pmi_micro.alias("pmi_micro"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi_micro").desc(), F.col("w1").asc(), F.col("w2").asc()
+    ).limit(20)

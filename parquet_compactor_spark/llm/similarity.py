@@ -830,3 +830,102 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         ascending=[False, True],
         k=BATCH_TOPK,
     )
+
+
+@register(
+    "q_knn_classify",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        FROM embeddings
+    ),
+    nbr AS (
+        SELECT vec_id AS nbr_id, label AS nbr_label, vec AS nvec
+        FROM v WHERE vec_id % 4 = 0 AND vec_id < 10000
+    ),
+    q AS (
+        SELECT vec_id, label AS true_label, vec
+        FROM v WHERE NOT (vec_id % 4 = 0 AND vec_id < 10000)
+    ),
+    scored AS (
+        SELECT q.vec_id, q.true_label, nbr.nbr_id, nbr.nbr_label,
+               ROUND(list_dot_product(q.vec, nbr.nvec)
+                     / (sqrt(list_sum(list_transform(q.vec, x -> x * x)))
+                      * sqrt(list_sum(list_transform(nbr.nvec, x -> x * x)))),
+                     4) AS cs
+        FROM q CROSS JOIN nbr
+    )
+    SELECT vec_id, true_label, nbr_label AS pred_label, cs AS cos_sim
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                       ORDER BY cs DESC, nbr_id) AS rn
+          FROM scored)
+    WHERE rn = 1
+    """,
+    doc="1-NN label propagation from a seed-labeled subset (the weak-"
+    "supervision step behind corpus-scale quality/topic tagging: a "
+    "human-annotated seed set labels the rest of the corpus by nearest "
+    "embedding — the kNN variant of fastText-classifier labeling used "
+    "throughout LLM data curation): vectors with vec_id % 4 = 0 are "
+    "the labeled seeds; every other vector takes the label of its "
+    "most-cosine-similar seed. The seed predicate carries a FIXED id "
+    "ceiling (vec_id < 10000): an annotation budget does not grow with "
+    "the corpus, so the labeled side is constant-size as data scales — "
+    "which is exactly what makes the broadcast safe and the whole plan "
+    "linear in corpus size (the scale ramp pins this). Plan: the seed "
+    "set is BROADCAST (a human-labeled set is annotation-budget-sized "
+    "— thousands, never corpus-sized), scoring is a pure map over the "
+    "broadcast nested-"
+    "loop join, and the per-vector argmax is max(struct(cos, -nbr_id, "
+    "label)) — a PARTIAL-AGGREGATED struct-max that collapses each "
+    "task's candidates to one row per vector BEFORE the shuffle, so "
+    "the exchange carries O(vectors) rows, never the O(vectors x "
+    "seeds) blow-up a window over the scored set would shuffle. At "
+    "100 TB with a larger seed set the same plan swaps the brute-force "
+    "candidate stage for q_ann_ivf's centroid blocking; the argmax "
+    "stays identical. Determinism: similarities are rounded to 4dp in "
+    "BOTH engines before ranking (the q_sim_topk convention), and the "
+    "struct's negated-neighbor-id second field makes max() pick the "
+    "LOWEST nbr_id on ties — exactly the oracle's ORDER BY cs DESC, "
+    "nbr_id. NULL embeddings (hostile fixture) score NULL and lose to "
+    "any non-NULL candidate in both engines (struct-max: NULL field "
+    "sorts lowest; DuckDB: DESC NULLS LAST); an all-NULL candidate "
+    "set ties on cs and falls to the nbr_id tiebreak identically. "
+    "Reference parity note: the reference engine has no vector "
+    "operators; north-star surface per SURVEY.md SS2B.",
+)
+def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    seed = (F.col("vec_id") % 4 == 0) & (F.col("vec_id") < 10000)
+    nbr = e.filter(seed).select(
+        F.col("vec_id").alias("nbr_id"),
+        F.col("label").alias("nbr_label"),
+        F.col("embedding").alias("nvec"),
+    )
+    scored = (
+        e.filter(~seed)
+        .select("vec_id", F.col("label").alias("true_label"), "embedding")
+        .crossJoin(F.broadcast(nbr))
+        .select(
+            "vec_id",
+            "true_label",
+            F.round(cosine(F.col("embedding"), F.col("nvec")), 4).alias("cs"),
+            "nbr_id",
+            "nbr_label",
+        )
+    )
+    best = scored.groupBy("vec_id", "true_label").agg(
+        F.max(
+            F.struct(
+                F.col("cs").alias("cs"),
+                (-F.col("nbr_id")).alias("neg_nbr"),
+                F.col("nbr_label").alias("pred"),
+            )
+        ).alias("m")
+    )
+    return best.select(
+        "vec_id",
+        "true_label",
+        F.col("m.pred").alias("pred_label"),
+        F.col("m.cs").alias("cos_sim"),
+    )

@@ -49,7 +49,10 @@ def release_guard_caches() -> int:
     while _GUARD_CACHES:
         df = _GUARD_CACHES.pop()
         try:
-            df.unpersist()
+            # blocking=True: callers assert/measure immediately after the
+            # release (harness cache-isolation, the plan-test persistent-RDD
+            # sweep) — the default async unpersist races those checks.
+            df.unpersist(blocking=True)
             released += 1
         except Exception:
             pass  # session gone; nothing left to release
@@ -510,4 +513,129 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "n_tokens",
         F.when(b == 1, "head").when(b == 2, "middle").otherwise("tail").alias("bucket"),
+    )
+
+
+@register(
+    "q_bigram_backoff",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS w
+        FROM documents WHERE text IS NOT NULL
+    ),
+    bg AS (
+        SELECT doc_id, p.w1 AS w1, p.w2 AS w2
+        FROM (SELECT doc_id,
+                     unnest(list_transform(range(1, len(w)),
+                                           i -> {'w1': w[i], 'w2': w[i+1]})) AS p
+              FROM t WHERE len(w) >= 2)
+    ),
+    uni AS (
+        SELECT term, COUNT(*) AS n_u
+        FROM (SELECT unnest(w) AS term FROM t WHERE doc_id % 2 = 0)
+        GROUP BY term
+    ),
+    bi AS (
+        SELECT w1, w2, COUNT(*) AS n_b
+        FROM bg WHERE doc_id % 2 = 0 GROUP BY w1, w2
+    ),
+    tot AS (SELECT CAST(SUM(n_u) AS DOUBLE) AS n_train FROM uni)
+    SELECT b.doc_id,
+           COUNT(*) AS n_bigrams,
+           CAST(SUM(CASE WHEN bi.n_b IS NULL AND u2.n_u IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_backoff,
+           CAST(SUM(CASE WHEN bi.n_b IS NULL AND u2.n_u IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           CAST(SUM(CAST(FLOOR(
+               CASE WHEN bi.n_b IS NOT NULL
+                    THEN CAST(bi.n_b AS DOUBLE) / u1.n_u
+                    WHEN u2.n_u IS NOT NULL
+                    THEN 0.4 * (CAST(u2.n_u AS DOUBLE) / tot.n_train)
+                    ELSE 0.0 END * 1000000 + 0.5) AS BIGINT))
+                AS BIGINT) AS score_micro
+    FROM bg b
+    LEFT JOIN bi ON b.w1 = bi.w1 AND b.w2 = bi.w2
+    LEFT JOIN uni u1 ON b.w1 = u1.term
+    LEFT JOIN uni u2 ON b.w2 = u2.term
+    CROSS JOIN tot
+    GROUP BY b.doc_id
+    """,
+    doc="Stupid-Backoff bigram LM scoring (Brants et al. 2007, 'Large "
+    "Language Models in Machine Translation' — the distributed-counts "
+    "LM built exactly this way over MapReduce): the LM trains on the "
+    "even-doc_id shard (the curated-reference-corpus analog — CCNet "
+    "scores the crawl with an LM trained on Wikipedia, never on the "
+    "crawl itself) and scores EVERY document's bigrams with "
+    "S(w2|w1) = n(w1 w2)/n(w1) when the bigram was seen in training, "
+    "else the backoff 0.4 * n(w2)/N_train, else 0 for OOV — no "
+    "normalization, which is what makes the estimator embarrassingly "
+    "parallel (no per-context denominator sweep beyond the counts "
+    "themselves). Engine-exactness: each bigram's score is "
+    "floor-rounded to integer micro-units BEFORE the per-doc sum "
+    "(integer addition is order-independent under any partitioning; "
+    "the divide and the 0.4-multiply are single correctly-rounded IEEE "
+    "ops written in the same shape on both engines), so only BIGINTs "
+    "cross the engine boundary. Plan: ONE tokenized scan feeds the "
+    "bigram explode; the two model tables (train unigrams, train "
+    "bigrams) aggregate behind the measured broadcast guard (cached + "
+    "counted, broadcast below 2M rows, shuffle join above — gram space "
+    "is open-ended at 100 TB); N_train reduces over the cached unigram "
+    "table (1-row broadcast crossJoin, zero extra corpus scans); three "
+    "LEFT vocabulary joins, then one partial-aggregated per-doc "
+    "rollup. Docs with <2 non-empty tokens (and NULL text) have no "
+    "bigrams and are scoped out on both engines. Reference parity "
+    "note: the reference engine has no text operators; north-star "
+    "surface per SURVEY.md SS2B.",
+)
+def q_bigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    ws = F.filter(whitespace_tokens(F.col("text")), lambda x: x != "")
+    toks = d.select("doc_id", ws.alias("ws"))
+    pair_expr = F.expr(
+        """
+        CASE WHEN size(ws) >= 2
+        THEN transform(sequence(0, size(ws) - 2),
+                       i -> struct(ws[i] AS w1, ws[i + 1] AS w2))
+        ELSE CAST(array() AS array<struct<w1: string, w2: string>>) END
+        """
+    )
+    bg = toks.select("doc_id", F.explode(pair_expr).alias("p")).select(
+        "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    train = F.col("doc_id") % 2 == 0
+    uni = broadcast_if_bounded(
+        toks.filter(train)
+        .select(F.explode("ws").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_u"))
+    )
+    bi = broadcast_if_bounded(
+        bg.filter(train).groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_b"))
+    )
+    tot = uni.agg(F.sum("n_u").cast("double").alias("n_train"))
+    u1 = uni.select(F.col("term").alias("w1"), F.col("n_u").alias("c1"))
+    u2 = uni.select(F.col("term").alias("w2"), F.col("n_u").alias("c2"))
+    scored = (
+        bg.join(bi, ["w1", "w2"], "left")
+        .join(u1, "w1", "left")
+        .join(u2, "w2", "left")
+        .crossJoin(F.broadcast(tot))
+    )
+    s = (
+        F.when(F.col("n_b").isNotNull(), F.col("n_b").cast("double") / F.col("c1"))
+        .when(
+            F.col("c2").isNotNull(),
+            F.lit(0.4) * (F.col("c2").cast("double") / F.col("n_train")),
+        )
+        .otherwise(F.lit(0.0))
+    )
+    s_micro = F.floor(s * 1000000 + 0.5).cast("bigint")
+    backoff = F.col("n_b").isNull() & F.col("c2").isNotNull()
+    oov = F.col("n_b").isNull() & F.col("c2").isNull()
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum(F.when(backoff, 1).otherwise(0)).alias("n_backoff"),
+        F.sum(F.when(oov, 1).otherwise(0)).alias("n_oov"),
+        F.sum(s_micro).alias("score_micro"),
     )

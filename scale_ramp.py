@@ -94,6 +94,15 @@ RAMP_QUERIES = [
     # vocabulary — must stay linear-then-flat like the gram families).
     "q_minhash_incremental",
     "q_bpe_merge_pairs",
+    # round-8 late additions: bigram-backoff scoring carries THREE
+    # guarded vocabulary joins over an open-ended gram space (must stay
+    # linear like the other gram families); collocation PMI is the same
+    # pair explode with two marginal joins + TakeOrdered; knn_classify's
+    # seed side is a FIXED annotation budget, so the ramp must show the
+    # broadcast-score-argmax plan linear in corpus size.
+    "q_bigram_backoff",
+    "q_collocation_pmi",
+    "q_knn_classify",
 ]
 
 OFF = 10_000_000  # per-copy key shift

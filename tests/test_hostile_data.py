@@ -73,6 +73,12 @@ SENSITIVE = [
     "q_bpe_merge_pairs",
     "q_minhash_incremental",
     "q_perplexity_buckets",
+    "q_bigram_backoff",
+    "q_collocation_pmi",
+    # round-8: NULL embedding (see fixture) — the argmax must prefer
+    # any non-NULL candidate and fall to the id tiebreak identically
+    # in both engines when a query vector scores NULL everywhere.
+    "q_knn_classify",
     "q_asof_join",
     "q_asof_nearest",
     "q_edit_distance",
@@ -132,6 +138,19 @@ def hostile_dir(tmp_path_factory):
                 tab.schema.get_field_index("c_acctbal"),
                 "c_acctbal",
                 pa.array(bal, type=pa.float64()),
+            )
+        if t == "embeddings":
+            # One NULL query-side vector and one NULL seed-side vector
+            # (vec_id % 4 == 0): cosine scores NULL on both engines and
+            # must lose the argmax to any non-NULL candidate.
+            vecs = tab.column("embedding").to_pylist()
+            for j in (3, 4):  # 4 % 4 == 0 → seed side; 3 → query side
+                if j < len(vecs):
+                    vecs[j] = None
+            tab = tab.set_column(
+                tab.schema.get_field_index("embedding"),
+                "embedding",
+                pa.array(vecs, type=tab.schema.field("embedding").type),
             )
         if t == "documents":
             txt = tab.column("text").to_pylist()
