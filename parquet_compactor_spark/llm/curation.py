@@ -1207,3 +1207,91 @@ def q_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.col("pmi_micro").desc(), F.col("w1").asc(), F.col("w2").asc()
     ).limit(20)
+
+
+@register(
+    "q_mixture_epochs",
+    oracle="""
+    WITH tok AS (
+        SELECT source,
+               CAST(SUM(len(list_filter(string_split(text, ' '),
+                                        x -> x <> ''))) AS BIGINT) AS n_tokens
+        FROM documents WHERE text IS NOT NULL
+        GROUP BY source
+    ),
+    u AS (
+        SELECT source, n_tokens,
+               CAST(SUM(n_tokens) OVER () AS BIGINT) AS t_total,
+               CAST(FLOOR(exp(0.7 * ln(CAST(n_tokens AS DOUBLE)
+                                       / CAST(SUM(n_tokens) OVER () AS DOUBLE)))
+                          * 1000000 + 0.5) AS BIGINT) AS w_micro
+        FROM tok
+    ),
+    d AS (SELECT u.*, CAST(SUM(w_micro) OVER () AS BIGINT) AS den FROM u)
+    SELECT source, n_tokens,
+           CAST((w_micro * 1000000) // den AS BIGINT) AS weight_ppm,
+           CAST((w_micro * 10000000) // den AS BIGINT) AS alloc_tokens,
+           CAST(((w_micro * 10000000) // den) * 1000 // n_tokens AS BIGINT)
+               AS epochs_milli
+    FROM d
+    """,
+    doc="Data-mixture epoch allocation (the LLaMA-style pretraining "
+    "mixture table: given a total token budget and temperature-scaled "
+    "domain weights, how many EPOCHS of each source does training "
+    "consume — epochs > 1.0 meaning deliberate repetition of "
+    "small-but-valuable domains, e.g. LLaMA's 2.45 epochs of "
+    "Wikipedia): per-source token counts are temperature-scaled with "
+    "alpha = 0.7 (w_s proportional to (t_s/T)^0.7 via the exp/ln chain, "
+    "floor-rounded to integer micro-units exactly as q_lang_temperature "
+    "does for document shares), the budget of 10,000,000 tokens is "
+    "allocated by exact integer arithmetic on the micro-weights, and "
+    "epochs_milli = allocated/available in thousandths. DIFFERS from "
+    "q_lang_temperature in every axis that matters operationally: "
+    "TOKEN-weighted (not doc-count) shares, per SOURCE (not language), "
+    "and the output is the repetition factor a dataloader consumes. "
+    "Engine-exactness: the one libm chain (exp/ln) floor-rounds to "
+    "micro-units; every division after it is integer // with identical "
+    "operands — only BIGINTs and the source string cross the engine "
+    "boundary (all windowed-SUM intermediates CAST AS BIGINT: DuckDB "
+    "types them HUGEINT — the q_lang_temperature driver-red class, "
+    "now linted). Plan: one map-side token-count scan into a per-"
+    "source partial agg; everything after is O(sources) — the "
+    "unpartitioned windows run on a source-count-sized table, never "
+    "the corpus. Reference parity note: the reference engine has no "
+    "text operators; north-star surface per SURVEY.md SS2B.",
+)
+def q_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parquet_compactor_spark.llm.text import whitespace_tokens
+
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    ws = F.filter(whitespace_tokens(F.col("text")), lambda x: x != "")
+    tok = d.groupBy("source").agg(
+        F.sum(F.size(ws)).cast("bigint").alias("n_tokens")
+    )
+    w_all = Window.partitionBy()
+    u = tok.withColumn(
+        "t_total", F.sum("n_tokens").over(w_all).cast("bigint")
+    ).withColumn(
+        "w_micro",
+        F.floor(
+            F.exp(
+                F.lit(0.7)
+                * F.log(
+                    F.col("n_tokens").cast("double")
+                    / F.col("t_total").cast("double")
+                )
+            )
+            * 1000000
+            + 0.5
+        ).cast("bigint"),
+    )
+    dd = u.withColumn("den", F.sum("w_micro").over(w_all).cast("bigint"))
+    return dd.select(
+        "source",
+        "n_tokens",
+        F.expr("(w_micro * 1000000) div den").alias("weight_ppm"),
+        F.expr("(w_micro * 10000000) div den").alias("alloc_tokens"),
+        F.expr("((w_micro * 10000000) div den) * 1000 div n_tokens").alias(
+            "epochs_milli"
+        ),
+    )

@@ -929,3 +929,137 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m.pred").alias("pred_label"),
         F.col("m.cs").alias("cos_sim"),
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization: map-only subvector codebook assignment
+# --------------------------------------------------------------------------
+
+PQ_M = 8  # subspaces (64-dim vectors -> 8 subvectors of 8 dims)
+PQ_K = 16  # centroids per subspace
+PQ_SUBDIM = EMBED_DIM // PQ_M
+
+_pq_rng = random.Random(11)
+#: PQ codebook[m][k] = 8-dim centroid, deterministic literals shared by
+#: both engines (the same literal-injection technique as HYPERPLANES).
+PQ_CODEBOOK: list[list[list[float]]] = [
+    [
+        [round(_pq_rng.uniform(-1.0, 1.0), 6) for _ in range(PQ_SUBDIM)]
+        for _ in range(PQ_K)
+    ]
+    for _ in range(PQ_M)
+]
+
+
+def _pq_sql_dists() -> str:
+    """DuckDB rows (m, k, centroid) for the whole codebook as VALUES."""
+    rows = []
+    for m in range(PQ_M):
+        for k in range(PQ_K):
+            arr = "[" + ", ".join(repr(v) for v in PQ_CODEBOOK[m][k]) + "]"
+            rows.append(f"({m}, {k}, {arr})")
+    return ",\n               ".join(rows)
+
+
+@register(
+    "q_pq_encode",
+    oracle=f"""
+    WITH cb(m, k, cent) AS (
+        VALUES {_pq_sql_dists()}
+    ),
+    v AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    dists AS (
+        SELECT v.vec_id, v.label, cb.m, cb.k,
+               list_sum(list_transform(range(1, {PQ_SUBDIM} + 1),
+                   i -> (vec[CAST(cb.m AS INT) * {PQ_SUBDIM} + i] - cent[i])
+                      * (vec[CAST(cb.m AS INT) * {PQ_SUBDIM} + i] - cent[i])))
+                   AS dist
+        FROM v CROSS JOIN cb
+    ),
+    best AS (
+        SELECT vec_id, label, m, k,
+               CAST(FLOOR(dist * 1000000 + 0.5) AS BIGINT) AS err_micro
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                           ORDER BY dist, k) AS rn
+              FROM dists)
+        WHERE rn = 1
+    )
+    SELECT vec_id, label,
+           string_agg(CAST(k AS VARCHAR), '-' ORDER BY m) AS pq_code,
+           CAST(SUM(err_micro) AS BIGINT) AS err_micro
+    FROM best
+    GROUP BY vec_id, label
+    """,
+    doc="Product-quantization encoding (Jegou et al. 2011, 'Product "
+    "Quantization for Nearest Neighbor Search' — the compression step "
+    "of IVF-PQ indexes): each 64-dim vector splits into 8 subvectors "
+    "of 8 dims; each subvector is assigned its nearest of 16 codebook "
+    "centroids by squared L2, and the vector is stored as the 8 "
+    "centroid ids (4 bits each — a 512x compression of a float32 "
+    "vector) plus its total quantization error. The codebook is "
+    "deterministic literals shared verbatim by both engines (the "
+    "HYPERPLANES technique); a trained codebook would arrive as a "
+    "broadcast exactly like q_ann_ivf's centroid matrix. Plan: "
+    "MAP-ONLY — the whole argmin evaluates as one JVM expression per "
+    "row (array_min over an array of (dist, k) structs per subspace: "
+    "min distance, then min k on ties — exactly the oracle's ORDER BY "
+    "dist, k), zero joins, zero shuffles beyond the final nothing; at "
+    "100 TB this is the ideal operator shape, pure whole-stage-"
+    "codegen'd compute scaling with executor count. Engine-exactness: "
+    "the fold over each subvector's 8 (x-c)^2 terms runs in the same "
+    "order in both engines (the established list_sum/aggregate "
+    "convention all ANN queries rely on), argmin compares exact "
+    "doubles, and the per-subspace min distance is micro-rounded "
+    "BEFORE the order-independent integer total. NULL embeddings are "
+    "scoped out on both engines. Reference parity note: the reference "
+    "engine has no vector operators; north-star surface per "
+    "SURVEY.md SS2B.",
+)
+def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    v = e.select("vec_id", "label", vec.alias("vec"))
+
+    def sub_dist(m: int, k: int) -> Column:
+        cent = PQ_CODEBOOK[m][k]
+        sub = F.slice(F.col("vec"), m * PQ_SUBDIM + 1, PQ_SUBDIM)
+        return F.aggregate(
+            F.zip_with(
+                sub,
+                F.array(*[F.lit(c) for c in cent]),
+                lambda x, c: (x - c) * (x - c),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    codes = []
+    errs = []
+    for m in range(PQ_M):
+        best = F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        sub_dist(m, k).alias("dist"), F.lit(k).alias("k")
+                    )
+                    for k in range(PQ_K)
+                ]
+            )
+        )
+        codes.append(best["k"].cast("string"))
+        errs.append(
+            F.floor(best["dist"] * 1000000 + 0.5).cast("bigint")
+        )
+    total_err = errs[0]
+    for t in errs[1:]:
+        total_err = total_err + t
+    return v.select(
+        "vec_id",
+        "label",
+        F.concat_ws("-", *codes).alias("pq_code"),
+        total_err.alias("err_micro"),
+    )

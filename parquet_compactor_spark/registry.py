@@ -213,7 +213,7 @@ def _ensure_loaded() -> None:
 # External differential harnesses that sample a prefix of the registry
 # (the driver checks the first 50 entries) therefore verify these before
 # anything else. Round 8 (exactly 50 names):
-#   1-6   the six queries ADDED this round — no driver row exists at
+#   1-8   the eight queries ADDED this round — no driver row exists at
 #         all, so they outrank every re-verification
 #         (q_minhash_incremental: cross-snapshot incremental MinHash
 #         near-dup, new-shard-probe LSH bucket join, never old x old;
@@ -224,8 +224,11 @@ def _ensure_loaded() -> None:
 #         document scoring, LM trained on the even-doc_id shard;
 #         q_collocation_pmi: Church-&-Hanks PMI collocation top-20;
 #         q_knn_classify: 1-NN label propagation from a bounded
-#         seed-labeled subset of embeddings);
-#   7-9   queries whose SOURCE changed this round, so the prior row no
+#         seed-labeled subset of embeddings; q_mixture_epochs:
+#         token-budget epoch allocation per source, the LLaMA-style
+#         mixture table; q_pq_encode: product-quantization codebook
+#         assignment, map-only);
+#   9-11  queries whose SOURCE changed this round, so the prior row no
 #         longer attests to the current code: q_lang_temperature (the
 #         round-7 driver red — its oracle's two //-by-windowed-SUM
 #         columns came back HUGEINT from DuckDB and the driver hash
@@ -239,22 +242,21 @@ def _ensure_loaded() -> None:
 #         rank window to ~30% of docs — with the scored frame
 #         persist_tracked so its three consumers share one corpus
 #         scan);
-#   10-12 the three round-3 rows displaced from the round-7 window
+#   12-14 the three round-3 rows displaced from the round-7 window
 #         (q_time_weighted_avg, q_udaf_geomean, q_stats_agg — after
 #         these, no r3-or-older driver row remains anywhere);
-#   13-48 ALL 36 remaining queries whose latest driver row is round 4
-#         (the ledger floor reaches round 5 after this window);
-#   49-50 the 2 alphabetically-first round-5 rows (q_ann_ivf,
-#         q_anti_join — q_arg_extremes, q_chisq_independence,
+#   15-50 ALL 36 remaining queries whose latest driver row is round 4
+#         (the ledger floor reaches round 5 after this window —
+#         q_ann_ivf, q_anti_join, q_arg_extremes, q_chisq_independence,
 #         q_cross_join, q_dedup_minhash and q_dedup_simhash displaced
 #         to round 9 by this round's additions/changes).
 # Everything not listed follows in registration order.
 #
 # Round-9 rotation plan (computed from CORRECTNESS_r0{1..7}.json,
 # latest-row-wins, after this window's 50 names are re-verified):
-# first the five displaced names (q_arg_extremes, q_chisq_independence,
-# q_cross_join, q_dedup_minhash, q_dedup_simhash), then the 37
-# remaining r5-latest rows:
+# first the seven displaced names (q_ann_ivf, q_anti_join,
+# q_arg_extremes, q_chisq_independence, q_cross_join, q_dedup_minhash,
+# q_dedup_simhash), then the 37 remaining r5-latest rows:
 # q_embed_dim_stats q_embed_near_dup q_event_enrich q_event_transitions
 # q_full_outer_join q_gopher_rules q_hard_negatives q_having
 # q_heavy_hitters q_hll_sketch q_hll_sketch_state q_important_parts
@@ -279,6 +281,8 @@ _PRIORITY: tuple[str, ...] = (
     "q_bigram_backoff",
     "q_collocation_pmi",
     "q_knn_classify",
+    "q_mixture_epochs",
+    "q_pq_encode",
     # -- source changed in round 8: re-verify first --
     "q_lang_temperature",  # oracle CAST AS BIGINT (r7 driver red fixed)
     "q_approx_stats",  # exact-percentile scaffolding moved to test twin
@@ -324,9 +328,6 @@ _PRIORITY: tuple[str, ...] = (
     "q_top_supplier",
     "q_variant_props",
     "q_volume_shipping",
-    # -- the 2 alphabetically-first r5-latest rows --
-    "q_ann_ivf",
-    "q_anti_join",
 )
 
 

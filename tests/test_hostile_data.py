@@ -79,6 +79,9 @@ SENSITIVE = [
     # any non-NULL candidate and fall to the id tiebreak identically
     # in both engines when a query vector scores NULL everywhere.
     "q_knn_classify",
+    "q_mixture_epochs",
+    # NULL embeddings are scoped out on both engines (map-only encode):
+    "q_pq_encode",
     "q_asof_join",
     "q_asof_nearest",
     "q_edit_distance",
