@@ -703,6 +703,19 @@ PLAN_SHAPE_PINS = {
     "q_dedup_minhash":      (11, 0, 0, 0),
     "q_dup_ngram_coverage": (4,  0, 0, 0),
     "q_ngram_jaccard":      (1,  0, 0, 0),
+    # Round-8 additions (exchange counts include cached-vocabulary
+    # build lineage rendered under InMemoryTableScan nodes; the live
+    # joins are BroadcastHashJoins — pinned by the BNLJ/cartesian
+    # columns staying at their scalar-broadcast counts):
+    "q_minhash_incremental": (12, 0, 0, 0),
+    # 1 BNLJ = the 1-row N_train scalar broadcast; the three vocabulary
+    # joins are BroadcastHashJoins:
+    "q_bigram_backoff":     (14, 0, 0, 1),
+    # The ideal shape: map-only, zero everything.
+    "q_pq_encode":          (0,  0, 0, 0),
+    # 1 BNLJ = the bounded seed-set broadcast; 2 exchanges = the
+    # per-vector argmax rollup (partial + final).
+    "q_knn_classify":       (2,  0, 0, 1),
 }
 
 
