@@ -651,3 +651,135 @@ def test_bpe_merge_pairs_counts(spark, tmp_path):
     sf = _write_docs(spark, tmp_path, rows)
     got = {r.pair: (r.cnt, r.n_docs) for r in q_bpe_merge_pairs(spark, sf).collect()}
     assert got == {"a b": (3, 2), "b a": (1, 1)}
+
+
+def _write_embeddings(spark, tmp_path, rows):
+    """Materialize a minimal embeddings.parquet a registered query can load.
+
+    rows: (vec_id, 64-dim list[float] | None, label)
+    """
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    return str(tmp_path)
+
+
+def test_knn_classify_planted_neighbor_and_tiebreak(spark, tmp_path):
+    """An unlabeled vector colinear with one seed takes that seed's label;
+    when two seeds are EQUALLY similar the lower nbr_id wins (the struct
+    argmax's negated-id tiebreak)."""
+    from parquet_compactor_spark.llm.similarity import q_knn_classify
+
+    e1 = [1.0] + [0.0] * 63
+    e2 = [0.0, 1.0] + [0.0] * 62
+    rows = [
+        (0, e1, 7),                       # seed (0 % 4 == 0), label 7
+        (4, e2, 3),                       # seed, label 3
+        (8, e2, 5),                       # seed, label 5 — same vector as 4
+        (1, [2.0] + [0.0] * 63, 0),       # colinear with seed 0 -> pred 7
+        (2, [0.0, 9.0] + [0.0] * 62, 0),  # ties seeds 4 and 8 -> lower id 4
+    ]
+    sf = _write_embeddings(spark, tmp_path, rows)
+    got = {r.vec_id: (r.pred_label, r.cos_sim) for r in q_knn_classify(spark, sf).collect()}
+    assert got[1] == (7, 1.0)
+    assert got[2] == (3, 1.0), "tie must resolve to the LOWEST nbr_id's label"
+
+
+def test_pq_encode_exact_centroid_vector_has_zero_error(spark, tmp_path):
+    """A vector assembled from one chosen centroid per subspace encodes to
+    exactly those 8 codes with zero quantization error."""
+    from parquet_compactor_spark.llm.similarity import PQ_CODEBOOK, q_pq_encode
+
+    chosen = [3, 0, 15, 7, 1, 9, 12, 5]
+    vec = []
+    for m, k in enumerate(chosen):
+        vec.extend(PQ_CODEBOOK[m][k])
+    rows = [(0, [float(x) for x in vec], 1)]
+    sf = _write_embeddings(spark, tmp_path, rows)
+    (r,) = q_pq_encode(spark, sf).collect()
+    assert r.pq_code == "-".join(str(k) for k in chosen)
+    assert r.err_micro == 0
+
+
+def test_bigram_backoff_seen_backoff_and_oov(spark, tmp_path):
+    """The three scoring branches, exactly: a bigram seen in the training
+    shard scores n(w1 w2)/n(w1); an unseen bigram whose w2 IS a training
+    unigram backs off to 0.4 * n(w2)/N_train; an OOV w2 scores zero."""
+    import math
+
+    from parquet_compactor_spark.llm.text import q_bigram_backoff
+
+    rows = [
+        (0, "a b c"),  # the training shard (doc_id % 2 == 0): N_train=3
+        (1, "a b"),    # held out: bigram (a,b) seen -> 1/1
+        (3, "c a"),    # held out: (c,a) unseen, 'a' in train -> 0.4 * 1/3
+        (5, "a z"),    # held out: 'z' OOV -> 0
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    got = {
+        r.doc_id: (r.n_bigrams, r.n_backoff, r.n_oov, r.score_micro)
+        for r in q_bigram_backoff(spark, sf).collect()
+    }
+    backoff_micro = math.floor(0.4 * (1.0 / 3.0) * 1000000 + 0.5)
+    assert got[1] == (1, 0, 0, 1000000)
+    assert got[3] == (1, 1, 0, backoff_micro)
+    assert got[5] == (1, 0, 1, 0)
+    # the training doc scores its own (seen) bigrams: a-b and b-c, 1/1 each
+    assert got[0] == (2, 0, 0, 2000000)
+
+
+def test_collocation_pmi_ranks_exclusive_pair_above_common(spark, tmp_path):
+    """PMI separates association from frequency: a pair whose words occur
+    ONLY together outranks a more frequent pair built from words that also
+    appear everywhere else — the opposite of what raw pair counts say."""
+    from parquet_compactor_spark.llm.curation import q_collocation_pmi
+
+    # 'new york' appears 5x and those words never appear apart;
+    # 'of the' appears 8x but 'of'/'the' each appear 30+ times total.
+    filler = " ".join(["of the"] * 8 + ["of"] * 22 + ["the"] * 22)
+    rows = [(i, "new york " + filler) for i in range(5)]
+    sf = _write_docs(spark, tmp_path, rows)
+    out = q_collocation_pmi(spark, sf).collect()
+    ranks = {(r.w1, r.w2): i for i, r in enumerate(out)}
+    assert ("new", "york") in ranks
+    assert ("of", "the") in ranks
+    assert ranks[("new", "york")] < ranks[("of", "the")]
+    pmi = {(r.w1, r.w2): r.pmi_micro for r in out}
+    assert pmi[("new", "york")] > pmi[("of", "the")]
+
+
+def test_mixture_epochs_budget_and_temperature(spark, tmp_path):
+    """Integer allocation honors the 10M-token budget and the temperature
+    flattening: the small source's weight share EXCEEDS its token share,
+    and a source with fewer tokens than its allocation shows epochs > 1."""
+    from parquet_compactor_spark.llm.curation import q_mixture_epochs
+
+    rows = []
+    did = 0
+    for _ in range(99):  # big source: 99 docs x 10 tokens
+        rows.append((did, " ".join(["tok"] * 10)))
+        did += 1
+    rows.append((did, " ".join(["tok"] * 10)))  # small source: 1 doc
+    df = spark.createDataFrame(
+        [
+            (i, t, "en", "big" if i < 99 else "small", len(t))
+            for i, t in rows
+        ],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = {r.source: r for r in q_mixture_epochs(spark, str(tmp_path)).collect()}
+    assert got["big"].n_tokens == 990 and got["small"].n_tokens == 10
+    # token share of 'small' is 1%; temperature alpha=0.7 lifts its weight
+    assert got["small"].weight_ppm > 10000
+    # weights are a normalized probability (integer floor loses < 2 ppm)
+    total_ppm = got["big"].weight_ppm + got["small"].weight_ppm
+    assert 999998 <= total_ppm <= 1000000
+    # 10M tokens over ~1000 available means massive repetition everywhere,
+    # and 'small' repeats more than 'big' relative to its size
+    assert got["small"].epochs_milli > got["big"].epochs_milli > 1000
