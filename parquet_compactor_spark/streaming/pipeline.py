@@ -944,3 +944,144 @@ def quality_gate_stream(docs: DataFrame) -> DataFrame:
         as_int(ok_alpha).alias("ok_alpha"),
         as_int(keep).alias("keep_flag"),
     )
+
+
+def minhash_dedup_batch(docs: DataFrame) -> DataFrame:
+    """(doc_id, kept) under the streaming bucket-claim dedup policy, in
+    closed form: a document is kept iff it is the MINIMUM doc_id in
+    EVERY one of its LSH band buckets.
+
+    This is exactly the sequential "every arriving document claims its
+    buckets; a document sharing any already-claimed bucket is dropped"
+    policy when arrival order is doc_id order: an earlier document
+    claims its buckets whether or not it was itself kept, so
+    blocked(d) <=> some bucket of d contains a smaller doc_id <=>
+    NOT (d == min over each of its buckets). Docs with NULL text form
+    no shingles and are scoped out (no decision row)."""
+    from parquet_compactor_spark.llm.dedup import (
+        lsh_band_hashes,
+        minhash_signatures_exploded,
+    )
+
+    sigs = minhash_signatures_exploded(docs.select("doc_id", "text"))
+    buckets = sigs.select(
+        "doc_id",
+        F.posexplode(lsh_band_hashes(F.col("sig"))).alias("band", "band_hash"),
+    )
+    bucket_min = buckets.groupBy("band", "band_hash").agg(
+        F.min("doc_id").alias("bmin")
+    )
+    return (
+        buckets.join(bucket_min, ["band", "band_hash"])
+        .groupBy("doc_id")
+        .agg(
+            F.max((F.col("bmin") < F.col("doc_id")).cast("int")).alias("b")
+        )
+        .select("doc_id", (F.col("b") == 0).alias("kept"))
+    )
+
+
+def minhash_dedup_stream(
+    docs: DataFrame, state_dir: str, out_dir: str, checkpoint_dir: str
+) -> None:
+    """Streaming near-duplicate ingest gate: MinHash-LSH bucket claims
+    against a persistent state table (the crawl-ingest production shape —
+    q_minhash_incremental's batch form, run continuously).
+
+    Each micro-batch: signatures for the NEW docs only (64-perm minhash
+    via the exploded map-side-partial aggregate), band-bucket explode,
+    then each doc is DROPPED iff any of its buckets was already claimed —
+    by a prior batch (state-table left join; the state is bucket-keyed
+    and O(distinct buckets), never O(docs^2)) or by a smaller-doc_id
+    document in the same batch (one groupBy-min over the batch's
+    buckets). Claims are FIRST-ARRIVAL: the state merge left-anti-joins
+    the batch's new buckets against the state so an existing claimant is
+    never displaced, and the state directory swaps atomically via the
+    compactor's staging-then-rename discipline. Decisions land under
+    ``out_dir/batch=<id>`` with per-batch overwrite, so a replayed batch
+    rewrites its own partition (idempotent) instead of appending
+    duplicates. At 100 TB/day the per-batch cost is O(batch shingles) +
+    a bucket-keyed join against state — the same bounded-candidate
+    scaling argument as the batch MinHash family, with no old x old
+    re-pairing ever.
+
+    Stream/batch parity: with arrival order == doc_id order the union of
+    all batch decisions equals :func:`minhash_dedup_batch` exactly
+    (pinned in tests/test_streaming.py with the planted-near-dup
+    corpus split across micro-batches).
+    """
+    from pyspark.sql.utils import AnalysisException
+
+    from parquet_compactor_spark.llm.dedup import (
+        lsh_band_hashes,
+        minhash_signatures_exploded,
+    )
+
+    def claim(batch_df: DataFrame, batch_id: int) -> None:
+        from parquet_compactor_spark.compactor.fs import HadoopFS
+
+        spark = batch_df.sparkSession
+        sigs = minhash_signatures_exploded(batch_df.select("doc_id", "text"))
+        buckets = sigs.select(
+            "doc_id",
+            F.posexplode(lsh_band_hashes(F.col("sig"))).alias(
+                "band", "band_hash"
+            ),
+        )
+        batch_min = buckets.groupBy("band", "band_hash").agg(
+            F.min("doc_id").alias("batch_min")
+        )
+        try:
+            state = spark.read.parquet(state_dir)
+        except AnalysisException:  # first batch: no claims yet
+            state = None
+        joined = buckets.join(batch_min, ["band", "band_hash"])
+        if state is not None:
+            joined = joined.join(
+                state.select(
+                    "band",
+                    "band_hash",
+                    F.col("claimant").alias("prior_claimant"),
+                ),
+                ["band", "band_hash"],
+                "left",
+            )
+        else:
+            joined = joined.withColumn(
+                "prior_claimant", F.lit(None).cast("bigint")
+            )
+        blocked = F.col("prior_claimant").isNotNull() | (
+            F.col("batch_min") < F.col("doc_id")
+        )
+        decisions = (
+            joined.groupBy("doc_id")
+            .agg(F.max(blocked.cast("int")).alias("b"))
+            .select("doc_id", (F.col("b") == 0).alias("kept"))
+        )
+        decisions.write.mode("overwrite").parquet(
+            f"{out_dir}/batch={batch_id}"
+        )
+        new_claims = batch_min.select(
+            "band", "band_hash", F.col("batch_min").alias("claimant")
+        )
+        if state is not None:
+            # First-arrival claims: buckets already in state keep their
+            # original claimant; only genuinely new buckets append.
+            merged = state.unionByName(
+                new_claims.join(state, ["band", "band_hash"], "left_anti")
+            )
+        else:
+            merged = new_claims
+        staging = f"{state_dir}.staging-{batch_id}"
+        merged.write.mode("overwrite").parquet(staging)
+        fs = HadoopFS(spark, state_dir)
+        fs.delete(state_dir, recursive=True)
+        fs.rename(staging, state_dir)
+
+    (
+        docs.writeStream.foreachBatch(claim)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -520,3 +520,86 @@ def test_streaming_quality_gate_matches_batch(spark, tmp_path):
         for r in all_queries()["q_gopher_rules"].fn(spark, SF_SMOKE).collect()
     }
     assert streamed == batch
+
+
+def test_minhash_dedup_stream_matches_batch_and_blocks_cross_batch(
+    spark, tmp_path
+):
+    """The streaming near-dup gate's decisions, unioned across
+    micro-batches, equal the closed-form batch twin on the same corpus —
+    and a near-dup arriving in a LATER batch is dropped by the persisted
+    bucket-claim state, not just by within-batch comparison."""
+    import time
+
+    from parquet_compactor_spark.streaming.pipeline import (
+        minhash_dedup_batch,
+        minhash_dedup_stream,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the river "
+        "runs cold through the valley and the morning light breaks "
+        "slowly across the quiet hills of the old country"
+    )
+    variant = base.replace("quick", "swift").replace("river", "stream")
+    other = (
+        "distributed query engines shuffle partitioned data across many "
+        "executor nodes while the optimizer prunes columns and pushes "
+        "filters into the parquet scan for every analytical workload"
+    )
+    schema = "doc_id bigint, text string"
+    landing = tmp_path / "docs"
+    # batch 0: original + exact dup + unrelated
+    spark.createDataFrame(
+        [(0, base), (1, base), (2, other)], schema
+    ).coalesce(1).write.mode("append").parquet(str(landing))
+    time.sleep(1.1)  # distinct mtimes -> deterministic arrival order
+    # batch 1: near-dup of doc 0 (cross-batch, must hit STATE), a fresh
+    # pair of exact dups (within-batch), and an unrelated doc
+    fresh = (
+        "seven bright lanterns float gently above the harbor wall as "
+        "fishermen mend their nets beside wooden boats at dusk under "
+        "a pale violet sky fading into the calm open sea"
+    )
+    spark.createDataFrame(
+        [(10, variant), (11, fresh), (12, fresh), (13, "totally unrelated "
+         "words about gardens birds and morning song in spring")],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(str(landing))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(landing))
+    )
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "decisions")
+    ckpt = str(tmp_path / "ckpt")
+    minhash_dedup_stream(stream, state, out, ckpt)
+
+    streamed = {
+        r.doc_id: r.kept for r in spark.read.parquet(out).collect()
+    }
+    batch_docs = spark.createDataFrame(
+        [(0, base), (1, base), (2, other), (10, variant), (11, fresh),
+         (12, fresh), (13, "totally unrelated words about gardens birds "
+          "and morning song in spring")],
+        schema,
+    )
+    expected = {
+        r.doc_id: r.kept for r in minhash_dedup_batch(batch_docs).collect()
+    }
+    assert streamed == expected
+    # the semantics themselves: originals kept, dups dropped — including
+    # the CROSS-BATCH near-dup (doc 10), which only state can catch
+    assert streamed[0] and streamed[2] and streamed[11] and streamed[13]
+    assert not streamed[1], "exact within-batch dup must drop"
+    assert not streamed[10], "cross-batch near-dup must be dropped via state"
+    assert not streamed[12], "within-batch dup in a later batch must drop"
+    # the state table is bucket-keyed with first-arrival claimants
+    st = spark.read.parquet(state)
+    assert st.columns == ["band", "band_hash", "claimant"]
+    claim0 = {
+        (r.band, r.band_hash): r.claimant for r in st.collect()
+    }
+    assert 0 in set(claim0.values())  # doc 0's claims survived the merge
