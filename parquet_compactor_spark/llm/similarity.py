@@ -726,7 +726,7 @@ def q_batch_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT dim,
            count(*) AS n,
-           ROUND(avg(v), 4) AS mean_v,
+           ROUND(avg(v), 4) + 0.0 AS mean_v,
            ROUND(stddev_samp(v), 4) AS std_v,
            min(v) AS min_v,
            max(v) AS max_v
@@ -742,7 +742,12 @@ def q_batch_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "traffic is O(dims x partitions), independent of corpus size, so "
     "the pass stays scan-bound at 100 TB. min/max are exact float "
     "selections; mean/std are rounded to 4dp on both engines (fp "
-    "accumulation noise is ~1e-10 relative, far inside the rounding). "
+    "accumulation noise is ~1e-10 relative, far inside the rounding), "
+    "and the rounded mean adds +0.0 on BOTH engines: a tiny negative "
+    "mean rounds to IEEE -0.0 under DuckDB's ROUND while Spark's "
+    "normalizes to +0.0, and the driver hashes the sign bit "
+    "(found by the round-8 sf0.1 full sweep at dim 10); x + 0.0 "
+    "canonicalizes -0.0 without touching any other value. "
     "Dims are 1-based to match SQL generate_subscripts.",
 )
 def q_embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -753,7 +758,7 @@ def q_embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("dim")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("v"), 4).alias("mean_v"),
+            (F.round(F.avg("v"), 4) + F.lit(0.0)).alias("mean_v"),
             F.round(F.stddev_samp("v"), 4).alias("std_v"),
             F.min("v").alias("min_v"),
             F.max("v").alias("max_v"),

@@ -228,7 +228,7 @@ def _ensure_loaded() -> None:
 #         token-budget epoch allocation per source, the LLaMA-style
 #         mixture table; q_pq_encode: product-quantization codebook
 #         assignment, map-only);
-#   9-11  queries whose SOURCE changed this round, so the prior row no
+#   9-12  queries whose SOURCE changed this round, so the prior row no
 #         longer attests to the current code: q_lang_temperature (the
 #         round-7 driver red — its oracle's two //-by-windowed-SUM
 #         columns came back HUGEINT from DuckDB and the driver hash
@@ -241,22 +241,27 @@ def _ensure_loaded() -> None:
 #         two-level — approx-percentile pre-filter bounding the exact
 #         rank window to ~30% of docs — with the scored frame
 #         persist_tracked so its three consumers share one corpus
-#         scan);
-#   12-14 the three round-3 rows displaced from the round-7 window
+#         scan) and q_embed_dim_stats (the sf0.1 full sweep caught its
+#         oracle emitting IEEE -0.0 for a tiny rounded mean where Spark
+#         normalizes to +0.0 — the driver hashes the sign bit; both
+#         engines now add +0.0 after the round);
+#   13-15 the three round-3 rows displaced from the round-7 window
 #         (q_time_weighted_avg, q_udaf_geomean, q_stats_agg — after
 #         these, no r3-or-older driver row remains anywhere);
-#   15-50 ALL 36 remaining queries whose latest driver row is round 4
-#         (the ledger floor reaches round 5 after this window —
-#         q_ann_ivf, q_anti_join, q_arg_extremes, q_chisq_independence,
-#         q_cross_join, q_dedup_minhash and q_dedup_simhash displaced
-#         to round 9 by this round's additions/changes).
+#   16-50 the remaining queries whose latest driver row is round 4,
+#         alphabetical (the ledger floor reaches round 5 after this
+#         window — q_volume_shipping plus q_ann_ivf, q_anti_join,
+#         q_arg_extremes, q_chisq_independence, q_cross_join,
+#         q_dedup_minhash and q_dedup_simhash displaced to round 9 by
+#         this round's additions/changes).
 # Everything not listed follows in registration order.
 #
 # Round-9 rotation plan (computed from CORRECTNESS_r0{1..7}.json,
 # latest-row-wins, after this window's 50 names are re-verified):
-# first the seven displaced names (q_ann_ivf, q_anti_join,
-# q_arg_extremes, q_chisq_independence, q_cross_join, q_dedup_minhash,
-# q_dedup_simhash), then the 37 remaining r5-latest rows:
+# first the eight displaced names (q_volume_shipping — r4 —, then
+# q_ann_ivf, q_anti_join, q_arg_extremes, q_chisq_independence,
+# q_cross_join, q_dedup_minhash, q_dedup_simhash), then the remaining
+# r5-latest rows:
 # q_embed_dim_stats q_embed_near_dup q_event_enrich q_event_transitions
 # q_full_outer_join q_gopher_rules q_hard_negatives q_having
 # q_heavy_hitters q_hll_sketch q_hll_sketch_state q_important_parts
@@ -287,6 +292,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_lang_temperature",  # oracle CAST AS BIGINT (r7 driver red fixed)
     "q_approx_stats",  # exact-percentile scaffolding moved to test twin
     "q_dsir_weights",  # two-level top-20% cut + persist_tracked scored
+    "q_embed_dim_stats",  # -0.0 zero-sign canonicalized on both engines
     # -- the three displaced r3 rows: the ledger's oldest --
     "q_time_weighted_avg",
     "q_udaf_geomean",
@@ -327,7 +333,6 @@ _PRIORITY: tuple[str, ...] = (
     "q_small_qty_revenue",
     "q_top_supplier",
     "q_variant_props",
-    "q_volume_shipping",
 )
 
 
