@@ -9,6 +9,7 @@ from parquet_compactor_spark.llm import (  # noqa: F401
     cluster,
     curation,
     dedup,
+    graph,
     multimodal,
     pipeline,
     similarity,

@@ -1295,3 +1295,67 @@ def q_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "epochs_milli"
         ),
     )
+
+
+@register(
+    "q_padding_waste",
+    oracle="""
+    WITH t AS (
+        SELECT least(len(list_filter(string_split(text, ' '),
+                                     x -> x <> '')), 128) AS tok
+        FROM documents WHERE text IS NOT NULL
+    ),
+    b AS (SELECT ((tok + 15) // 16) * 16 AS bucket, tok FROM t WHERE tok >= 1)
+    SELECT CAST(bucket AS BIGINT) AS bucket_len,
+           COUNT(*) AS n_docs,
+           CAST(SUM(tok) AS BIGINT) AS sum_tokens,
+           CAST(COUNT(*) * bucket AS BIGINT) AS padded_tokens,
+           CAST(((COUNT(*) * bucket - CAST(SUM(tok) AS BIGINT)) * 1000000)
+                // (COUNT(*) * bucket) AS BIGINT) AS waste_ppm,
+           CAST(((COUNT(*) * 128 - CAST(SUM(tok) AS BIGINT)) * 1000000)
+                // (COUNT(*) * 128) AS BIGINT) AS naive_waste_ppm
+    FROM b GROUP BY bucket
+    """,
+    doc="Padding-waste accounting for length-bucketed training batches: "
+    "cap each document's whitespace token count at a 128-token context, "
+    "assign it to a 16-token length bucket (the bucketed-batching "
+    "strategy of fairseq/T5 data loaders), and report per bucket the "
+    "padding overhead of bucketed batching (pad to bucket ceiling) vs "
+    "naive batching (pad everything to 512) in exact integer ppm. The "
+    "gap between waste_ppm and naive_waste_ppm is the compute a bucketed "
+    "loader saves — the number that justifies length-grouped sampling "
+    "at scale (context length and bucket width are deployment knobs; "
+    "sized here to straddle the fixture's 10-99-token documents). "
+    "Plan: pure map (split/size/least/div) + ONE "
+    "partial-aggregated hash agg on an 8-value bucket key — "
+    "embarrassingly parallel, no joins, no windows; the integer ppm "
+    "divisions are engine-exact. At 100 TB this is scan-bound.",
+)
+def q_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parquet_compactor_spark.llm.text import whitespace_tokens
+
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    tok = F.least(
+        F.size(F.filter(whitespace_tokens(F.col("text")), lambda x: x != "")),
+        F.lit(128),
+    ).cast("bigint")
+    b = d.select(tok.alias("tok")).filter(F.col("tok") >= 1)
+    b = b.withColumn("bucket", F.expr("((tok + 15) div 16) * 16"))
+    g = b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tok").alias("sum_tokens"),
+    )
+    return g.select(
+        F.col("bucket").cast("bigint").alias("bucket_len"),
+        "n_docs",
+        "sum_tokens",
+        (F.col("n_docs") * F.col("bucket")).cast("bigint").alias("padded_tokens"),
+        F.expr(
+            "CAST(((n_docs * bucket - sum_tokens) * 1000000)"
+            " div (n_docs * bucket) AS BIGINT)"
+        ).alias("waste_ppm"),
+        F.expr(
+            "CAST(((n_docs * 128 - sum_tokens) * 1000000)"
+            " div (n_docs * 128) AS BIGINT)"
+        ).alias("naive_waste_ppm"),
+    )

@@ -1000,3 +1000,101 @@ def q_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(est - F.col("jx")) <= 0.2).alias("est_ok"),
         )
     )
+
+
+@register(
+    "q_normalized_dedup",
+    oracle="""
+    WITH c AS (
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(lower(
+                   regexp_replace(text, '[^ -~]', ' ', 'g')),
+                   '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g')) AS canon
+        FROM documents WHERE text IS NOT NULL
+    ),
+    keyed AS (
+        SELECT doc_id,
+               array_to_string(
+                   list_filter(string_split(canon, ' '),
+                               x -> x <> '')[1:10], ' ') AS head,
+               canon
+        FROM c WHERE canon <> ''
+    ),
+    g AS (
+        SELECT md5(head) AS head_md5,
+               COUNT(*) AS n_copies,
+               MIN(doc_id) AS exemplar_doc,
+               CAST(COUNT(DISTINCT md5(canon)) AS BIGINT) AS n_full_forms
+        FROM keyed GROUP BY md5(head)
+    )
+    SELECT substr(head_md5, 1, 8) AS form_key, n_copies, exemplar_doc,
+           n_full_forms
+    FROM g WHERE n_copies >= 2
+    ORDER BY n_copies DESC, form_key LIMIT 15
+    """,
+    doc="Normalized-form dedup — the standard canonicalization stage "
+    "between byte-exact and fuzzy dedup (Dolma and RefinedWeb both "
+    "dedup on a lowercased/punctuation-stripped/whitespace-collapsed "
+    "form to catch trivially reformatted copies byte-exact hashing "
+    "misses). Canonical form: fold non-printable-ASCII to space FIRST "
+    "(so ASCII-only lowercasing is engine-identical — unicode case "
+    "folding is not), lowercase, collapse every non-alphanumeric run "
+    "to one space, trim; the dedup key is the form's first 10 tokens "
+    "(templated pages and boilerplate headers collide on their "
+    "opening content even when tails differ). Reports the top-15 "
+    "duplicated keys by copy count with the kept exemplar (min "
+    "doc_id) and how many DISTINCT full canonical forms share the key "
+    "(n_full_forms = 1 means exact normalized copies; > 1 means "
+    "same-head near-dups a MinHash pass should adjudicate). Ties "
+    "break by form key. Plan: map-only canonicalization + md5, ONE "
+    "two-level hash agg keyed by the 16-byte head digest — (head, "
+    "full-form) partial counts then per-head rollup, avoiding the "
+    "count+countDistinct single-agg Expand rewrite (the "
+    "q_approx_stats pathology class) — then TakeOrderedAndProject's "
+    "bounded heap; fixed-width shuffle rows regardless of document "
+    "size (the q_dedup_exact discipline, dedup.py:53), O(docs), "
+    "never pairs, scan-bound at 100 TB.",
+)
+def q_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    canon = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.lower(F.regexp_replace(F.col("text"), "[^ -~]", " ")),
+                "[^a-z0-9]+",
+                " ",
+            ),
+            " +",
+            " ",
+        )
+    )
+    c = d.select("doc_id", canon.alias("canon")).filter(F.col("canon") != "")
+    head = F.concat_ws(
+        " ",
+        F.slice(F.filter(F.split(F.col("canon"), " ", -1), lambda x: x != ""), 1, 10),
+    )
+    keyed = c.select(
+        "doc_id",
+        F.md5(head).alias("head_md5"),
+        F.md5(F.col("canon")).alias("full_md5"),
+    )
+    per_form = keyed.groupBy("head_md5", "full_md5").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("doc_id").alias("min_doc"),
+    )
+    g = per_form.groupBy("head_md5").agg(
+        F.sum("n").cast("bigint").alias("n_copies"),
+        F.min("min_doc").alias("exemplar_doc"),
+        F.count(F.lit(1)).cast("bigint").alias("n_full_forms"),
+    )
+    return (
+        g.filter(F.col("n_copies") >= 2)
+        .select(
+            F.substring("head_md5", 1, 8).alias("form_key"),
+            "n_copies",
+            "exemplar_doc",
+            "n_full_forms",
+        )
+        .orderBy(F.col("n_copies").desc(), F.col("form_key").asc())
+        .limit(15)
+    )

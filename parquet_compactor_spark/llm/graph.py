@@ -1,0 +1,150 @@
+"""Graph-centrality operators over relational tables.
+
+Web-corpus curation ranks pages by link-graph importance before
+sampling (Common Crawl's harmonic-centrality ranking; OpenWebText's
+karma threshold is the same shape). The engine expresses the inner
+loop — iterative sparse matrix-vector products — as DataFrame
+join+agg rounds over an edge table, the Pregel/GraphX dataflow
+without the RDD API.
+
+Reference parity note: the reference engine (parquet_compactor.py,
+516 LoC of listing/merge logic) has no graph operators — this is
+north-star surface per SURVEY.md SS2B, same bar as llm/dedup.py's
+connected components.
+
+All arithmetic is INTEGER micro-units so every aggregation is an
+order-independent bigint sum: the same fixed-point result on any
+partitioning, any engine — the repo's established floor-form
+convention (see q_lang_temperature).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parquet_compactor_spark.registry import load, register
+
+#: PageRank constants in parts-per-micro: rank mass starts at 1e6 per
+#: node; teleport = 0.15, damping = 0.85 (Brin & Page 1998).
+_R0_MICRO = 1_000_000
+_TELEPORT_MICRO = 150_000
+_DAMP_PERMILLE = 850
+_ITERATIONS = 3
+
+
+def pagerank_micro(edges: DataFrame, iterations: int = _ITERATIONS) -> DataFrame:
+    """Fixed-iteration integer PageRank over directed (src, dst) edges.
+
+    Returns (node, rank_micro). Exact integer fixed-point: each round,
+    contribution = rank div out_degree (bigint division), new rank =
+    150000 + (850 * sum(contribs)) div 1000 — sums of bigints are
+    order-independent, so the result is identical on any shuffle
+    layout and bit-identical to the DuckDB oracle's unrolled CTEs.
+
+    Scale shape: the out-degree is attached to every edge up front
+    with ONE window count over the src-partitioned edge shuffle (no
+    degree join), and the (src, dst, d) table is materialized ONCE
+    (localCheckpoint — the connected_components convention in
+    llm/dedup.py:486). Each round is then a SINGLE edges-to-ranks
+    equi-join plus one partial-aggregated sum keyed by dst:
+    O(iterations x |E|) shuffle traffic, never node-pairs, no
+    driver-side state. A fixed iteration count keeps the unrolled
+    plan linear in rounds; nodes with no out-edges are absent from a
+    symmetric co-occurrence graph by construction (callers with
+    genuinely dangling nodes should add the standard dangling-mass
+    term before the teleport).
+    """
+    from pyspark.sql import Window
+
+    e = (
+        edges.select("src", "dst")
+        .withColumn("d", F.count(F.lit(1)).over(Window.partitionBy("src")))
+        .localCheckpoint()
+    )
+    ranks = e.select(F.col("src").alias("node")).distinct().select(
+        "node", F.lit(_R0_MICRO).cast("bigint").alias("r")
+    )
+    for _ in range(iterations):
+        contrib = e.join(ranks, e.src == ranks.node).select(
+            "dst", F.expr("r div d").alias("c")
+        )
+        ranks = contrib.groupBy("dst").agg(
+            (
+                F.lit(_TELEPORT_MICRO)
+                + F.expr(f"({_DAMP_PERMILLE} * sum(c)) div 1000")
+            ).alias("r")
+        ).select(F.col("dst").alias("node"), F.col("r").cast("bigint").alias("r"))
+    return ranks.select("node", F.col("r").alias("rank_micro"))
+
+
+@register(
+    "q_pagerank",
+    oracle="""
+    WITH su AS (
+        SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s FROM lineitem
+    ),
+    edges AS (
+        SELECT DISTINCT a.s AS src, b.s AS dst
+        FROM su a JOIN su b ON a.ok = b.ok AND a.s <> b.s
+    ),
+    deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+    r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS r FROM deg),
+    i1 AS (
+        SELECT e.dst AS node,
+               CAST(150000 + (850 * CAST(SUM(r.r // g.d) AS BIGINT)) // 1000
+                    AS BIGINT) AS r
+        FROM edges e JOIN r0 r ON r.node = e.src JOIN deg g ON g.src = e.src
+        GROUP BY e.dst
+    ),
+    i2 AS (
+        SELECT e.dst AS node,
+               CAST(150000 + (850 * CAST(SUM(r.r // g.d) AS BIGINT)) // 1000
+                    AS BIGINT) AS r
+        FROM edges e JOIN i1 r ON r.node = e.src JOIN deg g ON g.src = e.src
+        GROUP BY e.dst
+    ),
+    i3 AS (
+        SELECT e.dst AS node,
+               CAST(150000 + (850 * CAST(SUM(r.r // g.d) AS BIGINT)) // 1000
+                    AS BIGINT) AS r
+        FROM edges e JOIN i2 r ON r.node = e.src JOIN deg g ON g.src = e.src
+        GROUP BY e.dst
+    )
+    SELECT node AS suppkey, r AS rank_micro
+    FROM i3 ORDER BY rank_micro DESC, suppkey LIMIT 20
+    """,
+    doc="PageRank centrality (3 fixed iterations, damping 0.85) over the "
+    "supplier co-purchase graph: suppliers are linked when they supply "
+    "the same order (the item-item co-occurrence graph of Amazon-style "
+    "recommenders; for corpus curation the identical plan ranks pages "
+    "over a link graph). Edges are DISTINCT per ordered pair, so the "
+    "graph is symmetric and dangling-node-free by construction. All "
+    "rank arithmetic is integer micro-units (rank div degree "
+    "contributions, bigint sums), so the fixed point is engine- and "
+    "partitioning-exact; the DuckDB oracle unrolls the same three "
+    "rounds as CTEs. Plan: the edge and degree tables materialize once "
+    "(localCheckpoint), then each round is an edge-keyed equi-join + "
+    "partial-aggregated sum — O(iterations x |E|), never node pairs; "
+    "per-order co-supplier fan-out is bounded by order size (<= 7 "
+    "lineitems in TPC-H), so |E| is O(orders), linear in the lake. "
+    "Top-20 is TakeOrderedAndProject (bounded heap), ties broken by "
+    "suppkey.",
+)
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    su = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    a, b = su.alias("a"), su.alias("b")
+    edges = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.s") != F.col("b.s")))
+        .select(F.col("a.s").alias("src"), F.col("b.s").alias("dst"))
+        .distinct()
+    )
+    ranks = pagerank_micro(edges)
+    return (
+        ranks.select(F.col("node").alias("suppkey"), "rank_micro")
+        .orderBy(F.col("rank_micro").desc(), F.col("suppkey").asc())
+        .limit(20)
+    )

@@ -639,3 +639,109 @@ def q_bigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(oov, 1).otherwise(0)).alias("n_oov"),
         F.sum(s_micro).alias("score_micro"),
     )
+
+
+@register(
+    "q_zipf_fit",
+    oracle="""
+    WITH toks AS (
+        SELECT lang,
+               unnest(list_filter(string_split(text, ' '), t -> t <> ''))
+                   AS term
+        FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL
+    ),
+    vocab AS (SELECT lang, term, COUNT(*) AS cnt FROM toks GROUP BY lang, term),
+    ranked AS (
+        SELECT lang, cnt,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY cnt DESC, term) AS rnk
+        FROM vocab
+    ),
+    pts AS (
+        SELECT lang,
+               CAST(FLOOR(ln(CAST(rnk AS DOUBLE)) * 1000 + 0.5) AS BIGINT) AS x,
+               CAST(FLOOR(ln(CAST(cnt AS DOUBLE)) * 1000 + 0.5) AS BIGINT) AS y
+        FROM ranked WHERE rnk <= 200
+    ),
+    s AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx
+        FROM pts GROUP BY lang HAVING COUNT(*) >= 2
+    )
+    SELECT lang, n AS n_terms,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 4) AS zipf_slope,
+           ROUND((CAST(sy AS DOUBLE)
+                  - CAST(n * sxy - sx * sy AS DOUBLE)
+                    / CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) / 1000.0, 4)
+               AS zipf_intercept
+    FROM s
+    """,
+    doc="Zipf rank-frequency fit per language: least-squares slope of "
+    "ln(frequency) on ln(rank) over each language's top-200 terms — the "
+    "standard corpus-health check (natural text fits slope ~ -1; "
+    "boilerplate-heavy or templated crawls flatten it; Piantadosi 2014 "
+    "reviews the law). Cross-engine determinism: each ln() is "
+    "floor-rounded to MILLI-units immediately (the established "
+    "floor-form seam, coarse enough that 1-ulp libm divergence cannot "
+    "flip a small-integer ln), then all regression moments are exact "
+    "bigint sums and the slope/intercept are single identical IEEE "
+    "division chains on both engines. Plan: explode -> two-level hash "
+    "agg to the (lang, term) vocabulary (partial map-side), ONE window "
+    "over the vocabulary table (corpus-independent size, "
+    "vocabulary-bounded — never over docs), rank cutoff 200, then a "
+    "per-language moment agg: O(tokens) scan + vocabulary-sized "
+    "everything-else at 100 TB. Ties at equal frequency break by term "
+    "(binary collation both engines).",
+)
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("lang").isNotNull()
+    )
+    toks = d.select(
+        "lang",
+        F.explode(
+            F.filter(whitespace_tokens(F.col("text")), lambda t: t != "")
+        ).alias("term"),
+    )
+    vocab = toks.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("lang").orderBy(
+        F.col("cnt").desc(), F.col("term").asc()
+    )
+    ranked = vocab.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= 200
+    )
+    milli = lambda c: F.floor(F.log(c.cast("double")) * 1000 + 0.5).cast("bigint")
+    pts = ranked.select(
+        "lang", milli(F.col("rnk")).alias("x"), milli(F.col("cnt")).alias("y")
+    )
+    s = (
+        pts.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = num / den
+    intercept = (
+        (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+        / F.col("n").cast("double")
+        / F.lit(1000.0)
+    )
+    return s.select(
+        "lang",
+        F.col("n").alias("n_terms"),
+        F.round(slope, 4).alias("zipf_slope"),
+        F.round(intercept, 4).alias("zipf_intercept"),
+    )

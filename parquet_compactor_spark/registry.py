@@ -213,9 +213,16 @@ def _ensure_loaded() -> None:
 # External differential harnesses that sample a prefix of the registry
 # (the driver checks the first 50 entries) therefore verify these before
 # anything else. Round 8 (exactly 50 names):
-#   1-8   the eight queries ADDED this round — no driver row exists at
+#   1-12  the twelve queries ADDED this round — no driver row exists at
 #         all, so they outrank every re-verification
-#         (q_minhash_incremental: cross-snapshot incremental MinHash
+#         (q_pagerank: fixed-iteration integer PageRank over the
+#         supplier co-purchase graph, the first graph-centrality
+#         operator; q_zipf_fit: per-language Zipf rank-frequency
+#         regression in exact integer moment space; q_normalized_dedup:
+#         canonical-form (lowercase/punct-strip/ws-collapse) dedup on
+#         the 10-token head; q_padding_waste: length-bucketed batching
+#         padding overhead vs naive max-context padding;
+#         q_minhash_incremental: cross-snapshot incremental MinHash
 #         near-dup, new-shard-probe LSH bucket join, never old x old;
 #         q_bpe_merge_pairs: BPE vocabulary-induction inner loop —
 #         top adjacent-token-pair frequencies; q_perplexity_buckets:
@@ -228,7 +235,7 @@ def _ensure_loaded() -> None:
 #         token-budget epoch allocation per source, the LLaMA-style
 #         mixture table; q_pq_encode: product-quantization codebook
 #         assignment, map-only);
-#   9-12  queries whose SOURCE changed this round, so the prior row no
+#   13-16 queries whose SOURCE changed this round, so the prior row no
 #         longer attests to the current code: q_lang_temperature (the
 #         round-7 driver red — its oracle's two //-by-windowed-SUM
 #         columns came back HUGEINT from DuckDB and the driver hash
@@ -245,20 +252,24 @@ def _ensure_loaded() -> None:
 #         oracle emitting IEEE -0.0 for a tiny rounded mean where Spark
 #         normalizes to +0.0 — the driver hashes the sign bit; both
 #         engines now add +0.0 after the round);
-#   13-15 the three round-3 rows displaced from the round-7 window
+#   17-19 the three round-3 rows displaced from the round-7 window
 #         (q_time_weighted_avg, q_udaf_geomean, q_stats_agg — after
 #         these, no r3-or-older driver row remains anywhere);
-#   16-50 the remaining queries whose latest driver row is round 4,
-#         alphabetical (the ledger floor reaches round 5 after this
-#         window — q_volume_shipping plus q_ann_ivf, q_anti_join,
+#   20-50 the r4-latest rows, alphabetical, as many as fit
+#         (q_volume_shipping plus q_ann_ivf, q_anti_join,
 #         q_arg_extremes, q_chisq_independence, q_cross_join,
-#         q_dedup_minhash and q_dedup_simhash displaced to round 9 by
-#         this round's additions/changes).
+#         q_dedup_minhash, q_dedup_simhash, and — displaced by the
+#         second batch of round-8 additions — q_sim_topk,
+#         q_small_qty_revenue, q_top_supplier, q_variant_props, all
+#         moved to round 9 by this round's additions/changes; the
+#         ledger floor reaches round 5 one round later than first
+#         planned, the price of four extra new operators).
 # Everything not listed follows in registration order.
 #
 # Round-9 rotation plan (computed from CORRECTNESS_r0{1..7}.json,
 # latest-row-wins, after this window's 50 names are re-verified):
-# first the eight displaced names (q_volume_shipping — r4 —, then
+# first the twelve displaced names (q_volume_shipping, q_sim_topk,
+# q_small_qty_revenue, q_top_supplier, q_variant_props — r4 —, then
 # q_ann_ivf, q_anti_join, q_arg_extremes, q_chisq_independence,
 # q_cross_join, q_dedup_minhash, q_dedup_simhash), then the remaining
 # r5-latest rows:
@@ -272,14 +283,16 @@ def _ensure_loaded() -> None:
 # q_tumbling_window q_union_all q_unpivot q_window_first_last
 # q_window_lag q_window_range_frame q_window_ranks q_window_running
 # q_window_topn
-# — then the remaining ~13 slots go to the alphabetically-first
-# r6-latest rows (q_agg_pricing q_asof_join q_bit_bool_agg q_bm25
-# q_case_bucketing q_date_arithmetic q_date_buckets q_edit_distance
-# q_equidepth_hist q_event_attribution q_ewma q_except q_frame_sample),
+# — the 12 displaced + 37 r5-latest rows fill 49 slots; the last slot
+# goes to the alphabetically-first r6-latest row (q_agg_pricing) —
 # all minus whatever round 9 itself adds or changes, which (per the
 # standing convention) outranks re-verification of unchanged sources.
 _PRIORITY: tuple[str, ...] = (
     # -- NEW in round 8 (no driver row yet): verify before everything --
+    "q_pagerank",
+    "q_zipf_fit",
+    "q_normalized_dedup",
+    "q_padding_waste",
     "q_minhash_incremental",
     "q_bpe_merge_pairs",
     "q_perplexity_buckets",
@@ -329,10 +342,6 @@ _PRIORITY: tuple[str, ...] = (
     "q_retention_cohorts",
     "q_returned_items",
     "q_salted_join",
-    "q_sim_topk",
-    "q_small_qty_revenue",
-    "q_top_supplier",
-    "q_variant_props",
 )
 
 

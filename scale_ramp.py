@@ -103,6 +103,15 @@ RAMP_QUERIES = [
     "q_bigram_backoff",
     "q_collocation_pmi",
     "q_knn_classify",
+    # round-8 second batch: PageRank's per-iteration cost is O(|E|) and
+    # |E| grows linearly with orders (per-order co-supplier fan-out is
+    # bounded), so the ramp must show linear rounds, not edge blow-up;
+    # zipf_fit's window runs over the VOCABULARY (saturating), so its
+    # curve must flatten like the gram families; normalized_dedup is a
+    # fixed-width md5-keyed agg that must ramp like q_dedup_exact.
+    "q_pagerank",
+    "q_zipf_fit",
+    "q_normalized_dedup",
 ]
 
 OFF = 10_000_000  # per-copy key shift

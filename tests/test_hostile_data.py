@@ -70,6 +70,9 @@ SENSITIVE = [
     "q_context_length",
     "q_funnel_attrition",
     # round-8 additions (text tokenization + NULL-text scope):
+    "q_zipf_fit",
+    "q_normalized_dedup",
+    "q_padding_waste",
     "q_bpe_merge_pairs",
     "q_minhash_incremental",
     "q_perplexity_buckets",

@@ -783,3 +783,138 @@ def test_mixture_epochs_budget_and_temperature(spark, tmp_path):
     # 10M tokens over ~1000 available means massive repetition everywhere,
     # and 'small' repeats more than 'big' relative to its size
     assert got["small"].epochs_milli > got["big"].epochs_milli > 1000
+
+
+def _ref_pagerank_micro(edges, iters=3):
+    """Reference integer PageRank: the exact recurrence q_pagerank claims."""
+    from collections import defaultdict
+
+    deg = defaultdict(int)
+    for s, _ in edges:
+        deg[s] += 1
+    r = {n: 1_000_000 for n in deg}
+    for _ in range(iters):
+        acc = defaultdict(int)
+        for s, d in edges:
+            acc[d] += r[s] // deg[s]
+        r = {n: 150_000 + (850 * v) // 1000 for n, v in acc.items()}
+    return r
+
+
+def test_pagerank_micro_matches_reference_recurrence(spark):
+    """pagerank_micro on an asymmetric-degree graph equals the hand-rolled
+    integer recurrence node-for-node (order-independent bigint fixed point)."""
+    from parquet_compactor_spark.llm.graph import pagerank_micro
+
+    # Symmetric edge set, asymmetric degrees: hub 1 touches everyone.
+    pairs = [(1, 2), (1, 3), (1, 4), (2, 3)]
+    edges = [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {r.node: r.rank_micro for r in pagerank_micro(df).collect()}
+    assert got == _ref_pagerank_micro(edges)
+    # The hub must outrank every spoke.
+    assert got[1] == max(got.values()) and got[4] == min(got.values())
+
+
+def test_pagerank_co_purchase_hub_supplier_ranks_first(spark, tmp_path):
+    """q_pagerank's edge derivation: suppliers co-supplying an order are
+    linked once per DISTINCT pair; the supplier present in every order is
+    the top-ranked node."""
+    from parquet_compactor_spark.llm.graph import q_pagerank
+
+    rows = [  # (l_orderkey, l_suppkey) — incl. a duplicate lineitem pair
+        (1, 10), (1, 20), (1, 30), (1, 10),
+        (2, 10), (2, 20),
+        (3, 10), (3, 40),
+    ]
+    spark.createDataFrame(rows, "l_orderkey bigint, l_suppkey bigint") \
+        .coalesce(1).write.mode("overwrite") \
+        .parquet(str(tmp_path / "lineitem.parquet"))
+    out = q_pagerank(spark, str(tmp_path)).collect()
+    assert out[0].suppkey == 10, out
+    ranks = {r.suppkey: r.rank_micro for r in out}
+    # 20 co-occurs with {10,30} twice-distinct; 40 only with 10.
+    assert ranks[20] > ranks[40]
+
+
+def test_zipf_fit_uniform_and_planted_slopes(spark, tmp_path):
+    """A uniform-frequency vocabulary regresses to slope exactly 0.0 (zero
+    numerator in exact integer moments); a geometric-frequency vocabulary
+    matches the same milli-ln integer least-squares computed in Python."""
+    import math
+
+    from parquet_compactor_spark.llm.text import q_zipf_fit
+
+    # 5 terms x 4 occurrences each -> slope 0; geometric 16/8/4/2 -> steep.
+    uni = " ".join([f"u{i}" for i in range(5)] * 4)
+    geo = " ".join(
+        ["g0"] * 16 + ["g1"] * 8 + ["g2"] * 4 + ["g3"] * 2
+    )
+    # Two docs, one per "language" via the writer below.
+    df = spark.createDataFrame(
+        [(0, uni, "uu", "s", len(uni)), (1, geo, "gg", "s", len(geo))],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = {r.lang: r for r in q_zipf_fit(spark, str(tmp_path)).collect()}
+    assert got["uu"].n_terms == 5 and got["uu"].zipf_slope == 0.0
+
+    def milli_ln(v):
+        return math.floor(math.log(v) * 1000 + 0.5)
+
+    pts = [(milli_ln(rk), milli_ln(cnt)) for rk, cnt in
+           [(1, 16), (2, 8), (3, 4), (4, 2)]]
+    n = len(pts)
+    sx, sy = sum(x for x, _ in pts), sum(y for _, y in pts)
+    sxy, sxx = sum(x * y for x, y in pts), sum(x * x for x, _ in pts)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert got["gg"].n_terms == 4
+    assert got["gg"].zipf_slope == round(slope, 4)
+    assert got["gg"].zipf_intercept == round(
+        (sy - slope * sx) / n / 1000.0, 4
+    )
+
+
+def test_normalized_dedup_canonical_head_grouping(spark, tmp_path):
+    """Case/punctuation/whitespace variants collide on the canonical
+    10-token head; differing tails count as distinct full forms; NULL,
+    empty, and singleton docs never reach the output."""
+    from parquet_compactor_spark.llm.dedup import q_normalized_dedup
+
+    body = "Hello, World! This is a test doc with many tokens"
+    rows = [
+        (0, body + " right here"),
+        (1, "hello world this is a test doc with many tokens right here"),
+        (2, "HELLO  world??  this is a test doc with many tokens DIFF tail"),
+        (3, "completely unrelated singleton document text"),
+        (4, ""),
+        (5, None),
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    out = q_normalized_dedup(spark, sf).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert (row.n_copies, row.exemplar_doc, row.n_full_forms) == (3, 0, 2)
+
+
+def test_padding_waste_exact_ppm(spark, tmp_path):
+    """Hand-checked integer ppm per 16-token bucket, with the 128-token
+    context cap applied before bucketing."""
+    from parquet_compactor_spark.llm.curation import q_padding_waste
+
+    def doc(n):
+        return " ".join(f"w{i}" for i in range(n))
+
+    rows = [(0, doc(10)), (1, doc(16)), (2, doc(20)), (3, doc(200)),
+            (4, ""), (5, None)]
+    sf = _write_docs(spark, tmp_path, rows)
+    got = {r.bucket_len: r for r in q_padding_waste(spark, sf).collect()}
+    assert set(got) == {16, 32, 128}
+    b16 = got[16]
+    assert (b16.n_docs, b16.sum_tokens, b16.padded_tokens) == (2, 26, 32)
+    assert b16.waste_ppm == ((32 - 26) * 1_000_000) // 32
+    assert b16.naive_waste_ppm == ((2 * 128 - 26) * 1_000_000) // (2 * 128)
+    b128 = got[128]  # the 200-token doc capped at 128: zero waste
+    assert (b128.n_docs, b128.sum_tokens, b128.waste_ppm) == (1, 128, 0)
