@@ -1098,3 +1098,93 @@ def q_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_copies").desc(), F.col("form_key").asc())
         .limit(15)
     )
+
+
+@register(
+    "q_dedup_survivorship",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, greatest(length(text) - 1, 2)),
+                   i -> substr(text, CAST(i AS INT), 3))) AS shingles
+        FROM documents
+    ),
+    edges AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2
+        FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+        WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.55
+    ),
+    flags AS (
+        SELECT d.doc_id, d.n_chars,
+               CASE WHEN e.id1 IS NULL THEN 1 ELSE 0 END AS starts_run
+        FROM documents d LEFT JOIN edges e ON e.id2 = d.doc_id
+    ),
+    grp AS (
+        SELECT doc_id, n_chars,
+               SUM(starts_run) OVER (ORDER BY doc_id) AS g
+        FROM flags
+    )
+    SELECT doc_id,
+           MIN(doc_id) OVER (PARTITION BY g) AS component,
+           FIRST_VALUE(doc_id) OVER (
+               PARTITION BY g ORDER BY n_chars DESC, doc_id
+           ) AS kept_doc,
+           doc_id = FIRST_VALUE(doc_id) OVER (
+               PARTITION BY g ORDER BY n_chars DESC, doc_id
+           ) AS is_kept
+    FROM grp
+    """,
+    doc="Quality-ranked survivorship over near-dup clusters — the "
+    "production form of the keep/drop decision (q_dup_clusters keeps "
+    "min doc_id; real pipelines keep the BEST copy — RefinedWeb keeps "
+    "the longest, FineWeb the highest-scoring). Same candidate edges "
+    "and pointer-doubling connected components as q_dup_clusters "
+    "(dedup.py:464), then ONE component-keyed window picks the "
+    "survivor by (n_chars DESC, doc_id) — swapping the quality rank "
+    "in requires changing only that ORDER BY. Plan: the component "
+    "table is node-sized (one row per doc in an edge) and the window "
+    "partitions by component — cluster-sized frames, never corpus "
+    "windows; singleton docs bypass the window entirely via the "
+    "left-join coalesce. The gaps-and-islands oracle proves the "
+    "generic iterative algorithm on the interval edge topology; "
+    "tests/test_llm.py proves the survivor rule on arbitrary "
+    "topologies.",
+)
+def q_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    sh = F.array_distinct(
+        F.expr(
+            "transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3))"
+        )
+    )
+    a = d.select(F.col("doc_id").alias("id1"), sh.alias("sh1"))
+    b = d.select(F.col("doc_id").alias("id2"), sh.alias("sh2"))
+    jac = F.size(F.array_intersect(F.col("sh1"), F.col("sh2"))).cast(
+        "double"
+    ) / F.size(F.array_union(F.col("sh1"), F.col("sh2")))
+    pairs = (
+        a.join(b, F.col("id2") == F.col("id1") + 1)
+        .filter(jac >= 0.55)
+        .select("id1", "id2")
+    )
+    comp = connected_components(pairs)
+    docs = d.select("doc_id", "n_chars").join(
+        comp, d["doc_id"] == comp["node"], "left"
+    ).select(
+        "doc_id",
+        "n_chars",
+        F.coalesce("component", F.col("doc_id")).alias("component"),
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return docs.select(
+        "doc_id",
+        "component",
+        F.first("doc_id").over(w).alias("kept_doc"),
+        (F.col("doc_id") == F.first("doc_id").over(w)).alias("is_kept"),
+    )

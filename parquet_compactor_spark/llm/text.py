@@ -745,3 +745,76 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 4).alias("zipf_slope"),
         F.round(intercept, 4).alias("zipf_intercept"),
     )
+
+
+@register(
+    "q_token_entropy",
+    oracle="""
+    WITH toks AS (
+        SELECT source,
+               unnest(list_filter(string_split(text, ' '), t -> t <> ''))
+                   AS term
+        FROM documents WHERE text IS NOT NULL
+    ),
+    v AS (SELECT source, term, COUNT(*) AS cnt FROM toks GROUP BY source, term),
+    tot AS (
+        SELECT source, cnt,
+               CAST(SUM(cnt) OVER (PARTITION BY source) AS BIGINT) AS n
+        FROM v
+    ),
+    e AS (
+        SELECT source, n,
+               CAST(FLOOR(CAST(cnt AS DOUBLE)
+                          * (ln(CAST(n AS DOUBLE)) - ln(CAST(cnt AS DOUBLE)))
+                          / CAST(n AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS h
+        FROM tot
+    )
+    SELECT source,
+           MIN(n) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_terms,
+           CAST(SUM(h) AS BIGINT) AS entropy_micro
+    FROM e GROUP BY source
+    """,
+    doc="Per-source unigram token entropy H = -sum p ln p — the lexical-"
+    "diversity signal curation stacks use to flag templated or "
+    "machine-generated sources (low entropy at high volume) before "
+    "sampling. Each term's contribution cnt*(ln N - ln cnt)/N is "
+    "computed with the IDENTICAL IEEE op chain on both engines and "
+    "floor-rounded to integer micro-nats immediately (the established "
+    "floor-form seam), so the per-source total is an exact, "
+    "order-independent bigint sum; entropy_micro / 1e6 is H in nats, "
+    "exp of it the source's unigram perplexity. Plan: explode -> "
+    "two-level hash agg to the (source, term) vocabulary (partial "
+    "map-side), ONE window sum over the vocabulary table partitioned "
+    "by source (vocabulary-sized, saturating — never over docs/tokens), "
+    "then a per-source rollup. O(tokens) scan, vocabulary-bounded "
+    "everything-else at 100 TB — the q_zipf_fit slope family.",
+)
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = d.select(
+        "source",
+        F.explode(
+            F.filter(whitespace_tokens(F.col("text")), lambda t: t != "")
+        ).alias("term"),
+    )
+    v = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = v.withColumn(
+        "n",
+        F.sum("cnt").over(Window.partitionBy("source")).cast("bigint"),
+    )
+    h = F.floor(
+        F.col("cnt").cast("double")
+        * (F.log(F.col("n").cast("double")) - F.log(F.col("cnt").cast("double")))
+        / F.col("n").cast("double")
+        * 1000000
+        + 0.5
+    ).cast("bigint")
+    e = tot.select("source", "n", h.alias("h"))
+    return e.groupBy("source").agg(
+        F.min("n").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        F.sum("h").cast("bigint").alias("entropy_micro"),
+    )

@@ -213,8 +213,8 @@ def _ensure_loaded() -> None:
 # External differential harnesses that sample a prefix of the registry
 # (the driver checks the first 50 entries) therefore verify these before
 # anything else. Round 8 (exactly 50 names):
-#   1-12  the twelve queries ADDED this round — no driver row exists at
-#         all, so they outrank every re-verification
+#   1-14  the fourteen queries ADDED this round — no driver row exists
+#         at all, so they outrank every re-verification
 #         (q_pagerank: fixed-iteration integer PageRank over the
 #         supplier co-purchase graph, the first graph-centrality
 #         operator; q_zipf_fit: per-language Zipf rank-frequency
@@ -222,6 +222,9 @@ def _ensure_loaded() -> None:
 #         canonical-form (lowercase/punct-strip/ws-collapse) dedup on
 #         the 10-token head; q_padding_waste: length-bucketed batching
 #         padding overhead vs naive max-context padding;
+#         q_token_entropy: per-source unigram entropy in exact integer
+#         micro-nats; q_dedup_survivorship: quality-ranked canonical
+#         pick per near-dup cluster (longest copy wins, not min id);
 #         q_minhash_incremental: cross-snapshot incremental MinHash
 #         near-dup, new-shard-probe LSH bucket join, never old x old;
 #         q_bpe_merge_pairs: BPE vocabulary-induction inner loop —
@@ -235,7 +238,7 @@ def _ensure_loaded() -> None:
 #         token-budget epoch allocation per source, the LLaMA-style
 #         mixture table; q_pq_encode: product-quantization codebook
 #         assignment, map-only);
-#   13-16 queries whose SOURCE changed this round, so the prior row no
+#   15-18 queries whose SOURCE changed this round, so the prior row no
 #         longer attests to the current code: q_lang_temperature (the
 #         round-7 driver red — its oracle's two //-by-windowed-SUM
 #         columns came back HUGEINT from DuckDB and the driver hash
@@ -252,27 +255,28 @@ def _ensure_loaded() -> None:
 #         oracle emitting IEEE -0.0 for a tiny rounded mean where Spark
 #         normalizes to +0.0 — the driver hashes the sign bit; both
 #         engines now add +0.0 after the round);
-#   17-19 the three round-3 rows displaced from the round-7 window
+#   19-21 the three round-3 rows displaced from the round-7 window
 #         (q_time_weighted_avg, q_udaf_geomean, q_stats_agg — after
 #         these, no r3-or-older driver row remains anywhere);
-#   20-50 the r4-latest rows, alphabetical, as many as fit
+#   22-50 the r4-latest rows, alphabetical, as many as fit
 #         (q_volume_shipping plus q_ann_ivf, q_anti_join,
 #         q_arg_extremes, q_chisq_independence, q_cross_join,
 #         q_dedup_minhash, q_dedup_simhash, and — displaced by the
-#         second batch of round-8 additions — q_sim_topk,
-#         q_small_qty_revenue, q_top_supplier, q_variant_props, all
-#         moved to round 9 by this round's additions/changes; the
-#         ledger floor reaches round 5 one round later than first
-#         planned, the price of four extra new operators).
+#         second and third batches of round-8 additions — q_sim_topk,
+#         q_small_qty_revenue, q_top_supplier, q_variant_props,
+#         q_returned_items, q_salted_join, all moved to round 9 by
+#         this round's additions/changes; the ledger floor reaches
+#         round 5 one round later than first planned, the price of
+#         six extra new operators).
 # Everything not listed follows in registration order.
 #
 # Round-9 rotation plan (computed from CORRECTNESS_r0{1..7}.json,
 # latest-row-wins, after this window's 50 names are re-verified):
-# first the twelve displaced names (q_volume_shipping, q_sim_topk,
-# q_small_qty_revenue, q_top_supplier, q_variant_props — r4 —, then
-# q_ann_ivf, q_anti_join, q_arg_extremes, q_chisq_independence,
-# q_cross_join, q_dedup_minhash, q_dedup_simhash), then the remaining
-# r5-latest rows:
+# first the fourteen displaced names (q_volume_shipping, q_sim_topk,
+# q_small_qty_revenue, q_top_supplier, q_variant_props,
+# q_returned_items, q_salted_join — r4 —, then q_ann_ivf, q_anti_join,
+# q_arg_extremes, q_chisq_independence, q_cross_join, q_dedup_minhash,
+# q_dedup_simhash), then the remaining r5-latest rows:
 # q_embed_dim_stats q_embed_near_dup q_event_enrich q_event_transitions
 # q_full_outer_join q_gopher_rules q_hard_negatives q_having
 # q_heavy_hitters q_hll_sketch q_hll_sketch_state q_important_parts
@@ -283,16 +287,18 @@ def _ensure_loaded() -> None:
 # q_tumbling_window q_union_all q_unpivot q_window_first_last
 # q_window_lag q_window_range_frame q_window_ranks q_window_running
 # q_window_topn
-# — the 12 displaced + 37 r5-latest rows fill 49 slots; the last slot
-# goes to the alphabetically-first r6-latest row (q_agg_pricing) —
-# all minus whatever round 9 itself adds or changes, which (per the
-# standing convention) outranks re-verification of unchanged sources.
+# — the 14 displaced + 37 r5-latest rows overfill the window by one;
+# the alphabetically-last r5 row rolls to round 10 — all minus
+# whatever round 9 itself adds or changes, which (per the standing
+# convention) outranks re-verification of unchanged sources.
 _PRIORITY: tuple[str, ...] = (
     # -- NEW in round 8 (no driver row yet): verify before everything --
     "q_pagerank",
     "q_zipf_fit",
     "q_normalized_dedup",
     "q_padding_waste",
+    "q_token_entropy",
+    "q_dedup_survivorship",
     "q_minhash_incremental",
     "q_bpe_merge_pairs",
     "q_perplexity_buckets",
@@ -340,8 +346,6 @@ _PRIORITY: tuple[str, ...] = (
     "q_quality_score",
     "q_recursive_cte",
     "q_retention_cohorts",
-    "q_returned_items",
-    "q_salted_join",
 )
 
 

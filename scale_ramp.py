@@ -112,6 +112,11 @@ RAMP_QUERIES = [
     "q_pagerank",
     "q_zipf_fit",
     "q_normalized_dedup",
+    # q_token_entropy rides the same vocabulary-saturation family as
+    # q_zipf_fit (window over the (source, term) table); ramped to
+    # prove the flat tail. q_dedup_survivorship is q_dup_clusters'
+    # machinery plus one cluster-keyed window — covered by that entry.
+    "q_token_entropy",
 ]
 
 OFF = 10_000_000  # per-copy key shift

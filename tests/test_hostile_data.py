@@ -73,6 +73,13 @@ SENSITIVE = [
     "q_zipf_fit",
     "q_normalized_dedup",
     "q_padding_waste",
+    # q_token_entropy: NULL-text scope + unicode terms through the
+    # vocabulary window; q_dedup_survivorship: NULL n_chars docs must
+    # rank last under DESC in BOTH engines (desc_nulls_last is Spark's
+    # default; DuckDB DESC defaults NULLS LAST) and NULL-text shingles
+    # drop the pair predicate identically.
+    "q_token_entropy",
+    "q_dedup_survivorship",
     "q_bpe_merge_pairs",
     "q_minhash_incremental",
     "q_perplexity_buckets",

@@ -918,3 +918,64 @@ def test_padding_waste_exact_ppm(spark, tmp_path):
     assert b16.naive_waste_ppm == ((2 * 128 - 26) * 1_000_000) // (2 * 128)
     b128 = got[128]  # the 200-token doc capped at 128: zero waste
     assert (b128.n_docs, b128.sum_tokens, b128.waste_ppm) == (1, 128, 0)
+
+
+def test_token_entropy_uniform_and_skewed(spark, tmp_path):
+    """Hand-checked micro-nat entropy: a uniform 4-term source hits
+    ln(4) exactly on the micro grid; a single-term source is 0; the
+    skewed source matches the same floor-form arithmetic in Python."""
+    import math
+
+    from parquet_compactor_spark.llm.text import q_token_entropy
+
+    df = spark.createDataFrame(
+        [
+            (0, "a b c d", "uni", "u4", 7),
+            (1, "x x x x", "uni", "one", 7),
+            (2, "y y y z", "uni", "skew", 7),
+        ],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    # source column drives the grouping; rewrite it from the 4th field
+    df = df.selectExpr("doc_id", "text", "lang", "source AS _drop", "n_chars") \
+        .withColumnRenamed("_drop", "source")
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = {r.source: r for r in q_token_entropy(spark, str(tmp_path)).collect()}
+
+    def h_micro(counts):
+        n = sum(counts)
+        return sum(
+            math.floor(c * (math.log(n) - math.log(c)) / n * 1_000_000 + 0.5)
+            for c in counts
+        )
+
+    assert got["one"].entropy_micro == 0 and got["one"].n_terms == 1
+    assert got["u4"].entropy_micro == h_micro([1, 1, 1, 1])  # = ln(4) micro
+    assert abs(got["u4"].entropy_micro - round(math.log(4) * 1e6)) <= 2
+    assert got["skew"].entropy_micro == h_micro([3, 1])
+    assert got["skew"].n_tokens == 4 and got["skew"].n_terms == 2
+
+
+def test_dedup_survivorship_keeps_longest_copy(spark, tmp_path):
+    """The survivor is the LONGEST doc in the near-dup cluster (ties by
+    min doc_id), not the first: a chain of three near-identical docs
+    where the middle one is longest must keep the middle one; singleton
+    docs keep themselves."""
+    from parquet_compactor_spark.llm.dedup import q_dedup_survivorship
+
+    base = BASE
+    rows = [
+        (10, base),
+        (11, base + " plus an extra much longer tail making this the best copy"),
+        (12, base + " tail"),
+        (20, "a completely different standalone document about other things"),
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    got = {r.doc_id: r for r in q_dedup_survivorship(spark, sf).collect()}
+    cluster = {got[i].component for i in (10, 11, 12)}
+    assert cluster == {10}, "chain must form one component rooted at 10"
+    assert all(got[i].kept_doc == 11 for i in (10, 11, 12))
+    assert [got[i].is_kept for i in (10, 11, 12)] == [False, True, False]
+    assert got[20].is_kept and got[20].kept_doc == 20
