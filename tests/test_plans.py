@@ -716,6 +716,16 @@ PLAN_SHAPE_PINS = {
     # 1 BNLJ = the bounded seed-set broadcast; 2 exchanges = the
     # per-vector argmax rollup (partial + final).
     "q_knn_classify":       (2,  0, 0, 1),
+    # Round-8 second batch. q_pagerank's 27 exchanges are the THREE
+    # unrolled rank rounds (join + agg each) plus the persisted edge
+    # table's build lineage rendered once per InMemoryTableScan
+    # reference (4 consumers x the distinct/window/self-join build) —
+    # high but LINEAR in iterations; an Expand/Cartesian/BNLJ appearing
+    # (or a step change in exchanges) is drift.
+    "q_pagerank":           (27, 0, 0, 0),
+    # Like q_dup_clusters (its frame hangs off the CC loop's last
+    # localCheckpoint) plus one component-keyed window exchange.
+    "q_dedup_survivorship": (3,  0, 0, 0),
 }
 
 
