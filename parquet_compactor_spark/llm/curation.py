@@ -1218,6 +1218,8 @@ def q_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
                                         x -> x <> ''))) AS BIGINT) AS n_tokens
         FROM documents WHERE text IS NOT NULL
         GROUP BY source
+        HAVING SUM(len(list_filter(string_split(text, ' '),
+                                   x -> x <> ''))) > 0
     ),
     u AS (
         SELECT source, n_tokens,
@@ -1249,6 +1251,11 @@ def q_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_lang_temperature in every axis that matters operationally: "
     "TOKEN-weighted (not doc-count) shares, per SOURCE (not language), "
     "and the output is the repetition factor a dataloader consumes. "
+    "Zero-token sources (non-NULL but whitespace-only texts) are scoped "
+    "out identically on both engines (HAVING > 0 / filter > 0): DuckDB's "
+    "ln(0) ABORTS the query while Spark's F.log(0) returns NULL — a "
+    "differential-harness divergence class, pinned by the hostile-data "
+    "fixture's whitespace-only source. "
     "Engine-exactness: the one libm chain (exp/ln) floor-rounds to "
     "micro-units; every division after it is integer // with identical "
     "operands — only BIGINTs and the source string cross the engine "
@@ -1267,7 +1274,7 @@ def q_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ws = F.filter(whitespace_tokens(F.col("text")), lambda x: x != "")
     tok = d.groupBy("source").agg(
         F.sum(F.size(ws)).cast("bigint").alias("n_tokens")
-    )
+    ).filter(F.col("n_tokens") > 0)
     w_all = Window.partitionBy()
     u = tok.withColumn(
         "t_total", F.sum("n_tokens").over(w_all).cast("bigint")
@@ -1321,7 +1328,8 @@ def q_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "assign it to a 16-token length bucket (the bucketed-batching "
     "strategy of fairseq/T5 data loaders), and report per bucket the "
     "padding overhead of bucketed batching (pad to bucket ceiling) vs "
-    "naive batching (pad everything to 512) in exact integer ppm. The "
+    "naive batching (pad everything to the 128-token context cap) in "
+    "exact integer ppm. The "
     "gap between waste_ppm and naive_waste_ppm is the compute a bucketed "
     "loader saves — the number that justifies length-grouped sampling "
     "at scale (context length and bucket width are deployment knobs; "

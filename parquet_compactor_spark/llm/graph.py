@@ -130,8 +130,10 @@ def pagerank_micro(edges: DataFrame, iterations: int = _ITERATIONS) -> DataFrame
     "rank arithmetic is integer micro-units (rank div degree "
     "contributions, bigint sums), so the fixed point is engine- and "
     "partitioning-exact; the DuckDB oracle unrolls the same three "
-    "rounds as CTEs. Plan: the edge and degree tables materialize once "
-    "(localCheckpoint), then each round is an edge-keyed equi-join + "
+    "rounds as CTEs. Plan: the edge table is a persist_tracked guard "
+    "cache released by release_guard_caches() (localCheckpoint was "
+    "rejected — see pagerank_micro's docstring), then each round is an "
+    "edge-keyed equi-join + "
     "partial-aggregated sum — O(iterations x |E|), never node pairs; "
     "per-order co-supplier fan-out is bounded by order size (<= 7 "
     "lineitems in TPC-H), so |E| is O(orders), linear in the lake. "

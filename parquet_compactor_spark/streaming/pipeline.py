@@ -981,6 +981,37 @@ def minhash_dedup_batch(docs: DataFrame) -> DataFrame:
     )
 
 
+def _committed_state_versions(fs, state_dir: str) -> list[tuple[int, str]]:
+    """(batch_id, path) of every claim-state version under ``state_dir``
+    carrying a ``_SUCCESS`` marker, ascending by batch id. Uncommitted
+    (crashed mid-write) versions are invisible to readers and rewritten
+    by mode=overwrite on replay."""
+    if not fs.exists(state_dir):
+        return []
+    out: list[tuple[int, str]] = []
+    for d in fs.list_dirs(state_dir):
+        name = d.path.rstrip("/").rsplit("/", 1)[-1]
+        if name.startswith("v-") and fs.exists(f"{d.path}/_SUCCESS"):
+            try:
+                out.append((int(name[2:]), d.path))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def latest_claim_state(spark, state_dir: str) -> DataFrame | None:
+    """The newest COMMITTED claim-state version written by
+    :func:`minhash_dedup_stream` (None before the first batch commits).
+    Crash-safe by construction: an interrupted version write has no
+    ``_SUCCESS`` marker and is skipped, so readers always see the last
+    fully committed table."""
+    from parquet_compactor_spark.compactor.fs import HadoopFS
+
+    fs = HadoopFS(spark, state_dir)
+    versions = _committed_state_versions(fs, state_dir)
+    return spark.read.parquet(versions[-1][1]) if versions else None
+
+
 def minhash_dedup_stream(
     docs: DataFrame, state_dir: str, out_dir: str, checkpoint_dir: str
 ) -> None:
@@ -990,17 +1021,31 @@ def minhash_dedup_stream(
 
     Each micro-batch: signatures for the NEW docs only (64-perm minhash
     via the exploded map-side-partial aggregate), band-bucket explode,
-    then each doc is DROPPED iff any of its buckets was already claimed —
-    by a prior batch (state-table left join; the state is bucket-keyed
-    and O(distinct buckets), never O(docs^2)) or by a smaller-doc_id
-    document in the same batch (one groupBy-min over the batch's
-    buckets). Claims are FIRST-ARRIVAL: the state merge left-anti-joins
-    the batch's new buckets against the state so an existing claimant is
-    never displaced, and the state directory swaps atomically via the
-    compactor's staging-then-rename discipline. Decisions land under
-    ``out_dir/batch=<id>`` with per-batch overwrite, so a replayed batch
-    rewrites its own partition (idempotent) instead of appending
-    duplicates. At 100 TB/day the per-batch cost is O(batch shingles) +
+    then each doc is DROPPED iff any of its buckets was claimed by a
+    GENUINELY EARLIER arrival — a smaller-doc_id claimant in the state
+    table (state left join; the state is bucket-keyed and O(distinct
+    buckets), never O(docs^2)) or a smaller-doc_id document in the same
+    batch (one groupBy-min over the batch's buckets). Blocking on
+    ``prior_claimant < doc_id`` rather than mere claim EXISTENCE is what
+    makes REPLAY idempotent: if foreachBatch re-runs a batch whose state
+    merge already landed (crash after the merge committed but before the
+    checkpoint did), every doc's buckets are in state claimed by itself
+    or a same-batch smaller id — self-claims don't block, so the replay
+    reproduces the original decisions (valid under the stated
+    arrival-order == doc_id-order assumption). Claims are FIRST-ARRIVAL:
+    the state merge left-anti-joins the batch's new buckets against the
+    state so an existing claimant is never displaced. State is
+    VERSIONED, never swapped in place: each batch writes the merged
+    claim table to ``state_dir/v-<batch_id>`` and readers take the
+    newest version with a ``_SUCCESS`` marker, so a crash at ANY point
+    leaves the previous committed version readable (a delete-then-rename
+    swap has a window where no live state exists and a restart would
+    silently re-admit every previously claimed duplicate); superseded
+    versions are garbage-collected after the new version commits.
+    Decisions land under ``out_dir/batch=<id>`` with per-batch
+    overwrite, so a replayed batch rewrites its own partition
+    (idempotent) instead of appending duplicates. At 100 TB/day the
+    per-batch cost is O(batch shingles) +
     a bucket-keyed join against state — the same bounded-candidate
     scaling argument as the batch MinHash family, with no old x old
     re-pairing ever.
@@ -1010,8 +1055,6 @@ def minhash_dedup_stream(
     (pinned in tests/test_streaming.py with the planted-near-dup
     corpus split across micro-batches).
     """
-    from pyspark.sql.utils import AnalysisException
-
     from parquet_compactor_spark.llm.dedup import (
         lsh_band_hashes,
         minhash_signatures_exploded,
@@ -1031,10 +1074,9 @@ def minhash_dedup_stream(
         batch_min = buckets.groupBy("band", "band_hash").agg(
             F.min("doc_id").alias("batch_min")
         )
-        try:
-            state = spark.read.parquet(state_dir)
-        except AnalysisException:  # first batch: no claims yet
-            state = None
+        fs = HadoopFS(spark, state_dir)
+        versions = _committed_state_versions(fs, state_dir)
+        state = spark.read.parquet(versions[-1][1]) if versions else None
         joined = buckets.join(batch_min, ["band", "band_hash"])
         if state is not None:
             joined = joined.join(
@@ -1050,9 +1092,15 @@ def minhash_dedup_stream(
             joined = joined.withColumn(
                 "prior_claimant", F.lit(None).cast("bigint")
             )
-        blocked = F.col("prior_claimant").isNotNull() | (
-            F.col("batch_min") < F.col("doc_id")
-        )
+        # Block only on claims from genuinely EARLIER arrivals: a
+        # replayed batch finds its own claims in state (self or a
+        # same-batch smaller id), and claim EXISTENCE alone would flip
+        # every replayed decision to kept=false. coalesce: a NULL
+        # prior_claimant (unclaimed bucket) must read "not blocked",
+        # not NULL, or max() over all-new buckets yields kept=NULL.
+        blocked = F.coalesce(
+            F.col("prior_claimant") < F.col("doc_id"), F.lit(False)
+        ) | (F.col("batch_min") < F.col("doc_id"))
         decisions = (
             joined.groupBy("doc_id")
             .agg(F.max(blocked.cast("int")).alias("b"))
@@ -1072,11 +1120,16 @@ def minhash_dedup_stream(
             )
         else:
             merged = new_claims
-        staging = f"{state_dir}.staging-{batch_id}"
-        merged.write.mode("overwrite").parquet(staging)
-        fs = HadoopFS(spark, state_dir)
-        fs.delete(state_dir, recursive=True)
-        fs.rename(staging, state_dir)
+        # Versioned commit: the previous committed version stays live
+        # until v-<batch_id>'s _SUCCESS lands (written last by the
+        # parquet committer), so there is NO window with no readable
+        # state. Replay overwrites its own version idempotently. GC of
+        # superseded versions runs only after the new commit; a crash
+        # mid-GC just leaves extra old versions for the next batch.
+        merged.write.mode("overwrite").parquet(f"{state_dir}/v-{batch_id}")
+        for vid, path in _committed_state_versions(fs, state_dir):
+            if vid != batch_id:
+                fs.delete(path, recursive=True)
 
     (
         docs.writeStream.foreachBatch(claim)

@@ -178,6 +178,12 @@ def hostile_dir(tmp_path_factory):
                 # drops the doc — queries must pin ONE scope explicitly
                 # (q_quality_classifier was the unpinned instance).
                 (5, None),
+                # Whitespace-only text (round 9): doc 6 becomes the SOLE
+                # document of a zero-token source (below) — DuckDB ln(0)
+                # ABORTS while Spark F.log(0) returns NULL, so any
+                # source-share log chain (q_mixture_epochs) must scope
+                # zero-token sources out identically on both engines.
+                (6, "   "),
             ]:
                 if j < len(txt):
                     txt[j] = repl
@@ -186,6 +192,14 @@ def hostile_dir(tmp_path_factory):
                 "text",
                 pa.array(txt, type=pa.string()),
             )
+            src = tab.column("source").to_pylist()
+            if len(src) > 6:
+                src[6] = "ws_only_source"
+                tab = tab.set_column(
+                    tab.schema.get_field_index("source"),
+                    "source",
+                    pa.array(src, type=pa.string()),
+                )
         pq.write_table(tab, str(dst / f"{t}.parquet"))
     yield str(dst)
     shutil.rmtree(dst, ignore_errors=True)

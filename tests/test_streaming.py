@@ -597,9 +597,54 @@ def test_minhash_dedup_stream_matches_batch_and_blocks_cross_batch(
     assert not streamed[10], "cross-batch near-dup must be dropped via state"
     assert not streamed[12], "within-batch dup in a later batch must drop"
     # the state table is bucket-keyed with first-arrival claimants
-    st = spark.read.parquet(state)
+    from parquet_compactor_spark.streaming.pipeline import latest_claim_state
+
+    st = latest_claim_state(spark, state)
     assert st.columns == ["band", "band_hash", "claimant"]
     claim0 = {
         (r.band, r.band_hash): r.claimant for r in st.collect()
     }
     assert 0 in set(claim0.values())  # doc 0's claims survived the merge
+
+    # REPLAY idempotence (round-9 fix): lose the checkpoint and re-run the
+    # whole stream against the ALREADY-MERGED state — the crash-after-
+    # state-commit-before-checkpoint-commit scenario, maximized. Every
+    # doc's buckets are in state claimed by itself or a same-batch
+    # smaller id; blocking on prior_claimant < doc_id (not claim
+    # existence) must reproduce the original decisions exactly.
+    import shutil as _sh
+
+    _sh.rmtree(ckpt)
+    stream2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(landing))
+    )
+    minhash_dedup_stream(stream2, state, out, str(tmp_path / "ckpt2"))
+    replayed = {r.doc_id: r.kept for r in spark.read.parquet(out).collect()}
+    assert replayed == expected, "replayed batches must reproduce decisions"
+
+
+def test_minhash_claim_state_skips_uncommitted_version(spark, tmp_path):
+    """A state version without _SUCCESS (crashed mid-write) is invisible:
+    readers fall back to the last committed version, so no crash point
+    leaves the gate with empty state re-admitting claimed duplicates."""
+    import os
+
+    from parquet_compactor_spark.streaming.pipeline import latest_claim_state
+
+    state = str(tmp_path / "state")
+    good = spark.createDataFrame(
+        [(0, 11, 100)], "band int, band_hash bigint, claimant bigint"
+    )
+    good.write.parquet(f"{state}/v-3")
+    bad = spark.createDataFrame(
+        [(9, 99, 999)], "band int, band_hash bigint, claimant bigint"
+    )
+    bad.write.parquet(f"{state}/v-7")
+    os.remove(f"{state}/v-7/_SUCCESS")  # simulate crash mid-commit
+    st = latest_claim_state(spark, state)
+    assert [(r.band, r.band_hash, r.claimant) for r in st.collect()] == [
+        (0, 11, 100)
+    ]
+    assert latest_claim_state(spark, str(tmp_path / "nostate")) is None
