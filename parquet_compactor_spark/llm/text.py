@@ -33,6 +33,11 @@ VOCAB_BROADCAST_ROW_LIMIT = 2_000_000
 #: variable, so release must too.
 _GUARD_CACHES: list[DataFrame] = []
 
+#: id(returned frame) -> underlying persisted frame, for the frames
+#: broadcast_if_bounded returns WRAPPED in a broadcast hint (a distinct
+#: DataFrame object): release_guard_cache accepts either object.
+_GUARD_ALIASES: dict[int, DataFrame] = {}
+
 
 def release_guard_caches() -> int:
     """Unpersist every vocabulary frame :func:`broadcast_if_bounded` has
@@ -56,7 +61,40 @@ def release_guard_caches() -> int:
             released += 1
         except Exception:
             pass  # session gone; nothing left to release
+    _GUARD_ALIASES.clear()
     return released
+
+
+def release_guard_cache(frame: DataFrame) -> bool:
+    """Unpersist ONE guard-cached frame and stop tracking it.
+
+    The per-frame counterpart to the module-level
+    :func:`release_guard_caches`, for long-lived sessions running many
+    guarded queries that want to evict a specific vocabulary/intermediate
+    cache when its query finishes without touching the others. Accepts
+    either the frame :func:`broadcast_if_bounded` / :func:`persist_tracked`
+    RETURNED (including the broadcast-hint wrapper, a distinct DataFrame
+    object) or the underlying persisted frame. Returns True iff a tracked
+    entry was found and released; False for untracked frames (releasing
+    twice is a no-op, not an error).
+    """
+    target = _GUARD_ALIASES.get(id(frame))
+    if target is None and any(frame is g for g in _GUARD_CACHES):
+        target = frame
+    if target is None:
+        return False
+    for i, g in enumerate(_GUARD_CACHES):
+        if g is target:
+            del _GUARD_CACHES[i]
+            break
+    for k, v in list(_GUARD_ALIASES.items()):
+        if v is target:
+            del _GUARD_ALIASES[k]
+    try:
+        target.unpersist(blocking=True)
+    except Exception:
+        return False
+    return True
 
 
 def persist_tracked(df: DataFrame) -> DataFrame:
@@ -71,7 +109,8 @@ def persist_tracked(df: DataFrame) -> DataFrame:
     so a 3-consumer subtree would scan the corpus three times. The
     cached frame shows up as one InMemoryTableScan per consumer
     instead. Same MEMORY_AND_DISK + LRU posture as the vocabulary
-    guard; release with :func:`release_guard_caches`.
+    guard; release this frame with :func:`release_guard_cache`, or all
+    entries with :func:`release_guard_caches`.
     """
     df = df.persist()
     _GUARD_CACHES.append(df)
@@ -110,8 +149,9 @@ def broadcast_if_bounded(
     count IS the guard measurement, there is no lazy way to have it) and
     the cache entry outlives the returned frame's local variable. Every
     persisted frame is tracked module-side; call
-    :func:`release_guard_caches` to unpersist exactly the guard's
-    entries (harnesses previously had to use the blunt
+    :func:`release_guard_cache` with the returned frame to unpersist
+    just this entry, or :func:`release_guard_caches` to unpersist all of
+    the guard's entries (harnesses previously had to use the blunt
     ``spark.catalog.clearCache()``, which also evicts unrelated user
     caches). Left unreleased, entries degrade gracefully via LRU
     eviction — correctness never depends on the cache.
@@ -119,7 +159,11 @@ def broadcast_if_bounded(
     small = small.persist()
     _GUARD_CACHES.append(small)
     n = small.count()
-    return F.broadcast(small) if n <= limit else small
+    if n <= limit:
+        hinted = F.broadcast(small)
+        _GUARD_ALIASES[id(hinted)] = small
+        return hinted
+    return small
 
 
 def whitespace_tokens(col: Column) -> Column:
