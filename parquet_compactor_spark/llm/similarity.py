@@ -365,23 +365,27 @@ def centroid_cosines(
     return staged, sims, ids
 
 
-def ann_ivf(
+def ivf_assign(
     spark: SparkSession,
     sf_dir: str,
-    n_probe: int = IVF_N_PROBE,
     lloyd: bool = True,
     literal_max: int | None = None,
-) -> DataFrame:
-    """IVF ANN with optional Lloyd refinement and multi-probe (see q_ann_ivf).
-
-    ``literal_max`` caps the centroid count embedded as literal
-    expressions; above it the centroid matrix rides along as one
-    broadcast array column (see ``_with_csims``). Default: the shared
-    ``LITERAL_CENTROID_MAX`` threshold.
-    """
+    drop_null: bool = False,
+) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
+    """The IVF coarse-quantization stage, shared by q_ann_ivf and
+    q_ivfpq_search: assign EVERY vector (query included) to its
+    max-cosine cell and return ``(assign_df, centroids)`` — assign_df
+    carrying (vec_id, label, vec, _vnorm, bucket), centroids the final
+    (possibly Lloyd-refined, IVF_ROUND-rounded) Python list the caller
+    can rank probes against. ``drop_null`` scopes NULL embeddings out
+    before assignment (q_ivfpq_search's convention; q_ann_ivf keeps its
+    original unfiltered semantics)."""
     from parquet_compactor_spark.llm.cluster import per_dim_means
 
-    e = load(spark, sf_dir, "embeddings").select(
+    e = load(spark, sf_dir, "embeddings")
+    if drop_null:
+        e = e.filter(F.col("embedding").isNotNull())
+    e = e.select(
         "vec_id",
         "label",
         F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("vec"),
@@ -418,8 +422,32 @@ def ann_ivf(
 
     staged, sims, ids = with_csims(e, centroids)
     assign = staged.select(
-        "vec_id", "label", "vec", _argmax_bucket(sims, ids).alias("bucket")
+        "vec_id", "label", "vec", "_vnorm", _argmax_bucket(sims, ids).alias("bucket")
     )
+    return assign, centroids
+
+
+def ann_ivf(
+    spark: SparkSession,
+    sf_dir: str,
+    n_probe: int = IVF_N_PROBE,
+    lloyd: bool = True,
+    literal_max: int | None = None,
+) -> DataFrame:
+    """IVF ANN with optional Lloyd refinement and multi-probe (see q_ann_ivf).
+
+    ``literal_max`` caps the centroid count embedded as literal
+    expressions; above it the centroid matrix rides along as one
+    broadcast array column (see ``centroid_cosines``). Default: the
+    shared ``LITERAL_CENTROID_MAX`` threshold.
+    """
+    assign, centroids = ivf_assign(spark, sf_dir, lloyd, literal_max)
+    e = assign.select("vec_id", "label", "vec", "_vnorm")
+
+    def with_csims(
+        df: DataFrame, cents: list[tuple[int, list[float]]]
+    ) -> tuple[DataFrame, Column, Column]:
+        return centroid_cosines(df, cents, literal_max)
 
     # Probe ranking happens on a K-row DF (one row per surviving cell):
     # the query row's cosine to every refined centroid, ranked, top-n —
@@ -1093,4 +1121,280 @@ def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.concat_ws("-", *codes).alias("pq_code"),
         total_err.alias("err_micro"),
+    )
+
+
+# --------------------------------------------------------------------------
+# IVF-PQ (IVFADC) composed ANN search: coarse cells + ADC scoring + re-rank
+# --------------------------------------------------------------------------
+
+IVFPQ_SHORTLIST = 16  # ADC short-list size handed to the exact re-ranker
+IVFPQ_CODEBOOK_IDS = (200, 215)  # sample-init PQ codebook: vec_ids 200..215
+
+
+def _py_sq_l2(a: list[float], b: list[float]) -> float:
+    """Left-fold squared L2 — same accumulation order as the oracle's
+    in-order ``list_sum(list_transform(...))``, so the doubles (and
+    therefore their micro-floors) are bit-identical across engines."""
+    s = 0.0
+    for x, c in zip(a, b):
+        d = x - c
+        s += d * d
+    return s
+
+
+def _py_cos(a: list[float], b: list[float]) -> float:
+    """Left-fold cosine, mirroring ``_COS_SQL``'s op order exactly."""
+    s = 0.0
+    for x, y in zip(a, b):
+        s += x * y
+    return s / (_py_l2norm(a) * _py_l2norm(b))
+
+
+def _pq_adc_lut_micro(
+    qvec: list[float], codebook: list[list[list[float]]]
+) -> list[list[int]]:
+    """The classic ADC lookup table (Jegou et al. 2011 SS IV): for each
+    subspace m and codebook entry k, the squared L2 distance between the
+    QUERY's m-th subvector and centroid k, floor-rounded to integer
+    micro-units. M x K = 8 x 16 = 128 BIGINTs of driver-side model
+    state; every candidate's approximate distance is then a pure table
+    lookup summed over its 8 code ids."""
+    import math
+
+    lut: list[list[int]] = []
+    for m in range(PQ_M):
+        sub = qvec[m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]
+        lut.append(
+            [
+                int(math.floor(_py_sq_l2(sub, cent) * 1000000 + 0.5))
+                for cent in codebook[m]
+            ]
+        )
+    return lut
+
+
+def _ivfpq_oracle() -> str:
+    cos_vc = _COS_SQL.format(a="v.vec", b="c.cvec")
+    cos_vr = _COS_SQL.format(a="v.vec", b="r.cvec")
+    cos_qr = _COS_SQL.format(a="q.vec", b="r.cvec")
+    cos_sq = _COS_SQL.format(a="s.vec", b="q.vec")
+    lo, hi = IVF_CENTROID_IDS
+    cb_lo, cb_hi = IVFPQ_CODEBOOK_IDS
+    sd = PQ_SUBDIM
+    return f"""
+    WITH v AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    cents AS (
+        SELECT CAST(vec_id - {lo} AS INT) AS bucket, vec AS cvec FROM v
+        WHERE vec_id BETWEEN {lo} AND {hi}
+    ),
+    sc1 AS (
+        SELECT v.vec_id, v.vec, c.bucket, {cos_vc} AS csim
+        FROM v CROSS JOIN cents c
+    ),
+    assign1 AS (
+        SELECT vec_id, vec, bucket
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                           ORDER BY csim DESC, bucket) AS rn
+              FROM sc1)
+        WHERE rn = 1
+    ),
+    exploded AS (
+        SELECT bucket, unnest(range(1, len(vec) + 1)) AS pos, vec FROM assign1
+    ),
+    dims AS (
+        SELECT bucket, pos, ROUND(AVG(vec[pos]), {IVF_ROUND}) AS m
+        FROM exploded GROUP BY bucket, pos
+    ),
+    refined AS (
+        SELECT bucket, list(m ORDER BY pos) AS cvec FROM dims GROUP BY bucket
+    ),
+    q AS (SELECT vec FROM v WHERE vec_id = 0),
+    probes AS (
+        SELECT r.bucket,
+               ROW_NUMBER() OVER (ORDER BY {cos_qr} DESC, r.bucket) AS prn
+        FROM refined r CROSS JOIN q
+    ),
+    sc2 AS (
+        SELECT v.vec_id, v.label, v.vec, r.bucket, {cos_vr} AS csim
+        FROM v CROSS JOIN refined r
+    ),
+    assign AS (
+        SELECT vec_id, label, vec, bucket
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                           ORDER BY csim DESC, bucket) AS rn
+              FROM sc2)
+        WHERE rn = 1
+    ),
+    cand AS (
+        SELECT a.* FROM assign a
+        JOIN (SELECT bucket FROM probes WHERE prn <= {IVF_N_PROBE}) p
+          USING (bucket)
+        WHERE a.vec_id <> 0
+    ),
+    cb AS (
+        SELECT ms.m, CAST(v.vec_id - {cb_lo} AS INT) AS k,
+               v.vec[CAST(ms.m AS INT) * {sd} + 1
+                     : CAST(ms.m AS INT) * {sd} + {sd}] AS cent
+        FROM v CROSS JOIN (SELECT unnest(range(0, {PQ_M})) AS m) ms
+        WHERE v.vec_id BETWEEN {cb_lo} AND {cb_hi}
+    ),
+    lut AS (
+        SELECT cb.m, cb.k,
+               CAST(FLOOR(list_sum(list_transform(range(1, {sd} + 1),
+                   i -> (q.vec[CAST(cb.m AS INT) * {sd} + i] - cent[i])
+                      * (q.vec[CAST(cb.m AS INT) * {sd} + i] - cent[i])))
+                   * 1000000 + 0.5) AS BIGINT) AS d_micro
+        FROM cb CROSS JOIN q
+    ),
+    dists AS (
+        SELECT cand.vec_id, cb.m, cb.k,
+               list_sum(list_transform(range(1, {sd} + 1),
+                   i -> (cand.vec[CAST(cb.m AS INT) * {sd} + i] - cent[i])
+                      * (cand.vec[CAST(cb.m AS INT) * {sd} + i] - cent[i])))
+                   AS dist
+        FROM cand CROSS JOIN cb
+    ),
+    codes AS (
+        SELECT vec_id, m, k
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                           ORDER BY dist, k) AS rn
+              FROM dists)
+        WHERE rn = 1
+    ),
+    adc AS (
+        SELECT c.vec_id, CAST(SUM(l.d_micro) AS BIGINT) AS adc_micro
+        FROM codes c JOIN lut l ON c.m = l.m AND c.k = l.k
+        GROUP BY c.vec_id
+    ),
+    short AS (
+        SELECT cand.vec_id, cand.label, cand.bucket, cand.vec, adc.adc_micro,
+               ROW_NUMBER() OVER (ORDER BY adc.adc_micro, cand.vec_id) AS srn
+        FROM cand JOIN adc USING (vec_id)
+    )
+    SELECT s.vec_id, s.label, s.bucket, s.adc_micro,
+           ROUND({cos_sq}, 4) + 0.0 AS cos_sim
+    FROM short s CROSS JOIN q
+    WHERE s.srn <= {IVFPQ_SHORTLIST}
+    ORDER BY cos_sim DESC, s.vec_id
+    LIMIT 5
+    """
+
+
+@register(
+    "q_ivfpq_search",
+    oracle=_ivfpq_oracle(),
+    doc="IVF-PQ composed ANN search — the FAISS IVFADC shape (Jegou et "
+    "al. 2011) every 100 TB embedding store runs in production, built "
+    "from this engine's two green halves: q_ann_ivf's coarse inverted-"
+    "file quantizer and q_pq_encode's product-quantization codebook. "
+    "Stages: (1) coarse-assign every vector to its max-cosine cell via "
+    "the SHARED ivf_assign stage (8 deterministic seed centroids, one "
+    "Lloyd refinement round rounded to 6 decimals, zero-shuffle "
+    "broadcast-matrix argmax — bit-identical cells to q_ann_ivf's, so "
+    "this search inherits plain IVF's measured cell recall); (2) rank "
+    "the query's cells and probe the top 2 — candidates are ~n_probe/K "
+    "of the corpus, filtered BEFORE any scoring; (3) score candidates by "
+    "ASYMMETRIC DISTANCE: the query's M x K = 128-entry LUT of "
+    "micro-floored squared-L2 subvector distances is driver-computed "
+    "model state (the classic ADC table), each candidate PQ-encodes "
+    "map-side (argmin per subspace, the q_pq_encode expression) and its "
+    "approximate distance is the integer SUM of 8 LUT lookups — exact "
+    "cross-engine bigint arithmetic, no float summation order anywhere; "
+    "(4) bounded-heap shortlist of 16 by (adc_micro, "
+    "vec_id), then EXACT cosine re-rank of the shortlist, top-5 out. "
+    "Plan: two TakeOrderedAndProject heaps, zero wide shuffles — the "
+    "corpus is touched by exactly one map-shaped pass over the probed "
+    "cells; at 100 TB codes live in the index and step (3) reads "
+    "8 bytes/vector, never the vectors. Driver-side collects are model "
+    "state only (8 centroids + 1 query vector); Python replicates the "
+    "oracle's in-order IEEE folds so probes/LUT agree bit-exactly. "
+    "recall@5 vs brute force pinned in tests/test_llm.py. Reference "
+    "parity note: the reference engine has no vector operators; "
+    "north-star surface per SURVEY.md SS2B.",
+)
+def q_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assign, centroids = ivf_assign(spark, sf_dir, lloyd=True, drop_null=True)
+    qrows = assign.filter(F.col("vec_id") == 0).select("vec").collect()
+    if not qrows or not centroids:
+        # No query vector (or no seeds) in this fixture: the oracle's
+        # CROSS JOIN q yields zero rows; emit the same empty relation.
+        return spark.createDataFrame(
+            [], "vec_id bigint, label int, bucket int, adc_micro bigint, cos_sim double"
+        )
+    qvec = [float(x) for x in qrows[0].vec]
+
+    # Driver-side query planning (model-state-sized, like the seed
+    # collects elsewhere in this module): probe ranking and the ADC LUT
+    # use the same in-order Python folds as the oracle's list_sum over
+    # the same refined-centroid doubles (rounded to IVF_ROUND on both
+    # engines), so the selected cells and LUT integers agree bit-exactly.
+    probe_order = sorted(
+        (b for b, _ in centroids),
+        key=lambda b: (-_py_cos(qvec, dict(centroids)[b]), b),
+    )
+    probes = [int(b) for b in probe_order[:IVF_N_PROBE]]
+    lut = _pq_adc_lut_micro(qvec)
+
+    cand = assign.filter(
+        (F.col("vec_id") != 0) & F.col("bucket").isin(probes)
+    )
+
+    def best_in_subspace(m: int) -> Column:
+        # q_pq_encode's indexed-transform argmin (one matrix transform
+        # per subspace keeps the tree inside codegen's method budget);
+        # kept textually local so q_pq_encode's attested source stays
+        # untouched — unify on the next natural rotation of that query.
+        sub = F.slice(F.col("vec"), m * PQ_SUBDIM + 1, PQ_SUBDIM)
+        cb = F.array(
+            *[F.array(*[F.lit(c) for c in cent]) for cent in PQ_CODEBOOK[m]]
+        )
+        return F.array_min(
+            F.transform(
+                cb,
+                lambda cent, k: F.struct(
+                    F.aggregate(
+                        F.zip_with(sub, cent, lambda x, c: (x - c) * (x - c)),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ).alias("dist"),
+                    k.alias("k"),
+                ),
+            )
+        )
+
+    staged2 = cand.select(
+        "vec_id",
+        "label",
+        "bucket",
+        "vec",
+        *[best_in_subspace(m).alias(f"b{m}") for m in range(PQ_M)],
+    )
+    adc_total = F.lit(0).cast("bigint")
+    for m in range(PQ_M):
+        lutarr = F.array(*[F.lit(int(x)).cast("bigint") for x in lut[m]])
+        adc_total = adc_total + F.element_at(
+            lutarr, F.col(f"b{m}.k").cast("int") + 1
+        )
+    scored = staged2.select(
+        "vec_id", "label", "bucket", "vec", adc_total.alias("adc_micro")
+    )
+    short = scored.orderBy(F.asc("adc_micro"), F.asc("vec_id")).limit(
+        IVFPQ_SHORTLIST
+    )
+    qlit = F.array(*[F.lit(x) for x in qvec])
+    return (
+        short.select(
+            "vec_id",
+            "label",
+            "bucket",
+            "adc_micro",
+            (F.round(cosine(F.col("vec"), qlit), 4) + F.lit(0.0)).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(5)
     )
