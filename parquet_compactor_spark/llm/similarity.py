@@ -371,15 +371,22 @@ def ivf_assign(
     lloyd: bool = True,
     literal_max: int | None = None,
     drop_null: bool = False,
-) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
+) -> tuple[DataFrame, DataFrame, list[tuple[int, list[float]]]]:
     """The IVF coarse-quantization stage, shared by q_ann_ivf and
     q_ivfpq_search: assign EVERY vector (query included) to its
-    max-cosine cell and return ``(assign_df, centroids)`` — assign_df
-    carrying (vec_id, label, vec, _vnorm, bucket), centroids the final
-    (possibly Lloyd-refined, IVF_ROUND-rounded) Python list the caller
-    can rank probes against. ``drop_null`` scopes NULL embeddings out
-    before assignment (q_ivfpq_search's convention; q_ann_ivf keeps its
-    original unfiltered semantics)."""
+    max-cosine cell and return ``(base_df, assign_df, centroids)`` —
+    base_df the raw pre-assignment projection (vec_id, label, vec,
+    _vnorm) straight off the parquet scan, assign_df that plus the
+    assigned ``bucket``, centroids the final (possibly Lloyd-refined,
+    IVF_ROUND-rounded) Python list the caller can rank probes against.
+    Callers that only need the query row (probe ranking, LUT building)
+    must read it from ``base_df``: deriving it from ``assign_df`` drags
+    the whole assignment subtree (its centroid-matrix broadcast join)
+    into the query branch — one extra BNLJ + exchange for a row whose
+    bucket is never used (the round-9 q_ann_ivf plan regression).
+    ``drop_null`` scopes NULL embeddings out before assignment
+    (q_ivfpq_search's convention; q_ann_ivf keeps its original
+    unfiltered semantics)."""
     from parquet_compactor_spark.llm.cluster import per_dim_means
 
     e = load(spark, sf_dir, "embeddings")
@@ -424,7 +431,7 @@ def ivf_assign(
     assign = staged.select(
         "vec_id", "label", "vec", "_vnorm", _argmax_bucket(sims, ids).alias("bucket")
     )
-    return assign, centroids
+    return e, assign, centroids
 
 
 def ann_ivf(
@@ -441,8 +448,7 @@ def ann_ivf(
     broadcast array column (see ``centroid_cosines``). Default: the
     shared ``LITERAL_CENTROID_MAX`` threshold.
     """
-    assign, centroids = ivf_assign(spark, sf_dir, lloyd, literal_max)
-    e = assign.select("vec_id", "label", "vec", "_vnorm")
+    base, assign, centroids = ivf_assign(spark, sf_dir, lloyd, literal_max)
 
     def with_csims(
         df: DataFrame, cents: list[tuple[int, list[float]]]
@@ -451,8 +457,11 @@ def ann_ivf(
 
     # Probe ranking happens on a K-row DF (one row per surviving cell):
     # the query row's cosine to every refined centroid, ranked, top-n —
-    # no row data leaves the executors.
-    qstaged, qsims, qids = with_csims(e.filter(F.col("vec_id") == 0), centroids)
+    # no row data leaves the executors. The query row comes off BASE
+    # (the raw scan projection), not ``assign``: the assignment subtree
+    # would add its centroid-matrix broadcast join to this branch for a
+    # bucket column the probe ranking never reads.
+    qstaged, qsims, qids = with_csims(base.filter(F.col("vec_id") == 0), centroids)
     qcells = (
         qstaged
         .select(
@@ -1128,7 +1137,13 @@ def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # IVF-PQ (IVFADC) composed ANN search: coarse cells + ADC scoring + re-rank
 # --------------------------------------------------------------------------
 
-IVFPQ_SHORTLIST = 16  # ADC short-list size handed to the exact re-ranker
+# ADC short-list size handed to the exact re-ranker: 6.4x the final k=5,
+# inside the 4-16x re-rank ratio FAISS deployments run. On the smoke
+# fixture the 16-sample codebook's ADC is noisy enough that the one
+# true-top-5 candidate the probed cells contain ranks ~29th by ADC — a
+# 16-deep shortlist would make the composition lose everything the
+# coarse quantizer kept (measured round 10; tests/test_llm.py pins it).
+IVFPQ_SHORTLIST = 32
 IVFPQ_CODEBOOK_IDS = (200, 215)  # sample-init PQ codebook: vec_ids 200..215
 
 
@@ -1305,8 +1320,11 @@ def _ivfpq_oracle() -> str:
     "map-side (argmin per subspace, the q_pq_encode expression) and its "
     "approximate distance is the integer SUM of 8 LUT lookups — exact "
     "cross-engine bigint arithmetic, no float summation order anywhere; "
-    "(4) bounded-heap shortlist of 16 by (adc_micro, "
+    "(4) bounded-heap shortlist of IVFPQ_SHORTLIST=32 by (adc_micro, "
     "vec_id), then EXACT cosine re-rank of the shortlist, top-5 out. "
+    "The PQ codebook is SAMPLE-INIT (the oracle's cb CTE): corpus "
+    "vectors vec_ids 200-215 sliced into PQ_M sub-centroids, identical "
+    "on both engines — NOT q_pq_encode's random literals. "
     "Plan: two TakeOrderedAndProject heaps, zero wide shuffles — the "
     "corpus is touched by exactly one map-shaped pass over the probed "
     "cells; at 100 TB codes live in the index and step (3) reads "
@@ -1318,15 +1336,44 @@ def _ivfpq_oracle() -> str:
     "north-star surface per SURVEY.md SS2B.",
 )
 def q_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    assign, centroids = ivf_assign(spark, sf_dir, lloyd=True, drop_null=True)
-    qrows = assign.filter(F.col("vec_id") == 0).select("vec").collect()
-    if not qrows or not centroids:
-        # No query vector (or no seeds) in this fixture: the oracle's
-        # CROSS JOIN q yields zero rows; emit the same empty relation.
+    base, assign, centroids = ivf_assign(spark, sf_dir, lloyd=True, drop_null=True)
+    # Query vector and sample codebook vectors are model state: one
+    # bounded collect off the RAW scan projection (17 rows max), never
+    # off ``assign`` — the assignment subtree computes a bucket this
+    # collect would throw away.
+    cb_lo, cb_hi = IVFPQ_CODEBOOK_IDS
+    model_rows = (
+        base.filter(
+            (F.col("vec_id") == 0) | F.col("vec_id").between(cb_lo, cb_hi)
+        )
+        .select("vec_id", "vec")
+        .collect()
+    )
+    qvecs = [r.vec for r in model_rows if r.vec_id == 0]
+    sample = sorted(
+        (int(r.vec_id) - cb_lo, [float(x) for x in r.vec])
+        for r in model_rows
+        if r.vec_id != 0
+    )
+    if not qvecs or not centroids or not sample:
+        # No query vector, no seeds, or no codebook sample vectors in
+        # this fixture: the oracle's CROSS JOIN q (or its empty cb CTE
+        # propagating through the codes->adc->short joins) yields zero
+        # rows; emit the same empty relation.
         return spark.createDataFrame(
             [], "vec_id bigint, label int, bucket int, adc_micro bigint, cos_sim double"
         )
-    qvec = [float(x) for x in qrows[0].vec]
+    qvec = [float(x) for x in qvecs[0]]
+    # The SAMPLE-INIT PQ codebook (matching the oracle's cb CTE): the 16
+    # corpus vectors vec_ids 200..215, each sliced into PQ_M sub-centroids.
+    # codebook[m][j] is the m-th subvector of the j-th sample in k-order
+    # (k = vec_id - 200); positions are monotone in k, so positional
+    # argmin tie-breaks and LUT lookups agree with the oracle's
+    # (dist, k) ordering and (m, k) join even if some ids are absent.
+    codebook = [
+        [vec[m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM] for _, vec in sample]
+        for m in range(PQ_M)
+    ]
 
     # Driver-side query planning (model-state-sized, like the seed
     # collects elsewhere in this module): probe ranking and the ADC LUT
@@ -1338,7 +1385,7 @@ def q_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         key=lambda b: (-_py_cos(qvec, dict(centroids)[b]), b),
     )
     probes = [int(b) for b in probe_order[:IVF_N_PROBE]]
-    lut = _pq_adc_lut_micro(qvec)
+    lut = _pq_adc_lut_micro(qvec, codebook)
 
     cand = assign.filter(
         (F.col("vec_id") != 0) & F.col("bucket").isin(probes)
@@ -1346,12 +1393,13 @@ def q_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def best_in_subspace(m: int) -> Column:
         # q_pq_encode's indexed-transform argmin (one matrix transform
-        # per subspace keeps the tree inside codegen's method budget);
-        # kept textually local so q_pq_encode's attested source stays
-        # untouched — unify on the next natural rotation of that query.
+        # per subspace keeps the tree inside codegen's method budget),
+        # but over the SAMPLE-INIT codebook — the same sub-centroids the
+        # oracle's cb CTE slices out of vec_ids 200..215, NOT the random
+        # PQ_CODEBOOK literals q_pq_encode demonstrates against.
         sub = F.slice(F.col("vec"), m * PQ_SUBDIM + 1, PQ_SUBDIM)
         cb = F.array(
-            *[F.array(*[F.lit(c) for c in cent]) for cent in PQ_CODEBOOK[m]]
+            *[F.array(*[F.lit(c) for c in cent]) for cent in codebook[m]]
         )
         return F.array_min(
             F.transform(

@@ -33,10 +33,15 @@ VOCAB_BROADCAST_ROW_LIMIT = 2_000_000
 #: variable, so release must too.
 _GUARD_CACHES: list[DataFrame] = []
 
-#: id(returned frame) -> underlying persisted frame, for the frames
-#: broadcast_if_bounded returns WRAPPED in a broadcast hint (a distinct
-#: DataFrame object): release_guard_cache accepts either object.
-_GUARD_ALIASES: dict[int, DataFrame] = {}
+#: id(returned frame) -> (returned frame, underlying persisted frame),
+#: for the frames broadcast_if_bounded returns WRAPPED in a broadcast
+#: hint (a distinct DataFrame object): release_guard_cache accepts
+#: either object. The wrapper itself is held as a STRONG reference so
+#: its id() can never be recycled while the entry is live — keyed by
+#: id() alone, a GC'd wrapper's address could alias a brand-new
+#: DataFrame and a later release_guard_cache(new_frame) would falsely
+#: unpersist an unrelated tracked cache.
+_GUARD_ALIASES: dict[int, tuple[DataFrame, DataFrame]] = {}
 
 
 def release_guard_caches() -> int:
@@ -78,7 +83,12 @@ def release_guard_cache(frame: DataFrame) -> bool:
     entry was found and released; False for untracked frames (releasing
     twice is a no-op, not an error).
     """
-    target = _GUARD_ALIASES.get(id(frame))
+    entry = _GUARD_ALIASES.get(id(frame))
+    # The alias map holds the wrapper strongly, so a live entry's id key
+    # can only match the wrapper object itself — but verify identity
+    # anyway (defense in depth against any future weakening of that
+    # invariant).
+    target = entry[1] if entry is not None and entry[0] is frame else None
     if target is None and any(frame is g for g in _GUARD_CACHES):
         target = frame
     if target is None:
@@ -87,7 +97,7 @@ def release_guard_cache(frame: DataFrame) -> bool:
         if g is target:
             del _GUARD_CACHES[i]
             break
-    for k, v in list(_GUARD_ALIASES.items()):
+    for k, (_, v) in list(_GUARD_ALIASES.items()):
         if v is target:
             del _GUARD_ALIASES[k]
     try:
@@ -161,7 +171,7 @@ def broadcast_if_bounded(
     n = small.count()
     if n <= limit:
         hinted = F.broadcast(small)
-        _GUARD_ALIASES[id(hinted)] = small
+        _GUARD_ALIASES[id(hinted)] = (hinted, small)
         return hinted
     return small
 

@@ -167,12 +167,16 @@ def test_ivf_multiprobe_lloyd_improves_recall(spark):
 
 def test_ivfpq_search_recall_vs_brute_force(spark):
     """The composed IVF-PQ search (coarse cells → ADC shortlist → exact
-    re-rank) must recover a usable share of the exact brute-force top-5
-    within its probed cells — the composition test that q_ann_ivf's
-    cells and q_pq_encode's codebook actually fit together. The ADC
-    shortlist can only LOSE candidates the coarse quantizer already
-    dropped, so recall is lower-bounded by cell recall; on the
-    deterministic fixture recall@5 is exact and pinned, and the exact
+    re-rank) must not lose what its own coarse quantizer kept — the
+    composition test that q_ann_ivf's cells and the sample-init PQ
+    codebook actually fit together. Recall@5 vs brute force is
+    UPPER-bounded by cell recall (the ADC stage can only drop
+    candidates the probed cells contain); on the smoke fixture exactly
+    ONE of the brute-force top-5 lands in the 2 probed cells (vec 17,
+    cell recall 0.2 — the same floor test_ann_ivf_recall pins for plain
+    IVF), and it ranks ~29th by ADC among the ~136 candidates, which is
+    why IVFPQ_SHORTLIST is 32: the composed search must keep it, i.e.
+    achieve recall EQUAL to its cell-recall upper bound here. The exact
     re-rank means every returned cos_sim equals the brute-force cosine
     for that vec_id (the PQ approximation never leaks into outputs)."""
     from tests.conftest import SF_SMOKE
@@ -197,7 +201,12 @@ def test_ivfpq_search_recall_vs_brute_force(spark):
     got = all_queries()["q_ivfpq_search"].fn(spark, SF_SMOKE).collect()
     assert len(got) == 5
     hits = [r for r in got if r.vec_id in truth]
-    assert len(hits) / len(truth) >= 0.4  # deterministic on this fixture
+    # Cell recall on this fixture is exactly 0.2 (vec 17 is the only
+    # brute-force-top-5 member of the 2 probed cells); the composed
+    # search must match that upper bound — the ADC shortlist may not
+    # lose it.
+    assert len(hits) / len(truth) >= 0.2
+    assert any(r.vec_id == 17 for r in got)
     for r in hits:  # exact re-rank: output cosines ARE the exact ones
         assert abs(r.cos_sim - truth[r.vec_id]) < 1e-9
     # ADC ordering sanity: the shortlist ranks by integer micro-distance

@@ -431,6 +431,7 @@ def test_no_unexpected_cartesian_in_any_registered_query(spark):
         # one array<struct> column — the default encoding at every K):
         "q_kmeans_clusters",
         "q_ann_ivf",
+        "q_ivfpq_search",  # same centroid-matrix broadcasts as q_ann_ivf
         "q_semantic_dedup",
         # round 8:
         "q_bigram_backoff",  # 1-row N_train scalar broadcast
@@ -634,6 +635,46 @@ def test_release_guard_cache_per_frame(spark):
     assert release_guard_caches() == 0  # nothing left tracked
 
 
+def test_guard_alias_map_immune_to_id_reuse(spark):
+    """Round-10 (round-9 verdict #6): the alias map must hold the
+    broadcast-hint wrapper STRONGLY, so a GC'd wrapper's recycled id()
+    can never alias a brand-new DataFrame and cause
+    release_guard_cache(new_frame) to falsely unpersist an unrelated
+    tracked cache. With the (wrapper, target) tuple stored, every live
+    alias key's wrapper is reachable from the map itself — aliasing is
+    impossible by construction, which this test asserts directly, plus
+    the behavioral contract: an UNTRACKED frame never releases anything,
+    whatever its address."""
+    import gc
+
+    from pyspark.sql import functions as F
+
+    from parquet_compactor_spark.llm import text as t
+    from parquet_compactor_spark.registry import load
+
+    t.release_guard_caches()
+    d = load(spark, SF_SMOKE, "documents")
+    terms = d.select(F.explode(F.split("text", " ", -1)).alias("term"))
+    v1 = t.broadcast_if_bounded(
+        terms.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    )
+    # Structural invariant: every alias entry holds its own key object.
+    assert all(id(w) == k for k, (w, _) in t._GUARD_ALIASES.items())
+    stale_id = id(v1)
+    del v1
+    gc.collect()
+    # The wrapper is still alive inside the map — its id cannot have
+    # been recycled, so any object now carrying stale_id IS the wrapper.
+    assert stale_id in t._GUARD_ALIASES
+    assert id(t._GUARD_ALIASES[stale_id][0]) == stale_id
+    # Behavioral: an untracked frame (whatever its address) releases
+    # nothing, and the tracked entry survives it.
+    probe = d.select("doc_id")
+    assert t.release_guard_cache(probe) is False
+    assert stale_id in t._GUARD_ALIASES
+    assert t.release_guard_caches() == 1
+
+
 def test_guarded_queries_scan_corpus_once(spark):
     """Round-7 regression pin: the vocabulary-broadcast guard used to run
     a separate approx_count_distinct probe over the exploded corpus — a
@@ -772,6 +813,14 @@ PLAN_SHAPE_PINS = {
     "q_range_join":         (2,  0, 0, 0),
     # q_frame_sample is mapInPandas over binary payloads: map-only.
     "q_frame_sample":       (0,  0, 0, 0),
+    # Round-10: the composed IVF-PQ search. 1 BNLJ = the assignment
+    # pass's 1-row centroid-matrix broadcast; probe ranking and the ADC
+    # LUT are driver-side model state, and both the 32-deep ADC
+    # shortlist and the final top-5 are TakeOrdered heaps — a second
+    # BNLJ or exchange appearing means the query branch started
+    # dragging the assignment subtree again (the round-9 q_ann_ivf
+    # regression shape).
+    "q_ivfpq_search":       (1,  0, 0, 1),
 }
 
 
