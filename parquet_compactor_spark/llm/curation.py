@@ -1367,3 +1367,170 @@ def q_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (n_docs * 128) AS BIGINT)"
         ).alias("naive_waste_ppm"),
     )
+
+
+# DoReMi domain reweighting (Xie et al. 2023, "DoReMi: Optimizing Data
+# Mixtures Speeds Up Language Model Pretraining"): Group-DRO
+# multiplicative-weights iteration over domain excess loss, linearized
+# to exact integer micro-units so every round is bit-identical across
+# engines (the ln/exp-free discipline q_pagerank established for
+# iterative recurrences).
+DOREMI_ROUNDS = 3
+DOREMI_CAP_MICRO = 400_000  # per-domain weight cap (0.4) applied each round
+DOREMI_ETA_DIV = 10  # eta = 1/10: factor = 1e6 + excess_micro // 10
+
+
+def _doremi_oracle() -> str:
+    cap = DOREMI_CAP_MICRO
+    eta = DOREMI_ETA_DIV
+    rounds = "".join(
+        f"""
+    u{r} AS (
+        SELECT *, (w * (1000000 + excess_micro // {eta})) // 1000000 AS u
+        FROM {"r0" if r == 1 else f"n{r - 1}"}
+    ),
+    n{r} AS (
+        SELECT source, n_docs, nd, excess_micro,
+               LEAST(CAST((u * 1000000)
+                          // CAST(SUM(u) OVER () AS BIGINT)
+                          AS BIGINT), {cap}) AS w
+        FROM u{r}
+    ),"""
+        for r in range(1, DOREMI_ROUNDS + 1)
+    )
+    last = f"n{DOREMI_ROUNDS}"
+    return f"""
+    WITH dom AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tok
+        FROM documents GROUP BY source
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_docs) AS BIGINT) AS td,
+               CAST(SUM(sum_tok) AS BIGINT) AS tt,
+               CAST(COUNT(*) AS BIGINT) AS nd
+        FROM dom
+    ),
+    ex AS (
+        SELECT d.source, d.n_docs, t.nd,
+               GREATEST(
+                   CAST(FLOOR(
+                       (CAST(d.sum_tok AS DOUBLE) / CAST(d.n_docs AS DOUBLE))
+                       / (CAST(t.tt AS DOUBLE) / CAST(t.td AS DOUBLE))
+                       * 1000000 + 0.5) AS BIGINT) - 1000000,
+                   CAST(0 AS BIGINT)) AS excess_micro
+        FROM dom d CROSS JOIN tot t
+    ),
+    r0 AS (SELECT *, 1000000 // nd AS w FROM ex),{rounds}
+    fin AS (
+        SELECT source, n_docs, nd, excess_micro,
+               CAST((w * 1000000)
+                    // CAST(SUM(w) OVER () AS BIGINT)
+                    AS BIGINT) AS wn
+        FROM {last}
+    )
+    SELECT source, n_docs, excess_micro,
+           CAST((wn * 9) // 10 + 1000000 // (10 * nd) AS BIGINT) AS w_micro,
+           CAST(CAST((wn * 9) // 10 + 1000000 // (10 * nd) AS BIGINT)
+                AS DOUBLE) / 1000000 AS w_frac
+    FROM fin
+    """
+
+
+@register(
+    "q_doremi_weights",
+    oracle=_doremi_oracle(),
+    doc="DoReMi-style domain-mixture reweighting (Xie et al. 2023): "
+    "Group-DRO multiplicative-weights iteration over per-domain excess "
+    "loss, with per-round clipping and a final uniform-smoothing mix — "
+    "the data-engine half of DoReMi, with the proxy/reference model "
+    "loss gap replaced by a deterministic corpus statistic (relative "
+    "mean document length, the same stand-in q_dsir_weights uses for "
+    "importance). The recurrence is LINEARIZED to exact bigint "
+    "micro-units (w <- w * (1e6 + eta*excess) div 1e6, renormalize by "
+    "integer div, clip at 0.4) instead of exp(eta*L): same monotone "
+    "update direction, zero float accumulation — engine-identical on "
+    "every round, the q_pagerank integer-fixed-point discipline. "
+    "Per-round clipping makes the 3 unrolled rounds genuinely "
+    "iterative (a clip between rounds is not foldable into one "
+    "exp-sum). Plan: one corpus-scan agg to the per-domain table "
+    "(map-side partial on the source key), then every round is a "
+    "LINEAR chain of column arithmetic + one unpartitioned windowed "
+    "SUM on the DOMAINS-sized frame — deliberately a window, not an "
+    "agg+crossJoin of the same frame, because branching the iterating "
+    "frame doubles the unshared plan subtree EVERY round (measured: "
+    "the crossJoin form re-ran the corpus scan 2^rounds times). The "
+    "single-partition window exchange moves dozens of rows; at 100 TB "
+    "domains number in the dozens, so the whole iteration is free next "
+    "to the single corpus scan. Final weights sum to ~1e6 ppm and feed "
+    "q_mixture_epochs/q_lang_temperature-style samplers downstream.",
+)
+def q_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parquet_compactor_spark.llm.text import whitespace_tokens
+
+    d = load(spark, sf_dir, "documents")
+    dom = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size(whitespace_tokens(F.col("text"))).cast("bigint")).alias(
+            "sum_tok"
+        ),
+    )
+    # Corpus totals AND every round's renormalizing sum are windowed
+    # sums over the domains-sized frame: the whole iteration is ONE
+    # linear plan chain off a single corpus scan. (An agg+crossJoin per
+    # round references the iterating frame from two branches — the
+    # unshared subtree doubles every round and the measured plan re-ran
+    # the corpus scan 2^rounds times.)
+    wall = Window.partitionBy()
+    ex = (
+        dom.withColumn("td", F.sum("n_docs").over(wall).cast("bigint"))
+        .withColumn("tt", F.sum("sum_tok").over(wall).cast("bigint"))
+        .withColumn("nd", F.count(F.lit(1)).over(wall).cast("bigint"))
+        .select(
+            "source",
+            "n_docs",
+            "nd",
+            F.greatest(
+                F.floor(
+                    (
+                        F.col("sum_tok").cast("double")
+                        / F.col("n_docs").cast("double")
+                    )
+                    / (F.col("tt").cast("double") / F.col("td").cast("double"))
+                    * 1000000
+                    + 0.5
+                ).cast("bigint")
+                - 1000000,
+                F.lit(0).cast("bigint"),
+            ).alias("excess_micro"),
+        )
+    )
+    w = ex.withColumn("w", F.expr("1000000 div nd"))
+    for _ in range(DOREMI_ROUNDS):
+        w = (
+            w.withColumn(
+                "u",
+                F.expr(
+                    f"(w * (1000000 + excess_micro div {DOREMI_ETA_DIV}))"
+                    " div 1000000"
+                ),
+            )
+            .withColumn("s", F.sum("u").over(wall).cast("bigint"))
+            .withColumn(
+                "w",
+                F.expr(f"least((u * 1000000) div s, {DOREMI_CAP_MICRO})"),
+            )
+            .drop("u", "s")
+        )
+    w = (
+        w.withColumn("s", F.sum("w").over(wall).cast("bigint"))
+        .withColumn("wn", F.expr("(w * 1000000) div s"))
+    )
+    w_micro = F.expr("CAST((wn * 9) div 10 + 1000000 div (10 * nd) AS BIGINT)")
+    return w.select(
+        "source",
+        "n_docs",
+        "excess_micro",
+        w_micro.alias("w_micro"),
+        (w_micro.cast("double") / 1000000).alias("w_frac"),
+    )

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from parquet_compactor_spark.registry import load, register
@@ -800,6 +800,143 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             / 10000
         ).alias("kept_frac"),
+    )
+
+
+SUBSTR_W = 15  # sliding-window width in tokens (Lee et al. use 50 BPE tokens)
+
+
+@register(
+    "q_substring_dedup",
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    wins AS (
+        SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+               CAST(i AS BIGINT) AS pos,
+               md5(array_to_string(w[i : i + {SUBSTR_W - 1}], ' ')) AS h
+        FROM words, UNNEST(range(1, len(w) - {SUBSTR_W - 2})) AS t(i)
+    ),
+    o AS (
+        SELECT doc_id, n_tokens, pos, h,
+               doc_id * 1048576 + pos AS ord
+        FROM wins
+    ),
+    firsts AS (SELECT h, MIN(ord) AS first_ord FROM o GROUP BY h),
+    j AS (SELECT o.*, f.first_ord FROM o JOIN firsts f USING (h)),
+    per_doc AS (
+        SELECT doc_id, MAX(n_tokens) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_windows,
+               CAST(SUM(CASE WHEN ord <> first_ord THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dup_windows
+        FROM j GROUP BY doc_id
+    ),
+    dropped AS (
+        SELECT doc_id, pos,
+               LEAD(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+        FROM j WHERE ord <> first_ord
+    ),
+    cov AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN nxt IS NULL OR nxt - pos >= {SUBSTR_W}
+                             THEN {SUBSTR_W} ELSE nxt - pos END)
+                    AS BIGINT) AS dup_tokens
+        FROM dropped GROUP BY doc_id
+    )
+    SELECT p.doc_id, p.n_tokens, p.n_windows, p.n_dup_windows,
+           CAST(COALESCE(c.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           FLOOR(CAST(COALESCE(c.dup_tokens, 0) AS DOUBLE)
+                 / CAST(p.n_tokens AS DOUBLE) * 10000 + 0.5) / 10000
+               AS dup_frac
+    FROM per_doc p LEFT JOIN cov c USING (doc_id)
+    """,
+    doc="Exact-substring duplication measurement over SLIDING fixed-width "
+    "token windows — the Spark-native form of Lee et al. 2022's "
+    "ExactSubstr dedup ('Deduplicating Training Data Makes Language "
+    "Models Better': drop every ≥50-token span whose exact text occurs "
+    "elsewhere in the corpus, keeping the first occurrence). Their "
+    "suffix-array oracle is a single-machine structure; the "
+    "shuffle-native equivalent slides a width-15 window one token at a "
+    "time (every duplicated run of ≥W tokens is exactly a run of "
+    "duplicated windows), marks every window whose text occurred at a "
+    "smaller (doc_id, pos) — the same exact bigint first-occurrence "
+    "ordering as q_span_dedup — and, per doc, MERGES the dropped "
+    "windows' overlapping [pos, pos+W) intervals via one LEAD window "
+    "(sum of min(W, gap)) into the count of tokens inside duplicated "
+    "substrings. Distinct from q_span_dedup (NON-overlapping spans "
+    "miss duplicates straddling span boundaries; this can't) and from "
+    "q_dup_ngram_coverage (symmetric distinct-5-gram risk score; this "
+    "is the asymmetric keep-first DECISION measure). Windows are keyed "
+    "by md5 on BOTH engines, so the wide shuffle moves 32-byte keys — "
+    "at 100 TB the span texts (15x corpus bytes if shipped raw) never "
+    "leave the map side; the join back is behind the measured "
+    "vocabulary-broadcast guard (open-ended window space -> shuffle "
+    "join). Docs under W tokens have no window and drop out (inner "
+    "semantics, both engines); the final per-doc rollup and the "
+    "interval merge share one doc_id-keyed exchange each.",
+)
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parquet_compactor_spark.llm.text import broadcast_if_bounded, whitespace_tokens
+
+    W = SUBSTR_W
+    d = load(spark, sf_dir, "documents")
+    words = whitespace_tokens(F.col("text"))
+    win_structs = F.when(
+        F.size(words) >= W,
+        F.transform(
+            F.sequence(F.lit(1), (F.size(words) - F.lit(W - 1)).cast("int")),
+            lambda i: F.struct(
+                i.cast("bigint").alias("pos"),
+                F.md5(F.array_join(F.slice(words, i, W), " ")).alias("h"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:bigint,h:string>>"))
+    wins = d.select(
+        "doc_id",
+        F.size(words).cast("bigint").alias("n_tokens"),
+        F.explode(win_structs).alias("s"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        F.col("s.pos").alias("pos"),
+        F.col("s.h").alias("h"),
+        (F.col("doc_id") * 1048576 + F.col("s.pos")).alias("ord"),
+    )
+    firsts = wins.groupBy("h").agg(F.min("ord").alias("first_ord"))
+    j = wins.join(broadcast_if_bounded(firsts), "h")
+    per_doc = j.groupBy("doc_id").agg(
+        F.max("n_tokens").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+        F.sum((F.col("ord") != F.col("first_ord")).cast("int"))
+        .cast("bigint")
+        .alias("n_dup_windows"),
+    )
+    w_next = Window.partitionBy("doc_id").orderBy("pos")
+    gap = F.lead("pos").over(w_next) - F.col("pos")
+    cov = (
+        j.filter(F.col("ord") != F.col("first_ord"))
+        .select("doc_id", "pos")
+        .withColumn("inc", F.when(gap.isNull() | (gap >= W), W).otherwise(gap))
+        .groupBy("doc_id")
+        .agg(F.sum("inc").cast("bigint").alias("dup_tokens"))
+    )
+    dup_tokens = F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("bigint")
+    return per_doc.join(cov, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        "n_windows",
+        "n_dup_windows",
+        dup_tokens.alias("dup_tokens"),
+        (
+            F.floor(
+                dup_tokens.cast("double")
+                / F.col("n_tokens").cast("double")
+                * 10000
+                + 0.5
+            )
+            / 10000
+        ).alias("dup_frac"),
     )
 
 

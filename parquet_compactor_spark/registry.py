@@ -212,7 +212,38 @@ def _ensure_loaded() -> None:
 # Queries listed here are yielded FIRST by all_queries(), in this order.
 # External differential harnesses that sample a prefix of the registry
 # (the driver checks the first 50 entries) therefore verify these before
-# anything else. Round 8 (exactly 50 names):
+# anything else.
+#
+# Round 10 (exactly 50 names) — the rotation the round-9 verdict flagged
+# as two rounds overdue, finally executed. Composition, computed from
+# CORRECTNESS_r0{1..9}.json latest-row-wins (histogram after r9:
+# r9 x50, r7 x47, r6 x43, r5 x43, r4 x7):
+#   1-3   NEW or newly-fixed this round, no (valid) driver row:
+#         q_ivfpq_search (added r9 with a constructor-time TypeError —
+#         never driver-checked; round 10 fixed the call AND switched
+#         both the ADC LUT and the candidate encoder to the oracle's
+#         sample-init codebook), q_substring_dedup (Lee-et-al
+#         sliding-window exact-substring dup measure), q_doremi_weights
+#         (linearized Group-DRO domain reweighting);
+#   4     q_ann_ivf — source refactored in r9 (shared ivf_assign) and
+#         again in r10 (query branch moved back to the raw scan,
+#         restoring the pinned plan); its latest driver row is r5 and
+#         attests NONE of that;
+#   5-11  the seven r4-latest rows, alphabetical (q_returned_items,
+#         q_salted_join, q_sim_topk, q_small_qty_revenue,
+#         q_top_supplier, q_variant_props, q_volume_shipping) — after
+#         these, no r4-or-older row remains anywhere;
+#   12-50 the r5-latest rows, alphabetical, as many as fit (39 of 42;
+#         q_ann_ivf is already at #4). The alphabetically-last three
+#         (q_window_ranks, q_window_running, q_window_topn) roll to
+#         round 11.
+#
+# Round-11 rotation plan (after this window lands): first whatever
+# round 11 adds or changes, then the three rolled-over r5 rows
+# (q_window_ranks, q_window_running, q_window_topn), then the r6-latest
+# rows alphabetical to fill 50 (43 r6 rows exist; expect ~40 to fit).
+#
+# Historical note — round 8's window (kept for the ledger):
 #   1-14  the fourteen queries ADDED this round — no driver row exists
 #         at all, so they outrank every re-verification
 #         (q_pagerank: fixed-iteration integer PageRank over the
@@ -292,60 +323,61 @@ def _ensure_loaded() -> None:
 # whatever round 9 itself adds or changes, which (per the standing
 # convention) outranks re-verification of unchanged sources.
 _PRIORITY: tuple[str, ...] = (
-    # -- NEW in round 8 (no driver row yet): verify before everything --
-    "q_pagerank",
-    "q_zipf_fit",
-    "q_normalized_dedup",
-    "q_padding_waste",
-    "q_token_entropy",
-    "q_dedup_survivorship",
-    "q_minhash_incremental",
-    "q_bpe_merge_pairs",
-    "q_perplexity_buckets",
-    "q_bigram_backoff",
-    "q_collocation_pmi",
-    "q_knn_classify",
-    "q_mixture_epochs",
-    "q_pq_encode",
-    # -- source changed in round 8: re-verify first --
-    "q_lang_temperature",  # oracle CAST AS BIGINT (r7 driver red fixed)
-    "q_approx_stats",  # exact-percentile scaffolding moved to test twin
-    "q_dsir_weights",  # two-level top-20% cut + persist_tracked scored
-    "q_embed_dim_stats",  # -0.0 zero-sign canonicalized on both engines
-    # -- the three displaced r3 rows: the ledger's oldest --
-    "q_time_weighted_avg",
-    "q_udaf_geomean",
-    "q_stats_agg",
-    # -- ALL 36 remaining r4-latest rows --
-    "q_ann_lsh",
-    "q_array_agg",
-    "q_array_fns",
-    "q_batch_sim_topk",
-    "q_conditional_distinct",
-    "q_cust_order_dist",
-    "q_dedup_exact",
-    "q_disjunctive_join",
-    "q_dup_clusters",
-    "q_embed_quantize",
-    "q_explode_posexplode",
-    "q_fingerprint",
-    "q_funnel_steps",
-    "q_higher_order_fns",
-    "q_idle_customers",
-    "q_json_props",
-    "q_lang_id",
-    "q_lateral_topn",
-    "q_map_props",
-    "q_market_share",
-    "q_median_filtered",
-    "q_merge_upsert",
-    "q_nation_revenue",
-    "q_ngram_jaccard",
-    "q_order_priority",
-    "q_promo_revenue",
-    "q_quality_score",
-    "q_recursive_cte",
-    "q_retention_cohorts",
+    # -- NEW/newly-fixed in round 10 (no valid driver row): first --
+    "q_ivfpq_search",
+    "q_substring_dedup",
+    "q_doremi_weights",
+    # -- source changed r9+r10; latest row (r5) attests neither --
+    "q_ann_ivf",
+    # -- the seven r4-latest rows: the ledger's oldest --
+    "q_returned_items",
+    "q_salted_join",
+    "q_sim_topk",
+    "q_small_qty_revenue",
+    "q_top_supplier",
+    "q_variant_props",
+    "q_volume_shipping",
+    # -- r5-latest rows, alphabetical (39 of 42 fit; the last three
+    # roll to round 11 per the plan above) --
+    "q_anti_join",
+    "q_arg_extremes",
+    "q_chisq_independence",
+    "q_cross_join",
+    "q_dedup_minhash",
+    "q_dedup_simhash",
+    "q_embed_near_dup",
+    "q_event_enrich",
+    "q_event_transitions",
+    "q_full_outer_join",
+    "q_gopher_rules",
+    "q_hard_negatives",
+    "q_having",
+    "q_heavy_hitters",
+    "q_hll_sketch",
+    "q_hll_sketch_state",
+    "q_important_parts",
+    "q_in_subquery",
+    "q_join_multiway",
+    "q_kll_quantiles",
+    "q_kmeans_clusters",
+    "q_min_cost_supplier",
+    "q_null_handling",
+    "q_prefix_dups",
+    "q_product_profit",
+    "q_promo_part_suppliers",
+    "q_range_join",
+    "q_rlike_filter",
+    "q_running_distinct",
+    "q_semi_join",
+    "q_string_fns",
+    "q_supplier_part_count",
+    "q_topk",
+    "q_tumbling_window",
+    "q_union_all",
+    "q_unpivot",
+    "q_window_first_last",
+    "q_window_lag",
+    "q_window_range_frame",
 )
 
 

@@ -117,6 +117,15 @@ RAMP_QUERIES = [
     # prove the flat tail. q_dedup_survivorship is q_dup_clusters'
     # machinery plus one cluster-keyed window — covered by that entry.
     "q_token_entropy",
+    # round-10: sliding-window exact-substring dedup explodes ~1 window
+    # PER TOKEN (the heaviest constant factor of any gram family — 15x
+    # the corpus in window text, shuffled as md5 keys) and must ramp
+    # linearly like q_span_dedup, never quadratically; the per-doc
+    # interval-merge window is doc-keyed and cannot blow up.
+    # (q_doremi_weights is a single-agg + domains-sized iteration —
+    # covered by the q_gopher_rules slope family; q_ivfpq_search rides
+    # q_ann_ivf's ramp entry: same assignment stage, cheaper probe.)
+    "q_substring_dedup",
 ]
 
 OFF = 10_000_000  # per-copy key shift

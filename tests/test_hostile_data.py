@@ -114,6 +114,11 @@ SENSITIVE = [
     "q_merge_upsert",
     "q_time_weighted_avg",
     "q_stats_agg",
+    # round-10 additions: both tokenize text (NULL text forms no
+    # windows / contributes NULL to the per-source token sum — scoped
+    # identically by both engines' aggregate NULL semantics).
+    "q_substring_dedup",
+    "q_doremi_weights",
 ]
 
 

@@ -1027,3 +1027,115 @@ def test_dedup_survivorship_keeps_longest_copy(spark, tmp_path):
     assert all(got[i].kept_doc == 11 for i in (10, 11, 12))
     assert [got[i].is_kept for i in (10, 11, 12)] == [False, True, False]
     assert got[20].is_kept and got[20].kept_doc == 20
+
+
+def test_substring_dedup_interval_merge_semantics(spark, tmp_path):
+    """The Lee-et-al decision measure on a planted corpus: a full copy
+    of an earlier doc is 100% duplicated text; a doc sharing exactly its
+    first 15 tokens with an earlier doc has exactly those 15 tokens
+    inside duplicated substrings (ONE duplicated window whose interval
+    covers 15 tokens — the merge must not double-count overlaps); the
+    first occurrence itself and unrelated docs report zero. Also pins
+    the window count n_tokens - W + 1 and cross-checks the DuckDB
+    oracle on the same synthetic corpus."""
+    from parquet_compactor_spark.llm.dedup import SUBSTR_W
+    from parquet_compactor_spark.registry import all_queries
+    from tests.oracle_utils import compare_to_oracle
+
+    assert SUBSTR_W == 15
+    t1 = " ".join(f"alpha{i}" for i in range(20))  # 20 unique tokens
+    t3 = " ".join(f"beta{i}" for i in range(20))
+    # first 15 tokens of t3 + 5 fresh tokens
+    t4 = " ".join(t3.split(" ")[:15] + [f"gamma{i}" for i in range(5)])
+    rows = [(1, t1), (2, t1), (3, t3), (4, t4), (5, "too short")]
+    # Single-FILE parquet (pyarrow, not a Spark directory) so the DuckDB
+    # oracle harness can register it; ship the smoke tables alongside.
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tests.conftest import SF_SMOKE
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([i for i, _ in rows], type=pa.int64()),
+                "text": pa.array([t for _, t in rows], type=pa.string()),
+                "lang": pa.array(["en"] * len(rows), type=pa.string()),
+                "source": pa.array(["src0"] * len(rows), type=pa.string()),
+                "n_chars": pa.array(
+                    [len(t) for _, t in rows], type=pa.int64()
+                ),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    for t in (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "embeddings",
+    ):
+        shutil.copy(f"{SF_SMOKE}/{t}.parquet", str(tmp_path / f"{t}.parquet"))
+    sf = str(tmp_path)
+    q = all_queries()["q_substring_dedup"]
+    compare_to_oracle(q.fn(spark, sf), q.oracle, sf)
+    got = {r.doc_id: r for r in q.fn(spark, sf).collect()}
+    assert set(got) == {1, 2, 3, 4}  # doc 5: no window, inner semantics
+    assert all(r.n_windows == r.n_tokens - 14 for r in got.values())
+    assert (got[1].n_dup_windows, got[1].dup_tokens) == (0, 0)
+    assert got[2].dup_tokens == 20 and got[2].dup_frac == 1.0
+    assert got[2].n_dup_windows == got[2].n_windows
+    assert (got[3].n_dup_windows, got[3].dup_tokens) == (0, 0)
+    assert got[4].n_dup_windows == 1
+    assert got[4].dup_tokens == 15 and got[4].dup_frac == 0.75
+
+
+def test_substring_dedup_coverage_bounds_on_fixture(spark):
+    """Interval-merge sanity on the real corpus: coverage is bounded by
+    n_dup_windows * W above and (n_dup_windows - 1 + W) below whenever
+    any window was dropped, and the fraction never leaves [0, 1]."""
+    from parquet_compactor_spark.llm.dedup import SUBSTR_W
+    from parquet_compactor_spark.registry import all_queries
+    from tests.conftest import SF_SMOKE
+
+    rows = all_queries()["q_substring_dedup"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.n_windows == r.n_tokens - SUBSTR_W + 1
+        assert 0 <= r.n_dup_windows <= r.n_windows
+        assert 0 <= r.dup_tokens <= r.n_tokens
+        if r.n_dup_windows:
+            assert r.dup_tokens <= r.n_dup_windows * SUBSTR_W
+            assert r.dup_tokens >= r.n_dup_windows - 1 + SUBSTR_W
+        else:
+            assert r.dup_tokens == 0
+        assert 0.0 <= r.dup_frac <= 1.0
+
+
+def test_doremi_weights_invariants(spark):
+    """The linearized Group-DRO update's contract on the real corpus:
+    final weights form a near-exact ppm distribution (integer floors
+    lose < 1 ppm per domain per stage), respect the 0.4 cap plus the
+    uniform-smoothing share, are monotone in excess loss (update,
+    renormalize and clip all preserve the excess ordering from a
+    uniform start), and a zero-excess domain can only lose mass
+    relative to uniform."""
+    from parquet_compactor_spark.llm.curation import DOREMI_CAP_MICRO
+    from parquet_compactor_spark.registry import all_queries
+    from tests.conftest import SF_SMOKE
+
+    rows = all_queries()["q_doremi_weights"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    nd = len(rows)
+    total = sum(r.w_micro for r in rows)
+    assert 1_000_000 - 3 * nd <= total <= 1_000_000 + nd
+    uniform = 1_000_000 // nd
+    cap_after_smooth = (DOREMI_CAP_MICRO * 9) // 10 + 1_000_000 // (10 * nd)
+    by_excess = sorted(rows, key=lambda r: (r.excess_micro, r.w_micro))
+    for a, b in zip(by_excess, by_excess[1:]):
+        assert a.w_micro <= b.w_micro + 1  # monotone in excess (ppm slack)
+    for r in rows:
+        assert 0 < r.w_micro <= cap_after_smooth
+        assert r.w_frac == r.w_micro / 1_000_000
+        if r.excess_micro == 0:
+            assert r.w_micro <= uniform + 1

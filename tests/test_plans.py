@@ -821,6 +821,18 @@ PLAN_SHAPE_PINS = {
     # dragging the assignment subtree again (the round-9 q_ann_ivf
     # regression shape).
     "q_ivfpq_search":       (1,  0, 0, 1),
+    # Round-10: sliding-window exact-substring dedup — exchange count
+    # includes the vocabulary-guard build lineage under
+    # InMemoryTableScan (the q_minhash_incremental convention); no
+    # Expand/Cartesian/BNLJ may ever appear (windows join on md5 keys).
+    "q_substring_dedup":    (8,  0, 0, 0),
+    # Round-10: DoReMi weights — ONE corpus agg exchange + ONE reused
+    # single-partition window exchange for every round's renormalizing
+    # sum over the domains-sized frame. A count jump here means the
+    # iteration started branching the plan again (the agg+crossJoin
+    # form measured (94, _, _, 31): unshared subtrees doubling per
+    # round, corpus re-scanned 2^rounds times).
+    "q_doremi_weights":     (2,  0, 0, 0),
 }
 
 
