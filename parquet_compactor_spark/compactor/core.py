@@ -80,7 +80,15 @@ class CompactionConfig:
     # then every data byte is written exactly once. GCP leaves fall back
     # to the rename commit (their outputs must encode invoice_month/date
     # in the filename micro-schema).
-    direct_commit: bool = False
+    #
+    # Default None = DISPATCH BY URI SCHEME: object-store schemes
+    # (s3/s3a/gs/abfs/... — where rename is a server-side byte copy and
+    # three rounds of phase data show the rename term dominating the
+    # compaction wall clock) get the direct commit; file/hdfs (where
+    # rename is a metadata op) keep the rename commit and its
+    # zero-manifest simplicity. Explicit True/False overrides either
+    # way. See OBJECT_STORE_SCHEMES / commit_mode_is_direct.
+    direct_commit: bool | None = None
     # Orphan temp-dir GC: a hard crash (OOM-kill) skips the merge's
     # finally-cleanup and leaves a ``*_compact_tmp_<32hex>`` dir behind.
     # Each compact() pass reclaims orphans whose NEWEST file is at least
@@ -99,6 +107,28 @@ class CompactionConfig:
 # --------------------------------------------------------------------------
 # Pure decision logic (reference parity, unit-testable without Spark)
 # --------------------------------------------------------------------------
+
+
+#: URI schemes where rename is a server-side byte COPY (object stores),
+#: so the direct commit is the right default. hdfs/file are absent on
+#: purpose: their rename is an O(1) metadata op and the rename commit's
+#: marker-free idempotence is simpler to operate. mocks3 is the test
+#: object-store FileSystem (tests/javasupport), which emulates
+#: rename-as-copy and must dispatch like a real store.
+OBJECT_STORE_SCHEMES = frozenset(
+    {"s3", "s3a", "s3n", "gs", "abfs", "abfss", "wasb", "wasbs", "oss",
+     "cos", "cosn", "swift", "mocks3"}
+)
+
+
+def commit_mode_is_direct(direct_commit: bool | None, path: str) -> bool:
+    """Resolve the commit mode for ``path``: an explicit config wins;
+    None dispatches by URI scheme (object store -> direct, else rename).
+    Scheme-less paths (bare POSIX paths) are local -> rename."""
+    if direct_commit is not None:
+        return direct_commit
+    scheme = path.split("://", 1)[0].lower() if "://" in path else ""
+    return scheme in OBJECT_STORE_SCHEMES
 
 
 def determine_base_file_name(path: str) -> str:
@@ -686,7 +716,10 @@ class LakeCompactor:
             ]
         # GCP leaves always use the rename commit: their outputs must
         # encode {invoice_month}_{date} in the filename micro-schema.
-        use_direct = self.config.direct_commit and "GCP" not in leaf
+        use_direct = (
+            commit_mode_is_direct(self.config.direct_commit, leaf)
+            and "GCP" not in leaf
+        )
         manifest = self._read_manifest(leaf) if use_direct else set()
         if use_direct and manifest:
             # Prune entries whose files no longer exist (e.g. a prior

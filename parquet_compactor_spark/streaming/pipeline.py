@@ -981,22 +981,64 @@ def minhash_dedup_batch(docs: DataFrame) -> DataFrame:
     )
 
 
-def _committed_state_versions(fs, state_dir: str) -> list[tuple[int, str]]:
-    """(batch_id, path) of every claim-state version under ``state_dir``
-    carrying a ``_SUCCESS`` marker, ascending by batch id. Uncommitted
-    (crashed mid-write) versions are invisible to readers and rewritten
-    by mode=overwrite on replay."""
+def _committed_state_versions(
+    fs, state_dir: str
+) -> list[tuple[int, str, int | None]]:
+    """(batch_id, path, doc_id_watermark) of every claim-state version
+    under ``state_dir`` carrying a ``_SUCCESS`` marker, ascending by
+    batch id. Uncommitted (crashed mid-write) versions are invisible to
+    readers and rewritten by mode=overwrite on replay.
+
+    The watermark — the max doc_id the gate has processed up to that
+    version — is encoded in the DIRECTORY NAME (``v-<batch_id>-w<wm>``)
+    so it commits atomically with the version and costs zero reads;
+    legacy ``v-<batch_id>`` directories parse with watermark None
+    (enforcement silently skips, the documented graceful fallback)."""
     if not fs.exists(state_dir):
         return []
-    out: list[tuple[int, str]] = []
+    out: list[tuple[int, str, int | None]] = []
     for d in fs.list_dirs(state_dir):
         name = d.path.rstrip("/").rsplit("/", 1)[-1]
         if name.startswith("v-") and fs.exists(f"{d.path}/_SUCCESS"):
+            body = name[2:]
+            wm: int | None = None
+            if "-w" in body:
+                body, _, wtail = body.partition("-w")
+                try:
+                    wm = int(wtail)
+                except ValueError:
+                    continue
             try:
-                out.append((int(name[2:]), d.path))
+                out.append((int(body), d.path, wm))
             except ValueError:
                 continue
     return sorted(out)
+
+
+def _enforce_monotonic_doc_ids(
+    batch_min: int | None,
+    prior_wm: int | None,
+    is_replay: bool,
+    gate_name: str,
+) -> None:
+    """The first-arrival claim gates assume arrival order == doc_id
+    order (that is what makes ``prior_claimant < doc_id`` both a
+    correct earlier-arrival test AND replay-idempotent). This check
+    makes the assumption LOUD instead of silently under-deduplicating:
+    a genuinely NEW batch whose smallest doc_id is at or below the last
+    committed version's watermark violates it. Replayed batches are
+    exempt — their ids are legitimately <= the watermark their own
+    earlier run committed."""
+    if is_replay or batch_min is None or prior_wm is None:
+        return
+    if batch_min <= prior_wm:
+        raise ValueError(
+            f"{gate_name}: non-monotonic doc_ids — batch contains "
+            f"doc_id {batch_min} at or below the committed watermark "
+            f"{prior_wm}. The first-arrival claim gate assumes arrival "
+            "order == doc_id order; feed batches in id order or assign "
+            "monotonic ingest ids upstream."
+        )
 
 
 def latest_claim_state(spark, state_dir: str) -> DataFrame | None:
@@ -1010,6 +1052,16 @@ def latest_claim_state(spark, state_dir: str) -> DataFrame | None:
     fs = HadoopFS(spark, state_dir)
     versions = _committed_state_versions(fs, state_dir)
     return spark.read.parquet(versions[-1][1]) if versions else None
+
+
+def committed_doc_id_watermark(spark, state_dir: str) -> int | None:
+    """The max doc_id the gate at ``state_dir`` has committed through —
+    None before the first batch or for legacy unversioned names."""
+    from parquet_compactor_spark.compactor.fs import HadoopFS
+
+    fs = HadoopFS(spark, state_dir)
+    versions = _committed_state_versions(fs, state_dir)
+    return versions[-1][2] if versions else None
 
 
 def minhash_dedup_stream(
@@ -1032,13 +1084,19 @@ def minhash_dedup_stream(
     checkpoint did), every doc's buckets are in state claimed by itself
     or a same-batch smaller id — self-claims don't block, so the replay
     reproduces the original decisions (valid under the stated
-    arrival-order == doc_id-order assumption). Claims are FIRST-ARRIVAL:
+    arrival-order == doc_id-order assumption — which is ENFORCED, not
+    assumed: each version's directory name carries the max-doc_id
+    watermark, and a genuinely new batch reaching at or below it fails
+    loudly via :func:`_enforce_monotonic_doc_ids` instead of silently
+    keeping both copies of a late small-id duplicate; replays are
+    exempt by construction). Claims are FIRST-ARRIVAL:
     the state merge left-anti-joins the batch's new buckets against the
     state so an existing claimant is never displaced. State is
-    VERSIONED, never swapped in place: each batch writes the merged
-    claim table to ``state_dir/v-<batch_id>`` and readers take the
-    newest version with a ``_SUCCESS`` marker, so a crash at ANY point
-    leaves the previous committed version readable (a delete-then-rename
+    VERSIONED, never swapped in place: each NEW batch writes the merged
+    claim table to ``state_dir/v-<batch_id>-w<doc_id watermark>``
+    (replays skip the rewrite — their claims are already committed) and
+    readers take the newest version with a ``_SUCCESS`` marker, so a
+    crash at ANY point leaves the previous committed version readable (a delete-then-rename
     swap has a window where no live state exists and a restart would
     silently re-admit every previously claimed duplicate); superseded
     versions are garbage-collected after the new version commits.
@@ -1077,6 +1135,33 @@ def minhash_dedup_stream(
         fs = HadoopFS(spark, state_dir)
         versions = _committed_state_versions(fs, state_dir)
         state = spark.read.parquet(versions[-1][1]) if versions else None
+        # Enforce the arrival-order == doc_id-order invariant the
+        # prior_claimant < doc_id gate rests on: a NEW batch reaching
+        # below the committed watermark fails loudly instead of
+        # silently keeping both copies of a late-arriving duplicate.
+        # (A replay — this batch's own version already committed — is
+        # exempt: its ids are legitimately <= its own watermark.)
+        bounds = batch_df.agg(
+            F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+        ).collect()[0]
+        prior_wm = versions[-1][2] if versions else None
+        # Versions commit in batch order, so ANY batch id at or below
+        # the latest committed version id has already been processed —
+        # including after a checkpoint loss, where batch numbering
+        # restarts at 0 while the GC'd state retains only the newest
+        # version (exact-id matching would misread those replays as new
+        # batches and falsely reject them).
+        is_replay = bool(versions) and batch_id <= versions[-1][0]
+        _enforce_monotonic_doc_ids(
+            None if bounds.lo is None else int(bounds.lo),
+            prior_wm,
+            is_replay,
+            "minhash_dedup_stream",
+        )
+        new_wm = max(
+            (w for w in (prior_wm, bounds.hi) if w is not None),
+            default=None,
+        )
         joined = buckets.join(batch_min, ["band", "band_hash"])
         if state is not None:
             joined = joined.join(
@@ -1123,13 +1208,168 @@ def minhash_dedup_stream(
         # Versioned commit: the previous committed version stays live
         # until v-<batch_id>'s _SUCCESS lands (written last by the
         # parquet committer), so there is NO window with no readable
-        # state. Replay overwrites its own version idempotently. GC of
+        # state. The doc_id watermark rides in the directory name
+        # (atomic with the commit, zero reads to recover). A REPLAYED
+        # batch never rewrites state: its claims are already inside the
+        # latest committed version (versions commit monotonically), the
+        # merge would be a content no-op, and rewriting would RENUMBER
+        # the version chain — making the replay's own NEXT batch look
+        # like a new batch to the watermark enforcement. GC of
         # superseded versions runs only after the new commit; a crash
         # mid-GC just leaves extra old versions for the next batch.
-        merged.write.mode("overwrite").parquet(f"{state_dir}/v-{batch_id}")
-        for vid, path in _committed_state_versions(fs, state_dir):
-            if vid != batch_id:
-                fs.delete(path, recursive=True)
+        if not is_replay:
+            suffix = "" if new_wm is None else f"-w{int(new_wm)}"
+            merged.write.mode("overwrite").parquet(
+                f"{state_dir}/v-{batch_id}{suffix}"
+            )
+            for vid, path, _ in _committed_state_versions(fs, state_dir):
+                if vid != batch_id:
+                    fs.delete(path, recursive=True)
+
+    (
+        docs.writeStream.foreachBatch(claim)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def fingerprint_delta_batch(docs: DataFrame) -> DataFrame:
+    """(doc_id, kept) under the streaming fingerprint-delta policy, in
+    closed form: a document is kept iff it is the MINIMUM doc_id among
+    all documents sharing its normalized-text fingerprint. This is
+    exactly the sequential "first arrival claims the fingerprint"
+    policy when arrival order is doc_id order — the same closed-form
+    argument as :func:`minhash_dedup_batch`, one key instead of many
+    band buckets. Docs with NULL text have no fingerprint and are
+    scoped out (no decision row), matching the stream."""
+    fp = F.md5(
+        F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    ).alias("fp")
+    keyed = docs.filter(F.col("text").isNotNull()).select("doc_id", fp)
+    firsts = keyed.groupBy("fp").agg(F.min("doc_id").alias("fmin"))
+    return keyed.join(firsts, "fp").select(
+        "doc_id", (F.col("doc_id") == F.col("fmin")).alias("kept")
+    )
+
+
+def fingerprint_delta_stream(
+    docs: DataFrame, state_dir: str, out_dir: str, checkpoint_dir: str
+) -> None:
+    """Streaming cross-snapshot EXACT dedup: q_snapshot_delta run
+    continuously — each micro-batch of crawled documents is checked by
+    normalized-text fingerprint against a persistent fingerprint-claim
+    state, keeps only net-new documents, and appends its new
+    fingerprints. The cheap first gate of a continuous-ingest corpus
+    (byte-exact after whitespace/case normalization); the MinHash gate
+    (:func:`minhash_dedup_stream`) runs behind it for near-duplicates.
+
+    Same durability contract as the MinHash gate, via the shared
+    helpers: state is VERSIONED (``v-<batch_id>-w<watermark>``, newest
+    ``_SUCCESS``-marked version wins, superseded versions GC'd after
+    commit — a crash at any point leaves the last committed claims
+    readable); decisions land under ``out_dir/batch=<id>`` with
+    per-batch overwrite (replay rewrites its own partition); blocking
+    on ``prior_claimant < doc_id`` rather than claim existence makes
+    replay idempotent; and the arrival-order == doc_id-order invariant
+    that soundness rests on is ENFORCED against the committed
+    watermark (:func:`_enforce_monotonic_doc_ids`), with replayed
+    batches exempt by construction.
+
+    At 100 TB/day the state table is ONE 16-byte md5 key + claimant per
+    distinct document ever seen — orders of magnitude narrower than the
+    MinHash bucket table — and each batch costs one fingerprint map +
+    one fp-keyed join against state + one fp-keyed groupBy of the
+    batch. NULL-text docs form no fingerprint and get no decision row
+    (scoped identically in :func:`fingerprint_delta_batch`, pinned by
+    the parity test).
+
+    Stream/batch parity: with arrival order == doc_id order the union
+    of all batch decisions equals :func:`fingerprint_delta_batch`
+    exactly (tests/test_streaming.py, including a cross-batch duplicate
+    only state can catch, checkpoint-loss replay, and the
+    non-monotonic-batch rejection).
+    """
+
+    def claim(batch_df: DataFrame, batch_id: int) -> None:
+        from parquet_compactor_spark.compactor.fs import HadoopFS
+
+        spark = batch_df.sparkSession
+        fp = F.md5(
+            F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+        ).alias("fp")
+        keyed = (
+            batch_df.filter(F.col("text").isNotNull())
+            .select("doc_id", fp)
+        )
+        batch_min = keyed.groupBy("fp").agg(
+            F.min("doc_id").alias("batch_min")
+        )
+        fs = HadoopFS(spark, state_dir)
+        versions = _committed_state_versions(fs, state_dir)
+        state = spark.read.parquet(versions[-1][1]) if versions else None
+        bounds = batch_df.agg(
+            F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+        ).collect()[0]
+        prior_wm = versions[-1][2] if versions else None
+        # Versions commit in batch order, so ANY batch id at or below
+        # the latest committed version id has already been processed —
+        # including after a checkpoint loss, where batch numbering
+        # restarts at 0 while the GC'd state retains only the newest
+        # version (exact-id matching would misread those replays as new
+        # batches and falsely reject them).
+        is_replay = bool(versions) and batch_id <= versions[-1][0]
+        _enforce_monotonic_doc_ids(
+            None if bounds.lo is None else int(bounds.lo),
+            prior_wm,
+            is_replay,
+            "fingerprint_delta_stream",
+        )
+        new_wm = max(
+            (w for w in (prior_wm, bounds.hi) if w is not None),
+            default=None,
+        )
+        joined = keyed.join(batch_min, "fp")
+        if state is not None:
+            joined = joined.join(
+                state.select("fp", F.col("claimant").alias("prior_claimant")),
+                "fp",
+                "left",
+            )
+        else:
+            joined = joined.withColumn(
+                "prior_claimant", F.lit(None).cast("bigint")
+            )
+        blocked = F.coalesce(
+            F.col("prior_claimant") < F.col("doc_id"), F.lit(False)
+        ) | (F.col("batch_min") < F.col("doc_id"))
+        decisions = joined.select(
+            "doc_id", (~blocked).alias("kept")
+        )
+        decisions.write.mode("overwrite").parquet(
+            f"{out_dir}/batch={batch_id}"
+        )
+        new_claims = batch_min.select(
+            "fp", F.col("batch_min").alias("claimant")
+        )
+        if state is not None:
+            merged = state.unionByName(
+                new_claims.join(state, ["fp"], "left_anti")
+            )
+        else:
+            merged = new_claims
+        # Replay never rewrites state — see minhash_dedup_stream's
+        # commit comment (renumbering would break the replay exemption
+        # for the run's subsequent batches).
+        if not is_replay:
+            suffix = "" if new_wm is None else f"-w{int(new_wm)}"
+            merged.write.mode("overwrite").parquet(
+                f"{state_dir}/v-{batch_id}{suffix}"
+            )
+            for vid, path, _ in _committed_state_versions(fs, state_dir):
+                if vid != batch_id:
+                    fs.delete(path, recursive=True)
 
     (
         docs.writeStream.foreachBatch(claim)

@@ -83,14 +83,19 @@ def test_mocks3_listing_modes_agree(spark):
 
 
 def test_e2e_rename_commit_on_object_store(spark):
-    """The default commit works unchanged on an object-store URI — and
-    measurably pays the rename-as-copy tax on the merged output."""
+    """The rename commit works unchanged on an object-store URI — and
+    measurably pays the rename-as-copy tax on the merged output (which
+    is exactly why the None default now DISPATCHES object-store schemes
+    to direct; this test forces rename explicitly to keep measuring the
+    tax)."""
     root = _build_lake("renamecommit")
     leaf = _phys("renamecommit") / LEAF_REL
     before = read_ids(leaf)
 
     t0 = _renamed_bytes(spark)
-    outcomes = LakeCompactor(spark, root, CompactionConfig(now=NOW)).compact()
+    outcomes = LakeCompactor(
+        spark, root, CompactionConfig(now=NOW, direct_commit=False)
+    ).compact()
     copied = _renamed_bytes(spark) - t0
 
     assert list(outcomes.values()) == ["compacted_8_files"]
@@ -113,7 +118,9 @@ def test_direct_commit_eliminates_the_engine_rename_tax(spark):
     root_d = _build_lake("taxdirect")
 
     t0 = _renamed_bytes(spark)
-    LakeCompactor(spark, root_r, CompactionConfig(now=NOW)).compact()
+    LakeCompactor(
+        spark, root_r, CompactionConfig(now=NOW, direct_commit=False)
+    ).compact()
     rename_copied = _renamed_bytes(spark) - t0
 
     t1 = _renamed_bytes(spark)
@@ -148,3 +155,41 @@ def test_direct_commit_second_run_is_noop_on_object_store(spark):
     outcomes = LakeCompactor(spark, root, cfg).compact()
     assert _renamed_bytes(spark) - t0 == 0
     assert list(outcomes.values()) == ["nothing_to_compact"]
+
+
+def test_commit_mode_dispatches_by_scheme(spark):
+    """direct_commit=None resolves by URI scheme: object-store schemes
+    get the direct commit (pure unit check across the scheme table,
+    plus an e2e proof on mocks3 that the DEFAULT config now produces a
+    manifest-committed direct output with zero engine data renames);
+    file/hdfs/bare paths keep the rename commit; explicit True/False
+    overrides both ways."""
+    from parquet_compactor_spark.compactor.core import (
+        OBJECT_STORE_SCHEMES,
+        commit_mode_is_direct,
+    )
+
+    for s in OBJECT_STORE_SCHEMES:
+        assert commit_mode_is_direct(None, f"{s}://bucket/l/") is True
+    for p in ("file:///data/lake", "hdfs://nn:8020/lake", "/data/lake"):
+        assert commit_mode_is_direct(None, p) is False
+    assert commit_mode_is_direct(False, "s3a://bucket/l/") is False
+    assert commit_mode_is_direct(True, "/data/lake") is True
+
+    # e2e: a DEFAULT-config compaction on mocks3 commits direct.
+    root = _build_lake("schemedispatch")
+    leaf = _phys("schemedispatch") / LEAF_REL
+    before = read_ids(leaf)
+    t0 = _renamed_bytes(spark)
+    outcomes = LakeCompactor(spark, root, CompactionConfig(now=NOW)).compact()
+    copied = _renamed_bytes(spark) - t0
+    assert list(outcomes.values()) == ["compacted_8_files"]
+    assert (leaf / "_compacted.manifest").exists()
+    assert read_ids(leaf) == before
+    # No engine-side data renames: only the FileOutputCommitter's own
+    # task/job renames remain, strictly less than rename mode's
+    # output-sized tax (measured directly by the tax test above).
+    out = _out_bytes("schemedispatch")
+    # Committer task+job renames copy the output ~twice (plus marker
+    # metadata); the engine rename would add a third output-sized copy.
+    assert copied <= 2 * out + 8192, (copied, out)

@@ -648,3 +648,126 @@ def test_minhash_claim_state_skips_uncommitted_version(spark, tmp_path):
         (0, 11, 100)
     ]
     assert latest_claim_state(spark, str(tmp_path / "nostate")) is None
+
+
+def test_fingerprint_delta_stream_matches_batch_and_replays(spark, tmp_path):
+    """The streaming exact-dedup gate: decisions unioned across
+    micro-batches equal the closed-form batch twin; a cross-batch exact
+    duplicate is dropped via STATE; NULL-text docs get no decision row
+    on either side; checkpoint-loss replay against already-merged state
+    reproduces the decisions (prior_claimant < doc_id, not claim
+    existence); and the committed doc_id watermark is recoverable from
+    the version name alone."""
+    import shutil as _sh
+    import time
+
+    from parquet_compactor_spark.streaming.pipeline import (
+        committed_doc_id_watermark,
+        fingerprint_delta_batch,
+        fingerprint_delta_stream,
+        latest_claim_state,
+    )
+
+    a = "The   quick brown fox \t jumps over the lazy dog"
+    a_norm_twin = "the quick  BROWN fox jumps over the LAZY dog  "  # same fp
+    b = "an entirely different document about parquet compaction"
+    schema = "doc_id bigint, text string"
+    landing = tmp_path / "docs"
+    spark.createDataFrame(
+        [(0, a), (1, a), (2, b), (3, None)], schema
+    ).coalesce(1).write.mode("append").parquet(str(landing))
+    time.sleep(1.1)
+    spark.createDataFrame(
+        [(10, a_norm_twin), (11, "fresh content one"),
+         (12, "fresh content one"), (13, None)], schema
+    ).coalesce(1).write.mode("append").parquet(str(landing))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(landing))
+    )
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "decisions")
+    ckpt = str(tmp_path / "ckpt")
+    fingerprint_delta_stream(stream, state, out, ckpt)
+
+    streamed = {r.doc_id: r.kept for r in spark.read.parquet(out).collect()}
+    all_docs = spark.createDataFrame(
+        [(0, a), (1, a), (2, b), (3, None), (10, a_norm_twin),
+         (11, "fresh content one"), (12, "fresh content one"), (13, None)],
+        schema,
+    )
+    expected = {
+        r.doc_id: r.kept for r in fingerprint_delta_batch(all_docs).collect()
+    }
+    assert streamed == expected
+    assert streamed[0] and streamed[2] and streamed[11]
+    assert not streamed[1], "within-batch exact dup must drop"
+    assert not streamed[10], "cross-batch normalized dup must drop via state"
+    assert not streamed[12], "later-batch within-batch dup must drop"
+    assert 3 not in streamed and 13 not in streamed, "NULL text: no row"
+
+    st = latest_claim_state(spark, state)
+    assert st.columns == ["fp", "claimant"]
+    assert committed_doc_id_watermark(spark, state) == 13
+
+    # Replay with a lost checkpoint against the already-merged state.
+    _sh.rmtree(ckpt)
+    stream2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(landing))
+    )
+    fingerprint_delta_stream(stream2, state, out, str(tmp_path / "ckpt2"))
+    replayed = {r.doc_id: r.kept for r in spark.read.parquet(out).collect()}
+    assert replayed == expected
+
+
+def test_claim_gates_reject_non_monotonic_batches(spark, tmp_path):
+    """The arrival-order == doc_id-order invariant is enforced, not
+    assumed: after a batch committing watermark w, a genuinely NEW
+    batch containing any doc_id <= w fails loudly (for BOTH gates) —
+    the silent under-dedup ADVICE scenario (a later-arriving duplicate
+    with a smaller id than the state claimant would otherwise survive
+    the prior_claimant < doc_id test)."""
+    import time
+
+    import pytest as _pytest
+
+    from parquet_compactor_spark.streaming.pipeline import (
+        fingerprint_delta_stream,
+        minhash_dedup_stream,
+    )
+    from pyspark.sql.utils import StreamingQueryException
+
+    schema = "doc_id bigint, text string"
+    text = (
+        "the quick brown fox jumps over the lazy dog while the river "
+        "runs cold through the valley and the morning light breaks"
+    )
+    for gate, sub in (
+        (fingerprint_delta_stream, "fp"),
+        (minhash_dedup_stream, "mh"),
+    ):
+        landing = tmp_path / f"docs_{sub}"
+        spark.createDataFrame(
+            [(100, text)], schema
+        ).coalesce(1).write.mode("append").parquet(str(landing))
+        time.sleep(1.1)
+        # doc_id 50 <= committed watermark 100: must be rejected.
+        spark.createDataFrame(
+            [(50, text + " with a small tail change")], schema
+        ).coalesce(1).write.mode("append").parquet(str(landing))
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(landing))
+        )
+        with _pytest.raises(StreamingQueryException, match="non-monotonic"):
+            gate(
+                stream,
+                str(tmp_path / f"state_{sub}"),
+                str(tmp_path / f"out_{sub}"),
+                str(tmp_path / f"ckpt_{sub}"),
+            )
