@@ -119,6 +119,10 @@ SENSITIVE = [
     # identically by both engines' aggregate NULL semantics).
     "q_substring_dedup",
     "q_doremi_weights",
+    # NULL fingerprints are never exact-present (NULL never equals) and
+    # any bloom collision on them lands in the bounded FP budget; the
+    # invariant booleans must hold on the mutated corpus too.
+    "q_bloom_delta",
 ]
 
 

@@ -1139,3 +1139,45 @@ def test_doremi_weights_invariants(spark):
         assert r.w_frac == r.w_micro / 1_000_000
         if r.excess_micro == 0:
             assert r.w_micro <= uniform + 1
+
+
+def test_bloom_delta_contracts_on_planted_snapshot(spark, tmp_path):
+    """The bloom gate's two contracts on a corpus where membership is
+    known by construction: docs 1/2 (old snapshot: doc_id % 3 != 0)
+    re-fingerprinted by docs 6 (copy of 1) and 9 (normalized twin of
+    2 — case/whitespace changes only) must NOT count as new AND must be
+    bloom-maybe (no false negatives); docs 3/6/9's own fingerprints and
+    the fresh doc 12 behave per the exact anti-join. n_true_new per
+    this construction: doc 3 is NOT in the old snapshot (3 % 3 == 0)
+    so its fingerprint is new, docs 6/9 duplicate old content, doc 12
+    is fresh."""
+    from parquet_compactor_spark.llm.curation import q_bloom_delta
+    from parquet_compactor_spark.streaming.pipeline import (
+        fingerprint_delta_batch,
+    )
+
+    t1 = "alpha beta gamma delta epsilon"
+    t2 = "one two three four five six"
+    rows = [
+        (1, t1),                       # old
+        (2, t2),                       # old
+        (3, "unique content here"),    # NEW batch only (3 % 3 == 0)
+        (6, t1),                       # new arrival, dup of old doc 1
+        (9, "  ONE two   THREE four five six "),  # normalized twin of 2
+        (12, "completely fresh document text"),   # genuinely new
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    got = {r.lang: r for r in q_bloom_delta(spark, sf).collect()}
+    assert set(got) == {"en"}
+    r = got["en"]
+    assert r.n_docs == 6
+    # new = docs whose fp is absent from {fp(1), fp(2)}: 3 and 12.
+    assert r.n_true_new == 2
+    assert r.no_false_neg is True
+    assert r.fp_ok is True
+    # Cross-check the exact side against the fingerprint batch twin's
+    # first-occurrence semantics (6 and 9 are dups; 1,2,3,12 kept).
+    kept = {x.doc_id: x.kept for x in fingerprint_delta_batch(
+        spark.createDataFrame(rows, "doc_id bigint, text string")
+    ).collect()}
+    assert kept == {1: True, 2: True, 3: True, 6: False, 9: False, 12: True}
