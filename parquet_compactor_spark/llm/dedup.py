@@ -862,9 +862,11 @@ SUBSTR_W = 15  # sliding-window width in tokens (Lee et al. use 50 BPE tokens)
     "duplicated windows), marks every window whose text occurred at a "
     "smaller (doc_id, pos) — the same exact bigint first-occurrence "
     "ordering as q_span_dedup — and, per doc, MERGES the dropped "
-    "windows' overlapping [pos, pos+W) intervals via one LEAD window "
-    "(sum of min(W, gap)) into the count of tokens inside duplicated "
-    "substrings. Distinct from q_span_dedup (NON-overlapping spans "
+    "windows' overlapping [pos, pos+W) intervals into the count of "
+    "tokens inside duplicated substrings, folded inside the SAME "
+    "doc_id rollup (sorted dropped-position array + one JVM "
+    "higher-order aggregate; a second LEAD-window branch would "
+    "recompute the explode+join subtree — measured 2x wall clock). Distinct from q_span_dedup (NON-overlapping spans "
     "miss duplicates straddling span boundaries; this can't) and from "
     "q_dup_ngram_coverage (symmetric distinct-5-gram risk score; this "
     "is the asymmetric keep-first DECISION measure). Windows are keyed "
@@ -905,24 +907,41 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     firsts = wins.groupBy("h").agg(F.min("ord").alias("first_ord"))
     j = wins.join(broadcast_if_bounded(firsts), "h")
+    dup = F.col("ord") != F.col("first_ord")
+    # SINGLE per-doc pass: rollup counts AND the merged-interval
+    # coverage in one doc_id-keyed aggregate. Consuming ``j`` from two
+    # branches (rollup + a LEAD window over the dropped subset) would
+    # recompute the whole explode+join subtree per branch — the same
+    # unshared-plan-doubling q_doremi_weights documents. The dropped
+    # positions are collected sorted (bounded by the doc's own window
+    # count — the SAME per-doc memory bound the LEAD window needs) and
+    # the classic merged-interval fold runs as one JVM higher-order
+    # aggregate: acc = (last_end, covered); each position adds its
+    # non-overlapped extension max(0, pos + W - max(pos, last_end)).
     per_doc = j.groupBy("doc_id").agg(
         F.max("n_tokens").alias("n_tokens"),
         F.count(F.lit(1)).cast("bigint").alias("n_windows"),
-        F.sum((F.col("ord") != F.col("first_ord")).cast("int"))
-        .cast("bigint")
-        .alias("n_dup_windows"),
+        F.sum(dup.cast("int")).cast("bigint").alias("n_dup_windows"),
+        F.sort_array(
+            F.collect_list(F.when(dup, F.col("pos")))
+        ).alias("dpos"),
     )
-    w_next = Window.partitionBy("doc_id").orderBy("pos")
-    gap = F.lead("pos").over(w_next) - F.col("pos")
-    cov = (
-        j.filter(F.col("ord") != F.col("first_ord"))
-        .select("doc_id", "pos")
-        .withColumn("inc", F.when(gap.isNull() | (gap >= W), W).otherwise(gap))
-        .groupBy("doc_id")
-        .agg(F.sum("inc").cast("bigint").alias("dup_tokens"))
+    dup_tokens = F.aggregate(
+        F.col("dpos"),
+        F.struct(
+            F.lit(-1).cast("bigint").alias("last_end"),
+            F.lit(0).cast("bigint").alias("cov"),
+        ),
+        lambda acc, p: F.struct(
+            F.greatest(acc.last_end, p + W).alias("last_end"),
+            (
+                acc.cov
+                + F.greatest(p + W - F.greatest(p, acc.last_end), F.lit(0))
+            ).alias("cov"),
+        ),
+        lambda acc: acc.cov,
     )
-    dup_tokens = F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("bigint")
-    return per_doc.join(cov, "doc_id", "left").select(
+    return per_doc.select(
         "doc_id",
         "n_tokens",
         "n_windows",

@@ -825,7 +825,11 @@ PLAN_SHAPE_PINS = {
     # includes the vocabulary-guard build lineage under
     # InMemoryTableScan (the q_minhash_incremental convention); no
     # Expand/Cartesian/BNLJ may ever appear (windows join on md5 keys).
-    "q_substring_dedup":    (8,  0, 0, 0),
+    # 4 = guard-build lineage + join sides + ONE doc_id rollup; the
+    # first draft's two-branch form (rollup + LEAD window both reading
+    # the explode+join subtree) measured 8 exchanges and 2x the wall
+    # clock — a count jump back means the single-pass fold regressed.
+    "q_substring_dedup":    (4,  0, 0, 0),
     # Round-10: DoReMi weights — ONE corpus agg exchange + ONE reused
     # single-partition window exchange for every round's renormalizing
     # sum over the domains-sized frame. A count jump here means the
