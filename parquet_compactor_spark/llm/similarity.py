@@ -1446,3 +1446,108 @@ def q_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(5)
     )
+
+
+def _ivf_cell_stats_oracle() -> str:
+    """Reuses the exact assignment CTE chain of the IVFADC oracle (seed
+    centroids -> one Lloyd round rounded to IVF_ROUND -> reassign), then
+    rolls up per cell."""
+    cos_vc = _COS_SQL.format(a="v.vec", b="c.cvec")
+    cos_vr = _COS_SQL.format(a="v.vec", b="r.cvec")
+    lo, hi = IVF_CENTROID_IDS
+    return f"""
+    WITH v AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    cents AS (
+        SELECT CAST(vec_id - {lo} AS INT) AS bucket, vec AS cvec FROM v
+        WHERE vec_id BETWEEN {lo} AND {hi}
+    ),
+    sc1 AS (
+        SELECT v.vec_id, v.vec, c.bucket, {cos_vc} AS csim
+        FROM v CROSS JOIN cents c
+    ),
+    assign1 AS (
+        SELECT vec_id, vec, bucket
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                           ORDER BY csim DESC, bucket) AS rn
+              FROM sc1)
+        WHERE rn = 1
+    ),
+    exploded AS (
+        SELECT bucket, unnest(range(1, len(vec) + 1)) AS pos, vec FROM assign1
+    ),
+    dims AS (
+        SELECT bucket, pos, ROUND(AVG(vec[pos]), {IVF_ROUND}) AS m
+        FROM exploded GROUP BY bucket, pos
+    ),
+    refined AS (
+        SELECT bucket, list(m ORDER BY pos) AS cvec FROM dims GROUP BY bucket
+    ),
+    sc2 AS (
+        SELECT v.vec_id, v.vec, r.bucket, {cos_vr} AS csim
+        FROM v CROSS JOIN refined r
+    ),
+    assign AS (
+        SELECT vec_id, bucket
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                           ORDER BY csim DESC, bucket) AS rn
+              FROM sc2)
+        WHERE rn = 1
+    ),
+    g AS (
+        SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_vecs
+        FROM assign GROUP BY bucket
+    )
+    SELECT bucket, n_vecs,
+           CAST((n_vecs * 1000000)
+                // CAST(SUM(n_vecs) OVER () AS BIGINT) AS BIGINT)
+               AS frac_ppm,
+           CAST((n_vecs * CAST(COUNT(*) OVER () AS BIGINT) * 1000000)
+                // CAST(SUM(n_vecs) OVER () AS BIGINT) AS BIGINT)
+               AS load_ppm
+    FROM g
+    """
+
+
+@register(
+    "q_ivf_cell_stats",
+    oracle=_ivf_cell_stats_oracle(),
+    doc="IVF index-health audit — the cell-balance report every "
+    "deployed inverted-file index is checked against before (and "
+    "while) serving: per coarse cell, the member count, its corpus "
+    "fraction in exact integer ppm, and its LOAD FACTOR (n_vecs x "
+    "n_cells x 1e6 div total — 1e6 = perfectly balanced; a hot cell's "
+    "load factor is the multiplier on that cell's probe latency and "
+    "the signal to split it or re-train the quantizer). Runs the "
+    "SHARED ivf_assign stage (bit-identical cells to q_ann_ivf / "
+    "q_ivfpq_search, so this audit describes exactly the index those "
+    "queries probe) plus ONE bucket-keyed rollup and a K-row window — "
+    "at 100 TB the audit costs one map-shaped assignment pass over "
+    "the corpus and an O(K) rollup, and is the cheap recurring check "
+    "that keeps multi-probe latency predictable as the corpus drifts "
+    "from the centroids. All arithmetic is exact bigint div, "
+    "engine-identical.",
+)
+def q_ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base, assign, cents = ivf_assign(spark, sf_dir, lloyd=True, drop_null=True)
+    g = assign.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs")
+    )
+    wall = Window.partitionBy()
+    return (
+        g.withColumn("tot", F.sum("n_vecs").over(wall).cast("bigint"))
+        .withColumn("ncells", F.count(F.lit(1)).over(wall).cast("bigint"))
+        .select(
+            "bucket",
+            "n_vecs",
+            F.expr("CAST((n_vecs * 1000000) div tot AS BIGINT)").alias(
+                "frac_ppm"
+            ),
+            F.expr(
+                "CAST((n_vecs * ncells * 1000000) div tot AS BIGINT)"
+            ).alias("load_ppm"),
+        )
+    )

@@ -218,32 +218,34 @@ def _ensure_loaded() -> None:
 # as two rounds overdue, finally executed. Composition, computed from
 # CORRECTNESS_r0{1..9}.json latest-row-wins (histogram after r9:
 # r9 x50, r7 x47, r6 x43, r5 x43, r4 x7):
-#   1-4   NEW or newly-fixed this round, no (valid) driver row:
+#   1-5   NEW or newly-fixed this round, no (valid) driver row:
 #         q_ivfpq_search (added r9 with a constructor-time TypeError —
 #         never driver-checked; round 10 fixed the call AND switched
 #         both the ADC LUT and the candidate encoder to the oracle's
 #         sample-init codebook), q_substring_dedup (Lee-et-al
 #         sliding-window exact-substring dup measure), q_doremi_weights
 #         (linearized Group-DRO domain reweighting), q_bloom_delta
-#         (Bloom-gated snapshot delta, derived-invariant oracle);
-#   5     q_ann_ivf — source refactored in r9 (shared ivf_assign) and
+#         (Bloom-gated snapshot delta, derived-invariant oracle),
+#         q_ivf_cell_stats (IVF cell-balance audit on the shared
+#         assignment stage);
+#   6     q_ann_ivf — source refactored in r9 (shared ivf_assign) and
 #         again in r10 (query branch moved back to the raw scan,
 #         restoring the pinned plan); its latest driver row is r5 and
 #         attests NONE of that;
-#   6-12  the seven r4-latest rows, alphabetical (q_returned_items,
+#   7-13  the seven r4-latest rows, alphabetical (q_returned_items,
 #         q_salted_join, q_sim_topk, q_small_qty_revenue,
 #         q_top_supplier, q_variant_props, q_volume_shipping) — after
 #         these, no r4-or-older row remains anywhere;
-#   13-50 the r5-latest rows, alphabetical, as many as fit (38 of 42;
-#         q_ann_ivf is already at #5). The alphabetically-last four
-#         (q_window_range_frame, q_window_ranks, q_window_running,
-#         q_window_topn) roll to round 11.
+#   14-50 the r5-latest rows, alphabetical, as many as fit (37 of 42;
+#         q_ann_ivf is already at #6). The alphabetically-last five
+#         (q_window_lag, q_window_range_frame, q_window_ranks,
+#         q_window_running, q_window_topn) roll to round 11.
 #
 # Round-11 rotation plan (after this window lands): first whatever
-# round 11 adds or changes, then the four rolled-over r5 rows
-# (q_window_range_frame, q_window_ranks, q_window_running,
-# q_window_topn), then the r6-latest rows alphabetical to fill 50
-# (43 r6 rows exist; expect ~40 to fit).
+# round 11 adds or changes, then the five rolled-over r5 rows
+# (q_window_lag, q_window_range_frame, q_window_ranks,
+# q_window_running, q_window_topn), then the r6-latest rows
+# alphabetical to fill 50 (43 r6 rows exist; expect ~40 to fit).
 #
 # Historical note — round 8's window (kept for the ledger):
 #   1-14  the fourteen queries ADDED this round — no driver row exists
@@ -330,6 +332,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_substring_dedup",
     "q_doremi_weights",
     "q_bloom_delta",
+    "q_ivf_cell_stats",
     # -- source changed r9+r10; latest row (r5) attests neither --
     "q_ann_ivf",
     # -- the seven r4-latest rows: the ledger's oldest --
@@ -379,7 +382,6 @@ _PRIORITY: tuple[str, ...] = (
     "q_union_all",
     "q_unpivot",
     "q_window_first_last",
-    "q_window_lag",
 )
 
 

@@ -123,6 +123,9 @@ SENSITIVE = [
     # any bloom collision on them lands in the bounded FP budget; the
     # invariant booleans must hold on the mutated corpus too.
     "q_bloom_delta",
+    # NULL embeddings are scoped out of the assignment on both engines
+    # (the q_ivfpq_search drop-null convention).
+    "q_ivf_cell_stats",
 ]
 
 

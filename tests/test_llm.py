@@ -1181,3 +1181,30 @@ def test_bloom_delta_contracts_on_planted_snapshot(spark, tmp_path):
         spark.createDataFrame(rows, "doc_id bigint, text string")
     ).collect()}
     assert kept == {1: True, 2: True, 3: True, 6: False, 9: False, 12: True}
+
+
+def test_ivf_cell_stats_invariants(spark):
+    """The index-balance audit's arithmetic contracts on the smoke
+    fixture: counts cover every non-NULL vector exactly once, every
+    surviving cell is non-empty, the ppm fractions sum to ~1e6 (integer
+    floors lose < 1 ppm per cell), load_ppm == frac_ppm * n_cells
+    exactly (same integer division), and the buckets are a subset of
+    the K=8 seed ids — the SAME cells q_ann_ivf / q_ivfpq_search probe
+    (shared ivf_assign stage)."""
+    from pyspark.sql import functions as F
+
+    from parquet_compactor_spark.registry import all_queries, load
+    from tests.conftest import SF_SMOKE
+
+    rows = all_queries()["q_ivf_cell_stats"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    e = load(spark, SF_SMOKE, "embeddings")
+    n = e.filter(F.col("embedding").isNotNull()).count()
+    assert sum(r.n_vecs for r in rows) == n
+    assert all(r.n_vecs >= 1 for r in rows)
+    k = len(rows)
+    assert set(r.bucket for r in rows) <= set(range(8))
+    total_ppm = sum(r.frac_ppm for r in rows)
+    assert 1_000_000 - k <= total_ppm <= 1_000_000
+    for r in rows:
+        assert r.load_ppm == (r.n_vecs * k * 1_000_000) // n

@@ -432,6 +432,7 @@ def test_no_unexpected_cartesian_in_any_registered_query(spark):
         "q_kmeans_clusters",
         "q_ann_ivf",
         "q_ivfpq_search",  # same centroid-matrix broadcasts as q_ann_ivf
+        "q_ivf_cell_stats",  # same shared assignment stage
         "q_semantic_dedup",
         # round 8:
         "q_bigram_backoff",  # 1-row N_train scalar broadcast
