@@ -1654,3 +1654,178 @@ def q_bloom_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.greatest(F.lit(1), (n_docs / 20).cast("bigint"))
         ).alias("fp_ok"),
     )
+
+
+KANON_K = 5  # the k in k-anonymity: groups under this are re-identifiable
+
+
+@register(
+    "q_kanon_audit",
+    oracle=f"""
+    WITH qi AS (
+        SELECT c_nationkey AS nationkey, c_mktsegment AS mktsegment,
+               CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band
+        FROM customer
+    ),
+    g AS (
+        SELECT nationkey, mktsegment, bal_band,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM qi GROUP BY nationkey, mktsegment, bal_band
+    )
+    SELECT nationkey, mktsegment, bal_band, n_rows,
+           n_rows < {KANON_K} AS at_risk,
+           CAST((CAST(SUM(CASE WHEN n_rows < {KANON_K} THEN n_rows
+                               ELSE 0 END) OVER () AS BIGINT) * 1000000)
+                // CAST(SUM(n_rows) OVER () AS BIGINT) AS BIGINT)
+               AS risk_ppm
+    FROM g
+    """,
+    doc="k-anonymity release audit — the privacy check a dataset passes "
+    "before rows leave the lake (the compliance sibling of q_pii_scrub "
+    "and functions/incremental.propagate_deletes): group by the "
+    "quasi-identifier tuple (nation, market segment, account-balance "
+    "band of 1000) and flag every equivalence class smaller than k=5 — "
+    "members of those classes are re-identifiable by an adversary who "
+    "knows the quasi-identifiers. Output: every class with its size, "
+    "its at_risk flag, and the corpus-level risk_ppm (rows living in "
+    "risky classes, exact integer ppm — the single number a release "
+    "gate thresholds on; remediation is generalizing a QI column or "
+    "suppressing the risky rows). Plan: ONE hash aggregate on the QI "
+    "tuple + a class-count-sized window — at 100 TB the class table is "
+    "bounded by the QI domain product, orders of magnitude smaller "
+    "than the data, so the audit is scan-bound. NULL balances form "
+    "their own NULL band in BOTH engines (GROUP BY NULL groups "
+    "together), so unknown values are audited, not dropped.",
+)
+def q_kanon_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    g = (
+        c.select(
+            F.col("c_nationkey").alias("nationkey"),
+            F.col("c_mktsegment").alias("mktsegment"),
+            F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("bal_band"),
+        )
+        .groupBy("nationkey", "mktsegment", "bal_band")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+    )
+    wall = Window.partitionBy()
+    risky_rows = F.sum(
+        F.when(F.col("n_rows") < KANON_K, F.col("n_rows")).otherwise(F.lit(0))
+    ).over(wall).cast("bigint")
+    total_rows = F.sum("n_rows").over(wall).cast("bigint")
+    return g.select(
+        "nationkey",
+        "mktsegment",
+        "bal_band",
+        "n_rows",
+        (F.col("n_rows") < KANON_K).alias("at_risk"),
+        ((risky_rows * 1000000) / total_rows)
+        .cast("bigint")
+        .alias("risk_ppm"),
+    )
+
+
+@register(
+    "q_dist_drift",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, LEAST(len(string_split(text, ' ')), 128) AS tok
+        FROM documents WHERE text IS NOT NULL
+    ),
+    b AS (
+        SELECT CAST(((tok + 15) // 16) * 16 AS BIGINT) AS bucket_len,
+               CASE WHEN doc_id % 3 <> 0 THEN 1 ELSE 0 END AS is_old
+        FROM toks
+    ),
+    g AS (
+        SELECT bucket_len,
+               CAST(SUM(is_old) AS BIGINT) AS n_old,
+               CAST(SUM(1 - is_old) AS BIGINT) AS n_new
+        FROM b GROUP BY bucket_len
+    ),
+    t AS (
+        SELECT *, CAST(SUM(n_old) OVER () AS BIGINT) AS tot_old,
+               CAST(SUM(n_new) OVER () AS BIGINT) AS tot_new
+        FROM g
+    ),
+    p AS (
+        SELECT bucket_len, n_old, n_new,
+               CAST(GREATEST((n_old * 1000000) // NULLIF(tot_old, 0), 1)
+                    AS BIGINT) AS p_ppm,
+               CAST(GREATEST((n_new * 1000000) // NULLIF(tot_new, 0), 1)
+                    AS BIGINT) AS q_ppm
+        FROM t
+    )
+    SELECT bucket_len, n_old, n_new, p_ppm, q_ppm,
+           CAST(FLOOR((CAST(q_ppm AS DOUBLE) - CAST(p_ppm AS DOUBLE))
+                      / 1000000
+                      * ln(CAST(q_ppm AS DOUBLE) / CAST(p_ppm AS DOUBLE))
+                      * 1000000 + 0.5) AS BIGINT) AS psi_micro
+    FROM p
+    """,
+    doc="Snapshot-to-snapshot distribution drift via the Population "
+    "Stability Index — the monitoring number every continuously-"
+    "crawled corpus tracks so a crawler change or upstream template "
+    "shift is caught BEFORE it trains into a model: the previous "
+    "snapshot (doc_id % 3 != 0, the q_snapshot_delta shard convention) "
+    "and the new shard are bucketed by capped token count (the 16-wide "
+    "q_padding_waste grid), each bucket's share computed in exact "
+    "integer ppm (clamped to >= 1 ppm — the standard PSI smoothing for "
+    "empty cells, identically on both engines), and the per-bucket PSI "
+    "contribution (q-p)*ln(q/p) is evaluated with the SAME IEEE op "
+    "chain in both engines on those exact integers, then floor-rounded "
+    "to micro-units (the q_token_entropy ln discipline) — summing "
+    "psi_micro downstream gives the headline PSI (rule of thumb: "
+    "> 0.25 = population shift, retrain the curation filters). Plan: "
+    "ONE corpus scan -> one bucket-keyed hash agg (both shards split "
+    "by a flag inside the SAME aggregate, never two scans) -> a "
+    "buckets-sized window; scan-bound at any scale.",
+)
+def q_dist_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parquet_compactor_spark.llm.text import whitespace_tokens
+
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    tok = F.least(F.size(whitespace_tokens(F.col("text"))), F.lit(128))
+    b = d.select(
+        tok.alias("tok"),
+        F.when(F.col("doc_id") % 3 != 0, 1).otherwise(0).alias("is_old"),
+    ).select(
+        F.expr("CAST(((tok + 15) div 16) * 16 AS BIGINT)").alias("bucket_len"),
+        "is_old",
+    )
+    g = b.groupBy("bucket_len").agg(
+        F.sum("is_old").cast("bigint").alias("n_old"),
+        F.sum(1 - F.col("is_old")).cast("bigint").alias("n_new"),
+    )
+    wall = Window.partitionBy()
+    g = (
+        g.withColumn("tot_old", F.sum("n_old").over(wall).cast("bigint"))
+        .withColumn("tot_new", F.sum("n_new").over(wall).cast("bigint"))
+        .withColumn(
+            "p_ppm",
+            F.expr(
+                "CAST(GREATEST((n_old * 1000000) div NULLIF(tot_old, 0), 1)"
+                " AS BIGINT)"
+            ),
+        )
+        .withColumn(
+            "q_ppm",
+            F.expr(
+                "CAST(GREATEST((n_new * 1000000) div NULLIF(tot_new, 0), 1)"
+                " AS BIGINT)"
+            ),
+        )
+    )
+    return g.select(
+        "bucket_len",
+        "n_old",
+        "n_new",
+        "p_ppm",
+        "q_ppm",
+        F.expr(
+            "CAST(FLOOR((CAST(q_ppm AS DOUBLE) - CAST(p_ppm AS DOUBLE))"
+            " / 1000000"
+            " * ln(CAST(q_ppm AS DOUBLE) / CAST(p_ppm AS DOUBLE))"
+            " * 1000000 + 0.5) AS BIGINT)"
+        ).alias("psi_micro"),
+    )

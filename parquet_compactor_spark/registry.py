@@ -227,25 +227,27 @@ def _ensure_loaded() -> None:
 #         (linearized Group-DRO domain reweighting), q_bloom_delta
 #         (Bloom-gated snapshot delta, derived-invariant oracle),
 #         q_ivf_cell_stats (IVF cell-balance audit on the shared
-#         assignment stage);
-#   6     q_ann_ivf — source refactored in r9 (shared ivf_assign) and
+#         assignment stage); plus q_kanon_audit (k-anonymity release
+#         audit) and q_dist_drift (PSI snapshot drift) at 6-7;
+#   8     q_ann_ivf — source refactored in r9 (shared ivf_assign) and
 #         again in r10 (query branch moved back to the raw scan,
 #         restoring the pinned plan); its latest driver row is r5 and
 #         attests NONE of that;
-#   7-13  the seven r4-latest rows, alphabetical (q_returned_items,
+#   9-15  the seven r4-latest rows, alphabetical (q_returned_items,
 #         q_salted_join, q_sim_topk, q_small_qty_revenue,
 #         q_top_supplier, q_variant_props, q_volume_shipping) — after
 #         these, no r4-or-older row remains anywhere;
-#   14-50 the r5-latest rows, alphabetical, as many as fit (37 of 42;
-#         q_ann_ivf is already at #6). The alphabetically-last five
-#         (q_window_lag, q_window_range_frame, q_window_ranks,
-#         q_window_running, q_window_topn) roll to round 11.
+#   16-50 the r5-latest rows, alphabetical, as many as fit (35 of 42;
+#         q_ann_ivf is already at #8). The alphabetically-last seven
+#         (q_unpivot, q_window_first_last, q_window_lag,
+#         q_window_range_frame, q_window_ranks, q_window_running,
+#         q_window_topn) roll to round 11.
 #
 # Round-11 rotation plan (after this window lands): first whatever
-# round 11 adds or changes, then the five rolled-over r5 rows
-# (q_window_lag, q_window_range_frame, q_window_ranks,
-# q_window_running, q_window_topn), then the r6-latest rows
-# alphabetical to fill 50 (43 r6 rows exist; expect ~40 to fit).
+# round 11 adds or changes, then the seven rolled-over r5 rows
+# (q_unpivot, q_window_first_last, q_window_lag, q_window_range_frame,
+# q_window_ranks, q_window_running, q_window_topn), then the r6-latest
+# rows alphabetical to fill 50 (43 r6 rows exist; expect ~38 to fit).
 #
 # Historical note — round 8's window (kept for the ledger):
 #   1-14  the fourteen queries ADDED this round — no driver row exists
@@ -333,6 +335,8 @@ _PRIORITY: tuple[str, ...] = (
     "q_doremi_weights",
     "q_bloom_delta",
     "q_ivf_cell_stats",
+    "q_kanon_audit",
+    "q_dist_drift",
     # -- source changed r9+r10; latest row (r5) attests neither --
     "q_ann_ivf",
     # -- the seven r4-latest rows: the ledger's oldest --
@@ -380,8 +384,6 @@ _PRIORITY: tuple[str, ...] = (
     "q_topk",
     "q_tumbling_window",
     "q_union_all",
-    "q_unpivot",
-    "q_window_first_last",
 )
 
 

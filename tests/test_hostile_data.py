@@ -126,6 +126,11 @@ SENSITIVE = [
     # NULL embeddings are scoped out of the assignment on both engines
     # (the q_ivfpq_search drop-null convention).
     "q_ivf_cell_stats",
+    # NULL c_acctbal forms its own NULL band (GROUP BY NULL groups
+    # together in both engines) — audited, not dropped.
+    "q_kanon_audit",
+    # NULL text scoped out on both engines before bucketing.
+    "q_dist_drift",
 ]
 
 

@@ -1208,3 +1208,54 @@ def test_ivf_cell_stats_invariants(spark):
     assert 1_000_000 - k <= total_ppm <= 1_000_000
     for r in rows:
         assert r.load_ppm == (r.n_vecs * k * 1_000_000) // n
+
+
+def test_kanon_audit_invariants(spark):
+    """The release audit's arithmetic on the fixture: class sizes cover
+    every customer exactly once, at_risk is exactly n_rows < k, and the
+    headline risk_ppm equals the recomputed exact integer division on
+    every row (it is a windowed constant)."""
+    from parquet_compactor_spark.llm.curation import KANON_K
+    from parquet_compactor_spark.registry import all_queries, load
+    from tests.conftest import SF_SMOKE
+
+    rows = all_queries()["q_kanon_audit"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    total = load(spark, SF_SMOKE, "customer").count()
+    assert sum(r.n_rows for r in rows) == total
+    risky = sum(r.n_rows for r in rows if r.n_rows < KANON_K)
+    expect_ppm = (risky * 1_000_000) // total
+    for r in rows:
+        assert r.at_risk == (r.n_rows < KANON_K)
+        assert r.risk_ppm == expect_ppm
+
+
+def test_dist_drift_psi_semantics(spark, tmp_path):
+    """PSI contract on a PLANTED drift: old shard all short docs, new
+    shard half short half long — the long bucket must carry a large
+    positive psi_micro (mass appeared where there was ~none) and the
+    short bucket a positive contribution too ((q-p)*ln(q/p) is
+    non-negative for every cell); identical shards give all-zero PSI."""
+    import math
+
+    from parquet_compactor_spark.registry import all_queries
+
+    short = " ".join(f"w{i}" for i in range(10))   # bucket 16
+    long = " ".join(f"w{i}" for i in range(100))   # bucket 112
+    # old shard: ids % 3 != 0; new shard: ids % 3 == 0
+    rows = [(1, short), (2, short), (4, short), (5, short),
+            (3, short), (6, long), (9, long), (12, long)]
+    sf = _write_docs(spark, tmp_path, rows)
+    got = {r.bucket_len: r for r in all_queries()["q_dist_drift"].fn(spark, sf).collect()}
+    assert set(got) == {16, 112}
+    s, l = got[16], got[112]
+    assert (s.n_old, s.n_new) == (4, 1) and (l.n_old, l.n_new) == (0, 3)
+    assert s.p_ppm == 1_000_000 and s.q_ppm == 250_000
+    assert l.p_ppm == 1 and l.q_ppm == 750_000  # empty-cell clamp to 1 ppm
+    for r in (s, l):
+        # recompute with the same op chain
+        expect = math.floor((r.q_ppm - r.p_ppm) / 1_000_000
+                            * math.log(r.q_ppm / r.p_ppm) * 1_000_000 + 0.5)
+        assert r.psi_micro == expect
+        assert r.psi_micro > 0
+    assert l.psi_micro > 1_000_000  # the planted shift dominates
