@@ -1603,11 +1603,20 @@ def _bloom_positions(fp: Column) -> list[Column]:
     "bloom collision lands in the bounded false-positive budget.",
 )
 def q_bloom_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parquet_compactor_spark.llm.text import (
+        normalized_fingerprint,
+        persist_tracked,
+    )
+
     d = load(spark, sf_dir, "documents")
-    fp = F.md5(
-        F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
-    ).alias("fp")
-    old_snap = d.filter(F.col("doc_id") % 3 != 0).select(fp).distinct()
+    fp = normalized_fingerprint(F.col("text")).alias("fp")
+    # old_snap is consumed by TWO branches (the bit-table build and the
+    # exact-membership join): persist_tracked so its corpus scan +
+    # DISTINCT shuffle run once, not per consumer (the q_dsir_weights
+    # multi-consumer-subtree rule).
+    old_snap = persist_tracked(
+        d.filter(F.col("doc_id") % 3 != 0).select(fp).distinct()
+    )
     new_batch = d.select("doc_id", "lang", fp)
 
     # Build: the set-bit table (<= m rows of int positions).
@@ -1708,20 +1717,21 @@ def q_kanon_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("nationkey", "mktsegment", "bal_band")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
     )
-    wall = Window.partitionBy()
-    risky_rows = F.sum(
-        F.when(F.col("n_rows") < KANON_K, F.col("n_rows")).otherwise(F.lit(0))
-    ).over(wall).cast("bigint")
-    total_rows = F.sum("n_rows").over(wall).cast("bigint")
     return g.select(
         "nationkey",
         "mktsegment",
         "bal_band",
         "n_rows",
         (F.col("n_rows") < KANON_K).alias("at_risk"),
-        ((risky_rows * 1000000) / total_rows)
-        .cast("bigint")
-        .alias("risk_ppm"),
+        # Exact integer division (div, not /): Spark's / on bigints is
+        # DOUBLE and loses integer exactness past 2^53 — the oracle's
+        # // is exact, and a half-ulp rounding flip would diverge the
+        # hash by one ppm.
+        F.expr(
+            f"CAST((CAST(SUM(CASE WHEN n_rows < {KANON_K} THEN n_rows"
+            " ELSE 0 END) OVER () AS BIGINT) * 1000000)"
+            " div CAST(SUM(n_rows) OVER () AS BIGINT) AS BIGINT)"
+        ).alias("risk_ppm"),
     )
 
 

@@ -180,6 +180,21 @@ def whitespace_tokens(col: Column) -> Column:
     return F.split(col, " ", -1)
 
 
+def normalized_fingerprint(col: Column) -> Column:
+    """The corpus's canonical document identity: md5 of the
+    case-folded, whitespace-collapsed, trimmed text. ONE definition
+    shared by the snapshot-delta family (q_bloom_delta, the streaming
+    fingerprint gate and its batch twin) so the exact gate, its bloom
+    pre-filter, and the continuous ingest path can never silently
+    compute different identities for the same document. q_snapshot_delta
+    (r6-attested source) carries the identical inline expression —
+    pinned equal by tests/test_llm.py::test_normalized_fingerprint_is_canonical —
+    and unifies onto this helper on its next natural rotation.
+    DuckDB oracle twin:
+    md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))."""
+    return F.md5(F.lower(F.trim(F.regexp_replace(col, r"\s+", " "))))
+
+
 @register(
     "q_text_stats",
     oracle="""

@@ -347,8 +347,9 @@ _PRIORITY: tuple[str, ...] = (
     "q_top_supplier",
     "q_variant_props",
     "q_volume_shipping",
-    # -- r5-latest rows, alphabetical (39 of 42 fit; the last three
-    # roll to round 11 per the plan above) --
+    # -- r5-latest rows, alphabetical (35 of 42 fit; the last seven —
+    # q_unpivot + the six q_window_* names — roll to round 11 per the
+    # plan above) --
     "q_anti_join",
     "q_arg_extremes",
     "q_chisq_independence",

@@ -984,16 +984,18 @@ def minhash_dedup_batch(docs: DataFrame) -> DataFrame:
 def _committed_state_versions(
     fs, state_dir: str
 ) -> list[tuple[int, str, int | None]]:
-    """(batch_id, path, doc_id_watermark) of every claim-state version
+    """(chain_id, path, doc_id_watermark) of every claim-state version
     under ``state_dir`` carrying a ``_SUCCESS`` marker, ascending by
-    batch id. Uncommitted (crashed mid-write) versions are invisible to
-    readers and rewritten by mode=overwrite on replay.
+    chain id. The chain id is a pure commit counter (latest + 1 per
+    committed batch — deliberately NOT the stream's batch_id, which
+    restarts after a checkpoint loss and would shadow or renumber the
+    chain). Uncommitted (crashed mid-write) versions are invisible to
+    readers and rewritten by mode=overwrite on the retry.
 
     The watermark — the max doc_id the gate has processed up to that
-    version — is encoded in the DIRECTORY NAME (``v-<batch_id>-w<wm>``)
+    version — is encoded in the DIRECTORY NAME (``v-<chain>-w<wm>``)
     so it commits atomically with the version and costs zero reads;
-    legacy ``v-<batch_id>`` directories parse with watermark None
-    (enforcement silently skips, the documented graceful fallback)."""
+    legacy ``v-<n>`` directories parse with watermark None."""
     if not fs.exists(state_dir):
         return []
     out: list[tuple[int, str, int | None]] = []
@@ -1015,30 +1017,133 @@ def _committed_state_versions(
     return sorted(out)
 
 
-def _enforce_monotonic_doc_ids(
-    batch_min: int | None,
-    prior_wm: int | None,
-    is_replay: bool,
+def _first_arrival_claim_gate(
+    batch_df: DataFrame,
+    batch_id: int,
+    keyed: DataFrame,
+    key_cols: tuple[str, ...],
+    state_dir: str,
+    out_dir: str,
     gate_name: str,
 ) -> None:
-    """The first-arrival claim gates assume arrival order == doc_id
-    order (that is what makes ``prior_claimant < doc_id`` both a
-    correct earlier-arrival test AND replay-idempotent). This check
-    makes the assumption LOUD instead of silently under-deduplicating:
-    a genuinely NEW batch whose smallest doc_id is at or below the last
-    committed version's watermark violates it. Replayed batches are
-    exempt — their ids are legitimately <= the watermark their own
-    earlier run committed."""
-    if is_replay or batch_min is None or prior_wm is None:
-        return
-    if batch_min <= prior_wm:
-        raise ValueError(
-            f"{gate_name}: non-monotonic doc_ids — batch contains "
-            f"doc_id {batch_min} at or below the committed watermark "
-            f"{prior_wm}. The first-arrival claim gate assumes arrival "
-            "order == doc_id order; feed batches in id order or assign "
-            "monotonic ingest ids upstream."
+    """The shared per-micro-batch body of the first-arrival claim gates
+    (:func:`minhash_dedup_stream` keys on LSH band buckets,
+    :func:`fingerprint_delta_stream` on the normalized fingerprint):
+    ONE copy of the decision rule, the violation check, and the
+    crash-safe versioned-state commit, so the two gates' durability
+    contracts can never silently diverge.
+
+    ``keyed`` is the batch's (doc_id, *key_cols) claim rows. Per batch:
+
+    1. DECISIONS — a doc is dropped iff any of its keys is claimed by a
+       genuinely earlier arrival: a smaller-id claimant in state, or a
+       smaller-id doc in the same batch. Self-claims never block, so
+       replaying a batch whose merge already landed reproduces its
+       original decisions under ANY re-batching (each replayed doc's
+       keys are claimed by itself, a smaller same-batch id, or a
+       smaller earlier doc — first-arrival claims are never displaced,
+       so a replayed doc can never meet a LARGER claimant).
+    2. VIOLATION CHECK (content-based, replaces the earlier
+       batch-id/watermark heuristics, which misread legitimate
+       checkpoint-loss re-batching): a row whose state claimant is
+       LARGER than its doc_id is impossible for any replay (see 1) and
+       is exactly the harmful out-of-order case — a late-arriving
+       duplicate whose smaller id would slip past the
+       ``prior_claimant < doc_id`` test and survive alongside its
+       earlier-arrived twin. The gate fails loudly BEFORE writing
+       anything. Late NEW docs on unclaimed or smaller-claimed keys
+       are harmless (they claim / get blocked correctly) and pass —
+       the invariant is enforced precisely where it matters: on
+       colliding keys.
+    3. STATE COMMIT — ALWAYS merge (left-anti against state keeps
+       first arrivals; a replay's merge is a content no-op) and write
+       a NEW version ``v-<chain>-w<max doc_id watermark>``, where
+       ``chain`` is the previous committed version + 1 — a pure chain
+       counter, deliberately NOT the stream's batch_id, which restarts
+       after a checkpoint loss and would either shadow the latest
+       state or renumber the chain. Readers take the newest
+       ``_SUCCESS``-marked version, so a crash at any point leaves the
+       last committed claims readable; superseded versions are GC'd
+       after the new commit (a crash mid-GC just leaves extras). The
+       watermark rides in the directory name (atomic, zero reads) and
+       never regresses (max fold).
+
+    Decisions land under ``out_dir/batch=<batch_id>`` with per-batch
+    overwrite: an identical-batching replay rewrites its own partition;
+    a re-batched replay (checkpoint loss) writes the same per-doc
+    values under new partitions — readers keyed by doc_id see one
+    consistent value either way.
+    """
+    from parquet_compactor_spark.compactor.fs import HadoopFS
+
+    spark = batch_df.sparkSession
+    keys = list(key_cols)
+    batch_min = keyed.groupBy(*keys).agg(F.min("doc_id").alias("batch_min"))
+    fs = HadoopFS(spark, state_dir)
+    versions = _committed_state_versions(fs, state_dir)
+    state = spark.read.parquet(versions[-1][1]) if versions else None
+    joined = keyed.join(batch_min, keys)
+    if state is not None:
+        joined = joined.join(
+            state.select(*keys, F.col("claimant").alias("prior_claimant")),
+            keys,
+            "left",
         )
+    else:
+        joined = joined.withColumn(
+            "prior_claimant", F.lit(None).cast("bigint")
+        )
+    # coalesce: a NULL prior_claimant (unclaimed key) must read "not
+    # blocked", not NULL, or max() over all-new keys yields kept=NULL.
+    blocked = F.coalesce(
+        F.col("prior_claimant") < F.col("doc_id"), F.lit(False)
+    ) | (F.col("batch_min") < F.col("doc_id"))
+    violation = F.coalesce(
+        F.col("prior_claimant") > F.col("doc_id"), F.lit(False)
+    )
+    per_doc = joined.groupBy("doc_id").agg(
+        F.max(blocked.cast("int")).alias("b"),
+        F.max(violation.cast("int")).alias("v"),
+    )
+    per_doc = per_doc.persist()
+    try:
+        bad = per_doc.filter(F.col("v") == 1).select("doc_id").limit(5).collect()
+        if bad:
+            ids = sorted(int(r.doc_id) for r in bad)
+            raise ValueError(
+                f"{gate_name}: arrival-order violation — doc_id(s) "
+                f"{ids} collide with claims held by LARGER doc_ids. A "
+                "replayed document's keys are always claimed by itself "
+                "or a smaller id, so this is a genuinely late-arriving "
+                "duplicate and the keep-first-by-id policy cannot be "
+                "maintained; feed batches in doc_id order or assign "
+                "monotonic ingest ids upstream."
+            )
+        per_doc.select("doc_id", (F.col("b") == 0).alias("kept")).write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/batch={batch_id}")
+    finally:
+        per_doc.unpersist()
+    new_claims = batch_min.select(
+        *keys, F.col("batch_min").alias("claimant")
+    )
+    if state is not None:
+        merged = state.unionByName(
+            new_claims.join(state, keys, "left_anti")
+        )
+    else:
+        merged = new_claims
+    hi = batch_df.agg(F.max("doc_id").alias("hi")).collect()[0].hi
+    prior_wm = versions[-1][2] if versions else None
+    new_wm = max(
+        (w for w in (prior_wm, hi) if w is not None), default=None
+    )
+    chain = versions[-1][0] + 1 if versions else 0
+    suffix = "" if new_wm is None else f"-w{int(new_wm)}"
+    merged.write.mode("overwrite").parquet(f"{state_dir}/v-{chain}{suffix}")
+    for vid, path, _ in _committed_state_versions(fs, state_dir):
+        if vid != chain:
+            fs.delete(path, recursive=True)
 
 
 def latest_claim_state(spark, state_dir: str) -> DataFrame | None:
@@ -1083,21 +1188,21 @@ def minhash_dedup_stream(
     merge already landed (crash after the merge committed but before the
     checkpoint did), every doc's buckets are in state claimed by itself
     or a same-batch smaller id — self-claims don't block, so the replay
-    reproduces the original decisions (valid under the stated
-    arrival-order == doc_id-order assumption — which is ENFORCED, not
-    assumed: each version's directory name carries the max-doc_id
-    watermark, and a genuinely new batch reaching at or below it fails
-    loudly via :func:`_enforce_monotonic_doc_ids` instead of silently
-    keeping both copies of a late small-id duplicate; replays are
-    exempt by construction). Claims are FIRST-ARRIVAL:
-    the state merge left-anti-joins the batch's new buckets against the
-    state so an existing claimant is never displaced. State is
-    VERSIONED, never swapped in place: each NEW batch writes the merged
-    claim table to ``state_dir/v-<batch_id>-w<doc_id watermark>``
-    (replays skip the rewrite — their claims are already committed) and
-    readers take the newest version with a ``_SUCCESS`` marker, so a
-    crash at ANY point leaves the previous committed version readable (a delete-then-rename
-    swap has a window where no live state exists and a restart would
+    reproduces the original decisions under ANY re-batching. The
+    arrival-order == doc_id-order assumption is ENFORCED, not assumed,
+    and content-based: a claim held by a LARGER id than the arriving
+    doc is impossible for any replay and is exactly the late-duplicate
+    case that would silently survive — the gate fails loudly on it
+    (see :func:`_first_arrival_claim_gate`, which holds the shared
+    decision/violation/commit protocol for both claim gates). Claims
+    are FIRST-ARRIVAL: the state merge left-anti-joins the batch's new
+    buckets against the state so an existing claimant is never
+    displaced — which also makes every replay's merge a content no-op,
+    so state commits unconditionally. State is VERSIONED on a chain
+    counter (``v-<chain>-w<doc_id watermark>``, newest ``_SUCCESS``
+    version wins), never swapped in place: a crash at ANY point leaves
+    the previous committed version readable (a delete-then-rename swap
+    has a window where no live state exists and a restart would
     silently re-admit every previously claimed duplicate); superseded
     versions are garbage-collected after the new version commits.
     Decisions land under ``out_dir/batch=<id>`` with per-batch
@@ -1119,9 +1224,6 @@ def minhash_dedup_stream(
     )
 
     def claim(batch_df: DataFrame, batch_id: int) -> None:
-        from parquet_compactor_spark.compactor.fs import HadoopFS
-
-        spark = batch_df.sparkSession
         sigs = minhash_signatures_exploded(batch_df.select("doc_id", "text"))
         buckets = sigs.select(
             "doc_id",
@@ -1129,102 +1231,15 @@ def minhash_dedup_stream(
                 "band", "band_hash"
             ),
         )
-        batch_min = buckets.groupBy("band", "band_hash").agg(
-            F.min("doc_id").alias("batch_min")
-        )
-        fs = HadoopFS(spark, state_dir)
-        versions = _committed_state_versions(fs, state_dir)
-        state = spark.read.parquet(versions[-1][1]) if versions else None
-        # Enforce the arrival-order == doc_id-order invariant the
-        # prior_claimant < doc_id gate rests on: a NEW batch reaching
-        # below the committed watermark fails loudly instead of
-        # silently keeping both copies of a late-arriving duplicate.
-        # (A replay — this batch's own version already committed — is
-        # exempt: its ids are legitimately <= its own watermark.)
-        bounds = batch_df.agg(
-            F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
-        ).collect()[0]
-        prior_wm = versions[-1][2] if versions else None
-        # Versions commit in batch order, so ANY batch id at or below
-        # the latest committed version id has already been processed —
-        # including after a checkpoint loss, where batch numbering
-        # restarts at 0 while the GC'd state retains only the newest
-        # version (exact-id matching would misread those replays as new
-        # batches and falsely reject them).
-        is_replay = bool(versions) and batch_id <= versions[-1][0]
-        _enforce_monotonic_doc_ids(
-            None if bounds.lo is None else int(bounds.lo),
-            prior_wm,
-            is_replay,
+        _first_arrival_claim_gate(
+            batch_df,
+            batch_id,
+            buckets,
+            ("band", "band_hash"),
+            state_dir,
+            out_dir,
             "minhash_dedup_stream",
         )
-        new_wm = max(
-            (w for w in (prior_wm, bounds.hi) if w is not None),
-            default=None,
-        )
-        joined = buckets.join(batch_min, ["band", "band_hash"])
-        if state is not None:
-            joined = joined.join(
-                state.select(
-                    "band",
-                    "band_hash",
-                    F.col("claimant").alias("prior_claimant"),
-                ),
-                ["band", "band_hash"],
-                "left",
-            )
-        else:
-            joined = joined.withColumn(
-                "prior_claimant", F.lit(None).cast("bigint")
-            )
-        # Block only on claims from genuinely EARLIER arrivals: a
-        # replayed batch finds its own claims in state (self or a
-        # same-batch smaller id), and claim EXISTENCE alone would flip
-        # every replayed decision to kept=false. coalesce: a NULL
-        # prior_claimant (unclaimed bucket) must read "not blocked",
-        # not NULL, or max() over all-new buckets yields kept=NULL.
-        blocked = F.coalesce(
-            F.col("prior_claimant") < F.col("doc_id"), F.lit(False)
-        ) | (F.col("batch_min") < F.col("doc_id"))
-        decisions = (
-            joined.groupBy("doc_id")
-            .agg(F.max(blocked.cast("int")).alias("b"))
-            .select("doc_id", (F.col("b") == 0).alias("kept"))
-        )
-        decisions.write.mode("overwrite").parquet(
-            f"{out_dir}/batch={batch_id}"
-        )
-        new_claims = batch_min.select(
-            "band", "band_hash", F.col("batch_min").alias("claimant")
-        )
-        if state is not None:
-            # First-arrival claims: buckets already in state keep their
-            # original claimant; only genuinely new buckets append.
-            merged = state.unionByName(
-                new_claims.join(state, ["band", "band_hash"], "left_anti")
-            )
-        else:
-            merged = new_claims
-        # Versioned commit: the previous committed version stays live
-        # until v-<batch_id>'s _SUCCESS lands (written last by the
-        # parquet committer), so there is NO window with no readable
-        # state. The doc_id watermark rides in the directory name
-        # (atomic with the commit, zero reads to recover). A REPLAYED
-        # batch never rewrites state: its claims are already inside the
-        # latest committed version (versions commit monotonically), the
-        # merge would be a content no-op, and rewriting would RENUMBER
-        # the version chain — making the replay's own NEXT batch look
-        # like a new batch to the watermark enforcement. GC of
-        # superseded versions runs only after the new commit; a crash
-        # mid-GC just leaves extra old versions for the next batch.
-        if not is_replay:
-            suffix = "" if new_wm is None else f"-w{int(new_wm)}"
-            merged.write.mode("overwrite").parquet(
-                f"{state_dir}/v-{batch_id}{suffix}"
-            )
-            for vid, path, _ in _committed_state_versions(fs, state_dir):
-                if vid != batch_id:
-                    fs.delete(path, recursive=True)
 
     (
         docs.writeStream.foreachBatch(claim)
@@ -1244,9 +1259,9 @@ def fingerprint_delta_batch(docs: DataFrame) -> DataFrame:
     argument as :func:`minhash_dedup_batch`, one key instead of many
     band buckets. Docs with NULL text have no fingerprint and are
     scoped out (no decision row), matching the stream."""
-    fp = F.md5(
-        F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
-    ).alias("fp")
+    from parquet_compactor_spark.llm.text import normalized_fingerprint
+
+    fp = normalized_fingerprint(F.col("text")).alias("fp")
     keyed = docs.filter(F.col("text").isNotNull()).select("doc_id", fp)
     firsts = keyed.groupBy("fp").agg(F.min("doc_id").alias("fmin"))
     return keyed.join(firsts, "fp").select(
@@ -1265,17 +1280,14 @@ def fingerprint_delta_stream(
     (byte-exact after whitespace/case normalization); the MinHash gate
     (:func:`minhash_dedup_stream`) runs behind it for near-duplicates.
 
-    Same durability contract as the MinHash gate, via the shared
-    helpers: state is VERSIONED (``v-<batch_id>-w<watermark>``, newest
-    ``_SUCCESS``-marked version wins, superseded versions GC'd after
-    commit — a crash at any point leaves the last committed claims
-    readable); decisions land under ``out_dir/batch=<id>`` with
-    per-batch overwrite (replay rewrites its own partition); blocking
-    on ``prior_claimant < doc_id`` rather than claim existence makes
-    replay idempotent; and the arrival-order == doc_id-order invariant
-    that soundness rests on is ENFORCED against the committed
-    watermark (:func:`_enforce_monotonic_doc_ids`), with replayed
-    batches exempt by construction.
+    Same durability contract as the MinHash gate — literally the same
+    code: both run :func:`_first_arrival_claim_gate` (chain-counter
+    versioned state with the doc_id watermark in the directory name,
+    newest ``_SUCCESS`` version wins, superseded versions GC'd after
+    commit; per-batch-overwrite decisions; replay-idempotent
+    ``prior_claimant < doc_id`` blocking; content-based arrival-order
+    enforcement that fails loudly on a claim held by a larger id —
+    impossible for a replay, exactly the late-duplicate hazard).
 
     At 100 TB/day the state table is ONE 16-byte md5 key + claimant per
     distinct document ever seen — orders of magnitude narrower than the
@@ -1293,83 +1305,20 @@ def fingerprint_delta_stream(
     """
 
     def claim(batch_df: DataFrame, batch_id: int) -> None:
-        from parquet_compactor_spark.compactor.fs import HadoopFS
+        from parquet_compactor_spark.llm.text import normalized_fingerprint
 
-        spark = batch_df.sparkSession
-        fp = F.md5(
-            F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
-        ).alias("fp")
-        keyed = (
-            batch_df.filter(F.col("text").isNotNull())
-            .select("doc_id", fp)
+        keyed = batch_df.filter(F.col("text").isNotNull()).select(
+            "doc_id", normalized_fingerprint(F.col("text")).alias("fp")
         )
-        batch_min = keyed.groupBy("fp").agg(
-            F.min("doc_id").alias("batch_min")
-        )
-        fs = HadoopFS(spark, state_dir)
-        versions = _committed_state_versions(fs, state_dir)
-        state = spark.read.parquet(versions[-1][1]) if versions else None
-        bounds = batch_df.agg(
-            F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
-        ).collect()[0]
-        prior_wm = versions[-1][2] if versions else None
-        # Versions commit in batch order, so ANY batch id at or below
-        # the latest committed version id has already been processed —
-        # including after a checkpoint loss, where batch numbering
-        # restarts at 0 while the GC'd state retains only the newest
-        # version (exact-id matching would misread those replays as new
-        # batches and falsely reject them).
-        is_replay = bool(versions) and batch_id <= versions[-1][0]
-        _enforce_monotonic_doc_ids(
-            None if bounds.lo is None else int(bounds.lo),
-            prior_wm,
-            is_replay,
+        _first_arrival_claim_gate(
+            batch_df,
+            batch_id,
+            keyed,
+            ("fp",),
+            state_dir,
+            out_dir,
             "fingerprint_delta_stream",
         )
-        new_wm = max(
-            (w for w in (prior_wm, bounds.hi) if w is not None),
-            default=None,
-        )
-        joined = keyed.join(batch_min, "fp")
-        if state is not None:
-            joined = joined.join(
-                state.select("fp", F.col("claimant").alias("prior_claimant")),
-                "fp",
-                "left",
-            )
-        else:
-            joined = joined.withColumn(
-                "prior_claimant", F.lit(None).cast("bigint")
-            )
-        blocked = F.coalesce(
-            F.col("prior_claimant") < F.col("doc_id"), F.lit(False)
-        ) | (F.col("batch_min") < F.col("doc_id"))
-        decisions = joined.select(
-            "doc_id", (~blocked).alias("kept")
-        )
-        decisions.write.mode("overwrite").parquet(
-            f"{out_dir}/batch={batch_id}"
-        )
-        new_claims = batch_min.select(
-            "fp", F.col("batch_min").alias("claimant")
-        )
-        if state is not None:
-            merged = state.unionByName(
-                new_claims.join(state, ["fp"], "left_anti")
-            )
-        else:
-            merged = new_claims
-        # Replay never rewrites state — see minhash_dedup_stream's
-        # commit comment (renumbering would break the replay exemption
-        # for the run's subsequent batches).
-        if not is_replay:
-            suffix = "" if new_wm is None else f"-w{int(new_wm)}"
-            merged.write.mode("overwrite").parquet(
-                f"{state_dir}/v-{batch_id}{suffix}"
-            )
-            for vid, path, _ in _committed_state_versions(fs, state_dir):
-                if vid != batch_id:
-                    fs.delete(path, recursive=True)
 
     (
         docs.writeStream.foreachBatch(claim)

@@ -1259,3 +1259,27 @@ def test_dist_drift_psi_semantics(spark, tmp_path):
         assert r.psi_micro == expect
         assert r.psi_micro > 0
     assert l.psi_micro > 1_000_000  # the planted shift dominates
+
+
+def test_normalized_fingerprint_is_canonical(spark):
+    """The shared normalized_fingerprint helper and q_snapshot_delta's
+    attested inline expression must compute identical identities (the
+    snapshot-delta family, its bloom pre-filter, and the streaming gate
+    all share ONE document-identity definition; q_snapshot_delta's
+    inline copy unifies onto the helper at its next rotation)."""
+    from pyspark.sql import functions as F
+
+    from parquet_compactor_spark.llm.text import normalized_fingerprint
+
+    df = spark.createDataFrame(
+        [("  The   quick\tbrown ",), ("x",), ("",), (None,)],
+        "text string",
+    )
+    rows = df.select(
+        normalized_fingerprint(F.col("text")).alias("helper"),
+        F.md5(
+            F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+        ).alias("inline"),
+    ).collect()
+    for r in rows:
+        assert r.helper == r.inline

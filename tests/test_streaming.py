@@ -724,13 +724,14 @@ def test_fingerprint_delta_stream_matches_batch_and_replays(spark, tmp_path):
     assert replayed == expected
 
 
-def test_claim_gates_reject_non_monotonic_batches(spark, tmp_path):
-    """The arrival-order == doc_id-order invariant is enforced, not
-    assumed: after a batch committing watermark w, a genuinely NEW
-    batch containing any doc_id <= w fails loudly (for BOTH gates) —
-    the silent under-dedup ADVICE scenario (a later-arriving duplicate
-    with a smaller id than the state claimant would otherwise survive
-    the prior_claimant < doc_id test)."""
+def test_claim_gates_reject_late_colliding_duplicates(spark, tmp_path):
+    """The arrival-order == doc_id-order invariant is enforced
+    content-exactly: a later batch bringing a SMALLER-id document that
+    COLLIDES with a claim held by a larger id fails loudly (for BOTH
+    gates) — the silent under-dedup ADVICE scenario, where the
+    prior_claimant < doc_id test would otherwise keep both copies. A
+    claim held by a larger id is impossible for any replay, so this
+    check never false-positives on recovery."""
     import time
 
     import pytest as _pytest
@@ -746,28 +747,96 @@ def test_claim_gates_reject_non_monotonic_batches(spark, tmp_path):
         "the quick brown fox jumps over the lazy dog while the river "
         "runs cold through the valley and the morning light breaks"
     )
-    for gate, sub in (
-        (fingerprint_delta_stream, "fp"),
-        (minhash_dedup_stream, "mh"),
+    # fp gate: identical normalized text (extra whitespace only);
+    # mh gate: a near-dup sharing LSH band buckets.
+    for gate, sub, late_text in (
+        (fingerprint_delta_stream, "fp", "  " + text.replace(" the ", "  the  ")),
+        (minhash_dedup_stream, "mh", text + " tail"),
     ):
         landing = tmp_path / f"docs_{sub}"
         spark.createDataFrame(
             [(100, text)], schema
         ).coalesce(1).write.mode("append").parquet(str(landing))
         time.sleep(1.1)
-        # doc_id 50 <= committed watermark 100: must be rejected.
+        # doc_id 50 arrives AFTER its duplicate 100 claimed the keys.
         spark.createDataFrame(
-            [(50, text + " with a small tail change")], schema
+            [(50, late_text)], schema
         ).coalesce(1).write.mode("append").parquet(str(landing))
         stream = (
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", 1)
             .parquet(str(landing))
         )
-        with _pytest.raises(StreamingQueryException, match="non-monotonic"):
+        with _pytest.raises(
+            StreamingQueryException, match="arrival-order violation"
+        ):
             gate(
                 stream,
                 str(tmp_path / f"state_{sub}"),
                 str(tmp_path / f"out_{sub}"),
                 str(tmp_path / f"ckpt_{sub}"),
             )
+
+
+def test_claim_gate_persists_new_claims_after_checkpoint_loss_rebatch(
+    spark, tmp_path
+):
+    """The round-10 review scenario: state committed through batch N,
+    checkpoint LOST, and the restart re-batches differently (no
+    maxFilesPerTrigger -> old + new files land in ONE mixed batch).
+    The gate must (a) not reject the legitimate recovery, (b) reproduce
+    the old decisions, and (c) PERSIST the new documents' claims — a
+    batch-id-based replay heuristic silently skipped the state merge
+    here, so later duplicates of the new docs were admitted forever."""
+    import time
+
+    from parquet_compactor_spark.streaming.pipeline import (
+        fingerprint_delta_batch,
+        fingerprint_delta_stream,
+        latest_claim_state,
+    )
+
+    schema = "doc_id bigint, text string"
+    a = "alpha beta gamma delta epsilon zeta"
+    b = "one two three four five six seven"
+    landing = tmp_path / "docs"
+    spark.createDataFrame([(1, a)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(landing))
+    time.sleep(1.1)
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "decisions")
+    s1 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(landing))
+    )
+    fingerprint_delta_stream(s1, state, out, str(tmp_path / "ckpt1"))
+    # New docs arrive; the checkpoint is gone; the recovery stream
+    # groups ALL files into one batch (different batching).
+    spark.createDataFrame(
+        [(10, b), (11, a)], schema  # 11 duplicates old doc 1
+    ).coalesce(1).write.mode("append").parquet(str(landing))
+    s2 = spark.readStream.schema(schema).parquet(str(landing))
+    fingerprint_delta_stream(s2, state, out, str(tmp_path / "ckpt2"))
+    got = {r.doc_id: r.kept for r in spark.read.parquet(out).collect()}
+    assert got == {1: True, 10: True, 11: False}
+    # (c) the NEW doc's claim reached state: a later duplicate of b drops.
+    claims = {r.fp: r.claimant for r in latest_claim_state(spark, state).collect()}
+    assert set(claims.values()) == {1, 10}
+    time.sleep(1.1)
+    spark.createDataFrame([(20, b)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(landing))
+    s3 = spark.readStream.schema(schema).parquet(str(landing))
+    fingerprint_delta_stream(s3, state, out, str(tmp_path / "ckpt3"))
+    got = {r.doc_id: r.kept for r in spark.read.parquet(out).collect()}
+    assert got[20] is False, "duplicate of a post-recovery doc must drop"
+    # Batch twin agrees on the full corpus.
+    expected = {
+        r.doc_id: r.kept
+        for r in fingerprint_delta_batch(
+            spark.createDataFrame([(1, a), (10, b), (11, a), (20, b)], schema)
+        ).collect()
+    }
+    assert got == expected
