@@ -1542,16 +1542,31 @@ def q_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 # operator makes the 100 TB pruning pattern auditable: the filter is
 # m bits of driver-broadcastable state, probes are k integer hashes,
 # and the EXACT anti-join only ever sees the bloom's survivors.
-BLOOM_BITS = 65536  # m: bit-position space (8 KiB as a real bitmap)
+BLOOM_MIN_BITS = 65536  # m floor: 8 KiB as a real bitmap
+BLOOM_BITS_PER_KEY = 10  # sizing rule: m >= 10 bits per old-snapshot key
 BLOOM_K = 4  # k: hash probes per fingerprint
 
 
-def _bloom_positions(fp: Column) -> list[Column]:
+def _bloom_m(n_keys: int) -> int:
+    """Bit-position space sized from the MEASURED key cardinality: the
+    next power of two >= BLOOM_BITS_PER_KEY * n_keys (floor 65536). A
+    constant m saturates as the snapshot grows — at ~15k keys a fixed
+    65536-bit filter passes, at sf>=0.5 its false-positive survivors
+    blow the 5% pruning budget and the query goes red. 10 bits/key with
+    k=4 holds the fill factor at 1-exp(-0.4) ~= 0.33 and the fp rate at
+    ~1.2% INDEPENDENT of scale, so the fp_ok contract is a theorem, not
+    a fixture-size coincidence."""
+    m = BLOOM_MIN_BITS
+    while m < BLOOM_BITS_PER_KEY * n_keys:
+        m *= 2
+    return m
+
+
+def _bloom_positions(fp: Column, m: int) -> list[Column]:
     """k integer bit positions for a fingerprint: xxhash64 seeded by the
     probe index (JVM-side, no Python), folded into [0, m)."""
     return [
-        F.pmod(F.xxhash64(fp, F.lit(i)), F.lit(BLOOM_BITS))
-        for i in range(BLOOM_K)
+        F.pmod(F.xxhash64(fp, F.lit(i)), F.lit(m)) for i in range(BLOOM_K)
     ]
 
 
@@ -1582,8 +1597,12 @@ def _bloom_positions(fp: Column) -> list[Column]:
     "q_snapshot_delta's 100 TB note promises, materialized as an "
     "auditable operator instead of trusting the optimizer: the OLD "
     "snapshot's normalized fingerprints set k=4 xxhash64-derived bit "
-    "positions in an m=65536-position Bloom filter (built as a "
-    "DISTINCT position table — <= m rows, broadcastable; a real "
+    "positions in a Bloom filter whose position space m is SIZED FROM "
+    "the snapshot's measured cardinality (next power of two >= 10 "
+    "bits/key, floor 65536 — a constant m saturates once the snapshot "
+    "outgrows the fixture; 10 bits/key pins the fill factor at ~0.33 "
+    "and the fp rate at ~1.2% at EVERY scale; built as a DISTINCT "
+    "position table — <= m rows, broadcastable; a real "
     "deployment packs it to m/8 bytes), and every NEW document probes "
     "its 4 positions through ONE broadcast hash join + per-doc count: "
     "all-k-hit = 'maybe present' (must still pass the exact check), "
@@ -1598,7 +1617,7 @@ def _bloom_positions(fp: Column) -> list[Column]:
     "actually-present doc is a bloom hit: the pruning NEVER loses a "
     "duplicate, by Bloom construction) and fp_ok (false-positive "
     "survivors of the pruning stay under 5% of the batch; theory at "
-    "this fill factor predicts ~1e-7). NULL-text docs have NULL "
+    "the sized fill factor predicts ~1.2e-2). NULL-text docs have NULL "
     "fingerprints: never present exactly (NULL never equals), so any "
     "bloom collision lands in the bounded false-positive budget.",
 )
@@ -1617,12 +1636,19 @@ def q_bloom_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     old_snap = persist_tracked(
         d.filter(F.col("doc_id") % 3 != 0).select(fp).distinct()
     )
+    # Size m from the snapshot's MEASURED cardinality (one bounded
+    # scalar off the already-persisted frame — the count also
+    # materializes the persist before its two consumers fork). A
+    # build-time count is how a real bloom build sizes itself; it keeps
+    # the fp_ok contract scale-independent instead of pinned to the
+    # fixture's ~3k fingerprints.
+    m = _bloom_m(old_snap.count())
     new_batch = d.select("doc_id", "lang", fp)
 
     # Build: the set-bit table (<= m rows of int positions).
     bits = (
         old_snap.select(
-            F.explode(F.array(*_bloom_positions(F.col("fp")))).alias("pos")
+            F.explode(F.array(*_bloom_positions(F.col("fp"), m))).alias("pos")
         )
         .distinct()
         .withColumn("hit", F.lit(1))
@@ -1630,7 +1656,7 @@ def q_bloom_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Probe: one broadcast join on the int position key, k rows per doc.
     probes = new_batch.select(
         "doc_id",
-        F.explode(F.array(*_bloom_positions(F.col("fp")))).alias("pos"),
+        F.explode(F.array(*_bloom_positions(F.col("fp"), m))).alias("pos"),
     )
     maybe = (
         probes.join(F.broadcast(bits), "pos", "left")
@@ -1657,7 +1683,8 @@ def q_bloom_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             "no_false_neg"
         ),
         # Bloom contract 2: false-positive survivors (actually new but
-        # not pruned) bounded by 5% of the batch (theory: ~1e-7 here).
+        # not pruned) bounded by 5% of the batch (theory: ~1.2e-2 at the
+        # sized 10-bits/key fill factor, scale-independent).
         (
             F.sum((F.col("exact_new") & F.col("bloom_maybe")).cast("int"))
             <= F.greatest(F.lit(1), (n_docs / 20).cast("bigint"))

@@ -820,22 +820,22 @@ SUBSTR_W = 15  # sliding-window width in tokens (Lee et al. use 50 BPE tokens)
     ),
     o AS (
         SELECT doc_id, n_tokens, pos, h,
-               doc_id * 1048576 + pos AS ord
+               {{'d': doc_id, 'p': pos}} AS at
         FROM wins
     ),
-    firsts AS (SELECT h, MIN(ord) AS first_ord FROM o GROUP BY h),
-    j AS (SELECT o.*, f.first_ord FROM o JOIN firsts f USING (h)),
+    firsts AS (SELECT h, MIN(at) AS first_at FROM o GROUP BY h),
+    j AS (SELECT o.*, f.first_at FROM o JOIN firsts f USING (h)),
     per_doc AS (
         SELECT doc_id, MAX(n_tokens) AS n_tokens,
                CAST(COUNT(*) AS BIGINT) AS n_windows,
-               CAST(SUM(CASE WHEN ord <> first_ord THEN 1 ELSE 0 END)
+               CAST(SUM(CASE WHEN at <> first_at THEN 1 ELSE 0 END)
                     AS BIGINT) AS n_dup_windows
         FROM j GROUP BY doc_id
     ),
     dropped AS (
         SELECT doc_id, pos,
                LEAD(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
-        FROM j WHERE ord <> first_ord
+        FROM j WHERE at <> first_at
     ),
     cov AS (
         SELECT doc_id,
@@ -860,8 +860,10 @@ SUBSTR_W = 15  # sliding-window width in tokens (Lee et al. use 50 BPE tokens)
     "shuffle-native equivalent slides a width-15 window one token at a "
     "time (every duplicated run of ≥W tokens is exactly a run of "
     "duplicated windows), marks every window whose text occurred at a "
-    "smaller (doc_id, pos) — the same exact bigint first-occurrence "
-    "ordering as q_span_dedup — and, per doc, MERGES the dropped "
+    "lexicographically smaller (doc_id, pos) — ordered as a STRUCT "
+    "MIN on both engines, not q_span_dedup's packed bigint, whose "
+    "2^20-position headroom a sliding per-token window would exhaust "
+    "on a 1M-token document — and, per doc, MERGES the dropped "
     "windows' overlapping [pos, pos+W) intervals into the count of "
     "tokens inside duplicated substrings, folded inside the SAME "
     "doc_id rollup (sorted dropped-position array + one JVM "
@@ -903,11 +905,19 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.col("s.pos").alias("pos"),
         F.col("s.h").alias("h"),
-        (F.col("doc_id") * 1048576 + F.col("s.pos")).alias("ord"),
+        # First-occurrence ordering is the lexicographic STRUCT
+        # (doc_id, pos) — not a packed bigint: doc_id*2^20+pos would
+        # silently mis-order keep-first claims for any document with
+        # >= 2^20 sliding positions (a 1M-token doc is routine in book
+        # corpora at 100 TB). Struct MIN is engine-identical (DuckDB
+        # orders structs field-by-field) and shuffles 16 bytes/row.
+        F.struct(F.col("doc_id").alias("d"), F.col("s.pos").alias("p")).alias(
+            "at"
+        ),
     )
-    firsts = wins.groupBy("h").agg(F.min("ord").alias("first_ord"))
+    firsts = wins.groupBy("h").agg(F.min("at").alias("first_at"))
     j = wins.join(broadcast_if_bounded(firsts), "h")
-    dup = F.col("ord") != F.col("first_ord")
+    dup = F.col("at") != F.col("first_at")
     # SINGLE per-doc pass: rollup counts AND the merged-interval
     # coverage in one doc_id-keyed aggregate. Consuming ``j`` from two
     # branches (rollup + a LEAD window over the dropped subset) would
