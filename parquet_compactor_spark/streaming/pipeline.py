@@ -981,40 +981,84 @@ def minhash_dedup_batch(docs: DataFrame) -> DataFrame:
     )
 
 
+# A full (base) state snapshot is rewritten once per this many chain
+# versions; the versions between bases carry only each batch's NEW
+# claims (deltas), so per-batch state-write cost is O(batch), not
+# O(|state|) — the same base+delta+periodic-compaction shape as the
+# engine's own parquet compactor, applied to its streaming state.
+CLAIM_COMPACT_EVERY = 8
+
+
 def _committed_state_versions(
     fs, state_dir: str
-) -> list[tuple[int, str, int | None]]:
-    """(chain_id, path, doc_id_watermark) of every claim-state version
-    under ``state_dir`` carrying a ``_SUCCESS`` marker, ascending by
-    chain id. The chain id is a pure commit counter (latest + 1 per
-    committed batch — deliberately NOT the stream's batch_id, which
-    restarts after a checkpoint loss and would shadow or renumber the
-    chain). Uncommitted (crashed mid-write) versions are invisible to
-    readers and rewritten by mode=overwrite on the retry.
+) -> list[tuple[int, str, int | None, int | None]]:
+    """(chain_id, path, doc_id_watermark, base_chain) of every
+    claim-state version under ``state_dir`` carrying a ``_SUCCESS``
+    marker, ascending by chain id. The chain id is a pure commit
+    counter (latest + 1 per committed batch — deliberately NOT the
+    stream's batch_id, which restarts after a checkpoint loss and
+    would shadow or renumber the chain). Uncommitted (crashed
+    mid-write) versions are invisible to readers and garbage-collected
+    after the retry's commit.
 
-    The watermark — the max doc_id the gate has processed up to that
-    version — is encoded in the DIRECTORY NAME (``v-<chain>-w<wm>``)
-    so it commits atomically with the version and costs zero reads;
-    legacy ``v-<n>`` directories parse with watermark None."""
+    Directory grammar: ``v-<chain>[-w<wm>][-b<base>]``. The watermark
+    (max doc_id processed through that version) and the delta's base
+    chain both ride in the NAME so they commit atomically with the
+    version and cost zero reads. ``-b<base>`` marks a DELTA version
+    holding only its batch's new claims on top of base version
+    ``<base>`` plus every delta between; a name without ``-b`` is a
+    full (base) snapshot — which legacy ``v-<n>`` /``v-<n>-w<m>``
+    directories parse as, unchanged."""
     if not fs.exists(state_dir):
         return []
-    out: list[tuple[int, str, int | None]] = []
+    out: list[tuple[int, str, int | None, int | None]] = []
     for d in fs.list_dirs(state_dir):
         name = d.path.rstrip("/").rsplit("/", 1)[-1]
         if name.startswith("v-") and fs.exists(f"{d.path}/_SUCCESS"):
-            body = name[2:]
+            parts = name[2:].split("-")
             wm: int | None = None
-            if "-w" in body:
-                body, _, wtail = body.partition("-w")
-                try:
-                    wm = int(wtail)
-                except ValueError:
-                    continue
+            base: int | None = None
             try:
-                out.append((int(body), d.path, wm))
+                chain = int(parts[0])
+                for p in parts[1:]:
+                    if p.startswith("w"):
+                        wm = int(p[1:])
+                    elif p.startswith("b"):
+                        base = int(p[1:])
+                    else:
+                        raise ValueError(p)
             except ValueError:
                 continue
+            out.append((chain, d.path, wm, base))
     return sorted(out)
+
+
+def _active_version_paths(
+    versions: list[tuple[int, str, int | None, int | None]],
+    state_dir: str,
+) -> list[str]:
+    """The committed paths whose UNION is the full claim state: the
+    newest version alone if it is a base snapshot, else its base plus
+    every delta chained after it (chain ids are consecutive by
+    construction; a hole means state was corrupted externally — fail
+    loudly rather than silently resurrect pruned duplicates)."""
+    if not versions:
+        return []
+    head = versions[-1]
+    if head[3] is None:
+        return [head[1]]
+    by_chain = {v[0]: v for v in versions}
+    paths: list[str] = []
+    for c in range(head[3], head[0] + 1):
+        v = by_chain.get(c)
+        if v is None:
+            raise ValueError(
+                f"claim state at {state_dir} is missing committed chain "
+                f"{c} between base {head[3]} and head {head[0]}; the "
+                "versioned state has been externally modified"
+            )
+        paths.append(v[1])
+    return paths
 
 
 def _first_arrival_claim_gate(
@@ -1057,16 +1101,26 @@ def _first_arrival_claim_gate(
        colliding keys.
     3. STATE COMMIT — ALWAYS merge (left-anti against state keeps
        first arrivals; a replay's merge is a content no-op) and write
-       a NEW version ``v-<chain>-w<max doc_id watermark>``, where
-       ``chain`` is the previous committed version + 1 — a pure chain
-       counter, deliberately NOT the stream's batch_id, which restarts
-       after a checkpoint loss and would either shadow the latest
-       state or renumber the chain. Readers take the newest
-       ``_SUCCESS``-marked version, so a crash at any point leaves the
-       last committed claims readable; superseded versions are GC'd
-       after the new commit (a crash mid-GC just leaves extras). The
-       watermark rides in the directory name (atomic, zero reads) and
-       never regresses (max fold).
+       a NEW version, where ``chain`` is the previous committed
+       version + 1 — a pure chain counter, deliberately NOT the
+       stream's batch_id, which restarts after a checkpoint loss and
+       would either shadow the latest state or renumber the chain.
+       Versions are DELTA-APPENDED: the common case writes only the
+       batch's net-new claims as ``v-<chain>-w<wm>-b<base>`` (cost
+       O(batch), never O(|state|)), and every ``CLAIM_COMPACT_EVERY``
+       versions the chain compacts into a full base snapshot
+       ``v-<chain>-w<wm>`` — the engine's own base+delta+compaction
+       pattern applied to its streaming state; at a 10^9-row claim
+       table the per-batch commit no longer rewrites the world.
+       Readers union the newest version's base..head composition
+       (committed dirs only), so a crash at any point leaves the last
+       committed claims readable. After the commit, EVERY other
+       ``v-*`` directory — superseded versions AND uncommitted crashed
+       writes under any name (a re-batched retry commits the same
+       chain id under a different watermark name; the orphan must not
+       accumulate) — is GC'd (a crash mid-GC just leaves extras for
+       the next pass). The watermark rides in the directory name
+       (atomic, zero reads) and never regresses (max fold).
 
     Decisions land under ``out_dir/batch=<batch_id>`` with per-batch
     overwrite: an identical-batching replay rewrites its own partition;
@@ -1081,7 +1135,8 @@ def _first_arrival_claim_gate(
     batch_min = keyed.groupBy(*keys).agg(F.min("doc_id").alias("batch_min"))
     fs = HadoopFS(spark, state_dir)
     versions = _committed_state_versions(fs, state_dir)
-    state = spark.read.parquet(versions[-1][1]) if versions else None
+    active = _active_version_paths(versions, state_dir)
+    state = spark.read.parquet(*active) if active else None
     joined = keyed.join(batch_min, keys)
     if state is not None:
         joined = joined.join(
@@ -1101,9 +1156,26 @@ def _first_arrival_claim_gate(
     violation = F.coalesce(
         F.col("prior_claimant") > F.col("doc_id"), F.lit(False)
     )
-    per_doc = joined.groupBy("doc_id").agg(
-        F.max(blocked.cast("int")).alias("b"),
-        F.max(violation.cast("int")).alias("v"),
+    # ONE aggregation job carries the decisions AND the doc_id
+    # watermark: every batch doc rides along as an unkeyed row (k=0 —
+    # NULL-text docs advance the watermark but emit no decision row),
+    # so the former separate full-batch max(doc_id) pass is gone; the
+    # watermark max reads the persisted per_doc rows.
+    rows = joined.select(
+        "doc_id",
+        blocked.cast("int").alias("b"),
+        violation.cast("int").alias("v"),
+        F.lit(1).alias("k"),
+    ).unionByName(
+        batch_df.select(
+            "doc_id",
+            F.lit(0).alias("b"),
+            F.lit(0).alias("v"),
+            F.lit(0).alias("k"),
+        )
+    )
+    per_doc = rows.groupBy("doc_id").agg(
+        F.max("b").alias("b"), F.max("v").alias("v"), F.max("k").alias("k")
     )
     per_doc = per_doc.persist()
     try:
@@ -1119,44 +1191,67 @@ def _first_arrival_claim_gate(
                 "maintained; feed batches in doc_id order or assign "
                 "monotonic ingest ids upstream."
             )
-        per_doc.select("doc_id", (F.col("b") == 0).alias("kept")).write.mode(
-            "overwrite"
-        ).parquet(f"{out_dir}/batch={batch_id}")
+        per_doc.filter(F.col("k") == 1).select(
+            "doc_id", (F.col("b") == 0).alias("kept")
+        ).write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+        hi = per_doc.agg(F.max("doc_id").alias("hi")).collect()[0].hi
     finally:
         per_doc.unpersist()
     new_claims = batch_min.select(
         *keys, F.col("batch_min").alias("claimant")
     )
-    if state is not None:
-        merged = state.unionByName(
-            new_claims.join(state, keys, "left_anti")
-        )
-    else:
-        merged = new_claims
-    hi = batch_df.agg(F.max("doc_id").alias("hi")).collect()[0].hi
     prior_wm = versions[-1][2] if versions else None
     new_wm = max(
         (w for w in (prior_wm, hi) if w is not None), default=None
     )
     chain = versions[-1][0] + 1 if versions else 0
+    if state is None:
+        merged, base_tag = new_claims, None
+    else:
+        head = versions[-1]
+        base_chain = head[3] if head[3] is not None else head[0]
+        delta = new_claims.join(state, keys, "left_anti")
+        if chain - base_chain >= CLAIM_COMPACT_EVERY:
+            # Periodic compaction: fold base + deltas + this batch into
+            # a fresh base snapshot (the one write that IS O(|state|),
+            # amortized over CLAIM_COMPACT_EVERY batches).
+            merged, base_tag = state.unionByName(delta), None
+        else:
+            merged, base_tag = delta, base_chain
     suffix = "" if new_wm is None else f"-w{int(new_wm)}"
-    merged.write.mode("overwrite").parquet(f"{state_dir}/v-{chain}{suffix}")
-    for vid, path, _ in _committed_state_versions(fs, state_dir):
-        if vid != chain:
-            fs.delete(path, recursive=True)
+    btag = "" if base_tag is None else f"-b{base_tag}"
+    merged.write.mode("overwrite").parquet(
+        f"{state_dir}/v-{chain}{suffix}{btag}"
+    )
+    # GC: keep exactly the committed base..head composition just
+    # written; everything else — superseded versions AND uncommitted
+    # crashed writes (e.g. the same chain id under a different
+    # watermark name from a re-batched retry) — is deleted. A crash
+    # mid-GC leaves extras for the next commit's pass.
+    live = set(
+        _active_version_paths(_committed_state_versions(fs, state_dir), state_dir)
+    )
+    for d in fs.list_dirs(state_dir):
+        name = d.path.rstrip("/").rsplit("/", 1)[-1]
+        if name.startswith("v-") and d.path not in live:
+            fs.delete(d.path, recursive=True)
 
 
 def latest_claim_state(spark, state_dir: str) -> DataFrame | None:
-    """The newest COMMITTED claim-state version written by
-    :func:`minhash_dedup_stream` (None before the first batch commits).
-    Crash-safe by construction: an interrupted version write has no
-    ``_SUCCESS`` marker and is skipped, so readers always see the last
-    fully committed table."""
+    """The newest COMMITTED claim state written by
+    :func:`minhash_dedup_stream` (None before the first batch commits):
+    the union of the head version's base snapshot plus its chained
+    deltas (one path when the head is itself a base). Crash-safe by
+    construction: an interrupted version write has no ``_SUCCESS``
+    marker and is skipped, so readers always see the last fully
+    committed composition. Keys are unique across the union — every
+    delta was anti-joined against the state it extends at write time."""
     from parquet_compactor_spark.compactor.fs import HadoopFS
 
     fs = HadoopFS(spark, state_dir)
     versions = _committed_state_versions(fs, state_dir)
-    return spark.read.parquet(versions[-1][1]) if versions else None
+    active = _active_version_paths(versions, state_dir)
+    return spark.read.parquet(*active) if active else None
 
 
 def committed_doc_id_watermark(spark, state_dir: str) -> int | None:
@@ -1199,12 +1294,16 @@ def minhash_dedup_stream(
     buckets against the state so an existing claimant is never
     displaced — which also makes every replay's merge a content no-op,
     so state commits unconditionally. State is VERSIONED on a chain
-    counter (``v-<chain>-w<doc_id watermark>``, newest ``_SUCCESS``
-    version wins), never swapped in place: a crash at ANY point leaves
-    the previous committed version readable (a delete-then-rename swap
-    has a window where no live state exists and a restart would
+    counter and DELTA-APPENDED (``v-<chain>-w<wm>-b<base>`` deltas
+    carrying only each batch's net-new claims, compacted into a full
+    ``v-<chain>-w<wm>`` base snapshot every ``CLAIM_COMPACT_EVERY``
+    versions; readers union base..head, newest ``_SUCCESS`` head
+    wins), never swapped in place: a crash at ANY point leaves
+    the previous committed composition readable (a delete-then-rename
+    swap has a window where no live state exists and a restart would
     silently re-admit every previously claimed duplicate); superseded
-    versions are garbage-collected after the new version commits.
+    versions AND uncommitted crashed writes are garbage-collected
+    after the new version commits.
     Decisions land under ``out_dir/batch=<id>`` with per-batch
     overwrite, so a replayed batch rewrites its own partition
     (idempotent) instead of appending duplicates. At 100 TB/day the

@@ -840,3 +840,90 @@ def test_claim_gate_persists_new_claims_after_checkpoint_loss_rebatch(
         ).collect()
     }
     assert got == expected
+
+
+def test_claim_state_deltas_are_o_batch_and_compact_periodically(
+    spark, tmp_path
+):
+    """The delta-append state contract (round-11): a long chain of small
+    batches writes O(batch)-row DELTA versions — never a rewrite of the
+    whole claim table — until the chain compacts into a fresh base
+    snapshot every CLAIM_COMPACT_EVERY versions; readers always see the
+    full composition; and GC removes uncommitted crashed writes (the
+    orphan a re-batched retry leaves behind under a different watermark
+    name)."""
+    from parquet_compactor_spark.streaming.pipeline import (
+        CLAIM_COMPACT_EVERY,
+        _committed_state_versions,
+        _first_arrival_claim_gate,
+        latest_claim_state,
+    )
+    from parquet_compactor_spark.compactor.fs import HadoopFS
+
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "decisions")
+    fs = HadoopFS(spark, state)
+    n_batches = CLAIM_COMPACT_EVERY + 2  # cross one compaction boundary
+
+    def run_batch(i, doc_id, fp):
+        batch = spark.createDataFrame(
+            [(doc_id, f"text {fp}")], "doc_id bigint, text string"
+        )
+        keyed = spark.createDataFrame(
+            [(doc_id, fp)], "doc_id bigint, fp string"
+        )
+        _first_arrival_claim_gate(
+            batch, i, keyed, ("fp",), state, out, "delta-test"
+        )
+
+    # Plant an uncommitted crashed write: it must be GC'd by the first
+    # commit even though its chain id never becomes the head.
+    import os
+
+    orphan = f"{state}/v-0-w999"
+    os.makedirs(orphan)
+    open(f"{orphan}/part-junk.parquet", "w").close()
+
+    for i in range(n_batches):
+        run_batch(i, 100 + i, f"fp-{i}")
+        versions = _committed_state_versions(fs, state)
+        head = versions[-1]
+        head_rows = spark.read.parquet(head[1]).count()
+        if head[3] is None:  # base snapshot: the full claim table
+            assert head_rows == i + 1
+        else:  # delta: exactly this batch's new claims
+            assert head_rows == 1, (
+                f"delta version {head[0]} rewrote {head_rows} rows — "
+                "state writes regressed to O(|state|) per batch"
+            )
+    assert not fs.exists(orphan), "uncommitted orphan version survived GC"
+
+    versions = _committed_state_versions(fs, state)
+    chains = [v[0] for v in versions]
+    assert chains == list(range(versions[0][0], n_batches))
+    # Exactly one compaction happened: chain CLAIM_COMPACT_EVERY is a
+    # base (chain 0's base + CLAIM_COMPACT_EVERY-1 deltas fold into it),
+    # pre-base versions are GC'd, and later versions delta on top of it.
+    assert versions[0][0] == CLAIM_COMPACT_EVERY
+    assert versions[0][3] is None
+    assert all(v[3] == CLAIM_COMPACT_EVERY for v in versions[1:])
+    # The composition reads back as the complete claim table.
+    st = latest_claim_state(spark, state)
+    claims = {r.fp: r.claimant for r in st.collect()}
+    assert claims == {f"fp-{i}": 100 + i for i in range(n_batches)}
+
+    # A replayed duplicate batch writes an EMPTY delta (content no-op)
+    # and decisions for it reproduce.
+    run_batch(n_batches, 100, "fp-0")
+    versions = _committed_state_versions(fs, state)
+    assert versions[-1][3] == CLAIM_COMPACT_EVERY
+    assert spark.read.parquet(versions[-1][1]).count() == 0
+    got = {
+        r.doc_id: r.kept
+        for r in spark.read.parquet(f"{out}/batch={n_batches}").collect()
+    }
+    assert got == {100: True}
+    claims2 = {
+        r.fp: r.claimant for r in latest_claim_state(spark, state).collect()
+    }
+    assert claims2 == claims
