@@ -115,6 +115,137 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EVAL_W = 8  # contamination window width (GPT-3 used 13-gram collisions)
+EVAL_SHARD_MOD, EVAL_SHARD_REM = 23, 7  # held-out eval shard: ~4% of docs
+
+
+@register(
+    "q_eval_contamination",
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    wins AS (
+        SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+               CAST(i AS BIGINT) AS pos,
+               md5(array_to_string(w[i : i + {EVAL_W - 1}], ' ')) AS h
+        FROM words, UNNEST(range(1, len(w) - {EVAL_W - 2})) AS t(i)
+    ),
+    eval_wins AS (
+        SELECT DISTINCT h FROM wins
+        WHERE doc_id % {EVAL_SHARD_MOD} = {EVAL_SHARD_REM}
+    ),
+    train AS (
+        SELECT w.doc_id, w.n_tokens, w.pos, e.h IS NOT NULL AS hit
+        FROM wins w LEFT JOIN eval_wins e ON w.h = e.h
+        WHERE w.doc_id % {EVAL_SHARD_MOD} <> {EVAL_SHARD_REM}
+    ),
+    per_doc AS (
+        SELECT doc_id, MAX(n_tokens) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_windows,
+               CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_hit_windows
+        FROM train GROUP BY doc_id
+    ),
+    hits AS (
+        SELECT doc_id, pos,
+               LEAD(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+        FROM train WHERE hit
+    ),
+    cov AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN nxt IS NULL OR nxt - pos >= {EVAL_W}
+                             THEN {EVAL_W} ELSE nxt - pos END)
+                    AS BIGINT) AS overlap_tokens
+        FROM hits GROUP BY doc_id
+    )
+    SELECT p.doc_id, p.n_tokens, p.n_windows, p.n_hit_windows,
+           CAST(COALESCE(c.overlap_tokens, 0) AS BIGINT) AS overlap_tokens,
+           FLOOR(CAST(COALESCE(c.overlap_tokens, 0) AS DOUBLE)
+                 / CAST(p.n_tokens AS DOUBLE) * 10000 + 0.5) / 10000
+               AS overlap_frac,
+           p.n_hit_windows > 0 AS contaminated
+    FROM per_doc p LEFT JOIN cov c USING (doc_id)
+    """,
+    doc="Train-on-test contamination at sliding n-gram resolution — the "
+    "decision-grade sibling of q_contamination (which scores SOURCES "
+    "by 3-shingle hit rates): every width-8 sliding token window of a "
+    "TRAINING document is checked for exact collision with any window "
+    "of the held-out EVAL shard (doc_id % 23 == 7 — a deterministic "
+    "stand-in for the benchmark suite), and each train doc gets its "
+    "per-doc verdict: hit-window count, MERGED-interval count of "
+    "tokens inside eval-colliding spans, the 4dp overlap fraction, "
+    "and the boolean a curation pipeline actually filters on (the "
+    "GPT-3 appendix-C discipline: drop or flag any training doc "
+    "sharing a >= 13-gram with an eval set; W=8 matches this "
+    "fixture's document lengths). Reuses the q_substring_dedup "
+    "machinery (sliding_md5_windows + merged_interval_coverage): "
+    "window texts never leave the map side — only 32-byte md5 keys "
+    "shuffle; the eval side prunes to ~1/23 of the corpus BELOW the "
+    "explode (doc_id predicate pushes past the generator), dedups to "
+    "DISTINCT hashes, and joins behind the measured broadcast guard "
+    "(an eval suite is MBs — at 100 TB the probe is a broadcast hash "
+    "join, never a corpus-x-corpus shuffle); ONE doc_id rollup folds "
+    "counts and interval coverage in the same pass. Docs under 8 "
+    "tokens have no window and drop out (inner semantics, both "
+    "engines).",
+)
+def q_eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parquet_compactor_spark.llm.dedup import (
+        merged_interval_coverage,
+        sliding_md5_windows,
+    )
+    from parquet_compactor_spark.llm.text import (
+        broadcast_if_bounded,
+        whitespace_tokens,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    words = whitespace_tokens(F.col("text"))
+    wins = d.select(
+        "doc_id",
+        F.size(words).cast("bigint").alias("n_tokens"),
+        F.explode(sliding_md5_windows(words, EVAL_W)).alias("s"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        F.col("s.pos").alias("pos"),
+        F.col("s.h").alias("h"),
+    )
+    is_eval = F.col("doc_id") % EVAL_SHARD_MOD == EVAL_SHARD_REM
+    eval_wins = (
+        wins.filter(is_eval).select("h").distinct().withColumn("hit", F.lit(1))
+    )
+    train = wins.filter(~is_eval).join(
+        broadcast_if_bounded(eval_wins), "h", "left"
+    )
+    hit = F.col("hit").isNotNull()
+    per_doc = train.groupBy("doc_id").agg(
+        F.max("n_tokens").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+        F.sum(hit.cast("int")).cast("bigint").alias("n_hit_windows"),
+        F.sort_array(F.collect_list(F.when(hit, F.col("pos")))).alias("hpos"),
+    )
+    overlap = merged_interval_coverage(F.col("hpos"), EVAL_W)
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "n_windows",
+        "n_hit_windows",
+        overlap.alias("overlap_tokens"),
+        (
+            F.floor(
+                overlap.cast("double")
+                / F.col("n_tokens").cast("double")
+                * 10000
+                + 0.5
+            )
+            / 10000
+        ).alias("overlap_frac"),
+        (F.col("n_hit_windows") > 0).alias("contaminated"),
+    )
+
+
 # Same regex dialect in Java (Spark) and RE2 (DuckDB): no lookaround,
 # no backreferences.
 _EMAIL_RE = r"[A-Za-z0-9._]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"

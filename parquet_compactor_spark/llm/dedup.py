@@ -806,6 +806,52 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 SUBSTR_W = 15  # sliding-window width in tokens (Lee et al. use 50 BPE tokens)
 
 
+def sliding_md5_windows(words: Column, w: int) -> Column:
+    """``array<struct<pos,h>>`` of width-``w`` sliding token windows:
+    pos the 1-based start, h the md5 of the window's space-joined text.
+    The shared window generator of the exact-substring family
+    (q_substring_dedup, q_eval_contamination): a JVM higher-order
+    transform, so window TEXTS never materialize as rows — only the
+    32-byte hashes leave the map side. Docs under ``w`` tokens yield an
+    empty array (no window, inner semantics downstream)."""
+    return F.when(
+        F.size(words) >= w,
+        F.transform(
+            F.sequence(F.lit(1), (F.size(words) - F.lit(w - 1)).cast("int")),
+            lambda i: F.struct(
+                i.cast("bigint").alias("pos"),
+                F.md5(F.array_join(F.slice(words, i, w), " ")).alias("h"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:bigint,h:string>>"))
+
+
+def merged_interval_coverage(sorted_pos: Column, w: int) -> Column:
+    """Tokens covered by the UNION of ``[pos, pos+w)`` intervals over an
+    ASCENDING-sorted position array — the classic merged-interval fold
+    as ONE JVM higher-order aggregate: acc = (last_end, covered); each
+    position adds its non-overlapped extension
+    ``max(0, pos + w - max(pos, last_end))``. Runs inside a per-doc
+    rollup so coverage costs no second pass over the exploded windows
+    (a LEAD-window branch would recompute the upstream subtree — the
+    unshared-plan-doubling q_doremi_weights documents)."""
+    return F.aggregate(
+        sorted_pos,
+        F.struct(
+            F.lit(-1).cast("bigint").alias("last_end"),
+            F.lit(0).cast("bigint").alias("cov"),
+        ),
+        lambda acc, p: F.struct(
+            F.greatest(acc.last_end, p + w).alias("last_end"),
+            (
+                acc.cov
+                + F.greatest(p + w - F.greatest(p, acc.last_end), F.lit(0))
+            ).alias("cov"),
+        ),
+        lambda acc: acc.cov,
+    )
+
+
 @register(
     "q_substring_dedup",
     oracle=f"""
@@ -886,16 +932,7 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     W = SUBSTR_W
     d = load(spark, sf_dir, "documents")
     words = whitespace_tokens(F.col("text"))
-    win_structs = F.when(
-        F.size(words) >= W,
-        F.transform(
-            F.sequence(F.lit(1), (F.size(words) - F.lit(W - 1)).cast("int")),
-            lambda i: F.struct(
-                i.cast("bigint").alias("pos"),
-                F.md5(F.array_join(F.slice(words, i, W), " ")).alias("h"),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<pos:bigint,h:string>>"))
+    win_structs = sliding_md5_windows(words, W)
     wins = d.select(
         "doc_id",
         F.size(words).cast("bigint").alias("n_tokens"),
@@ -919,15 +956,10 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = wins.join(broadcast_if_bounded(firsts), "h")
     dup = F.col("at") != F.col("first_at")
     # SINGLE per-doc pass: rollup counts AND the merged-interval
-    # coverage in one doc_id-keyed aggregate. Consuming ``j`` from two
-    # branches (rollup + a LEAD window over the dropped subset) would
-    # recompute the whole explode+join subtree per branch — the same
-    # unshared-plan-doubling q_doremi_weights documents. The dropped
-    # positions are collected sorted (bounded by the doc's own window
-    # count — the SAME per-doc memory bound the LEAD window needs) and
-    # the classic merged-interval fold runs as one JVM higher-order
-    # aggregate: acc = (last_end, covered); each position adds its
-    # non-overlapped extension max(0, pos + W - max(pos, last_end)).
+    # coverage in one doc_id-keyed aggregate. The dropped positions are
+    # collected sorted (bounded by the doc's own window count — the
+    # SAME per-doc memory bound a LEAD window would need) and folded by
+    # the shared ``merged_interval_coverage`` aggregate.
     per_doc = j.groupBy("doc_id").agg(
         F.max("n_tokens").alias("n_tokens"),
         F.count(F.lit(1)).cast("bigint").alias("n_windows"),
@@ -936,21 +968,7 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.collect_list(F.when(dup, F.col("pos")))
         ).alias("dpos"),
     )
-    dup_tokens = F.aggregate(
-        F.col("dpos"),
-        F.struct(
-            F.lit(-1).cast("bigint").alias("last_end"),
-            F.lit(0).cast("bigint").alias("cov"),
-        ),
-        lambda acc, p: F.struct(
-            F.greatest(acc.last_end, p + W).alias("last_end"),
-            (
-                acc.cov
-                + F.greatest(p + W - F.greatest(p, acc.last_end), F.lit(0))
-            ).alias("cov"),
-        ),
-        lambda acc: acc.cov,
-    )
+    dup_tokens = merged_interval_coverage(F.col("dpos"), W)
     return per_doc.select(
         "doc_id",
         "n_tokens",

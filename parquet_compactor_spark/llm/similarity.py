@@ -685,6 +685,151 @@ def semantic_dedup(
     )
 
 
+SEMDEDUP_T = 0.92  # within-cell cosine above which the later vec drops
+
+
+@register(
+    "q_semdedup_prune",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    cents AS (
+        SELECT CAST(vec_id - 100 AS INT) AS bucket, vec AS cvec FROM v
+        WHERE vec_id BETWEEN 100 AND 107
+    ),
+    sc1 AS (
+        SELECT v.vec_id, v.vec, c.bucket,
+               {_COS_SQL.format(a="v.vec", b="c.cvec")} AS csim
+        FROM v CROSS JOIN cents c
+    ),
+    assign1 AS (
+        SELECT vec_id, vec, bucket
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                           ORDER BY csim DESC, bucket) AS rn
+              FROM sc1)
+        WHERE rn = 1
+    ),
+    exploded AS (
+        SELECT bucket, unnest(range(1, len(vec) + 1)) AS pos, vec FROM assign1
+    ),
+    dims AS (
+        SELECT bucket, pos, ROUND(AVG(vec[pos]), {{ivf_round}}) AS m
+        FROM exploded GROUP BY bucket, pos
+    ),
+    refined AS (
+        SELECT bucket, list(m ORDER BY pos) AS cvec FROM dims GROUP BY bucket
+    ),
+    sc2 AS (
+        SELECT v.vec_id, v.vec, r.bucket,
+               {_COS_SQL.format(a="v.vec", b="r.cvec")} AS csim
+        FROM v CROSS JOIN refined r
+    ),
+    assign2 AS (
+        SELECT vec_id, vec, bucket
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                           ORDER BY csim DESC, bucket) AS rn
+              FROM sc2)
+        WHERE rn = 1
+    ),
+    dropped AS (
+        SELECT DISTINCT a.bucket, b.vec_id
+        FROM assign2 a JOIN assign2 b
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE {_COS_SQL.format(a="a.vec", b="b.vec")} >= {SEMDEDUP_T}
+    )
+    SELECT s.bucket AS cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(COALESCE(d.n_dropped, 0) AS BIGINT) AS n_dropped,
+           FLOOR(CAST(COUNT(*) - COALESCE(d.n_dropped, 0) AS DOUBLE)
+                 / COUNT(*) * 10000 + 0.5) / 10000 AS kept_frac
+    FROM assign2 s
+    LEFT JOIN (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_dropped
+               FROM dropped GROUP BY bucket) d
+      ON d.bucket = s.bucket
+    GROUP BY s.bucket, d.n_dropped
+    """.replace("{ivf_round}", str(IVF_ROUND)),
+    doc="SemDeDup pruning WITHIN Lloyd-refined IVF cells (Abbas et al. "
+    "2023, 'SemDeDup: Data-efficient learning at web-scale through "
+    "semantic deduplication': k-means the embeddings, compare pairs "
+    "ONLY inside a cluster, drop all but one of each semantic-dup "
+    "group) — the bucketed DECISION form of what q_semantic_dedup "
+    "counts with fixed seed blocks: this reuses the SHARED ivf_assign "
+    "stage (seed vec_ids 100-107 -> one Lloyd refinement round -> "
+    "reassignment, identical to q_ann_ivf/q_ivfpq_search/"
+    "q_ivf_cell_stats, so the coarse quantizer is trained once per "
+    "pipeline, not per consumer) and applies the keep-first rule: a "
+    "vector drops iff a SMALLER-id vector in the SAME refined cell "
+    "has cosine >= 0.92. Output is the per-cell pruning ledger "
+    "(size, drops, kept fraction) a curation run records. At 100 TB "
+    "the quadratic step is bounded per cell by K ~ N (SemDeDup's own "
+    "scaling rule — pass ivf_assign a bigger trained codebook and "
+    "cells stay constant-sized); cross-cell pairs NEVER form, "
+    "assignment is a zero-shuffle broadcast-matrix argmax map, and "
+    "the pair join keys on the cell id. NULL embeddings are scoped "
+    "out on both engines (a NULL vector has no cosine to anything — "
+    "the q_ivfpq_search drop_null convention).",
+)
+def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parquet_compactor_spark.llm.text import persist_tracked
+
+    _, assign, _ = ivf_assign(spark, sf_dir, lloyd=True, drop_null=True)
+    # Three consumers (pair sides a/b + the per-cell size rollup): one
+    # materialization of the two-pass assignment subtree (the
+    # q_dsir_weights multi-consumer rule).
+    assigned = persist_tracked(
+        assign.select("vec_id", "bucket", "vec", "_vnorm")
+    )
+    a = assigned.select(
+        "bucket",
+        F.col("vec_id").alias("id1"),
+        F.col("vec").alias("v1"),
+        F.col("_vnorm").alias("n1"),
+    )
+    b = assigned.select(
+        "bucket",
+        F.col("vec_id").alias("id2"),
+        F.col("vec").alias("v2"),
+        F.col("_vnorm").alias("n2"),
+    )
+    dropped = (
+        a.join(b, "bucket")
+        .filter(F.col("id1") < F.col("id2"))
+        .filter(
+            dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2"))
+            >= SEMDEDUP_T
+        )
+        .select("bucket", "id2")
+        .distinct()
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_dropped"))
+    )
+    return (
+        assigned.groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"))
+        .join(F.broadcast(dropped), "bucket", "left")
+        .select(
+            F.col("bucket").alias("cluster_id"),
+            "n_vecs",
+            F.coalesce("n_dropped", F.lit(0)).cast("bigint").alias(
+                "n_dropped"
+            ),
+            (
+                F.floor(
+                    (F.col("n_vecs") - F.coalesce("n_dropped", F.lit(0)))
+                    .cast("double")
+                    / F.col("n_vecs")
+                    * 10000
+                    + 0.5
+                )
+                / 10000
+            ).alias("kept_frac"),
+        )
+    )
+
+
 N_BATCH_QUERIES = 5
 BATCH_TOPK = 3
 
@@ -950,14 +1095,27 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("nvec"),
         l2_norm(F.col("embedding")).alias("nn"),
     )
+    probe = e.filter(~seed).select(
+        "vec_id",
+        F.col("label").alias("true_label"),
+        "embedding",
+        l2_norm(F.col("embedding")).alias("qn"),
+    )
+    # The pair scoring below does |seeds| (~500-2500) cosines PER PROBE
+    # ROW — x500+ more compute per byte than the scan — but a broadcast
+    # join inherits the SCAN's partitioning, which maxPartitionBytes
+    # sizes by BYTES. A small embeddings file therefore runs the whole
+    # O(probes x seeds x dim) loop on 1-6 tasks regardless of cores
+    # (measured: the x5 ramp cliff — 4.75M pairs in ONE task, 33.7 s,
+    # then FLAT to x25 because files grow with data and pairs-per-task
+    # stays constant). Guarantee at least one task per core for the
+    # compute-dense side; when the scan is already wide (the 100 TB
+    # case) the partitioning is left untouched — no shuffle.
+    min_parts = spark.sparkContext.defaultParallelism
+    if probe.rdd.getNumPartitions() < min_parts:
+        probe = probe.repartition(min_parts)
     scored = (
-        e.filter(~seed)
-        .select(
-            "vec_id",
-            F.col("label").alias("true_label"),
-            "embedding",
-            l2_norm(F.col("embedding")).alias("qn"),
-        )
+        probe
         .crossJoin(F.broadcast(nbr))
         .select(
             "vec_id",

@@ -245,6 +245,82 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_token_fertility",
+    oracle=f"""
+    WITH per_doc AS (
+        SELECT lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS words,
+               CAST(len(regexp_extract_all(text, '{TOKEN_REGEX}'))
+                    AS BIGINT) AS toks,
+               CAST(strlen(text) AS BIGINT) AS bytes
+        FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(words) AS BIGINT) AS total_words,
+           CAST(SUM(toks) AS BIGINT) AS total_tokens,
+           CAST(SUM(bytes) AS BIGINT) AS total_bytes,
+           CASE WHEN SUM(words) > 0 THEN
+               FLOOR(CAST(SUM(toks) AS DOUBLE)
+                     / CAST(SUM(words) AS DOUBLE) * 10000 + 0.5) / 10000
+           END AS fertility,
+           CASE WHEN SUM(toks) > 0 THEN
+               FLOOR(CAST(SUM(bytes) AS DOUBLE)
+                     / CAST(SUM(toks) AS DOUBLE) * 10000 + 0.5) / 10000
+           END AS bytes_per_token
+    FROM per_doc
+    GROUP BY lang
+    """,
+    doc="Tokenizer fertility / bytes-per-token audit per language — the "
+    "SentencePiece coverage diagnostic every multilingual corpus runs "
+    "before fixing a vocabulary (Rust et al. 2021 'How Good is Your "
+    "Tokenizer?': fertility = subword tokens emitted per word; a "
+    "language paying 2x the tokens of English gets half the effective "
+    "context and double the training cost for the same text — the "
+    "byte-premium / tokenizer-parity problem). Words are the "
+    "whitespace segmentation (q_text_stats' convention), tokens the "
+    "BPE-ish regex pre-tokenization (q_token_count's convention), "
+    "bytes UTF-8 octets (octet_length / DuckDB strlen — NOT character "
+    "length, which hides exactly the multi-byte scripts the audit "
+    "exists for). Distinct from q_token_count (raw token budgeting) "
+    "and q_mixture_epochs (allocation): this query RELATES the two "
+    "tokenizations and the byte economics per language. Ratios are "
+    "exact-bigint divisions FLOOR-rounded to 4dp with the identical "
+    "IEEE shape in both engines; zero-word / zero-token languages "
+    "yield NULL ratios rather than a division error. Plan: per-row "
+    "JVM regex counts, ONE lang-keyed hash aggregate with map-side "
+    "partials — no joins, no second pass; at 100 TB this is a single "
+    "scan-shaped job whose output is |languages| rows.",
+)
+def q_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    words = F.size(whitespace_tokens(F.col("text"))).cast("bigint")
+    toks = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(TOKEN_REGEX), 0)
+    ).cast("bigint")
+    nbytes = F.octet_length("text").cast("bigint")
+    tw = F.sum(words)
+    tt = F.sum(toks)
+    tb = F.sum(nbytes)
+
+    def ratio4(num, den):
+        return F.when(
+            den > 0,
+            F.floor(num.cast("double") / den.cast("double") * 10000 + 0.5)
+            / 10000,
+        )
+
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        tw.cast("bigint").alias("total_words"),
+        tt.cast("bigint").alias("total_tokens"),
+        tb.cast("bigint").alias("total_bytes"),
+        ratio4(tt, tw).alias("fertility"),
+        ratio4(tb, tt).alias("bytes_per_token"),
+    )
+
+
+@register(
     "q_quality_score",
     oracle=f"""
     SELECT doc_id,

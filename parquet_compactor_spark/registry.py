@@ -243,11 +243,30 @@ def _ensure_loaded() -> None:
 #         q_window_range_frame, q_window_ranks, q_window_running,
 #         q_window_topn) roll to round 11.
 #
-# Round-11 rotation plan (after this window lands): first whatever
-# round 11 adds or changes, then the seven rolled-over r5 rows
-# (q_unpivot, q_window_first_last, q_window_lag, q_window_range_frame,
-# q_window_ranks, q_window_running, q_window_topn), then the r6-latest
-# rows alphabetical to fill 50 (43 r6 rows exist; expect ~38 to fit).
+# Round 11 (exactly 50 names) — the pre-planned rotation, executed:
+#   1-3   NEW this round (no driver row): q_token_fertility (tokenizer
+#         fertility / bytes-per-token per language), q_eval_contamination
+#         (W=8 sliding-window train-on-test overlap vs the held-out
+#         eval shard), q_semdedup_prune (SemDeDup keep-first pruning
+#         within Lloyd-refined IVF cells, shared ivf_assign stage);
+#   4-5   source CHANGED this round, prior row no longer attests:
+#         q_substring_dedup (first-occurrence ordering moved from the
+#         packed doc_id*2^20+pos bigint to a struct (doc_id,pos) MIN —
+#         the packed form silently mis-ordered docs with >= 2^20
+#         windows; also refactored onto the shared sliding-window
+#         helpers) and q_bloom_delta (position space now sized from
+#         the measured snapshot cardinality, 10 bits/key, instead of a
+#         constant m=65536 that saturates beyond the fixture scale);
+#   6-12  the seven r5 roll-overs from the round-10 plan (q_unpivot +
+#         the six q_window_* rows) — after these, no r5 row remains;
+#   13-50 the r6-latest rows, alphabetical, as many as fit (38 of 43).
+#         The alphabetically-last five (q_waiting_suppliers,
+#         q_whitespace_cleanup, q_window_ntile, q_winsorize,
+#         q_zscore_outliers) roll to round 12.
+#
+# Round-12 rotation plan (after this window lands): first whatever
+# round 12 adds or changes, then the five rolled-over r6 rows above,
+# then the r7-latest rows alphabetical to fill 50.
 #
 # Historical note — round 8's window (kept for the ledger):
 #   1-14  the fourteen queries ADDED this round — no driver row exists
@@ -329,62 +348,61 @@ def _ensure_loaded() -> None:
 # whatever round 9 itself adds or changes, which (per the standing
 # convention) outranks re-verification of unchanged sources.
 _PRIORITY: tuple[str, ...] = (
-    # -- NEW/newly-fixed in round 10 (no valid driver row): first --
-    "q_ivfpq_search",
+    # -- NEW in round 11 (no driver row): first --
+    "q_token_fertility",
+    "q_eval_contamination",
+    "q_semdedup_prune",
+    # -- source changed in round 11; the prior row attests neither --
     "q_substring_dedup",
-    "q_doremi_weights",
     "q_bloom_delta",
-    "q_ivf_cell_stats",
-    "q_kanon_audit",
-    "q_dist_drift",
-    # -- source changed r9+r10; latest row (r5) attests neither --
-    "q_ann_ivf",
-    # -- the seven r4-latest rows: the ledger's oldest --
-    "q_returned_items",
-    "q_salted_join",
-    "q_sim_topk",
-    "q_small_qty_revenue",
-    "q_top_supplier",
-    "q_variant_props",
-    "q_volume_shipping",
-    # -- r5-latest rows, alphabetical (35 of 42 fit; the last seven —
-    # q_unpivot + the six q_window_* names — roll to round 11 per the
-    # plan above) --
-    "q_anti_join",
-    "q_arg_extremes",
-    "q_chisq_independence",
-    "q_cross_join",
-    "q_dedup_minhash",
-    "q_dedup_simhash",
-    "q_embed_near_dup",
-    "q_event_enrich",
-    "q_event_transitions",
-    "q_full_outer_join",
-    "q_gopher_rules",
-    "q_hard_negatives",
-    "q_having",
-    "q_heavy_hitters",
-    "q_hll_sketch",
-    "q_hll_sketch_state",
-    "q_important_parts",
-    "q_in_subquery",
-    "q_join_multiway",
-    "q_kll_quantiles",
-    "q_kmeans_clusters",
-    "q_min_cost_supplier",
-    "q_null_handling",
-    "q_prefix_dups",
-    "q_product_profit",
-    "q_promo_part_suppliers",
-    "q_range_join",
-    "q_rlike_filter",
-    "q_running_distinct",
-    "q_semi_join",
-    "q_string_fns",
-    "q_supplier_part_count",
-    "q_topk",
-    "q_tumbling_window",
-    "q_union_all",
+    # -- the seven r5 roll-overs (round-10 plan): the ledger's oldest --
+    "q_unpivot",
+    "q_window_first_last",
+    "q_window_lag",
+    "q_window_range_frame",
+    "q_window_ranks",
+    "q_window_running",
+    "q_window_topn",
+    # -- r6-latest rows, alphabetical (38 of 43 fit; the last five
+    # roll to round 12 per the plan above) --
+    "q_agg_pricing",
+    "q_asof_join",
+    "q_bit_bool_agg",
+    "q_bm25",
+    "q_case_bucketing",
+    "q_date_arithmetic",
+    "q_date_buckets",
+    "q_edit_distance",
+    "q_equidepth_hist",
+    "q_event_attribution",
+    "q_ewma",
+    "q_except",
+    "q_frame_sample",
+    "q_gapfill_buckets",
+    "q_grouped_sample",
+    "q_intersect",
+    "q_large_orders",
+    "q_late_line_priority",
+    "q_latest_snapshot",
+    "q_locf_interpolate",
+    "q_mad_outliers",
+    "q_math_fns",
+    "q_month_over_month",
+    "q_ohlc",
+    "q_regr_slope",
+    "q_repetition_ratio",
+    "q_salted_agg",
+    "q_sessionize",
+    "q_sliding_window",
+    "q_stratified_sample",
+    "q_string_agg",
+    "q_string_extract",
+    "q_text_stats",
+    "q_token_count",
+    "q_top_bigrams",
+    "q_union_dedup",
+    "q_value_histogram",
+    "q_vector_norm",
 )
 
 

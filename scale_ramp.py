@@ -126,6 +126,16 @@ RAMP_QUERIES = [
     # covered by the q_gopher_rules slope family; q_ivfpq_search rides
     # q_ann_ivf's ramp entry: same assignment stage, cheaper probe.)
     "q_substring_dedup",
+    # round-11: eval contamination reuses the sliding-window machinery
+    # (per-token window explode, md5 keys) with a ~1/23 eval probe side
+    # behind the broadcast guard — must ramp like q_substring_dedup;
+    # semdedup_prune's quadratic step is bounded PER IVF CELL, so with
+    # fixed K the ramp shows the cell-join cost growing with cell
+    # occupancy — the curve to watch for the K ~ N scaling note.
+    # (q_token_fertility is a single scan-shaped lang rollup — covered
+    # by the q_gopher_rules slope family.)
+    "q_eval_contamination",
+    "q_semdedup_prune",
 ]
 
 OFF = 10_000_000  # per-copy key shift

@@ -131,6 +131,15 @@ SENSITIVE = [
     "q_kanon_audit",
     # NULL text scoped out on both engines before bucketing.
     "q_dist_drift",
+    # round-11 additions: q_token_fertility sums NULL-text counts away
+    # identically (SUM skips NULL; n_docs still counts the doc; NULL
+    # ratios when a language's totals are zero); q_eval_contamination
+    # tokenizes text on both sides (NULL/short texts form no windows —
+    # inner semantics); q_semdedup_prune scopes NULL embeddings out of
+    # the assignment (the q_ivfpq_search drop-null convention).
+    "q_token_fertility",
+    "q_eval_contamination",
+    "q_semdedup_prune",
 ]
 
 

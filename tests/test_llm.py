@@ -1283,3 +1283,152 @@ def test_normalized_fingerprint_is_canonical(spark):
     ).collect()
     for r in rows:
         assert r.helper == r.inline
+
+
+def _write_single_file_fixture(tmp_path, docs=None, embeddings=None):
+    """Single-FILE parquet fixtures (pyarrow, not Spark directories) so
+    the DuckDB oracle harness can register them; smoke tables ship
+    alongside for the unused views."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tests.conftest import SF_SMOKE
+
+    copied = {"region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"}
+    if docs is not None:
+        copied.discard("documents")
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([i for i, _ in docs], type=pa.int64()),
+                    "text": pa.array([t for _, t in docs], type=pa.string()),
+                    "lang": pa.array(["en"] * len(docs), type=pa.string()),
+                    "source": pa.array(["src0"] * len(docs), type=pa.string()),
+                    "n_chars": pa.array(
+                        [len(t) if t is not None else None for _, t in docs],
+                        type=pa.int64(),
+                    ),
+                }
+            ),
+            str(tmp_path / "documents.parquet"),
+        )
+    if embeddings is not None:
+        copied.discard("embeddings")
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array(
+                        [i for i, _, _ in embeddings], type=pa.int64()
+                    ),
+                    "embedding": pa.array(
+                        [v for _, v, _ in embeddings],
+                        type=pa.list_(pa.float32()),
+                    ),
+                    "label": pa.array(
+                        [lb for _, _, lb in embeddings], type=pa.int32()
+                    ),
+                }
+            ),
+            str(tmp_path / "embeddings.parquet"),
+        )
+    for t in copied:
+        shutil.copy(f"{SF_SMOKE}/{t}.parquet", str(tmp_path / f"{t}.parquet"))
+    return str(tmp_path)
+
+
+def test_token_fertility_multibyte_and_null_text(spark, tmp_path):
+    """Hand-computed fertility on a planted corpus: BPE-ish regex tokens
+    split non-ASCII letters into punct-runs (exactly why fertility
+    audits exist), bytes are UTF-8 octets (NOT characters), NULL text
+    contributes to n_docs but to no sum, and the oracle agrees on the
+    same fixture."""
+    from parquet_compactor_spark.registry import all_queries
+    from tests.oracle_utils import compare_to_oracle
+
+    docs = [(1, "hello world."), (2, "héllo wörld"), (3, None)]
+    sf = _write_single_file_fixture(tmp_path, docs=docs)
+    q = all_queries()["q_token_fertility"]
+    compare_to_oracle(q.fn(spark, sf), q.oracle, sf)
+    (r,) = q.fn(spark, sf).collect()
+    # words: 2 + 2; tokens: (hello|world|.)=3 + (h|é|llo, w|ö|rld)=6;
+    # bytes: 12 + 13 (two 2-byte letters).
+    assert (r.n_docs, r.total_words, r.total_tokens, r.total_bytes) == (
+        3, 4, 9, 25,
+    )
+    assert r.fertility == 2.25
+    assert r.bytes_per_token == 2.7778
+
+
+def test_eval_contamination_planted_overlaps(spark, tmp_path):
+    """Known-by-construction contamination: a full copy of an eval doc
+    is 100% covered; a doc sharing exactly the eval doc's first 8
+    tokens has one hit window covering 8 tokens; fresh docs report
+    zero; eval-shard docs and sub-window docs emit no row; the DuckDB
+    oracle agrees on the same corpus."""
+    from parquet_compactor_spark.registry import all_queries
+    from tests.oracle_utils import compare_to_oracle
+
+    ev = " ".join(f"ev{i}" for i in range(12))  # eval doc: 12 tokens
+    partial = " ".join(ev.split(" ")[:8] + [f"fresh{i}" for i in range(4)])
+    other = " ".join(f"plain{i}" for i in range(12))
+    docs = [
+        (7, ev),                 # eval shard (7 % 23 == 7)
+        (30, " ".join(f"hold{i}" for i in range(12))),  # eval (30 % 23 == 7)
+        (1, ev),                 # train: full copy of the eval doc
+        (2, partial),            # train: first 8 tokens shared
+        (3, other),              # train: clean
+        (4, "too short"),        # train: under W -> no window, no row
+    ]
+    sf = _write_single_file_fixture(tmp_path, docs=docs)
+    q = all_queries()["q_eval_contamination"]
+    compare_to_oracle(q.fn(spark, sf), q.oracle, sf)
+    got = {r.doc_id: r for r in q.fn(spark, sf).collect()}
+    assert set(got) == {1, 2, 3}, "eval docs and sub-window docs emit no row"
+    assert all(r.n_windows == 5 for r in got.values())  # 12 - 8 + 1
+    r1 = got[1]
+    assert (r1.n_hit_windows, r1.overlap_tokens, r1.overlap_frac) == (5, 12, 1.0)
+    assert r1.contaminated is True
+    r2 = got[2]
+    assert (r2.n_hit_windows, r2.overlap_tokens, r2.overlap_frac) == (1, 8, 0.6667)
+    assert r2.contaminated is True
+    r3 = got[3]
+    assert (r3.n_hit_windows, r3.overlap_tokens) == (0, 0)
+    assert r3.contaminated is False
+
+
+def test_semdedup_prune_planted_cells(spark, tmp_path):
+    """Keep-first pruning inside Lloyd-refined IVF cells on a corpus
+    whose assignment is known by construction: two identical vectors
+    share a cell with their seed (cos 1 >= 0.92 -> the larger id
+    drops; the seed at cos 0.8 survives), a second cell holds one
+    member + seed below threshold (nothing drops), the remaining six
+    cells hold only their seeds; the DuckDB oracle replays the same
+    two-pass assignment."""
+    from parquet_compactor_spark.registry import all_queries
+    from tests.oracle_utils import compare_to_oracle
+
+    def basis(i, *pairs):
+        v = [0.0] * 64
+        v[i] = 1.0
+        for d, x in pairs:
+            v[d] = x
+        return v
+
+    seeds = [(100 + i, basis(i), 0) for i in range(8)]
+    va = [0.0] * 64
+    va[0], va[1] = 0.8, 0.6
+    vb = [0.0] * 64
+    vb[1], vb[2] = 0.8, 0.6
+    rows = seeds + [(1, va, 0), (2, list(va), 0), (3, vb, 0)]
+    sf = _write_single_file_fixture(tmp_path, embeddings=rows)
+    q = all_queries()["q_semdedup_prune"]
+    compare_to_oracle(q.fn(spark, sf), q.oracle, sf)
+    got = {r.cluster_id: r for r in q.fn(spark, sf).collect()}
+    assert set(got) == set(range(8))
+    assert (got[0].n_vecs, got[0].n_dropped, got[0].kept_frac) == (3, 1, 0.6667)
+    assert (got[1].n_vecs, got[1].n_dropped, got[1].kept_frac) == (2, 0, 1.0)
+    for c in range(2, 8):
+        assert (got[c].n_vecs, got[c].n_dropped) == (1, 0)

@@ -792,9 +792,14 @@ PLAN_SHAPE_PINS = {
     "q_bigram_backoff":     (14, 0, 0, 1),
     # The ideal shape: map-only, zero everything.
     "q_pq_encode":          (0,  0, 0, 0),
-    # 1 BNLJ = the bounded seed-set broadcast; 2 exchanges = the
-    # per-vector argmax rollup (partial + final).
-    "q_knn_classify":       (2,  0, 0, 1),
+    # 1 BNLJ = the bounded seed-set broadcast; 3 exchanges = the
+    # round-robin min-parallelism repartition of the probe side (the
+    # pair loop is x500 compute per byte — without it a single-file
+    # scan runs all pairs on one task: the x5 ramp cliff) + the
+    # per-vector argmax rollup (partial + final). On an already-wide
+    # scan the repartition is skipped driver-side, so the pin holds
+    # only at the single-file smoke fixture this test uses.
+    "q_knn_classify":       (3,  0, 0, 1),
     # Round-8 second batch. q_pagerank's 27 exchanges are the THREE
     # unrolled rank rounds (join + agg each) plus the persisted edge
     # table's build lineage rendered once per InMemoryTableScan
@@ -838,6 +843,21 @@ PLAN_SHAPE_PINS = {
     # form measured (94, _, _, 31): unshared subtrees doubling per
     # round, corpus re-scanned 2^rounds times).
     "q_doremi_weights":     (2,  0, 0, 0),
+    # Round-11: W=8 eval-shard contamination — the q_substring_dedup
+    # machinery with a LEFT probe join against the DISTINCT eval-window
+    # table: 4 = eval-side distinct (pruned to the 1/23 shard BELOW the
+    # explode) + probe join sides + ONE doc_id rollup folding counts
+    # and interval coverage. No Expand/Cartesian/BNLJ may appear — a
+    # BNLJ here means the eval probe degenerated to pair formation.
+    "q_eval_contamination": (4,  0, 0, 0),
+    # Round-11: SemDeDup within IVF cells — 3 BNLJ are the bounded
+    # centroid-matrix broadcasts of the shared two-pass ivf_assign
+    # stage (rendered once live + under the persisted frame's
+    # InMemoryTableScan lineage); 7 exchanges = Lloyd mean shuffle +
+    # persist build lineage + the bucket-keyed pair join sides + two
+    # rollups. A CartesianProduct or an exchange jump means pairs
+    # escaped the per-cell bound.
+    "q_semdedup_prune":     (7,  0, 0, 3),
 }
 
 
