@@ -13,7 +13,18 @@ from this container, so the whole module is gated: ``HAVE_TWS`` is False
 and ``sessionize_stream_v2`` raises a clear ImportError until
 ``google.protobuf`` appears on the Python path (no pip installs here —
 the gate activates automatically when the environment gains it, exactly
-like the spark-avro classpath gate in ``sources/io.py``).
+like the spark-avro classpath gate in ``sources/io.py``). Round-11
+verification of the flip mechanism: no protobuf wheel exists anywhere
+on this container's disk (searched; installs forbidden), so the wheel
+cannot be vendored — instead
+``test_stateful_v2_gate_flips_open_when_protobuf_appears`` reloads this
+module with an importable ``google.protobuf`` injected and asserts
+HAVE_TWS flips True with the REAL ``StatefulProcessor`` bound (the
+pyspark class itself imports fine without protobuf — only the v2
+worker's state serialization needs it). The skip therefore converts to
+a live run purely by the environment gaining the dependency; live
+parity still requires the real wheel, which the parity test exercises
+the moment it exists.
 
 Scale posture (identical to v1): state is partitioned by user_id, holds
 only OPEN sessions (sealed ones are emitted and evicted), and the

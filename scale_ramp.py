@@ -251,7 +251,11 @@ def main() -> None:
     from bench import bench_compaction
 
     compaction: dict[str, dict] = {}
-    for files_n in (128, 256, 512):
+    # 1024 files ~ 2.8 GB: the round-11 stretch level — real-leaf bytes
+    # where the fixed per-pass machinery (listing, sample job, relation
+    # build, commit, deletes) should amortize into the codec ceiling as
+    # SCALE.md predicts, instead of dominating as it does at 0.35 GB.
+    for files_n in (128, 256, 512, 1024):
         os.environ["BENCH_COMPACT_FILES"] = str(files_n)
         compaction[str(files_n)] = bench_compaction(spark, SRC)
         print(f"# compaction {files_n} files:", json.dumps(compaction[str(files_n)]))

@@ -927,3 +927,45 @@ def test_claim_state_deltas_are_o_batch_and_compact_periodically(
         r.fp: r.claimant for r in latest_claim_state(spark, state).collect()
     }
     assert claims2 == claims
+
+
+def test_stateful_v2_gate_flips_open_when_protobuf_appears():
+    """Round-11 verification that the protobuf gate actually OPENS (no
+    protobuf wheel exists anywhere on this container's disk and installs
+    are forbidden, so this simulates the arrival): with an importable
+    ``google.protobuf`` on the path, reloading the module must set
+    HAVE_TWS and bind the REAL StatefulProcessor class — proving the
+    skip in the live-parity test flips to a run purely by the
+    environment gaining the dependency, with no code change. The fake
+    cannot serialize state, so live parity itself still requires the
+    real wheel (documented in the module docstring)."""
+    import importlib
+    import sys
+    import types
+
+    from parquet_compactor_spark.streaming import stateful_v2
+
+    if stateful_v2.HAVE_TWS:
+        pytest.skip("protobuf genuinely present — the gate is open live")
+
+    fake_google = types.ModuleType("google")
+    fake_pb = types.ModuleType("google.protobuf")
+    fake_google.protobuf = fake_pb
+    sys.modules["google"] = fake_google
+    sys.modules["google.protobuf"] = fake_pb
+    try:
+        importlib.reload(stateful_v2)
+        assert stateful_v2.HAVE_TWS is True
+        from pyspark.sql.streaming.stateful_processor import (
+            StatefulProcessor as RealSP,
+        )
+
+        assert stateful_v2.StatefulProcessor is RealSP
+        assert stateful_v2.SessionProcessor.__mro__[1] is RealSP
+    finally:
+        del sys.modules["google"]
+        del sys.modules["google.protobuf"]
+        importlib.reload(stateful_v2)
+    assert stateful_v2.HAVE_TWS is False
+    with pytest.raises(ImportError, match="protobuf"):
+        stateful_v2.sessionize_stream_v2(None)
