@@ -246,8 +246,141 @@ def q_eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Same regex dialect in Java (Spark) and RE2 (DuckDB): no lookaround,
-# no backreferences.
+# Secret-shaped token detectors — same regex dialect in Java (Spark)
+# and RE2 (DuckDB): no lookaround, no backreferences. \b is supported
+# by both; the seeds below are framed by spaces so the boundary always
+# lands between a space and a hex/base64 char (never after '_', which
+# is a word char and would swallow the boundary).
+_HEX_SECRET_RE = r"\b[0-9a-f]{32,}\b"  # hex credential (md5/sha/API hex)
+_AWS_KEY_RE = r"AKIA[0-9A-Z]{16}"  # AWS access-key-id shape
+_LONGTOK_RE = r"\b[A-Za-z0-9+/=]{24,}\b"  # long base64-ish token
+
+
+@register(
+    "q_secret_scan",
+    oracle=f"""
+    WITH seeded AS (
+        SELECT doc_id, source,
+               text
+               || CASE WHEN doc_id % 7 = 0
+                       THEN ' key ' || md5(CAST(doc_id AS VARCHAR)) || ' ok'
+                       ELSE '' END
+               || CASE WHEN doc_id % 11 = 0
+                       THEN ' id AKIA' || upper(substr(
+                            md5('a' || CAST(doc_id AS VARCHAR)), 1, 16))
+                            || ' end'
+                       ELSE '' END AS raw
+        FROM documents
+    ),
+    hits AS (
+        SELECT source,
+               COALESCE(len(regexp_extract_all(raw, '{_HEX_SECRET_RE}')), 0)
+                   AS hex_hits,
+               COALESCE(len(regexp_extract_all(raw, '{_AWS_KEY_RE}')), 0)
+                   AS aws_hits,
+               COALESCE(len(regexp_extract_all(raw, '{_LONGTOK_RE}')), 0)
+                   AS longtok_hits
+        FROM seeded
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(hex_hits) AS BIGINT) AS hex_hits,
+           CAST(SUM(aws_hits) AS BIGINT) AS aws_hits,
+           CAST(SUM(longtok_hits) AS BIGINT) AS longtok_hits,
+           CAST(SUM(CASE WHEN hex_hits + aws_hits + longtok_hits > 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_secret,
+           CAST((CAST(SUM(CASE WHEN hex_hits + aws_hits + longtok_hits > 0
+                              THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+                // CAST(COUNT(*) AS BIGINT) AS BIGINT) AS secret_ppm
+    FROM hits GROUP BY source
+    """,
+    doc="Credential / secret-shaped token scan per source — the "
+    "detect-secrets pass every code/crawl corpus runs before release "
+    "(StarCoder and Dolma both strip key-shaped strings alongside "
+    "PII; this is q_pii_scrub's security sibling). Detectors: 32+ "
+    "lowercase-hex runs (API/sha-style hex credentials), the AWS "
+    "access-key-id shape AKIA[0-9A-Z]{16}, and 24+ char base64-ish "
+    "tokens (the high-entropy-string proxy; hex hits are a subset of "
+    "this class by construction — counts overlap deliberately, each "
+    "detector is a distinct audit line). Because the synthetic corpus "
+    "contains no real secrets, deterministic ones are SEEDED exactly "
+    "like q_pii_scrub's emails: docs with doc_id % 7 == 0 carry an "
+    "md5-hex credential, % 11 == 0 an AKIA key derived from the same "
+    "engine-identical md5 — membership is known by construction, so "
+    "the oracle checks the detectors, not luck. NULL text seeds to "
+    "NULL and scans to zero hits on both engines (COALESCE). Plan: "
+    "map-only regex counts + ONE source-keyed hash aggregate — "
+    "scan-shaped at any corpus size; the ppm headline is exact "
+    "bigint div.",
+)
+def q_secret_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" key "),
+                F.md5(F.col("doc_id").cast("string")),
+                F.lit(" ok"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(
+                F.lit(" id AKIA"),
+                F.upper(
+                    F.substring(
+                        F.md5(F.concat(F.lit("a"), F.col("doc_id").cast("string"))),
+                        1,
+                        16,
+                    )
+                ),
+                F.lit(" end"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+
+    def nhits(rex: str) -> Column:
+        return F.coalesce(
+            F.size(F.regexp_extract_all(F.col("raw"), F.lit(rex), F.lit(0))),
+            F.lit(0),
+        )
+
+    hits = d.select("source", raw.alias("raw")).select(
+        "source",
+        nhits(_HEX_SECRET_RE).alias("hex_hits"),
+        nhits(_AWS_KEY_RE).alias("aws_hits"),
+        nhits(_LONGTOK_RE).alias("longtok_hits"),
+    )
+    any_hit = (
+        F.col("hex_hits") + F.col("aws_hits") + F.col("longtok_hits") > 0
+    )
+    return (
+        hits.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("hex_hits").cast("bigint").alias("hex_hits"),
+            F.sum("aws_hits").cast("bigint").alias("aws_hits"),
+            F.sum("longtok_hits").cast("bigint").alias("longtok_hits"),
+            F.sum(any_hit.cast("int")).cast("bigint").alias(
+                "docs_with_secret"
+            ),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "hex_hits",
+            "aws_hits",
+            "longtok_hits",
+            "docs_with_secret",
+            F.expr(
+                "CAST((docs_with_secret * 1000000) div n_docs AS BIGINT)"
+            ).alias("secret_ppm"),
+        )
+    )
+
+
 _EMAIL_RE = r"[A-Za-z0-9._]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _PHONE_RE = r"[0-9]{3}-[0-9]{4}"
 

@@ -348,6 +348,195 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
+RRF_TOP = 20  # per-retriever shortlist depth
+
+
+@register(
+    "q_rank_fusion",
+    oracle=f"""
+    WITH terms AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS f FROM terms GROUP BY doc_id, term
+    ),
+    dl AS (
+        SELECT doc_id, COUNT(*) AS dlen FROM terms GROUP BY doc_id
+    ),
+    stats AS (
+        SELECT COUNT(*) AS n_docs, AVG(CAST(dlen AS DOUBLE)) AS avgdl FROM dl
+    ),
+    df AS (
+        SELECT term, COUNT(*) AS nq FROM tf GROUP BY term
+    ),
+    lex_scored AS (
+        SELECT t.doc_id,
+               CAST(SUM(CAST(FLOOR(
+                   ln(1.0 + (s.n_docs - d.nq + 0.5) / (d.nq + 0.5))
+                   * t.f * 2.2
+                   / (t.f + 1.2 * (0.25 + 0.75 * l.dlen / s.avgdl))
+                   * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS lex_micro
+        FROM tf t
+        JOIN df d USING (term)
+        JOIN dl l USING (doc_id)
+        CROSS JOIN stats s
+        WHERE d.term IN ('spark', 'merge', 'window')
+        GROUP BY t.doc_id
+    ),
+    lex_rank AS (
+        SELECT doc_id, CAST(rn AS BIGINT) AS lex_rank FROM (
+            SELECT doc_id, ROW_NUMBER() OVER
+                (ORDER BY lex_micro DESC, doc_id) AS rn
+            FROM lex_scored
+        ) WHERE rn <= {RRF_TOP}
+    ),
+    v AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    q AS (SELECT vec FROM v WHERE vec_id = 0),
+    sem_scored AS (
+        SELECT v.vec_id AS doc_id,
+               ROUND(list_dot_product(v.vec, q.vec)
+                     / (sqrt(list_sum(list_transform(v.vec, x -> x * x)))
+                      * sqrt(list_sum(list_transform(q.vec, x -> x * x)))),
+                     4) AS cos4
+        FROM v CROSS JOIN q WHERE v.vec_id <> 0
+    ),
+    sem_rank AS (
+        SELECT doc_id, CAST(rn AS BIGINT) AS sem_rank FROM (
+            SELECT doc_id, ROW_NUMBER() OVER
+                (ORDER BY cos4 DESC, doc_id) AS rn
+            FROM sem_scored
+        ) WHERE rn <= {RRF_TOP}
+    )
+    SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+           l.lex_rank, s.sem_rank,
+           CAST(FLOOR((COALESCE(1.0 / ({RRF_K} + l.lex_rank), 0.0)
+                       + COALESCE(1.0 / ({RRF_K} + s.sem_rank), 0.0))
+                      * 1000000 + 0.5) AS BIGINT) AS rrf_micro
+    FROM lex_rank l FULL OUTER JOIN sem_rank s ON l.doc_id = s.doc_id
+    """,
+    doc="Reciprocal-rank fusion of a lexical and a semantic retriever "
+    "(Cormack et al. 2009: score = sum over systems of 1/(k + rank), "
+    "k=60 — the standard hybrid-retrieval combiner under RAG data "
+    "pipelines): arm 1 is q_bm25's scoring (k1=1.2, b=0.75, the same "
+    "three-term query) with each per-term score FLOOR-micro-rounded "
+    "BEFORE the per-doc sum so ranks order on exact bigints (the "
+    "q_bigram_backoff discipline — a float sum's addend order could "
+    "flip a rank tie); arm 2 is brute-force cosine against the "
+    "vec_id-0 query vector (q_sim_topk's convention; vec_id is the "
+    "document id, as in the dedup families), 4dp-rounded before "
+    f"ranking. Each arm takes a TOP-{RRF_TOP} shortlist through a "
+    "bounded TakeOrdered heap — never a global sort — and the fusion "
+    f"itself is a FULL OUTER join of two {RRF_TOP}-row frames "
+    "(broadcast; a doc missing from one arm contributes 0 to the "
+    "fused score, surfacing single-arm evidence instead of dropping "
+    "it). Ranks are deterministic on both engines (exact-integer "
+    "score DESC, doc_id ASC); the fused score is an exact-micro "
+    "bigint from two IEEE-identical reciprocal terms added in a "
+    "fixed order. At 100 TB: both arms are the already-audited "
+    f"retrieval plans; fusion state is 2x{RRF_TOP} rows.",
+)
+def q_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parquet_compactor_spark.llm.similarity import dot, l2_norm
+
+    d = load(spark, sf_dir, "documents")
+    k1, b = 1.2, 0.75
+    query_terms = ["spark", "merge", "window"]
+    terms = d.select(
+        "doc_id", F.explode(F.split("text", " ", -1)).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("f"))
+    dl = terms.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dlen"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.col("dlen").cast("double")).alias("avgdl"),
+    )
+    df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("nq"))
+    idf = F.log(
+        1.0 + (F.col("n_docs") - F.col("nq") + 0.5) / (F.col("nq") + 0.5)
+    )
+    score = (
+        idf
+        * F.col("f")
+        * (k1 + 1.0)
+        / (F.col("f") + k1 * (1 - b + b * F.col("dlen") / F.col("avgdl")))
+    )
+    lex_scored = (
+        tf.filter(F.col("term").isin(query_terms))
+        .join(
+            F.broadcast(df_tbl.filter(F.col("term").isin(query_terms))),
+            "term",
+        )
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.floor(score * 1000000 + 0.5).cast("bigint"))
+            .cast("bigint")
+            .alias("lex_micro")
+        )
+    )
+    lex_rank = (
+        lex_scored.orderBy(F.desc("lex_micro"), F.asc("doc_id"))
+        .limit(RRF_TOP)
+        .withColumn(
+            "lex_rank",
+            F.row_number()
+            .over(Window.orderBy(F.desc("lex_micro"), F.asc("doc_id")))
+            .cast("bigint"),
+        )
+        .select("doc_id", "lex_rank")
+    )
+    e = load(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    v = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
+    )
+    qv = v.filter(F.col("vec_id") == 0).select(
+        F.col("vec").alias("qvec"), l2_norm(F.col("vec")).alias("qn")
+    )
+    sem_scored = (
+        v.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                dot(F.col("vec"), F.col("qvec"))
+                / (l2_norm(F.col("vec")) * F.col("qn")),
+                4,
+            ).alias("cos4"),
+        )
+    )
+    sem_rank = (
+        sem_scored.orderBy(F.desc("cos4"), F.asc("doc_id"))
+        .limit(RRF_TOP)
+        .withColumn(
+            "sem_rank",
+            F.row_number()
+            .over(Window.orderBy(F.desc("cos4"), F.asc("doc_id")))
+            .cast("bigint"),
+        )
+        .select("doc_id", "sem_rank")
+    )
+    fused = lex_rank.join(sem_rank, "doc_id", "full")
+    rrf = F.coalesce(
+        F.lit(1.0) / (RRF_K + F.col("lex_rank")), F.lit(0.0)
+    ) + F.coalesce(F.lit(1.0) / (RRF_K + F.col("sem_rank")), F.lit(0.0))
+    return fused.select(
+        "doc_id",
+        "lex_rank",
+        "sem_rank",
+        F.floor(rrf * 1000000 + 0.5).cast("bigint").alias("rrf_micro"),
+    )
+
+
 @register(
     "q_embed_quantize",
     oracle="""

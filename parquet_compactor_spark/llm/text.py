@@ -320,6 +320,97 @@ def q_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+VOCAB_V = 256  # trained-vocabulary budget for the coverage audit
+
+
+@register(
+    "q_vocab_coverage",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               unnest(regexp_extract_all(text, '{TOKEN_REGEX}')) AS tok
+        FROM documents
+    ),
+    vocab AS (
+        SELECT tok FROM (
+            SELECT tok, COUNT(*) AS c FROM toks
+            WHERE doc_id % 2 = 0 GROUP BY tok
+        ) ORDER BY c DESC, tok LIMIT {VOCAB_V}
+    ),
+    ev AS (
+        SELECT t.source, t.tok, v.tok IS NOT NULL AS known
+        FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+        WHERE t.doc_id % 2 = 1
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN known THEN 0 ELSE 1 END) AS BIGINT) AS n_oov,
+           CAST(COUNT(DISTINCT CASE WHEN NOT known THEN tok END)
+                AS BIGINT) AS n_oov_types,
+           CAST((CAST(SUM(CASE WHEN known THEN 0 ELSE 1 END) AS BIGINT)
+                 * 1000000) // CAST(COUNT(*) AS BIGINT) AS BIGINT)
+               AS oov_ppm
+    FROM ev GROUP BY source
+    """,
+    doc="Trained-vocabulary coverage / OOV-rate audit per source — the "
+    "companion to q_token_fertility in the tokenizer-prep pair: a "
+    "V=256 vocabulary is 'trained' as the top-V tokens by frequency "
+    "over the even-doc_id shard (deterministic cut: count DESC, token "
+    "ASC — the tie at the boundary is engine-exact), and the held-out "
+    "odd shard is scored per source for token coverage: total tokens, "
+    "OOV hits, distinct OOV types, and the exact-ppm OOV rate (bigint "
+    "div). High OOV for a source means the vocabulary under-serves it "
+    "(the byte-fallback blowup SentencePiece coverage reports catch). "
+    "Plan: ONE token explode feeds both shards (train branch prunes "
+    "doc_id % 2 = 0 below the explode); the vocab cut is a bounded "
+    "TakeOrdered heap (V rows — never a global sort of the "
+    "vocabulary); the eval probe is a V-row broadcast join; one "
+    "source-keyed rollup. At 100 TB: vocabulary state is V rows by "
+    "construction, the only wide op is the train-shard term count — "
+    "the same saturating vocabulary shuffle as q_zipf_fit's family.",
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.regexp_extract_all(F.col("text"), F.lit(TOKEN_REGEX), 0)
+        ).alias("tok"),
+    )
+    vocab = (
+        toks.filter(F.col("doc_id") % 2 == 0)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("tok"))
+        .limit(VOCAB_V)
+        .select("tok", F.lit(1).alias("known"))
+    )
+    ev = toks.filter(F.col("doc_id") % 2 == 1).join(
+        F.broadcast(vocab), "tok", "left"
+    )
+    oov = F.col("known").isNull()
+    return (
+        ev.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(oov.cast("int")).cast("bigint").alias("n_oov"),
+            F.countDistinct(F.when(oov, F.col("tok"))).cast("bigint").alias(
+                "n_oov_types"
+            ),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_oov",
+            "n_oov_types",
+            F.expr("CAST((n_oov * 1000000) div n_tokens AS BIGINT)").alias(
+                "oov_ppm"
+            ),
+        )
+    )
+
+
 @register(
     "q_quality_score",
     oracle=f"""

@@ -244,12 +244,16 @@ def _ensure_loaded() -> None:
 #         q_window_topn) roll to round 11.
 #
 # Round 11 (exactly 50 names) — the pre-planned rotation, executed:
-#   1-3   NEW this round (no driver row): q_token_fertility (tokenizer
+#   1-6   NEW this round (no driver row): q_token_fertility (tokenizer
 #         fertility / bytes-per-token per language), q_eval_contamination
 #         (W=8 sliding-window train-on-test overlap vs the held-out
 #         eval shard), q_semdedup_prune (SemDeDup keep-first pruning
-#         within Lloyd-refined IVF cells, shared ivf_assign stage);
-#   4-5   source CHANGED this round, prior row no longer attests:
+#         within Lloyd-refined IVF cells, shared ivf_assign stage),
+#         q_vocab_coverage (trained top-V vocabulary OOV audit per
+#         source), q_secret_scan (credential-shaped token detectors
+#         with seeded ground truth), q_rank_fusion (RRF of the BM25
+#         and cosine retrievers, micro-exact ranks, bounded heaps);
+#   7-8   source CHANGED this round, prior row no longer attests:
 #         q_substring_dedup (first-occurrence ordering moved from the
 #         packed doc_id*2^20+pos bigint to a struct (doc_id,pos) MIN —
 #         the packed form silently mis-ordered docs with >= 2^20
@@ -257,15 +261,16 @@ def _ensure_loaded() -> None:
 #         helpers) and q_bloom_delta (position space now sized from
 #         the measured snapshot cardinality, 10 bits/key, instead of a
 #         constant m=65536 that saturates beyond the fixture scale);
-#   6-12  the seven r5 roll-overs from the round-10 plan (q_unpivot +
+#   9-15  the seven r5 roll-overs from the round-10 plan (q_unpivot +
 #         the six q_window_* rows) — after these, no r5 row remains;
-#   13-50 the r6-latest rows, alphabetical, as many as fit (38 of 43).
-#         The alphabetically-last five (q_waiting_suppliers,
+#   16-50 the r6-latest rows, alphabetical, as many as fit (35 of 43).
+#         The alphabetically-last eight (q_union_dedup,
+#         q_value_histogram, q_vector_norm, q_waiting_suppliers,
 #         q_whitespace_cleanup, q_window_ntile, q_winsorize,
 #         q_zscore_outliers) roll to round 12.
 #
 # Round-12 rotation plan (after this window lands): first whatever
-# round 12 adds or changes, then the five rolled-over r6 rows above,
+# round 12 adds or changes, then the eight rolled-over r6 rows above,
 # then the r7-latest rows alphabetical to fill 50.
 #
 # Historical note — round 8's window (kept for the ledger):
@@ -352,6 +357,9 @@ _PRIORITY: tuple[str, ...] = (
     "q_token_fertility",
     "q_eval_contamination",
     "q_semdedup_prune",
+    "q_vocab_coverage",
+    "q_secret_scan",
+    "q_rank_fusion",
     # -- source changed in round 11; the prior row attests neither --
     "q_substring_dedup",
     "q_bloom_delta",
@@ -363,7 +371,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_window_ranks",
     "q_window_running",
     "q_window_topn",
-    # -- r6-latest rows, alphabetical (38 of 43 fit; the last five
+    # -- r6-latest rows, alphabetical (35 of 43 fit; the last eight
     # roll to round 12 per the plan above) --
     "q_agg_pricing",
     "q_asof_join",
@@ -400,9 +408,6 @@ _PRIORITY: tuple[str, ...] = (
     "q_text_stats",
     "q_token_count",
     "q_top_bigrams",
-    "q_union_dedup",
-    "q_value_histogram",
-    "q_vector_norm",
 )
 
 

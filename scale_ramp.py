@@ -136,6 +136,13 @@ RAMP_QUERIES = [
     # by the q_gopher_rules slope family.)
     "q_eval_contamination",
     "q_semdedup_prune",
+    # q_vocab_coverage's train-shard term count is an open-ended
+    # vocabulary shuffle (the zipf/token_entropy saturation family) and
+    # its heap cut + broadcast probe must stay V-bounded as the corpus
+    # grows. (q_secret_scan is a map-only scan — q_gopher_rules slope
+    # family; q_rank_fusion composes two already-ramped retrieval
+    # shapes behind bounded heaps.)
+    "q_vocab_coverage",
 ]
 
 OFF = 10_000_000  # per-copy key shift

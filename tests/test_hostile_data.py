@@ -140,6 +140,15 @@ SENSITIVE = [
     "q_token_fertility",
     "q_eval_contamination",
     "q_semdedup_prune",
+    # q_vocab_coverage: NULL text explodes to no tokens on both engines;
+    # adversarial unicode tokens ride the vocab join as opaque strings.
+    # q_secret_scan: NULL text concatenates to a NULL seeded string and
+    # scans to zero hits via COALESCE on both engines.
+    # q_rank_fusion: NULL text drops from the posting lists; NULL
+    # embeddings are scoped out of the semantic arm on both engines.
+    "q_vocab_coverage",
+    "q_secret_scan",
+    "q_rank_fusion",
 ]
 
 

@@ -1432,3 +1432,89 @@ def test_semdedup_prune_planted_cells(spark, tmp_path):
     assert (got[1].n_vecs, got[1].n_dropped, got[1].kept_frac) == (2, 0, 1.0)
     for c in range(2, 8):
         assert (got[c].n_vecs, got[c].n_dropped) == (1, 0)
+
+
+def test_secret_scan_seeded_ground_truth(spark, tmp_path):
+    """Detector semantics on a corpus where secret membership is known
+    by construction: doc 0 (0 % 7 == 0 AND 0 % 11 == 0) carries both a
+    hex credential and an AKIA key, doc 7 only the hex, doc 11 only the
+    AKIA, docs 1/2 are clean prose, doc 3 is NULL text (zero hits, still
+    counted). The hex credential also matches the long-token class
+    (documented overlap); the AKIA key matches only its own detector
+    (20 chars < 24)."""
+    from parquet_compactor_spark.registry import all_queries
+    from tests.oracle_utils import compare_to_oracle
+
+    docs = [
+        (0, "plain words here"),
+        (7, "more plain words"),
+        (11, "other plain words"),
+        (1, "clean document text"),
+        (2, "another clean one"),
+        (3, None),
+    ]
+    sf = _write_single_file_fixture(tmp_path, docs=docs)
+    q = all_queries()["q_secret_scan"]
+    compare_to_oracle(q.fn(spark, sf), q.oracle, sf)
+    (r,) = q.fn(spark, sf).collect()
+    assert r.n_docs == 6
+    assert r.hex_hits == 2          # docs 0 and 7
+    assert r.aws_hits == 2          # docs 0 and 11
+    assert r.longtok_hits == 2      # the two 32-char hex runs only
+    assert r.docs_with_secret == 3  # 0, 7, 11
+    assert r.secret_ppm == 500000
+
+
+def test_vocab_coverage_planted_oov(spark, tmp_path):
+    """Vocabulary and OOV membership known by construction: the even
+    shard trains the vocab; an odd doc mixing two in-vocab tokens with
+    two occurrences of one OOV type reports exactly that; an odd doc of
+    only vocab tokens reports zero OOV."""
+    from parquet_compactor_spark.registry import all_queries
+    from tests.oracle_utils import compare_to_oracle
+
+    docs = [
+        (0, "alpha beta alpha gamma"),   # train: vocab {alpha,beta,gamma}
+        (2, "alpha beta"),               # train
+        (1, "alpha zzz beta zzz"),       # eval: 4 tokens, 2 OOV, 1 type
+        (3, "gamma alpha"),              # eval: all in vocab
+    ]
+    sf = _write_single_file_fixture(tmp_path, docs=docs)
+    q = all_queries()["q_vocab_coverage"]
+    compare_to_oracle(q.fn(spark, sf), q.oracle, sf)
+    (r,) = q.fn(spark, sf).collect()
+    assert (r.n_tokens, r.n_oov, r.n_oov_types) == (6, 2, 1)
+    assert r.oov_ppm == 333333
+
+
+def test_rank_fusion_planted_ranks(spark, tmp_path):
+    """RRF arithmetic on planted retrievals: a doc stuffed with query
+    terms takes lexical rank 1; the embedding colinear with the query
+    vector takes semantic rank 1; a doc present in BOTH arms fuses both
+    reciprocal terms, single-arm docs carry a NULL rank on the missing
+    side and exactly one term."""
+    from parquet_compactor_spark.registry import all_queries
+    from tests.oracle_utils import compare_to_oracle
+
+    docs = [
+        (1, "spark merge window spark merge window spark"),  # lex-heavy
+        (2, "spark alone among plain words"),                # weaker lex
+        (3, "no query words at all"),                        # lex-absent
+    ]
+    e1 = [1.0] + [0.0] * 63
+    e2 = [0.0, 1.0] + [0.0] * 62
+    embs = [
+        (0, e1, 0),                   # the query vector
+        (2, [2.0] + [0.0] * 63, 0),   # colinear -> sem rank 1
+        (3, e2, 0),                   # orthogonal -> sem rank 2 (cos 0)
+    ]
+    sf = _write_single_file_fixture(tmp_path, docs=docs, embeddings=embs)
+    q = all_queries()["q_rank_fusion"]
+    compare_to_oracle(q.fn(spark, sf), q.oracle, sf)
+    got = {r.doc_id: r for r in q.fn(spark, sf).collect()}
+    assert got[1].lex_rank == 1 and got[1].sem_rank is None
+    assert got[2].lex_rank == 2 and got[2].sem_rank == 1
+    assert got[3].lex_rank is None and got[3].sem_rank == 2
+    assert got[1].rrf_micro == round(1e6 / 61)      # 1/(60+1)
+    assert got[2].rrf_micro == 32522  # floor((1/62 + 1/61)*1e6 + 0.5)
+    assert got[3].rrf_micro == round(1e6 / 62)

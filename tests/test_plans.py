@@ -858,6 +858,18 @@ PLAN_SHAPE_PINS = {
     # rollups. A CartesianProduct or an exchange jump means pairs
     # escaped the per-cell bound.
     "q_semdedup_prune":     (7,  0, 0, 3),
+    # Round-11 second trio. Vocab coverage: train-shard term agg +
+    # TakeOrdered heap cut + broadcast probe + source rollup — 4
+    # exchanges, no pair op may ever appear.
+    "q_vocab_coverage":     (4,  0, 0, 0),
+    # Secret scan is the ideal scan shape: map-only regex counts into
+    # ONE source-keyed aggregate.
+    "q_secret_scan":        (1,  0, 0, 0),
+    # Rank fusion: two retrieval arms (tf/dl/df aggs + heap cuts) fused
+    # by a broadcastable outer join; the 2 BNLJ are the 1-row stats and
+    # 1-row query-vector broadcasts. A CartesianProduct or exchange
+    # jump means an arm's shortlist stopped being heap-bounded.
+    "q_rank_fusion":        (11, 0, 0, 2),
 }
 
 
