@@ -441,6 +441,13 @@ def test_no_unexpected_cartesian_in_any_registered_query(spark):
         # corpus-sized — the brute-force stage's documented IVF swap
         # applies when the seed set grows):
         "q_knn_classify",
+        # round 11: the shared ivf_assign centroid-matrix broadcasts
+        # (K x dim doubles of model state — q_semantic_dedup's class):
+        "q_semdedup_prune",
+        # 1-row corpus-stats + 1-row query-vector broadcasts (the
+        # q_bigram_backoff scalar class); both arms' candidate sets are
+        # heap-bounded, never pair-formed:
+        "q_rank_fusion",
     }
     offenders = []
     for name in QUERIES:
