@@ -197,10 +197,12 @@ def q_eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from parquet_compactor_spark.llm.text import (
         broadcast_if_bounded,
+        spread_scan,
         whitespace_tokens,
     )
 
-    d = load(spark, sf_dir, "documents")
+    # one md5 window per token: compute-dense map, spread it.
+    d = spread_scan(load(spark, sf_dir, "documents"))
     words = whitespace_tokens(F.col("text"))
     wins = d.select(
         "doc_id",

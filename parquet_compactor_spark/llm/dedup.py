@@ -927,10 +927,15 @@ def merged_interval_coverage(sorted_pos: Column, w: int) -> Column:
     "interval merge share one doc_id-keyed exchange each.",
 )
 def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from parquet_compactor_spark.llm.text import broadcast_if_bounded, whitespace_tokens
+    from parquet_compactor_spark.llm.text import (
+        broadcast_if_bounded,
+        spread_scan,
+        whitespace_tokens,
+    )
 
     W = SUBSTR_W
-    d = load(spark, sf_dir, "documents")
+    # ~W md5-hashed windows per token: compute-dense map, spread it.
+    d = spread_scan(load(spark, sf_dir, "documents"))
     words = whitespace_tokens(F.col("text"))
     win_structs = sliding_md5_windows(words, W)
     wins = d.select(
@@ -984,6 +989,144 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             / 10000
         ).alias("dup_frac"),
+    )
+
+
+WINNOW_K = 5  # k-gram width (tokens) for winnowing
+WINNOW_W = 4  # winnowing window: guarantee = W + K - 1 = 8 tokens
+
+
+@register(
+    "q_winnowing_fingerprint",
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, CAST(len(w) - {WINNOW_K - 1} AS BIGINT) AS n_grams,
+               CAST(i AS BIGINT) AS pos,
+               md5(array_to_string(w[i : i + {WINNOW_K - 1}], ' ')) AS h
+        FROM words, UNNEST(range(1, len(w) - {WINNOW_K - 2})) AS t(i)
+    ),
+    wins AS (
+        SELECT doc_id, n_grams, pos,
+               MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW
+                            AND {WINNOW_W - 1} FOLLOWING) AS wmin
+        FROM grams
+    ),
+    sel AS (
+        SELECT DISTINCT doc_id, n_grams, wmin
+        FROM wins WHERE pos <= n_grams - {WINNOW_W - 1}
+    ),
+    grp AS (
+        SELECT wmin, COUNT(DISTINCT doc_id) AS nd FROM sel GROUP BY wmin
+    )
+    SELECT s.doc_id,
+           MAX(s.n_grams) AS n_grams,
+           CAST(COUNT(*) AS BIGINT) AS n_selected,
+           CAST(SUM(CASE WHEN g.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_shared,
+           CAST((CAST(COUNT(*) AS BIGINT) * 1000000)
+                // MAX(s.n_grams) AS BIGINT) AS density_ppm
+    FROM sel s JOIN grp g ON s.wmin = g.wmin
+    GROUP BY s.doc_id
+    """,
+    doc="Winnowing document fingerprints (Schleimer, Wilkerson & Aiken "
+    "2003 — the MOSS algorithm): hash every 5-token k-gram, slide a "
+    "w=4 window over the hash sequence and select each window's "
+    "MINIMUM hash — the selected set is a position-robust fingerprint "
+    "with the guarantee that any shared run of w+k-1 = 8 tokens "
+    "produces at least one shared fingerprint, at expected density "
+    "2/(w+1) of the grams (the local-min property makes the selection "
+    "content-synchronized: insertions only perturb nearby windows, "
+    "unlike every-nth-gram sampling). Distinct from q_fingerprint "
+    "(one whole-doc hash), q_dup_ngram_coverage (ALL distinct grams — "
+    "w+1 times the state), and q_substring_dedup (keep-first "
+    "decisions): this is the bounded-size SKETCH a plagiarism / "
+    "boilerplate index stores per document. Hashes are md5 strings "
+    "MIN-compared lexicographically — engine-identical, no integer "
+    "conversion needed. Output per doc: gram count, selected-set "
+    "size, fingerprints shared with ANOTHER doc (the boilerplate "
+    "signal), and the exact-ppm density (theory: ~400000 at w=4). "
+    "Plan: the ENTIRE selection — gram hashing, per-window minima, "
+    "the distinct selected set — is per-doc-local JVM higher-order "
+    "work and runs on the map side as a single aggregate fold; only "
+    "the selected ~2/(w+1) fingerprints ever explode, feeding ONE "
+    "fingerprint-keyed agg + guarded join back on 32-byte keys — "
+    "never document pairs, no sort window, no corpus-wide distinct "
+    "(equal local wall clock to the exploded+windowed form, ~2.5x "
+    "less shuffle volume — the number that matters at 100 TB). "
+    "Index state is ~2/(w+1) x grams, tunable by w.",
+)
+def q_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parquet_compactor_spark.llm.text import (
+        broadcast_if_bounded,
+        spread_scan,
+        whitespace_tokens,
+    )
+
+    K, W = WINNOW_K, WINNOW_W
+    # one md5 k-gram per token + the fold: compute-dense map, spread it.
+    d = spread_scan(load(spark, sf_dir, "documents"))
+    words = whitespace_tokens(F.col("text"))
+    # The whole selection runs INSIDE the row as ONE JVM aggregate
+    # fold over the gram array (evaluated exactly once — a lambda that
+    # re-references a derived hash array re-evaluates it per element,
+    # no CSE inside higher-order fns: an array_min-over-slice draft
+    # measured 165 s of O(n^2) md5 work at sf0.1, a zip_with doubling
+    # draft 29 s of constant-factor re-hashing; this fold and the
+    # exploded+sort-window draft both measure ~10.3 s locally, and the
+    # fold wins on SHUFFLE: only the ~2/(w+1) selected fingerprints
+    # ever explode — no per-gram exchange, no doc-keyed sort window,
+    # no corpus-wide DISTINCT). acc = (last w-1 hashes, selected so
+    # far); each gram emits its window's array_min once w are in hand.
+    n_grams = (F.size(words) - F.lit(K - 1)).cast("bigint")
+
+    def step(acc, s):
+        nb = F.concat(acc["buf"], F.array(s["h"]))
+        full = F.size(nb) == W
+        return F.struct(
+            F.when(full, F.slice(nb, 2, W - 1)).otherwise(nb).alias("buf"),
+            F.when(
+                full, F.concat(acc["sel"], F.array(F.array_min(nb)))
+            ).otherwise(acc["sel"]).alias("sel"),
+        )
+
+    selected = F.aggregate(
+        sliding_md5_windows(words, K),
+        F.struct(
+            F.array().cast("array<string>").alias("buf"),
+            F.array().cast("array<string>").alias("sel"),
+        ),
+        step,
+        lambda acc: F.array_distinct(acc["sel"]),
+    )
+    sel = d.select(
+        "doc_id",
+        n_grams.alias("n_grams"),
+        F.explode(selected).alias("wmin"),
+    )
+    grp = sel.groupBy("wmin").agg(F.countDistinct("doc_id").alias("nd"))
+    j = sel.join(broadcast_if_bounded(grp), "wmin")
+    return (
+        j.groupBy("doc_id")
+        .agg(
+            F.max("n_grams").alias("n_grams"),
+            F.count(F.lit(1)).cast("bigint").alias("n_selected"),
+            F.sum((F.col("nd") >= 2).cast("int")).cast("bigint").alias(
+                "n_shared"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_selected",
+            "n_shared",
+            F.expr("CAST((n_selected * 1000000) div n_grams AS BIGINT)").alias(
+                "density_ppm"
+            ),
+        )
     )
 
 

@@ -348,6 +348,183 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PACK_SHARDS = 16  # training shards to balance token load across
+PACK_BUCKET = 64  # token-length bucket width for the distributed serpentine
+
+
+@register(
+    "q_shard_packing",
+    oracle=f"""
+    WITH docs AS (
+        SELECT doc_id,
+               COALESCE(CAST(len(string_split(text, ' ')) AS BIGINT), 0)
+                   AS toks,
+               COALESCE(CAST(len(string_split(text, ' ')) AS BIGINT), 0)
+                   // {PACK_BUCKET} AS bucket
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, toks, bucket,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY bucket
+                   ORDER BY toks DESC, doc_id) AS BIGINT) AS idx_w
+        FROM docs
+    ),
+    bc AS (
+        SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM docs GROUP BY bucket
+    ),
+    offs AS (
+        SELECT bucket,
+               CAST(COALESCE(SUM(cnt) OVER (
+                   ORDER BY bucket DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS off
+        FROM bc
+    ),
+    assigned AS (
+        SELECT r.doc_id, r.toks,
+               o.off + r.idx_w - 1 AS gidx,
+               (r.doc_id * 2654435761) % 4294967296 % {PACK_SHARDS}
+                   AS hash_shard
+        FROM ranked r JOIN offs o ON r.bucket = o.bucket
+    ),
+    dealt AS (
+        SELECT doc_id, toks, hash_shard,
+               CASE WHEN (gidx // {PACK_SHARDS}) % 2 = 0
+                    THEN gidx % {PACK_SHARDS}
+                    ELSE {PACK_SHARDS - 1} - gidx % {PACK_SHARDS}
+               END AS shard
+        FROM assigned
+    ),
+    packed AS (
+        SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(toks) AS BIGINT) AS tokens_packed
+        FROM dealt GROUP BY shard
+    ),
+    hashed AS (
+        SELECT hash_shard AS shard, CAST(SUM(toks) AS BIGINT) AS tokens_hash
+        FROM dealt GROUP BY hash_shard
+    )
+    SELECT CAST(p.shard AS BIGINT) AS shard, p.n_docs,
+           p.tokens_packed, h.tokens_hash,
+           CAST((p.tokens_packed * {PACK_SHARDS} * 1000000)
+                // CAST(SUM(p.tokens_packed) OVER () AS BIGINT)
+                AS BIGINT) - 1000000 AS dev_packed_ppm,
+           CAST((h.tokens_hash * {PACK_SHARDS} * 1000000)
+                // CAST(SUM(p.tokens_packed) OVER () AS BIGINT)
+                AS BIGINT) - 1000000 AS dev_hash_ppm
+    FROM packed p JOIN hashed h ON p.shard = h.shard
+    """,
+    doc="Balanced training-shard packing — the 'write N shards of "
+    "~equal token load' step before distributed training, where a "
+    "hash assignment leaves the token variance of documents on the "
+    "table: docs are dealt to shards in serpentine order (0..S-1 "
+    "then S-1..0) along the GLOBAL tokens-DESC rank, which cancels "
+    "the size gradient a plain round-robin accumulates. The global "
+    "rank is computed in TWO DISTRIBUTED phases — per-bucket "
+    "ROW_NUMBERs (window partitioned by the width-64 token-length "
+    "bucket) plus exclusive prefix counts over the tiny BUCKETS "
+    "table — and because bucket = toks div width is monotone in "
+    "toks, offset + local rank IS the exact global order: no "
+    "corpus-sized single-partition window anywhere. Output is the per-shard packing ledger: doc "
+    "count, token load under serpentine packing vs under the Knuth-"
+    "hash assignment (q_data_split's mechanism), and each one's "
+    "signed exact-ppm deviation from the ideal equal split — the "
+    "serpentine deviation band is the number a training-infra owner "
+    "actually watches (hash deviation ~ sqrt-variance, packed "
+    "deviation ~ bucket-width-bounded). NULL-text docs pack with 0 "
+    "tokens (COALESCE, both engines). Plan: one scan -> bucket-"
+    "partitioned window -> two shard-keyed aggregates joined on "
+    f"{PACK_SHARDS} rows + one {PACK_SHARDS}-row window for the "
+    "totals. At 100 TB every wide op is keyed by bucket or shard — "
+    "nothing global, no skew (buckets are length-bounded).",
+)
+def q_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parquet_compactor_spark.llm.text import whitespace_tokens
+
+    S = PACK_SHARDS
+    d = load(spark, sf_dir, "documents")
+    toks = F.coalesce(
+        F.size(whitespace_tokens(F.col("text"))).cast("bigint"), F.lit(0)
+    )
+    docs = d.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.expr(
+            f"COALESCE(CAST(size(split(text, ' ', -1)) AS BIGINT), 0)"
+            f" div {PACK_BUCKET}"
+        ).alias("bucket"),
+    )
+    # Two-phase GLOBAL rank without a corpus-sized single-partition
+    # window: (1) rank within each token-length bucket (the window
+    # partitions by bucket — distributed); (2) exclusive prefix counts
+    # over the BUCKETS table (|buckets| rows — the only global window,
+    # bounded by max_tokens/width) give each bucket's global offset.
+    # bucket = toks div width is MONOTONE in toks, so offset + local
+    # rank IS the exact global tokens-DESC, doc_id-ASC rank.
+    wb = Window.partitionBy("bucket").orderBy(F.desc("toks"), F.asc("doc_id"))
+    ranked = docs.withColumn(
+        "idx_w", F.row_number().over(wb).cast("bigint")
+    )
+    bc = docs.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    wo = (
+        Window.orderBy(F.desc("bucket"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = bc.select(
+        "bucket",
+        F.coalesce(F.sum("cnt").over(wo), F.lit(0)).cast("bigint").alias(
+            "off"
+        ),
+    )
+    assigned = (
+        ranked.join(F.broadcast(offs), "bucket")
+        .withColumn("gidx", F.col("off") + F.col("idx_w") - 1)
+        .select(
+            "doc_id",
+            "toks",
+            F.pmod(
+                F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(4294967296)),
+                F.lit(S),
+            ).alias("hash_shard"),
+            # Serpentine deal on the global rank: exact integer div/mod.
+            F.expr(
+                f"CASE WHEN (gidx div {S}) % 2 = 0 THEN gidx % {S} "
+                f"ELSE {S - 1} - gidx % {S} END"
+            ).alias("shard"),
+        )
+    )
+    packed = assigned.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("toks").cast("bigint").alias("tokens_packed"),
+    )
+    hashed = assigned.groupBy("hash_shard").agg(
+        F.sum("toks").cast("bigint").alias("tokens_hash")
+    )
+    j = packed.join(
+        F.broadcast(hashed.withColumnRenamed("hash_shard", "shard")), "shard"
+    )
+    return j.select(
+        F.col("shard").cast("bigint").alias("shard"),
+        "n_docs",
+        "tokens_packed",
+        "tokens_hash",
+        F.expr(
+            f"CAST((tokens_packed * {S} * 1000000) div "
+            "CAST(SUM(tokens_packed) OVER () AS BIGINT) AS BIGINT)"
+            " - 1000000"
+        ).alias("dev_packed_ppm"),
+        F.expr(
+            f"CAST((tokens_hash * {S} * 1000000) div "
+            "CAST(SUM(tokens_packed) OVER () AS BIGINT) AS BIGINT)"
+            " - 1000000"
+        ).alias("dev_hash_ppm"),
+    )
+
+
 RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
 RRF_TOP = 20  # per-retriever shortlist depth
 

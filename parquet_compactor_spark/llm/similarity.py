@@ -371,6 +371,7 @@ def ivf_assign(
     lloyd: bool = True,
     literal_max: int | None = None,
     drop_null: bool = False,
+    seed_range: tuple[int, int] | None = None,
 ) -> tuple[DataFrame, DataFrame, list[tuple[int, list[float]]]]:
     """The IVF coarse-quantization stage, shared by q_ann_ivf and
     q_ivfpq_search: assign EVERY vector (query included) to its
@@ -389,7 +390,12 @@ def ivf_assign(
     unfiltered semantics)."""
     from parquet_compactor_spark.llm.cluster import per_dim_means
 
-    e = load(spark, sf_dir, "embeddings")
+    from parquet_compactor_spark.llm.text import spread_scan
+
+    # Both assignment passes do K x dim cosines PER ROW — far above
+    # scan cost; a single-file embeddings scan would run them on one
+    # task (see text.spread_scan).
+    e = spread_scan(load(spark, sf_dir, "embeddings"))
     if drop_null:
         e = e.filter(F.col("embedding").isNotNull())
     e = e.select(
@@ -402,7 +408,10 @@ def ivf_assign(
     # cosine (K-fold smaller expression tree, same IEEE doubles — the
     # aggregate fold order is unchanged).
     e = e.withColumn("_vnorm", l2_norm(F.col("vec")))
-    lo, hi = IVF_CENTROID_IDS
+    # Default: the fixed K=8 ANN-family seeds; callers with their own
+    # capacity rule (q_semdedup_prune scales K with the corpus) pass a
+    # wider range — same id convention, ids lo..hi, bucket = id - lo.
+    lo, hi = seed_range if seed_range is not None else IVF_CENTROID_IDS
     # Centroids are model state (K x dim doubles — KBs): collect once and
     # re-ship so each assignment pass is a zero-shuffle map (argmax via
     # array_position over a per-row cosine array), not a join + aggregate.
@@ -696,9 +705,12 @@ SEMDEDUP_T = 0.92  # within-cell cosine above which the later vec drops
                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
         FROM embeddings WHERE embedding IS NOT NULL
     ),
+    kc AS (
+        SELECT GREATEST(8, LEAST(512, (COUNT(*) + 255) // 256)) AS k FROM v
+    ),
     cents AS (
-        SELECT CAST(vec_id - 100 AS INT) AS bucket, vec AS cvec FROM v
-        WHERE vec_id BETWEEN 100 AND 107
+        SELECT CAST(vec_id - 100 AS INT) AS bucket, vec AS cvec FROM v, kc
+        WHERE vec_id BETWEEN 100 AND 99 + kc.k
     ),
     sc1 AS (
         SELECT v.vec_id, v.vec, c.bucket,
@@ -756,26 +768,48 @@ SEMDEDUP_T = 0.92  # within-cell cosine above which the later vec drops
     "semantic deduplication': k-means the embeddings, compare pairs "
     "ONLY inside a cluster, drop all but one of each semantic-dup "
     "group) — the bucketed DECISION form of what q_semantic_dedup "
-    "counts with fixed seed blocks: this reuses the SHARED ivf_assign "
-    "stage (seed vec_ids 100-107 -> one Lloyd refinement round -> "
-    "reassignment, identical to q_ann_ivf/q_ivfpq_search/"
-    "q_ivf_cell_stats, so the coarse quantizer is trained once per "
-    "pipeline, not per consumer) and applies the keep-first rule: a "
+    "counts with fixed seed blocks: this runs the ivf_assign "
+    "machinery (seed vectors -> one Lloyd refinement round -> "
+    "reassignment) with K SCALED TO THE CORPUS — SemDeDup's own rule, "
+    "K ~ N: K = ceil(n/256) in [8, 512] from the measured non-null "
+    "count, exact integer arithmetic replayed by the oracle's kc CTE, "
+    "seeds vec_ids 100..99+K — and applies the keep-first rule: a "
     "vector drops iff a SMALLER-id vector in the SAME refined cell "
     "has cosine >= 0.92. Output is the per-cell pruning ledger "
-    "(size, drops, kept fraction) a curation run records. At 100 TB "
-    "the quadratic step is bounded per cell by K ~ N (SemDeDup's own "
-    "scaling rule — pass ivf_assign a bigger trained codebook and "
-    "cells stay constant-sized); cross-cell pairs NEVER form, "
-    "assignment is a zero-shuffle broadcast-matrix argmax map, and "
-    "the pair join keys on the cell id. NULL embeddings are scoped "
-    "out on both engines (a NULL vector has no cosine to anything — "
-    "the q_ivfpq_search drop_null convention).",
+    "(size, drops, kept fraction) a curation run records. The K ~ N "
+    "rule is what keeps the within-cell quadratic step LINEAR in N "
+    "(cells hold ~256 vectors at every scale; the round-11 ramp "
+    "measured the fixed-K form at 67x wall clock on 25x data — "
+    "occupancy x25, pairs x625 — before this rule landed); cross-cell "
+    "pairs NEVER form, assignment is a zero-shuffle broadcast-matrix "
+    "argmax map (the matrix is K x dim model state; past 64 centroids "
+    "it rides the broadcast-array encoding, bit-identical), and the "
+    "pair join keys on the cell id. NULL embeddings are scoped out on "
+    "both engines (the q_ivfpq_search drop_null convention).",
 )
 def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parquet_compactor_spark.llm.text import persist_tracked
 
-    _, assign, _ = ivf_assign(spark, sf_dir, lloyd=True, drop_null=True)
+    # SemDeDup's OWN scaling rule, K ~ N (Abbas et al. run K
+    # proportional to corpus size precisely so cells stay
+    # constant-sized): K = ceil(n / 256) clamped to [8, 512], computed
+    # from the MEASURED non-null count (one bounded scalar, the
+    # q_bloom_delta sizing pattern; exact integer arithmetic in both
+    # engines — the oracle's kc CTE replays it). A FIXED K here is
+    # quadratic: the round-11 ramp measured 67x wall clock on 25x data
+    # (per-cell occupancy x25 -> pairs x625) before this rule landed;
+    # with K ~ N the per-cell pair count is capped at ~256^2/2 and the
+    # pair stage is linear in N. Seeds are vec_ids 100..99+K — the
+    # ANN-family convention, widened.
+    n = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .count()
+    )
+    k = max(8, min(512, (n + 255) // 256))
+    _, assign, _ = ivf_assign(
+        spark, sf_dir, lloyd=True, drop_null=True, seed_range=(100, 99 + k)
+    )
     # Three consumers (pair sides a/b + the per-cell size rollup): one
     # materialization of the two-pass assignment subtree (the
     # q_dsir_weights multi-consumer rule).
@@ -948,6 +982,118 @@ def q_embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EMBED_DRIFT_T = 20000  # micro-units (0.02): per-dim mean-shift alarm
+
+
+@register(
+    "q_embedding_drift",
+    oracle=f"""
+    WITH pe AS (
+        SELECT vec_id % 3 = 0 AS is_new, embedding,
+               unnest(range(1, len(embedding) + 1)) AS pos
+        FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    elems AS (
+        SELECT is_new, pos AS dim,
+               CAST(FLOOR(CAST(embedding[pos] AS DOUBLE) * 1000000 + 0.5)
+                    AS BIGINT) AS x_micro
+        FROM pe
+    ),
+    agg AS (
+        SELECT dim,
+               CAST(SUM(CASE WHEN is_new THEN 0 ELSE 1 END) AS BIGINT)
+                   AS n_old,
+               CAST(SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_new,
+               CAST(SUM(CASE WHEN is_new THEN 0 ELSE x_micro END)
+                    AS BIGINT) AS s_old,
+               CAST(SUM(CASE WHEN is_new THEN x_micro ELSE 0 END)
+                    AS BIGINT) AS s_new
+        FROM elems GROUP BY dim
+    ),
+    means AS (
+        SELECT CAST(dim AS BIGINT) AS dim, n_old, n_new,
+               CAST(FLOOR(CAST(s_old AS DOUBLE) / n_old + 0.5) AS BIGINT)
+                   AS mean_old_micro,
+               CAST(FLOOR(CAST(s_new AS DOUBLE) / n_new + 0.5) AS BIGINT)
+                   AS mean_new_micro
+        FROM agg
+    )
+    SELECT dim, n_old, n_new, mean_old_micro, mean_new_micro,
+           ABS(mean_new_micro - mean_old_micro) AS abs_delta_micro,
+           ABS(mean_new_micro - mean_old_micro) > {EMBED_DRIFT_T}
+               AS drifted
+    FROM means
+    """,
+    doc="Embedding-space drift monitor between crawl snapshots — "
+    "q_dist_drift's sibling in VECTOR space (the ML-ops check that an "
+    "embedding model or upstream distribution shift hasn't silently "
+    "moved the space an ANN index / dedup threshold was tuned on): "
+    "per DIMENSION, the mean activation of the old shard (vec_id % 3 "
+    "!= 0, q_dist_drift's split convention) vs the new shard, and the "
+    "absolute mean shift with a 0.02 alarm threshold. Element values "
+    "are FLOOR-micro-rounded to bigints BEFORE summation (exact, "
+    "order-independent — float32 -> double is exact, so both engines "
+    "floor identical doubles), and each mean is ONE double division "
+    "of exact bigints, floored back to micro — bit-identical cross-"
+    "engine with no summation-order exposure anywhere. Deliberately "
+    "NOT variance-normalized: a raw mean shift is the alarm that "
+    "cosine geometry moved; q_embed_dim_stats carries the per-dim "
+    "std for calibration. Plan: ONE posexplode pass with both shards "
+    "split by flag inside the same 64-group aggregate (map-side "
+    "partials; shuffle is O(dims x partitions), corpus-size-"
+    "independent — the q_embed_dim_stats family). NULL embeddings "
+    "scoped out on both engines.",
+)
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    elems = e.select(
+        (F.col("vec_id") % 3 == 0).alias("is_new"),
+        F.posexplode("embedding").alias("pos", "x"),
+    ).select(
+        "is_new",
+        (F.col("pos") + 1).cast("bigint").alias("dim"),
+        F.floor(F.col("x").cast("double") * 1000000 + 0.5)
+        .cast("bigint")
+        .alias("x_micro"),
+    )
+    agg = elems.groupBy("dim").agg(
+        F.sum((~F.col("is_new")).cast("int")).cast("bigint").alias("n_old"),
+        F.sum(F.col("is_new").cast("int")).cast("bigint").alias("n_new"),
+        F.sum(F.when(~F.col("is_new"), F.col("x_micro")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("s_old"),
+        F.sum(F.when(F.col("is_new"), F.col("x_micro")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("s_new"),
+    )
+    mean_old = F.floor(F.col("s_old").cast("double") / F.col("n_old") + 0.5).cast(
+        "bigint"
+    )
+    mean_new = F.floor(F.col("s_new").cast("double") / F.col("n_new") + 0.5).cast(
+        "bigint"
+    )
+    means = agg.select(
+        "dim",
+        "n_old",
+        "n_new",
+        mean_old.alias("mean_old_micro"),
+        mean_new.alias("mean_new_micro"),
+    )
+    delta = F.abs(F.col("mean_new_micro") - F.col("mean_old_micro"))
+    return means.select(
+        "dim",
+        "n_old",
+        "n_new",
+        "mean_old_micro",
+        "mean_new_micro",
+        delta.alias("abs_delta_micro"),
+        (delta > EMBED_DRIFT_T).alias("drifted"),
+    )
+
+
 @register(
     "q_hard_negatives",
     oracle=f"""
@@ -1108,12 +1254,11 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     # O(probes x seeds x dim) loop on 1-6 tasks regardless of cores
     # (measured: the x5 ramp cliff — 4.75M pairs in ONE task, 33.7 s,
     # then FLAT to x25 because files grow with data and pairs-per-task
-    # stays constant). Guarantee at least one task per core for the
-    # compute-dense side; when the scan is already wide (the 100 TB
-    # case) the partitioning is left untouched — no shuffle.
-    min_parts = spark.sparkContext.defaultParallelism
-    if probe.rdd.getNumPartitions() < min_parts:
-        probe = probe.repartition(min_parts)
+    # stays constant). spread_scan guarantees one task per core; an
+    # already-wide scan passes through with no added shuffle.
+    from parquet_compactor_spark.llm.text import spread_scan
+
+    probe = spread_scan(probe)
     scored = (
         probe
         .crossJoin(F.broadcast(nbr))

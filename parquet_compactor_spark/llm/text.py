@@ -176,6 +176,26 @@ def broadcast_if_bounded(
     return small
 
 
+def spread_scan(df: DataFrame) -> DataFrame:
+    """Guarantee at least one task per core for an operator whose
+    per-row cost is orders of magnitude above scan cost (per-token
+    hashing, K-centroid cosine passes, pair scoring): a narrow scan —
+    ``maxPartitionBytes`` proportions partitions to BYTES, so a small
+    parquet file is ONE partition — runs the whole compute-dense map
+    stage on a single task while the other cores idle (the round-11
+    q_knn_classify ramp-cliff root cause: at sf0.1 the single-file
+    documents/embeddings scans capped every heavy text/ANN map at one
+    task). Driver-side metadata decision: an already-wide scan (the
+    100 TB case) passes through untouched, no shuffle added; a narrow
+    one pays a trivial round-robin exchange of raw rows to unlock the
+    cluster for the expensive map above it."""
+    spark = df.sparkSession
+    min_parts = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < min_parts:
+        return df.repartition(min_parts)
+    return df
+
+
 def whitespace_tokens(col: Column) -> Column:
     return F.split(col, " ", -1)
 

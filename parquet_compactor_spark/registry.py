@@ -244,7 +244,7 @@ def _ensure_loaded() -> None:
 #         q_window_topn) roll to round 11.
 #
 # Round 11 (exactly 50 names) — the pre-planned rotation, executed:
-#   1-6   NEW this round (no driver row): q_token_fertility (tokenizer
+#   1-9   NEW this round (no driver row): q_token_fertility (tokenizer
 #         fertility / bytes-per-token per language), q_eval_contamination
 #         (W=8 sliding-window train-on-test overlap vs the held-out
 #         eval shard), q_semdedup_prune (SemDeDup keep-first pruning
@@ -252,8 +252,13 @@ def _ensure_loaded() -> None:
 #         q_vocab_coverage (trained top-V vocabulary OOV audit per
 #         source), q_secret_scan (credential-shaped token detectors
 #         with seeded ground truth), q_rank_fusion (RRF of the BM25
-#         and cosine retrievers, micro-exact ranks, bounded heaps);
-#   7-8   source CHANGED this round, prior row no longer attests:
+#         and cosine retrievers, micro-exact ranks, bounded heaps),
+#         q_winnowing_fingerprint (MOSS winnowing k-gram sketch with
+#         cross-doc share counts), q_embedding_drift (per-dimension
+#         mean-shift monitor old-vs-new shard, exact micro units),
+#         q_shard_packing (serpentine balanced token sharding vs hash
+#         assignment, bucket-partitioned distributed ranks);
+#   10-15 source CHANGED this round, prior row no longer attests:
 #         q_substring_dedup (first-occurrence ordering moved from the
 #         packed doc_id*2^20+pos bigint to a struct (doc_id,pos) MIN —
 #         the packed form silently mis-ordered docs with >= 2^20
@@ -261,16 +266,23 @@ def _ensure_loaded() -> None:
 #         helpers) and q_bloom_delta (position space now sized from
 #         the measured snapshot cardinality, 10 bits/key, instead of a
 #         constant m=65536 that saturates beyond the fixture scale);
-#   9-15  the seven r5 roll-overs from the round-10 plan (q_unpivot +
+#         plus the four spread_scan adoptions (q_knn_classify's
+#         min-parallelism probe repartition generalized: q_ann_ivf /
+#         q_ivfpq_search / q_ivf_cell_stats via the shared ivf_assign
+#         — single-file scans were capping the compute-dense maps at
+#         one task; measured wins in BASELINE.md round-11 section);
+#   16-22 the seven r5 roll-overs from the round-10 plan (q_unpivot +
 #         the six q_window_* rows) — after these, no r5 row remains;
-#   16-50 the r6-latest rows, alphabetical, as many as fit (35 of 43).
-#         The alphabetically-last eight (q_union_dedup,
+#   23-50 the r6-latest rows, alphabetical, as many as fit (28 of 43).
+#         The alphabetically-last fifteen (q_sliding_window,
+#         q_stratified_sample, q_string_agg, q_string_extract,
+#         q_text_stats, q_token_count, q_top_bigrams, q_union_dedup,
 #         q_value_histogram, q_vector_norm, q_waiting_suppliers,
 #         q_whitespace_cleanup, q_window_ntile, q_winsorize,
 #         q_zscore_outliers) roll to round 12.
 #
 # Round-12 rotation plan (after this window lands): first whatever
-# round 12 adds or changes, then the eight rolled-over r6 rows above,
+# round 12 adds or changes, then the fifteen rolled-over r6 rows above,
 # then the r7-latest rows alphabetical to fill 50.
 #
 # Historical note — round 8's window (kept for the ledger):
@@ -360,9 +372,18 @@ _PRIORITY: tuple[str, ...] = (
     "q_vocab_coverage",
     "q_secret_scan",
     "q_rank_fusion",
+    "q_winnowing_fingerprint",
+    "q_embedding_drift",
+    "q_shard_packing",
     # -- source changed in round 11; the prior row attests neither --
     "q_substring_dedup",
     "q_bloom_delta",
+    # spread_scan (min-parallelism) landed in these four + the shared
+    # ivf_assign stage this round:
+    "q_knn_classify",
+    "q_ann_ivf",
+    "q_ivfpq_search",
+    "q_ivf_cell_stats",
     # -- the seven r5 roll-overs (round-10 plan): the ledger's oldest --
     "q_unpivot",
     "q_window_first_last",
@@ -371,7 +392,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_window_ranks",
     "q_window_running",
     "q_window_topn",
-    # -- r6-latest rows, alphabetical (35 of 43 fit; the last eight
+    # -- r6-latest rows, alphabetical (28 of 43 fit; the last fifteen
     # roll to round 12 per the plan above) --
     "q_agg_pricing",
     "q_asof_join",
@@ -401,13 +422,6 @@ _PRIORITY: tuple[str, ...] = (
     "q_repetition_ratio",
     "q_salted_agg",
     "q_sessionize",
-    "q_sliding_window",
-    "q_stratified_sample",
-    "q_string_agg",
-    "q_string_extract",
-    "q_text_stats",
-    "q_token_count",
-    "q_top_bigrams",
 )
 
 

@@ -143,6 +143,13 @@ RAMP_QUERIES = [
     # family; q_rank_fusion composes two already-ramped retrieval
     # shapes behind bounded heaps.)
     "q_vocab_coverage",
+    # q_winnowing_fingerprint: per-token gram explode + doc-keyed
+    # sort-window MIN + fingerprint-keyed share agg — open-ended
+    # fingerprint key space, must ramp like the gram families.
+    # (q_embedding_drift is a dims-bounded posexplode agg —
+    # q_embed_dim_stats family; q_shard_packing is bucket-windowed
+    # scan-shaped.)
+    "q_winnowing_fingerprint",
 ]
 
 OFF = 10_000_000  # per-copy key shift

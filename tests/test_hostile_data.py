@@ -149,6 +149,15 @@ SENSITIVE = [
     "q_vocab_coverage",
     "q_secret_scan",
     "q_rank_fusion",
+    # q_winnowing_fingerprint: NULL/short texts form no k-grams (inner
+    # semantics); unicode grams hash through md5 identically.
+    # q_embedding_drift: NULL embeddings scoped out before posexplode
+    # on both engines; element micro-floors are engine-exact.
+    # q_shard_packing: NULL-text docs pack with COALESCE-0 tokens on
+    # both engines and still count as docs.
+    "q_winnowing_fingerprint",
+    "q_embedding_drift",
+    "q_shard_packing",
 ]
 
 

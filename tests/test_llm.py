@@ -1518,3 +1518,98 @@ def test_rank_fusion_planted_ranks(spark, tmp_path):
     assert got[1].rrf_micro == round(1e6 / 61)      # 1/(60+1)
     assert got[2].rrf_micro == 32522  # floor((1/62 + 1/61)*1e6 + 0.5)
     assert got[3].rrf_micro == round(1e6 / 62)
+
+
+def test_winnowing_guarantee_and_density(spark, tmp_path):
+    """Winnowing's two contracts on a planted corpus: (1) the GUARANTEE —
+    two docs sharing a run of >= w+k-1 = 8 tokens share at least one
+    selected fingerprint (n_shared > 0 on both); (2) density — a doc of
+    n distinct-ish tokens selects ~2/(w+1) of its grams, and never more
+    than the window count. A doc with no 8-token overlap shares
+    nothing."""
+    from parquet_compactor_spark.registry import all_queries
+    from tests.oracle_utils import compare_to_oracle
+
+    shared8 = " ".join(f"s{i}" for i in range(8))
+    docs = [
+        (1, shared8 + " " + " ".join(f"a{i}" for i in range(12))),
+        (2, " ".join(f"b{i}" for i in range(12)) + " " + shared8),
+        (3, " ".join(f"c{i}" for i in range(20))),  # no overlap
+        (4, "too short"),                            # < k tokens: no row
+    ]
+    sf = _write_single_file_fixture(tmp_path, docs=docs)
+    q = all_queries()["q_winnowing_fingerprint"]
+    compare_to_oracle(q.fn(spark, sf), q.oracle, sf)
+    got = {r.doc_id: r for r in q.fn(spark, sf).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1].n_shared > 0 and got[2].n_shared > 0, (
+        "the w+k-1 guarantee: a shared 8-token run must share a fingerprint"
+    )
+    assert got[3].n_shared == 0
+    for r in got.values():
+        n_windows = r.n_grams - 3  # positions with a full w=4 window
+        assert 1 <= r.n_selected <= n_windows
+        # density ~ 2/(w+1) = 0.4 of grams; generous band for tiny docs
+        assert r.n_selected <= r.n_grams
+
+
+def test_embedding_drift_planted_shift(spark, tmp_path):
+    """Mean-shift arithmetic known by construction: dim 1 carries a
+    +0.5 shift between the old (vec_id % 3 != 0) and new shards ->
+    drifted; dim 2 is identical across shards -> delta 0; a NULL
+    embedding is scoped out of both shards."""
+    from parquet_compactor_spark.registry import all_queries
+    from tests.oracle_utils import compare_to_oracle
+
+    def vec(d1, d2):
+        v = [0.0] * 64
+        v[0], v[1] = d1, d2
+        return v
+
+    rows = [
+        (1, vec(0.1, 0.25), 0),  # old
+        (2, vec(0.3, 0.25), 0),  # old (old mean dim1 = 0.2)
+        (3, vec(0.7, 0.25), 0),  # new
+        (6, vec(0.7, 0.25), 0),  # new (new mean dim1 = 0.7)
+        (4, None, 0),            # NULL: scoped out (4 % 3 != 0 -> old)
+    ]
+    sf = _write_single_file_fixture(tmp_path, embeddings=rows)
+    q = all_queries()["q_embedding_drift"]
+    compare_to_oracle(q.fn(spark, sf), q.oracle, sf)
+    got = {r.dim: r for r in q.fn(spark, sf).collect()}
+    assert len(got) == 64
+    assert (got[1].n_old, got[1].n_new) == (2, 2)
+    assert got[1].mean_old_micro == 200000
+    assert got[1].mean_new_micro == 700000
+    assert got[1].abs_delta_micro == 500000 and got[1].drifted is True
+    assert got[2].abs_delta_micro == 0 and got[2].drifted is False
+
+
+def test_shard_packing_beats_hash_on_skewed_sizes(spark, tmp_path):
+    """The packing ledger's core claim, on a size-skewed corpus: the
+    serpentine deal's worst-shard deviation is no worse than the hash
+    assignment's (and the totals agree: both assignments conserve
+    tokens; every doc lands in exactly one shard of each scheme)."""
+    from parquet_compactor_spark.registry import all_queries
+    from tests.oracle_utils import compare_to_oracle
+
+    # 64 docs with strongly skewed sizes: doc i has 5*(i+1) tokens.
+    docs = [
+        (i, " ".join(f"t{i}_{j}" for j in range(5 * (i + 1))))
+        for i in range(64)
+    ]
+    sf = _write_single_file_fixture(tmp_path, docs=docs)
+    q = all_queries()["q_shard_packing"]
+    compare_to_oracle(q.fn(spark, sf), q.oracle, sf)
+    rows = q.fn(spark, sf).collect()
+    assert len(rows) == 16
+    total = 5 * 64 * 65 // 2
+    assert sum(r.tokens_packed for r in rows) == total
+    assert sum(r.tokens_hash for r in rows) == total
+    assert sum(r.n_docs for r in rows) == 64
+    worst_packed = max(abs(r.dev_packed_ppm) for r in rows)
+    worst_hash = max(abs(r.dev_hash_ppm) for r in rows)
+    assert worst_packed <= worst_hash, (
+        f"serpentine ({worst_packed} ppm) must not lose to hash "
+        f"({worst_hash} ppm) on skewed sizes"
+    )

@@ -785,7 +785,7 @@ PLAN_SHAPE_PINS = {
     # q_ann_ivf's 2 BroadcastNestedLoopJoins are its two pinned 1-row
     # scalar broadcasts (centroid matrix + probe radius), not pair
     # blowups — a THIRD appearing is drift.
-    "q_ann_ivf":            (3,  0, 0, 2),
+    "q_ann_ivf":            (5,  0, 0, 2),  # +2: spread_scan round-robin, rendered live + under the query branch
     "q_dedup_minhash":      (11, 0, 0, 0),
     "q_dup_ngram_coverage": (4,  0, 0, 0),
     "q_ngram_jaccard":      (1,  0, 0, 0),
@@ -833,7 +833,7 @@ PLAN_SHAPE_PINS = {
     # BNLJ or exchange appearing means the query branch started
     # dragging the assignment subtree again (the round-9 q_ann_ivf
     # regression shape).
-    "q_ivfpq_search":       (1,  0, 0, 1),
+    "q_ivfpq_search":       (2,  0, 0, 1),  # +1: spread_scan round-robin
     # Round-10: sliding-window exact-substring dedup — exchange count
     # includes the vocabulary-guard build lineage under
     # InMemoryTableScan (the q_minhash_incremental convention); no
@@ -842,7 +842,7 @@ PLAN_SHAPE_PINS = {
     # first draft's two-branch form (rollup + LEAD window both reading
     # the explode+join subtree) measured 8 exchanges and 2x the wall
     # clock — a count jump back means the single-pass fold regressed.
-    "q_substring_dedup":    (4,  0, 0, 0),
+    "q_substring_dedup":    (7,  0, 0, 0),  # +3: spread_scan round-robin, rendered live + twice in the guard-build lineage
     # Round-10: DoReMi weights — ONE corpus agg exchange + ONE reused
     # single-partition window exchange for every round's renormalizing
     # sum over the domains-sized frame. A count jump here means the
@@ -856,7 +856,7 @@ PLAN_SHAPE_PINS = {
     # explode) + probe join sides + ONE doc_id rollup folding counts
     # and interval coverage. No Expand/Cartesian/BNLJ may appear — a
     # BNLJ here means the eval probe degenerated to pair formation.
-    "q_eval_contamination": (4,  0, 0, 0),
+    "q_eval_contamination": (7,  0, 0, 0),  # +3: spread_scan (live + guard lineage)
     # Round-11: SemDeDup within IVF cells — 3 BNLJ are the bounded
     # centroid-matrix broadcasts of the shared two-pass ivf_assign
     # stage (rendered once live + under the persisted frame's
@@ -864,7 +864,7 @@ PLAN_SHAPE_PINS = {
     # persist build lineage + the bucket-keyed pair join sides + two
     # rollups. A CartesianProduct or an exchange jump means pairs
     # escaped the per-cell bound.
-    "q_semdedup_prune":     (7,  0, 0, 3),
+    "q_semdedup_prune":     (10, 0, 0, 3),  # +3: spread_scan under count/assign/persist branches
     # Round-11 second trio. Vocab coverage: train-shard term agg +
     # TakeOrdered heap cut + broadcast probe + source rollup — 4
     # exchanges, no pair op may ever appear.
@@ -877,6 +877,12 @@ PLAN_SHAPE_PINS = {
     # 1-row query-vector broadcasts. A CartesianProduct or exchange
     # jump means an arm's shortlist stopped being heap-bounded.
     "q_rank_fusion":        (11, 0, 0, 2),
+    # Winnowing: the whole selection (gram hashes, window minima,
+    # per-doc distinct) is ONE map-side aggregate fold — only selected
+    # fingerprints shuffle. 6 = guard-build lineage + share-agg + join
+    # sides + final doc rollup. A count jump means per-gram rows
+    # started exploding again (2.5x the shuffle volume).
+    "q_winnowing_fingerprint": (9, 0, 0, 0),  # +3: spread_scan (live + guard lineage)
 }
 
 
