@@ -1044,9 +1044,14 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(e.g. odd/32) where the engines' native round() disagree.",
 )
 def q_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from parquet_compactor_spark.llm.text import broadcast_if_bounded, whitespace_tokens
+    from parquet_compactor_spark.llm.text import (
+        broadcast_if_bounded,
+        spread_scan,
+        whitespace_tokens,
+    )
 
-    d = load(spark, sf_dir, "documents")
+    # 5-gram join + distinct per row: compute-dense map, spread it.
+    d = spread_scan(load(spark, sf_dir, "documents"))
     grams = d.select(
         "doc_id",
         F.explode(

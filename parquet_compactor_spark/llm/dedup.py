@@ -134,7 +134,13 @@ def minhash_signatures_exploded(docs: DataFrame) -> DataFrame:
     Catalyst re-inlining the tokenization into every permutation (the
     array-fold form recomputes shingle hashes up to 64x per row).
     """
-    hashed = docs.select(
+    from parquet_compactor_spark.llm.text import spread_scan
+
+    # Shingling + hashing + 64 partial minima all run in the SCAN
+    # stage: a single-file corpus caps them at one task (see
+    # text.spread_scan); the check is a no-op for wide inputs and for
+    # the streaming gate's already-repartitioned micro-batches.
+    hashed = spread_scan(docs).select(
         "doc_id", F.explode(word_shingles(F.col("text"))).alias("sh")
     ).select("doc_id", F.pmod(F.xxhash64("sh"), F.lit(MERSENNE_31)).alias("h"))
     mins = [

@@ -622,7 +622,9 @@ def q_whitespace_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_char_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    d = load(spark, sf_dir, "documents")
+    # one substring per CHARACTER: the densest explode in the text
+    # family — spread the scan (see spread_scan).
+    d = spread_scan(load(spark, sf_dir, "documents"))
     grams = F.transform(
         F.sequence(F.lit(1), F.length("text") - 2),
         lambda i: F.col("text").substr(i, F.lit(3)),

@@ -258,7 +258,7 @@ def _ensure_loaded() -> None:
 #         mean-shift monitor old-vs-new shard, exact micro units),
 #         q_shard_packing (serpentine balanced token sharding vs hash
 #         assignment, bucket-partitioned distributed ranks);
-#   10-15 source CHANGED this round, prior row no longer attests:
+#   10-19 source CHANGED this round, prior row no longer attests:
 #         q_substring_dedup (first-occurrence ordering moved from the
 #         packed doc_id*2^20+pos bigint to a struct (doc_id,pos) MIN —
 #         the packed form silently mis-ordered docs with >= 2^20
@@ -270,11 +270,18 @@ def _ensure_loaded() -> None:
 #         min-parallelism probe repartition generalized: q_ann_ivf /
 #         q_ivfpq_search / q_ivf_cell_stats via the shared ivf_assign
 #         — single-file scans were capping the compute-dense maps at
-#         one task; measured wins in BASELINE.md round-11 section);
-#   16-22 the seven r5 roll-overs from the round-10 plan (q_unpivot +
+#         one task; measured wins in BASELINE.md round-11 section),
+#         and the second adoption wave (q_dedup_minhash /
+#         q_minhash_incremental via the shared signature builder,
+#         q_dup_ngram_coverage, q_char_trigrams — A/B at the ramp
+#         protocol: 4.77->4.09, 4.62->3.69, 3.82->2.01, 2.25->0.78 s;
+#         the untouched q_dedup_simhash control held at 2.6 s);
+#   20-26 the seven r5 roll-overs from the round-10 plan (q_unpivot +
 #         the six q_window_* rows) — after these, no r5 row remains;
-#   23-50 the r6-latest rows, alphabetical, as many as fit (28 of 43).
-#         The alphabetically-last fifteen (q_sliding_window,
+#   27-50 the r6-latest rows, alphabetical, as many as fit (24 of 43).
+#         The alphabetically-last nineteen (q_regr_slope,
+#         q_repetition_ratio, q_salted_agg, q_sessionize,
+#         q_sliding_window,
 #         q_stratified_sample, q_string_agg, q_string_extract,
 #         q_text_stats, q_token_count, q_top_bigrams, q_union_dedup,
 #         q_value_histogram, q_vector_norm, q_waiting_suppliers,
@@ -282,7 +289,7 @@ def _ensure_loaded() -> None:
 #         q_zscore_outliers) roll to round 12.
 #
 # Round-12 rotation plan (after this window lands): first whatever
-# round 12 adds or changes, then the fifteen rolled-over r6 rows above,
+# round 12 adds or changes, then the nineteen rolled-over r6 rows above,
 # then the r7-latest rows alphabetical to fill 50.
 #
 # Historical note — round 8's window (kept for the ledger):
@@ -384,6 +391,10 @@ _PRIORITY: tuple[str, ...] = (
     "q_ann_ivf",
     "q_ivfpq_search",
     "q_ivf_cell_stats",
+    "q_dedup_minhash",
+    "q_minhash_incremental",
+    "q_dup_ngram_coverage",
+    "q_char_trigrams",
     # -- the seven r5 roll-overs (round-10 plan): the ledger's oldest --
     "q_unpivot",
     "q_window_first_last",
@@ -392,7 +403,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_window_ranks",
     "q_window_running",
     "q_window_topn",
-    # -- r6-latest rows, alphabetical (28 of 43 fit; the last fifteen
+    # -- r6-latest rows, alphabetical (24 of 43 fit; the last nineteen
     # roll to round 12 per the plan above) --
     "q_agg_pricing",
     "q_asof_join",
@@ -418,10 +429,6 @@ _PRIORITY: tuple[str, ...] = (
     "q_math_fns",
     "q_month_over_month",
     "q_ohlc",
-    "q_regr_slope",
-    "q_repetition_ratio",
-    "q_salted_agg",
-    "q_sessionize",
 )
 
 

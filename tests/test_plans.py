@@ -786,14 +786,14 @@ PLAN_SHAPE_PINS = {
     # scalar broadcasts (centroid matrix + probe radius), not pair
     # blowups — a THIRD appearing is drift.
     "q_ann_ivf":            (5,  0, 0, 2),  # +2: spread_scan round-robin, rendered live + under the query branch
-    "q_dedup_minhash":      (11, 0, 0, 0),
-    "q_dup_ngram_coverage": (4,  0, 0, 0),
+    "q_dedup_minhash":      (15, 0, 0, 0),  # +4: spread_scan round-robin (live + guard lineage renders)
+    "q_dup_ngram_coverage": (7,  0, 0, 0),  # +3: spread_scan (live + guard lineage)
     "q_ngram_jaccard":      (1,  0, 0, 0),
     # Round-8 additions (exchange counts include cached-vocabulary
     # build lineage rendered under InMemoryTableScan nodes; the live
     # joins are BroadcastHashJoins — pinned by the BNLJ/cartesian
     # columns staying at their scalar-broadcast counts):
-    "q_minhash_incremental": (12, 0, 0, 0),
+    "q_minhash_incremental": (16, 0, 0, 0),  # +4: spread_scan (live + guard lineage)
     # 1 BNLJ = the 1-row N_train scalar broadcast; the three vocabulary
     # joins are BroadcastHashJoins:
     "q_bigram_backoff":     (14, 0, 0, 1),
