@@ -2137,3 +2137,225 @@ def q_dist_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000000 + 0.5) AS BIGINT)"
         ).alias("psi_micro"),
     )
+
+
+@register(
+    "q_source_overlap",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+    ),
+    grams AS (
+        SELECT DISTINCT source,
+               md5(array_to_string(w[i:i+2], ' ')) AS h
+        FROM words, UNNEST(range(1, greatest(len(w)-2, 0)+1)) AS t(i)
+    ),
+    counts AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM grams GROUP BY source
+    ),
+    pairs AS (
+        SELECT a.source AS src_a, b.source AS src_b, a.n AS n_a, b.n AS n_b
+        FROM counts a JOIN counts b ON a.source < b.source
+    ),
+    shared AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM grams a JOIN grams b ON a.h = b.h AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT p.src_a, p.src_b, p.n_a, p.n_b,
+           CAST(COALESCE(s.n_shared, 0) AS BIGINT) AS n_shared,
+           ROUND(COALESCE(s.n_shared, 0)
+                 / CAST(p.n_a + p.n_b - COALESCE(s.n_shared, 0) AS DOUBLE), 4)
+               AS jaccard,
+           ROUND(COALESCE(s.n_shared, 0)
+                 / CAST(LEAST(p.n_a, p.n_b) AS DOUBLE), 4) AS containment
+    FROM pairs p
+    LEFT JOIN shared s ON p.src_a = s.src_a AND p.src_b = s.src_b
+    ORDER BY p.src_a, p.src_b
+    """,
+    doc="Cross-source n-gram overlap matrix: the distinct 3-word shingle "
+    "sets of every source pair are compared by Jaccard and containment — "
+    "the corpus-provenance audit run before mixing crawls (how much of "
+    "source B is already inside source A decides whether adding B buys "
+    "new tokens or re-epochs old ones; Penedo et al.'s FineWeb ablations "
+    "and the Pile's inter-set overlap table are exactly this matrix). "
+    "Spark-first: shingles reduce to DISTINCT (source, md5) rows — one "
+    "hash-distinct shuffle on a uniform 32-byte key — and the pair "
+    "counts come from a self-equi-join ON THE GRAM HASH, so each gram "
+    "contributes at most #sources rows, never a document-pair "
+    "explosion; per-source set sizes (20 rows) ride along as two "
+    "broadcast joins onto the complete ordered-pair spine (a 20x20 "
+    "bounded broadcast nested loop, allowlisted in the global cartesian "
+    "audit) so ZERO-overlap pairs still report a row. At 100 TB the "
+    "only data-proportional stages are the distinct and the gram-keyed "
+    "join — both on uniform hashes; output stays sources^2/2 rows "
+    "regardless of corpus size.",
+)
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parquet_compactor_spark.llm.text import spread_scan
+
+    d = spread_scan(load(spark, sf_dir, "documents"))
+    grams = (
+        d.select(
+            "source",
+            F.explode(
+                word_shingles(F.split("text", " ", -1), 3)
+            ).alias("g"),
+        )
+        .select("source", F.md5("g").alias("h"))
+        .distinct()
+    )
+    counts = grams.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    pairs = (
+        F.broadcast(counts.select(F.col("source").alias("src_a"), F.col("n").alias("n_a")))
+        .join(
+            F.broadcast(
+                counts.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
+            ),
+            F.col("src_a") < F.col("src_b"),
+        )
+    )
+    shared = (
+        grams.alias("a")
+        .join(
+            grams.alias("b"),
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        pairs.join(shared, ["src_a", "src_b"], "left")
+        .select(
+            "src_a",
+            "src_b",
+            "n_a",
+            "n_b",
+            F.coalesce("n_shared", F.lit(0)).cast("bigint").alias("n_shared"),
+            F.round(
+                F.coalesce("n_shared", F.lit(0))
+                / (F.col("n_a") + F.col("n_b") - F.coalesce("n_shared", F.lit(0))).cast(
+                    "double"
+                ),
+                4,
+            ).alias("jaccard"),
+            F.round(
+                F.coalesce("n_shared", F.lit(0))
+                / F.least("n_a", "n_b").cast("double"),
+                4,
+            ).alias("containment"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# Differentially private histogram release (discrete Laplace, exact-integer)
+# --------------------------------------------------------------------------
+
+#: Two-sided-geometric decay alpha = 1/4 -> epsilon = ln(1/alpha) = ln 4
+#: per released count (unit sensitivity: one document changes one count
+#: by one). Kept rational so the inverse-CDF table below is EXACT.
+DP_ALPHA_NUM, DP_ALPHA_DEN = 1, 4
+#: Noise support truncated at |z| <= 21: alpha^21 = 4^-21 ~ 2^-42 is below
+#: the 2^-40 sampling-grid resolution, so the truncation is invisible.
+DP_ZMAX = 21
+DP_GRID_BITS = 40
+
+
+def _dp_thresholds() -> list[int]:
+    """Inverse-CDF thresholds of the discrete Laplace (two-sided
+    geometric) distribution pmf(z) = (1-a)/(1+a) * a^|z| on the integer
+    grid [0, 2^40): T[i] = floor(CDF(z_i) * 2^40) for z_i = -21..21,
+    computed in EXACT rational arithmetic (fractions) and inlined as
+    bigint literals into both engines — the sampled noise is then a pure
+    integer comparison count, no transcendental functions anywhere, so
+    engine parity is exact by construction (the same driver-side-model-
+    state technique as the ANN centroid matrices)."""
+    from fractions import Fraction
+
+    a = Fraction(DP_ALPHA_NUM, DP_ALPHA_DEN)
+    norm = (1 - a) / (1 + a)
+    cum = Fraction(0)
+    out: list[int] = []
+    for z in range(-DP_ZMAX, DP_ZMAX + 1):
+        cum += norm * a ** abs(z)
+        out.append(int(cum * 2**DP_GRID_BITS))
+    out[-1] = 2**DP_GRID_BITS  # absorb the truncated tail
+    return out
+
+
+DP_THRESHOLDS = _dp_thresholds()
+DP_SALT = ":dp-r11"
+
+
+@register(
+    "q_dp_histogram",
+    oracle=f"""
+    WITH counts AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_true
+        FROM documents GROUP BY source
+    ),
+    draw AS (
+        SELECT source, n_true,
+               ('0x' || substr(md5(source || '{DP_SALT}'), 1, 10))::BIGINT AS k
+        FROM counts
+    ),
+    noise AS (
+        SELECT source, n_true,
+               CAST(len(list_filter({DP_THRESHOLDS},
+                                     t -> t <= k)) - {DP_ZMAX} AS BIGINT)
+                   AS z
+        FROM draw
+    )
+    SELECT source, n_true, z,
+           GREATEST(n_true + z, 0) AS n_released
+    FROM noise ORDER BY source
+    """,
+    doc="Differentially private histogram release: per-source document "
+    "counts plus discrete-Laplace noise (two-sided geometric, "
+    "Ghosh-Roughgarden-Sundararajan 2009 — the UTILITY-OPTIMAL "
+    "mechanism for integer counts) at alpha=1/4 (eps = ln 4 per count, "
+    "unit sensitivity), clamped at zero — the release step after "
+    "q_kanon_audit decides which cells are publishable at all. "
+    "Engine-exact by construction: the noise sample is an inverse-CDF "
+    "walk over a 43-entry threshold table computed ONCE driver-side in "
+    "exact rational arithmetic and inlined as bigint literals into both "
+    "engines; the per-group uniform draw is the first 40 bits of a "
+    "salted md5, so sampling is a filter-count over integer literals — "
+    "no ln/exp/pow anywhere, no float at all (the repo's exact-integer "
+    "convention, cf. q_pagerank's micro-units). n_true rides along for "
+    "audit only (a production release would drop it). Plan: one "
+    "hash-aggregate to the per-source counts, then pure per-row literal "
+    "arithmetic — MAP-ONLY after the 20-group agg; at 100 TB the "
+    "mechanism's cost is the count itself. The deterministic salt makes "
+    "the 'draw' reproducible for the differential harness; swap the "
+    "salt per release epoch in production.",
+)
+def q_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_true"))
+    k = F.conv(
+        F.substring(F.md5(F.concat(F.col("source"), F.lit(DP_SALT))), 1, 10),
+        16,
+        10,
+    ).cast("bigint")
+    thresholds = F.array(*[F.lit(t) for t in DP_THRESHOLDS])
+    z = (
+        F.size(F.filter(thresholds, lambda t: t <= k)) - F.lit(DP_ZMAX)
+    ).cast("bigint")
+    return (
+        counts.select(
+            "source",
+            "n_true",
+            z.alias("z"),
+            F.greatest(F.col("n_true") + z, F.lit(0).cast("bigint")).alias(
+                "n_released"
+            ),
+        )
+        .orderBy("source")
+    )

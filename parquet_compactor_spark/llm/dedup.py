@@ -1521,3 +1521,300 @@ def q_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("doc_id").over(w).alias("kept_doc"),
         (F.col("doc_id") == F.first("doc_id").over(w)).alias("is_kept"),
     )
+
+
+# --------------------------------------------------------------------------
+# Content-defined chunking (FastCDC-style) chunk-level dedup
+# --------------------------------------------------------------------------
+
+#: Rolling-window width (words) for the CDC boundary test.
+CDC_W = 8
+#: A position is a chunk boundary when the first hex nibble of the md5 of
+#: the CDC_W-word window ENDING there is '0' — boundary probability 1/16,
+#: so expected chunk length ~16 words.
+CDC_BOUNDARY_NIBBLE = "0"
+
+
+def cdc_chunks(words: Column) -> Column:
+    """``array<struct<n_tok,h>>`` of content-defined chunks of a token
+    array — the word-level form of FastCDC/LBFS chunking (Muthitacharoen
+    et al. 2001; Xia et al. 2016): a position ``i`` is a cut point iff the
+    hash of the fixed-width window ENDING at ``i`` satisfies a mask
+    condition, so cut points depend only on local CONTENT, not absolute
+    offsets — inserting a sentence shifts every byte downstream, but every
+    chunk outside the edit re-aligns and still dedups (the property
+    fixed-width q_doc_chunking fundamentally lacks). All JVM higher-order
+    expressions: the boundary scan is a ``filter`` over positions, chunk
+    spans come from zipping the cut array with its shifted self, and only
+    32-byte chunk hashes leave the map side — chunk TEXTS never
+    materialize as rows. The mask test compares the md5's first hex
+    nibble (string equality — engine-portable, no hex→int conversion).
+    Docs shorter than CDC_W words form a single whole-doc chunk."""
+    n = F.size(words)
+    cuts = F.when(
+        n >= CDC_W,
+        F.filter(
+            F.sequence(F.lit(CDC_W), n),
+            lambda i: F.substring(
+                F.md5(F.array_join(F.slice(words, i - (CDC_W - 1), CDC_W), " ")),
+                1,
+                1,
+            )
+            == F.lit(CDC_BOUNDARY_NIBBLE),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    # Cut at i ends a chunk at i; the doc end is always a cut. cuts is
+    # ascending (filter preserves sequence order) and n >= last cut, so
+    # array_distinct(concat(..)) keeps the sorted invariant.
+    ends = F.array_distinct(F.concat(cuts, F.array(n)))
+    starts = F.slice(
+        F.concat(F.array(F.lit(0)), ends), F.lit(1), F.size(ends)
+    )
+    return F.zip_with(
+        starts,
+        ends,
+        lambda p, b: F.struct(
+            (b - p).cast("bigint").alias("n_tok"),
+            F.md5(F.array_join(F.slice(words, p + 1, b - p), " ")).alias("h"),
+        ),
+    )
+
+
+@register(
+    "q_cdc_chunk_dedup",
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+        WHERE text IS NOT NULL
+    ),
+    pos AS (
+        SELECT doc_id, source, i, w[i] AS word,
+               CASE WHEN i >= {CDC_W}
+                         AND substr(md5(array_to_string(
+                                 w[i-{CDC_W - 1}:i], ' ')), 1, 1)
+                             = '{CDC_BOUNDARY_NIBBLE}'
+                    THEN 1 ELSE 0 END AS b
+        FROM words, UNNEST(range(1, len(w) + 1)) AS t(i)
+    ),
+    ch AS (
+        SELECT doc_id, source, i, word,
+               COALESCE(SUM(b) OVER (
+                   PARTITION BY doc_id ORDER BY i
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS cid
+        FROM pos
+    ),
+    chunks AS (
+        SELECT doc_id, source, cid,
+               md5(string_agg(word, ' ' ORDER BY i)) AS h,
+               CAST(COUNT(*) AS BIGINT) AS n_tok
+        FROM ch GROUP BY doc_id, source, cid
+    ),
+    flagged AS (
+        SELECT source, n_tok,
+               COUNT(*) OVER (PARTITION BY h) AS copies
+        FROM chunks
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_shared_chunks,
+           ROUND(AVG(CAST(n_tok AS DOUBLE)), 2) AS chunk_tokens_avg,
+           ROUND(SUM(CASE WHEN copies > 1 THEN n_tok ELSE 0 END)
+                 / CAST(SUM(n_tok) AS DOUBLE), 4) AS shared_token_frac
+    FROM flagged GROUP BY source ORDER BY source
+    """,
+    doc="Content-defined-chunking dedup audit: FastCDC/LBFS-style cut "
+    "points (hash of the 8-word window ending at a position masked to "
+    "probability 1/16 → ~16-word expected chunks) split every document "
+    "into shift-resistant chunks; chunks are deduplicated corpus-wide by "
+    "md5 and each source reports its chunk count, token mass, and the "
+    "share of chunks/tokens that appear elsewhere verbatim — the "
+    "storage-dedup view of corpus redundancy, catching REGION-level "
+    "copies (shared boilerplate, quoted paragraphs) that document-hash "
+    "dedup misses and doing so cheaper than per-token sliding windows "
+    "(q_substring_dedup hashes every position; CDC hashes every position "
+    "once but keys the shuffle by ~1/16th as many chunk hashes). "
+    "Spark-first: the boundary scan and span assembly are JVM "
+    "higher-order array expressions inside one projection (no explode "
+    "until finished chunks), the corpus-wide copy count is one window "
+    "over the uniform 32-byte hash key, and the per-source rollup is a "
+    "20-group hash agg — two shuffles total, both on uniform keys, no "
+    "pair formation anywhere. At 100 TB the chunk-hash exchange moves "
+    "32-byte keys at ~1/16 token rate and the window state per hash "
+    "group is O(copies), so the plan survives arbitrary corpus scale. "
+    "The reference engine (parquet_compactor.py) has no dedup surface; "
+    "this extends the north-star LLM-curation family.",
+)
+def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parquet_compactor_spark.llm.text import spread_scan
+
+    # NULL-text scope pinned on BOTH engines (hostile-data class: the
+    # chunker's size(NULL) = -1 arm would emit a garbage chunk while the
+    # oracle's unnest drops the doc).
+    d = spread_scan(
+        load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    )
+    chunks = d.select(
+        "source",
+        F.explode(cdc_chunks(F.split("text", " ", -1))).alias("c"),
+    ).select("source", F.col("c.h").alias("h"), F.col("c.n_tok").alias("n_tok"))
+    copies_w = Window.partitionBy("h")
+    flagged = chunks.select(
+        "source", "n_tok", F.count(F.lit(1)).over(copies_w).alias("copies")
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.sum(F.when(F.col("copies") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_shared_chunks"),
+            F.round(F.avg(F.col("n_tok").cast("double")), 2).alias(
+                "chunk_tokens_avg"
+            ),
+            F.round(
+                F.sum(F.when(F.col("copies") > 1, F.col("n_tok")).otherwise(0))
+                / F.sum("n_tok").cast("double"),
+                4,
+            ).alias("shared_token_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "q_dedup_cascade",
+    oracle=r"""
+    WITH f AS (
+        SELECT doc_id, text,
+               doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep1
+        FROM documents WHERE text IS NOT NULL
+    ),
+    f2 AS (
+        SELECT *,
+               keep1 AND doc_id = MIN(CASE WHEN keep1 THEN doc_id END)
+                   OVER (PARTITION BY md5(lower(trim(
+                       regexp_replace(text, '\s+', ' ', 'g'))))) AS keep2
+        FROM f
+    ),
+    counts AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN keep1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               CAST(SUM(CASE WHEN keep2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+        FROM f2
+    ),
+    surv AS (
+        SELECT doc_id, text, string_split(text, ' ') AS w FROM f2 WHERE keep2
+    ),
+    sh AS (
+        SELECT doc_id,
+               CASE WHEN len(w) >= 3
+                    THEN list_distinct(list_transform(range(1, len(w) - 1),
+                             i -> array_to_string(w[i:i+2], ' ')))
+                    ELSE [text] END AS s
+        FROM surv
+    ),
+    rm3 AS (
+        SELECT CAST(COUNT(DISTINCT b.doc_id) AS BIGINT) AS r3
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+    )
+    SELECT '1_exact' AS stage, n AS n_in, n - n1 AS n_removed, n1 AS n_out
+    FROM counts
+    UNION ALL
+    SELECT '2_normalized', n1, n1 - n2, n2 FROM counts
+    UNION ALL
+    SELECT '3_near_dup', n2, r3, n2 - r3 FROM counts, rm3
+    """,
+    doc="The dedup FUNNEL every production curation pipeline reports: "
+    "exact (content md5) → canonical-form (case-fold/whitespace-collapse "
+    "fingerprint) → MinHash-LSH near-dup, applied SEQUENTIALLY with "
+    "per-stage in/removed/out attribution, so the team sees which stage "
+    "buys what (running them independently double-counts: every exact "
+    "dup is also a near-dup). Stage-3 removal is the one-hop keep-first "
+    "rule (a survivor is dropped iff it near-matches a LOWER-id stage-2 "
+    "survivor at exact 3-word-shingle Jaccard >= 0.5 — the unrounded "
+    "value, not the displayed 4dp one). Spark-first: stages 1-2 are TWO "
+    "window flags over uniform hash partitions computed in one pass "
+    "(no joins, no per-stage rescans); stage 3 reuses the LSH candidate "
+    "machinery on the survivor subset only — candidates from banded "
+    "bucket joins, never all-pairs (the DuckDB oracle brute-forces "
+    "all-pairs as ground truth, so a hash match re-proves 100% LSH "
+    "recall at the qualifying threshold ON THE CASCADE'S OWN INPUT); "
+    "the three funnel rows assemble from two 1-row aggregates via a "
+    "scalar cross join (allowlisted class) and one explode. At 100 TB "
+    "every data-proportional stage is a hash window or the banded "
+    "bucket join; the funnel itself is O(1) rows.",
+)
+def q_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parquet_compactor_spark.llm.text import normalized_fingerprint, spread_scan
+
+    # NULL-text docs are out of funnel scope on BOTH engines (a NULL
+    # shingle fallback would thread NULL through the minhash stage).
+    d = spread_scan(
+        load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    )
+    w1 = Window.partitionBy(F.md5("text"))
+    w2 = Window.partitionBy(normalized_fingerprint(F.col("text")))
+    flags = d.select(
+        "doc_id",
+        "text",
+        (F.col("doc_id") == F.min("doc_id").over(w1)).alias("keep1"),
+    ).select(
+        "doc_id",
+        "text",
+        "keep1",
+        (
+            F.col("keep1")
+            & (
+                F.col("doc_id")
+                == F.min(F.when(F.col("keep1"), F.col("doc_id"))).over(w2)
+            )
+        ).alias("keep2"),
+    )
+    counts = flags.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("keep1").cast("int")).cast("bigint").alias("n1"),
+        F.sum(F.col("keep2").cast("int")).cast("bigint").alias("n2"),
+    )
+    surv = flags.filter("keep2").select("doc_id", "text")
+    rm3 = (
+        minhash_candidate_pairs(surv)
+        .filter(F.col("jaccard_exact") >= 0.5)
+        .select("id2")
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("bigint").alias("r3"))
+    )
+    n, n1, n2, r3 = F.col("n"), F.col("n1"), F.col("n2"), F.col("r3")
+    return (
+        counts.crossJoin(rm3)
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("1_exact").alias("stage"),
+                        n.alias("n_in"),
+                        (n - n1).alias("n_removed"),
+                        n1.alias("n_out"),
+                    ),
+                    F.struct(
+                        F.lit("2_normalized").alias("stage"),
+                        n1.alias("n_in"),
+                        (n1 - n2).alias("n_removed"),
+                        n2.alias("n_out"),
+                    ),
+                    F.struct(
+                        F.lit("3_near_dup").alias("stage"),
+                        n2.alias("n_in"),
+                        r3.alias("n_removed"),
+                        (n2 - r3).alias("n_out"),
+                    ),
+                )
+            ).alias("s")
+        )
+        .select("s.*")
+    )

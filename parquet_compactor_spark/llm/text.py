@@ -1076,3 +1076,143 @@ def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_terms"),
         F.sum("h").cast("bigint").alias("entropy_micro"),
     )
+
+
+@register(
+    "q_ttr_hapax",
+    oracle="""
+    WITH toks AS (
+        SELECT source, word
+        FROM (SELECT source, string_split(text, ' ') AS w FROM documents),
+             UNNEST(w) AS t(word)
+    ),
+    per_word AS (
+        SELECT source, word, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM toks GROUP BY source, word
+    )
+    SELECT source,
+           CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hapax,
+           ROUND(COUNT(*) / CAST(SUM(cnt) AS DOUBLE), 4) AS ttr,
+           ROUND(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 4) AS hapax_rate
+    FROM per_word GROUP BY source ORDER BY source
+    """,
+    doc="Lexical-richness audit per source: type-token ratio and "
+    "hapax-legomenon rate from the per-source word-frequency table — "
+    "the quick diagnostic separating templated/machine-generated text "
+    "(low TTR, few hapaxes) from diverse natural prose, run alongside "
+    "q_token_entropy (entropy weights by mass; TTR/hapax expose the "
+    "distribution's SUPPORT, which entropy smooths over — a source of "
+    "repeated boilerplate plus a long unique tail can show healthy "
+    "entropy and still collapse TTR). One (source, word)-keyed hash agg "
+    "with map-side partial aggregation, then a 20-group rollup: a "
+    "single data-proportional shuffle whose key space is the "
+    "vocabulary, uniform under hashing. No windows, no joins — the "
+    "shape survives any corpus scale.",
+)
+def q_ttr_hapax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread_scan(load(spark, sf_dir, "documents"))
+    per_word = (
+        d.select("source", F.explode(whitespace_tokens(F.col("text"))).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        per_word.groupBy("source")
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_hapax"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_types",
+            "n_hapax",
+            F.round(F.col("n_types") / F.col("n_tokens").cast("double"), 4).alias(
+                "ttr"
+            ),
+            F.round(F.col("n_hapax") / F.col("n_types").cast("double"), 4).alias(
+                "hapax_rate"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "q_novelty_curve",
+    oracle="""
+    WITH m AS (SELECT MAX(doc_id) AS max_id FROM documents),
+    words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    db AS (
+        SELECT DISTINCT
+               CAST(FLOOR(CAST(doc_id * 10 AS DOUBLE) / (m.max_id + 1))
+                    AS BIGINT) AS bucket,
+               md5(array_to_string(w[i:i+4], ' ')) AS h
+        FROM words, m, UNNEST(range(1, greatest(len(w)-4, 0)+1)) AS t(i)
+    ),
+    fb AS (
+        SELECT bucket, MIN(bucket) OVER (PARTITION BY h) AS first_b FROM db
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN bucket = first_b THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_new,
+           ROUND(SUM(CASE WHEN bucket = first_b THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 4) AS new_frac
+    FROM fb GROUP BY bucket ORDER BY bucket
+    """,
+    doc="N-gram novelty curve — Heaps'-law growth at the 5-gram level: "
+    "docs are split into ten ingestion-order slices (doc_id decile via "
+    "one 1-row max-id scalar broadcast, allowlisted class) and each "
+    "slice reports how many of its distinct 5-grams were never seen in "
+    "an earlier slice. The marginal-value-of-data diagnostic behind "
+    "data-constrained scaling decisions (Muennighoff et al. 2023: when "
+    "the curve flattens, additional crawl re-epochs old n-grams instead "
+    "of buying new ones) and the quantitative form of 'is this source "
+    "exhausted'. Spark-first: one distinct over (bucket, gram-md5) — a "
+    "single hash shuffle on a uniform 32-byte key — then first-seen "
+    "slice as a MIN window over the gram-hash partition (same exchange "
+    "reused) and a 10-group rollup. No joins, no pairs; at 100 TB the "
+    "only data-proportional stage is the distinct.",
+)
+def q_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from parquet_compactor_spark.llm.curation import word_shingles
+
+    d = spread_scan(load(spark, sf_dir, "documents"))
+    maxid = d.agg(F.max("doc_id").alias("max_id"))
+    bucket = F.floor(
+        (F.col("doc_id") * 10).cast("double") / (F.col("max_id") + 1)
+    ).cast("bigint")
+    db = (
+        d.crossJoin(F.broadcast(maxid))
+        .select(
+            bucket.alias("bucket"),
+            F.explode(word_shingles(F.split("text", " ", -1), 5)).alias("g"),
+        )
+        .select("bucket", F.md5("g").alias("h"))
+        .distinct()
+    )
+    first_b = F.min("bucket").over(Window.partitionBy("h"))
+    return (
+        db.select("bucket", (F.col("bucket") == first_b).alias("is_new"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.col("is_new").cast("int")).cast("bigint").alias("n_new"),
+            F.round(
+                F.sum(F.col("is_new").cast("int"))
+                / F.count(F.lit(1)).cast("double"),
+                4,
+            ).alias("new_frac"),
+        )
+        .orderBy("bucket")
+    )

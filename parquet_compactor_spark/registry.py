@@ -244,7 +244,19 @@ def _ensure_loaded() -> None:
 #         q_window_topn) roll to round 11.
 #
 # Round 11 (exactly 50 names) — the pre-planned rotation, executed:
-#   1-9   NEW this round (no driver row): q_token_fertility (tokenizer
+#   1-15  NEW this round (no driver row): the session-2 six —
+#         q_cdc_chunk_dedup (FastCDC-style content-defined chunking dedup
+#         — shift-resistant chunk boundaries from masked window hashes,
+#         corpus-wide chunk copy counts), q_source_overlap (cross-source
+#         3-gram Jaccard / containment matrix over distinct shingle-hash
+#         sets, complete ordered-pair spine), q_ttr_hapax (type-token
+#         ratio and hapax rate per source off the word-frequency table),
+#         q_dedup_cascade (exact → normalized → MinHash-LSH funnel with
+#         per-stage removal attribution), q_dp_histogram (discrete-
+#         Laplace DP count release, exact-integer inverse-CDF table),
+#         q_novelty_curve (Heaps-law 5-gram novelty by ingestion-order
+#         decile) — then the nine
+#         from the session-1 wave listed below: q_token_fertility (tokenizer
 #         fertility / bytes-per-token per language), q_eval_contamination
 #         (W=8 sliding-window train-on-test overlap vs the held-out
 #         eval shard), q_semdedup_prune (SemDeDup keep-first pruning
@@ -278,8 +290,13 @@ def _ensure_loaded() -> None:
 #         the untouched q_dedup_simhash control held at 2.6 s);
 #   20-26 the seven r5 roll-overs from the round-10 plan (q_unpivot +
 #         the six q_window_* rows) — after these, no r5 row remains;
-#   27-50 the r6-latest rows, alphabetical, as many as fit (24 of 43).
-#         The alphabetically-last nineteen (q_regr_slope,
+#   33-50 the r6-latest rows, alphabetical, as many as fit (18 of 43 —
+#         the six session-2 additions displaced q_latest_snapshot,
+#         q_locf_interpolate, q_mad_outliers, q_math_fns,
+#         q_month_over_month, q_ohlc from the tail).
+#         The alphabetically-last twenty-five (q_latest_snapshot,
+#         q_locf_interpolate, q_mad_outliers, q_math_fns,
+#         q_month_over_month, q_ohlc, q_regr_slope,
 #         q_repetition_ratio, q_salted_agg, q_sessionize,
 #         q_sliding_window,
 #         q_stratified_sample, q_string_agg, q_string_extract,
@@ -289,7 +306,7 @@ def _ensure_loaded() -> None:
 #         q_zscore_outliers) roll to round 12.
 #
 # Round-12 rotation plan (after this window lands): first whatever
-# round 12 adds or changes, then the nineteen rolled-over r6 rows above,
+# round 12 adds or changes, then the twenty-five rolled-over r6 rows above,
 # then the r7-latest rows alphabetical to fill 50.
 #
 # Historical note — round 8's window (kept for the ledger):
@@ -373,6 +390,12 @@ def _ensure_loaded() -> None:
 # convention) outranks re-verification of unchanged sources.
 _PRIORITY: tuple[str, ...] = (
     # -- NEW in round 11 (no driver row): first --
+    "q_cdc_chunk_dedup",
+    "q_source_overlap",
+    "q_ttr_hapax",
+    "q_dedup_cascade",
+    "q_dp_histogram",
+    "q_novelty_curve",
     "q_token_fertility",
     "q_eval_contamination",
     "q_semdedup_prune",
@@ -403,7 +426,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_window_ranks",
     "q_window_running",
     "q_window_topn",
-    # -- r6-latest rows, alphabetical (24 of 43 fit; the last nineteen
+    # -- r6-latest rows, alphabetical (18 of 43 fit; the last twenty-five
     # roll to round 12 per the plan above) --
     "q_agg_pricing",
     "q_asof_join",
@@ -423,12 +446,6 @@ _PRIORITY: tuple[str, ...] = (
     "q_intersect",
     "q_large_orders",
     "q_late_line_priority",
-    "q_latest_snapshot",
-    "q_locf_interpolate",
-    "q_mad_outliers",
-    "q_math_fns",
-    "q_month_over_month",
-    "q_ohlc",
 )
 
 

@@ -158,6 +158,20 @@ SENSITIVE = [
     "q_winnowing_fingerprint",
     "q_embedding_drift",
     "q_shard_packing",
+    # round-11 session-2 additions: q_cdc_chunk_dedup and
+    # q_dedup_cascade pin text IS NOT NULL on both engines (the
+    # chunker's size(NULL) arm / the NULL shingle fallback would
+    # otherwise diverge from the unnest-based oracles); q_source_overlap
+    # and q_novelty_curve form no shingles from NULL text on either
+    # engine (inner semantics); q_ttr_hapax explodes NULL to no tokens
+    # on both; q_dp_histogram counts docs regardless of text, so the
+    # NULL-text doc still lands in its source's n_true.
+    "q_cdc_chunk_dedup",
+    "q_dedup_cascade",
+    "q_source_overlap",
+    "q_novelty_curve",
+    "q_ttr_hapax",
+    "q_dp_histogram",
 ]
 
 

@@ -1613,3 +1613,193 @@ def test_shard_packing_beats_hash_on_skewed_sizes(spark, tmp_path):
         f"serpentine ({worst_packed} ppm) must not lose to hash "
         f"({worst_hash} ppm) on skewed sizes"
     )
+
+
+# --------------------------------------------------------------------------
+# Round 11 session 2: CDC chunking, source overlap, TTR/hapax
+# --------------------------------------------------------------------------
+
+
+def _write_sourced_docs(spark, tmp_path, rows):
+    """documents.parquet with caller-controlled (doc_id, text, source)."""
+    df = spark.createDataFrame(
+        [(i, t, "en", s, len(t)) for i, t, s in rows],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def _cdc_chunk_rows(spark, texts):
+    from parquet_compactor_spark.llm.dedup import cdc_chunks
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    return (
+        df.select("doc_id", F.explode(cdc_chunks(F.split("text", " ", -1))).alias("c"))
+        .select("doc_id", "c.n_tok", "c.h")
+        .collect()
+    )
+
+
+def test_cdc_chunks_partition_the_document(spark):
+    """Chunk token counts must sum to the doc's token count — the chunks
+    partition the word sequence with no gap or overlap."""
+    texts = [
+        " ".join(f"w{(i * 7) % 101}x{i % 13}" for i in range(400)),
+        "short doc",
+        "",
+    ]
+    rows = _cdc_chunk_rows(spark, texts)
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r.n_tok)
+    assert sum(by_doc[0]) == 400
+    assert by_doc[1] == [2]  # under CDC_W words -> one whole-doc chunk
+    assert by_doc[2] == [1]  # split('') -> [''], one 1-token chunk
+
+
+def test_cdc_chunks_resync_after_prefix_insert(spark):
+    """The FastCDC property that motivates content-defined over fixed-width
+    chunking: prepending words shifts every downstream position, yet cut
+    points depend only on window content, so all chunks after the first
+    boundary re-align and dedup against the original."""
+    base = " ".join(f"w{(i * 7) % 101}x{i % 13}" for i in range(400))
+    edited = "five freshly inserted prefix words " + base
+    rows = _cdc_chunk_rows(spark, [base, edited])
+    h0 = {r.h for r in rows if r.doc_id == 0}
+    h1 = {r.h for r in rows if r.doc_id == 1}
+    # Everything except the chunk(s) touching the edit must re-align.
+    assert len(h0 & h1) >= len(h0) - 2
+    # A fixed-width chunker would share ~nothing: prove the planted shift
+    # actually moved the token positions (sanity on the fixture).
+    assert base.split()[:1] != edited.split()[:1]
+
+
+def test_cdc_chunk_dedup_flags_planted_shared_region(spark, tmp_path):
+    """A paragraph pasted into two otherwise-different docs must surface as
+    shared chunks in BOTH docs' sources; a source with unique text reports
+    zero shared tokens."""
+    shared = " ".join(f"shared{(i * 11) % 97}tok{i % 7}" for i in range(120))
+    uniq_a = " ".join(f"alpha{i}" for i in range(80))
+    uniq_b = " ".join(f"beta{i}" for i in range(80))
+    uniq_c = " ".join(f"gamma{i}" for i in range(80))
+    sf = _write_sourced_docs(
+        spark,
+        tmp_path,
+        [
+            (0, uniq_a + " " + shared, "srcA"),
+            (1, shared + " " + uniq_b, "srcB"),
+            (2, uniq_c, "srcC"),
+        ],
+    )
+    from parquet_compactor_spark.registry import all_queries
+
+    out = {r.source: r for r in all_queries()["q_cdc_chunk_dedup"].fn(spark, sf).collect()}
+    assert out["srcA"].n_shared_chunks > 0
+    assert out["srcB"].n_shared_chunks > 0
+    assert out["srcC"].n_shared_chunks == 0
+    # The shared region is 120 of ~200 tokens; most of it must be caught.
+    assert out["srcA"].shared_token_frac > 0.3
+    assert out["srcC"].shared_token_frac == 0.0
+
+
+def test_source_overlap_planted_contained_source(spark, tmp_path):
+    """srcB's text is a subset of srcA's -> containment(A,B) = 1.0; srcC is
+    disjoint from both -> zero-overlap pairs STILL get a row (the complete
+    pair spine), with jaccard 0."""
+    text_a = " ".join(f"tok{i}" for i in range(60))
+    text_b = " ".join(f"tok{i}" for i in range(30))  # prefix of A: all B-grams in A
+    text_c = " ".join(f"other{i}" for i in range(60))
+    sf = _write_sourced_docs(
+        spark, tmp_path, [(0, text_a, "srcA"), (1, text_b, "srcB"), (2, text_c, "srcC")]
+    )
+    from parquet_compactor_spark.registry import all_queries
+
+    rows = {
+        (r.src_a, r.src_b): r
+        for r in all_queries()["q_source_overlap"].fn(spark, sf).collect()
+    }
+    assert set(rows) == {("srcA", "srcB"), ("srcA", "srcC"), ("srcB", "srcC")}
+    ab = rows[("srcA", "srcB")]
+    assert ab.containment == 1.0  # every B 3-gram occurs in A
+    assert ab.n_shared == ab.n_b
+    assert rows[("srcA", "srcC")].n_shared == 0
+    assert rows[("srcA", "srcC")].jaccard == 0.0
+
+
+def test_ttr_hapax_exact_counts(spark, tmp_path):
+    """'a a b c' -> 4 tokens, 3 types, 2 hapaxes (b, c)."""
+    sf = _write_sourced_docs(spark, tmp_path, [(0, "a a b c", "srcX")])
+    from parquet_compactor_spark.registry import all_queries
+
+    r = all_queries()["q_ttr_hapax"].fn(spark, sf).collect()[0]
+    assert (r.n_tokens, r.n_types, r.n_hapax) == (4, 3, 2)
+    assert r.ttr == 0.75
+    assert r.hapax_rate == round(2 / 3, 4)
+
+
+def test_dedup_cascade_attributes_each_planted_dup_to_its_stage(spark, tmp_path):
+    """One exact copy, one whitespace/case variant, one near-dup, one
+    unrelated doc: each must be removed by exactly its own stage."""
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat watches "
+        "from the warm windowsill every single morning"
+    )
+    sf = _write_sourced_docs(
+        spark,
+        tmp_path,
+        [
+            (0, base, "s"),
+            (1, base, "s"),  # exact dup -> stage 1
+            (2, "  " + base.upper() + "  ", "s"),  # canonical dup -> stage 2
+            (3, base.replace("lazy", "sleepy"), "s"),  # near dup -> stage 3
+            (4, "completely unrelated text about parquet compaction engines", "s"),
+        ],
+    )
+    from parquet_compactor_spark.registry import all_queries
+
+    rows = {r.stage: r for r in all_queries()["q_dedup_cascade"].fn(spark, sf).collect()}
+    assert (rows["1_exact"].n_in, rows["1_exact"].n_removed, rows["1_exact"].n_out) == (5, 1, 4)
+    assert (rows["2_normalized"].n_removed, rows["2_normalized"].n_out) == (1, 3)
+    assert (rows["3_near_dup"].n_removed, rows["3_near_dup"].n_out) == (1, 2)
+
+
+def test_dp_histogram_mechanism_distribution_and_clamp(spark, tmp_path):
+    """The inverse-CDF table must realize the discrete Laplace pmf: over
+    many hash-uniform draws, P(z=0) -> (1-a)/(1+a) = 0.6 and
+    P(|z|<=1) -> 0.9 at alpha=1/4. Releases are clamped at zero."""
+    from parquet_compactor_spark.llm.curation import DP_THRESHOLDS, DP_ZMAX
+
+    assert DP_THRESHOLDS == sorted(DP_THRESHOLDS)
+    assert DP_THRESHOLDS[-1] == 2**40
+    rows = [(i, "tiny doc text", f"grp{i:04d}") for i in range(2000)]
+    sf = _write_sourced_docs(spark, tmp_path, rows)
+    from parquet_compactor_spark.registry import all_queries
+
+    out = all_queries()["q_dp_histogram"].fn(spark, sf).collect()
+    assert len(out) == 2000
+    zs = [r.z for r in out]
+    assert all(-DP_ZMAX <= z <= DP_ZMAX for z in zs)
+    frac0 = sum(1 for z in zs if z == 0) / len(zs)
+    frac1 = sum(1 for z in zs if abs(z) <= 1) / len(zs)
+    assert 0.55 < frac0 < 0.65, frac0
+    assert 0.85 < frac1 < 0.95, frac1
+    for r in out:  # every source has n_true=1; releases never go negative
+        assert r.n_released == max(0, r.n_true + r.z)
+
+
+def test_novelty_curve_planted_repeat_half(spark, tmp_path):
+    """Docs 10-19 are verbatim copies of docs 0-9: the second half of the
+    curve must contribute ZERO new 5-grams, the first half 100%."""
+    texts = [" ".join(f"b{d}w{i}" for i in range(12)) for d in range(10)]
+    rows = [(d, texts[d], "s") for d in range(10)] + [
+        (10 + d, texts[d], "s") for d in range(10)
+    ]
+    sf = _write_sourced_docs(spark, tmp_path, rows)
+    from parquet_compactor_spark.registry import all_queries
+
+    out = {r.bucket: r for r in all_queries()["q_novelty_curve"].fn(spark, sf).collect()}
+    assert all(out[b].new_frac == 1.0 for b in range(5))
+    assert all(out[b].new_frac == 0.0 for b in range(5, 10))

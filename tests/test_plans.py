@@ -448,6 +448,15 @@ def test_no_unexpected_cartesian_in_any_registered_query(spark):
         # q_bigram_backoff scalar class); both arms' candidate sets are
         # heap-bounded, never pair-formed:
         "q_rank_fusion",
+        # the complete ordered-pair spine of the ~20-source counts table
+        # (sources^2 rows, data-size-independent); the data-proportional
+        # stage is the gram-hash equi-join, which is not here:
+        "q_source_overlap",
+        # 1-row stage-counts x 1-row near-dup-removals scalar join that
+        # assembles the 3-row funnel output:
+        "q_dedup_cascade",
+        # 1-row max-doc-id scalar broadcast (the decile denominator):
+        "q_novelty_curve",
     }
     offenders = []
     for name in QUERIES:
