@@ -2359,3 +2359,183 @@ def q_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+#: Distinct-l-diversity requirement: every quasi-identifier class must
+#: contain at least L distinct sensitive values to be releasable.
+LDIV_L = 3
+
+
+@register(
+    "q_l_diversity",
+    oracle=f"""
+    WITH rows_ AS (
+        SELECT c_nationkey AS nationkey, c_mktsegment AS mktsegment,
+               CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band
+        FROM customer
+    ),
+    cls AS (
+        SELECT nationkey, mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(DISTINCT bal_band) AS BIGINT) AS n_sensitive
+        FROM rows_ GROUP BY nationkey, mktsegment
+    )
+    SELECT nationkey, mktsegment, n_rows, n_sensitive,
+           n_sensitive < {LDIV_L} AS at_risk,
+           CAST((CAST(SUM(CASE WHEN n_sensitive < {LDIV_L} THEN n_rows
+                               ELSE 0 END) OVER () AS BIGINT) * 1000000)
+                // CAST(SUM(n_rows) OVER () AS BIGINT) AS BIGINT)
+               AS risk_ppm
+    FROM cls
+    """,
+    doc="Distinct-l-diversity release audit (Machanavajjhala et al. 2007) "
+    "— the attribute-disclosure companion to q_kanon_audit: k-anonymity "
+    "bounds IDENTITY disclosure but a class where every member shares "
+    "one sensitive value still leaks the attribute (the 'homogeneity "
+    "attack'), so each quasi-identifier class (nation, market segment) "
+    "must also contain >= l distinct sensitive values (account-balance "
+    "band, l=3). Output: every class with its size, its distinct-"
+    "sensitive count, the at_risk flag, and the corpus-level exact-"
+    "integer ppm of rows in non-diverse classes — the release-gate "
+    "scalar. Plan: one two-level hash aggregate (the distinct rides the "
+    "same exchange as the class rollup: group by (QI, sensitive) then "
+    "QI) + a class-table-sized window; at 100 TB the class table is "
+    "bounded by the QI domain product, so the audit is scan-bound, "
+    "exactly like its k-anonymity sibling. NULL balances form their own "
+    "band and COUNT as a sensitive value on both engines (COUNT "
+    "DISTINCT skips NULL in both — a class of only-NULL bands reports "
+    "n_sensitive = 0 identically).",
+)
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    cls = (
+        c.select(
+            F.col("c_nationkey").alias("nationkey"),
+            F.col("c_mktsegment").alias("mktsegment"),
+            F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("bal_band"),
+        )
+        .groupBy("nationkey", "mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.countDistinct("bal_band").cast("bigint").alias("n_sensitive"),
+        )
+    )
+    return cls.select(
+        "nationkey",
+        "mktsegment",
+        "n_rows",
+        "n_sensitive",
+        (F.col("n_sensitive") < LDIV_L).alias("at_risk"),
+        F.expr(
+            f"CAST((CAST(SUM(CASE WHEN n_sensitive < {LDIV_L} THEN n_rows"
+            " ELSE 0 END) OVER () AS BIGINT) * 1000000)"
+            " div CAST(SUM(n_rows) OVER () AS BIGINT) AS BIGINT)"
+        ).alias("risk_ppm"),
+    )
+
+
+#: Per-source token budget for quality-ranked selection.
+SELECT_BUDGET = 800
+
+
+@register(
+    "q_budget_select",
+    oracle=f"""
+    WITH docs AS (
+        SELECT doc_id, source, string_split(text, ' ') AS w
+        FROM documents WHERE text IS NOT NULL
+    ),
+    scored AS (
+        SELECT doc_id, source,
+               CAST(len(w) AS BIGINT) AS n_tok,
+               CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS quality
+        FROM docs
+    ),
+    ranked AS (
+        SELECT *,
+               SUM(n_tok) OVER (
+                   PARTITION BY source ORDER BY quality DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS tok_before
+        FROM scored
+    ),
+    sel AS (
+        SELECT *, COALESCE(tok_before, 0) < {SELECT_BUDGET} AS selected
+        FROM ranked
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN selected THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_selected,
+           CAST(SUM(CASE WHEN selected THEN n_tok ELSE 0 END) AS BIGINT)
+               AS tokens_selected,
+           CAST(FLOOR(MIN(CASE WHEN selected THEN quality END) * 1000000
+                      + 0.5) AS BIGINT) AS cutoff_quality_micro
+    FROM sel GROUP BY source ORDER BY source
+    """,
+    doc="Quality-ranked token-budget selection — the data-mixing step "
+    "that turns classifier scores into an actual training set: within "
+    "each source, documents are ranked by quality (unique-token ratio "
+    "here; any scored column plugs in) and greedily admitted in rank "
+    "order until the source's token budget is exhausted (a doc is "
+    "admitted iff the tokens BEFORE it are under budget, so the budget "
+    "boundary doc is included — the convention that never returns an "
+    "empty selection when the first doc alone exceeds the budget). "
+    "Reports per source the selected doc/token mass and the quality "
+    "cutoff (micro-exact) — the number that tells you how deep into "
+    "the quality distribution the budget forces you (cf. the "
+    "quality-vs-quantity tradeoff curves in Longpre et al. 2023). "
+    "Distinct from q_mixture_epochs (which reweights whole sources) "
+    "and q_quality_classifier (which scores but does not select under "
+    "a budget). Plan: one map to score (JVM higher-order distinct "
+    "ratio), one source-partitioned running-sum window, one 20-group "
+    "rollup — a single data-proportional shuffle on source; skewed "
+    "sources are exactly the q_salted_agg situation and would salt the "
+    "same way. Ties in quality break by doc_id; the quality double is "
+    "the same exact division in both engines, so the rank order is "
+    "bit-identical.",
+)
+def q_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parquet_compactor_spark.llm.text import spread_scan
+
+    d = spread_scan(
+        load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    )
+    w = F.split("text", " ", -1)
+    scored = d.select(
+        "doc_id",
+        "source",
+        F.size(w).cast("bigint").alias("n_tok"),
+        (F.size(F.array_distinct(w)).cast("double") / F.size(w)).alias("quality"),
+    )
+    win = (
+        Window.partitionBy("source")
+        .orderBy(F.col("quality").desc(), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sel = scored.select(
+        "source",
+        "n_tok",
+        "quality",
+        (F.coalesce(F.sum("n_tok").over(win), F.lit(0)) < SELECT_BUDGET).alias(
+            "selected"
+        ),
+    )
+    return (
+        sel.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.sum(F.col("selected").cast("int")).cast("bigint").alias("n_selected"),
+            F.sum(F.when(F.col("selected"), F.col("n_tok")).otherwise(0))
+            .cast("bigint")
+            .alias("tokens_selected"),
+            F.floor(
+                F.min(F.when(F.col("selected"), F.col("quality"))) * 1000000 + 0.5
+            )
+            .cast("bigint")
+            .alias("cutoff_quality_micro"),
+        )
+        .orderBy("source")
+    )

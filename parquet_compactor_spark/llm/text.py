@@ -1216,3 +1216,104 @@ def q_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "q_doc_entropy",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, word
+        FROM (SELECT doc_id, string_split(text, ' ') AS w
+              FROM documents WHERE text IS NOT NULL),
+             UNNEST(w) AS t(word)
+        WHERE word <> ''
+    ),
+    tf AS (
+        SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM toks GROUP BY doc_id, word
+    ),
+    n AS (
+        SELECT doc_id, word, cnt,
+               SUM(cnt) OVER (PARTITION BY doc_id) AS n
+        FROM tf
+    ),
+    h AS (
+        SELECT doc_id, MIN(n) AS n_tok,
+               CAST(SUM(CAST(FLOOR(CAST(cnt AS DOUBLE)
+                    * (ln(CAST(n AS DOUBLE)) - ln(CAST(cnt AS DOUBLE)))
+                    / CAST(n AS DOUBLE) * 1000000 + 0.5) AS BIGINT))
+                    AS BIGINT) AS h_micro
+        FROM n GROUP BY doc_id
+    )
+    SELECT h_micro // 500000 AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(CAST(n_tok AS DOUBLE)), 2) AS avg_tokens,
+           CAST(MIN(h_micro) AS BIGINT) AS min_h_micro,
+           CAST(MAX(h_micro) AS BIGINT) AS max_h_micro
+    FROM h GROUP BY bucket ORDER BY bucket
+    """,
+    doc="Per-document token-entropy histogram — the repetitive-spam "
+    "detector: a document whose token distribution has low Shannon "
+    "entropy is boilerplate/keyword-stuffing/generated filler even when "
+    "its CORPUS-level statistics look healthy (q_token_entropy measures "
+    "the source's aggregate distribution; this measures each DOC's own, "
+    "then buckets the corpus into half-nat bands — the shape used as a "
+    "Gopher-style quality signal alongside q_repetition_ratio, which "
+    "counts literal repeats rather than distributional concentration). "
+    "Engine-exactness follows q_token_entropy's convention: each term's "
+    "entropy contribution is micro-floored BEFORE the per-doc integer "
+    "sum (order-independent), and the half-nat bucket is exact integer "
+    "division of micro-nats. Plan: one (doc_id, word) hash agg, a "
+    "doc-partitioned window on the same exchange, the per-doc rollup, "
+    "then a dozen-group histogram — all keys uniform, no joins; at "
+    "100 TB the only data-proportional stage is the term count, the "
+    "same shape as every vocabulary pass in this module. Empty tokens "
+    "(multi-space runs) and NULL texts are scoped out identically on "
+    "both engines.",
+)
+def q_doc_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = spread_scan(
+        load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    )
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(whitespace_tokens(F.col("text")), lambda t: t != "")
+        ).alias("word"),
+    )
+    tf = toks.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("cnt"))
+    n = tf.withColumn(
+        "n", F.sum("cnt").over(Window.partitionBy("doc_id")).cast("bigint")
+    )
+    term_h = F.floor(
+        F.col("cnt").cast("double")
+        * (F.log(F.col("n").cast("double")) - F.log(F.col("cnt").cast("double")))
+        / F.col("n").cast("double")
+        * 1000000
+        + 0.5
+    ).cast("bigint")
+    per_doc = (
+        n.select("doc_id", "n", term_h.alias("th"))
+        .groupBy("doc_id")
+        .agg(
+            F.min("n").alias("n_tok"),
+            F.sum("th").cast("bigint").alias("h_micro"),
+        )
+    )
+    return (
+        per_doc.select(
+            F.expr("h_micro div 500000").alias("bucket"),
+            "n_tok",
+            "h_micro",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg(F.col("n_tok").cast("double")), 2).alias("avg_tokens"),
+            F.min("h_micro").cast("bigint").alias("min_h_micro"),
+            F.max("h_micro").cast("bigint").alias("max_h_micro"),
+        )
+        .orderBy("bucket")
+    )

@@ -244,7 +244,7 @@ def _ensure_loaded() -> None:
 #         q_window_topn) roll to round 11.
 #
 # Round 11 (exactly 50 names) — the pre-planned rotation, executed:
-#   1-15  NEW this round (no driver row): the session-2 six —
+#   1-18  NEW this round (no driver row): the session-2 nine —
 #         q_cdc_chunk_dedup (FastCDC-style content-defined chunking dedup
 #         — shift-resistant chunk boundaries from masked window hashes,
 #         corpus-wide chunk copy counts), q_source_overlap (cross-source
@@ -255,7 +255,11 @@ def _ensure_loaded() -> None:
 #         per-stage removal attribution), q_dp_histogram (discrete-
 #         Laplace DP count release, exact-integer inverse-CDF table),
 #         q_novelty_curve (Heaps-law 5-gram novelty by ingestion-order
-#         decile) — then the nine
+#         decile), q_l_diversity (distinct-l attribute-disclosure audit,
+#         the q_kanon_audit companion), q_budget_select (quality-ranked
+#         per-source token-budget selection), q_doc_entropy (per-doc
+#         token-entropy histogram, the repetitive-spam detector) — then
+#         the nine
 #         from the session-1 wave listed below: q_token_fertility (tokenizer
 #         fertility / bytes-per-token per language), q_eval_contamination
 #         (W=8 sliding-window train-on-test overlap vs the held-out
@@ -290,11 +294,13 @@ def _ensure_loaded() -> None:
 #         the untouched q_dedup_simhash control held at 2.6 s);
 #   20-26 the seven r5 roll-overs from the round-10 plan (q_unpivot +
 #         the six q_window_* rows) — after these, no r5 row remains;
-#   33-50 the r6-latest rows, alphabetical, as many as fit (18 of 43 —
-#         the six session-2 additions displaced q_latest_snapshot,
+#   36-50 the r6-latest rows, alphabetical, as many as fit (15 of 43 —
+#         the nine session-2 additions displaced q_intersect,
+#         q_large_orders, q_late_line_priority, q_latest_snapshot,
 #         q_locf_interpolate, q_mad_outliers, q_math_fns,
 #         q_month_over_month, q_ohlc from the tail).
-#         The alphabetically-last twenty-five (q_latest_snapshot,
+#         The alphabetically-last twenty-eight (q_intersect,
+#         q_large_orders, q_late_line_priority, q_latest_snapshot,
 #         q_locf_interpolate, q_mad_outliers, q_math_fns,
 #         q_month_over_month, q_ohlc, q_regr_slope,
 #         q_repetition_ratio, q_salted_agg, q_sessionize,
@@ -306,7 +312,7 @@ def _ensure_loaded() -> None:
 #         q_zscore_outliers) roll to round 12.
 #
 # Round-12 rotation plan (after this window lands): first whatever
-# round 12 adds or changes, then the twenty-five rolled-over r6 rows above,
+# round 12 adds or changes, then the twenty-eight rolled-over r6 rows above,
 # then the r7-latest rows alphabetical to fill 50.
 #
 # Historical note — round 8's window (kept for the ledger):
@@ -396,6 +402,9 @@ _PRIORITY: tuple[str, ...] = (
     "q_dedup_cascade",
     "q_dp_histogram",
     "q_novelty_curve",
+    "q_l_diversity",
+    "q_budget_select",
+    "q_doc_entropy",
     "q_token_fertility",
     "q_eval_contamination",
     "q_semdedup_prune",
@@ -426,7 +435,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_window_ranks",
     "q_window_running",
     "q_window_topn",
-    # -- r6-latest rows, alphabetical (18 of 43 fit; the last twenty-five
+    # -- r6-latest rows, alphabetical (15 of 43 fit; the last twenty-eight
     # roll to round 12 per the plan above) --
     "q_agg_pricing",
     "q_asof_join",
@@ -443,9 +452,6 @@ _PRIORITY: tuple[str, ...] = (
     "q_frame_sample",
     "q_gapfill_buckets",
     "q_grouped_sample",
-    "q_intersect",
-    "q_large_orders",
-    "q_late_line_priority",
 )
 
 

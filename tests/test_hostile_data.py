@@ -172,6 +172,14 @@ SENSITIVE = [
     "q_novelty_curve",
     "q_ttr_hapax",
     "q_dp_histogram",
+    # q_budget_select / q_doc_entropy pin text IS NOT NULL on both
+    # engines (scoring/entropy over NULL tokens would diverge from the
+    # unnest-based oracles); q_l_diversity audits NULL balance bands as
+    # first-class sensitive-value groups on both engines (COUNT
+    # DISTINCT skips NULL identically).
+    "q_budget_select",
+    "q_doc_entropy",
+    "q_l_diversity",
 ]
 
 

@@ -1803,3 +1803,74 @@ def test_novelty_curve_planted_repeat_half(spark, tmp_path):
     out = {r.bucket: r for r in all_queries()["q_novelty_curve"].fn(spark, sf).collect()}
     assert all(out[b].new_frac == 1.0 for b in range(5))
     assert all(out[b].new_frac == 0.0 for b in range(5, 10))
+
+
+def test_budget_select_admits_in_quality_order_until_budget(spark, tmp_path):
+    """Three docs of 400 distinct-token words each (quality 1.0 ties ->
+    doc_id order) against the 800-token budget: docs 0 and 1 admitted
+    (0 + 400 < 800), doc 2 rejected (800 !< 800). A low-quality repetitive
+    doc never displaces a high-quality one regardless of id order."""
+    uniq = lambda d: " ".join(f"d{d}w{i}" for i in range(400))
+    rows = [
+        (0, uniq(0), "s"),
+        (1, uniq(1), "s"),
+        (2, uniq(2), "s"),
+        (3, "spam " * 399 + "spam", "t"),  # 400 tokens, quality 1/400
+        (4, uniq(4), "t"),
+    ]
+    sf = _write_sourced_docs(spark, tmp_path, [(i, t.strip(), s) for i, t, s in rows])
+    from parquet_compactor_spark.registry import all_queries
+
+    out = {r.source: r for r in all_queries()["q_budget_select"].fn(spark, sf).collect()}
+    assert out["s"].n_selected == 2 and out["s"].tokens_selected == 800
+    # In source t the unique doc (id 4) outranks the earlier spam doc
+    # (id 3); both fit the budget check (0 < 800, 400 < 800).
+    assert out["t"].n_selected == 2
+    assert out["t"].cutoff_quality_micro == 2500  # 1/400 as micro
+
+
+def test_doc_entropy_separates_spam_from_diverse(spark, tmp_path):
+    """A one-word-repeated doc has zero entropy (bucket 0); a 64-distinct-
+    token doc has ln(64) ~ 4.159 nats (bucket 8)."""
+    sf = _write_sourced_docs(
+        spark,
+        tmp_path,
+        [
+            (0, ("spam " * 64).strip(), "s"),
+            (1, " ".join(f"w{i}" for i in range(64)), "s"),
+        ],
+    )
+    from parquet_compactor_spark.registry import all_queries
+
+    out = {r.bucket: r for r in all_queries()["q_doc_entropy"].fn(spark, sf).collect()}
+    assert 0 in out and out[0].n_docs == 1 and out[0].max_h_micro == 0
+    assert 8 in out and out[8].n_docs == 1  # ln(64)*1e6 // 5e5 = 8
+
+
+def test_l_diversity_flags_homogeneous_class(spark):
+    """A class where every member shares one sensitive band must be
+    at_risk even when it is large enough to pass k-anonymity."""
+    from parquet_compactor_spark.llm.curation import LDIV_L
+
+    rows = (
+        [(i, 1, "AUTO", 1500.0) for i in range(10)]  # 10 rows, 1 band
+        + [(100 + i, 2, "AUTO", 1000.0 * i) for i in range(5)]  # 5 bands
+    )
+    df = spark.createDataFrame(
+        rows, "c_custkey bigint, c_nationkey bigint, c_mktsegment string, c_acctbal double"
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.coalesce(1).write.mode("overwrite").parquet(f"{d}/customer.parquet")
+        from parquet_compactor_spark.registry import all_queries
+
+        out = {
+            (r.nationkey, r.mktsegment): r
+            for r in all_queries()["q_l_diversity"].fn(spark, d).collect()
+        }
+    assert out[(1, "AUTO")].n_sensitive == 1 and out[(1, "AUTO")].at_risk
+    assert out[(2, "AUTO")].n_sensitive == 5 and not out[(2, "AUTO")].at_risk
+    assert LDIV_L == 3
+    # risk_ppm: 10 of 15 rows live in the homogeneous class.
+    assert out[(1, "AUTO")].risk_ppm == 10 * 1000000 // 15
