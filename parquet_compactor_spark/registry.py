@@ -244,7 +244,7 @@ def _ensure_loaded() -> None:
 #         q_window_topn) roll to round 11.
 #
 # Round 11 (exactly 50 names) — the pre-planned rotation, executed:
-#   1-18  NEW this round (no driver row): the session-2 nine —
+#   1-19  NEW this round (no driver row): the session-2 ten —
 #         q_cdc_chunk_dedup (FastCDC-style content-defined chunking dedup
 #         — shift-resistant chunk boundaries from masked window hashes,
 #         corpus-wide chunk copy counts), q_source_overlap (cross-source
@@ -258,7 +258,9 @@ def _ensure_loaded() -> None:
 #         decile), q_l_diversity (distinct-l attribute-disclosure audit,
 #         the q_kanon_audit companion), q_budget_select (quality-ranked
 #         per-source token-budget selection), q_doc_entropy (per-doc
-#         token-entropy histogram, the repetitive-spam detector) — then
+#         token-entropy histogram, the repetitive-spam detector),
+#         q_quota_admission (per-source ingest quota, the batch twin of
+#         the new quota_admission_stream gate) — then
 #         the nine
 #         from the session-1 wave listed below: q_token_fertility (tokenizer
 #         fertility / bytes-per-token per language), q_eval_contamination
@@ -294,12 +296,14 @@ def _ensure_loaded() -> None:
 #         the untouched q_dedup_simhash control held at 2.6 s);
 #   20-26 the seven r5 roll-overs from the round-10 plan (q_unpivot +
 #         the six q_window_* rows) — after these, no r5 row remains;
-#   36-50 the r6-latest rows, alphabetical, as many as fit (15 of 43 —
-#         the nine session-2 additions displaced q_intersect,
+#   37-50 the r6-latest rows, alphabetical, as many as fit (14 of 43 —
+#         the ten session-2 additions displaced q_grouped_sample,
+#         q_intersect,
 #         q_large_orders, q_late_line_priority, q_latest_snapshot,
 #         q_locf_interpolate, q_mad_outliers, q_math_fns,
 #         q_month_over_month, q_ohlc from the tail).
-#         The alphabetically-last twenty-eight (q_intersect,
+#         The alphabetically-last twenty-nine (q_grouped_sample,
+#         q_intersect,
 #         q_large_orders, q_late_line_priority, q_latest_snapshot,
 #         q_locf_interpolate, q_mad_outliers, q_math_fns,
 #         q_month_over_month, q_ohlc, q_regr_slope,
@@ -312,7 +316,7 @@ def _ensure_loaded() -> None:
 #         q_zscore_outliers) roll to round 12.
 #
 # Round-12 rotation plan (after this window lands): first whatever
-# round 12 adds or changes, then the twenty-eight rolled-over r6 rows above,
+# round 12 adds or changes, then the twenty-nine rolled-over r6 rows above,
 # then the r7-latest rows alphabetical to fill 50.
 #
 # Historical note — round 8's window (kept for the ledger):
@@ -405,6 +409,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_l_diversity",
     "q_budget_select",
     "q_doc_entropy",
+    "q_quota_admission",
     "q_token_fertility",
     "q_eval_contamination",
     "q_semdedup_prune",
@@ -435,7 +440,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_window_ranks",
     "q_window_running",
     "q_window_topn",
-    # -- r6-latest rows, alphabetical (15 of 43 fit; the last twenty-eight
+    # -- r6-latest rows, alphabetical (14 of 43 fit; the last twenty-nine
     # roll to round 12 per the plan above) --
     "q_agg_pricing",
     "q_asof_join",
@@ -451,7 +456,6 @@ _PRIORITY: tuple[str, ...] = (
     "q_except",
     "q_frame_sample",
     "q_gapfill_buckets",
-    "q_grouped_sample",
 )
 
 

@@ -1426,3 +1426,248 @@ def fingerprint_delta_stream(
         .start()
         .awaitTermination()
     )
+
+
+# --------------------------------------------------------------------------
+# Per-source quota admission gate (ingest rate control)
+# --------------------------------------------------------------------------
+
+#: Per-source admission quota: the first QUOTA_Q documents (by ingest id)
+#: of each source are admitted; everything after is rejected. The
+#: fairness/budget control of a multi-crawler ingest tier — one hot
+#: source cannot monopolize the downstream pipeline.
+QUOTA_Q = 20
+
+
+def quota_admission_batch(docs: DataFrame, quota: int = QUOTA_Q) -> DataFrame:
+    """(doc_id, admitted) under the streaming quota policy, in closed
+    form: a document is admitted iff fewer than ``quota`` documents of
+    its source have a smaller doc_id. With arrival order == doc_id
+    order (the contract all the ingest gates share) this is exactly the
+    sequential "admit until the source's quota is spent" policy. One
+    source-partitioned window; no text is read — admission is an
+    ingest-control decision, so NULL-text docs still consume quota
+    (unlike the content gates, which scope them out)."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return docs.select(
+        "doc_id",
+        (
+            F.coalesce(F.count(F.lit(1)).over(w), F.lit(0)) < quota
+        ).alias("admitted"),
+    )
+
+
+def quota_admission_stream(
+    docs: DataFrame,
+    state_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    quota: int = QUOTA_Q,
+) -> None:
+    """Streaming per-source quota admission: each micro-batch of
+    documents is admitted or rejected against a persistent
+    admitted-set state, exactly-once under replay and crash-safe.
+
+    The state is the SET of admitted (source, doc_id) rows — NOT a
+    counter: a counter double-counts on replay, while a set union is a
+    content no-op, which is what makes the gate replay-idempotent (the
+    same design decision as the claim gates' always-merge). Under
+    in-order arrival the admitted set per source is always a PREFIX of
+    that source's ids, so the decision rule is pure content:
+
+        admitted(d) iff |{ids < d in state(source) UNION batch(source)}|
+                        < quota
+
+    A replayed batch recomputes its original decisions against the
+    merged state (each admitted doc counts only ids smaller than
+    itself; each rejected doc still sees >= quota smaller admitted
+    ids). ARRIVAL-ORDER VIOLATION (content-based, the claim gates'
+    convention): a batch doc smaller than its source's largest admitted
+    id that is NOT itself in state cannot be a replay — it is a
+    genuinely late arrival that would break the prefix invariant — and
+    the gate fails loudly BEFORE writing anything.
+
+    Durability reuses the versioned-state machinery of the claim gates
+    (:func:`_committed_state_versions` / :func:`_active_version_paths`:
+    chain-counter ``v-<chain>-w<wm>`` names, ``_SUCCESS`` commit, GC of
+    everything outside the live composition). Unlike the claim tables
+    the state here is BOUNDED — at most ``quota`` rows per source,
+    independent of corpus size — so every version is a full snapshot
+    (O(sources x quota), never O(data)) and the delta/compaction
+    treadmill is deliberately not engaged; that boundedness is the
+    operator's 100 TB story. Decisions land under
+    ``out_dir/batch=<batch_id>`` with per-batch overwrite, same
+    contract as the claim gates."""
+    from parquet_compactor_spark.compactor.fs import HadoopFS
+
+    def admit(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+
+        spark = batch_df.sparkSession
+        fs = HadoopFS(spark, state_dir)
+        versions = _committed_state_versions(fs, state_dir)
+        active = _active_version_paths(versions, state_dir)
+        state = spark.read.parquet(*active) if active else None
+
+        batch_ids = batch_df.select("source", "doc_id")
+        if state is not None:
+            pool = batch_ids.unionByName(
+                state.select("source", "doc_id")
+            ).distinct()
+            smax = state.groupBy("source").agg(
+                F.max("doc_id").alias("state_max")
+            )
+            in_state = state.select(
+                "source", "doc_id", F.lit(True).alias("in_state")
+            )
+        else:
+            pool = batch_ids.distinct()
+            smax = None
+            in_state = None
+
+        w = (
+            Window.partitionBy("source")
+            .orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        ranked = pool.select(
+            "source",
+            "doc_id",
+            (F.coalesce(F.count(F.lit(1)).over(w), F.lit(0)) < quota).alias(
+                "admitted"
+            ),
+        )
+        decisions = batch_ids.join(ranked, ["source", "doc_id"])
+        if smax is not None:
+            decisions = (
+                decisions.join(smax, "source", "left")
+                .join(in_state, ["source", "doc_id"], "left")
+                .withColumn(
+                    "violation",
+                    F.coalesce(F.col("doc_id") < F.col("state_max"), F.lit(False))
+                    & ~F.coalesce(F.col("in_state"), F.lit(False)),
+                )
+            )
+        else:
+            decisions = decisions.withColumn("violation", F.lit(False))
+
+        decisions = decisions.persist()
+        try:
+            bad = (
+                decisions.filter("violation")
+                .select("doc_id")
+                .limit(5)
+                .collect()
+            )
+            if bad:
+                ids = sorted(int(r.doc_id) for r in bad)
+                raise ValueError(
+                    f"quota_admission_stream: arrival-order violation — "
+                    f"doc_id(s) {ids} are smaller than their source's "
+                    "largest admitted id but absent from the admitted "
+                    "set, so they are genuinely late arrivals the "
+                    "prefix-quota policy cannot order; feed batches in "
+                    "doc_id order or assign monotonic ingest ids "
+                    "upstream."
+                )
+            decisions.select("doc_id", "admitted").write.mode(
+                "overwrite"
+            ).parquet(f"{out_dir}/batch={batch_id}")
+            hi = decisions.agg(F.max("doc_id").alias("hi")).collect()[0].hi
+            new_admitted = decisions.filter("admitted").select(
+                "source", "doc_id"
+            )
+            merged = (
+                new_admitted
+                if state is None
+                else state.select("source", "doc_id")
+                .unionByName(new_admitted)
+                .distinct()
+            )
+            prior_wm = versions[-1][2] if versions else None
+            new_wm = max(
+                (x for x in (prior_wm, hi) if x is not None), default=None
+            )
+            chain = versions[-1][0] + 1 if versions else 0
+            suffix = "" if new_wm is None else f"-w{int(new_wm)}"
+            merged.write.mode("overwrite").parquet(
+                f"{state_dir}/v-{chain}{suffix}"
+            )
+        finally:
+            decisions.unpersist()
+        live = set(
+            _active_version_paths(
+                _committed_state_versions(fs, state_dir), state_dir
+            )
+        )
+        for d in fs.list_dirs(state_dir):
+            name = d.path.rstrip("/").rsplit("/", 1)[-1]
+            if name.startswith("v-") and d.path not in live:
+                fs.delete(d.path, recursive=True)
+
+    (
+        docs.writeStream.foreachBatch(admit)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+@register(
+    "q_quota_admission",
+    oracle=f"""
+    WITH r AS (
+        SELECT source, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN rn <= {QUOTA_Q} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_admitted,
+           CAST(MAX(CASE WHEN rn <= {QUOTA_Q} THEN doc_id END) AS BIGINT)
+               AS max_admitted_id
+    FROM r GROUP BY source ORDER BY source
+    """,
+    doc="Per-source quota admission, batch closed form — the summary "
+    "view of :func:`quota_admission_batch` (first QUOTA_Q=20 documents "
+    "of each source by ingest id admitted, the rest rejected): per "
+    "source the doc count, the admitted count, and the largest admitted "
+    "id (= the quota high-water mark the STREAMING gate's state "
+    "enforces; :func:`quota_admission_stream` makes the same decisions "
+    "incrementally with a bounded admitted-set state, pinned equal by "
+    "tests/test_streaming.py). The ingest fairness/budget control of a "
+    "multi-crawler tier. Plan: ONE source-partitioned window over "
+    "(source, doc_id) pairs — no text bytes read (column pruning "
+    "reaches the scan), one shuffle on source; a skewed source is the "
+    "q_salted_agg situation and the quota decision still only needs "
+    "each doc's within-source rank.",
+)
+def q_quota_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents").select("source", "doc_id")
+    rn = F.row_number().over(
+        Window.partitionBy("source").orderBy("doc_id")
+    )
+    return (
+        d.select("source", "doc_id", rn.alias("rn"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("rn") <= QUOTA_Q).cast("int"))
+            .cast("bigint")
+            .alias("n_admitted"),
+            F.max(F.when(F.col("rn") <= QUOTA_Q, F.col("doc_id")))
+            .cast("bigint")
+            .alias("max_admitted_id"),
+        )
+        .orderBy("source")
+    )

@@ -150,6 +150,24 @@ RAMP_QUERIES = [
     # q_embed_dim_stats family; q_shard_packing is bucket-windowed
     # scan-shaped.)
     "q_winnowing_fingerprint",
+    # round-11 session 2: CDC chunking hashes one 8-word window per
+    # token (the q_substring_dedup map shape) but shuffles only ~1/16th
+    # as many chunk keys — the ramp must show the same linear map with
+    # a cheaper exchange; the dedup cascade composes two corpus-window
+    # flags with the LSH candidate machinery on survivors (must ramp
+    # like q_dedup_minhash, never pair-quadratic); source overlap's
+    # gram-hash self-join emits <= sources rows per gram (the curve to
+    # watch is the distinct, which saturates with the gram space);
+    # doc entropy rides the per-doc vocabulary family (window key is
+    # doc_id — frame size bounded by doc length, not corpus).
+    # (q_ttr_hapax / q_novelty_curve / q_budget_select are single
+    # vocab/scan-shaped aggs — covered by the zipf/gopher slope
+    # families; q_dp_histogram / q_l_diversity / q_quota_admission are
+    # group-table-sized after one agg/window.)
+    "q_cdc_chunk_dedup",
+    "q_dedup_cascade",
+    "q_source_overlap",
+    "q_doc_entropy",
 ]
 
 OFF = 10_000_000  # per-copy key shift

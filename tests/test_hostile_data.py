@@ -180,6 +180,9 @@ SENSITIVE = [
     "q_budget_select",
     "q_doc_entropy",
     "q_l_diversity",
+    # q_quota_admission never reads text: NULL-text docs still consume
+    # quota on both engines (ingest-control, not content, semantics).
+    "q_quota_admission",
 ]
 
 

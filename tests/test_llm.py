@@ -1874,3 +1874,35 @@ def test_l_diversity_flags_homogeneous_class(spark):
     assert LDIV_L == 3
     # risk_ppm: 10 of 15 rows live in the homogeneous class.
     assert out[(1, "AUTO")].risk_ppm == 10 * 1000000 // 15
+
+
+def test_quota_admission_summary_matches_batch_twin(spark, tmp_path):
+    """The registered summary query must be the aggregation of the
+    streaming gate's batch twin — one policy, two views."""
+    rows = [(i, f"t{i % 7}", f"src{i % 3}") for i in range(90)]
+    sf = _write_sourced_docs(spark, tmp_path, rows)
+    from parquet_compactor_spark.registry import all_queries, load
+    from parquet_compactor_spark.streaming.pipeline import (
+        QUOTA_Q,
+        quota_admission_batch,
+    )
+
+    docs = load(spark, sf, "documents")
+    twin = {
+        r.doc_id: r.admitted for r in quota_admission_batch(docs).collect()
+    }
+    docs_src = {r.doc_id: r.source for r in docs.select("doc_id", "source").collect()}
+    expect = {}
+    for doc_id, adm in twin.items():
+        src = docs_src[doc_id]
+        e = expect.setdefault(src, [0, 0, None])
+        e[0] += 1
+        if adm:
+            e[1] += 1
+            e[2] = doc_id if e[2] is None else max(e[2], doc_id)
+    out = {
+        r.source: (r.n_docs, r.n_admitted, r.max_admitted_id)
+        for r in all_queries()["q_quota_admission"].fn(spark, sf).collect()
+    }
+    assert out == {s: tuple(v) for s, v in expect.items()}
+    assert all(v[1] <= QUOTA_Q for v in out.values())

@@ -969,3 +969,106 @@ def test_stateful_v2_gate_flips_open_when_protobuf_appears():
     assert stateful_v2.HAVE_TWS is False
     with pytest.raises(ImportError, match="protobuf"):
         stateful_v2.sessionize_stream_v2(None)
+
+
+def test_quota_admission_stream_matches_batch_and_replays(spark, tmp_path):
+    """The quota gate: decisions unioned across micro-batches equal the
+    closed-form batch twin; quota consumed in batch 1 carries into
+    batch 2 via STATE (rejections that a stateless per-batch quota would
+    admit); a checkpoint-loss replay against the merged admitted set
+    reproduces the original decisions; and the state stays bounded at
+    <= quota rows per source."""
+    import time
+
+    from parquet_compactor_spark.streaming.pipeline import (
+        quota_admission_batch,
+        quota_admission_stream,
+    )
+
+    schema = "doc_id bigint, source string"
+    landing = tmp_path / "docs"
+    # Batch 1: src-a consumes 2 of its 3-quota, src-b consumes 1.
+    b1 = [(0, "src-a"), (1, "src-a"), (2, "src-b")]
+    # Batch 2: src-a has ONE slot left -> 10 admitted, 11/12 rejected;
+    # src-b admits both.
+    b2 = [(10, "src-a"), (11, "src-a"), (12, "src-a"), (13, "src-b"), (14, "src-b")]
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(
+        str(landing)
+    )
+    time.sleep(1.1)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(
+        str(landing)
+    )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(landing))
+    )
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "decisions")
+    quota_admission_stream(stream, state, out, str(tmp_path / "ckpt"), quota=3)
+
+    streamed = {r.doc_id: r.admitted for r in spark.read.parquet(out).collect()}
+    all_docs = spark.createDataFrame(b1 + b2, schema)
+    batch = {
+        r.doc_id: r.admitted
+        for r in quota_admission_batch(all_docs, quota=3).collect()
+    }
+    assert streamed == batch
+    assert streamed[10] and not streamed[11] and not streamed[12]  # state carry
+    assert streamed[13] and streamed[14]
+
+    # State bounded: at most quota rows per source.
+    st = spark.read.parquet(f"{state}/v-*")
+    per_src = {r.source: r.n for r in st.groupBy("source").agg(
+        __import__("pyspark.sql.functions", fromlist=["count"]).count("doc_id").alias("n")
+    ).collect()}
+    assert all(n <= 3 for n in per_src.values()), per_src
+
+    # Checkpoint-loss replay of EVERYTHING against merged state:
+    # decisions reproduce bit-identically, no violation raised.
+    stream2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(landing))
+    )
+    quota_admission_stream(stream2, state, out, str(tmp_path / "ckpt2"), quota=3)
+    replayed = {r.doc_id: r.admitted for r in spark.read.parquet(out).collect()}
+    assert replayed == batch
+
+
+def test_quota_admission_stream_rejects_late_arrival(spark, tmp_path):
+    """A doc smaller than its source's largest admitted id that is NOT in
+    the admitted set is a genuinely late arrival — the gate must fail
+    loudly, not silently mis-rank the quota."""
+    import time
+
+    import pytest as _pytest
+
+    from parquet_compactor_spark.streaming.pipeline import quota_admission_stream
+
+    schema = "doc_id bigint, source string"
+    landing = tmp_path / "docs"
+    spark.createDataFrame([(10, "src-a"), (11, "src-a")], schema).coalesce(
+        1
+    ).write.mode("append").parquet(str(landing))
+    time.sleep(1.1)
+    # doc 5 < admitted max 11 and not in state -> violation.
+    spark.createDataFrame([(5, "src-a")], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(landing))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(landing))
+    )
+    with _pytest.raises(Exception, match="arrival-order violation"):
+        quota_admission_stream(
+            stream,
+            str(tmp_path / "state"),
+            str(tmp_path / "out"),
+            str(tmp_path / "ckpt"),
+            quota=3,
+        )
