@@ -1781,7 +1781,16 @@ def q_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("keep1").cast("int")).cast("bigint").alias("n1"),
         F.sum(F.col("keep2").cast("int")).cast("bigint").alias("n2"),
     )
-    surv = flags.filter("keep2").select("doc_id", "text")
+    # The minhash candidate machinery reads its input from THREE
+    # branches (bucket explode + both pair-verify sides); without a
+    # materialization each branch would recompute the two-window flags
+    # subtree above (measured: 46 rendered exchanges and ~2x wall
+    # clock). persist_tracked is the released-guard-cache pattern
+    # (q_pagerank's edge table); at lake scale the survivor set would
+    # be written out between stages instead.
+    from parquet_compactor_spark.llm.text import persist_tracked
+
+    surv = persist_tracked(flags.filter("keep2").select("doc_id", "text"))
     rm3 = (
         minhash_candidate_pairs(surv)
         .filter(F.col("jaccard_exact") >= 0.5)

@@ -183,6 +183,10 @@ SENSITIVE = [
     # q_quota_admission never reads text: NULL-text docs still consume
     # quota on both engines (ingest-control, not content, semantics).
     "q_quota_admission",
+    # q_embed_covariance scopes NULL embeddings out on both engines
+    # (the q_ivfpq_search drop-null convention); the quantized moments
+    # are exact integers, so the mutated vectors hash-match exactly.
+    "q_embed_covariance",
 ]
 
 

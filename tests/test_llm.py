@@ -1906,3 +1906,39 @@ def test_quota_admission_summary_matches_batch_twin(spark, tmp_path):
     }
     assert out == {s: tuple(v) for s, v in expect.items()}
     assert all(v[1] <= QUOTA_Q for v in out.values())
+
+
+def test_embed_covariance_exact_on_planted_vectors(spark, tmp_path):
+    """Hand-computable covariance: vectors [0.1, 0.2], [0.3, 0.6],
+    [0.5, 1.0] quantize to (100,200),(300,600),(500,1000). The numerator
+    n*Sxy - Sx*Sy must come out exactly, including the perfectly
+    correlated off-diagonal; and the result must be invariant to input
+    partitioning (the partial-Gram reduce is associative)."""
+    rows = [(0, [0.1, 0.2], 0), (1, [0.3, 0.6], 1), (2, [0.5, 1.0], 0)]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    from parquet_compactor_spark.registry import all_queries
+
+    out = {
+        (r.dim_i, r.dim_j): (r.n, r.cov_num)
+        for r in all_queries()["q_embed_covariance"].fn(spark, str(tmp_path)).collect()
+    }
+    # Sx = 900, Sy = 1800, Sxx = 350000, Sxy = 700000, Syy = 1400000.
+    assert out[(1, 1)] == (3, 3 * 350000 - 900 * 900)
+    assert out[(1, 2)] == (3, 3 * 700000 - 900 * 1800)
+    assert out[(2, 2)] == (3, 3 * 1400000 - 1800 * 1800)
+    # cov(x,y)^2 == var(x)var(y) for perfectly correlated dims.
+    assert out[(1, 2)][1] ** 2 == out[(1, 1)][1] * out[(2, 2)][1]
+    # Partitioning invariance: 7-way split, same exact integers.
+    df.repartition(7).write.mode("overwrite").parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    out7 = {
+        (r.dim_i, r.dim_j): (r.n, r.cov_num)
+        for r in all_queries()["q_embed_covariance"].fn(spark, str(tmp_path)).collect()
+    }
+    assert out7 == out

@@ -892,6 +892,35 @@ PLAN_SHAPE_PINS = {
     # sides + final doc rollup. A count jump means per-gram rows
     # started exploding again (2.5x the shuffle volume).
     "q_winnowing_fingerprint": (9, 0, 0, 0),  # +3: spread_scan (live + guard lineage)
+    # Round-11 session 2. CDC chunking: boundary scan + span assembly
+    # are ONE map-side projection (no explode before finished chunks);
+    # 4 = spread_scan round-robin + the chunk-hash window exchange +
+    # the 20-group rollup (partial+final). Any pair op appearing means
+    # chunks started joining instead of window-counting.
+    "q_cdc_chunk_dedup":    (4,  0, 0, 0),
+    # Dedup cascade: the survivor set is persist_tracked (its
+    # two-window build lineage renders under every InMemoryTableScan
+    # reference — the q_pagerank counting convention; the persist
+    # measured ~2x wall clock over recompute-per-branch), and the
+    # minhash machinery's 15-exchange shape rides on top. The 1 BNLJ is
+    # the 1-row stage-counts x 1-row removals scalar join. A
+    # CartesianProduct appearing means stage 3 escaped the LSH bound.
+    "q_dedup_cascade":      (66, 0, 0, 1),
+    # Source overlap: distinct gram-hash exchange + self-join sides +
+    # per-source counts; 1 BNLJ = the bounded 20x20 pair spine. A
+    # second BNLJ or a CartesianProduct means the gram equi-join
+    # dropped its key.
+    "q_source_overlap":     (15, 0, 0, 1),
+    # Doc entropy: (doc, word) agg + doc-window on the same key space +
+    # per-doc rollup + histogram — 5 exchanges incl. spread_scan, no
+    # joins ever.
+    "q_doc_entropy":        (5,  0, 0, 0),
+    # Embed covariance: mapInPandas partial Grams + the 2080-group
+    # reduce + the 64-row first-moment agg broadcast twice — 9
+    # exchanges incl. spread_scan under both scan branches; the joins
+    # must stay BroadcastHashJoins (a sort-merge or pair op appearing
+    # means the model-state moments stopped broadcasting).
+    "q_embed_covariance":   (9,  0, 0, 0),
 }
 
 
