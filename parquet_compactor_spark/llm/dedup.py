@@ -1758,15 +1758,25 @@ def q_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread_scan(
         load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     )
-    w1 = Window.partitionBy(F.md5("text"))
-    w2 = Window.partitionBy(normalized_fingerprint(F.col("text")))
-    flags = d.select(
+    # Stage flags run over (doc_id, h1, h2) ONLY — the text column never
+    # rides the two window exchanges (WindowExec also SORTS each hash
+    # partition, so carrying text paid an O(n log n) sort of full rows
+    # twice; the narrow form measured 9.8 -> ~7 s at sf0.1, and
+    # persisting the text-carrying flags frame instead measured 12-14 s:
+    # caching wide rows cost more than recomputing them).
+    keyed = d.select(
         "doc_id",
-        "text",
+        F.md5("text").alias("h1"),
+        normalized_fingerprint(F.col("text")).alias("h2"),
+    )
+    w1 = Window.partitionBy("h1")
+    w2 = Window.partitionBy("h2")
+    flags = keyed.select(
+        "doc_id",
+        "h2",
         (F.col("doc_id") == F.min("doc_id").over(w1)).alias("keep1"),
     ).select(
         "doc_id",
-        "text",
         "keep1",
         (
             F.col("keep1")
@@ -1781,16 +1791,20 @@ def q_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("keep1").cast("int")).cast("bigint").alias("n1"),
         F.sum(F.col("keep2").cast("int")).cast("bigint").alias("n2"),
     )
-    # The minhash candidate machinery reads its input from THREE
-    # branches (bucket explode + both pair-verify sides); without a
-    # materialization each branch would recompute the two-window flags
-    # subtree above (measured: 46 rendered exchanges and ~2x wall
-    # clock). persist_tracked is the released-guard-cache pattern
-    # (q_pagerank's edge table); at lake scale the survivor set would
-    # be written out between stages instead.
+    # Survivor TEXT moves exactly once (one doc_id-keyed join), and the
+    # result is persist_tracked because the minhash candidate machinery
+    # reads it from three branches (bucket explode + both pair-verify
+    # sides) — without the materialization each branch recomputes the
+    # flag windows AND the join. persist_tracked is the released-guard-
+    # cache pattern (q_pagerank's edge table); at lake scale the
+    # survivor set would be written out between stages instead.
     from parquet_compactor_spark.llm.text import persist_tracked
 
-    surv = persist_tracked(flags.filter("keep2").select("doc_id", "text"))
+    surv = persist_tracked(
+        d.select("doc_id", "text").join(
+            flags.filter("keep2").select("doc_id"), "doc_id"
+        )
+    )
     rm3 = (
         minhash_candidate_pairs(surv)
         .filter(F.col("jaccard_exact") >= 0.5)

@@ -898,14 +898,16 @@ PLAN_SHAPE_PINS = {
     # the 20-group rollup (partial+final). Any pair op appearing means
     # chunks started joining instead of window-counting.
     "q_cdc_chunk_dedup":    (4,  0, 0, 0),
-    # Dedup cascade: the survivor set is persist_tracked (its
-    # two-window build lineage renders under every InMemoryTableScan
-    # reference — the q_pagerank counting convention; the persist
-    # measured ~2x wall clock over recompute-per-branch), and the
-    # minhash machinery's 15-exchange shape rides on top. The 1 BNLJ is
-    # the 1-row stage-counts x 1-row removals scalar join. A
+    # Dedup cascade: stage flags run NARROW (hash columns only — text
+    # never rides the two window sorts; the wide form measured +40%
+    # wall), survivor text moves once through a doc_id join, and the
+    # survivor set is persist_tracked (its windows+join build lineage
+    # renders under every InMemoryTableScan reference — the q_pagerank
+    # counting convention — which is most of this count), with the
+    # minhash machinery's 15-exchange shape on top. The 1 BNLJ is the
+    # 1-row stage-counts x 1-row removals scalar join. A
     # CartesianProduct appearing means stage 3 escaped the LSH bound.
-    "q_dedup_cascade":      (66, 0, 0, 1),
+    "q_dedup_cascade":      (98, 0, 0, 1),
     # Source overlap: distinct gram-hash exchange + self-join sides +
     # per-source counts; 1 BNLJ = the bounded 20x20 pair spine. A
     # second BNLJ or a CartesianProduct means the gram equi-join
