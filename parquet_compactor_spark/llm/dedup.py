@@ -1841,3 +1841,79 @@ def q_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("s.*")
     )
+
+
+@register(
+    "q_dup_inflation",
+    oracle="""
+    WITH g AS (
+        SELECT source, md5(text) AS h,
+               CAST(COUNT(*) AS BIGINT) AS copies,
+               CAST(MIN(len(string_split(text, ' '))) AS BIGINT) AS n_tok
+        FROM documents WHERE text IS NOT NULL
+        GROUP BY source, md5(text)
+    )
+    SELECT source,
+           CAST(SUM(copies * n_tok) AS BIGINT) AS tokens_total,
+           CAST(SUM(n_tok) AS BIGINT) AS tokens_distinct,
+           CAST(SUM(copies) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_docs,
+           CAST((SUM(copies * n_tok) * 1000000) // SUM(n_tok) AS BIGINT)
+               AS inflation_micro
+    FROM g GROUP BY source ORDER BY source
+    """,
+    doc="Token-weighted duplication inflation per source — the "
+    "'effective dataset size' number data-constrained scaling work "
+    "reasons about (Muennighoff et al. 2023: a source at inflation 3x "
+    "contributes its distinct tokens for ~3 epochs, with the "
+    "diminishing returns that implies): tokens_total / tokens_distinct "
+    "where distinct content is keyed by exact md5, in exact integer "
+    "micro units. q_dedup_exact reports the copy GROUPS; this weighs "
+    "them by token mass and rolls up to the per-source planning "
+    "number (inflation 1.0 = every byte unique; the doc-count twin "
+    "n_docs/n_distinct_docs rides along to show when duplication is "
+    "concentrated in long docs). Plan: one (source, md5) hash agg — "
+    "copies of identical text share the token count, so MIN(n_tok) is "
+    "exact — then a 20-group rollup; one uniform-keyed shuffle, no "
+    "joins, scan-bound at any corpus size.",
+)
+def q_dup_inflation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parquet_compactor_spark.llm.text import spread_scan
+
+    d = spread_scan(
+        load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    )
+    g = (
+        d.select(
+            "source",
+            F.md5("text").alias("h"),
+            F.size(F.split("text", " ", -1)).cast("bigint").alias("n_tok"),
+        )
+        .groupBy("source", "h")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("copies"),
+            F.min("n_tok").alias("n_tok"),
+        )
+    )
+    return (
+        g.groupBy("source")
+        .agg(
+            F.sum(F.col("copies") * F.col("n_tok")).cast("bigint").alias(
+                "tokens_total"
+            ),
+            F.sum("n_tok").cast("bigint").alias("tokens_distinct"),
+            F.sum("copies").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct_docs"),
+        )
+        .select(
+            "source",
+            "tokens_total",
+            "tokens_distinct",
+            "n_docs",
+            "n_distinct_docs",
+            F.expr(
+                "CAST((tokens_total * 1000000) div tokens_distinct AS BIGINT)"
+            ).alias("inflation_micro"),
+        )
+        .orderBy("source")
+    )

@@ -1317,3 +1317,140 @@ def q_doc_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+#: Absolute discount for interpolated Kneser-Ney (the textbook 0.75).
+KN_D = 0.75
+
+
+@register(
+    "q_kn_bigram",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS w
+        FROM documents WHERE text IS NOT NULL
+    ),
+    bg AS (
+        SELECT doc_id, p.w1 AS w1, p.w2 AS w2
+        FROM (SELECT doc_id,
+                     unnest(list_transform(range(1, len(w)),
+                                           i -> {{'w1': w[i], 'w2': w[i+1]}})) AS p
+              FROM t WHERE len(w) >= 2)
+    ),
+    bi AS (
+        SELECT w1, w2, COUNT(*) AS n_b
+        FROM bg WHERE doc_id % 2 = 0 GROUP BY w1, w2
+    ),
+    ctx AS (
+        SELECT w1, CAST(SUM(n_b) AS DOUBLE) AS c_w1,
+               CAST(COUNT(*) AS BIGINT) AS n1_fwd
+        FROM bi GROUP BY w1
+    ),
+    cont AS (
+        SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1_bwd FROM bi GROUP BY w2
+    ),
+    btot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS b_types FROM bi)
+    SELECT b.doc_id,
+           COUNT(*) AS n_bigrams,
+           CAST(SUM(CASE WHEN ctx.w1 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unseen_ctx,
+           CAST(SUM(CASE WHEN cont.n1_bwd IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_oov,
+           CAST(SUM(CAST(FLOOR(
+               CASE WHEN ctx.w1 IS NOT NULL
+                    THEN GREATEST(CAST(COALESCE(bi.n_b, 0) AS DOUBLE)
+                                  - {KN_D}, 0.0) / ctx.c_w1
+                         + (({KN_D} * ctx.n1_fwd) / ctx.c_w1)
+                           * (CAST(COALESCE(cont.n1_bwd, 0) AS DOUBLE)
+                              / btot.b_types)
+                    ELSE CAST(COALESCE(cont.n1_bwd, 0) AS DOUBLE)
+                         / btot.b_types END
+               * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS score_micro
+    FROM bg b
+    LEFT JOIN bi ON b.w1 = bi.w1 AND b.w2 = bi.w2
+    LEFT JOIN ctx ON b.w1 = ctx.w1
+    LEFT JOIN cont ON b.w2 = cont.w2
+    CROSS JOIN btot
+    GROUP BY b.doc_id
+    """,
+    doc="Interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995; the "
+    "estimator KenLM ships and CCNet-style quality filters actually "
+    "run, where q_bigram_backoff is the distributed-counts Stupid "
+    "Backoff): trained on the even-doc_id shard, each bigram scores "
+    "max(c(w1w2)-D, 0)/c(w1) + D*N1+(w1.)/c(w1) * Pcont(w2), with the "
+    "continuation probability Pcont(w2) = N1+(.w2)/|bigram types| — "
+    "the 'how many contexts does w2 follow' correction that makes KN "
+    "strictly better than raw-frequency backoff on functional words "
+    "('Francisco' is frequent but follows only 'San'). Unseen contexts "
+    "fall to Pcont alone; w2 never seen as a continuation scores 0 "
+    "and counts as OOV. ALL model tables (bigrams, per-context totals "
+    "+ fan-outs, continuation counts, the 1-row type total) derive "
+    "from ONE training aggregation behind the measured broadcast "
+    "guard; per-bigram scores micro-floor before the order-independent "
+    "integer per-doc sum, the identical IEEE op sequence on both "
+    "engines (the q_bigram_backoff convention). Plan: one tokenized "
+    "scan -> bigram explode -> three guarded vocabulary joins + one "
+    "scalar crossJoin -> per-doc rollup; open-ended gram space at "
+    "100 TB degrades the broadcasts to shuffle joins via the guard, "
+    "nothing else changes.",
+)
+def q_kn_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    ws = F.filter(whitespace_tokens(F.col("text")), lambda x: x != "")
+    toks = spread_scan(d.select("doc_id", ws.alias("ws")))
+    pair_expr = F.expr(
+        """
+        CASE WHEN size(ws) >= 2
+        THEN transform(sequence(0, size(ws) - 2),
+                       i -> struct(ws[i] AS w1, ws[i + 1] AS w2))
+        ELSE CAST(array() AS array<struct<w1: string, w2: string>>) END
+        """
+    )
+    bg = toks.select("doc_id", F.explode(pair_expr).alias("p")).select(
+        "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    train = F.col("doc_id") % 2 == 0
+    bi = broadcast_if_bounded(
+        bg.filter(train).groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_b"))
+    )
+    ctx = broadcast_if_bounded(
+        bi.groupBy("w1").agg(
+            F.sum("n_b").cast("double").alias("c_w1"),
+            F.count(F.lit(1)).cast("bigint").alias("n1_fwd"),
+        )
+    )
+    cont = broadcast_if_bounded(
+        bi.groupBy("w2").agg(F.count(F.lit(1)).cast("bigint").alias("n1_bwd"))
+    )
+    btot = bi.agg(F.count(F.lit(1)).cast("double").alias("b_types"))
+    scored = (
+        bg.join(bi, ["w1", "w2"], "left")
+        .join(ctx, "w1", "left")
+        .join(cont, "w2", "left")
+        .crossJoin(F.broadcast(btot))
+    )
+    p_cont = F.coalesce(F.col("n1_bwd"), F.lit(0)).cast("double") / F.col(
+        "b_types"
+    )
+    seen_ctx = F.col("c_w1").isNotNull()
+    s = F.when(
+        seen_ctx,
+        F.greatest(
+            F.coalesce(F.col("n_b"), F.lit(0)).cast("double") - F.lit(KN_D),
+            F.lit(0.0),
+        )
+        / F.col("c_w1")
+        + ((F.lit(KN_D) * F.col("n1_fwd")) / F.col("c_w1")) * p_cont,
+    ).otherwise(p_cont)
+    s_micro = F.floor(s * 1000000 + 0.5).cast("bigint")
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum(F.when(~seen_ctx, 1).otherwise(0)).cast("bigint").alias(
+            "n_unseen_ctx"
+        ),
+        F.sum(F.when(F.col("n1_bwd").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_oov"),
+        F.sum(s_micro).cast("bigint").alias("score_micro"),
+    )

@@ -1061,3 +1061,97 @@ def q_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.countDistinct("event_type") - 1) * (F.countDistinct("vbucket") - 1)
         ).cast("int").alias("dof"),
     )
+
+
+@register(
+    "q_skew_audit",
+    oracle="""
+    WITH freq AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS f
+        FROM events GROUP BY user_id
+    ),
+    banded AS (
+        SELECT f,
+               CAST(CASE WHEN f < 2 THEN 0 WHEN f < 4 THEN 1
+                         WHEN f < 8 THEN 2 WHEN f < 16 THEN 3
+                         WHEN f < 32 THEN 4 WHEN f < 64 THEN 5
+                         WHEN f < 128 THEN 6 WHEN f < 256 THEN 7
+                         WHEN f < 512 THEN 8 WHEN f < 1024 THEN 9
+                         WHEN f < 4096 THEN 10 WHEN f < 65536 THEN 11
+                         ELSE 12 END AS BIGINT) AS band
+        FROM freq
+    )
+    SELECT band,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(f) AS BIGINT) AS n_rows,
+           CAST(MAX(f) AS BIGINT) AS max_freq,
+           CAST((MAX(MAX(f)) OVER () * 1000000)
+                // (SUM(SUM(f)) OVER () // SUM(COUNT(*)) OVER ()
+                    + CASE WHEN SUM(SUM(f)) OVER ()
+                                % SUM(COUNT(*)) OVER () = 0
+                           THEN 0 ELSE 1 END) AS BIGINT)
+               AS skew_ratio_micro_floor
+    FROM banded GROUP BY band ORDER BY band
+    """,
+    doc="Shuffle-key skew audit over the events join/agg key (user_id) — "
+    "the diagnostic that DECIDES when q_salted_join / q_salted_agg's "
+    "machinery is worth its extra exchange: the key-frequency table is "
+    "banded into power-of-two buckets (exact integer comparisons — no "
+    "log() portability risk) and each band reports key count, row "
+    "mass, and its hottest key; every row carries the corpus-level "
+    "skew ratio max_freq/ceil(avg_freq) in exact integer micro units "
+    "(// of BIGINTs on both engines — the q_kanon_audit convention). "
+    "A ratio near 1e6 means uniform keys (no salting); 10-100x means "
+    "one reducer owns the shuffle and the salted twins should take "
+    "over. Plan: ONE hash agg to the key-frequency table (bounded by "
+    "distinct keys, not rows), a 13-band rollup, and a bands-sized "
+    "window — never a global sort over the frequency table, which is "
+    "what makes the audit itself scale-safe (rank-based percentiles "
+    "over billions of keys would need the very skew handling this "
+    "query is deciding on).",
+)
+def q_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    freq = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("f"))
+    band = (
+        F.when(F.col("f") < 2, 0)
+        .when(F.col("f") < 4, 1)
+        .when(F.col("f") < 8, 2)
+        .when(F.col("f") < 16, 3)
+        .when(F.col("f") < 32, 4)
+        .when(F.col("f") < 64, 5)
+        .when(F.col("f") < 128, 6)
+        .when(F.col("f") < 256, 7)
+        .when(F.col("f") < 512, 8)
+        .when(F.col("f") < 1024, 9)
+        .when(F.col("f") < 4096, 10)
+        .when(F.col("f") < 65536, 11)
+        .otherwise(12)
+        .cast("bigint")
+    )
+    g = freq.select(band.alias("band"), "f").groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("f").cast("bigint").alias("n_rows"),
+        F.max("f").cast("bigint").alias("max_freq"),
+    )
+    # Exact integer arithmetic end to end (div, not /: the double
+    # quotient loses integer exactness past 2^53 — q_kanon_audit's
+    # convention), over a bands-sized window.
+    return (
+        g.select(
+            "band",
+            "n_keys",
+            "n_rows",
+            "max_freq",
+            F.expr(
+                "CAST((MAX(max_freq) OVER () * 1000000)"
+                " div ((SUM(n_rows) OVER ()) div (SUM(n_keys) OVER ())"
+                "      + CASE WHEN pmod(SUM(n_rows) OVER (),"
+                "                       SUM(n_keys) OVER ()) = 0"
+                "             THEN 0 ELSE 1 END) AS BIGINT)"
+            ).alias("skew_ratio_micro_floor"),
+        )
+        .orderBy("band")
+    )

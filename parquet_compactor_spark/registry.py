@@ -244,7 +244,7 @@ def _ensure_loaded() -> None:
 #         q_window_topn) roll to round 11.
 #
 # Round 11 (exactly 50 names) — the pre-planned rotation, executed:
-#   1-20  NEW this round (no driver row): the session-2 eleven —
+#   1-23  NEW this round (no driver row): the session-2 fourteen —
 #         q_cdc_chunk_dedup (FastCDC-style content-defined chunking dedup
 #         — shift-resistant chunk boundaries from masked window hashes,
 #         corpus-wide chunk copy counts), q_source_overlap (cross-source
@@ -262,7 +262,13 @@ def _ensure_loaded() -> None:
 #         q_quota_admission (per-source ingest quota, the batch twin of
 #         the new quota_admission_stream gate), q_embed_covariance
 #         (exact-integer distributed Gram matrix via Arrow-batched
-#         per-partition partial aggregation) — then
+#         per-partition partial aggregation), q_kn_bigram (interpolated
+#         Kneser-Ney bigram LM scoring — continuation counts, the
+#         KenLM estimator next to q_bigram_backoff's Stupid Backoff),
+#         q_skew_audit (power-of-two key-frequency bands + exact-ppm
+#         skew ratio: the decides-when-to-salt diagnostic), and
+#         q_dup_inflation (token-weighted duplication factor per
+#         source, the effective-dataset-size number) — then
 #         the nine
 #         from the session-1 wave listed below: q_token_fertility (tokenizer
 #         fertility / bytes-per-token per language), q_eval_contamination
@@ -298,14 +304,16 @@ def _ensure_loaded() -> None:
 #         the untouched q_dedup_simhash control held at 2.6 s);
 #   20-26 the seven r5 roll-overs from the round-10 plan (q_unpivot +
 #         the six q_window_* rows) — after these, no r5 row remains;
-#   38-50 the r6-latest rows, alphabetical, as many as fit (13 of 43 —
-#         the eleven session-2 additions displaced q_gapfill_buckets,
+#   41-50 the r6-latest rows, alphabetical, as many as fit (10 of 43 —
+#         the fourteen session-2 additions displaced q_ewma, q_except,
+#         q_frame_sample, q_gapfill_buckets,
 #         q_grouped_sample,
 #         q_intersect,
 #         q_large_orders, q_late_line_priority, q_latest_snapshot,
 #         q_locf_interpolate, q_mad_outliers, q_math_fns,
 #         q_month_over_month, q_ohlc from the tail).
-#         The alphabetically-last thirty (q_gapfill_buckets,
+#         The alphabetically-last thirty-three (q_ewma, q_except,
+#         q_frame_sample, q_gapfill_buckets,
 #         q_grouped_sample,
 #         q_intersect,
 #         q_large_orders, q_late_line_priority, q_latest_snapshot,
@@ -320,7 +328,7 @@ def _ensure_loaded() -> None:
 #         q_zscore_outliers) roll to round 12.
 #
 # Round-12 rotation plan (after this window lands): first whatever
-# round 12 adds or changes, then the thirty rolled-over r6 rows above,
+# round 12 adds or changes, then the thirty-three rolled-over r6 rows above,
 # then the r7-latest rows alphabetical to fill 50.
 #
 # Historical note — round 8's window (kept for the ledger):
@@ -415,6 +423,9 @@ _PRIORITY: tuple[str, ...] = (
     "q_doc_entropy",
     "q_quota_admission",
     "q_embed_covariance",
+    "q_kn_bigram",
+    "q_skew_audit",
+    "q_dup_inflation",
     "q_token_fertility",
     "q_eval_contamination",
     "q_semdedup_prune",
@@ -445,8 +456,8 @@ _PRIORITY: tuple[str, ...] = (
     "q_window_ranks",
     "q_window_running",
     "q_window_topn",
-    # -- r6-latest rows, alphabetical (13 of 43 fit; the last thirty
-    # roll to round 12 per the plan above) --
+    # -- r6-latest rows, alphabetical (10 of 43 fit; the last
+    # thirty-three roll to round 12 per the plan above) --
     "q_agg_pricing",
     "q_asof_join",
     "q_bit_bool_agg",
@@ -457,9 +468,6 @@ _PRIORITY: tuple[str, ...] = (
     "q_edit_distance",
     "q_equidepth_hist",
     "q_event_attribution",
-    "q_ewma",
-    "q_except",
-    "q_frame_sample",
 )
 
 

@@ -187,6 +187,13 @@ SENSITIVE = [
     # (the q_ivfpq_search drop-null convention); the quantized moments
     # are exact integers, so the mutated vectors hash-match exactly.
     "q_embed_covariance",
+    # q_kn_bigram: NULL/short texts form no bigrams (the
+    # q_bigram_backoff scope class); q_dup_inflation pins text IS NOT
+    # NULL on both engines; q_skew_audit groups by user_id only (a
+    # NULL key would band as one group identically on both engines).
+    "q_kn_bigram",
+    "q_dup_inflation",
+    "q_skew_audit",
 ]
 
 

@@ -1942,3 +1942,72 @@ def test_embed_covariance_exact_on_planted_vectors(spark, tmp_path):
         for r in all_queries()["q_embed_covariance"].fn(spark, str(tmp_path)).collect()
     }
     assert out7 == out
+
+
+def test_kn_bigram_continuation_beats_raw_frequency(spark, tmp_path):
+    """The Kneser-Ney point: 'francisco' is FREQUENT in training but
+    follows only one context, while 'cat' follows three — for an unseen
+    context, P_cont must rank 'cat' 3x over 'francisco' even though raw
+    unigram frequency says the opposite."""
+    train = [
+        (0, "san francisco " * 5, "s"),  # francisco: 1 context, freq 5
+        (2, "the cat", "s"),
+        (4, "a cat", "s"),
+        (6, "my cat", "s"),  # cat: 3 contexts, freq 3
+    ]
+    test = [
+        (1, "zzz francisco", "s"),  # unseen ctx 'zzz' -> pure P_cont
+        (3, "zzz cat", "s"),
+    ]
+    sf = _write_sourced_docs(
+        spark, tmp_path, [(i, t.strip(), s) for i, t, s in train + test]
+    )
+    from parquet_compactor_spark.registry import all_queries
+
+    out = {
+        r.doc_id: r for r in all_queries()["q_kn_bigram"].fn(spark, sf).collect()
+    }
+    assert out[1].n_unseen_ctx == 1 and out[3].n_unseen_ctx == 1
+    # P_cont(cat) = 3/B vs P_cont(francisco) = 1/B: exactly 3x in micro.
+    assert out[3].score_micro > 2 * out[1].score_micro
+    assert out[1].score_micro > 0  # francisco IS a known continuation
+
+
+def test_skew_audit_flags_planted_hot_key(spark, tmp_path):
+    """50 uniform users (1 event) + one hot user (100 events): the hot
+    key lands alone in its power-of-two band and the exact-integer skew
+    ratio reads max_freq/ceil(avg) = 100e6 // 3."""
+    from datetime import datetime
+
+    rows = [(i, datetime(2024, 1, 1, 0, 0, i % 60), 1000 + i, "view", 1.0, "{}")
+            for i in range(50)]
+    rows += [(100 + j, datetime(2024, 1, 1, 1, 0, j % 60), 7, "view", 1.0, "{}")
+             for j in range(100)]
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    from parquet_compactor_spark.registry import all_queries
+
+    out = {r.band: r for r in all_queries()["q_skew_audit"].fn(spark, str(tmp_path)).collect()}
+    assert out[0].n_keys == 50 and out[0].max_freq == 1
+    assert out[6].n_keys == 1 and out[6].max_freq == 100  # 64 <= 100 < 128
+    # 150 rows / 51 keys -> ceil(avg) = 3; ratio = 100e6 // 3.
+    assert out[0].skew_ratio_micro_floor == 100000000 // 3
+
+
+def test_dup_inflation_exact_token_weighting(spark, tmp_path):
+    """Two copies of a 4-token doc + one unique 2-token doc: total 10
+    tokens over 6 distinct-content tokens -> inflation 10/6 in micro."""
+    sf = _write_sourced_docs(
+        spark,
+        tmp_path,
+        [(0, "a b c d", "s"), (1, "a b c d", "s"), (2, "x y", "s")],
+    )
+    from parquet_compactor_spark.registry import all_queries
+
+    r = all_queries()["q_dup_inflation"].fn(spark, sf).collect()[0]
+    assert (r.tokens_total, r.tokens_distinct) == (10, 6)
+    assert (r.n_docs, r.n_distinct_docs) == (3, 2)
+    assert r.inflation_micro == 10 * 1000000 // 6

@@ -455,6 +455,9 @@ def test_no_unexpected_cartesian_in_any_registered_query(spark):
         # 1-row stage-counts x 1-row near-dup-removals scalar join that
         # assembles the 3-row funnel output:
         "q_dedup_cascade",
+        # 1-row bigram-type-total scalar broadcast (the q_bigram_backoff
+        # N_train class):
+        "q_kn_bigram",
         # 1-row max-doc-id scalar broadcast (the decile denominator):
         "q_novelty_curve",
     }
@@ -923,6 +926,12 @@ PLAN_SHAPE_PINS = {
     # must stay BroadcastHashJoins (a sort-merge or pair op appearing
     # means the model-state moments stopped broadcasting).
     "q_embed_covariance":   (9,  0, 0, 0),
+    # Kneser-Ney bigram LM: the q_bigram_backoff shape plus the two
+    # derived model tables (context totals, continuation counts) built
+    # FROM the cached bigram table — their guard-build lineage renders
+    # under InMemoryTableScan references (the q_minhash_incremental
+    # convention). 1 BNLJ = the 1-row type-total scalar.
+    "q_kn_bigram":          (35, 0, 0, 1),
 }
 
 
