@@ -1155,3 +1155,114 @@ def q_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band")
     )
+
+
+#: Count-Min sketch geometry: D independent hash rows x W buckets.
+#: eps = e/W ~ 0.53% of the stream per bucket at W=512; delta = e^-D.
+CMS_D = 4
+CMS_W = 512
+CMS_TOPK = 20
+
+
+@register(
+    "q_countmin_topk",
+    oracle=f"""
+    WITH cms AS (
+        SELECT d,
+               ('0x' || substr(md5(CAST(d AS VARCHAR) || ':'
+                               || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+                   % {CMS_W} AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events, UNNEST(range({CMS_D})) AS t(d)
+        GROUP BY 1, 2
+    ),
+    exact AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_cnt
+        FROM events GROUP BY user_id
+        ORDER BY true_cnt DESC, user_id LIMIT {CMS_TOPK}
+    ),
+    est AS (
+        SELECT e.user_id, e.true_cnt,
+               MIN(c.cnt) AS est_cnt
+        FROM exact e, UNNEST(range({CMS_D})) AS t(d)
+        JOIN cms c
+          ON c.d = t.d
+         AND c.bucket = ('0x' || substr(md5(CAST(t.d AS VARCHAR) || ':'
+                         || CAST(e.user_id AS VARCHAR)), 1, 15))::BIGINT
+                        % {CMS_W}
+        GROUP BY e.user_id, e.true_cnt
+    )
+    SELECT user_id, true_cnt, CAST(est_cnt AS BIGINT) AS est_cnt,
+           CAST(est_cnt - true_cnt AS BIGINT) AS overcount
+    FROM est ORDER BY true_cnt DESC, user_id
+    """,
+    doc="Count-Min sketch heavy-hitter estimation (Cormode & "
+    "Muthukrishnan 2005) — the streaming-counts sketch the exact "
+    "q_heavy_hitters degrades to when the key space stops fitting "
+    "anywhere: D=4 hash rows x W=512 buckets (2048 counters total, "
+    "KBs, mergeable by addition across partitions/days exactly like "
+    "the HLL rollup), point query = min over the key's D buckets, "
+    "one-sided error (never undercounts; overcount <= eN/W w.p. "
+    "1-e^-D). Evaluated against the exact top-20 keys with the "
+    "OVERCOUNT as a first-class output column. Unlike q_hll_sketch "
+    "(JVM-internal sketch bytes, invariant oracle) the hash here is "
+    "portable md5 on BOTH engines, so the sketch itself is "
+    "hash-compared EXACTLY — the full differential guarantee on a "
+    "probabilistic structure. Plan: the sketch build is one "
+    "D-way explode + (d, bucket) hash agg into 2048 groups (at 100 TB "
+    "this is the canonical map-side-combine shape: partials are "
+    "2048-row tables per partition); the probe side is the exact "
+    "top-K heap (TakeOrdered) broadcast onto its D buckets. The "
+    "deliberate demo pairing: the exact counter needs "
+    "O(distinct keys) state, the sketch O(D*W) regardless of keys.",
+)
+def q_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    ds = F.explode(F.array(*[F.lit(i) for i in range(CMS_D)])).alias("d")
+
+    def bucket(dcol, keycol):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(dcol.cast("string"), F.lit(":"), keycol.cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint") % CMS_W
+
+    cms = (
+        e.select("user_id", ds)
+        .select("d", bucket(F.col("d"), F.col("user_id")).alias("bucket"))
+        .groupBy("d", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    exact = (
+        e.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("true_cnt"))
+        .orderBy(F.col("true_cnt").desc(), F.col("user_id"))
+        .limit(CMS_TOPK)
+    )
+    probes = exact.select(
+        "user_id",
+        "true_cnt",
+        ds,
+    ).select(
+        "user_id",
+        "true_cnt",
+        "d",
+        bucket(F.col("d"), F.col("user_id")).alias("bucket"),
+    )
+    return (
+        F.broadcast(probes)
+        .join(cms, ["d", "bucket"])
+        .groupBy("user_id", "true_cnt")
+        .agg(F.min("cnt").cast("bigint").alias("est_cnt"))
+        .select(
+            "user_id",
+            "true_cnt",
+            "est_cnt",
+            (F.col("est_cnt") - F.col("true_cnt")).cast("bigint").alias("overcount"),
+        )
+        .orderBy(F.col("true_cnt").desc(), "user_id")
+    )

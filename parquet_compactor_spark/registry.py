@@ -244,7 +244,7 @@ def _ensure_loaded() -> None:
 #         q_window_topn) roll to round 11.
 #
 # Round 11 (exactly 50 names) — the pre-planned rotation, executed:
-#   1-23  NEW this round (no driver row): the session-2 fourteen —
+#   1-24  NEW this round (no driver row): the session-2 fifteen —
 #         q_cdc_chunk_dedup (FastCDC-style content-defined chunking dedup
 #         — shift-resistant chunk boundaries from masked window hashes,
 #         corpus-wide chunk copy counts), q_source_overlap (cross-source
@@ -268,7 +268,10 @@ def _ensure_loaded() -> None:
 #         q_skew_audit (power-of-two key-frequency bands + exact-ppm
 #         skew ratio: the decides-when-to-salt diagnostic), and
 #         q_dup_inflation (token-weighted duplication factor per
-#         source, the effective-dataset-size number) — then
+#         source, the effective-dataset-size number), and
+#         q_countmin_topk (Count-Min sketch heavy-hitter estimation on
+#         a portable md5 hash — the sketch itself hash-compared
+#         exactly, one-sided overcount as a first-class column) — then
 #         the nine
 #         from the session-1 wave listed below: q_token_fertility (tokenizer
 #         fertility / bytes-per-token per language), q_eval_contamination
@@ -304,15 +307,17 @@ def _ensure_loaded() -> None:
 #         the untouched q_dedup_simhash control held at 2.6 s);
 #   20-26 the seven r5 roll-overs from the round-10 plan (q_unpivot +
 #         the six q_window_* rows) — after these, no r5 row remains;
-#   41-50 the r6-latest rows, alphabetical, as many as fit (10 of 43 —
-#         the fourteen session-2 additions displaced q_ewma, q_except,
+#   42-50 the r6-latest rows, alphabetical, as many as fit (9 of 43 —
+#         the fifteen session-2 additions displaced q_event_attribution,
+#         q_ewma, q_except,
 #         q_frame_sample, q_gapfill_buckets,
 #         q_grouped_sample,
 #         q_intersect,
 #         q_large_orders, q_late_line_priority, q_latest_snapshot,
 #         q_locf_interpolate, q_mad_outliers, q_math_fns,
 #         q_month_over_month, q_ohlc from the tail).
-#         The alphabetically-last thirty-three (q_ewma, q_except,
+#         The alphabetically-last thirty-four (q_event_attribution,
+#         q_ewma, q_except,
 #         q_frame_sample, q_gapfill_buckets,
 #         q_grouped_sample,
 #         q_intersect,
@@ -328,7 +333,7 @@ def _ensure_loaded() -> None:
 #         q_zscore_outliers) roll to round 12.
 #
 # Round-12 rotation plan (after this window lands): first whatever
-# round 12 adds or changes, then the thirty-three rolled-over r6 rows above,
+# round 12 adds or changes, then the thirty-four rolled-over r6 rows above,
 # then the r7-latest rows alphabetical to fill 50.
 #
 # Historical note — round 8's window (kept for the ledger):
@@ -426,6 +431,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_kn_bigram",
     "q_skew_audit",
     "q_dup_inflation",
+    "q_countmin_topk",
     "q_token_fertility",
     "q_eval_contamination",
     "q_semdedup_prune",
@@ -456,8 +462,8 @@ _PRIORITY: tuple[str, ...] = (
     "q_window_ranks",
     "q_window_running",
     "q_window_topn",
-    # -- r6-latest rows, alphabetical (10 of 43 fit; the last
-    # thirty-three roll to round 12 per the plan above) --
+    # -- r6-latest rows, alphabetical (9 of 43 fit; the last
+    # thirty-four roll to round 12 per the plan above) --
     "q_agg_pricing",
     "q_asof_join",
     "q_bit_bool_agg",
@@ -467,7 +473,6 @@ _PRIORITY: tuple[str, ...] = (
     "q_date_buckets",
     "q_edit_distance",
     "q_equidepth_hist",
-    "q_event_attribution",
 )
 
 

@@ -194,6 +194,10 @@ SENSITIVE = [
     "q_kn_bigram",
     "q_dup_inflation",
     "q_skew_audit",
+    # q_countmin_topk groups by user_id only (the q_skew_audit class);
+    # the md5 hash of a NULL key concatenation is NULL -> a NULL key
+    # would drop from the sketch on both engines identically.
+    "q_countmin_topk",
 ]
 
 

@@ -2011,3 +2011,27 @@ def test_dup_inflation_exact_token_weighting(spark, tmp_path):
     assert (r.tokens_total, r.tokens_distinct) == (10, 6)
     assert (r.n_docs, r.n_distinct_docs) == (3, 2)
     assert r.inflation_micro == 10 * 1000000 // 6
+
+
+def test_countmin_never_undercounts_and_ranks_heavy_key(spark, tmp_path):
+    """The CMS one-sided guarantee: est >= true for every probe; a
+    planted heavy key tops the table with its exact count recovered
+    (W=512 >> 31 keys -> no collisions for the heavy row)."""
+    from datetime import datetime
+
+    rows = [(j, datetime(2024, 1, 1, 0, 0, j % 60), 42, "view", 1.0, "{}")
+            for j in range(200)]
+    rows += [(1000 + i, datetime(2024, 1, 2, 0, 0, i % 60), 100 + i, "view", 1.0, "{}")
+             for i in range(30)]
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    from parquet_compactor_spark.registry import all_queries
+
+    out = all_queries()["q_countmin_topk"].fn(spark, str(tmp_path)).collect()
+    assert out[0].user_id == 42 and out[0].true_cnt == 200
+    for r in out:
+        assert r.overcount >= 0 and r.est_cnt >= r.true_cnt
+    assert out[0].est_cnt == 200  # heavy key collision-free at this fill
