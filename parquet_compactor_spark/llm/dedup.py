@@ -445,7 +445,12 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "array_intersect/array_union, fully JVM-side).",
 )
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    from parquet_compactor_spark.llm.text import spread_scan
+
+    # spread_scan (round-11 third adoption wave): the per-row trigram
+    # transform is x100+ compute per byte, and the sf0.1 single-file
+    # scan ran both join sides' shingle builds on ONE task each.
+    d = spread_scan(load(spark, sf_dir, "documents"))
     sh = F.array_distinct(
         F.expr(
             "transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3))"

@@ -307,7 +307,9 @@ def _ensure_loaded() -> None:
 #         the untouched q_dedup_simhash control held at 2.6 s);
 #   20-26 the seven r5 roll-overs from the round-10 plan (q_unpivot +
 #         the six q_window_* rows) — after these, no r5 row remains;
-#   42-50 the r6-latest rows, alphabetical, as many as fit (9 of 43 —
+#   43-50 the r6-latest rows, alphabetical, as many as fit (8 of 43;
+#         q_ngram_jaccard enters as session-2-changed source (third
+#         spread_scan adoption: 3.9 -> 0.6 s warm at sf0.1) —
 #         the fifteen session-2 additions displaced q_event_attribution,
 #         q_ewma, q_except,
 #         q_frame_sample, q_gapfill_buckets,
@@ -432,6 +434,8 @@ _PRIORITY: tuple[str, ...] = (
     "q_skew_audit",
     "q_dup_inflation",
     "q_countmin_topk",
+    # -- source changed in session 2 (third spread_scan adoption) --
+    "q_ngram_jaccard",
     "q_token_fertility",
     "q_eval_contamination",
     "q_semdedup_prune",
@@ -472,7 +476,6 @@ _PRIORITY: tuple[str, ...] = (
     "q_date_arithmetic",
     "q_date_buckets",
     "q_edit_distance",
-    "q_equidepth_hist",
 )
 
 

@@ -800,7 +800,7 @@ PLAN_SHAPE_PINS = {
     "q_ann_ivf":            (5,  0, 0, 2),  # +2: spread_scan round-robin, rendered live + under the query branch
     "q_dedup_minhash":      (15, 0, 0, 0),  # +4: spread_scan round-robin (live + guard lineage renders)
     "q_dup_ngram_coverage": (7,  0, 0, 0),  # +3: spread_scan (live + guard lineage)
-    "q_ngram_jaccard":      (1,  0, 0, 0),
+    "q_ngram_jaccard":      (3,  0, 0, 0),  # +2: spread_scan round-robin under both join sides (3.9 -> 0.6 s at sf0.1)
     # Round-8 additions (exchange counts include cached-vocabulary
     # build lineage rendered under InMemoryTableScan nodes; the live
     # joins are BroadcastHashJoins — pinned by the BNLJ/cartesian
