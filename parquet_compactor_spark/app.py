@@ -19,6 +19,12 @@ lake walk; reclaims crash-stranded merge temp dirs even in leaves whose
 data files were since deleted):
 
     python -m parquet_compactor_spark.app gc [min_age_hours]
+
+Integrity subcommand — the read-only sidecar-vs-lake drift audit
+(manifest entries whose files are gone, pending deletes still present,
+orphan tmp litter):
+
+    python -m parquet_compactor_spark.app audit
 """
 
 from __future__ import annotations
@@ -105,12 +111,41 @@ def gc_main(argv: list[str]) -> int:
     return 1 if failed else 0
 
 
+def audit_main(argv: list[str]) -> int:
+    """Read-only lake integrity audit over the configured root.
+
+    Prints the per-leaf findings as JSON. Exit 1 when any finding
+    exists (the alerting contract: an orchestrator schedules this and
+    pages on non-zero), 0 on a clean lake. Mutates nothing.
+    """
+    log = setup_logging()
+    settings = resolve(requested_bucket=os.environ.get("REQUESTED_BUCKET", ""))
+    root = settings.resolved_root()
+    spark = get_spark(
+        app_name="parquet-compactor-audit",
+        s3_endpoint=settings.endpoint,
+        s3_access_key=settings.access_key,
+        s3_secret_key=settings.secret_key,
+    )
+    report = LakeCompactor(spark, root, settings.compaction).audit()
+    summary = report["__summary__"]
+    log.info(
+        "lake audit: %d leaves, %d with findings",
+        summary["leaves"],
+        summary["leaves_with_findings"],
+    )
+    print(json.dumps({"root": root, "report": report}))
+    return 1 if summary["leaves_with_findings"] else 0
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     if argv and argv[0] == "explain":
         return explain_main(argv[1:])
     if argv and argv[0] == "gc":
         return gc_main(argv[1:])
+    if argv and argv[0] == "audit":
+        return audit_main(argv[1:])
     log = setup_logging()
     # The requested bucket seeds the configurator lookups, as in the
     # reference main() (app.py:24-34).

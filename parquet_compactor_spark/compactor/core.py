@@ -936,3 +936,67 @@ class LakeCompactor:
                 f"gc_{len(gc_failed)}_reclaim_failed"
             )
         return outcomes
+
+    def audit(self) -> dict[str, dict]:
+        """Read-only lake integrity audit — the drift detector between
+        what the commit sidecars CLAIM and what the lake actually holds.
+        Mutates nothing (the remediation paths already exist: the pass's
+        pending-delete retry, the age-gated orphan GC); this is the
+        check an operator runs BEFORE trusting a lake handed over from
+        another system, and on a schedule to catch external interference
+        (lifecycle rules, manual deletes) early.
+
+        Per-leaf findings (only leaves WITH findings are returned, plus
+        a ``__summary__`` row):
+
+        - ``manifest_missing`` — basenames the direct-commit manifest
+          records as committed outputs whose FILE IS GONE: rows the lake
+          claims to hold exist nowhere (external delete or data loss;
+          the one finding with no self-healing path).
+        - ``pending_present`` — pending-delete basenames still on disk:
+          rows duplicated between an original and its merged output,
+          awaiting the next pass's retry delete. Transient after a
+          delete failure; alarming if it persists across passes.
+        - ``orphan_tmp_dirs`` — ``_compact_tmp_*`` / ``_temporary``
+          crash litter the age-gated GC will reclaim on its next pass.
+
+        Cost: ONE distributed lake listing + one listStatus and two
+        sidecar probes per leaf — the candidate_leaves() cost envelope,
+        safe on a live lake. A leaf whose data files were ALL externally
+        deleted no longer appears in the file listing, so a stranded
+        manifest there is out of scope for the per-leaf walk (the deep
+        ``gc`` directory sweep visits such leaves).
+        """
+        with self._phase("listing"):
+            listing = self.fs.list_files(self.root, distributed=True)
+        leaves = group_by_leaf(
+            [f for f in listing if not _in_tmp_dir(f.path)]
+        )
+        report: dict[str, dict] = {}
+        summary = {"leaves": 0, "files": 0, "bytes": 0, "leaves_with_findings": 0}
+        for leaf, files in sorted(leaves.items()):
+            summary["leaves"] += 1
+            summary["files"] += len(files)
+            summary["bytes"] += sum(f.size for f in files)
+            names = {f.path.rsplit("/", 1)[-1] for f in files}
+            finding: dict[str, list[str]] = {}
+            missing = sorted(self._read_manifest(leaf) - names)
+            if missing:
+                finding["manifest_missing"] = missing
+            present = sorted(self._read_pending_deletes(leaf) & names)
+            if present:
+                finding["pending_present"] = present
+            orphans = sorted(
+                d.path
+                for d in self.fs.list_dirs(leaf)
+                if (lambda n: n == "_temporary" or TMP_DIR_RE.search(n))(
+                    d.path.rstrip("/").rsplit("/", 1)[-1]
+                )
+            )
+            if orphans:
+                finding["orphan_tmp_dirs"] = orphans
+            if finding:
+                report[leaf] = finding
+                summary["leaves_with_findings"] += 1
+        report["__summary__"] = summary
+        return report

@@ -1065,3 +1065,86 @@ def test_in_pass_gc_reclaim_failure_reaches_outcomes(spark, lake):
     assert outcomes.pop("__gc_orphan_tmp__") == "gc_1_reclaim_failed"
     assert list(outcomes.values()) == ["compacted_3_files"]
     assert orphan.exists()  # the litter is still there — hence the alert
+
+
+# --------------------------------------------------------------------------
+# Lake integrity audit (read-only)
+# --------------------------------------------------------------------------
+
+
+def test_audit_clean_lake_reports_nothing(spark, lake):
+    leaf = lake / "acct1" / "source=OCP" / "year=2024" / "month=01"
+    for i in range(4):
+        write_small_parquet(leaf / f"in-{i}.parquet", start=i * 100)
+    c = compactor(spark, lake)
+    c.compact()
+    report = c.audit()
+    summary = report.pop("__summary__")
+    assert report == {}  # no findings on a healthy just-compacted lake
+    assert summary["leaves_with_findings"] == 0
+    assert summary["leaves"] == 1 and summary["files"] >= 1
+
+
+def test_audit_flags_drift_and_mutates_nothing(spark, lake):
+    import os
+
+    leaf = lake / "acct1" / "source=OCP" / "year=2024" / "month=01"
+    for i in range(4):
+        write_small_parquet(leaf / f"in-{i}.parquet", start=i * 100)
+    c = compactor(spark, lake)
+    c.compact()
+
+    # Plant all three drift classes:
+    # 1. a manifest that records a committed output that is gone;
+    (leaf / "_compacted.manifest").write_text(
+        "merged-" + "a" * 32 + "-part-00000.parquet\n"
+    )
+    # 2. a pending-delete entry whose file is still present (duplicate
+    #    rows live until the retry delete succeeds);
+    write_small_parquet(leaf / "stale-original.parquet", start=900)
+    (leaf / "_pending_deletes.manifest").write_text("stale-original.parquet\n")
+    # 3. crash-orphaned merge temp litter.
+    orphan = leaf / ("_compact_tmp_" + "b" * 32)
+    orphan.mkdir()
+    (orphan / "part-00000.parquet").write_bytes(b"junk")
+
+    before = sorted(
+        os.path.join(r, f)
+        for r, _, fs in os.walk(lake)
+        for f in fs
+    )
+    report = c.audit()
+    after = sorted(
+        os.path.join(r, f)
+        for r, _, fs in os.walk(lake)
+        for f in fs
+    )
+    assert after == before  # READ-ONLY: the audit never touches the lake
+
+    (finding,) = [v for k, v in report.items() if k != "__summary__"]
+    assert finding["manifest_missing"] == [
+        "merged-" + "a" * 32 + "-part-00000.parquet"
+    ]
+    assert finding["pending_present"] == ["stale-original.parquet"]
+    assert len(finding["orphan_tmp_dirs"]) == 1
+    assert ("_compact_tmp_" + "b" * 32) in finding["orphan_tmp_dirs"][0]
+    assert report["__summary__"]["leaves_with_findings"] == 1
+
+
+def test_audit_cli_exit_codes(spark, lake, monkeypatch, capsys):
+    import json as _json
+
+    from parquet_compactor_spark import app
+
+    leaf = lake / "acct1" / "source=OCP" / "year=2024" / "month=01"
+    for i in range(2):
+        write_small_parquet(leaf / f"in-{i}.parquet", start=i * 100)
+    compactor(spark, lake).compact()
+    monkeypatch.setenv("LAKE_ROOT", str(lake))
+    assert app.main(["audit"]) == 0
+    # Plant one drift class -> non-zero exit (the alerting contract).
+    (leaf / "_compacted.manifest").write_text("gone.parquet\n")
+    assert app.main(["audit"]) == 1
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    payload = _json.loads(out)
+    assert payload["report"]["__summary__"]["leaves_with_findings"] == 1
