@@ -244,7 +244,7 @@ def _ensure_loaded() -> None:
 #         q_window_topn) roll to round 11.
 #
 # Round 11 (exactly 50 names) — the pre-planned rotation, executed:
-#   1-24  NEW this round (no driver row): the session-2 fifteen —
+#   1-15  NEW this round, session 2 (no driver row) —
 #         q_cdc_chunk_dedup (FastCDC-style content-defined chunking dedup
 #         — shift-resistant chunk boundaries from masked window hashes,
 #         corpus-wide chunk copy counts), q_source_overlap (cross-source
@@ -271,9 +271,13 @@ def _ensure_loaded() -> None:
 #         source, the effective-dataset-size number), and
 #         q_countmin_topk (Count-Min sketch heavy-hitter estimation on
 #         a portable md5 hash — the sketch itself hash-compared
-#         exactly, one-sided overcount as a first-class column) — then
-#         the nine
-#         from the session-1 wave listed below: q_token_fertility (tokenizer
+#         exactly, one-sided overcount as a first-class column);
+#   16    source CHANGED in session 2: q_ngram_jaccard (third
+#         spread_scan adoption — both join sides' trigram builds were
+#         single-task off the single-file scan; 3.9 -> 0.6 s warm at
+#         sf0.1; q_dedup_survivorship A/B'd the same change as a no-op
+#         and was deliberately left unchanged);
+#   17-25 NEW in session 1: q_token_fertility (tokenizer
 #         fertility / bytes-per-token per language), q_eval_contamination
 #         (W=8 sliding-window train-on-test overlap vs the held-out
 #         eval shard), q_semdedup_prune (SemDeDup keep-first pruning
@@ -287,7 +291,7 @@ def _ensure_loaded() -> None:
 #         mean-shift monitor old-vs-new shard, exact micro units),
 #         q_shard_packing (serpentine balanced token sharding vs hash
 #         assignment, bucket-partitioned distributed ranks);
-#   10-19 source CHANGED this round, prior row no longer attests:
+#   26-35 source CHANGED in session 1, prior row no longer attests:
 #         q_substring_dedup (first-occurrence ordering moved from the
 #         packed doc_id*2^20+pos bigint to a struct (doc_id,pos) MIN —
 #         the packed form silently mis-ordered docs with >= 2^20
@@ -305,12 +309,11 @@ def _ensure_loaded() -> None:
 #         q_dup_ngram_coverage, q_char_trigrams — A/B at the ramp
 #         protocol: 4.77->4.09, 4.62->3.69, 3.82->2.01, 2.25->0.78 s;
 #         the untouched q_dedup_simhash control held at 2.6 s);
-#   20-26 the seven r5 roll-overs from the round-10 plan (q_unpivot +
+#   36-42 the seven r5 roll-overs from the round-10 plan (q_unpivot +
 #         the six q_window_* rows) — after these, no r5 row remains;
-#   43-50 the r6-latest rows, alphabetical, as many as fit (8 of 43;
-#         q_ngram_jaccard enters as session-2-changed source (third
-#         spread_scan adoption: 3.9 -> 0.6 s warm at sf0.1) —
-#         the fifteen session-2 additions displaced q_event_attribution,
+#   43-50 the r6-latest rows, alphabetical, as many as fit (8 of 43 —
+#         the sixteen session-2 slots displaced q_equidepth_hist,
+#         q_event_attribution,
 #         q_ewma, q_except,
 #         q_frame_sample, q_gapfill_buckets,
 #         q_grouped_sample,
@@ -318,7 +321,8 @@ def _ensure_loaded() -> None:
 #         q_large_orders, q_late_line_priority, q_latest_snapshot,
 #         q_locf_interpolate, q_mad_outliers, q_math_fns,
 #         q_month_over_month, q_ohlc from the tail).
-#         The alphabetically-last thirty-four (q_event_attribution,
+#         The alphabetically-last thirty-five (q_equidepth_hist,
+#         q_event_attribution,
 #         q_ewma, q_except,
 #         q_frame_sample, q_gapfill_buckets,
 #         q_grouped_sample,
@@ -335,7 +339,7 @@ def _ensure_loaded() -> None:
 #         q_zscore_outliers) roll to round 12.
 #
 # Round-12 rotation plan (after this window lands): first whatever
-# round 12 adds or changes, then the thirty-four rolled-over r6 rows above,
+# round 12 adds or changes, then the thirty-five rolled-over r6 rows above,
 # then the r7-latest rows alphabetical to fill 50.
 #
 # Historical note — round 8's window (kept for the ledger):
@@ -466,8 +470,8 @@ _PRIORITY: tuple[str, ...] = (
     "q_window_ranks",
     "q_window_running",
     "q_window_topn",
-    # -- r6-latest rows, alphabetical (9 of 43 fit; the last
-    # thirty-four roll to round 12 per the plan above) --
+    # -- r6-latest rows, alphabetical (8 of 43 fit; the last
+    # thirty-five roll to round 12 per the plan above) --
     "q_agg_pricing",
     "q_asof_join",
     "q_bit_bool_agg",
