@@ -385,6 +385,13 @@ def ivf_assign(
     the whole assignment subtree (its centroid-matrix broadcast join)
     into the query branch — one extra BNLJ + exchange for a row whose
     bucket is never used (the round-9 q_ann_ivf plan regression).
+    ``base_df`` is deliberately the UN-spread raw projection: a vec_id
+    predicate on it pushes down to the parquet scan (row-group-pruned
+    bounded read), whereas the same filter above a spread_scan
+    exchange cannot cross it, turning every bounded model collect into
+    a full-table shuffle job — the round-11 ivf-family bench
+    regression (q_ivf_cell_stats 1.90 s → 3.81 s came from the seed
+    collect re-executing the repartition subtree per constructor job).
     ``drop_null`` scopes NULL embeddings out before assignment
     (q_ivfpq_search's convention; q_ann_ivf keeps its original
     unfiltered semantics)."""
@@ -392,22 +399,32 @@ def ivf_assign(
 
     from parquet_compactor_spark.llm.text import spread_scan
 
+    raw = load(spark, sf_dir, "embeddings")
+    if drop_null:
+        raw = raw.filter(F.col("embedding").isNotNull())
+
+    def project(df: DataFrame) -> DataFrame:
+        p = df.select(
+            "vec_id",
+            "label",
+            F.transform(
+                F.col("embedding"), lambda x: x.cast("double")
+            ).alias("vec"),
+        )
+        # The row norm is shared by all K cosines of a pass: materialize
+        # it once per row instead of re-deriving it inside every
+        # centroid's cosine (K-fold smaller expression tree, same IEEE
+        # doubles — the aggregate fold order is unchanged).
+        return p.withColumn("_vnorm", l2_norm(F.col("vec")))
+
+    # Bounded model collects (the seeds below, callers' query/codebook
+    # rows) read the raw scan: vec_id pushdown prunes to a handful of
+    # row groups, no exchange in the job.
+    base = project(raw)
     # Both assignment passes do K x dim cosines PER ROW — far above
     # scan cost; a single-file embeddings scan would run them on one
-    # task (see text.spread_scan).
-    e = spread_scan(load(spark, sf_dir, "embeddings"))
-    if drop_null:
-        e = e.filter(F.col("embedding").isNotNull())
-    e = e.select(
-        "vec_id",
-        "label",
-        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("vec"),
-    )
-    # The row norm is shared by all K cosines of a pass: materialize it
-    # once per row instead of re-deriving it inside every centroid's
-    # cosine (K-fold smaller expression tree, same IEEE doubles — the
-    # aggregate fold order is unchanged).
-    e = e.withColumn("_vnorm", l2_norm(F.col("vec")))
+    # task (see text.spread_scan). Spread ONLY this branch.
+    e = project(spread_scan(raw))
     # Default: the fixed K=8 ANN-family seeds; callers with their own
     # capacity rule (q_semdedup_prune scales K with the corpus) pass a
     # wider range — same id convention, ids lo..hi, bucket = id - lo.
@@ -416,7 +433,9 @@ def ivf_assign(
     # re-ship so each assignment pass is a zero-shuffle map (argmax via
     # array_position over a per-row cosine array), not a join + aggregate.
     # Encoding (literal vs broadcast matrix) per centroid_cosines.
-    seed_rows = e.filter(F.col("vec_id").between(lo, hi)).orderBy("vec_id").collect()
+    seed_rows = (
+        base.filter(F.col("vec_id").between(lo, hi)).orderBy("vec_id").collect()
+    )
     centroids = [(int(r.vec_id) - lo, [float(x) for x in r.vec]) for r in seed_rows]
 
     def with_csims(
@@ -440,7 +459,7 @@ def ivf_assign(
     assign = staged.select(
         "vec_id", "label", "vec", "_vnorm", _argmax_bucket(sims, ids).alias("bucket")
     )
-    return e, assign, centroids
+    return base, assign, centroids
 
 
 def ann_ivf(
@@ -1883,10 +1902,29 @@ def _gram_partials(batches):
     import pandas as pd
 
     iu = None
+    dim = None
     for pdf in batches:
         vecs = [v for v in pdf["embedding"] if v is not None]
         if not vecs:
             continue
+        # The Gram matrix is only defined over a fixed-width corpus:
+        # np.stack would raise an opaque shape error on a ragged batch,
+        # and silently reusing a cached triangle index across batches of
+        # different widths would emit a truncated/mis-indexed triangle
+        # (the unnest-based oracle, by contrast, quietly tolerates
+        # ragged arrays — a divergence, not a crash). Refuse loudly,
+        # naming the offending lengths (round-12 ADVICE fix).
+        lens = {len(v) for v in vecs}
+        if dim is not None:
+            lens.add(dim)
+        if len(lens) > 1:
+            raise ValueError(
+                "q_embed_covariance: mixed embedding dimensionalities "
+                f"{sorted(lens)} in one partition — the distributed Gram "
+                "matrix needs a fixed-width embedding column; filter or "
+                "re-embed the off-width vectors upstream."
+            )
+        dim = lens.pop()
         V = np.stack(
             [
                 np.floor(

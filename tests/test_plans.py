@@ -797,7 +797,12 @@ PLAN_SHAPE_PINS = {
     # q_ann_ivf's 2 BroadcastNestedLoopJoins are its two pinned 1-row
     # scalar broadcasts (centroid matrix + probe radius), not pair
     # blowups — a THIRD appearing is drift.
-    "q_ann_ivf":            (5,  0, 0, 2),  # +2: spread_scan round-robin, rendered live + under the query branch
+    # Round-12: 5 -> 4. The query branch reads the UN-spread raw scan
+    # (ivf_assign's base), so only the live assignment pass carries the
+    # spread_scan round-robin exchange; a bounce back to 5 means the
+    # query/model branch started crossing the spread exchange again
+    # (the round-11 ivf-family bench regression shape).
+    "q_ann_ivf":            (4,  0, 0, 2),  # +1: spread_scan round-robin under the live assignment pass
     "q_dedup_minhash":      (15, 0, 0, 0),  # +4: spread_scan round-robin (live + guard lineage renders)
     "q_dup_ngram_coverage": (7,  0, 0, 0),  # +3: spread_scan (live + guard lineage)
     "q_ngram_jaccard":      (3,  0, 0, 0),  # +2: spread_scan round-robin under both join sides (3.9 -> 0.6 s at sf0.1)
