@@ -1515,7 +1515,14 @@ def quota_admission_stream(
         active = _active_version_paths(versions, state_dir)
         state = spark.read.parquet(*active) if active else None
 
-        batch_ids = batch_df.select("source", "doc_id")
+        # Dedup the batch ONCE, here: pool already distinct()s its
+        # union, but the decisions join below must also run on the
+        # deduplicated frame — joining the raw multiplicity would write
+        # duplicate decision rows to out_dir/batch=<id> for a batch
+        # that carries the same (source, doc_id) twice, even though the
+        # state merge itself dedups (round-12 ADVICE fix; pinned by
+        # tests/test_streaming.py::test_quota_stream_duplicate_rows_in_batch).
+        batch_ids = batch_df.select("source", "doc_id").distinct()
         if state is not None:
             pool = batch_ids.unionByName(
                 state.select("source", "doc_id")

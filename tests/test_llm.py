@@ -2035,3 +2035,67 @@ def test_countmin_never_undercounts_and_ranks_heavy_key(spark, tmp_path):
     for r in out:
         assert r.overcount >= 0 and r.est_cnt >= r.true_cnt
     assert out[0].est_cnt == 200  # heavy key collision-free at this fill
+
+
+def test_prefix_filter_pairs_has_exact_recall_at_threshold(spark):
+    """prefix_filter_pairs must surface EVERY pair with shingle Jaccard
+    >= t — including borderline j-just-over-t pairs that banded MinHash
+    only catches with probability 1-(1-t^r)^b (~0.65 at j=0.5 with 16x4
+    bands): set-equality against all-pairs ground truth on a corpus
+    planted with graded-overlap chains straddling the threshold."""
+    from parquet_compactor_spark.llm.dedup import prefix_filter_pairs, word_shingles
+
+    base = ["tok%02d" % i for i in range(12)]
+    texts = []
+    # Doc k rewrites its first k tokens: doc pairs (k1, k2) share the
+    # unchanged suffix, J = (10 - max) / (10 + max) over 3-shingles —
+    # 0.538 at max=3 (just over 0.5), 0.429 at max=4 (just under).
+    for k in range(8):
+        toks = list(base)
+        for j in range(k):
+            toks[j] = f"alt{k}_{j}"
+        texts.append(" ".join(toks))
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    got = {
+        (r.id1, r.id2)
+        for r in prefix_filter_pairs(docs, 0.5)
+        .filter("jaccard_exact >= 0.5")
+        .collect()
+    }
+    sh = docs.select("doc_id", word_shingles(F.col("text")).alias("s"))
+    a = sh.select(F.col("doc_id").alias("id1"), F.col("s").alias("s1"))
+    b = sh.select(F.col("doc_id").alias("id2"), F.col("s").alias("s2"))
+    j = F.size(F.array_intersect("s1", "s2")).cast("double") / F.size(
+        F.array_union("s1", "s2")
+    )
+    truth = {
+        (r.id1, r.id2)
+        for r in a.join(b, F.col("id1") < F.col("id2"))
+        .select("id1", "id2", j.alias("j"))
+        .filter("j >= 0.5")
+        .collect()
+    }
+    assert truth  # the planted corpus does straddle the threshold
+    assert got == truth
+
+
+def test_embed_covariance_refuses_ragged_dimensions():
+    """_gram_partials must fail LOUDLY (naming the offending lengths) on
+    mixed embedding widths — both within one Arrow batch (np.stack would
+    otherwise raise an opaque shape error) and across batches of one
+    partition (a silently reused triangle index would mis-index sums) —
+    the round-12 ADVICE divergence class vs the ragged-tolerant oracle."""
+    import pandas as pd
+
+    from parquet_compactor_spark.llm.similarity import _gram_partials
+
+    ragged = pd.DataFrame({"embedding": [[0.1, 0.2], [0.1, 0.2, 0.3]]})
+    with pytest.raises(ValueError, match="mixed embedding dimensionalities"):
+        list(_gram_partials([ragged]))
+
+    first = pd.DataFrame({"embedding": [[0.1, 0.2]]})
+    second = pd.DataFrame({"embedding": [[0.1, 0.2, 0.3]]})
+    with pytest.raises(ValueError, match=r"\[2, 3\]"):
+        list(_gram_partials([first, second]))

@@ -911,11 +911,15 @@ PLAN_SHAPE_PINS = {
     # wall), survivor text moves once through a doc_id join, and the
     # survivor set is persist_tracked (its windows+join build lineage
     # renders under every InMemoryTableScan reference — the q_pagerank
-    # counting convention — which is most of this count), with the
-    # minhash machinery's 15-exchange shape on top. The 1 BNLJ is the
-    # 1-row stage-counts x 1-row removals scalar join. A
-    # CartesianProduct appearing means stage 3 escaped the LSH bound.
-    "q_dedup_cascade":      (98, 0, 0, 1),
+    # counting convention — which is most of this count). Round-12:
+    # 98 -> 33 — stage 3 moved from banded MinHash (64-perm signature
+    # machinery, 15 exchanges of its own) to the EXACT-recall
+    # prefix-filter join (prefix explode + one hash equi-join + verify
+    # sides), which both makes the oracle equivalence structural and
+    # drops two thirds of the plan. The 1 BNLJ is the 1-row
+    # stage-counts x 1-row removals scalar join. A CartesianProduct
+    # appearing means stage 3 escaped the prefix-filter bound.
+    "q_dedup_cascade":      (33, 0, 0, 1),
     # Source overlap: distinct gram-hash exchange + self-join sides +
     # per-source counts; 1 BNLJ = the bounded 20x20 pair spine. A
     # second BNLJ or a CartesianProduct means the gram equi-join

@@ -1072,3 +1072,32 @@ def test_quota_admission_stream_rejects_late_arrival(spark, tmp_path):
             str(tmp_path / "ckpt"),
             quota=3,
         )
+
+
+def test_quota_stream_duplicate_rows_in_batch(spark, tmp_path):
+    """A micro-batch carrying the same (source, doc_id) row twice must
+    write ONE decision row per id to out_dir (round-12 ADVICE fix: the
+    decisions join runs on the deduplicated batch frame — the state
+    merge always dedup'd, but downstream consumers of the decisions
+    output saw input multiplicity)."""
+    from parquet_compactor_spark.streaming.pipeline import quota_admission_stream
+
+    schema = "doc_id bigint, source string"
+    landing = tmp_path / "docs"
+    rows = [(0, "src-a"), (0, "src-a"), (1, "src-a"), (1, "src-a"), (2, "src-a")]
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(
+        str(landing)
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(landing))
+    )
+    out = str(tmp_path / "decisions")
+    quota_admission_stream(
+        stream, str(tmp_path / "state"), out, str(tmp_path / "ckpt"), quota=2
+    )
+    got = spark.read.parquet(out).collect()
+    assert len(got) == 3, got  # one row per distinct doc, not per input row
+    dec = {r.doc_id: r.admitted for r in got}
+    assert dec == {0: True, 1: True, 2: False}
