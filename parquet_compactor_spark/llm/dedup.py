@@ -125,7 +125,9 @@ def lsh_band_hashes(sig: Column) -> Column:
     return F.array(*bands)
 
 
-def minhash_signatures_exploded(docs: DataFrame) -> DataFrame:
+def minhash_signatures_exploded(
+    docs: DataFrame, portable: bool = False
+) -> DataFrame:
     """(doc_id, sig) via explode + 64 min-aggregates — the scale form.
 
     Explode the shingle set to (doc_id, h) rows, hash each shingle ONCE,
@@ -133,6 +135,15 @@ def minhash_signatures_exploded(docs: DataFrame) -> DataFrame:
     hash aggregate. Equivalent to :func:`minhash_signature` but avoids
     Catalyst re-inlining the tokenization into every permutation (the
     array-fold form recomputes shingle hashes up to 64x per row).
+
+    ``portable=True`` hashes shingles with the 60-bit md5-derived value
+    (``conv(substr(md5(sh),1,15),16,10)``, the simhash portable-hash
+    convention) instead of xxhash64, making every signature value
+    reproducible bit-for-bit by an independent engine (DuckDB:
+    ``('0x' || substr(md5(sh),1,15))::BIGINT``) — q_lsh_tuning's
+    differential oracle replays the full signature/band pipeline on it.
+    Default xxhash64 is the production fast path (~4x cheaper/token);
+    the permutation algebra is identical.
     """
     from parquet_compactor_spark.llm.text import spread_scan
 
@@ -140,9 +151,13 @@ def minhash_signatures_exploded(docs: DataFrame) -> DataFrame:
     # stage: a single-file corpus caps them at one task (see
     # text.spread_scan); the check is a no-op for wide inputs and for
     # the streaming gate's already-repartitioned micro-batches.
+    if portable:
+        h = F.expr("cast(conv(substr(md5(sh), 1, 15), 16, 10) as bigint)")
+    else:
+        h = F.xxhash64("sh")
     hashed = spread_scan(docs).select(
         "doc_id", F.explode(word_shingles(F.col("text"))).alias("sh")
-    ).select("doc_id", F.pmod(F.xxhash64("sh"), F.lit(MERSENNE_31)).alias("h"))
+    ).select("doc_id", F.pmod(h, F.lit(MERSENNE_31)).alias("h"))
     mins = [
         F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(MERSENNE_31))).alias(f"m{j}")
         for j, (a, b) in enumerate(PERM_COEFFS)
@@ -244,32 +259,49 @@ def prefix_filter_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     threshold on jaccard_exact. At scale: one shuffle on the 64-bit
     prefix-hash key (prefix size ~(1-t)|X|+1, half the shingle mass at
     t=0.5); the size filter t*|A| <= |B| <= |A|/t prunes incompatible
-    collisions before the text-carrying verify join. Hash order is a
-    correct total order with zero extra passes; ordering by ascending
-    document frequency (classic AllPairs) minimizes candidates at lake
-    scale at the cost of one frequency agg + join. Recall is exact on
-    the hashed universe — a 64-bit shingle-hash collision is the only
-    loss channel (P ~ n^2/2^65), the same assumption every hash-keyed
-    equality in this module already makes."""
-    sh = docs.select("doc_id", word_shingles(F.col("text")).alias("shingles"))
-    hs = sh.select(
-        "doc_id",
-        F.array_sort(
+    collisions before the text-carrying verify join. The global order
+    is ASCENDING DOCUMENT FREQUENCY (df, hash) — the classic AllPairs
+    candidate-minimizing order: prefixes then consist of each doc's
+    RAREST shingles, so two docs collide only on genuinely shared rare
+    content. Measured against plain hash order on the sf0.1 word-soup
+    corpus (dense shingle vocabulary): 430k candidate pairs -> the
+    exact-Jaccard verify join dominated the runtime; df order costs
+    one extra (hash-keyed df agg + join + per-doc window) over the
+    exploded shingle table and collapses the candidate set to ~the
+    true pair count. Recall is exact on the hashed universe — a 64-bit
+    shingle-hash collision is the only loss channel (P ~ n^2/2^65),
+    the same assumption every hash-keyed equality in this module
+    already makes — and under it Jaccard over the hashed sets EQUALS
+    Jaccard over the string shingle sets, so the verify stage works on
+    narrow bigint arrays (the wide string arrays never leave the one
+    hashing pass). The hashed-set table is persist_tracked: it feeds
+    four branches (prefix explode + df aggregate via it + both
+    pair-verify sides) and re-tokenizing per branch measured ~4x the
+    shingle-build cost at sf0.1."""
+    from parquet_compactor_spark.llm.text import persist_tracked
+
+    hs_tbl = persist_tracked(
+        docs.select(
+            "doc_id",
             F.array_distinct(
-                F.transform(F.col("shingles"), lambda s: F.xxhash64(s))
-            )
-        ).alias("hs"),
+                F.transform(
+                    word_shingles(F.col("text")), lambda s: F.xxhash64(s)
+                )
+            ).alias("hs"),
+        ).withColumn("sz", F.size("hs"))
+    )
+    ex = hs_tbl.select("doc_id", "sz", F.explode("hs").alias("k"))
+    df_tbl = ex.groupBy("k").agg(F.count(F.lit(1)).alias("df"))
+    wdoc = Window.partitionBy("doc_id").orderBy("df", "k")
+    ranked = ex.join(df_tbl, "k").select(
+        "doc_id", "sz", "k", F.row_number().over(wdoc).alias("pos")
     )
     plen = (
-        F.size("hs")
-        - F.ceil(F.size("hs").cast("double") * F.lit(float(threshold)))
+        F.col("sz")
+        - F.ceil(F.col("sz").cast("double") * F.lit(float(threshold)))
         + F.lit(1)
-    ).cast("int")
-    pref = hs.select(
-        "doc_id",
-        F.size("hs").alias("sz"),
-        F.explode(F.slice(F.col("hs"), F.lit(1), plen)).alias("k"),
     )
+    pref = ranked.filter(F.col("pos") <= plen).select("doc_id", "sz", "k")
     a = pref.select(F.col("doc_id").alias("id1"), F.col("sz").alias("sz1"), "k")
     b = pref.select(F.col("doc_id").alias("id2"), F.col("sz").alias("sz2"), "k")
     t = F.lit(float(threshold))
@@ -283,11 +315,11 @@ def prefix_filter_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
         .select("id1", "id2")
         .distinct()
     )
-    s1 = sh.select(F.col("doc_id").alias("id1"), F.col("shingles").alias("sh1"))
-    s2 = sh.select(F.col("doc_id").alias("id2"), F.col("shingles").alias("sh2"))
-    exact = F.size(F.array_intersect(F.col("sh1"), F.col("sh2"))).cast(
+    s1 = hs_tbl.select(F.col("doc_id").alias("id1"), F.col("hs").alias("h1"))
+    s2 = hs_tbl.select(F.col("doc_id").alias("id2"), F.col("hs").alias("h2"))
+    exact = F.size(F.array_intersect(F.col("h1"), F.col("h2"))).cast(
         "double"
-    ) / F.size(F.array_union(F.col("sh1"), F.col("sh2")))
+    ) / F.size(F.array_union(F.col("h1"), F.col("h2")))
     return (
         cand.join(s1, "id1")
         .join(s2, "id2")
@@ -2001,4 +2033,204 @@ def q_dup_inflation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("inflation_micro"),
         )
         .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# LSH parameter-sweep audit (band/row recall-vs-cost tuning table)
+# --------------------------------------------------------------------------
+
+#: The (bands, rows_per_band) grid q_lsh_tuning sweeps — every exact
+#: factorization of the standing 64-permutation signature.
+LSH_SWEEP_CONFIGS = ((64, 1), (32, 2), (16, 4), (8, 8), (4, 16))
+
+
+def _lsh_tuning_oracle() -> str:
+    perms_values = ", ".join(
+        f"({j}, {a}, {b})" for j, (a, b) in enumerate(PERM_COEFFS)
+    )
+
+    def caught(b: int, r: int) -> str:
+        return (
+            f"len(list_filter(range(0, {b}), k -> "
+            f"len(list_filter(range(1, {r} + 1), "
+            f"i -> g1[k*{r}+i] = g2[k*{r}+i])) = {r})) > 0"
+        )
+
+    caught_cols = ",\n           ".join(
+        f"COALESCE(CAST(SUM(CASE WHEN {caught(b, r)} THEN 1 ELSE 0 END)"
+        f" AS BIGINT), 0) AS c_{b}_{r}"
+        for b, r in LSH_SWEEP_CONFIGS
+    )
+    probe_unions = "\n        UNION ALL\n".join(
+        f"""SELECT '{b}x{r}' AS cfg, k,
+               array_to_string(list_transform(range(1, {r} + 1),
+                   i -> CAST(sig[k*{r}+i] AS VARCHAR)), ',') AS bkey
+        FROM sig CROSS JOIN (SELECT unnest(range(0, {b})) AS k)"""
+        for b, r in LSH_SWEEP_CONFIGS
+    )
+    truth_rows = "\n        UNION ALL\n        ".join(
+        f"SELECT '{b}x{r}' AS cfg, CAST({b} AS INT) AS bands,"
+        f" CAST({r} AS INT) AS rows_per_band, n_true,"
+        f" c_{b}_{r} AS n_caught FROM ta"
+        for b, r in LSH_SWEEP_CONFIGS
+    )
+    return f"""
+    WITH sp AS (
+        SELECT doc_id, text, string_split(text, ' ') AS w FROM documents
+        WHERE text IS NOT NULL
+    ),
+    sh AS (SELECT doc_id,
+             CASE WHEN len(w) >= 3
+                  THEN list_distinct(list_transform(range(1, len(w) - 1),
+                                                    i -> array_to_string(w[i:i+2], ' ')))
+                  ELSE [text] END AS s
+           FROM sp),
+    e AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    hh AS (SELECT doc_id,
+                  ('0x' || substr(md5(g), 1, 15))::BIGINT % {MERSENNE_31} AS h
+           FROM e),
+    perms(j, a, b) AS (VALUES {perms_values}),
+    mm AS (SELECT doc_id, j, MIN((a * h + b) % {MERSENNE_31}) AS mv
+           FROM hh CROSS JOIN perms GROUP BY doc_id, j),
+    sig AS (SELECT doc_id, list(mv ORDER BY j) AS sig FROM mm GROUP BY doc_id),
+    jc AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.s, b.s))) >= 0.5),
+    ps AS (SELECT jc.id1, jc.id2, s1.sig AS g1, s2.sig AS g2
+           FROM jc JOIN sig s1 ON s1.doc_id = jc.id1
+                   JOIN sig s2 ON s2.doc_id = jc.id2),
+    ta AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true,
+           {caught_cols}
+           FROM ps),
+    pb AS ({probe_unions}),
+    pc AS (SELECT cfg, CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS probe_pairs
+           FROM (SELECT cfg, k, bkey, COUNT(*) AS n
+                 FROM pb GROUP BY cfg, k, bkey)
+           GROUP BY cfg),
+    tr AS (
+        {truth_rows}
+    )
+    SELECT tr.cfg, tr.bands, tr.rows_per_band, tr.n_true, tr.n_caught,
+           CAST(CASE WHEN tr.n_true = 0 THEN 0
+                ELSE (tr.n_caught * 1000000) // tr.n_true END AS BIGINT)
+               AS recall_ppm,
+           pc.probe_pairs
+    FROM tr JOIN pc ON tr.cfg = pc.cfg
+    """
+
+
+@register(
+    "q_lsh_tuning",
+    oracle=_lsh_tuning_oracle(),
+    doc="LSH parameter-sweep audit — the recall-vs-cost tuning table "
+    "every MinHash dedup deployment sizes its bands with: for each "
+    "exact (bands x rows) factorization of the standing 64-permutation "
+    "signature, measure (a) RECALL on the true qualifying pair set "
+    "(exact 3-word-shingle Jaccard >= 0.5, generated scalably by the "
+    "exact-recall prefix_filter_pairs join, NOT by the LSH under test "
+    "— the round-12 ADVICE separation: recall is now a measured "
+    "quantity, never an assumption baked into another query's oracle) "
+    "and (b) JOIN COST as probe_pairs = sum over band buckets of "
+    "C(n,2), the candidate probes the config would generate — computed "
+    "from bucket sizes alone, no pair join ever forms. Signatures use "
+    "the md5-portable shingle hash so the DuckDB oracle replays the "
+    "ENTIRE pipeline bit-for-bit: signatures, per-config band-equality "
+    "catches, bucket-size probe counts, and the brute-forced ground "
+    "truth. Output: one row per config with n_true/n_caught/recall_ppm/"
+    "probe_pairs in exact integers. At 100 TB: one signature table "
+    "build (explode + 64 partial minima), a bounded-pair truth join, "
+    "and per-config bucket COUNT aggs — the sweep adds NO quadratic "
+    "stage beyond the truth set itself.",
+)
+def q_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parquet_compactor_spark.llm.text import persist_tracked
+
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    # The signature table feeds 7 branches (both truth-pair sig sides +
+    # 5 per-config band explodes): one materialization, the
+    # q_dsir_weights multi-consumer rule.
+    sigs = persist_tracked(minhash_signatures_exploded(d, portable=True))
+    truth = (
+        prefix_filter_pairs(d, threshold=0.5)
+        .filter(F.col("jaccard_exact") >= 0.5)
+        .select("id1", "id2")
+    )
+    ps = truth.join(
+        sigs.select(F.col("doc_id").alias("id1"), F.col("sig").alias("g1")),
+        "id1",
+    ).join(
+        sigs.select(F.col("doc_id").alias("id2"), F.col("sig").alias("g2")),
+        "id2",
+    )
+    caught_aggs = [F.count(F.lit(1)).cast("bigint").alias("n_true")]
+    for b, r in LSH_SWEEP_CONFIGS:
+        caught = F.expr(
+            f"exists(sequence(0, {b - 1}), k -> "
+            f"forall(sequence(1, {r}), "
+            f"i -> element_at(g1, cast(k*{r}+i as int))"
+            f" = element_at(g2, cast(k*{r}+i as int))))"
+        )
+        caught_aggs.append(
+            F.coalesce(F.sum(caught.cast("int")), F.lit(0))
+            .cast("bigint")
+            .alias(f"c_{b}_{r}")
+        )
+    ta = ps.agg(*caught_aggs)
+
+    bands = None
+    for b, r in LSH_SWEEP_CONFIGS:
+        bf = sigs.select(
+            F.lit(f"{b}x{r}").alias("cfg"),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {b - 1}), k -> struct("
+                    f"k as k, array_join(transform(slice(sig, k*{r}+1, {r}),"
+                    f" x -> cast(x as string)), ',') as bkey))"
+                )
+            ).alias("bb"),
+        ).select("cfg", F.col("bb.k").alias("k"), F.col("bb.bkey").alias("bkey"))
+        bands = bf if bands is None else bands.unionByName(bf)
+    pc = (
+        bands.groupBy("cfg", "k", "bkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("cfg")
+        .agg(
+            F.sum(F.expr("CAST((n * (n - 1)) div 2 AS BIGINT)"))
+            .cast("bigint")
+            .alias("probe_pairs")
+        )
+    )
+    tr = ta.select(
+        "n_true",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(f"{b}x{r}").alias("cfg"),
+                        F.lit(b).cast("int").alias("bands"),
+                        F.lit(r).cast("int").alias("rows_per_band"),
+                        F.col(f"c_{b}_{r}").alias("n_caught"),
+                    )
+                    for b, r in LSH_SWEEP_CONFIGS
+                ]
+            )
+        ).alias("s"),
+    ).select("s.cfg", "s.bands", "s.rows_per_band", "n_true", "s.n_caught")
+    return tr.join(pc, "cfg").select(
+        "cfg",
+        "bands",
+        "rows_per_band",
+        "n_true",
+        "n_caught",
+        F.expr(
+            "CAST(CASE WHEN n_true = 0 THEN 0"
+            " ELSE (n_caught * 1000000) div n_true END AS BIGINT)"
+        ).alias("recall_ppm"),
+        "probe_pairs",
     )

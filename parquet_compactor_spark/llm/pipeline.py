@@ -883,3 +883,83 @@ def q_funnel_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
             " as bigint) * 1000000) div count(1)"
         ).alias("keep_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis-Spirakis A-ES)
+# --------------------------------------------------------------------------
+
+#: Per-source draw count for q_weighted_sample.
+AES_K = 4
+
+#: The 60-bit md5-derived uniform's denominator (2^60) — the portable
+#: hash-uniform convention shared with the simhash portable mode.
+AES_DENOM = float(1 << 60)
+
+
+@register(
+    "q_weighted_sample",
+    oracle=f"""
+    WITH d AS (
+        SELECT source, doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                + 1) / {AES_DENOM} AS u
+        FROM documents WHERE text IS NOT NULL
+    ),
+    keyed AS (
+        SELECT source, doc_id, n_tokens,
+               CAST(FLOOR((-LN(u) / n_tokens) * 1000000000 + 0.5) AS BIGINT)
+                   AS key_nano
+        FROM d
+    )
+    SELECT source, doc_id, n_tokens, key_nano, rn
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY source ORDER BY key_nano, doc_id) AS rn
+        FROM keyed
+    )
+    WHERE rn <= {AES_K}
+    """,
+    doc="Weighted sampling WITHOUT replacement (Efraimidis-Spirakis "
+    "A-ES, IPL 2006): per source, draw K documents with probability "
+    "proportional to token count by ranking exponential keys "
+    "-ln(u)/w and keeping the K smallest — the sampling primitive "
+    "mixture-weighted corpus draws need that q_domain_mix / "
+    "q_mixture_epochs (which only compute the target WEIGHTS) stop "
+    "short of. Deterministic and engine-portable: u is the md5-derived "
+    "60-bit hash-uniform of the doc_id (the simhash portable-hash "
+    "convention), the single transcendental is snapped to an exact "
+    "NANO-unit bigint grid (floor(x*1e9 + 0.5), the q_token_entropy "
+    "micro-grid convention — a cross-libm 1-ulp divergence would have "
+    "to land exactly on a grid boundary to flip a rank), and grid ties "
+    "break on doc_id identically in both engines. One scan + one "
+    "source-keyed top-K window; at 100 TB the window sort is the only "
+    "per-source cost and a two-pass approximate key-threshold pre-cut "
+    "(filter key_nano below a generous per-source quantile, then exact "
+    "rank the survivors) bounds it without changing results.",
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    h60 = F.expr(
+        "cast(conv(substr(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint)"
+    )
+    keyed = d.select(
+        "source",
+        "doc_id",
+        F.size(F.split("text", " ", -1)).cast("bigint").alias("n_tokens"),
+        ((h60 + F.lit(1)) / F.lit(AES_DENOM)).alias("u"),
+    ).select(
+        "source",
+        "doc_id",
+        "n_tokens",
+        F.floor((-F.log("u") / F.col("n_tokens")) * 1e9 + 0.5)
+        .cast("bigint")
+        .alias("key_nano"),
+    )
+    w = Window.partitionBy("source").orderBy("key_nano", "doc_id")
+    return (
+        keyed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= AES_K)
+        .select("source", "doc_id", "n_tokens", "key_nano", "rn")
+    )

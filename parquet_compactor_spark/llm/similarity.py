@@ -2037,3 +2037,182 @@ def q_embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim_i", "dim_j")
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental IVF index maintenance (frozen-centroid shard refresh)
+# --------------------------------------------------------------------------
+
+#: The deterministic "new shard" membership for q_ivf_refresh: vec_ids
+#: with last digit 8/9 (20% of the corpus). The ANN-family seed ids
+#: 100..107 all land in the OLD partition by construction, so the
+#: frozen index is always buildable.
+IVF_REFRESH_MOD = 10
+IVF_REFRESH_NEW_MIN = 8
+
+
+def _ivf_refresh_oracle() -> str:
+    cos_vc = _COS_SQL.format(a="vo.vec", b="c.cvec")
+    cos_or = _COS_SQL.format(a="vo.vec", b="r.cvec")
+    cos_nr = _COS_SQL.format(a="vn.vec", b="r.cvec")
+    m, lo = IVF_REFRESH_MOD, IVF_REFRESH_NEW_MIN
+    return f"""
+    WITH v AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    vo AS (SELECT * FROM v WHERE vec_id % {m} < {lo}),
+    vn AS (SELECT * FROM v WHERE vec_id % {m} >= {lo}),
+    cents AS (
+        SELECT CAST(vec_id - 100 AS INT) AS bucket, vec AS cvec FROM vo
+        WHERE vec_id BETWEEN 100 AND 107
+    ),
+    sc1 AS (
+        SELECT vo.vec_id, vo.vec, c.bucket, {cos_vc} AS csim
+        FROM vo CROSS JOIN cents c
+    ),
+    assign1 AS (
+        SELECT vec_id, vec, bucket
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                           ORDER BY csim DESC, bucket) AS rn
+              FROM sc1)
+        WHERE rn = 1
+    ),
+    exploded AS (
+        SELECT bucket, unnest(range(1, len(vec) + 1)) AS pos, vec FROM assign1
+    ),
+    dims AS (
+        SELECT bucket, pos, ROUND(AVG(vec[pos]), {IVF_ROUND}) AS m
+        FROM exploded GROUP BY bucket, pos
+    ),
+    refined AS (
+        SELECT bucket, list(m ORDER BY pos) AS cvec FROM dims GROUP BY bucket
+    ),
+    ao AS (
+        SELECT vec_id, bucket
+        FROM (SELECT vo.vec_id, r.bucket,
+                     ROW_NUMBER() OVER (PARTITION BY vo.vec_id
+                                        ORDER BY {cos_or} DESC, r.bucket) AS rn
+              FROM vo CROSS JOIN refined r)
+        WHERE rn = 1
+    ),
+    an AS (
+        SELECT vec_id, bucket
+        FROM (SELECT vn.vec_id, r.bucket,
+                     ROW_NUMBER() OVER (PARTITION BY vn.vec_id
+                                        ORDER BY {cos_nr} DESC, r.bucket) AS rn
+              FROM vn CROSS JOIN refined r)
+        WHERE rn = 1
+    ),
+    co AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_old FROM ao GROUP BY bucket),
+    cn AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_new FROM an GROUP BY bucket),
+    j AS (
+        SELECT COALESCE(co.bucket, cn.bucket) AS bucket,
+               COALESCE(n_old, 0) AS n_old,
+               COALESCE(n_new, 0) AS n_new
+        FROM co FULL OUTER JOIN cn ON co.bucket = cn.bucket
+    ),
+    t AS (SELECT SUM(n_old) AS so, SUM(n_old) + SUM(n_new) AS sa FROM j)
+    SELECT bucket, n_old, n_new,
+           CAST((n_old * 1000000) // so AS BIGINT) AS old_ppm,
+           CAST(((n_old + n_new) * 1000000) // sa AS BIGINT) AS merged_ppm,
+           CAST(((n_old + n_new) * 1000000) // sa
+                - (n_old * 1000000) // so AS BIGINT) AS drift_ppm
+    FROM j, t
+    """
+
+
+@register(
+    "q_ivf_refresh",
+    oracle=_ivf_refresh_oracle(),
+    doc="Incremental IVF index maintenance — the production ANN-refresh "
+    "shape (mirroring q_minhash_incremental's new-vs-old discipline): "
+    "the index centroids are built and Lloyd-refined on the OLD corpus "
+    "only (vec_id % 10 < 8) and then FROZEN; a new shard (vec_id % 10 "
+    ">= 8) is assigned against the frozen state without re-clustering "
+    "or re-assigning the old corpus, and the query emits the per-cell "
+    "balance drift the refresh causes: n_old/n_new members, old vs "
+    "merged occupancy in exact ppm, and drift_ppm = merged - old — the "
+    "number an index operator watches to decide when accumulated "
+    "shards force a re-train. At 100 TB: the frozen K x dim centroid "
+    "matrix broadcasts to the new shard's scan (a map, zero shuffle "
+    "beyond the K-row count agg), the old corpus is NOT rescanned in "
+    "production (its baseline counts live in the stored index; this "
+    "query recomputes them only so the DuckDB oracle can check both "
+    "sides), and the two count aggs meet in a K-row full outer join.",
+)
+def q_ivf_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parquet_compactor_spark.llm.cluster import per_dim_means
+    from parquet_compactor_spark.llm.text import spread_scan
+
+    raw = load(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+
+    def project(df: DataFrame) -> DataFrame:
+        p = df.select(
+            "vec_id",
+            F.transform(
+                F.col("embedding"), lambda x: x.cast("double")
+            ).alias("vec"),
+        )
+        return p.withColumn("_vnorm", l2_norm(F.col("vec")))
+
+    is_new = F.pmod(F.col("vec_id"), F.lit(IVF_REFRESH_MOD)) >= F.lit(
+        IVF_REFRESH_NEW_MIN
+    )
+    old_raw, new_raw = raw.filter(~is_new), raw.filter(is_new)
+    # Seeds off the raw pushdown-friendly OLD projection (the
+    # round-12 ivf_assign rule: model collects never cross a spread
+    # exchange).
+    lo, hi = IVF_CENTROID_IDS
+    seed_rows = (
+        project(old_raw)
+        .filter(F.col("vec_id").between(lo, hi))
+        .orderBy("vec_id")
+        .collect()
+    )
+    cents = [(int(r.vec_id) - lo, [float(x) for x in r.vec]) for r in seed_rows]
+    old = project(spread_scan(old_raw))
+    new = project(spread_scan(new_raw))
+    staged, sims, ids = centroid_cosines(old, cents)
+    assign1 = staged.select(_argmax_bucket(sims, ids).alias("cluster"), "vec")
+    means = per_dim_means(assign1, ndigits=IVF_ROUND)
+    frozen = sorted((int(r.cluster), [float(x) for x in r.cvec]) for r in means)
+
+    def cell_counts(df: DataFrame, out: str) -> DataFrame:
+        st, sm, ii = centroid_cosines(df, frozen)
+        return (
+            st.select(_argmax_bucket(sm, ii).alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).cast("bigint").alias(out))
+        )
+
+    j = (
+        cell_counts(old, "n_old")
+        .join(cell_counts(new, "n_new"), "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.coalesce("n_old", F.lit(0)).cast("bigint").alias("n_old"),
+            F.coalesce("n_new", F.lit(0)).cast("bigint").alias("n_new"),
+        )
+    )
+    wall = Window.partitionBy()
+    return (
+        j.withColumn("so", F.sum("n_old").over(wall))
+        .withColumn("sa", (F.sum("n_old").over(wall) + F.sum("n_new").over(wall)))
+        .select(
+            "bucket",
+            "n_old",
+            "n_new",
+            F.expr("CAST((n_old * 1000000) div so AS BIGINT)").alias("old_ppm"),
+            F.expr(
+                "CAST(((n_old + n_new) * 1000000) div sa AS BIGINT)"
+            ).alias("merged_ppm"),
+            F.expr(
+                "CAST(((n_old + n_new) * 1000000) div sa"
+                " - (n_old * 1000000) div so AS BIGINT)"
+            ).alias("drift_ppm"),
+        )
+    )

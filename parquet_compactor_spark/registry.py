@@ -400,86 +400,86 @@ def _ensure_loaded() -> None:
 #         six extra new operators).
 # Everything not listed follows in registration order.
 #
-# Round-9 rotation plan (computed from CORRECTNESS_r0{1..7}.json,
-# latest-row-wins, after this window's 50 names are re-verified):
-# first the fourteen displaced names (q_volume_shipping, q_sim_topk,
-# q_small_qty_revenue, q_top_supplier, q_variant_props,
-# q_returned_items, q_salted_join — r4 —, then q_ann_ivf, q_anti_join,
-# q_arg_extremes, q_chisq_independence, q_cross_join, q_dedup_minhash,
-# q_dedup_simhash), then the remaining r5-latest rows:
-# q_embed_dim_stats q_embed_near_dup q_event_enrich q_event_transitions
-# q_full_outer_join q_gopher_rules q_hard_negatives q_having
-# q_heavy_hitters q_hll_sketch q_hll_sketch_state q_important_parts
-# q_in_subquery q_join_multiway q_kll_quantiles q_kmeans_clusters
-# q_min_cost_supplier q_null_handling q_prefix_dups q_product_profit
-# q_promo_part_suppliers q_range_join q_rlike_filter q_running_distinct
-# q_semi_join q_string_fns q_supplier_part_count q_topk
-# q_tumbling_window q_union_all q_unpivot q_window_first_last
-# q_window_lag q_window_range_frame q_window_ranks q_window_running
-# q_window_topn
-# — the 14 displaced + 37 r5-latest rows overfill the window by one;
-# the alphabetically-last r5 row rolls to round 10 — all minus
-# whatever round 9 itself adds or changes, which (per the standing
-# convention) outranks re-verification of unchanged sources.
+# Round-12 window (this block): the 3 round-12 operators + the 6
+# round-12 source changes first, then the 35 r6-latest rows the
+# round-11 verdict rolled over (after this window verifies, no query's
+# latest driver row predates round 7), then 6 r7 fills.
+#
+# Round-13 rotation plan (computed from CORRECTNESS_r{01..11}.json +
+# this window, latest-row-wins): the remaining 39 r7-latest rows —
+# q_corr_covar q_correlated_subquery q_cube q_cume_dist q_data_split
+# q_doc_chunking q_domain_mix q_explode_outer q_filter_pushdown
+# q_funnel_attrition q_grouping_sets q_hourly_topk q_join_broadcast
+# q_max_concurrency q_multimodal_meta q_multiset_setops
+# q_null_safe_join q_outer_join q_paragraph_dedup q_percent_of_total
+# q_percentiles q_pii_scrub q_pivot q_profile q_quality_classifier
+# q_rate_of_change q_rollup q_safe_math q_scalar_subquery q_scd2
+# q_semantic_dedup q_seq_packing q_session_window q_ship_priority
+# q_snapshot_delta q_span_dedup q_tfidf_topterms q_udtf_tokens
+# q_unigram_logprob
+# — 39 of 50 slots; the remainder fills from the r9-latest rows,
+# alphabetical, all minus whatever round 13 itself adds or changes,
+# which (per the standing convention) outranks re-verification of
+# unchanged sources.
 _PRIORITY: tuple[str, ...] = (
-    # -- NEW in round 11 (no driver row): first --
-    "q_cdc_chunk_dedup",
-    "q_source_overlap",
-    "q_ttr_hapax",
+    # -- NEW in round 12 (no driver row): first --
+    "q_lsh_tuning",
+    "q_ivf_refresh",
+    "q_weighted_sample",
+    # -- source changed in round 12: stage 3 of the cascade moved to
+    # the exact-recall prefix-filter join; the five ivf_assign/gram
+    # consumers picked up the raw-scan model-collect fix --
     "q_dedup_cascade",
-    "q_dp_histogram",
-    "q_novelty_curve",
-    "q_l_diversity",
-    "q_budget_select",
-    "q_doc_entropy",
-    "q_quota_admission",
-    "q_embed_covariance",
-    "q_kn_bigram",
-    "q_skew_audit",
-    "q_dup_inflation",
-    "q_countmin_topk",
-    # -- source changed in session 2 (third spread_scan adoption) --
-    "q_ngram_jaccard",
-    "q_token_fertility",
-    "q_eval_contamination",
-    "q_semdedup_prune",
-    "q_vocab_coverage",
-    "q_secret_scan",
-    "q_rank_fusion",
-    "q_winnowing_fingerprint",
-    "q_embedding_drift",
-    "q_shard_packing",
-    # -- source changed in round 11; the prior row attests neither --
-    "q_substring_dedup",
-    "q_bloom_delta",
-    # spread_scan (min-parallelism) landed in these four + the shared
-    # ivf_assign stage this round:
-    "q_knn_classify",
     "q_ann_ivf",
-    "q_ivfpq_search",
     "q_ivf_cell_stats",
-    "q_dedup_minhash",
-    "q_minhash_incremental",
-    "q_dup_ngram_coverage",
-    "q_char_trigrams",
-    # -- the seven r5 roll-overs (round-10 plan): the ledger's oldest --
-    "q_unpivot",
-    "q_window_first_last",
-    "q_window_lag",
-    "q_window_range_frame",
-    "q_window_ranks",
-    "q_window_running",
-    "q_window_topn",
-    # -- r6-latest rows, alphabetical (8 of 43 fit; the last
-    # thirty-five roll to round 12 per the plan above) --
-    "q_agg_pricing",
-    "q_asof_join",
-    "q_bit_bool_agg",
-    "q_bm25",
-    "q_case_bucketing",
-    "q_date_arithmetic",
-    "q_date_buckets",
-    "q_edit_distance",
+    "q_ivfpq_search",
+    "q_semdedup_prune",
+    "q_embed_covariance",
+    # -- the 35 r6-latest rows (the round-11 verdict roll-over:
+    # after this window no query\'s latest driver row predates r7) --
+    "q_equidepth_hist",
+    "q_event_attribution",
+    "q_ewma",
+    "q_except",
+    "q_frame_sample",
+    "q_gapfill_buckets",
+    "q_grouped_sample",
+    "q_intersect",
+    "q_large_orders",
+    "q_late_line_priority",
+    "q_latest_snapshot",
+    "q_locf_interpolate",
+    "q_mad_outliers",
+    "q_math_fns",
+    "q_month_over_month",
+    "q_ohlc",
+    "q_regr_slope",
+    "q_repetition_ratio",
+    "q_salted_agg",
+    "q_sessionize",
+    "q_sliding_window",
+    "q_stratified_sample",
+    "q_string_agg",
+    "q_string_extract",
+    "q_text_stats",
+    "q_token_count",
+    "q_top_bigrams",
+    "q_union_dedup",
+    "q_value_histogram",
+    "q_vector_norm",
+    "q_waiting_suppliers",
+    "q_whitespace_cleanup",
+    "q_window_ntile",
+    "q_winsorize",
+    "q_zscore_outliers",
+    # -- r7-latest fills, alphabetical (6 of 45 fit; the rest roll
+    # to round 13 per the same oldest-first convention) --
+    "q_agg_distinct",
+    "q_asof_nearest",
+    "q_click_conversion",
+    "q_contamination",
+    "q_context_length",
+    "q_corpus_prep",
 )
 
 

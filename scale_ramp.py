@@ -168,6 +168,18 @@ RAMP_QUERIES = [
     "q_dedup_cascade",
     "q_source_overlap",
     "q_doc_entropy",
+    # round-12: the LSH tuning audit composes the portable signature
+    # build (q_dedup_minhash's explode-agg family), the df-ordered
+    # prefix-filter truth join (candidate count is corpus-density-
+    # dependent — THE curve to watch: on a dense shingle vocabulary
+    # prefix filtering degrades toward the true pair growth, never
+    # past it), and 5 band-bucket count aggs (linear). The IVF refresh
+    # is the q_ann_ivf two-pass family with a 20% probe shard — must
+    # ramp like q_ann_ivf. (q_weighted_sample is one scan + a
+    # source-keyed top-K window — the q_grouped_sample shape, covered
+    # by the scan-rollup slope family.)
+    "q_lsh_tuning",
+    "q_ivf_refresh",
 ]
 
 OFF = 10_000_000  # per-copy key shift

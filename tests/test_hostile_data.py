@@ -198,6 +198,16 @@ SENSITIVE = [
     # the md5 hash of a NULL key concatenation is NULL -> a NULL key
     # would drop from the sketch on both engines identically.
     "q_countmin_topk",
+    # round-12 additions: q_weighted_sample pins text IS NOT NULL on
+    # both engines (a NULL token count would NULL the A-ES key);
+    # q_lsh_tuning pins text IS NOT NULL on both engines (the NULL
+    # shingle fallback would thread NULL hashes through the portable
+    # signature minima); q_ivf_refresh scopes NULL embeddings out (the
+    # q_ivfpq_search drop-null convention) and its ppm outputs are
+    # exact integers.
+    "q_weighted_sample",
+    "q_lsh_tuning",
+    "q_ivf_refresh",
 ]
 
 

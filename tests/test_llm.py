@@ -2099,3 +2099,101 @@ def test_embed_covariance_refuses_ragged_dimensions():
     second = pd.DataFrame({"embedding": [[0.1, 0.2, 0.3]]})
     with pytest.raises(ValueError, match=r"\[2, 3\]"):
         list(_gram_partials([first, second]))
+
+
+def test_weighted_sample_matches_python_aes_replay(spark, tmp_path):
+    """The A-ES draw is deterministic: a Python replay of the exact same
+    pipeline (md5-hash uniform, -ln(u)/w key, nano-grid floor, (key,
+    doc_id) rank) must select the identical per-source document sets —
+    and heavier docs must win ties in expectation (pinned here by a
+    10000x-weight doc always beating a 1x-weight doc whose raw uniform
+    is not overwhelmingly luckier)."""
+    import hashlib
+    import math
+
+    rows = [(i, " ".join(["w"] * (1 + (i % 7) * 40)), f"s{i % 2}") for i in range(30)]
+    sf = _write_sourced_docs(spark, tmp_path, rows)
+    from parquet_compactor_spark.registry import all_queries
+
+    got = {
+        (r.source, r.doc_id): (r.n_tokens, r.key_nano, r.rn)
+        for r in all_queries()["q_weighted_sample"].fn(spark, sf).collect()
+    }
+
+    def key_nano(doc_id, w):
+        h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16)
+        u = (h + 1) / float(1 << 60)
+        return math.floor((-math.log(u) / w) * 1e9 + 0.5)
+
+    expected = {}
+    by_source = {}
+    for i, t, s in rows:
+        w = len(t.split(" "))
+        by_source.setdefault(s, []).append((key_nano(i, w), i, w))
+    from parquet_compactor_spark.llm.pipeline import AES_K
+
+    for s, lst in by_source.items():
+        for rn, (k, i, w) in enumerate(sorted(lst), start=1):
+            if rn <= AES_K:
+                expected[(s, i)] = (w, k, rn)
+    assert got == expected
+
+
+def test_ivf_refresh_frozen_centroids_and_ppm_invariants(spark, tmp_path):
+    """The refresh must (a) count every old and new vector exactly once,
+    (b) assign the new shard against FROZEN old-corpus centroids (a new
+    vector colinear with one seed lands in that seed's cell), and (c)
+    emit exact-integer ppm columns with drift = merged - old."""
+    dim = 64
+
+    def unit(axis):
+        v = [0.0] * dim
+        v[axis] = 1.0
+        return v
+
+    rows = []
+    # 8 seeds on distinct axes (vec_id 100..107 -> buckets 0..7), plus
+    # old members near seeds 0/1 (ids chosen with last digit < 8).
+    for b in range(8):
+        rows.append((100 + b, unit(b), b))
+    rows += [(110, unit(0), 0), (111, unit(1), 1), (112, unit(0), 0)]
+    # New shard (last digit 8/9): two vectors on axis 0, one on axis 3.
+    rows += [(108, unit(0), 0), (118, unit(3), 3), (119, unit(0), 0)]
+    sf = _write_embeddings(spark, tmp_path, rows)
+    from parquet_compactor_spark.registry import all_queries
+
+    out = {r.bucket: r for r in all_queries()["q_ivf_refresh"].fn(spark, sf).collect()}
+    assert sum(r.n_old for r in out.values()) == 11
+    assert sum(r.n_new for r in out.values()) == 3
+    assert out[0].n_new == 2 and out[3].n_new == 1  # frozen-cell landings
+    so = sum(r.n_old for r in out.values())
+    sa = so + sum(r.n_new for r in out.values())
+    for r in out.values():
+        assert r.old_ppm == r.n_old * 1000000 // so
+        assert r.merged_ppm == (r.n_old + r.n_new) * 1000000 // sa
+        assert r.drift_ppm == r.merged_ppm - r.old_ppm
+
+
+def test_lsh_tuning_monotone_and_exact_dup_full_recall(spark, tmp_path):
+    """Halving rows per band can only ADD catches (an r-block agreement
+    contains both its r/2-block agreements) and can only COARSEN band
+    buckets (more probe pairs): n_caught and probe_pairs must both be
+    monotone along 4x16 -> 8x8 -> 16x4 -> 32x2 -> 64x1. An exact
+    duplicate pair (identical signatures) is caught by EVERY config, so
+    on a corpus whose only near-dups are exact dups every recall_ppm
+    reads 1000000."""
+    rows = [(0, BASE, "s"), (1, BASE, "s")] + [
+        (i, f"completely distinct filler text number {i} with unique tokens "
+            + " ".join(f"tk{i}_{j}" for j in range(10)), "s")
+        for i in range(2, 10)
+    ]
+    sf = _write_sourced_docs(spark, tmp_path, rows)
+    from parquet_compactor_spark.registry import all_queries
+
+    out = {r.cfg: r for r in all_queries()["q_lsh_tuning"].fn(spark, sf).collect()}
+    chain = ["4x16", "8x8", "16x4", "32x2", "64x1"]
+    assert all(out[c].n_true == out[chain[0]].n_true >= 1 for c in chain)
+    for a, b in zip(chain, chain[1:]):
+        assert out[a].n_caught <= out[b].n_caught
+        assert out[a].probe_pairs <= out[b].probe_pairs
+    assert all(out[c].recall_ppm == 1000000 for c in chain)

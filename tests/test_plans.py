@@ -912,14 +912,17 @@ PLAN_SHAPE_PINS = {
     # survivor set is persist_tracked (its windows+join build lineage
     # renders under every InMemoryTableScan reference — the q_pagerank
     # counting convention — which is most of this count). Round-12:
-    # 98 -> 33 — stage 3 moved from banded MinHash (64-perm signature
+    # 98 -> 49 — stage 3 moved from banded MinHash (64-perm signature
     # machinery, 15 exchanges of its own) to the EXACT-recall
-    # prefix-filter join (prefix explode + one hash equi-join + verify
-    # sides), which both makes the oracle equivalence structural and
-    # drops two thirds of the plan. The 1 BNLJ is the 1-row
-    # stage-counts x 1-row removals scalar join. A CartesianProduct
-    # appearing means stage 3 escaped the prefix-filter bound.
-    "q_dedup_cascade":      (33, 0, 0, 1),
+    # df-ordered prefix-filter join (hashed-shingle persist + df agg +
+    # per-doc prefix window + one hash equi-join + narrow verify
+    # sides; the persist's build lineage renders under each of its
+    # four InMemoryTableScan consumers), which makes the oracle
+    # equivalence structural and halves the plan. The 1 BNLJ is the
+    # 1-row stage-counts x 1-row removals scalar join. A
+    # CartesianProduct appearing means stage 3 escaped the
+    # prefix-filter bound.
+    "q_dedup_cascade":      (49, 0, 0, 1),
     # Source overlap: distinct gram-hash exchange + self-join sides +
     # per-source counts; 1 BNLJ = the bounded 20x20 pair spine. A
     # second BNLJ or a CartesianProduct means the gram equi-join
@@ -941,6 +944,23 @@ PLAN_SHAPE_PINS = {
     # under InMemoryTableScan references (the q_minhash_incremental
     # convention). 1 BNLJ = the 1-row type-total scalar.
     "q_kn_bigram":          (35, 0, 0, 1),
+    # Round-12 trio. LSH tuning: portable-signature persist + the
+    # prefix-filter truth stage (its own hashed-shingle persist) + 5
+    # per-config band-bucket aggs + the 1-row truth agg exploded to 5
+    # rows joined to the 5-row probe counts — persist build lineages
+    # render under every InMemoryTableScan consumer (7 for sigs, 4 for
+    # the truth table). No Expand/Cartesian/BNLJ may EVER appear: a
+    # pair op here means a band bucket or the prefix join escaped its
+    # key.
+    "q_lsh_tuning":         (29, 0, 0, 0),
+    # IVF refresh: the two-pass frozen-centroid build on the OLD
+    # corpus (spread assignment + Lloyd mean shuffle) + the new-shard
+    # assignment + two K-row count aggs meeting in one full-outer join
+    # + the wall-window ppm pass. The 2 BNLJ are the bounded 1-row
+    # centroid-matrix broadcasts of the two live assignment passes (the
+    # q_ann_ivf convention); a third means a branch started dragging
+    # the assignment subtree.
+    "q_ivf_refresh":        (7,  0, 0, 2),
 }
 
 
