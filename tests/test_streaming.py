@@ -1101,3 +1101,63 @@ def test_quota_stream_duplicate_rows_in_batch(spark, tmp_path):
     assert len(got) == 3, got  # one row per distinct doc, not per input row
     dec = {r.doc_id: r.admitted for r in got}
     assert dec == {0: True, 1: True, 2: False}
+
+
+def test_claim_state_soak_three_compaction_cycles_with_crashes(spark, tmp_path):
+    """Round-12 soak (the r11 verdict's standing item): drive the claim
+    gate through THREE full compaction cycles with a crashed
+    (uncommitted) version write planted at EVERY compaction boundary —
+    the re-batched-retry orphan shape: next chain id, divergent
+    watermark name, no _SUCCESS. Pins: (a) the read composition never
+    exceeds CLAIM_COMPACT_EVERY paths (base + at most
+    CLAIM_COMPACT_EVERY-1 deltas), (b) after every commit's GC the
+    on-disk directory count equals the live composition exactly (state
+    dir never accumulates), (c) every planted crash is reclaimed, and
+    (d) the final composition is the complete claim table."""
+    import os
+
+    from parquet_compactor_spark.compactor.fs import HadoopFS
+    from parquet_compactor_spark.streaming.pipeline import (
+        CLAIM_COMPACT_EVERY,
+        _active_version_paths,
+        _committed_state_versions,
+        _first_arrival_claim_gate,
+        latest_claim_state,
+    )
+
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "decisions")
+    fs = HadoopFS(spark, state)
+    n_batches = 3 * CLAIM_COMPACT_EVERY + 3
+    max_read = 0
+    planted = []
+    for i in range(n_batches):
+        if i > 0 and i % CLAIM_COMPACT_EVERY == 0:
+            orphan = f"{state}/v-{i}-w{77000 + i}"
+            os.makedirs(orphan, exist_ok=True)
+            open(f"{orphan}/part-junk.parquet", "w").close()
+            planted.append(orphan)
+        batch = spark.createDataFrame(
+            [(100 + i, f"text fp-{i}")], "doc_id bigint, text string"
+        )
+        keyed = spark.createDataFrame(
+            [(100 + i, f"fp-{i}")], "doc_id bigint, fp string"
+        )
+        _first_arrival_claim_gate(batch, i, keyed, ("fp",), state, out, "soak")
+        versions = _committed_state_versions(fs, state)
+        active = _active_version_paths(versions, state)
+        max_read = max(max_read, len(active))
+        on_disk = fs.list_dirs(state)
+        assert len(on_disk) == len(active), (
+            f"after batch {i}: {len(on_disk)} dirs on disk vs "
+            f"{len(active)} in the live composition — GC fell behind"
+        )
+    assert max_read <= CLAIM_COMPACT_EVERY
+    assert not any(fs.exists(p) for p in planted), "crashed write survived GC"
+    versions = _committed_state_versions(fs, state)
+    assert versions[0][0] == 3 * CLAIM_COMPACT_EVERY  # three compactions ran
+    assert versions[0][3] is None
+    claims = {
+        r.fp: r.claimant for r in latest_claim_state(spark, state).collect()
+    }
+    assert claims == {f"fp-{i}": 100 + i for i in range(n_batches)}
