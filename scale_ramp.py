@@ -198,6 +198,65 @@ SHIFTS: dict[str, list[str]] = {
 COPY_AS_IS = ["region", "nation"]
 
 
+#: The ANN-family stretch ramp (round-12 verdict item): embeddings-only
+#: levels up to x100 (~200k vectors at the sf0.1 source) so the K ~ N
+#: cell-capacity rule and the per-cell occupancy bound are DEMONSTRATED
+#: at index scale, not extrapolated from the 2k-vector fixture. Only
+#: the embeddings table replicates (the ANN queries read nothing else);
+#: build cost stays trivial because the full-corpus levels are skipped.
+ANN_LEVELS = [
+    int(x)
+    for x in os.environ.get("SCALE_RAMP_ANN_LEVELS", "1,25,100").split(",")
+]
+ANN_QUERIES = [
+    "q_ann_ivf",
+    "q_ivfpq_search",
+    "q_ivf_cell_stats",
+    "q_ivf_refresh",
+    "q_semdedup_prune",
+]
+
+
+def _replicated_embeddings(spark, copies: int):
+    """The shared embeddings replication rule: vec_id shifted per copy;
+    copies k>0 rotate the vector by k%64 positions so norms and the
+    coordinate distribution are preserved while a rolled copy stays
+    uncorrelated with its original (candidate/cell density realistic)."""
+    from pyspark.sql import functions as F
+
+    from parquet_compactor_spark.registry import load
+
+    src_df = load(spark, SRC, "embeddings")
+    parts = []
+    for k in range(copies):
+        df = src_df.withColumn("vec_id", F.col("vec_id") + F.lit(k * OFF))
+        if k > 0:
+            r = k % 64
+            df = df.withColumn(
+                "embedding",
+                F.expr(
+                    f"concat(slice(embedding, {r + 1}, size(embedding) - {r}),"
+                    f" slice(embedding, 1, {r}))"
+                ),
+            )
+        parts.append(df)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def build_ann_level(spark, copies: int, dest: Path) -> None:
+    if (dest / "_DONE").exists():
+        return
+    dest.mkdir(parents=True, exist_ok=True)
+    n_files = max(1, copies // 4)
+    _replicated_embeddings(spark, copies).repartition(n_files).write.mode(
+        "overwrite"
+    ).parquet(str(dest / "embeddings.parquet"))
+    (dest / "_DONE").write_text("ok")
+
+
 def build_level(spark, copies: int, dest: Path) -> None:
     from pyspark.sql import functions as F
 
@@ -304,9 +363,33 @@ def main() -> None:
         compaction[str(files_n)] = bench_compaction(spark, SRC)
         print(f"# compaction {files_n} files:", json.dumps(compaction[str(files_n)]))
 
+    # ANN stretch ramp: embeddings-only levels (see ANN_LEVELS note).
+    ann: dict[str, dict[str, float]] = {}
+    for copies in ANN_LEVELS:
+        dest = OUT_ROOT / f"ann_x{copies}"
+        t0 = time.perf_counter()
+        build_ann_level(spark, copies, dest)
+        build_s = time.perf_counter() - t0
+        sf_dir = str(dest)
+        level = {}
+        for name in ANN_QUERIES:
+            best = float("inf")
+            for _ in range(2):
+                release_guard_caches()
+                t0 = time.perf_counter()
+                queries[name].fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best, time.perf_counter() - t0)
+            level[name] = round(best, 3)
+        ann[f"x{copies}"] = level
+        print(f"# ann level x{copies} built in {build_s:.1f}s:", json.dumps(level))
+
     out = {
         "levels": results,
         "ramp_queries": RAMP_QUERIES,
+        "ann_levels": ann,
+        "ann_queries": ANN_QUERIES,
         "compaction": compaction,
         "src": SRC,
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count())),
