@@ -2539,3 +2539,152 @@ def q_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Poisson-bootstrap confidence intervals (error bars in one scan)
+# --------------------------------------------------------------------------
+
+#: Bootstrap replica count.
+BOOT_B = 32
+
+#: Poisson(1) CDF thresholds on the 60-bit hash grid: a replica weight
+#: is w = |{j : h >= t_j}| (0..7, the >=7 tail folded into 7). The
+#: table is computed ONCE here in Python and inlined as identical
+#: bigint literals into BOTH engines (the q_dp_histogram discipline:
+#: determinism comes from the shared literals, so neither engine ever
+#: evaluates a transcendental at query time).
+def _poisson1_thresholds() -> list[int]:
+    import math
+
+    out, acc, term = [], 0.0, math.exp(-1.0)
+    for j in range(7):
+        acc += term
+        out.append(int(acc * (1 << 60)))
+        term /= j + 1
+    return out
+
+
+BOOT_THRESHOLDS = _poisson1_thresholds()
+
+_BOOT_TS = ", ".join(str(t) for t in BOOT_THRESHOLDS)
+
+
+@register(
+    "q_bootstrap_ci",
+    oracle=f"""
+    WITH d AS (
+        SELECT source, doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS x
+        FROM documents WHERE text IS NOT NULL
+    ),
+    rep AS (
+        SELECT source, doc_id, x, unnest(range(0, {BOOT_B})) AS b FROM d
+    ),
+    wtd AS (
+        SELECT source, b, x,
+               len(list_filter([{_BOOT_TS}],
+                   t -> ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                         || CAST(b AS VARCHAR)), 1, 15))::BIGINT >= t)) AS w
+        FROM rep
+    ),
+    rm AS (
+        SELECT source, b,
+               CAST(SUM(w * x) * 1000000 // SUM(w) AS BIGINT) AS m
+        FROM wtd GROUP BY source, b HAVING SUM(w) > 0
+    ),
+    ci AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_replicas,
+               (list(m ORDER BY m))[LEAST(2, COUNT(*))] AS ci_lo_micro,
+               (list(m ORDER BY m))[GREATEST(COUNT(*) - 1, 1)] AS ci_hi_micro
+        FROM rm GROUP BY source
+    ),
+    full_mean AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(x) * 1000000 // COUNT(*) AS BIGINT) AS mean_micro
+        FROM d GROUP BY source
+    )
+    SELECT f.source, f.n_docs, f.mean_micro,
+           c.ci_lo_micro, c.ci_hi_micro, c.n_replicas
+    FROM full_mean f JOIN ci c ON f.source = c.source
+    """,
+    doc="Poisson-bootstrap confidence interval for the per-source mean "
+    "token count — error bars on a corpus statistic in ONE scan, the "
+    "way a 100 TB pipeline must bootstrap (resampling-with-replacement "
+    "by index is a shuffle per replica; the Poisson(1)-weight "
+    "approximation is the standard streaming form). Each (doc, "
+    "replica) weight is drawn from an inverse-CDF walk of a 7-entry "
+    "Poisson(1) threshold table on the 60-bit md5 hash of (doc_id, b) "
+    "— the table computed once in Python and inlined as identical "
+    "bigint literals into both engines (the q_dp_histogram no-"
+    "transcendentals-at-query-time discipline), so every weight, "
+    "replica mean (exact integer micro units) and rank-based interval "
+    "endpoint (2nd / B-1th order statistic of the 32 replica means — "
+    "rank-based, never an interpolated percentile) is engine-exact. "
+    "Plan: one explode x32 over the doc table, two hash aggs, order "
+    "stats over 32-element arrays — scan-shaped at any corpus size.",
+)
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "source",
+            "doc_id",
+            F.size(F.split("text", " ", -1)).cast("bigint").alias("x"),
+        )
+    )
+    rep = d.select(
+        "source",
+        "doc_id",
+        "x",
+        F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b"),
+    )
+    h = (
+        "cast(conv(substr(md5(concat(cast(doc_id as string), ':', "
+        "cast(b as string))), 1, 15), 16, 10) as bigint)"
+    )
+    wtd = rep.select(
+        "source",
+        "b",
+        "x",
+        F.expr(
+            f"aggregate(array({_BOOT_TS}), 0, "
+            f"(acc, t) -> acc + IF({h} >= t, 1, 0))"
+        ).alias("w"),
+    )
+    rm = (
+        wtd.groupBy("source", "b")
+        .agg(
+            F.sum(F.col("w") * F.col("x")).alias("swx"),
+            F.sum("w").alias("sw"),
+        )
+        .filter(F.col("sw") > 0)
+        .select(
+            "source",
+            F.expr("CAST(swx * 1000000 div sw AS BIGINT)").alias("m"),
+        )
+    )
+    ci = rm.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_replicas"),
+        F.array_sort(F.collect_list("m")).alias("arr"),
+    ).select(
+        "source",
+        "n_replicas",
+        F.element_at(
+            "arr", F.least(F.lit(2), F.size("arr")).cast("int")
+        ).alias("ci_lo_micro"),
+        F.element_at(
+            "arr", F.greatest(F.size("arr") - 1, F.lit(1)).cast("int")
+        ).alias("ci_hi_micro"),
+    )
+    full_mean = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.expr("CAST(SUM(x) * 1000000 div COUNT(*) AS BIGINT)").alias(
+            "mean_micro"
+        ),
+    )
+    return full_mean.join(ci, "source").select(
+        "source", "n_docs", "mean_micro", "ci_lo_micro", "ci_hi_micro", "n_replicas"
+    )

@@ -2234,3 +2234,51 @@ def q_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("recall_ppm"),
         "probe_pairs",
     )
+
+
+@register(
+    "q_ssjoin_exact",
+    oracle="""
+    WITH sp AS (
+        SELECT doc_id, text, string_split(text, ' ') AS w FROM documents
+        WHERE text IS NOT NULL
+    ),
+    sh AS (SELECT doc_id,
+             CASE WHEN len(w) >= 3
+                  THEN list_distinct(list_transform(range(1, len(w) - 1),
+                                                    i -> array_to_string(w[i:i+2], ' ')))
+                  ELSE [text] END AS s
+           FROM sp)
+    SELECT a.doc_id AS id1, b.doc_id AS id2,
+           ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+    """,
+    doc="EXACT set-similarity join at Jaccard >= 0.5 over 3-word "
+    "shingles — the operator q_dedup_minhash approximates, as a "
+    "first-class query: prefix_filter_pairs (AllPairs/PPJoin prefix "
+    "filtering under the ascending-df global order + t-size filter) "
+    "guarantees every qualifying pair collides, so the result is the "
+    "complete pair set BY CONSTRUCTION and the brute-force DuckDB "
+    "oracle equivalence is structural. Neither Spark nor the reference "
+    "ships a set-similarity join primitive; this is the engine's exact "
+    "tier (dedup audits, LSH ground truth — q_lsh_tuning's truth "
+    "stage), with q_dedup_minhash as the recall-tolerant scale tier. "
+    "At 100 TB: one df aggregate + one prefix-hash equi-join + a "
+    "narrow hash-set verify; candidate count tracks the corpus's "
+    "shared-shingle density (the adversarial dense-vocabulary case is "
+    "measured and documented in SCALE.md round-12).",
+)
+def q_ssjoin_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    return (
+        prefix_filter_pairs(d, threshold=0.5)
+        .filter(F.col("jaccard_exact") >= 0.5)
+        .select("id1", "id2", "jaccard")
+    )

@@ -1266,3 +1266,226 @@ def q_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("true_cnt").desc(), "user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# KMV / theta-sketch distinct set operations (union AND intersection)
+# --------------------------------------------------------------------------
+
+#: KMV sketch size (k smallest hashes kept per source).
+KMV_K = 256
+
+#: The 48-bit portable-hash space (md5-derived). 48, not the simhash
+#: convention's 60: every ratio below multiplies a count (<= k) by the
+#: denominator before the integer division, and (k-1) * 2^60 overflows
+#: int64 while (k-1) * 2^48 = 7.2e16 fits with two decades to spare —
+#: exact bigint arithmetic end to end, no DECIMAL/HUGEINT casts. A
+#: 48-bit collision needs ~2^24 distinct tokens per source to become
+#: likely; the sketch keeps only k=256 of them.
+KMV_DENOM = 1 << 48
+
+_KMV_H_SPARK = "cast(conv(substr(md5(tok), 1, 12), 16, 10) as bigint)"
+_KMV_H_DUCK = "('0x' || substr(md5(tok), 1, 12))::BIGINT"
+
+
+@register(
+    "q_kmv_intersect",
+    oracle=f"""
+    WITH tok AS (
+        SELECT DISTINCT source, unnest(string_split(text, ' ')) AS tok
+        FROM documents WHERE text IS NOT NULL
+    ),
+    h AS (SELECT DISTINCT source, {_KMV_H_DUCK} AS h FROM tok),
+    sk AS (
+        SELECT source, h,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS r
+        FROM h
+    ),
+    sketch AS (SELECT source, h FROM sk WHERE r <= {KMV_K}),
+    st AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sk,
+               CASE WHEN COUNT(*) >= {KMV_K} THEN MAX(h)
+                    ELSE {KMV_DENOM} END AS theta,
+               CASE WHEN COUNT(*) >= {KMV_K}
+                    THEN ({KMV_K} - 1) * {KMV_DENOM} // MAX(h)
+                    ELSE CAST(COUNT(*) AS BIGINT) END AS est_distinct
+        FROM sketch GROUP BY source
+    ),
+    spine AS (
+        SELECT a.source AS src1, b.source AS src2
+        FROM st a JOIN st b ON a.source < b.source
+    ),
+    pu AS (
+        SELECT DISTINCT s.src1, s.src2, k.h
+        FROM spine s JOIN sketch k
+          ON k.source = s.src1 OR k.source = s.src2
+    ),
+    pur AS (
+        SELECT src1, src2, h,
+               ROW_NUMBER() OVER (PARTITION BY src1, src2 ORDER BY h) AS r,
+               COUNT(*) OVER (PARTITION BY src1, src2) AS n
+        FROM pu
+    ),
+    uest AS (
+        SELECT src1, src2,
+               CASE WHEN n >= {KMV_K}
+                    THEN ({KMV_K} - 1) * {KMV_DENOM} // h
+                    ELSE n END AS est_union
+        FROM pur WHERE r = LEAST(n, {KMV_K})
+    ),
+    common AS (
+        SELECT s.src1, s.src2,
+               LEAST(t1.theta, t2.theta) AS th,
+               CAST(COUNT(CASE WHEN a.h IS NOT NULL
+                                AND a.h < LEAST(t1.theta, t2.theta)
+                          THEN 1 END) AS BIGINT) AS m
+        FROM spine s
+        JOIN st t1 ON t1.source = s.src1
+        JOIN st t2 ON t2.source = s.src2
+        LEFT JOIN (
+            SELECT k1.source AS src1, k2.source AS src2, k1.h
+            FROM sketch k1 JOIN sketch k2
+              ON k1.h = k2.h AND k1.source < k2.source
+        ) a ON a.src1 = s.src1 AND a.src2 = s.src2
+        GROUP BY s.src1, s.src2, t1.theta, t2.theta
+    )
+    SELECT c.src1, c.src2,
+           t1.est_distinct AS est_d1,
+           t2.est_distinct AS est_d2,
+           u.est_union,
+           c.m AS common_below_theta,
+           c.m * {KMV_DENOM} // c.th AS est_inter
+    FROM common c
+    JOIN st t1 ON t1.source = c.src1
+    JOIN st t2 ON t2.source = c.src2
+    JOIN uest u ON u.src1 = c.src1 AND u.src2 = c.src2
+    """,
+    doc="KMV / theta-sketch distinct-set algebra over per-source token "
+    "vocabularies: UNION and — the operation HLL fundamentally cannot "
+    "do — INTERSECTION cardinality, per ordered source pair, in exact "
+    "integer arithmetic. Each source keeps its k=256 smallest 60-bit "
+    "md5 token hashes; distinct estimate (k-1)*2^48 div h_k (exact "
+    "count when the vocabulary is smaller than k); union from the "
+    "combined sketch's k-th smallest; intersection via the theta rule "
+    "(theta = min of the pair's thetas, m = shared hashes below theta, "
+    "est = m*2^48 div theta — collapsing to the exact m when both "
+    "sketches are exhaustive). Every quantity is a bigint (no float "
+    "estimator drift), so the DuckDB oracle replays the sketch "
+    "bit-for-bit — the q_countmin_topk full-differential discipline "
+    "extended to the set-operation sketch family. At 100 TB: sketch "
+    "build is one distinct + one per-source top-k window (O(sources x "
+    "k) rows out); all pair math runs on sketch rows only (20 x 20 "
+    "pairs x 256 rows), never on the corpus.",
+)
+def q_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    tok = d.select(
+        "source", F.explode(F.split("text", " ", -1)).alias("tok")
+    ).select("source", F.expr(_KMV_H_SPARK).alias("h")).distinct()
+    w = Window.partitionBy("source").orderBy("h")
+    sketch = (
+        tok.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= KMV_K)
+        .select("source", "h")
+    )
+    # persist: the sketch feeds the per-source stats, both spine sides,
+    # the union ranking and the common-hash join (5 consumers).
+    from parquet_compactor_spark.llm.text import persist_tracked
+
+    sketch = persist_tracked(sketch)
+    st = sketch.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sk"),
+        F.max("h").alias("h_max"),
+    ).select(
+        "source",
+        "n_sk",
+        F.when(F.col("n_sk") >= KMV_K, F.col("h_max"))
+        .otherwise(F.lit(KMV_DENOM))
+        .alias("theta"),
+        F.when(
+            F.col("n_sk") >= KMV_K,
+            F.expr(f"CAST(({KMV_K} - 1) * {KMV_DENOM} div h_max AS BIGINT)"),
+        )
+        .otherwise(F.col("n_sk"))
+        .alias("est_distinct"),
+    )
+    t1 = st.select(
+        F.col("source").alias("src1"),
+        F.col("theta").alias("theta1"),
+        F.col("est_distinct").alias("est_d1"),
+    )
+    t2 = st.select(
+        F.col("source").alias("src2"),
+        F.col("theta").alias("theta2"),
+        F.col("est_distinct").alias("est_d2"),
+    )
+    spine = t1.crossJoin(t2).filter(F.col("src1") < F.col("src2"))
+    e1 = sketch.select(F.col("source").alias("src1"), "h")
+    e2 = sketch.select(F.col("source").alias("src2"), "h")
+    pu = (
+        spine.select("src1", "src2")
+        .join(e1, "src1")
+        .select("src1", "src2", "h")
+        .unionByName(
+            spine.select("src1", "src2")
+            .join(e2, "src2")
+            .select("src1", "src2", "h")
+        )
+        .distinct()
+    )
+    wp = Window.partitionBy("src1", "src2").orderBy("h")
+    wn = Window.partitionBy("src1", "src2")
+    uest = (
+        pu.withColumn("r", F.row_number().over(wp))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+        .filter(F.col("r") == F.least(F.col("n"), F.lit(KMV_K)))
+        .select(
+            "src1",
+            "src2",
+            F.when(
+                F.col("n") >= KMV_K,
+                F.expr(f"CAST(({KMV_K} - 1) * {KMV_DENOM} div h AS BIGINT)"),
+            )
+            .otherwise(F.col("n").cast("bigint"))
+            .alias("est_union"),
+        )
+    )
+    shared = (
+        e1.join(e2, "h")
+        .filter(F.col("src1") < F.col("src2"))
+        .select("src1", "src2", "h")
+    )
+    common = (
+        spine.join(shared, ["src1", "src2"], "left")
+        .select(
+            "src1",
+            "src2",
+            "theta1",
+            "theta2",
+            "est_d1",
+            "est_d2",
+            F.least("theta1", "theta2").alias("th"),
+            "h",
+        )
+        .groupBy("src1", "src2", "th", "est_d1", "est_d2")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("h").isNotNull() & (F.col("h") < F.col("th")), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("m")
+        )
+    )
+    return common.join(uest, ["src1", "src2"]).select(
+        "src1",
+        "src2",
+        "est_d1",
+        "est_d2",
+        "est_union",
+        F.col("m").alias("common_below_theta"),
+        F.expr(f"CAST(m * {KMV_DENOM} div th AS BIGINT)").alias("est_inter"),
+    )

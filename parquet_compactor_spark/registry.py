@@ -423,6 +423,9 @@ def _ensure_loaded() -> None:
 # unchanged sources.
 _PRIORITY: tuple[str, ...] = (
     # -- NEW in round 12 (no driver row): first --
+    "q_kmv_intersect",
+    "q_bootstrap_ci",
+    "q_ssjoin_exact",
     "q_lsh_tuning",
     "q_ivf_refresh",
     "q_weighted_sample",
@@ -472,14 +475,11 @@ _PRIORITY: tuple[str, ...] = (
     "q_window_ntile",
     "q_winsorize",
     "q_zscore_outliers",
-    # -- r7-latest fills, alphabetical (6 of 45 fit; the rest roll
+    # -- r7-latest fills, alphabetical (3 of 45 fit; the rest roll
     # to round 13 per the same oldest-first convention) --
     "q_agg_distinct",
     "q_asof_nearest",
     "q_click_conversion",
-    "q_contamination",
-    "q_context_length",
-    "q_corpus_prep",
 )
 
 

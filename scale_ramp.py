@@ -180,6 +180,15 @@ RAMP_QUERIES = [
     # by the scan-rollup slope family.)
     "q_lsh_tuning",
     "q_ivf_refresh",
+    # round-12 second batch: the exact set-similarity join IS
+    # q_lsh_tuning's truth stage standalone (candidate count is the
+    # density-dependent curve to watch); KMV pair math is sketch-
+    # bounded after one distinct + top-k window (must flatten like the
+    # vocabulary families); the bootstrap is scan x32 (must ramp like
+    # q_gopher_rules x a constant).
+    "q_ssjoin_exact",
+    "q_kmv_intersect",
+    "q_bootstrap_ci",
 ]
 
 OFF = 10_000_000  # per-copy key shift

@@ -208,6 +208,14 @@ SENSITIVE = [
     "q_weighted_sample",
     "q_lsh_tuning",
     "q_ivf_refresh",
+    # q_ssjoin_exact pins text IS NOT NULL on both engines (the
+    # q_lsh_tuning shingle-scope class); q_kmv_intersect and
+    # q_bootstrap_ci pin it too (NULL text forms no tokens / no metric
+    # on either engine), and both are exact-bigint end to end so the
+    # mutated corpus hash-matches exactly.
+    "q_ssjoin_exact",
+    "q_kmv_intersect",
+    "q_bootstrap_ci",
 ]
 
 

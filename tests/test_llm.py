@@ -2197,3 +2197,102 @@ def test_lsh_tuning_monotone_and_exact_dup_full_recall(spark, tmp_path):
         assert out[a].n_caught <= out[b].n_caught
         assert out[a].probe_pairs <= out[b].probe_pairs
     assert all(out[c].recall_ppm == 1000000 for c in chain)
+
+
+def test_ssjoin_exact_registered_surface_and_null_scope(spark, tmp_path):
+    """The registered exact set-similarity join: complete qualifying
+    pair set (both directions of the graded chain), 4dp-rounded
+    jaccard, and NULL-text docs scoped out (they form no pairs)."""
+    rows = [
+        (0, BASE, "s"),
+        (1, BASE.replace("lazy", "sleepy"), "s"),
+        (2, "entirely different text about compaction manifests", "s"),
+    ]
+    sf = _write_sourced_docs(spark, tmp_path, rows)
+    # Append one NULL-text doc (mirrors the hostile-data mutation).
+    spark.createDataFrame(
+        [(3, None, "en", "s", 0)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).coalesce(1).write.mode("append").parquet(str(tmp_path / "documents.parquet"))
+    from parquet_compactor_spark.registry import all_queries
+
+    got = {
+        (r.id1, r.id2): r.jaccard
+        for r in all_queries()["q_ssjoin_exact"].fn(spark, sf).collect()
+    }
+    assert set(got) == {(0, 1)}  # the near-dup pair, nothing with 2 or 3
+    assert 0.5 <= got[(0, 1)] <= 1.0
+    assert got[(0, 1)] == round(got[(0, 1)], 4)
+
+
+def test_kmv_intersect_exact_when_vocab_below_k(spark, tmp_path):
+    """With every vocabulary below k the KMV sketch is exhaustive and
+    every 'estimate' column must be EXACT set cardinality: planted
+    sources share exactly 5 tokens."""
+    a = " ".join([f"a{i}" for i in range(10)] + [f"c{i}" for i in range(5)])
+    b = " ".join([f"b{i}" for i in range(20)] + [f"c{i}" for i in range(5)])
+    sf = _write_sourced_docs(spark, tmp_path, [(0, a, "srcA"), (1, b, "srcB")])
+    from parquet_compactor_spark.registry import all_queries
+
+    rows = all_queries()["q_kmv_intersect"].fn(spark, sf).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.src1, r.src2) == ("srcA", "srcB")
+    assert (r.est_d1, r.est_d2) == (15, 25)
+    assert r.est_union == 35
+    assert r.common_below_theta == 5 and r.est_inter == 5
+
+
+def test_kmv_intersect_estimates_large_vocab_within_tolerance(spark, tmp_path):
+    """Above k the sketch estimates: planted 2000-token vocabularies with
+    a 500-token overlap must come back within 25% on distinct, union
+    and intersection (k=256; standard error ~ 1/sqrt(k) ~ 6%)."""
+    a = " ".join([f"a{i}" for i in range(1500)] + [f"c{i}" for i in range(500)])
+    b = " ".join([f"b{i}" for i in range(1500)] + [f"c{i}" for i in range(500)])
+    sf = _write_sourced_docs(spark, tmp_path, [(0, a, "srcA"), (1, b, "srcB")])
+    from parquet_compactor_spark.registry import all_queries
+
+    r = all_queries()["q_kmv_intersect"].fn(spark, sf).collect()[0]
+    for got, true in [
+        (r.est_d1, 2000),
+        (r.est_d2, 2000),
+        (r.est_union, 3500),
+        (r.est_inter, 500),
+    ]:
+        assert abs(got - true) / true < 0.25, (got, true)
+
+
+def test_bootstrap_ci_degenerate_and_sane(spark, tmp_path):
+    """A constant-metric source must collapse to a zero-width interval
+    at the exact mean (every Poisson-weighted replica mean of a
+    constant is that constant); a mixed source must produce an ordered
+    interval from all 32 replicas. The threshold table itself must
+    realize the Poisson(1) pmf: across many (doc, replica) draws the
+    zero-weight fraction approaches e^-1 ~ 0.368."""
+    rows = [(i, "five tokens exactly in here", "const") for i in range(40)]
+    rows += [(100 + i, " ".join(["w"] * (1 + i % 30)), "mixed") for i in range(60)]
+    sf = _write_sourced_docs(spark, tmp_path, rows)
+    from parquet_compactor_spark.registry import all_queries
+
+    out = {r.source: r for r in all_queries()["q_bootstrap_ci"].fn(spark, sf).collect()}
+    c = out["const"]
+    assert c.mean_micro == 5_000_000
+    assert c.ci_lo_micro == c.ci_hi_micro == 5_000_000
+    assert c.n_replicas == 32
+    m = out["mixed"]
+    assert m.ci_lo_micro <= m.ci_hi_micro and m.n_replicas == 32
+
+    from parquet_compactor_spark.llm.curation import BOOT_THRESHOLDS
+
+    import hashlib
+    import math
+
+    zero = sum(
+        1
+        for i in range(200)
+        for b in range(32)
+        if int(hashlib.md5(f"{i}:{b}".encode()).hexdigest()[:15], 16)
+        < BOOT_THRESHOLDS[0]
+    )
+    frac = zero / (200 * 32)
+    assert abs(frac - math.exp(-1)) < 0.03, frac

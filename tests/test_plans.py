@@ -961,6 +961,23 @@ PLAN_SHAPE_PINS = {
     # q_ann_ivf convention); a third means a branch started dragging
     # the assignment subtree.
     "q_ivf_refresh":        (7,  0, 0, 2),
+    # Round-12 second batch. Exact set-similarity join: the
+    # prefix-filter machinery standalone (hashed-shingle persist whose
+    # build lineage renders under 4 InMemoryTableScan consumers + df
+    # agg + prefix window + hash equi-join + narrow verify). No pair
+    # op may ever appear.
+    "q_ssjoin_exact":       (9,  0, 0, 0),
+    # KMV theta sketches: distinct + per-source top-k window builds the
+    # persist-tracked sketch (lineage under 5 consumers); all pair math
+    # runs on sketch rows. The 3 BNLJ are the ONE bounded sources x
+    # sources spine crossJoin (20 x 20 rows, the q_source_overlap
+    # class) rendered under its three consuming branches (both union
+    # arms + the common-hash rollup); a fourth means sketch rows
+    # started pairing outside the spine.
+    "q_kmv_intersect":      (35, 0, 0, 3),
+    # Poisson bootstrap: explode x32 + two hash aggs + the per-source
+    # order-stat arrays + one 20-row join — scan-shaped, no pair ops.
+    "q_bootstrap_ci":       (4,  0, 0, 0),
 }
 
 
