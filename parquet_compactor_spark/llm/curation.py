@@ -2688,3 +2688,132 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     return full_mean.join(ci, "source").select(
         "source", "n_docs", "mean_micro", "ci_lo_micro", "ci_hi_micro", "n_replicas"
     )
+
+
+# --------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov drift test (exact-integer CDFs)
+# --------------------------------------------------------------------------
+
+#: c(alpha)^2 * 1e6 for alpha = 0.05 (c = 1.358). Only the CRITICAL
+#: VALUE uses a float path (one sqrt — IEEE-754 requires sqrt to be
+#: correctly rounded, so both engines produce the identical double from
+#: identical inputs); the statistic itself is exact integers.
+KS_C_MICRO = 1358000
+
+
+@register(
+    "q_ks_test",
+    oracle=f"""
+    WITH d AS (
+        SELECT CASE WHEN doc_id % 3 = 0 THEN 'new' ELSE 'old' END AS shard,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS x
+        FROM documents WHERE text IS NOT NULL
+    ),
+    g AS (
+        SELECT x,
+               CAST(SUM(CASE WHEN shard = 'old' THEN 1 ELSE 0 END) AS BIGINT) AS c_old,
+               CAST(SUM(CASE WHEN shard = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS c_new
+        FROM d GROUP BY x
+    ),
+    c AS (
+        SELECT x,
+               SUM(c_old) OVER (ORDER BY x) AS f_old,
+               SUM(c_new) OVER (ORDER BY x) AS f_new
+        FROM g
+    ),
+    t AS (
+        SELECT CAST(SUM(c_old) AS BIGINT) AS n_old,
+               CAST(SUM(c_new) AS BIGINT) AS n_new
+        FROM g
+    ),
+    s AS (
+        SELECT MAX(ABS(f_old * t.n_new - f_new * t.n_old)) AS d_num
+        FROM c, t GROUP BY t.n_old, t.n_new
+    )
+    SELECT t.n_old, t.n_new,
+           CAST(s.d_num * 1000000 // (t.n_old * t.n_new) AS BIGINT) AS d_ppm,
+           CAST(FLOOR({KS_C_MICRO} * SQRT(
+                    CAST(t.n_old + t.n_new AS DOUBLE)
+                    / (CAST(t.n_old AS DOUBLE) * CAST(t.n_new AS DOUBLE)))
+                + 0.5) AS BIGINT) AS crit_ppm,
+           s.d_num * 1000000 // (t.n_old * t.n_new)
+               >= CAST(FLOOR({KS_C_MICRO} * SQRT(
+                      CAST(t.n_old + t.n_new AS DOUBLE)
+                      / (CAST(t.n_old AS DOUBLE) * CAST(t.n_new AS DOUBLE)))
+                  + 0.5) AS BIGINT) AS drifted
+    FROM s, t
+    """,
+    doc="Two-sample Kolmogorov-Smirnov drift test between the old "
+    "(doc_id % 3 != 0) and new crawl shards over the token-count "
+    "distribution — the NONPARAMETRIC complement to q_dist_drift's "
+    "binned PSI (KS needs no bucket grid and is sensitive to any CDF "
+    "separation, not just mass shifts across fixed bins). The "
+    "statistic is EXACT integers end to end: per-value counts, "
+    "cumulative sums over the merged value grid, and the sup as "
+    "max |F_old*n_new - F_new*n_old| — cross-multiplied instead of "
+    "divided, so no floor-rounding can move the argmax — scaled to "
+    "ppm once at the end. Only the alpha=0.05 critical value "
+    "c*sqrt((n+m)/nm) touches a float: ONE sqrt, correctly rounded by "
+    "IEEE-754 in both engines, micro-floored. Plan: one scan, one "
+    "value-grid agg, one cumulative window over the (bounded, "
+    "value-cardinality-sized) grid, a 1-row reduce. At 100 TB the "
+    "int64 cross-product n_old*n_new bounds the corpus at ~3e9 per "
+    "shard; past that the two products upgrade to DECIMAL(38,0) with "
+    "no other change.",
+)
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            F.when(F.pmod("doc_id", F.lit(3)) == 0, F.lit("new"))
+            .otherwise(F.lit("old"))
+            .alias("shard"),
+            F.size(F.split("text", " ", -1)).cast("bigint").alias("x"),
+        )
+    )
+    g = d.groupBy("x").agg(
+        F.sum(F.when(F.col("shard") == "old", 1).otherwise(0))
+        .cast("bigint")
+        .alias("c_old"),
+        F.sum(F.when(F.col("shard") == "new", 1).otherwise(0))
+        .cast("bigint")
+        .alias("c_new"),
+    )
+    wcum = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    c = g.select(
+        F.sum("c_old").over(wcum).alias("f_old"),
+        F.sum("c_new").over(wcum).alias("f_new"),
+    )
+    t = g.agg(
+        F.sum("c_old").cast("bigint").alias("n_old"),
+        F.sum("c_new").cast("bigint").alias("n_new"),
+    )
+    s = (
+        c.crossJoin(F.broadcast(t))
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("f_old") * F.col("n_new")
+                    - F.col("f_new") * F.col("n_old")
+                )
+            ).alias("d_num")
+        )
+    )
+    crit = (
+        f"CAST(FLOOR({KS_C_MICRO} * SQRT("
+        "CAST(n_old + n_new AS DOUBLE)"
+        " / (CAST(n_old AS DOUBLE) * CAST(n_new AS DOUBLE))) + 0.5) AS BIGINT)"
+    )
+    return (
+        s.crossJoin(F.broadcast(t))
+        .select(
+            "n_old",
+            "n_new",
+            F.expr(
+                "CAST(d_num * 1000000 div (n_old * n_new) AS BIGINT)"
+            ).alias("d_ppm"),
+            F.expr(crit).alias("crit_ppm"),
+        )
+        .withColumn("drifted", F.col("d_ppm") >= F.col("crit_ppm"))
+    )

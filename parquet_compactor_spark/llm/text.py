@@ -1454,3 +1454,113 @@ def q_kn_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_oov"),
         F.sum(s_micro).cast("bigint").alias("score_micro"),
     )
+
+
+# --------------------------------------------------------------------------
+# ROUGE-2 overlap (clipped multiset bigram match, exact micro units)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_rouge_overlap",
+    oracle="""
+    WITH sp AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        WHERE text IS NOT NULL
+    ),
+    bg AS (
+        SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(w)),
+                          i -> w[i] || ' ' || w[i+1])) AS g
+            FROM sp WHERE len(w) >= 2
+        )
+        GROUP BY doc_id, g
+    ),
+    tot AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM bg GROUP BY doc_id),
+    m AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2,
+               CAST(SUM(LEAST(a.c, b.c)) AS BIGINT) AS matched
+        FROM bg a JOIN bg b ON b.doc_id = a.doc_id + 1 AND a.g = b.g
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT t1.doc_id AS id1, t2.doc_id AS id2,
+           t1.n AS n_ref, t2.n AS n_cand,
+           COALESCE(m.matched, 0) AS matched,
+           CAST(COALESCE(m.matched, 0) * 1000000 // t2.n AS BIGINT) AS p_ppm,
+           CAST(COALESCE(m.matched, 0) * 1000000 // t1.n AS BIGINT) AS r_ppm,
+           CAST(2 * COALESCE(m.matched, 0) * 1000000 // (t1.n + t2.n)
+                AS BIGINT) AS f1_ppm
+    FROM tot t1
+    JOIN tot t2 ON t2.doc_id = t1.doc_id + 1
+    LEFT JOIN m ON m.id1 = t1.doc_id
+    """,
+    doc="ROUGE-2 overlap between consecutive documents — the "
+    "summarization-eval metric as a corpus operator (near-dup families "
+    "measure SET similarity; ROUGE's clipped MULTISET match is what "
+    "text-generation eval pipelines actually compute): per pair, "
+    "matched = sum over bigrams of min(count_ref, count_cand), "
+    "precision/recall/F1 in exact integer ppm (F1 of counts is exactly "
+    "2m/(n1+n2) — no float P*R/(P+R) chain). Zero-overlap pairs "
+    "survive via the totals-spine LEFT join. Plan: one bigram "
+    "explode-agg, one gram-keyed equi-join between adjacent docs, one "
+    "pair rollup + the doc_id+1 spine join — every stage hash-keyed "
+    "and linear; no pair op beyond the adjacency spine.",
+)
+def q_rouge_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread_scan(
+        load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    )
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(split(text, ' ')) >= 2 THEN "
+                "transform(sequence(1, size(split(text, ' ')) - 1), "
+                "i -> concat(element_at(split(text, ' '), i), ' ', "
+                "element_at(split(text, ' '), i + 1))) "
+                "ELSE array() END"
+            )
+        ).alias("g"),
+    )
+    bg = grams.groupBy("doc_id", "g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    tot = bg.groupBy("doc_id").agg(F.sum("c").cast("bigint").alias("n"))
+    a = bg.select(F.col("doc_id").alias("id1"), "g", F.col("c").alias("c1"))
+    b = bg.select(F.col("doc_id").alias("id2"), "g", F.col("c").alias("c2"))
+    m = (
+        a.join(b, (F.col("id2") == F.col("id1") + 1) & (a.g == b.g))
+        .groupBy("id1", "id2")
+        .agg(F.sum(F.least("c1", "c2")).cast("bigint").alias("matched"))
+    )
+    t1 = tot.select(F.col("doc_id").alias("id1"), F.col("n").alias("n_ref"))
+    t2 = tot.select(F.col("doc_id").alias("id2"), F.col("n").alias("n_cand"))
+    spine = t1.join(t2, F.col("id2") == F.col("id1") + 1)
+    return (
+        spine.join(m, ["id1", "id2"], "left")
+        .select(
+            "id1",
+            "id2",
+            "n_ref",
+            "n_cand",
+            F.coalesce("matched", F.lit(0)).cast("bigint").alias("matched"),
+        )
+        .select(
+            "id1",
+            "id2",
+            "n_ref",
+            "n_cand",
+            "matched",
+            F.expr("CAST(matched * 1000000 div n_cand AS BIGINT)").alias(
+                "p_ppm"
+            ),
+            F.expr("CAST(matched * 1000000 div n_ref AS BIGINT)").alias(
+                "r_ppm"
+            ),
+            F.expr(
+                "CAST(2 * matched * 1000000 div (n_ref + n_cand) AS BIGINT)"
+            ).alias("f1_ppm"),
+        )
+    )

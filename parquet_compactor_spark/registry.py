@@ -423,6 +423,8 @@ def _ensure_loaded() -> None:
 # unchanged sources.
 _PRIORITY: tuple[str, ...] = (
     # -- NEW in round 12 (no driver row): first --
+    "q_ks_test",
+    "q_rouge_overlap",
     "q_kmv_intersect",
     "q_bootstrap_ci",
     "q_ssjoin_exact",
@@ -475,11 +477,9 @@ _PRIORITY: tuple[str, ...] = (
     "q_window_ntile",
     "q_winsorize",
     "q_zscore_outliers",
-    # -- r7-latest fills, alphabetical (3 of 45 fit; the rest roll
+    # -- r7-latest fills, alphabetical (1 of 45 fits; the rest roll
     # to round 13 per the same oldest-first convention) --
     "q_agg_distinct",
-    "q_asof_nearest",
-    "q_click_conversion",
 )
 
 

@@ -189,6 +189,12 @@ RAMP_QUERIES = [
     "q_ssjoin_exact",
     "q_kmv_intersect",
     "q_bootstrap_ci",
+    # round-12 third batch: ROUGE-2 is a gram-family explode-agg plus
+    # an adjacency-keyed join (must ramp like the other gram families);
+    # the KS test is a value-grid agg + one bounded window (the
+    # saturating-vocabulary slope family).
+    "q_rouge_overlap",
+    "q_ks_test",
 ]
 
 OFF = 10_000_000  # per-copy key shift

@@ -216,6 +216,12 @@ SENSITIVE = [
     "q_ssjoin_exact",
     "q_kmv_intersect",
     "q_bootstrap_ci",
+    # q_ks_test and q_rouge_overlap pin text IS NOT NULL on both
+    # engines; both are exact-integer end to end (the KS critical
+    # value's single sqrt is IEEE-correctly-rounded from identical
+    # doubles), so the mutated corpus hash-matches exactly.
+    "q_ks_test",
+    "q_rouge_overlap",
 ]
 
 

@@ -2296,3 +2296,52 @@ def test_bootstrap_ci_degenerate_and_sane(spark, tmp_path):
     )
     frac = zero / (200 * 32)
     assert abs(frac - math.exp(-1)) < 0.03, frac
+
+
+def test_ks_test_detects_planted_shift_and_passes_identical(spark, tmp_path):
+    """Identical shard distributions must give d_ppm 0 / not drifted; a
+    planted wholesale shift (every new-shard doc 3x longer) must give
+    the maximal-separation statistic d_ppm = 1e6 and drifted=True."""
+    from parquet_compactor_spark.registry import all_queries
+
+    # Identical: token count depends only on doc_id % 3's complement
+    # pattern — use the same length everywhere.
+    same = [(i, " ".join(["w"] * 10), "s") for i in range(90)]
+    sf = _write_sourced_docs(spark, tmp_path / "same", same)
+    r = all_queries()["q_ks_test"].fn(spark, sf).collect()[0]
+    assert r.d_ppm == 0 and not r.drifted
+    assert r.n_old == 60 and r.n_new == 30
+
+    shifted = [
+        (i, " ".join(["w"] * (30 if i % 3 == 0 else 10)), "s")
+        for i in range(90)
+    ]
+    sf2 = _write_sourced_docs(spark, tmp_path / "shift", shifted)
+    r2 = all_queries()["q_ks_test"].fn(spark, sf2).collect()[0]
+    assert r2.d_ppm == 1000000 and r2.drifted
+
+
+def test_rouge_overlap_clipped_multiset_arithmetic(spark, tmp_path):
+    """ROUGE-2 on planted pairs: identical docs score F1=1e6; the
+    clipped match counts REPEATED bigrams at min multiplicity (doc 'a b
+    a b a b' vs 'a b a b': 'a b' appears 3x vs 2x -> clipped 2, 'b a'
+    2x vs 1x -> clipped 1); disjoint docs score 0 but still emit a
+    row."""
+    rows = [
+        (0, "x y z w", "s"),
+        (1, "x y z w", "s"),        # identical to 0
+        (2, "a b a b a b", "s"),    # vs 1: disjoint -> (1,2) all zeros
+        (3, "a b a b", "s"),        # vs 2: clipped multiset case
+    ]
+    sf = _write_sourced_docs(spark, tmp_path, rows)
+    from parquet_compactor_spark.registry import all_queries
+
+    out = {(r.id1, r.id2): r for r in all_queries()["q_rouge_overlap"].fn(spark, sf).collect()}
+    assert out[(0, 1)].f1_ppm == 1000000 and out[(0, 1)].matched == 3
+    assert out[(1, 2)].matched == 0 and out[(1, 2)].f1_ppm == 0
+    r = out[(2, 3)]
+    # doc2 bigrams: ab x3, ba x2 (n_ref=5); doc3: ab x2, ba x1 (n_cand=3)
+    assert (r.n_ref, r.n_cand, r.matched) == (5, 3, 3)
+    assert r.p_ppm == 3 * 1000000 // 3
+    assert r.r_ppm == 3 * 1000000 // 5
+    assert r.f1_ppm == 2 * 3 * 1000000 // 8

@@ -460,6 +460,18 @@ def test_no_unexpected_cartesian_in_any_registered_query(spark):
         "q_kn_bigram",
         # 1-row max-doc-id scalar broadcast (the decile denominator):
         "q_novelty_curve",
+        # round 12: the shared ivf_assign centroid-matrix broadcasts
+        # (K x dim model state, the q_semdedup_prune class) in both the
+        # frozen-index build and the new-shard assignment pass:
+        "q_ivf_refresh",
+        # the complete ordered-pair spine of the ~20-source SKETCH
+        # stats table (sources^2 rows, data-size-independent — the
+        # q_source_overlap class); every data-proportional stage is
+        # hash-keyed on sketch rows:
+        "q_kmv_intersect",
+        # two 1-row scalar broadcasts (shard totals + the 1-row sup
+        # statistic) assembling the single output row:
+        "q_ks_test",
     }
     offenders = []
     for name in QUERIES:
@@ -978,6 +990,12 @@ PLAN_SHAPE_PINS = {
     # Poisson bootstrap: explode x32 + two hash aggs + the per-source
     # order-stat arrays + one 20-row join — scan-shaped, no pair ops.
     "q_bootstrap_ci":       (4,  0, 0, 0),
+    # ROUGE-2: bigram explode-agg + the adjacent-doc gram equi-join +
+    # pair rollup + the doc_id+1 totals spine — all hash-keyed; a
+    # CartesianProduct or BNLJ appearing means the adjacency spine or
+    # the gram join dropped its key. (q_ks_test is a value-grid agg +
+    # one bounded window — under the pin threshold.)
+    "q_rouge_overlap":      (14, 0, 0, 0),
 }
 
 
