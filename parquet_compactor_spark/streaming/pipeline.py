@@ -1678,3 +1678,163 @@ def q_quota_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def kmv_distinct_stream(
+    docs: DataFrame,
+    state_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    k: int | None = None,
+) -> None:
+    """Streaming KMV distinct-cardinality monitor: maintain, per source,
+    the k smallest 48-bit token hashes (q_kmv_intersect's sketch) as
+    persistent state and emit each source's current distinct-vocabulary
+    estimate per micro-batch — continuous cardinality monitoring, the
+    streaming member of the sketch family.
+
+    The state contract is STRONGER than the claim gates': a KMV sketch
+    is the min-k of a SET, so it is fully ARRIVAL-ORDER-INSENSITIVE and
+    replay-idempotent by algebra (set-union then min-k; a replayed
+    batch's union is a content no-op, and no ordering of batches can
+    produce a different sketch than the batch closed form over the same
+    rows — pinned by tests). There is therefore no violation check: no
+    arrival order is harmful. State is BOUNDED at k rows per source
+    independent of corpus size (the quota gate's boundedness argument),
+    so every version is a full snapshot ``v-<chain>-w<wm>`` on the
+    claim gates' versioned-commit machinery (``_SUCCESS`` markers,
+    crashed writes invisible and GC'd, watermark riding in the name).
+    Outputs land under ``out_dir/batch=<batch_id>``: one row per source
+    with the sketch size and the current estimate — a MONITOR's output
+    (the best estimate as of this batch), not a per-doc decision, so a
+    replayed batch re-emits the current (possibly newer) estimate; the
+    STATE is what is exactly reproducible.
+
+    At 100 TB: per batch one distinct over the batch's (source, hash)
+    pairs, one union with the k*sources-row state, one per-source top-k
+    window on that bounded frame — the corpus never re-scans, the state
+    never grows."""
+    from parquet_compactor_spark.compactor.fs import HadoopFS
+    from parquet_compactor_spark.queries.advanced import (
+        _KMV_H_SPARK,
+        KMV_DENOM,
+        KMV_K,
+    )
+
+    kk = KMV_K if k is None else k
+
+    def monitor(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+
+        spark = batch_df.sparkSession
+        fs = HadoopFS(spark, state_dir)
+        versions = _committed_state_versions(fs, state_dir)
+        active = _active_version_paths(versions, state_dir)
+        state = spark.read.parquet(*active) if active else None
+
+        bh = (
+            batch_df.filter(F.col("text").isNotNull())
+            .select(
+                "source", F.explode(F.split("text", " ", -1)).alias("tok")
+            )
+            .select("source", F.expr(_KMV_H_SPARK).alias("h"))
+            .distinct()
+        )
+        pool = (
+            bh if state is None else bh.unionByName(state).distinct()
+        )
+        w = Window.partitionBy("source").orderBy("h")
+        sketch = (
+            pool.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= kk)
+            .select("source", "h")
+        )
+        sketch = sketch.persist()
+        try:
+            est = sketch.groupBy("source").agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_sk"),
+                F.max("h").alias("h_max"),
+            ).select(
+                "source",
+                "n_sk",
+                F.when(
+                    F.col("n_sk") >= kk,
+                    F.expr(
+                        f"CAST(({kk} - 1) * {KMV_DENOM} div h_max AS BIGINT)"
+                    ),
+                )
+                .otherwise(F.col("n_sk"))
+                .alias("est_distinct"),
+            )
+            est.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+            hi = batch_df.agg(F.max("doc_id").alias("hi")).collect()[0].hi
+            prior_wm = versions[-1][2] if versions else None
+            new_wm = max(
+                (x for x in (prior_wm, hi) if x is not None), default=None
+            )
+            chain = versions[-1][0] + 1 if versions else 0
+            suffix = "" if new_wm is None else f"-w{int(new_wm)}"
+            sketch.write.mode("overwrite").parquet(
+                f"{state_dir}/v-{chain}{suffix}"
+            )
+        finally:
+            sketch.unpersist()
+        live = set(
+            _active_version_paths(
+                _committed_state_versions(fs, state_dir), state_dir
+            )
+        )
+        for d in fs.list_dirs(state_dir):
+            name = d.path.rstrip("/").rsplit("/", 1)[-1]
+            if name.startswith("v-") and d.path not in live:
+                fs.delete(d.path, recursive=True)
+
+    (
+        docs.writeStream.foreachBatch(monitor)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def kmv_distinct_batch(docs: DataFrame, k: int | None = None) -> DataFrame:
+    """Closed-form batch twin of :func:`kmv_distinct_stream`: the
+    per-source KMV estimate over the full input in one pass — the
+    stream's final state must reproduce this exactly (min-k of a set
+    is independent of arrival order and batching)."""
+    from pyspark.sql import Window
+
+    from parquet_compactor_spark.queries.advanced import (
+        _KMV_H_SPARK,
+        KMV_DENOM,
+        KMV_K,
+    )
+
+    kk = KMV_K if k is None else k
+    h = (
+        docs.filter(F.col("text").isNotNull())
+        .select("source", F.explode(F.split("text", " ", -1)).alias("tok"))
+        .select("source", F.expr(_KMV_H_SPARK).alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy("source").orderBy("h")
+    return (
+        h.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= kk)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sk"),
+            F.max("h").alias("h_max"),
+        )
+        .select(
+            "source",
+            "n_sk",
+            F.when(
+                F.col("n_sk") >= kk,
+                F.expr(f"CAST(({kk} - 1) * {KMV_DENOM} div h_max AS BIGINT)"),
+            )
+            .otherwise(F.col("n_sk"))
+            .alias("est_distinct"),
+        )
+    )

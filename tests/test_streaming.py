@@ -1161,3 +1161,80 @@ def test_claim_state_soak_three_compaction_cycles_with_crashes(spark, tmp_path):
         r.fp: r.claimant for r in latest_claim_state(spark, state).collect()
     }
     assert claims == {f"fp-{i}": 100 + i for i in range(n_batches)}
+
+
+def test_kmv_stream_matches_batch_replays_and_bounds_state(spark, tmp_path):
+    """The streaming KMV monitor: the final state's estimates equal the
+    batch closed form over all rows (min-k of a set is batching- and
+    order-insensitive); a full checkpoint-loss replay leaves the state
+    BIT-IDENTICAL (set-union + min-k is a content no-op on replay);
+    state stays bounded at <= k rows per source; a planted uncommitted
+    crash version is invisible and GC'd."""
+    import os
+    import time
+
+    from parquet_compactor_spark.streaming.pipeline import (
+        kmv_distinct_batch,
+        kmv_distinct_stream,
+    )
+
+    schema = "doc_id bigint, text string, source string"
+    landing = tmp_path / "docs"
+    K = 8
+    b1 = [(i, " ".join(f"tok{i}_{j}" for j in range(5)), f"s{i % 2}") for i in range(6)]
+    b2 = [(10 + i, " ".join(f"tok{10+i}_{j}" for j in range(5)), f"s{i % 2}") for i in range(6)]
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(str(landing))
+    time.sleep(1.1)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(str(landing))
+
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "est")
+    # Plant a crashed (uncommitted) version write.
+    orphan = f"{state}/v-0-w424242"
+    os.makedirs(orphan)
+    open(f"{orphan}/part-junk.parquet", "w").close()
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(landing))
+    )
+    kmv_distinct_stream(stream, state, out, str(tmp_path / "ckpt"), k=K)
+    assert not os.path.exists(orphan)
+
+    from parquet_compactor_spark.streaming.pipeline import latest_claim_state
+
+    st = latest_claim_state(spark, state)
+    per_src = {r.source: r.n for r in st.groupBy("source").agg(
+        __import__("pyspark.sql.functions", fromlist=["count"]).count("h").alias("n")
+    ).collect()}
+    assert all(n <= K for n in per_src.values()), per_src
+
+    batch = {
+        r.source: (r.n_sk, r.est_distinct)
+        for r in kmv_distinct_batch(
+            spark.createDataFrame(b1 + b2, schema), k=K
+        ).collect()
+    }
+    final_sketch = {(r.source, r.h) for r in st.collect()}
+    # The last batch's emitted estimates reflect the full state.
+    import glob
+
+    batches = sorted(
+        glob.glob(f"{out}/batch=*"), key=lambda p: int(p.rsplit("=", 1)[1])
+    )
+    last = {
+        r.source: (r.n_sk, r.est_distinct)
+        for r in spark.read.parquet(batches[-1]).collect()
+    }
+    assert last == batch
+
+    # Replay everything from a lost checkpoint: state bit-identical.
+    stream2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(landing))
+    )
+    kmv_distinct_stream(stream2, state, out, str(tmp_path / "ckpt2"), k=K)
+    st2 = latest_claim_state(spark, state)
+    assert {(r.source, r.h) for r in st2.collect()} == final_sketch
