@@ -2742,6 +2742,7 @@ KS_C_MICRO = 1358000
                       / (CAST(t.n_old AS DOUBLE) * CAST(t.n_new AS DOUBLE)))
                   + 0.5) AS BIGINT) AS drifted
     FROM s, t
+    WHERE t.n_old > 0 AND t.n_new > 0
     """,
     doc="Two-sample Kolmogorov-Smirnov drift test between the old "
     "(doc_id % 3 != 0) and new crawl shards over the token-count "
@@ -2816,4 +2817,8 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(crit).alias("crit_ppm"),
         )
         .withColumn("drifted", F.col("d_ppm") >= F.col("crit_ppm"))
+        # Degenerate-corpus guard: if either shard is empty the integer
+        # div yields NULL on Spark but a div-by-zero/inf path in DuckDB
+        # — emit no row identically on both engines instead.
+        .filter((F.col("n_old") > 0) & (F.col("n_new") > 0))
     )

@@ -18,6 +18,7 @@ which is the point of LSH.
 from __future__ import annotations
 
 import random
+from fractions import Fraction
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -258,8 +259,11 @@ def prefix_filter_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     pairs with jaccard_exact >= 0 that collide — callers cut at their
     threshold on jaccard_exact. At scale: one shuffle on the 64-bit
     prefix-hash key (prefix size ~(1-t)|X|+1, half the shingle mass at
-    t=0.5); the size filter t*|A| <= |B| <= |A|/t prunes incompatible
-    collisions before the text-carrying verify join. The global order
+    t=0.5); the size filter t*|A| <= |B| <= |A|/t and PPJoin's
+    positional filter (1 + min(tail1, tail2) >= ceil(t(|A|+|B|)/(1+t)),
+    exact — see the inline proof) prune incompatible collisions before
+    the verify join. All threshold bounds are exact int64 rational
+    arithmetic (threshold snapped to the nearest tn/td, td <= 1e6). The global order
     is ASCENDING DOCUMENT FREQUENCY (df, hash) — the classic AllPairs
     candidate-minimizing order: prefixes then consist of each doc's
     RAREST shingles, so two docs collide only on genuinely shared rare
@@ -290,27 +294,72 @@ def prefix_filter_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
             ).alias("hs"),
         ).withColumn("sz", F.size("hs"))
     )
+    # The threshold participates in ceil()/size bounds that must be
+    # EXACT for the recall proof to hold: double arithmetic breaks it
+    # for non-binary-exact thresholds (t=0.3, sz=10: 10*0.3 =
+    # 3.0000000000000004 -> ceil 4, one prefix token short). Recover
+    # the intended rational tn/td from the float repr (0.3 -> 3/10) and
+    # do every bound below in pure int64 arithmetic. Thresholds that
+    # are not exactly representable as a rational with denominator
+    # <= 1e6 are snapped to the nearest such rational — that rational
+    # IS the effective threshold.
+    _frac = Fraction(float(threshold)).limit_denominator(1_000_000)
+    tn, td = _frac.numerator, _frac.denominator
+
     ex = hs_tbl.select("doc_id", "sz", F.explode("hs").alias("k"))
     df_tbl = ex.groupBy("k").agg(F.count(F.lit(1)).alias("df"))
     wdoc = Window.partitionBy("doc_id").orderBy("df", "k")
     ranked = ex.join(df_tbl, "k").select(
         "doc_id", "sz", "k", F.row_number().over(wdoc).alias("pos")
     )
+    # plen = sz - ceil(t*sz) + 1; ceil(a/b) = (a + b - 1) div b.
     plen = (
         F.col("sz")
-        - F.ceil(F.col("sz").cast("double") * F.lit(float(threshold)))
+        - F.expr(f"(cast(sz as bigint) * {tn} + {td - 1}) div {td}")
         + F.lit(1)
     )
-    pref = ranked.filter(F.col("pos") <= plen).select("doc_id", "sz", "k")
-    a = pref.select(F.col("doc_id").alias("id1"), F.col("sz").alias("sz1"), "k")
-    b = pref.select(F.col("doc_id").alias("id2"), F.col("sz").alias("sz2"), "k")
-    t = F.lit(float(threshold))
+    pref = ranked.filter(F.col("pos") <= plen).select(
+        "doc_id", "sz", "pos", "k"
+    )
+    a = pref.select(
+        F.col("doc_id").alias("id1"),
+        F.col("sz").alias("sz1"),
+        F.col("pos").alias("pos1"),
+        "k",
+    )
+    b = pref.select(
+        F.col("doc_id").alias("id2"),
+        F.col("sz").alias("sz2"),
+        F.col("pos").alias("pos2"),
+        "k",
+    )
+    # PPJoin positional filter (Xiao et al. WWW'08): J >= t forces
+    # overlap o >= o_min = ceil(t*(sz1+sz2)/(1+t)), and at the FIRST
+    # common token in the global order no common token precedes either
+    # position, so o <= 1 + min(sz1-pos1, sz2-pos2). A true pair's
+    # first common token lies inside both prefixes (pos <= sz-o+1 <=
+    # plen), where that upper bound >= o >= o_min — so keeping pairs
+    # where ANY colliding row passes the bound retains EXACT recall
+    # while pruning collisions the size-only filter cannot (late
+    # prefix positions with too little tail left to reach o_min).
+    o_min = F.expr(
+        f"((cast(sz1 as bigint) + sz2) * {tn} + {tn + td - 1})"
+        f" div {tn + td}"
+    )
     cand = (
         a.join(b, "k")
         .filter(
             (F.col("id1") < F.col("id2"))
-            & (F.col("sz2").cast("double") >= t * F.col("sz1"))
-            & (F.col("sz1").cast("double") >= t * F.col("sz2"))
+            & (F.col("sz2").cast("long") * td >= tn * F.col("sz1").cast("long"))
+            & (F.col("sz1").cast("long") * td >= tn * F.col("sz2").cast("long"))
+            & (
+                F.lit(1)
+                + F.least(
+                    F.col("sz1") - F.col("pos1"),
+                    F.col("sz2") - F.col("pos2"),
+                )
+                >= o_min
+            )
         )
         .select("id1", "id2")
         .distinct()

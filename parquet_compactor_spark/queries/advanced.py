@@ -1363,7 +1363,7 @@ _KMV_H_DUCK = "('0x' || substr(md5(tok), 1, 12))::BIGINT"
     doc="KMV / theta-sketch distinct-set algebra over per-source token "
     "vocabularies: UNION and — the operation HLL fundamentally cannot "
     "do — INTERSECTION cardinality, per ordered source pair, in exact "
-    "integer arithmetic. Each source keeps its k=256 smallest 60-bit "
+    "integer arithmetic. Each source keeps its k=256 smallest 48-bit "
     "md5 token hashes; distinct estimate (k-1)*2^48 div h_k (exact "
     "count when the vocabulary is smaller than k); union from the "
     "combined sketch's k-th smallest; intersection via the theta rule "

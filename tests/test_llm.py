@@ -2081,6 +2081,65 @@ def test_prefix_filter_pairs_has_exact_recall_at_threshold(spark):
     assert got == truth
 
 
+def test_prefix_filter_pairs_exact_recall_fp_inexact_threshold(spark):
+    """Round-12 ADVICE regression: t=0.3, sz=10 made the double form
+    ceil(10*0.3)=ceil(3.0000000000000004)=4 shorten the prefix by one
+    token, silently breaking exact recall. The bounds are now int64
+    rational arithmetic (3/10): recall must be set-equal to brute force
+    at t=0.3 AND t=0.6, on a seeded random corpus dense enough that the
+    PPJoin positional filter actually prunes (so this also guards the
+    positional bound's exactness)."""
+    import random as _random
+
+    from parquet_compactor_spark.llm.dedup import (
+        prefix_filter_pairs,
+        word_shingles,
+    )
+
+    rng = _random.Random(13)
+    # Graded-overlap chain: doc k rewrites its first k of 12 tokens, so
+    # chain pairs have J = (10-max)/(10+max) over the 10 3-shingles —
+    # straddling t=0.3 (max<=5 passes) and t=0.6 (max<=2 passes), with
+    # sz=10 being exactly the ADVICE ceil counterexample. Random docs
+    # add collision density so the prefix/positional filters do prune.
+    base = ["tok%02d" % i for i in range(12)]
+    texts = []
+    for k in range(9):
+        toks = list(base)
+        for p in range(k):
+            toks[p] = f"alt{k}_{p}"
+        texts.append(" ".join(toks))
+    vocab = ["w%02d" % i for i in range(30)]
+    texts += [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(8, 14)))
+        for _ in range(50)
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    sh = docs.select("doc_id", word_shingles(F.col("text")).alias("s"))
+    a = sh.select(F.col("doc_id").alias("id1"), F.col("s").alias("s1"))
+    b = sh.select(F.col("doc_id").alias("id2"), F.col("s").alias("s2"))
+    j = F.size(F.array_intersect("s1", "s2")).cast("double") / F.size(
+        F.array_union("s1", "s2")
+    )
+    allpairs = (
+        a.join(b, F.col("id1") < F.col("id2"))
+        .select("id1", "id2", j.alias("j"))
+        .collect()
+    )
+    for t in (0.3, 0.6):
+        truth = {(r.id1, r.id2) for r in allpairs if r.j >= t}
+        assert truth, f"planted corpus has no pairs at t={t}"
+        got = {
+            (r.id1, r.id2)
+            for r in prefix_filter_pairs(docs, t)
+            .filter(F.col("jaccard_exact") >= t)
+            .collect()
+        }
+        assert got == truth, f"recall broken at t={t}"
+
+
 def test_embed_covariance_refuses_ragged_dimensions():
     """_gram_partials must fail LOUDLY (naming the offending lengths) on
     mixed embedding widths — both within one Arrow batch (np.stack would
