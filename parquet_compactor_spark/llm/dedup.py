@@ -490,19 +490,25 @@ def simhash_signatures_exploded(
     return voted.select("doc_id", sim.alias("sim"))
 
 
-def simhash_near_pairs(
-    docs: DataFrame, max_hamming: int = 8, bits: int = 64, portable: bool = False
+def hamming_banded_pairs(
+    sigs: DataFrame, sig_col: str = "sim", max_hamming: int = 8, bits: int = 64
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: 4-chunk blocking + Hamming verify.
+    """(id1, id2, hamming) pairs from (doc_id, <sig_col>) bit signatures
+    via 4-chunk pigeonhole blocking + Hamming verify.
 
-    Two signatures within Hamming distance 3 must agree on at least one of
-    four ``bits/4``-wide chunks (pigeonhole), so chunk-equality blocking
-    has FULL recall at distance <= 3 and high recall below ``max_hamming``.
+    Two signatures within Hamming distance 3 must agree on at least one
+    of four ``bits/4``-wide chunks (pigeonhole), so chunk-equality
+    blocking has FULL recall at distance <= 3 and high recall below
+    ``max_hamming``. Shared by the SimHash text near-dup and the
+    perceptual-hash (dHash) image near-dup — any 64-bit-or-narrower
+    fingerprint family plugs in here. At scale this is ONE shuffle on
+    the (chunk_id, chunk_val) key; bucket sizes are bounded by chunk
+    selectivity, never all-pairs.
     """
     chunk_bits = bits // 4
     chunk_mask = (1 << chunk_bits) - 1
-    sigs = simhash_signatures_exploded(docs, bits=bits, portable=portable)
-    chunks = sigs.select(
+    s = sigs.select("doc_id", F.col(sig_col).alias("sim"))
+    chunks = s.select(
         "doc_id",
         "sim",
         F.explode(
@@ -535,6 +541,17 @@ def simhash_near_pairs(
         )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_near_pairs(
+    docs: DataFrame, max_hamming: int = 8, bits: int = 64, portable: bool = False
+) -> DataFrame:
+    """Near-dup pairs by SimHash: signature build + the shared 4-chunk
+    pigeonhole blocking (:func:`hamming_banded_pairs`)."""
+    sigs = simhash_signatures_exploded(docs, bits=bits, portable=portable)
+    return hamming_banded_pairs(
+        sigs, sig_col="sim", max_hamming=max_hamming, bits=bits
     )
 
 

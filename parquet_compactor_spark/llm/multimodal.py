@@ -310,3 +310,332 @@ def ingest_binary_dir(
         F.col("length").alias("n_bytes"),
         F.col("content").alias("payload"),
     )
+
+
+# --------------------------------------------------------------------------
+# Perceptual-hash near-duplicate detection (dHash + Hamming banding)
+# --------------------------------------------------------------------------
+
+#: dHash grid: 6 block rows x 11 block columns -> 6*10 = 60 horizontal
+#: gradient comparisons = a 60-bit hash. 60 bits (not the classic 64)
+#: keeps the whole family in the engine-portable space the simhash /
+#: KMV operators already use: every ``1 << k`` stays positive in int64
+#: on BOTH engines, and the 4-chunk pigeonhole blocking divides evenly
+#: into 15-bit chunks.
+PHASH_ROWS = 6
+PHASH_COLS = 11
+PHASH_BITS = PHASH_ROWS * (PHASH_COLS - 1)
+
+#: 1-D fake dHash segment count (PHASH_BITS + 1 segments -> PHASH_BITS
+#: adjacent-segment comparisons) and FIXED segment width in codepoints.
+#: Fixed positions — seg k covers codepoints [4k, 4k+4) — rather than
+#: length-scaled boundaries: a suffix append then only perturbs the
+#: segments past the old end (measured: the fixture's planted
+#: `text + " dup"` near-dups land at Hamming 0-3, random word-soup
+#: pairs at ~25-30), whereas length-scaled boundaries shift EVERY
+#: segment on a 3% length change and scatter true near-dups to
+#: Hamming 10+ on short docs.
+_FAKE_SEGS = PHASH_BITS + 1
+_FAKE_SEG_CHARS = 4
+_FAKE_WINDOW = _FAKE_SEGS * _FAKE_SEG_CHARS
+
+
+def decode_png_pixels(payload: bytes):
+    """Real PNG PIXEL decode — pure Python (stdlib zlib + numpy), no
+    codec library.
+
+    Supports the common web subset: bit depth 8, color types 0 (gray),
+    2 (RGB), 3 (palette), 6 (RGBA), non-interlaced, all five scanline
+    filters (None/Sub/Up/Average/Paeth — PNG spec §9). Returns an
+    int64 ``(H, W)`` grayscale array (integer ITU-R 601 luma
+    ``(299R + 587G + 114B) // 1000`` — pure integer arithmetic, so the
+    hash downstream is deterministic across platforms). Raises
+    ``ValueError`` on a corrupt payload and ``NotImplementedError`` on
+    a valid-but-unsupported variant (16-bit, interlaced) — same loud
+    discipline as :func:`decode_image`; JPEG pixel decode still needs a
+    real codec and plugs in at this same seam.
+    """
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    w = h = depth = ctype = interlace = None
+    idat = bytearray()
+    plte = None
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack(">I", payload[pos : pos + 4])
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        if len(data) < ln:
+            raise ValueError("corrupt PNG: truncated chunk")
+        if typ == b"IHDR":
+            if ln < 13:
+                raise ValueError("corrupt PNG: short IHDR")
+            w, h, depth, ctype, _c, _f, interlace = struct.unpack(
+                ">IIBBBBB", data[:13]
+            )
+        elif typ == b"PLTE":
+            plte = bytes(data)
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln  # length + type + crc
+    if w is None:
+        raise ValueError("corrupt PNG: no IHDR chunk")
+    if not w or not h:
+        raise ValueError(f"corrupt PNG: zero dimension {w}x{h}")
+    if depth != 8 or interlace != 0 or ctype not in (0, 2, 3, 6):
+        raise NotImplementedError(
+            f"PNG variant not supported by the pure-Python decoder "
+            f"(depth={depth}, color_type={ctype}, interlace={interlace}): "
+            "8-bit non-interlaced gray/RGB/palette/RGBA only"
+        )
+    nch = {0: 1, 2: 3, 3: 1, 6: 4}[ctype]
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG: IDAT inflate failed ({e})")
+    stride = w * nch
+    if len(raw) != h * (stride + 1):
+        raise ValueError(
+            f"corrupt PNG: {len(raw)} decompressed bytes, "
+            f"expected {h * (stride + 1)}"
+        )
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    ftypes = arr[:, 0]
+    rows = arr[:, 1:].astype(np.int64)
+    out = np.zeros((h, stride), dtype=np.int64)
+    zero = np.zeros(stride, dtype=np.int64)
+    for r in range(h):
+        f = int(ftypes[r])
+        prior = out[r - 1] if r else zero
+        if f == 0:
+            out[r] = rows[r]
+        elif f == 2:  # Up: vectorized (no left dependence)
+            out[r] = (rows[r] + prior) & 0xFF
+        elif f in (1, 3, 4):
+            cur = out[r]
+            row = rows[r]
+            for x in range(stride):
+                a = cur[x - nch] if x >= nch else 0
+                b = prior[x]
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + b) >> 1
+                else:  # Paeth
+                    c = prior[x - nch] if x >= nch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (row[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"corrupt PNG: unknown filter type {f} at row {r}")
+    px = out.reshape(h, w, nch)
+    if ctype == 0:
+        return px[:, :, 0]
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("corrupt PNG: paletted image without PLTE")
+        pal = np.frombuffer(plte, dtype=np.uint8)
+        if len(pal) % 3:
+            raise ValueError("corrupt PNG: PLTE length not a multiple of 3")
+        pal = pal.reshape(-1, 3).astype(np.int64)
+        idx = px[:, :, 0]
+        if int(idx.max()) >= len(pal):
+            raise ValueError("corrupt PNG: palette index out of range")
+        rgb = pal[idx]
+    else:
+        rgb = px[:, :, :3]
+    return (299 * rgb[..., 0] + 587 * rgb[..., 1] + 114 * rgb[..., 2]) // 1000
+
+
+def dhash_gray(gray) -> int:
+    """60-bit difference hash over a grayscale pixel array.
+
+    The classic dHash recipe (Krawetz) with every step integer-exact so
+    two platforms hash identical pixels to identical bits: block means
+    on a ``PHASH_ROWS x PHASH_COLS`` grid (integral-image sums, floor
+    division — deterministic area downsampling instead of a float
+    resize), bit ``r*(COLS-1)+c`` set when the block right of ``(r,c)``
+    is strictly brighter. Brightness/contrast shifts preserve the
+    gradient signs (the property that makes dHash perceptual); a
+    rotation does not.
+    """
+    import numpy as np
+
+    g = np.asarray(gray, dtype=np.int64)
+    if g.ndim != 2 or g.shape[0] < 1 or g.shape[1] < 1:
+        raise ValueError(f"expected a non-empty 2-D gray array, got {g.shape}")
+    hh, ww = g.shape
+    ii = np.zeros((hh + 1, ww + 1), dtype=np.int64)
+    ii[1:, 1:] = g.cumsum(0).cumsum(1)
+    rb = (np.arange(PHASH_ROWS + 1, dtype=np.int64) * hh) // PHASH_ROWS
+    cb = (np.arange(PHASH_COLS + 1, dtype=np.int64) * ww) // PHASH_COLS
+    bm = np.zeros((PHASH_ROWS, PHASH_COLS), dtype=np.int64)
+    for r in range(PHASH_ROWS):
+        for c in range(PHASH_COLS):
+            r0, r1, c0, c1 = rb[r], rb[r + 1], cb[c], cb[c + 1]
+            area = int(r1 - r0) * int(c1 - c0)
+            if area:  # tiny images leave empty blocks -> mean 0
+                s = int(ii[r1, c1] - ii[r0, c1] - ii[r1, c0] + ii[r0, c0])
+                bm[r, c] = s // area
+    h = 0
+    for r in range(PHASH_ROWS):
+        for c in range(PHASH_COLS - 1):
+            if bm[r, c + 1] > bm[r, c]:
+                h |= 1 << (r * (PHASH_COLS - 1) + c)
+    return h
+
+
+def fake_phash(payload: bytes) -> int:
+    """Deterministic SQL-replicable stand-in hash for non-image payloads.
+
+    A 1-D dHash over the payload's first ``_FAKE_WINDOW`` utf-8
+    CODEPOINTS on a FIXED segment grid (codepoint ``p`` maps to segment
+    ``p // _FAKE_SEG_CHARS`` — see ``_FAKE_SEGS`` for why fixed, not
+    length-scaled): bit ``k`` set when segment ``k+1``'s mean codepoint
+    exceeds segment ``k``'s — compared exactly by integer
+    cross-multiplication ``sum[k+1]*cnt[k] > sum[k]*cnt[k+1]``, so an
+    independent engine replays it bit-for-bit (DuckDB: ``unicode()``
+    over ``substr`` positions; see the q_phash_dedup oracle). Same
+    gradient-sign structure as the real dHash, so near-identical texts
+    land at small Hamming distance — a faithful behavioral stand-in
+    until a pixel codec is plugged in at :func:`decode_png_pixels`.
+    Codepoints (not bytes) so the SQL side needs no blob indexing and
+    multi-byte characters count once on both engines.
+    """
+    import numpy as np
+
+    b = b"" if payload is None else bytes(payload)
+    s = b.decode("utf-8", errors="replace")
+    n = len(s)
+    if n == 0:
+        return 0
+    cps = np.frombuffer(s.encode("utf-32-le"), dtype="<u4").astype(np.int64)[
+        :_FAKE_WINDOW
+    ]
+    seg = np.arange(len(cps), dtype=np.int64) // _FAKE_SEG_CHARS
+    sums = np.zeros(_FAKE_SEGS, dtype=np.int64)
+    np.add.at(sums, seg, cps)
+    cnts = np.bincount(seg, minlength=_FAKE_SEGS).astype(np.int64)
+    lhs = sums[1:] * cnts[:-1]
+    rhs = sums[:-1] * cnts[1:]
+    h = 0
+    for k in np.nonzero(lhs > rhs)[0]:
+        h |= 1 << int(k)
+    return h
+
+
+def phash_blob(payload) -> int:
+    """Per-blob perceptual hash: real pixel dHash for decodable PNGs,
+    the deterministic fake elsewhere.
+
+    Same sniff-and-degrade discipline as :func:`_blob_meta`: the PNG
+    magic cannot occur in utf-8 text (0x89 is not a valid utf-8 lead
+    byte), so text-derived fixture payloads deterministically take the
+    fake path and stay SQL-oracle-expressible, while genuine PNG blobs
+    (via :func:`ingest_binary_dir`) are hashed from their actual
+    pixels. A recognized-but-undecodable blob degrades to the fake hash
+    instead of propagating — one corrupt image must never abort a lake
+    sweep. JPEG/GIF pixels need a real codec: they take the fake path
+    until one is plugged in at the :func:`decode_png_pixels` seam.
+    """
+    b = b"" if payload is None else bytes(payload)
+    if b[:8] == _PNG_MAGIC:
+        try:
+            return dhash_gray(decode_png_pixels(b))
+        except (ValueError, NotImplementedError, struct.error):
+            return fake_phash(b)
+    return fake_phash(b)
+
+
+PHASH_SCHEMA = "doc_id bigint, phash bigint"
+
+
+def extract_phash(df: DataFrame) -> DataFrame:
+    """``mapInPandas`` perceptual-hash extraction over
+    ``(doc_id, payload: binary)`` — Arrow-batched, one 60-bit hash per
+    blob, the same distributed seam as :func:`extract_media_meta`."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "phash": [phash_blob(b) for b in pdf["payload"]],
+                }
+            )
+
+    return df.mapInPandas(batches, schema=PHASH_SCHEMA)
+
+
+@register(
+    "q_phash_dedup",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, text, length(text) AS n
+        FROM documents WHERE text IS NOT NULL
+    ),
+    seg AS (
+        SELECT doc_id,
+               p // {_FAKE_SEG_CHARS} AS k,
+               unicode(substr(text, CAST(p + 1 AS INT), 1)) AS cp
+        FROM (SELECT doc_id, text,
+                     unnest(range(0, least(n, {_FAKE_WINDOW}))) AS p
+              FROM d WHERE n > 0)
+    ),
+    agg AS (
+        SELECT doc_id, k, SUM(cp) AS s, COUNT(*) AS c
+        FROM seg GROUP BY 1, 2
+    ),
+    bits AS (
+        SELECT a.doc_id,
+               SUM(CASE WHEN b.s * a.c > a.s * b.c
+                        THEN (1::BIGINT << CAST(a.k AS INT)) ELSE 0 END) AS h
+        FROM agg a JOIN agg b ON b.doc_id = a.doc_id AND b.k = a.k + 1
+        WHERE a.k < {PHASH_BITS}
+        GROUP BY 1
+    ),
+    sig AS (
+        SELECT d.doc_id, CAST(COALESCE(bits.h, 0) AS BIGINT) AS ph
+        FROM d LEFT JOIN bits USING (doc_id)
+    )
+    SELECT a.doc_id AS id1, b.doc_id AS id2,
+           CAST(bit_count(xor(a.ph, b.ph)) AS INT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.ph, b.ph)) <= 3
+    """,
+    doc="Perceptual-hash (dHash) near-duplicate image pairs — the "
+    "multimodal member of the near-dup family. Binary payloads -> "
+    "Arrow-batched mapInPandas hash (REAL pixel dHash for decodable "
+    "PNGs: stdlib-zlib inflate + integer unfilter + integral-image "
+    "block means, all integer-exact; the deterministic 1-D codepoint "
+    "dHash for everything else) -> the same 4-chunk pigeonhole Hamming "
+    "banding as q_dedup_simhash (full recall at distance <= 3, one "
+    "shuffle on the 15-bit chunk key, never all-pairs). DIFFERENTIAL "
+    "ORACLE: the fixture's text-derived payloads all take the fake "
+    "path, which DuckDB rebuilds bit-for-bit and brute-forces; the "
+    "real-pixel path is pinned by planted synthetic-PNG tests "
+    "(near-identical images collide at Hamming <= 3, a rotation does "
+    "not, a corrupt blob degrades instead of aborting).",
+)
+def q_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parquet_compactor_spark.llm.dedup import hamming_banded_pairs
+
+    # spread_scan A/B at sf0.1: a measured NO-OP (warm 1.35 s with vs
+    # 1.10 s without — the bincount-vectorized hash is cheap per byte,
+    # unlike the per-token hot paths that needed the guard), so per the
+    # adopt-only-on-measured-win discipline the raw scan stays.
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    payloads = d.select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    sigs = extract_phash(payloads)
+    return hamming_banded_pairs(
+        sigs, sig_col="phash", max_hamming=3, bits=PHASH_BITS
+    )

@@ -400,86 +400,109 @@ def _ensure_loaded() -> None:
 #         six extra new operators).
 # Everything not listed follows in registration order.
 #
-# Round-12 window (this block): the 3 round-12 operators + the 6
-# round-12 source changes first, then the 35 r6-latest rows the
-# round-11 verdict rolled over (after this window verifies, no query's
-# latest driver row predates round 7), then 6 r7 fills.
+# Historical note — the round-12 window as it actually ran (the header
+# originally said "3 new + ... + 6 r7 fills"; the final window was the
+# 8 round-12 operators + 6 round-12 source changes + the 35 r6-latest
+# roll-overs + exactly 1 r7 fill, q_agg_distinct — round-12 ADVICE
+# bookkeeping fix):
+#   evidence ledger after r12: r7x44, r9x47, r10x44, r11x44, r12x50;
+#   no row anywhere predates round 7.
 #
-# Round-13 rotation plan (computed from CORRECTNESS_r{01..11}.json +
-# this window, latest-row-wins): the remaining 39 r7-latest rows —
-# q_corr_covar q_correlated_subquery q_cube q_cume_dist q_data_split
-# q_doc_chunking q_domain_mix q_explode_outer q_filter_pushdown
-# q_funnel_attrition q_grouping_sets q_hourly_topk q_join_broadcast
-# q_max_concurrency q_multimodal_meta q_multiset_setops
-# q_null_safe_join q_outer_join q_paragraph_dedup q_percent_of_total
-# q_percentiles q_pii_scrub q_pivot q_profile q_quality_classifier
-# q_rate_of_change q_rollup q_safe_math q_scalar_subquery q_scd2
-# q_semantic_dedup q_seq_packing q_session_window q_ship_priority
-# q_snapshot_delta q_span_dedup q_tfidf_topterms q_udtf_tokens
-# q_unigram_logprob
-# — 39 of 50 slots; the remainder fills from the r9-latest rows,
-# alphabetical, all minus whatever round 13 itself adds or changes,
-# which (per the standing convention) outranks re-verification of
-# unchanged sources.
+# Round-13 window (this block) — 50 slots, by the standing convention
+# (new first, then changed-source, then oldest-evidence re-verifies):
+#   1     q_phash_dedup — NEW: perceptual-hash (dHash) image near-dup,
+#         completing the multimodal modality (real PNG pixel decode via
+#         stdlib zlib + integer unfilter on the mapInPandas seam; the
+#         fixture's text payloads take the SQL-replicable fixed-grid
+#         codepoint fake; 4-chunk pigeonhole Hamming banding shared
+#         with q_dedup_simhash via hamming_banded_pairs).
+#   2-6   source changed in round 13: q_ssjoin_exact, q_lsh_tuning,
+#         q_dedup_cascade (prefix_filter_pairs bounds moved to exact
+#         int64 rational arithmetic — the FP-inexact-threshold ADVICE
+#         fix — and gained PPJoin's positional filter), q_dedup_simhash
+#         (banding extracted into hamming_banded_pairs; plan unchanged
+#         but the source line moved), q_ks_test (empty-shard guard on
+#         both engines).
+#   7-50  the 44 r7-latest rows, alphabetical (the round-12 verdict's
+#         roll-over list plus the 5 alphabetical-head rows its planned
+#         six r7 fills would have covered but the r12 window could not
+#         fit: q_asof_nearest q_click_conversion q_contamination
+#         q_context_length q_corpus_prep). After this window verifies,
+#         no query's latest driver row predates round 9.
+#
+# Round-14 rotation plan (computed from CORRECTNESS_r{01..12}.json +
+# this window, latest-row-wins): the 47 r9-latest rows —
+# q_ann_lsh q_approx_stats q_array_agg q_array_fns q_batch_sim_topk
+# q_bigram_backoff q_bpe_merge_pairs q_collocation_pmi
+# q_conditional_distinct q_cust_order_dist q_dedup_exact
+# q_dedup_survivorship q_disjunctive_join q_dsir_weights q_dup_clusters
+# q_embed_dim_stats q_embed_quantize q_explode_posexplode q_fingerprint
+# q_funnel_steps q_higher_order_fns q_idle_customers q_json_props
+# q_lang_id q_lang_temperature q_lateral_topn q_map_props
+# q_market_share q_median_filtered q_merge_upsert q_mixture_epochs
+# q_nation_revenue q_normalized_dedup q_order_priority q_padding_waste
+# q_pagerank q_perplexity_buckets q_pq_encode q_promo_revenue
+# q_quality_score q_recursive_cte q_retention_cohorts q_stats_agg
+# q_time_weighted_avg q_token_entropy q_udaf_geomean q_zipf_fit
+# — 47 of 50 slots; the remainder fills from the r10-latest rows,
+# alphabetical, minus whatever round 14 itself adds or changes, which
+# (per the standing convention) outranks re-verification of unchanged
+# sources.
 _PRIORITY: tuple[str, ...] = (
-    # -- NEW in round 12 (no driver row): first --
-    "q_ks_test",
-    "q_rouge_overlap",
-    "q_kmv_intersect",
-    "q_bootstrap_ci",
+    # -- NEW in round 13 (no driver row): first --
+    "q_phash_dedup",
+    # -- source changed in round 13 --
     "q_ssjoin_exact",
     "q_lsh_tuning",
-    "q_ivf_refresh",
-    "q_weighted_sample",
-    # -- source changed in round 12: stage 3 of the cascade moved to
-    # the exact-recall prefix-filter join; the five ivf_assign/gram
-    # consumers picked up the raw-scan model-collect fix --
     "q_dedup_cascade",
-    "q_ann_ivf",
-    "q_ivf_cell_stats",
-    "q_ivfpq_search",
-    "q_semdedup_prune",
-    "q_embed_covariance",
-    # -- the 35 r6-latest rows (the round-11 verdict roll-over:
-    # after this window no query\'s latest driver row predates r7) --
-    "q_equidepth_hist",
-    "q_event_attribution",
-    "q_ewma",
-    "q_except",
-    "q_frame_sample",
-    "q_gapfill_buckets",
-    "q_grouped_sample",
-    "q_intersect",
-    "q_large_orders",
-    "q_late_line_priority",
-    "q_latest_snapshot",
-    "q_locf_interpolate",
-    "q_mad_outliers",
-    "q_math_fns",
-    "q_month_over_month",
-    "q_ohlc",
-    "q_regr_slope",
-    "q_repetition_ratio",
-    "q_salted_agg",
-    "q_sessionize",
-    "q_sliding_window",
-    "q_stratified_sample",
-    "q_string_agg",
-    "q_string_extract",
-    "q_text_stats",
-    "q_token_count",
-    "q_top_bigrams",
-    "q_union_dedup",
-    "q_value_histogram",
-    "q_vector_norm",
-    "q_waiting_suppliers",
-    "q_whitespace_cleanup",
-    "q_window_ntile",
-    "q_winsorize",
-    "q_zscore_outliers",
-    # -- r7-latest fills, alphabetical (1 of 45 fits; the rest roll
-    # to round 13 per the same oldest-first convention) --
-    "q_agg_distinct",
+    "q_dedup_simhash",
+    "q_ks_test",
+    # -- the 44 r7-latest rows, alphabetical (after this window, no
+    # query's latest driver row predates round 9) --
+    "q_asof_nearest",
+    "q_click_conversion",
+    "q_contamination",
+    "q_context_length",
+    "q_corpus_prep",
+    "q_corr_covar",
+    "q_correlated_subquery",
+    "q_cube",
+    "q_cume_dist",
+    "q_data_split",
+    "q_doc_chunking",
+    "q_domain_mix",
+    "q_explode_outer",
+    "q_filter_pushdown",
+    "q_funnel_attrition",
+    "q_grouping_sets",
+    "q_hourly_topk",
+    "q_join_broadcast",
+    "q_max_concurrency",
+    "q_multimodal_meta",
+    "q_multiset_setops",
+    "q_null_safe_join",
+    "q_outer_join",
+    "q_paragraph_dedup",
+    "q_percent_of_total",
+    "q_percentiles",
+    "q_pii_scrub",
+    "q_pivot",
+    "q_profile",
+    "q_quality_classifier",
+    "q_rate_of_change",
+    "q_rollup",
+    "q_safe_math",
+    "q_scalar_subquery",
+    "q_scd2",
+    "q_semantic_dedup",
+    "q_seq_packing",
+    "q_session_window",
+    "q_ship_priority",
+    "q_snapshot_delta",
+    "q_span_dedup",
+    "q_tfidf_topterms",
+    "q_udtf_tokens",
+    "q_unigram_logprob",
 )
 
 

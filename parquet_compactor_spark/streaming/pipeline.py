@@ -1838,3 +1838,152 @@ def kmv_distinct_batch(docs: DataFrame, k: int | None = None) -> DataFrame:
             .alias("est_distinct"),
         )
     )
+
+
+def _aes_keyed(docs: DataFrame) -> DataFrame:
+    """(source, doc_id, n_tokens, key_nano) — q_weighted_sample's exact
+    A-ES exponential rank key (md5 hash-uniform, nano-grid snapped), the
+    shared algebra of the batch query and the streaming reservoir."""
+    from parquet_compactor_spark.llm.pipeline import AES_DENOM
+
+    h60 = F.expr(
+        "cast(conv(substr(md5(cast(doc_id as string)), 1, 15), 16, 10)"
+        " as bigint)"
+    )
+    return (
+        docs.filter(F.col("text").isNotNull())
+        .select(
+            "source",
+            "doc_id",
+            F.size(F.split("text", " ", -1)).cast("bigint").alias("n_tokens"),
+            ((h60 + F.lit(1)) / F.lit(AES_DENOM)).alias("u"),
+        )
+        .select(
+            "source",
+            "doc_id",
+            "n_tokens",
+            F.floor((-F.log("u") / F.col("n_tokens")) * 1e9 + 0.5)
+            .cast("bigint")
+            .alias("key_nano"),
+        )
+    )
+
+
+def weighted_reservoir_stream(
+    docs: DataFrame,
+    state_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    k: int | None = None,
+) -> None:
+    """Streaming weighted reservoir (Efraimidis-Spirakis A-ES): maintain,
+    per source, the k documents with the SMALLEST exponential rank keys
+    -ln(u)/w seen so far — a weighted-without-replacement sample of the
+    whole stream, continuously available — and emit the current
+    reservoir per micro-batch. The streaming member of the sampling
+    family (q_weighted_sample is the batch closed form; q_domain_mix /
+    q_mixture_epochs compute the weights such a draw consumes).
+
+    Same state contract as :func:`kmv_distinct_stream`, and for the
+    same algebraic reason: the A-ES key of a row is a pure function of
+    its content (md5 hash-uniform of doc_id, nano-grid snapped — no RNG
+    state), so the reservoir is min-k of a SET of keyed rows:
+    arrival-order-insensitive, batching-insensitive, and
+    replay-IDEMPOTENT (a replayed batch's union is a content no-op).
+    E-S proved keeping the k smallest -ln(u)/w keys IS a without-
+    replacement draw with inclusion probability proportional to w; the
+    streaming form is exact, not approximate, because min-k commutes
+    with union. State is BOUNDED at k rows per source regardless of
+    stream length, so every version is a full snapshot on the claim
+    gates' versioned-commit machinery (``_SUCCESS`` markers, crashed
+    writes invisible and GC'd, doc_id watermark riding in the name).
+
+    At 100 TB/day: per batch one narrow map for the keys, one union
+    with the (k x sources)-row state, one per-source top-k window over
+    that bounded frame — the history never re-scans, the state never
+    grows. Replacing the md5 hash-uniform with a true RNG would break
+    replay idempotence (the exactly-once story would then need the
+    checkpoint to carry the RNG state); content-keyed randomness is the
+    deliberate design, the same trade every deterministic sampler in
+    this repo makes."""
+    from parquet_compactor_spark.compactor.fs import HadoopFS
+    from parquet_compactor_spark.llm.pipeline import AES_K
+
+    kk = AES_K if k is None else k
+
+    def sample(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+
+        spark = batch_df.sparkSession
+        fs = HadoopFS(spark, state_dir)
+        versions = _committed_state_versions(fs, state_dir)
+        active = _active_version_paths(versions, state_dir)
+        state = spark.read.parquet(*active) if active else None
+
+        keyed = _aes_keyed(batch_df)
+        pool = (
+            keyed
+            if state is None
+            else keyed.unionByName(state).distinct()
+        )
+        w = Window.partitionBy("source").orderBy("key_nano", "doc_id")
+        reservoir = (
+            pool.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= kk)
+            .select("source", "doc_id", "n_tokens", "key_nano")
+        )
+        reservoir = reservoir.persist()
+        try:
+            (
+                reservoir.withColumn("rn", F.row_number().over(w))
+                .write.mode("overwrite")
+                .parquet(f"{out_dir}/batch={batch_id}")
+            )
+            hi = batch_df.agg(F.max("doc_id").alias("hi")).collect()[0].hi
+            prior_wm = versions[-1][2] if versions else None
+            new_wm = max(
+                (x for x in (prior_wm, hi) if x is not None), default=None
+            )
+            chain = versions[-1][0] + 1 if versions else 0
+            suffix = "" if new_wm is None else f"-w{int(new_wm)}"
+            reservoir.write.mode("overwrite").parquet(
+                f"{state_dir}/v-{chain}{suffix}"
+            )
+        finally:
+            reservoir.unpersist()
+        live = set(
+            _active_version_paths(
+                _committed_state_versions(fs, state_dir), state_dir
+            )
+        )
+        for d in fs.list_dirs(state_dir):
+            name = d.path.rstrip("/").rsplit("/", 1)[-1]
+            if name.startswith("v-") and d.path not in live:
+                fs.delete(d.path, recursive=True)
+
+    (
+        docs.writeStream.foreachBatch(sample)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def weighted_reservoir_batch(docs: DataFrame, k: int | None = None) -> DataFrame:
+    """Closed-form batch twin of :func:`weighted_reservoir_stream` —
+    identical to q_weighted_sample's plan at k=AES_K. The stream's
+    final state must reproduce this bit-identically (min-k of
+    content-keyed rows commutes with union and batching)."""
+    from pyspark.sql import Window
+
+    from parquet_compactor_spark.llm.pipeline import AES_K
+
+    kk = AES_K if k is None else k
+    w = Window.partitionBy("source").orderBy("key_nano", "doc_id")
+    return (
+        _aes_keyed(docs)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= kk)
+        .select("source", "doc_id", "n_tokens", "key_nano", "rn")
+    )

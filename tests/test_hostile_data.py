@@ -222,6 +222,11 @@ SENSITIVE = [
     # doubles), so the mutated corpus hash-matches exactly.
     "q_ks_test",
     "q_rouge_overlap",
+    # round-13: q_phash_dedup pins text IS NOT NULL on both engines and
+    # hashes CODEPOINTS (Python ord == DuckDB unicode()), so the
+    # adversarial-unicode mutations must hash-match exactly; utf-8
+    # encode/decode round-trips the text bit-for-bit on the Spark side.
+    "q_phash_dedup",
 ]
 
 

@@ -2404,3 +2404,217 @@ def test_rouge_overlap_clipped_multiset_arithmetic(spark, tmp_path):
     assert r.p_ppm == 3 * 1000000 // 3
     assert r.r_ppm == 3 * 1000000 // 5
     assert r.f1_ppm == 2 * 3 * 1000000 // 8
+
+
+# --------------------------------------------------------------------------
+# Perceptual-hash (dHash) image near-dup: real-pixel path
+# --------------------------------------------------------------------------
+
+
+def _png_encode(pixels, ctype=2, row_filters=None):
+    """Minimal PNG writer for the decoder tests: 8-bit, non-interlaced,
+    per-row filter selectable so all five unfilter branches get pinned."""
+    import struct as _struct
+    import zlib as _zlib
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, nch = px.shape
+    expected = {0: 1, 2: 3, 6: 4}[ctype]
+    assert nch == expected, f"ctype {ctype} needs {expected} channels"
+
+    def chunk(typ, data):
+        crc = _zlib.crc32(typ + data) & 0xFFFFFFFF
+        return _struct.pack(">I", len(data)) + typ + data + _struct.pack(">I", crc)
+
+    ihdr = _struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    stride = w * nch
+    flat = px.reshape(h, stride).astype(np.int64)
+    raw = bytearray()
+    for r in range(h):
+        f = row_filters[r % len(row_filters)] if row_filters else 0
+        row = flat[r]
+        prior = flat[r - 1] if r else np.zeros(stride, dtype=np.int64)
+        enc = np.zeros(stride, dtype=np.int64)
+        for x in range(stride):
+            a = row[x - nch] if x >= nch else 0
+            b = prior[x]
+            c = prior[x - nch] if x >= nch else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            enc[x] = (row[x] - pred) & 0xFF
+        raw.append(f)
+        raw += bytes(int(v) for v in enc)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", _zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _test_image(seed=7, h=24, w=33):
+    """Deterministic non-symmetric RGB gradient + texture image."""
+    import numpy as np
+
+    y, x = np.mgrid[0:h, 0:w]
+    r = (3 * x + 2 * y) % 256
+    g = (5 * x + ((x * y * seed) % 37)) % 256
+    b = (x * x // 4 + 7 * y) % 256
+    return np.stack([r, g, b], axis=2).astype(np.uint8)
+
+
+def test_decode_png_pixels_round_trips_every_filter_type():
+    """The pure-Python unfilter must invert the encoder for ALL five
+    scanline filters and for gray/RGB/RGBA — pinned by encoding the same
+    pixels with each filter and requiring identical grayscale output."""
+    import numpy as np
+
+    from parquet_compactor_spark.llm.multimodal import decode_png_pixels
+
+    img = _test_image()
+    expected = (
+        299 * img[..., 0].astype(np.int64)
+        + 587 * img[..., 1].astype(np.int64)
+        + 114 * img[..., 2].astype(np.int64)
+    ) // 1000
+    for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        got = decode_png_pixels(_png_encode(img, ctype=2, row_filters=filters))
+        assert (got == expected).all(), f"filters {filters} round-trip broke"
+    gray = img[..., 0]
+    got = decode_png_pixels(_png_encode(gray, ctype=0, row_filters=[4]))
+    assert (got == gray.astype(np.int64)).all()
+    rgba = np.dstack([img, np.full(img.shape[:2], 200, np.uint8)])
+    got = decode_png_pixels(_png_encode(rgba, ctype=6, row_filters=[3]))
+    assert (got == expected).all()  # alpha ignored by luma
+
+
+def test_phash_near_dup_images_collide_rotation_does_not(spark):
+    """The round-12 verdict's done-criterion for the multimodal modality:
+    two known-near-duplicate synthetic images (one with a mild global
+    brightness lift — dHash compares gradient SIGNS, so they survive)
+    collide at Hamming <= 3; a 90-degree rotation of the same image does
+    not; and the full Spark pipeline (binary payloads -> mapInPandas
+    extract_phash -> pigeonhole-banded pairs) finds exactly the near pair."""
+    import numpy as np
+
+    from parquet_compactor_spark.llm.dedup import hamming_banded_pairs
+    from parquet_compactor_spark.llm.multimodal import (
+        PHASH_BITS,
+        extract_phash,
+        phash_blob,
+    )
+
+    img = _test_image()
+    near = np.clip(img.astype(np.int64) + 6, 0, 255).astype(np.uint8)
+    rot = np.rot90(img).copy()
+    h_base = phash_blob(_png_encode(img))
+    h_near = phash_blob(_png_encode(near))
+    h_rot = phash_blob(_png_encode(rot))
+    assert bin(h_base ^ h_near).count("1") <= 3
+    assert bin(h_base ^ h_rot).count("1") > 3
+
+    payloads = spark.createDataFrame(
+        [
+            (1, bytearray(_png_encode(img))),
+            (2, bytearray(_png_encode(near))),
+            (3, bytearray(_png_encode(rot))),
+            (4, bytearray(b"just some text payload, not an image")),
+        ],
+        "doc_id bigint, payload binary",
+    )
+    pairs = {
+        (r.id1, r.id2): r.hamming
+        for r in hamming_banded_pairs(
+            extract_phash(payloads), sig_col="phash", max_hamming=3,
+            bits=PHASH_BITS,
+        ).collect()
+    }
+    assert set(pairs) == {(1, 2)}
+
+
+def test_phash_corrupt_png_degrades_to_fake_not_abort():
+    """A PNG-magic blob that fails pixel decode must hash via the fake
+    path (one corrupt image never kills a lake sweep), and unsupported
+    variants (16-bit) must degrade the same way; decode_png_pixels
+    itself stays loud for callers that want the error."""
+    import pytest as _pytest
+
+    from parquet_compactor_spark.llm.multimodal import (
+        _PNG_MAGIC,
+        decode_png_pixels,
+        fake_phash,
+        phash_blob,
+    )
+
+    corrupt = _PNG_MAGIC + b"\x00\x01garbage-not-chunks"
+    assert phash_blob(corrupt) == fake_phash(corrupt)
+    with _pytest.raises(ValueError):
+        decode_png_pixels(corrupt)
+    # truncated-at-IDAT real header: loud in decode, degraded in phash
+    img = _test_image()
+    trunc = _png_encode(img)[:40]
+    assert phash_blob(trunc) == fake_phash(trunc)
+    with _pytest.raises(ValueError):
+        decode_png_pixels(trunc)
+
+
+def test_phash_fixture_semantics_planted_suffix_dup(spark, tmp_path):
+    """q_phash_dedup on a planted corpus: the fixture's near-dup
+    structure (text + ' dup' suffix) lands at Hamming <= 3 under the
+    fixed-grid fake hash while unrelated word-soup does not."""
+    import shutil as _shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_compactor_spark.registry import all_queries
+    from tests.conftest import SF_SMOKE
+    from tests.oracle_utils import compare_to_oracle
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    for t in (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ):
+        _shutil.copy(f"{SF_SMOKE}/{t}.parquet", str(d / f"{t}.parquet"))
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi"
+    )
+    other = (
+        "zebra yak xerus wolf vole urial tapir stoat rhino quokka "
+        "pika otter numbat mole lynx koala jerboa ibex hyena gnu"
+    )
+    tab = pa.table(
+        {
+            "doc_id": pa.array([9001, 9002, 9003], type=pa.int64()),
+            "source": pa.array(["t", "t", "t"]),
+            "lang": pa.array(["en", "en", "en"]),
+            "text": pa.array([base, base + " dup", other]),
+        }
+    )
+    old = pq.read_table(str(d / "documents.parquet")).select(
+        ["doc_id", "source", "lang", "text"]
+    )
+    pq.write_table(pa.concat_tables([old, tab]), str(d / "documents.parquet"))
+    q = all_queries()["q_phash_dedup"]
+    out = q.fn(spark, str(d))
+    compare_to_oracle(out, q.oracle, str(d))
+    pairs = {(r.id1, r.id2) for r in out.collect()}
+    assert (9001, 9002) in pairs
+    assert (9001, 9003) not in pairs and (9002, 9003) not in pairs

@@ -1238,3 +1238,98 @@ def test_kmv_stream_matches_batch_replays_and_bounds_state(spark, tmp_path):
     kmv_distinct_stream(stream2, state, out, str(tmp_path / "ckpt2"), k=K)
     st2 = latest_claim_state(spark, state)
     assert {(r.source, r.h) for r in st2.collect()} == final_sketch
+
+
+def test_weighted_reservoir_stream_matches_batch_replays_and_bounds_state(
+    spark, tmp_path
+):
+    """The streaming A-ES reservoir: the final state equals the batch
+    closed form bit-for-bit (content-keyed min-k commutes with union
+    and batching); a full checkpoint-loss replay leaves the state
+    BIT-IDENTICAL; state stays bounded at <= k rows per source; a
+    planted uncommitted crash version is invisible and GC'd; and the
+    reservoir actually prefers heavy documents (the E-S inclusion
+    property on a planted weight spike)."""
+    import glob
+    import os
+    import time
+
+    from parquet_compactor_spark.streaming.pipeline import (
+        latest_claim_state,
+        weighted_reservoir_batch,
+        weighted_reservoir_stream,
+    )
+
+    schema = "doc_id bigint, text string, source string"
+    landing = tmp_path / "docs"
+    K = 3
+    # doc 100 gets a 200-token text in source s0: with w 50x the others
+    # its key -ln(u)/w is overwhelmingly likely among s0's K smallest.
+    def txt(i, n):
+        return " ".join(f"w{i}_{j}" for j in range(n))
+
+    b1 = [(i, txt(i, 4), f"s{i % 2}") for i in range(8)]
+    b2 = [(100, txt(100, 200), "s0")] + [
+        (10 + i, txt(10 + i, 4), f"s{i % 2}") for i in range(8)
+    ]
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(
+        str(landing)
+    )
+    time.sleep(1.1)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(
+        str(landing)
+    )
+
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "res")
+    orphan = f"{state}/v-0-w424242"
+    os.makedirs(orphan)
+    open(f"{orphan}/part-junk.parquet", "w").close()
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(landing))
+    )
+    weighted_reservoir_stream(stream, state, out, str(tmp_path / "ckpt"), k=K)
+    assert not os.path.exists(orphan)
+
+    st = latest_claim_state(spark, state)
+    rows = {
+        (r.source, r.doc_id, r.n_tokens, r.key_nano) for r in st.collect()
+    }
+    per_src = {}
+    for s, *_ in rows:
+        per_src[s] = per_src.get(s, 0) + 1
+    assert all(n <= K for n in per_src.values()), per_src
+
+    batch = {
+        (r.source, r.doc_id, r.n_tokens, r.key_nano)
+        for r in weighted_reservoir_batch(
+            spark.createDataFrame(b1 + b2, schema), k=K
+        ).collect()
+    }
+    assert rows == batch
+    assert any(d == 100 for _, d, _, _ in rows)  # the heavy doc is in
+
+    # The last emitted batch output equals the final reservoir, ranked.
+    batches = sorted(
+        glob.glob(f"{out}/batch=*"), key=lambda p: int(p.rsplit("=", 1)[1])
+    )
+    last = {
+        (r.source, r.doc_id, r.n_tokens, r.key_nano)
+        for r in spark.read.parquet(batches[-1]).collect()
+    }
+    assert last == batch
+
+    # Replay everything from a lost checkpoint: state bit-identical.
+    stream2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(landing))
+    )
+    weighted_reservoir_stream(stream2, state, out, str(tmp_path / "ckpt2"), k=K)
+    st2 = latest_claim_state(spark, state)
+    assert {
+        (r.source, r.doc_id, r.n_tokens, r.key_nano) for r in st2.collect()
+    } == batch
