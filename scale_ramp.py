@@ -195,6 +195,11 @@ RAMP_QUERIES = [
     # saturating-vocabulary slope family).
     "q_rouge_overlap",
     "q_ks_test",
+    # round-13: the perceptual-hash near-dup is the simhash blocking
+    # family on a mapInPandas-derived signature — the curve to watch is
+    # the chunk-key bucket join (15-bit chunks: collisions grow with
+    # corpus size; the hash map itself is linear).
+    "q_phash_dedup",
 ]
 
 OFF = 10_000_000  # per-copy key shift
