@@ -1987,3 +1987,107 @@ def weighted_reservoir_batch(docs: DataFrame, k: int | None = None) -> DataFrame
         .filter(F.col("rn") <= kk)
         .select("source", "doc_id", "n_tokens", "key_nano", "rn")
     )
+
+
+def _phash_chunked(docs: DataFrame) -> DataFrame:
+    """(doc_id, chunk, chunk_val) claim rows from (doc_id, payload):
+    the perceptual hash's 4 pigeonhole chunks — the same blocking key
+    as :func:`parquet_compactor_spark.llm.dedup.hamming_banded_pairs`,
+    so a claimed chunk catches EVERY later payload within Hamming 3 of
+    the claimant (and, like the MinHash gate's band buckets, is
+    recall-oriented beyond that)."""
+    from parquet_compactor_spark.llm.multimodal import (
+        PHASH_BITS,
+        extract_phash,
+    )
+
+    chunk_bits = PHASH_BITS // 4
+    chunk_mask = (1 << chunk_bits) - 1
+    sigs = extract_phash(docs.select("doc_id", "payload"))
+    return sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(F.col("phash"), c * chunk_bits)
+                        .bitwiseAND(F.lit(chunk_mask))
+                        .alias("chunk_val"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ch"),
+    ).select("doc_id", "ch.chunk", "ch.chunk_val")
+
+
+def phash_claim_batch(docs: DataFrame) -> DataFrame:
+    """(doc_id, kept) under the streaming perceptual-hash claim policy,
+    in closed form: an image is kept iff it is the MINIMUM doc_id in
+    EVERY one of its 4 hash-chunk buckets — the
+    :func:`minhash_dedup_batch` argument verbatim with dHash chunks in
+    place of band buckets (an earlier arrival claims its chunks whether
+    or not it was itself kept). Input is (doc_id, payload: binary);
+    NULL payloads hash via the fake path (hash 0) like the stream."""
+    chunks = _phash_chunked(docs)
+    cmin = chunks.groupBy("chunk", "chunk_val").agg(
+        F.min("doc_id").alias("cmin")
+    )
+    return (
+        chunks.join(cmin, ["chunk", "chunk_val"])
+        .groupBy("doc_id")
+        .agg(F.max((F.col("cmin") < F.col("doc_id")).cast("int")).alias("b"))
+        .select("doc_id", (F.col("b") == 0).alias("kept"))
+    )
+
+
+def phash_claim_stream(
+    docs: DataFrame, state_dir: str, out_dir: str, checkpoint_dir: str
+) -> None:
+    """Streaming near-duplicate IMAGE ingest gate: perceptual-hash
+    chunk claims against a persistent state table — the multimodal
+    member of the claim-gate family (:func:`minhash_dedup_stream` gates
+    text by LSH band buckets, :func:`fingerprint_delta_stream` by exact
+    fingerprint; this gates binary payloads by the dHash's 4 pigeonhole
+    chunks, so a duplicate upload, a re-encode with preserved pixels,
+    or any variant within Hamming 3 of an already-claimed image is
+    dropped at ingest).
+
+    Input batches are (doc_id, payload: binary) — the
+    ``ingest_binary_dir`` shape. Decodable PNGs hash from their actual
+    pixels (:func:`parquet_compactor_spark.llm.multimodal.phash_blob`);
+    everything else takes the deterministic fake path, so the gate
+    never aborts on a corrupt blob. Protocol, durability, and replay
+    semantics are LITERALLY :func:`_first_arrival_claim_gate` — the
+    shared decision rule, content-based violation check, and
+    chain-versioned delta+compaction state commit the other two gates
+    run; the hash being a pure content function keeps replays
+    idempotent for free. At 100 TB/day the state is 4 rows of
+    (chunk, 15-bit value, claimant) per distinct image and each batch
+    costs one Arrow-batched hash map + one chunk-keyed join against
+    state.
+
+    Stream/batch parity: with arrival order == doc_id order the union
+    of all batch decisions equals :func:`phash_claim_batch` exactly
+    (pinned in tests/test_streaming.py with planted near-duplicate
+    PNGs split across micro-batches)."""
+
+    def claim(batch_df: DataFrame, batch_id: int) -> None:
+        _first_arrival_claim_gate(
+            batch_df,
+            batch_id,
+            _phash_chunked(batch_df),
+            ("chunk", "chunk_val"),
+            state_dir,
+            out_dir,
+            "phash_claim_stream",
+        )
+
+    (
+        docs.writeStream.foreachBatch(claim)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -1333,3 +1333,97 @@ def test_weighted_reservoir_stream_matches_batch_replays_and_bounds_state(
     assert {
         (r.source, r.doc_id, r.n_tokens, r.key_nano) for r in st2.collect()
     } == batch
+
+
+def test_phash_claim_stream_matches_batch_and_blocks_cross_batch(
+    spark, tmp_path
+):
+    """The multimodal claim gate: a near-duplicate PNG arriving in a
+    LATER micro-batch is blocked by the persistent chunk-claim state
+    (pixels re-encoded with a brightness lift — only state can catch
+    it); a rotated image and unrelated payloads pass; an exact re-upload
+    of a text payload is blocked via the fake-hash path; the union of
+    all batch decisions equals the batch closed form; a checkpoint-loss
+    replay reproduces decisions and leaves state bit-identical."""
+    import glob
+    import os
+    import time
+
+    import numpy as np
+
+    from parquet_compactor_spark.streaming.pipeline import (
+        latest_claim_state,
+        phash_claim_batch,
+        phash_claim_stream,
+    )
+    from tests.test_llm import _png_encode, _test_image
+
+    img = _test_image()
+    near = np.clip(img.astype(np.int64) + 6, 0, 255).astype(np.uint8)
+    rot = np.rot90(img).copy()
+    schema = "doc_id bigint, payload binary"
+    b1 = [
+        (1, bytearray(_png_encode(img))),
+        (2, bytearray(b"an ordinary text payload with stable content")),
+        # inverted gradients: all dHash sign bits flip, so no chunk is
+        # shared with doc 1 (a same-generator second image CAN share a
+        # chunk — only the G channel varies by seed — which is correct
+        # recall-oriented gate behavior, but not what this row tests).
+        (3, bytearray(_png_encode(255 - _test_image(seed=29)))),
+    ]
+    b2 = [
+        (11, bytearray(_png_encode(near))),  # cross-batch near-dup
+        (12, bytearray(_png_encode(rot))),  # rotation: NOT a near-dup
+        (13, bytearray(b"an ordinary text payload with stable content")),
+    ]
+    landing = tmp_path / "blobs"
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(
+        str(landing)
+    )
+    time.sleep(1.1)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(
+        str(landing)
+    )
+
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "dec")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(landing))
+    )
+    phash_claim_stream(stream, state, out, str(tmp_path / "ckpt"))
+
+    decisions = {
+        r.doc_id: r.admitted if hasattr(r, "admitted") else r.kept
+        for p in glob.glob(f"{out}/batch=*")
+        for r in spark.read.parquet(p).collect()
+    }
+    batch = {
+        r.doc_id: r.kept
+        for r in phash_claim_batch(
+            spark.createDataFrame(b1 + b2, schema)
+        ).collect()
+    }
+    assert decisions == batch
+    assert decisions[1] and decisions[3]
+    assert not decisions[11]  # the cross-batch near-dup PNG is blocked
+    assert decisions[12]  # the rotation is not a near-dup
+    assert not decisions[13]  # exact fake-path re-upload blocked
+
+    st = {tuple(r) for r in latest_claim_state(spark, state).collect()}
+
+    # Checkpoint-loss replay: decisions reproduced, state bit-identical.
+    stream2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(landing))
+    )
+    phash_claim_stream(stream2, state, out, str(tmp_path / "ckpt2"))
+    replay = {
+        r.doc_id: r.admitted if hasattr(r, "admitted") else r.kept
+        for p in glob.glob(f"{out}/batch=*")
+        for r in spark.read.parquet(p).collect()
+    }
+    assert replay == batch
+    assert {tuple(r) for r in latest_claim_state(spark, state).collect()} == st
