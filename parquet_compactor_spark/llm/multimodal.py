@@ -4,10 +4,12 @@ Image/audio/video content is carried as opaque ``binary`` columns with
 typed metadata alongside. The Spark-side plumbing — schema, Arrow batch
 shape, ``mapInPandas`` signatures, partitioning — is real and tested.
 Image HEADER decoding (dimensions/bit-depth/mode for PNG, JPEG, GIF) is
-real too — a pure-Python byte parse, no codec library (``decode_image``).
-Pixel decoding and non-image codecs remain the documented external-
-library seam; non-image payloads take a deterministic fake keyed on
-payload bytes so the pipeline stays SQL-oracle-expressible.
+real too — a pure-Python byte parse, no codec library (``decode_image``) —
+and so is PIXEL decoding for PNG (stdlib zlib + integer unfilter,
+``decode_png_pixels``) and GIF (a from-spec LZW, ``decode_gif_pixels``).
+JPEG pixels and non-image codecs remain the documented external-library
+seam; non-image payloads take a deterministic fake keyed on payload
+bytes so the pipeline stays SQL-oracle-expressible.
 
 The fixture lake has no binary table, so payloads are derived from
 ``documents.text`` utf-8 bytes — which also makes the fake-decode
@@ -454,6 +456,158 @@ def decode_png_pixels(payload: bytes):
     return (299 * rgb[..., 0] + 587 * rgb[..., 1] + 114 * rgb[..., 2]) // 1000
 
 
+def _gif_lzw_decode(data: bytes, min_code_size: int, expected: int) -> bytes:
+    """GIF-variant LZW decompression (GIF89a spec appendix F): LSB-first
+    bit packing, CLEAR/END control codes, dictionary growth to 12 bits
+    then deferred-clear freeze. Validated by round-trip against an
+    independent encoder over random index streams including 12-bit
+    saturation (tests/test_llm.py)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    code_size = min_code_size + 1
+    base = {i: bytes([i]) for i in range(clear)}
+    table = dict(base)
+    next_code = end + 1
+    out = bytearray()
+    prev = None
+    bitpos = 0
+    total = len(data) * 8
+    while len(out) < expected:
+        if bitpos + code_size > total:
+            raise ValueError("corrupt GIF: LZW stream exhausted")
+        v = 0
+        for i in range(code_size):
+            v |= ((data[(bitpos + i) >> 3] >> ((bitpos + i) & 7)) & 1) << i
+        bitpos += code_size
+        if v == clear:
+            table = dict(base)
+            next_code = end + 1
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if v == end:
+            break
+        if prev is None:
+            if v not in table:
+                raise ValueError("corrupt GIF: first LZW code not a root")
+            entry = table[v]
+        elif v in table:
+            entry = table[v]
+        elif v == next_code:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError("corrupt GIF: LZW code out of range")
+        out += entry
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+            if next_code == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = entry
+    return bytes(out[:expected])
+
+
+def decode_gif_pixels(payload: bytes):
+    """Real GIF PIXEL decode — pure Python, stdlib only (the LZW variant
+    GIF uses is not zlib; :func:`_gif_lzw_decode` implements it).
+
+    Parses the logical screen descriptor, global/local color tables,
+    extension blocks (skipped), and the FIRST image descriptor —
+    animated GIFs hash their first frame, the standard perceptual-hash
+    convention — including 4-pass interlacing. Returns the int64
+    ``(H, W)`` grayscale array (same integer ITU-R 601 luma as
+    :func:`decode_png_pixels`, so the SAME pixels hash identically
+    regardless of container format). Raises ``ValueError`` on corrupt
+    payloads — callers that must survive a hostile lake go through
+    :func:`phash_blob`, which degrades to the fake hash.
+    """
+    import numpy as np
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    if len(payload) < 13:
+        raise ValueError("corrupt GIF: truncated logical screen descriptor")
+    _sw, _sh, flags, _bg, _ar = struct.unpack("<HHBBB", payload[6:13])
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 ** ((flags & 0x07) + 1)
+        gct = payload[pos : pos + 3 * n]
+        if len(gct) < 3 * n:
+            raise ValueError("corrupt GIF: truncated global color table")
+        pos += 3 * n
+    while pos < len(payload):
+        block = payload[pos]
+        if block == 0x21:  # extension: label byte + data sub-blocks
+            pos += 2
+            while pos < len(payload) and payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            if pos + 10 > len(payload):
+                raise ValueError("corrupt GIF: truncated image descriptor")
+            _left, _top, w, h, iflags = struct.unpack(
+                "<HHHHB", payload[pos + 1 : pos + 10]
+            )
+            pos += 10
+            if not w or not h:
+                raise ValueError(f"corrupt GIF: zero dimension {w}x{h}")
+            pal = gct
+            if iflags & 0x80:
+                n = 2 ** ((iflags & 0x07) + 1)
+                pal = payload[pos : pos + 3 * n]
+                if len(pal) < 3 * n:
+                    raise ValueError("corrupt GIF: truncated local color table")
+                pos += 3 * n
+            if pal is None:
+                raise ValueError("corrupt GIF: image without any color table")
+            if pos >= len(payload):
+                raise ValueError("corrupt GIF: missing LZW min code size")
+            mcs = payload[pos]
+            pos += 1
+            if not 2 <= mcs <= 8:
+                raise ValueError(f"corrupt GIF: LZW min code size {mcs}")
+            data = bytearray()
+            while pos < len(payload) and payload[pos] != 0:
+                ln = payload[pos]
+                chunk = payload[pos + 1 : pos + 1 + ln]
+                if len(chunk) < ln:
+                    raise ValueError("corrupt GIF: truncated data sub-block")
+                data += chunk
+                pos += 1 + ln
+            idx = _gif_lzw_decode(bytes(data), mcs, w * h)
+            if len(idx) < w * h:
+                raise ValueError("corrupt GIF: short pixel data")
+            arr = (
+                np.frombuffer(idx, dtype=np.uint8)
+                .astype(np.int64)
+                .reshape(h, w)
+            )
+            if iflags & 0x40:  # interlaced: stored in 4-pass row order
+                order = (
+                    list(range(0, h, 8))
+                    + list(range(4, h, 8))
+                    + list(range(2, h, 4))
+                    + list(range(1, h, 2))
+                )
+                de = np.zeros_like(arr)
+                de[order] = arr
+                arr = de
+            p = np.frombuffer(pal, dtype=np.uint8).reshape(-1, 3)
+            p = p.astype(np.int64)
+            if int(arr.max()) >= len(p):
+                raise ValueError("corrupt GIF: palette index out of range")
+            rgb = p[arr]
+            return (
+                299 * rgb[..., 0] + 587 * rgb[..., 1] + 114 * rgb[..., 2]
+            ) // 1000
+        elif block == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"corrupt GIF: unknown block 0x{block:02x}")
+    raise ValueError("corrupt GIF: no image descriptor before trailer")
+
+
 def dhash_gray(gray) -> int:
     """60-bit difference hash over a grayscale pixel array.
 
@@ -531,24 +685,34 @@ def fake_phash(payload: bytes) -> int:
     return h
 
 
-def phash_blob(payload) -> int:
-    """Per-blob perceptual hash: real pixel dHash for decodable PNGs,
-    the deterministic fake elsewhere.
+def phash_blob(payload, sniff_gif: bool = False) -> int:
+    """Per-blob perceptual hash: real pixel dHash for decodable PNGs
+    (and, opt-in, GIFs), the deterministic fake elsewhere.
 
     Same sniff-and-degrade discipline as :func:`_blob_meta`: the PNG
     magic cannot occur in utf-8 text (0x89 is not a valid utf-8 lead
     byte), so text-derived fixture payloads deterministically take the
     fake path and stay SQL-oracle-expressible, while genuine PNG blobs
     (via :func:`ingest_binary_dir`) are hashed from their actual
-    pixels. A recognized-but-undecodable blob degrades to the fake hash
-    instead of propagating — one corrupt image must never abort a lake
-    sweep. JPEG/GIF pixels need a real codec: they take the fake path
-    until one is plugged in at the :func:`decode_png_pixels` seam.
+    pixels. GIF's ASCII magic CAN occur in text, so GIF pixel decoding
+    (:func:`decode_gif_pixels` — real, pure-Python LZW) is opt-in via
+    ``sniff_gif`` for genuine blob lakes (the claim gate passes True;
+    the oracle-checked fixture query must not, or a document whose text
+    starts with "GIF87a" would diverge from the SQL fake). A
+    recognized-but-undecodable blob degrades to the fake hash instead
+    of propagating — one corrupt image must never abort a lake sweep.
+    JPEG pixels need a real codec (DCT+Huffman): they take the fake
+    path until one is plugged in at this seam.
     """
     b = b"" if payload is None else bytes(payload)
     if b[:8] == _PNG_MAGIC:
         try:
             return dhash_gray(decode_png_pixels(b))
+        except (ValueError, NotImplementedError, struct.error):
+            return fake_phash(b)
+    if sniff_gif and b[:6] in (b"GIF87a", b"GIF89a"):
+        try:
+            return dhash_gray(decode_gif_pixels(b))
         except (ValueError, NotImplementedError, struct.error):
             return fake_phash(b)
     return fake_phash(b)
@@ -557,17 +721,22 @@ def phash_blob(payload) -> int:
 PHASH_SCHEMA = "doc_id bigint, phash bigint"
 
 
-def extract_phash(df: DataFrame) -> DataFrame:
+def extract_phash(df: DataFrame, sniff_gif: bool = False) -> DataFrame:
     """``mapInPandas`` perceptual-hash extraction over
     ``(doc_id, payload: binary)`` — Arrow-batched, one 60-bit hash per
-    blob, the same distributed seam as :func:`extract_media_meta`."""
+    blob, the same distributed seam as :func:`extract_media_meta`.
+    ``sniff_gif``: see :func:`phash_blob` (True for genuine blob lakes,
+    False for anything whose payloads may be text)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "phash": [phash_blob(b) for b in pdf["payload"]],
+                    "phash": [
+                        phash_blob(b, sniff_gif=sniff_gif)
+                        for b in pdf["payload"]
+                    ],
                 }
             )
 

@@ -2003,7 +2003,12 @@ def _phash_chunked(docs: DataFrame) -> DataFrame:
 
     chunk_bits = PHASH_BITS // 4
     chunk_mask = (1 << chunk_bits) - 1
-    sigs = extract_phash(docs.select("doc_id", "payload"))
+    # sniff_gif=True: the gate's input is a genuine blob lake (the
+    # ingest_binary_dir shape), not oracle-checked text payloads, so
+    # GIFs get their real pixels; a text payload that happens to start
+    # with the ASCII GIF magic fails the decode and degrades to the
+    # fake hash identically in the stream and the batch twin.
+    sigs = extract_phash(docs.select("doc_id", "payload"), sniff_gif=True)
     return sigs.select(
         "doc_id",
         F.explode(

@@ -2618,3 +2618,149 @@ def test_phash_fixture_semantics_planted_suffix_dup(spark, tmp_path):
     pairs = {(r.id1, r.id2) for r in out.collect()}
     assert (9001, 9002) in pairs
     assert (9001, 9003) not in pairs and (9002, 9003) not in pairs
+
+
+def _gif_lzw_encode(indices: bytes, mcs: int) -> bytes:
+    """Independent GIF-LZW compressor for the decoder tests (dynamic
+    code width, dictionary growth to 12 bits, deferred clear)."""
+    clear = 1 << mcs
+    end = clear + 1
+    code_size = mcs + 1
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    bits = []
+
+    def emit(code, size):
+        for i in range(size):
+            bits.append((code >> i) & 1)
+
+    emit(clear, code_size)
+    w = b""
+    for b in indices:
+        wc = w + bytes([b])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], code_size)
+        if next_code < 4096:
+            table[wc] = next_code
+            next_code += 1
+            if next_code == (1 << code_size) + 1 and code_size < 12:
+                code_size += 1
+        w = bytes([b])
+    if w:
+        emit(table[w], code_size)
+    emit(end, code_size)
+    out = bytearray()
+    for i in range(0, len(bits), 8):
+        byte = 0
+        for j, bit in enumerate(bits[i : i + 8]):
+            byte |= bit << j
+        out.append(byte)
+    return bytes(out)
+
+
+def _gif_encode(indices, palette, interlaced=False, local_table=False):
+    """Minimal GIF89a writer: one image, 8-bit indices, optional
+    interlacing and local-vs-global color table, 255-byte sub-blocks."""
+    import struct as _struct
+
+    import numpy as np
+
+    idx = np.asarray(indices, dtype=np.uint8)
+    h, w = idx.shape
+    if interlaced:
+        order = (
+            list(range(0, h, 8))
+            + list(range(4, h, 8))
+            + list(range(2, h, 4))
+            + list(range(1, h, 2))
+        )
+        idx = idx[order]
+    pal = bytes(palette)
+    assert len(pal) == 256 * 3
+    out = bytearray(b"GIF89a")
+    gflags = 0x80 | 0x07 if not local_table else 0x00
+    out += _struct.pack("<HHBBB", w, h, gflags, 0, 0)
+    if not local_table:
+        out += pal
+    iflags = (0x80 | 0x07 if local_table else 0x00) | (0x40 if interlaced else 0)
+    out += b"\x2c" + _struct.pack("<HHHHB", 0, 0, w, h, iflags)
+    if local_table:
+        out += pal
+    out += bytes([8])  # LZW min code size
+    data = _gif_lzw_encode(bytes(idx.reshape(-1)), 8)
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def test_gif_lzw_codec_round_trips_including_12bit_growth():
+    import random as _random
+
+    from parquet_compactor_spark.llm.multimodal import _gif_lzw_decode
+
+    rng = _random.Random(31)
+    for mcs in (2, 4, 8):
+        for n in (0, 1, 7, 500, 20000):
+            seq = bytes(rng.randrange(1 << mcs) for _ in range(n))
+            assert _gif_lzw_decode(_gif_lzw_encode(seq, mcs), mcs, n) == seq
+    # runs long enough to saturate the 12-bit table (deferred clear)
+    seq = bytes((i * i) % 256 for i in range(70000))
+    assert _gif_lzw_decode(_gif_lzw_encode(seq, 8), 8, len(seq)) == seq
+
+
+def test_decode_gif_pixels_round_trips_and_matches_png_hash():
+    """GIF pixel decode: a grayscale-palette GIF (palette i -> (i,i,i),
+    so luma == index) round-trips exactly — plain, interlaced, and
+    local-color-table variants — and the SAME pixels hash IDENTICALLY
+    whether delivered as PNG or GIF (the perceptual hash is a property
+    of the pixels, not the container)."""
+    import numpy as np
+
+    from parquet_compactor_spark.llm.multimodal import (
+        decode_gif_pixels,
+        dhash_gray,
+        phash_blob,
+    )
+
+    gray = (
+        299 * _test_image()[..., 0].astype(np.int64)
+        + 587 * _test_image()[..., 1].astype(np.int64)
+        + 114 * _test_image()[..., 2].astype(np.int64)
+    ) // 1000
+    idx = gray.astype(np.uint8)
+    pal = bytes(v for i in range(256) for v in (i, i, i))
+    for interlaced in (False, True):
+        for local in (False, True):
+            got = decode_gif_pixels(
+                _gif_encode(idx, pal, interlaced=interlaced, local_table=local)
+            )
+            assert (got == gray).all(), (interlaced, local)
+    h_gif = phash_blob(_gif_encode(idx, pal), sniff_gif=True)
+    h_png = phash_blob(_png_encode(idx, ctype=0))
+    assert h_gif == h_png == dhash_gray(gray)
+
+
+def test_gif_sniff_is_opt_in_and_degrades_on_corruption():
+    """Unsniffed (the oracle-checked fixture path) a GIF-magic payload
+    hashes via the fake path even if it IS a valid GIF — the SQL-parity
+    guarantee; sniffed, a corrupt GIF degrades to the fake hash and
+    decode_gif_pixels stays loud."""
+    import pytest as _pytest
+
+    from parquet_compactor_spark.llm.multimodal import (
+        decode_gif_pixels,
+        fake_phash,
+        phash_blob,
+    )
+
+    texty = "GIF87a looks like text but is text".encode()
+    assert phash_blob(texty) == fake_phash(texty)
+    assert phash_blob(texty, sniff_gif=True) == fake_phash(texty)  # degrades
+    with _pytest.raises(ValueError):
+        decode_gif_pixels(texty)
+    truncated = b"GIF89a\x05\x00"
+    assert phash_blob(truncated, sniff_gif=True) == fake_phash(truncated)
