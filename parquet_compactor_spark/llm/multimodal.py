@@ -5,11 +5,13 @@ typed metadata alongside. The Spark-side plumbing — schema, Arrow batch
 shape, ``mapInPandas`` signatures, partitioning — is real and tested.
 Image HEADER decoding (dimensions/bit-depth/mode for PNG, JPEG, GIF) is
 real too — a pure-Python byte parse, no codec library (``decode_image``) —
-and so is PIXEL decoding for PNG (stdlib zlib + integer unfilter,
-``decode_png_pixels``) and GIF (a from-spec LZW, ``decode_gif_pixels``).
-JPEG pixels and non-image codecs remain the documented external-library
-seam; non-image payloads take a deterministic fake keyed on payload
-bytes so the pipeline stays SQL-oracle-expressible.
+and so is PIXEL decoding for all three: PNG (stdlib zlib + integer
+unfilter, ``decode_png_pixels``), GIF (a from-spec LZW,
+``decode_gif_pixels``), and baseline JPEG (huffman + fixed-point
+integer IDCT, ``decode_jpeg_pixels``). Progressive JPEG and non-image
+codecs remain the documented external-library seam; non-image payloads
+take a deterministic fake keyed on payload bytes so the pipeline stays
+SQL-oracle-expressible.
 
 The fixture lake has no binary table, so payloads are derived from
 ``documents.text`` utf-8 bytes — which also makes the fake-decode
@@ -456,6 +458,290 @@ def decode_png_pixels(payload: bytes):
     return (299 * rgb[..., 0] + 587 * rgb[..., 1] + 114 * rgb[..., 2]) // 1000
 
 
+#: JPEG natural-order index for each zigzag position (ITU T.81 fig A.6).
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+#: Fixed-point 1-D IDCT basis, AI[u][x] = round(c(u)*cos((2x+1)u*pi/16)/2
+#: * 2^17) with c(0)=1/sqrt(2) — HARDCODED so the decode is pure int64
+#: arithmetic (f = (AI^T F AI + 2^33) >> 34): bit-identical on every
+#: platform, the same determinism discipline as the PNG/GIF paths
+#: (libm cos at import time would reintroduce 1-ulp platform skew).
+#: Validated within +/-1 of the float64 reference over random blocks.
+_JPEG_IDCT_FIX = [
+    [46341, 46341, 46341, 46341, 46341, 46341, 46341, 46341],
+    [64277, 54491, 36410, 12785, -12785, -36410, -54491, -64277],
+    [60547, 25080, -25080, -60547, -60547, -25080, 25080, 60547],
+    [54491, -12785, -64277, -36410, 36410, 64277, 12785, -54491],
+    [46341, -46341, -46341, 46341, 46341, -46341, -46341, 46341],
+    [36410, -64277, 12785, 54491, -54491, -12785, 64277, -36410],
+    [25080, -60547, 60547, -25080, -25080, 60547, -60547, 25080],
+    [12785, -36410, 54491, -64277, 64277, -54491, 36410, -12785],
+]
+
+
+def _jpeg_build_decode(bits: list, vals: list) -> dict:
+    """(length, code) -> value huffman lookup (ITU T.81 annex C.2)."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _JpegBits:
+    """Entropy-segment bit reader: MSB-first, 0xFF00 byte-stuffing
+    unstuffed, any other marker inside the stream is an error (restart
+    markers are rejected at the DRI segment before reaching here)."""
+
+    __slots__ = ("data", "pos", "acc", "n")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("corrupt JPEG: entropy stream exhausted")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if (
+                    self.pos < len(self.data)
+                    and self.data[self.pos] == 0x00
+                ):
+                    self.pos += 1
+                else:
+                    raise ValueError(
+                        "corrupt JPEG: marker inside entropy data"
+                    )
+            self.acc = b
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _jpeg_huff(br: _JpegBits, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.bit()
+        if (length, code) in table:
+            return table[(length, code)]
+    raise ValueError("corrupt JPEG: invalid huffman code")
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    """DC/AC magnitude-category sign extension (ITU T.81 F.2.2.1)."""
+    if s == 0:
+        return 0
+    if v < (1 << (s - 1)):
+        return v - (1 << s) + 1
+    return v
+
+
+def decode_jpeg_pixels(payload: bytes):
+    """Real baseline JPEG PIXEL decode — pure Python + numpy, no codec
+    library: DQT/DHT/SOF0 parse, huffman entropy decode, dequantize,
+    fixed-point integer IDCT (``_JPEG_IDCT_FIX`` — bit-identical across
+    platforms), nearest-neighbor chroma upsampling, integer YCbCr->RGB
+    (ITU BT.601 fixed-point), integer luma. Returns the int64 ``(H, W)``
+    grayscale array — the same output contract as
+    :func:`decode_png_pixels` / :func:`decode_gif_pixels`.
+
+    Scope: baseline sequential (SOF0/SOF1), 8-bit, 1 or 3 components,
+    any sampling factors (4:4:4 and 4:2:0 tested), no restart markers
+    (a DRI segment raises ``NotImplementedError`` — cameras that emit
+    them degrade to the fake hash at the :func:`phash_blob` seam), no
+    progressive (SOF2+). The per-coefficient Python huffman loop is the
+    decode seam's cost — production throughput swaps in a real codec at
+    exactly this function; correctness is pinned by round-trip against
+    an independent from-spec encoder (tests/test_llm.py: flat blocks
+    decode EXACTLY, textured images within quantization tolerance).
+    """
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    i = 2
+    qts: dict[int, "np.ndarray"] = {}
+    hts: dict[int, dict] = {}
+    frame = None
+    while i + 4 <= len(payload):
+        if payload[i] != 0xFF:
+            raise ValueError(f"corrupt JPEG: expected marker at byte {i}")
+        m = payload[i + 1]
+        if m == 0xFF:
+            i += 1
+            continue
+        if m == 0xD9:
+            break
+        if m == 0x01 or 0xD0 <= m <= 0xD7:
+            i += 2
+            continue
+        (ln,) = struct.unpack(">H", payload[i + 2 : i + 4])
+        seg = payload[i + 4 : i + 2 + ln]
+        if len(seg) != ln - 2:
+            raise ValueError("corrupt JPEG: truncated segment")
+        if m == 0xDB:  # DQT
+            j = 0
+            while j < len(seg):
+                pq, tq = seg[j] >> 4, seg[j] & 15
+                if pq != 0:
+                    raise NotImplementedError("16-bit JPEG quant table")
+                if j + 65 > len(seg):
+                    raise ValueError("corrupt JPEG: short DQT")
+                qts[tq] = np.frombuffer(
+                    seg[j + 1 : j + 65], dtype=np.uint8
+                ).astype(np.int64)
+                j += 65
+        elif m == 0xC4:  # DHT
+            j = 0
+            while j + 17 <= len(seg):
+                tc_th = seg[j]
+                bits = list(seg[j + 1 : j + 17])
+                nv = sum(bits)
+                vals = list(seg[j + 17 : j + 17 + nv])
+                if len(vals) < nv:
+                    raise ValueError("corrupt JPEG: short DHT")
+                hts[tc_th] = _jpeg_build_decode(bits, vals)
+                j += 17 + nv
+        elif m in (0xC0, 0xC1):  # baseline SOF
+            prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise NotImplementedError(f"{prec}-bit JPEG")
+            if not w or not h:
+                raise ValueError(f"corrupt JPEG: zero dimension {w}x{h}")
+            comps = []
+            for k in range(nc):
+                cid, hv, tq = seg[6 + 3 * k : 9 + 3 * k]
+                comps.append((cid, hv >> 4, hv & 15, tq))
+            frame = (h, w, comps)
+        elif 0xC2 <= m <= 0xCF and m not in _JPEG_NON_FRAME:
+            raise NotImplementedError(
+                f"non-baseline JPEG (SOF{m - 0xC0}): progressive/lossless"
+            )
+        elif m == 0xDD:  # DRI
+            raise NotImplementedError(
+                "JPEG restart markers (DRI) not supported"
+            )
+        elif m == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("corrupt JPEG: SOS before SOF")
+            ns = seg[0]
+            smap = {}
+            for k in range(ns):
+                cs = seg[1 + 2 * k]
+                td_ta = seg[2 + 2 * k]
+                smap[cs] = (td_ta >> 4, td_ta & 15)
+            return _jpeg_decode_scan(
+                payload[i + 2 + ln :], frame, smap, qts, hts
+            )
+        i += 2 + ln
+    raise ValueError("corrupt JPEG: no SOS scan before EOI")
+
+
+def _jpeg_decode_scan(ent: bytes, frame, smap, qts, hts):
+    import numpy as np
+
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if not hmax or not vmax:
+        raise ValueError("corrupt JPEG: zero sampling factor")
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    ai = np.array(_JPEG_IDCT_FIX, dtype=np.int64)
+    planes = {
+        cid: np.zeros((mcuy * vf * 8, mcux * hf * 8), dtype=np.int64)
+        for cid, hf, vf, _tq in comps
+    }
+    br = _JpegBits(ent)
+    prev_dc = {cid: 0 for cid, *_ in comps}
+    for cid, *_ in comps:
+        if cid not in smap:
+            raise ValueError("corrupt JPEG: component missing from scan")
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for cid, hf, vf, tq in comps:
+                td, ta = smap[cid]
+                if tq not in qts or td not in hts or (0x10 | ta) not in hts:
+                    raise ValueError("corrupt JPEG: missing table")
+                qt = qts[tq]
+                dct = hts[td]
+                act = hts[0x10 | ta]
+                for v in range(vf):
+                    for u in range(hf):
+                        s = _jpeg_huff(br, dct)
+                        prev_dc[cid] += _jpeg_extend(br.bits(s), s)
+                        zz = np.zeros(64, dtype=np.int64)
+                        zz[0] = prev_dc[cid]
+                        k = 1
+                        while k < 64:
+                            rs = _jpeg_huff(br, act)
+                            if rs == 0x00:  # EOB
+                                break
+                            if rs == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            k += rs >> 4
+                            if k > 63:
+                                raise ValueError(
+                                    "corrupt JPEG: AC index overflow"
+                                )
+                            zz[k] = _jpeg_extend(br.bits(rs & 15), rs & 15)
+                            k += 1
+                        deq = np.zeros(64, dtype=np.int64)
+                        deq[_JPEG_ZIGZAG] = zz * qt
+                        t = ai.T @ deq.reshape(8, 8) @ ai
+                        blk = ((t + (1 << 33)) >> 34) + 128
+                        y0 = (my * vf + v) * 8
+                        x0 = (mx * hf + u) * 8
+                        planes[cid][y0 : y0 + 8, x0 : x0 + 8] = blk
+    outs = []
+    for cid, hf, vf, _tq in comps:
+        p = planes[cid]
+        p = np.repeat(
+            np.repeat(p, vmax // vf, axis=0), hmax // hf, axis=1
+        )
+        outs.append(np.clip(p[:h, :w], 0, 255))
+    if len(outs) == 1:
+        return outs[0]
+    if len(outs) != 3:
+        raise NotImplementedError(f"{len(outs)}-component JPEG")
+    y, cb, cr = outs
+    cb = cb - 128
+    cr = cr - 128
+    # BT.601 fixed-point: round(1.402*2^16)=91881, 0.344136->22554,
+    # 0.714136->46802, 1.772->116130; +2^15 then >>16 rounds.
+    r = y + ((91881 * cr + 32768) >> 16)
+    g = y - ((22554 * cb + 46802 * cr + 32768) >> 16)
+    b = y + ((116130 * cb + 32768) >> 16)
+    rgb = [np.clip(c, 0, 255) for c in (r, g, b)]
+    return (299 * rgb[0] + 587 * rgb[1] + 114 * rgb[2]) // 1000
+
+
 def _gif_lzw_decode(data: bytes, min_code_size: int, expected: int) -> bytes:
     """GIF-variant LZW decompression (GIF89a spec appendix F): LSB-first
     bit packing, CLEAR/END control codes, dictionary growth to 12 bits
@@ -701,13 +987,20 @@ def phash_blob(payload, sniff_gif: bool = False) -> int:
     starts with "GIF87a" would diverge from the SQL fake). A
     recognized-but-undecodable blob degrades to the fake hash instead
     of propagating — one corrupt image must never abort a lake sweep.
-    JPEG pixels need a real codec (DCT+Huffman): they take the fake
-    path until one is plugged in at this seam.
+    Baseline JPEGs decode for real too (:func:`decode_jpeg_pixels`,
+    fixed-point integer IDCT); progressive/restart-marker variants
+    degrade to the fake path until a full codec is plugged in at that
+    seam.
     """
     b = b"" if payload is None else bytes(payload)
     if b[:8] == _PNG_MAGIC:
         try:
             return dhash_gray(decode_png_pixels(b))
+        except (ValueError, NotImplementedError, struct.error):
+            return fake_phash(b)
+    if b[:2] == b"\xff\xd8":  # JPEG SOI: invalid utf-8, safe to sniff
+        try:
+            return dhash_gray(decode_jpeg_pixels(b))
         except (ValueError, NotImplementedError, struct.error):
             return fake_phash(b)
     if sniff_gif and b[:6] in (b"GIF87a", b"GIF89a"):

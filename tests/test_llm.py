@@ -2764,3 +2764,308 @@ def test_gif_sniff_is_opt_in_and_degrades_on_corruption():
         decode_gif_pixels(texty)
     truncated = b"GIF89a\x05\x00"
     assert phash_blob(truncated, sniff_gif=True) == fake_phash(truncated)
+
+
+# --------------------------------------------------------------------------
+# Baseline JPEG decode (independent from-spec encoder -> decoder round-trip)
+# --------------------------------------------------------------------------
+
+_JPEG_QT_LUM = [
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+]
+_JPEG_QT_CHR = [
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+] + [99] * 32
+_JPEG_DC_LUM = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0], list(range(12)))
+_JPEG_DC_CHR = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0], list(range(12)))
+_JPEG_AC_LUM = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+_JPEG_AC_CHR = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+
+def _jpeg_encode(rgb_or_gray, subsample=False):
+    """Independent from-spec baseline JPEG encoder (float DCT, Annex K
+    tables) for the decoder tests: grayscale (2-D input) or YCbCr color
+    (3-D input, 4:4:4 or 4:2:0)."""
+    import struct as _struct
+
+    import numpy as np
+
+    from parquet_compactor_spark.llm.multimodal import _JPEG_ZIGZAG
+
+    def fdct(px):
+        c = np.array([1 / np.sqrt(2)] + [1.0] * 7)
+        ct = np.cos(
+            (2 * np.arange(8)[:, None] + 1)
+            * np.arange(8)[None, :]
+            * np.pi
+            / 16
+        )
+        t = ct.T @ px @ ct
+        return (t * c[:, None] * c[None, :]) / 4.0
+
+    def codes_of(bits, vals):
+        codes = {}
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                codes[vals[k]] = (code, length)
+                code += 1
+                k += 1
+            code <<= 1
+        return codes
+
+    bitbuf = bytearray()
+    acc = [0, 0]  # value, nbits
+
+    def wbits(code, length):
+        for i in range(length - 1, -1, -1):
+            acc[0] = (acc[0] << 1) | ((code >> i) & 1)
+            acc[1] += 1
+            if acc[1] == 8:
+                bitbuf.append(acc[0])
+                if acc[0] == 0xFF:
+                    bitbuf.append(0x00)
+                acc[0] = 0
+                acc[1] = 0
+
+    def enc_coeff(v):
+        a, s = abs(v), 0
+        while a:
+            s += 1
+            a >>= 1
+        return (s, v if v >= 0 else v + (1 << s) - 1)
+
+    prev = {}
+
+    def put_block(plane, by, bx, qnat, dct, act, key):
+        blk = plane[by : by + 8, bx : bx + 8] - 128.0
+        q = np.round(fdct(blk) / qnat).astype(np.int64)
+        zz = q.reshape(-1)[_JPEG_ZIGZAG]
+        diff = int(zz[0]) - prev.get(key, 0)
+        prev[key] = int(zz[0])
+        s, bv = enc_coeff(diff)
+        c, ln = dct[s]
+        wbits(c, ln)
+        if s:
+            wbits(bv, s)
+        run = 0
+        for k in range(1, 64):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                c, ln = act[0xF0]
+                wbits(c, ln)
+                run -= 16
+            s, bv = enc_coeff(v)
+            c, ln = act[(run << 4) | s]
+            wbits(c, ln)
+            wbits(bv, s)
+            run = 0
+        if run:
+            c, ln = act[0x00]
+            wbits(c, ln)
+
+    def dht(tc_th, bits, vals):
+        d = bytes([tc_th]) + bytes(bits) + bytes(vals)
+        return b"\xff\xc4" + _struct.pack(">H", 2 + len(d)) + d
+
+    px = np.asarray(rgb_or_gray, dtype=np.float64)
+    qy = np.array(_JPEG_QT_LUM, dtype=np.float64).reshape(8, 8)
+    dc_l, ac_l = codes_of(*_JPEG_DC_LUM), codes_of(*_JPEG_AC_LUM)
+    out = bytearray(b"\xff\xd8")
+    if px.ndim == 2:
+        h, w = px.shape
+        H, W = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+        pad = np.pad(px, ((0, H - h), (0, W - w)), mode="edge")
+        for by in range(0, H, 8):
+            for bx in range(0, W, 8):
+                put_block(pad, by, bx, qy, dc_l, ac_l, "Y")
+        while acc[1]:
+            wbits(1, 1)
+        zzq = bytes(_JPEG_QT_LUM[_JPEG_ZIGZAG[i]] for i in range(64))
+        out += b"\xff\xdb" + _struct.pack(">H", 67) + b"\x00" + zzq
+        out += (
+            b"\xff\xc0"
+            + _struct.pack(">HBHHB", 11, 8, h, w, 1)
+            + bytes([1, 0x11, 0])
+        )
+        out += dht(0x00, *_JPEG_DC_LUM) + dht(0x10, *_JPEG_AC_LUM)
+        out += (
+            b"\xff\xda"
+            + _struct.pack(">HB", 8, 1)
+            + bytes([1, 0x00, 0, 63, 0])
+        )
+        out += bitbuf + b"\xff\xd9"
+        return bytes(out)
+    h, w, _ = px.shape
+    R, G, B = px[..., 0], px[..., 1], px[..., 2]
+    Y = 0.299 * R + 0.587 * G + 0.114 * B
+    Cb = -0.168736 * R - 0.331264 * G + 0.5 * B + 128
+    Cr = 0.5 * R - 0.418688 * G - 0.081312 * B + 128
+    f = 2 if subsample else 1
+    mw, mh = 8 * f, 8 * f
+    W, H = (w + mw - 1) // mw * mw, (h + mh - 1) // mh * mh
+
+    def padp(p):
+        return np.pad(p, ((0, H - h), (0, W - w)), mode="edge")
+
+    Yp = padp(Y)
+    if subsample:
+        Cbp = padp(Cb).reshape(H // 2, 2, W // 2, 2).mean(axis=(1, 3))
+        Crp = padp(Cr).reshape(H // 2, 2, W // 2, 2).mean(axis=(1, 3))
+    else:
+        Cbp, Crp = padp(Cb), padp(Cr)
+    qc = np.array(_JPEG_QT_CHR, dtype=np.float64).reshape(8, 8)
+    dc_c, ac_c = codes_of(*_JPEG_DC_CHR), codes_of(*_JPEG_AC_CHR)
+    for my in range(H // mh):
+        for mx in range(W // mw):
+            for v in range(f):
+                for u in range(f):
+                    put_block(
+                        Yp, my * mh + v * 8, mx * mw + u * 8,
+                        qy, dc_l, ac_l, "Y",
+                    )
+            put_block(Cbp, my * 8, mx * 8, qc, dc_c, ac_c, "Cb")
+            put_block(Crp, my * 8, mx * 8, qc, dc_c, ac_c, "Cr")
+    while acc[1]:
+        wbits(1, 1)
+    for tq, qt in ((0, _JPEG_QT_LUM), (1, _JPEG_QT_CHR)):
+        zzq = bytes(qt[_JPEG_ZIGZAG[i]] for i in range(64))
+        out += b"\xff\xdb" + _struct.pack(">H", 67) + bytes([tq]) + zzq
+    hv = (f << 4) | f
+    out += (
+        b"\xff\xc0"
+        + _struct.pack(">HBHHB", 17, 8, h, w, 3)
+        + bytes([1, hv, 0, 2, 0x11, 1, 3, 0x11, 1])
+    )
+    out += dht(0x00, *_JPEG_DC_LUM) + dht(0x10, *_JPEG_AC_LUM)
+    out += dht(0x01, *_JPEG_DC_CHR) + dht(0x11, *_JPEG_AC_CHR)
+    out += (
+        b"\xff\xda"
+        + _struct.pack(">HB", 12, 3)
+        + bytes([1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    )
+    out += bitbuf + b"\xff\xd9"
+    return bytes(out)
+
+
+def test_decode_jpeg_pixels_round_trips_within_quantization():
+    """The baseline JPEG decoder against an independent from-spec
+    encoder: flat blocks decode EXACTLY (their DC quantizes losslessly
+    at q=16 multiples of 16... pinned on a 200-gray flat field whose
+    error is absorbed by rounding), gradients within quantization
+    tolerance, grayscale + 4:4:4 + 4:2:0 color."""
+    import numpy as np
+
+    from parquet_compactor_spark.llm.multimodal import decode_jpeg_pixels
+
+    flat = np.full((16, 16), 200.0)
+    assert (decode_jpeg_pixels(_jpeg_encode(flat)) == 200).all()
+
+    y, x = np.mgrid[0:24, 0:33]
+    gray = ((3 * x + 2 * y) % 256).astype(np.float64)
+    dec = decode_jpeg_pixels(_jpeg_encode(gray))
+    assert np.abs(dec - gray).max() <= 3
+
+    rgb = _test_image().astype(np.float64)
+    lum = (
+        299 * rgb[..., 0].astype(np.int64)
+        + 587 * rgb[..., 1].astype(np.int64)
+        + 114 * rgb[..., 2].astype(np.int64)
+    ) // 1000
+    for sub in (False, True):
+        dec = decode_jpeg_pixels(_jpeg_encode(rgb, subsample=sub))
+        err = np.abs(dec - lum)
+        assert float(err.mean()) < 8, (sub, float(err.mean()))
+
+
+def test_jpeg_phash_matches_png_within_banding_distance(spark):
+    """The perceptual property across a LOSSY container: the same image
+    as PNG (exact pixels) and JPEG (quantized pixels) must land within
+    the Hamming-3 banding distance — dHash compares block-mean gradient
+    SIGNS, which survive quantization error; and the full pipeline pairs
+    them. A progressive-or-corrupt JPEG degrades to the fake hash."""
+    import numpy as np
+
+    from parquet_compactor_spark.llm.dedup import hamming_banded_pairs
+    from parquet_compactor_spark.llm.multimodal import (
+        PHASH_BITS,
+        decode_jpeg_pixels,
+        extract_phash,
+        fake_phash,
+        phash_blob,
+    )
+
+    img = _test_image()
+    h_png = phash_blob(_png_encode(img))
+    h_jpg = phash_blob(_jpeg_encode(img.astype(np.float64)))
+    assert bin(h_png ^ h_jpg).count("1") <= 3
+
+    payloads = spark.createDataFrame(
+        [
+            (1, bytearray(_png_encode(img))),
+            (2, bytearray(_jpeg_encode(img.astype(np.float64)))),
+            (3, bytearray(_png_encode(np.rot90(img).copy()))),
+        ],
+        "doc_id bigint, payload binary",
+    )
+    pairs = {
+        (r.id1, r.id2)
+        for r in hamming_banded_pairs(
+            extract_phash(payloads), sig_col="phash",
+            max_hamming=3, bits=PHASH_BITS,
+        ).collect()
+    }
+    assert pairs == {(1, 2)}
+
+    corrupt = b"\xff\xd8\xff\xc2garbage-progressive"
+    assert phash_blob(corrupt) == fake_phash(corrupt)
+    import pytest as _pytest
+
+    with _pytest.raises((ValueError, NotImplementedError)):
+        decode_jpeg_pixels(corrupt)
