@@ -3069,3 +3069,71 @@ def test_jpeg_phash_matches_png_within_banding_distance(spark):
 
     with _pytest.raises((ValueError, NotImplementedError)):
         decode_jpeg_pixels(corrupt)
+
+
+def test_resize_gray_is_exact_area_mean_and_deterministic():
+    import numpy as np
+
+    from parquet_compactor_spark.llm.multimodal import resize_gray
+
+    g = np.arange(48 * 66).reshape(48, 66) % 256
+    small = resize_gray(g, 8, 11)
+    # every block is exactly 6x6: compare against the direct floor-mean
+    direct = g.reshape(8, 6, 11, 6).sum(axis=(1, 3)) // 36
+    assert (small == direct).all()
+    # ragged split (7x10 over 48x66) still covers everything deterministically
+    assert resize_gray(g, 7, 10).shape == (7, 10)
+    assert (resize_gray(g, 7, 10) == resize_gray(g.copy(), 7, 10)).all()
+    # identity and upscale
+    assert (resize_gray(g, 48, 66) == g).all()
+    up = resize_gray(g[:4, :4], 8, 8)
+    assert up.shape == (8, 8) and (up[::2, ::2] == g[:4, :4]).all()
+
+
+def test_encode_png_gray_round_trips_through_decoder():
+    import numpy as np
+
+    from parquet_compactor_spark.llm.multimodal import (
+        decode_png_pixels,
+        encode_png_gray,
+    )
+
+    g = (np.arange(24 * 33).reshape(24, 33) * 7) % 256
+    assert (decode_png_pixels(encode_png_gray(g)) == g).all()
+
+
+def test_extract_thumbnails_deterministic_and_degrades(spark):
+    """Thumbnails: a real PNG and the same image as JPEG yield decoded
+    thumbnails (byte-identical across re-runs — the idempotent-refresh
+    property); a text payload yields NULL thumb (degrade, not abort);
+    the thumb itself round-trips through the PNG decoder at the target
+    size, and PNG-vs-JPEG thumbnails of the same image stay visually
+    equal within quantization tolerance."""
+    import numpy as np
+
+    from parquet_compactor_spark.llm.multimodal import (
+        decode_png_pixels,
+        extract_thumbnails,
+    )
+
+    img = _test_image()
+    payloads = spark.createDataFrame(
+        [
+            (1, bytearray(_png_encode(img))),
+            (2, bytearray(_jpeg_encode(img.astype(np.float64)))),
+            (3, bytearray(b"not an image at all")),
+        ],
+        "doc_id bigint, payload binary",
+    )
+    rows = {
+        r.doc_id: r for r in extract_thumbnails(payloads, 16, 16).collect()
+    }
+    assert rows[3].thumb is None and rows[3].thumb_w is None
+    t1 = decode_png_pixels(bytes(rows[1].thumb))
+    t2 = decode_png_pixels(bytes(rows[2].thumb))
+    assert t1.shape == (16, 16) and rows[1].thumb_w == 16
+    assert float(np.abs(t1 - t2).mean()) < 8  # lossy container tolerance
+    rows2 = {
+        r.doc_id: r for r in extract_thumbnails(payloads, 16, 16).collect()
+    }
+    assert bytes(rows2[1].thumb) == bytes(rows[1].thumb)  # bit-identical
