@@ -542,6 +542,22 @@ class _JpegBits:
             v = (v << 1) | self.bit()
         return v
 
+    def restart(self, expect: int) -> None:
+        """Consume an RSTn marker at a restart interval: drop the
+        partial byte (the encoder pads to a byte boundary before the
+        marker), then require 0xFF 0xD0+expect (ITU T.81 E.1.4 — the
+        low 3 bits cycle 0..7)."""
+        self.n = 0  # byte-align
+        if self.pos + 2 > len(self.data):
+            raise ValueError("corrupt JPEG: truncated restart marker")
+        if self.data[self.pos] != 0xFF or self.data[
+            self.pos + 1
+        ] != 0xD0 + (expect & 7):
+            raise ValueError(
+                f"corrupt JPEG: expected RST{expect & 7} at byte {self.pos}"
+            )
+        self.pos += 2
+
 
 def _jpeg_huff(br: _JpegBits, table: dict) -> int:
     code = 0
@@ -571,10 +587,10 @@ def decode_jpeg_pixels(payload: bytes):
     :func:`decode_png_pixels` / :func:`decode_gif_pixels`.
 
     Scope: baseline sequential (SOF0/SOF1), 8-bit, 1 or 3 components,
-    any sampling factors (4:4:4 and 4:2:0 tested), no restart markers
-    (a DRI segment raises ``NotImplementedError`` — cameras that emit
-    them degrade to the fake hash at the :func:`phash_blob` seam), no
-    progressive (SOF2+). The per-coefficient Python huffman loop is the
+    any sampling factors (4:4:4 and 4:2:0 tested), restart markers
+    (DRI + cycling RSTn with DC-predictor reset — the common camera
+    output), no progressive (SOF2+, degrades to the fake hash at the
+    :func:`phash_blob` seam). The per-coefficient Python huffman loop is the
     decode seam's cost — production throughput swaps in a real codec at
     exactly this function; correctness is pinned by round-trip against
     an independent from-spec encoder (tests/test_llm.py: flat blocks
@@ -588,6 +604,7 @@ def decode_jpeg_pixels(payload: bytes):
     qts: dict[int, "np.ndarray"] = {}
     hts: dict[int, dict] = {}
     frame = None
+    dri = 0
     while i + 4 <= len(payload):
         if payload[i] != 0xFF:
             raise ValueError(f"corrupt JPEG: expected marker at byte {i}")
@@ -642,10 +659,10 @@ def decode_jpeg_pixels(payload: bytes):
             raise NotImplementedError(
                 f"non-baseline JPEG (SOF{m - 0xC0}): progressive/lossless"
             )
-        elif m == 0xDD:  # DRI
-            raise NotImplementedError(
-                "JPEG restart markers (DRI) not supported"
-            )
+        elif m == 0xDD:  # DRI: restart interval in MCUs (0 disables)
+            if len(seg) < 2:
+                raise ValueError("corrupt JPEG: short DRI")
+            (dri,) = struct.unpack(">H", seg[:2])
         elif m == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("corrupt JPEG: SOS before SOF")
@@ -656,13 +673,13 @@ def decode_jpeg_pixels(payload: bytes):
                 td_ta = seg[2 + 2 * k]
                 smap[cs] = (td_ta >> 4, td_ta & 15)
             return _jpeg_decode_scan(
-                payload[i + 2 + ln :], frame, smap, qts, hts
+                payload[i + 2 + ln :], frame, smap, qts, hts, dri
             )
         i += 2 + ln
     raise ValueError("corrupt JPEG: no SOS scan before EOI")
 
 
-def _jpeg_decode_scan(ent: bytes, frame, smap, qts, hts):
+def _jpeg_decode_scan(ent: bytes, frame, smap, qts, hts, dri: int = 0):
     import numpy as np
 
     h, w, comps = frame
@@ -682,8 +699,15 @@ def _jpeg_decode_scan(ent: bytes, frame, smap, qts, hts):
     for cid, *_ in comps:
         if cid not in smap:
             raise ValueError("corrupt JPEG: component missing from scan")
+    mcu_n = 0
+    rst = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if dri and mcu_n and mcu_n % dri == 0:
+                br.restart(rst)
+                rst = (rst + 1) & 7
+                prev_dc = {cid: 0 for cid, *_ in comps}
+            mcu_n += 1
             for cid, hf, vf, tq in comps:
                 td, ta = smap[cid]
                 if tq not in qts or td not in hts or (0x10 | ta) not in hts:

@@ -2824,10 +2824,11 @@ _JPEG_AC_CHR = (
 )
 
 
-def _jpeg_encode(rgb_or_gray, subsample=False):
+def _jpeg_encode(rgb_or_gray, subsample=False, restart_interval=0):
     """Independent from-spec baseline JPEG encoder (float DCT, Annex K
     tables) for the decoder tests: grayscale (2-D input) or YCbCr color
-    (3-D input, 4:4:4 or 4:2:0)."""
+    (3-D input, 4:4:4 or 4:2:0); ``restart_interval`` emits DRI + RSTn
+    markers every N MCUs (grayscale path only)."""
     import struct as _struct
 
     import numpy as np
@@ -2922,8 +2923,17 @@ def _jpeg_encode(rgb_or_gray, subsample=False):
         h, w = px.shape
         H, W = (h + 7) // 8 * 8, (w + 7) // 8 * 8
         pad = np.pad(px, ((0, H - h), (0, W - w)), mode="edge")
+        mcu_n = 0
+        rst = 0
         for by in range(0, H, 8):
             for bx in range(0, W, 8):
+                if restart_interval and mcu_n and mcu_n % restart_interval == 0:
+                    while acc[1]:
+                        wbits(1, 1)  # byte-align before the marker
+                    bitbuf += bytes([0xFF, 0xD0 + rst])
+                    rst = (rst + 1) & 7
+                    prev.clear()  # DC predictors reset at a restart
+                mcu_n += 1
                 put_block(pad, by, bx, qy, dc_l, ac_l, "Y")
         while acc[1]:
             wbits(1, 1)
@@ -2934,6 +2944,8 @@ def _jpeg_encode(rgb_or_gray, subsample=False):
             + _struct.pack(">HBHHB", 11, 8, h, w, 1)
             + bytes([1, 0x11, 0])
         )
+        if restart_interval:
+            out += b"\xff\xdd" + _struct.pack(">HH", 4, restart_interval)
         out += dht(0x00, *_JPEG_DC_LUM) + dht(0x10, *_JPEG_AC_LUM)
         out += (
             b"\xff\xda"
@@ -3022,6 +3034,16 @@ def test_decode_jpeg_pixels_round_trips_within_quantization():
         dec = decode_jpeg_pixels(_jpeg_encode(rgb, subsample=sub))
         err = np.abs(dec - lum)
         assert float(err.mean()) < 8, (sub, float(err.mean()))
+
+    # Restart markers (DRI + cycling RSTn, DC predictors reset): the
+    # decode must be IDENTICAL to the marker-free stream of the same
+    # image — and long enough to wrap the RST index past 7.
+    big = ((5 * np.mgrid[0:40, 0:80][1] + 3 * np.mgrid[0:40, 0:80][0]) % 256
+           ).astype(np.float64)
+    plain = decode_jpeg_pixels(_jpeg_encode(big))
+    for ri in (1, 2, 5):
+        rst = decode_jpeg_pixels(_jpeg_encode(big, restart_interval=ri))
+        assert (rst == plain).all(), f"restart_interval={ri} diverged"
 
 
 def test_jpeg_phash_matches_png_within_banding_distance(spark):
