@@ -3159,3 +3159,66 @@ def test_extract_thumbnails_deterministic_and_degrades(spark):
         r.doc_id: r for r in extract_thumbnails(payloads, 16, 16).collect()
     }
     assert bytes(rows2[1].thumb) == bytes(rows[1].thumb)  # bit-identical
+
+
+def test_phash_fake_path_astral_unicode_parity(spark, tmp_path):
+    """The fake hash works on CODEPOINTS (Python utf-32 trick vs DuckDB
+    unicode()); astral-plane characters (> 0xFFFF, 4-byte utf-8,
+    surrogate pairs in utf-16 systems) are where codepoint conventions
+    diverge — pin exact oracle parity on a corpus salted with them,
+    including a planted suffix-dup pair built from astral text."""
+    import shutil as _shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_compactor_spark.registry import all_queries
+    from tests.conftest import SF_SMOKE
+    from tests.oracle_utils import compare_to_oracle
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    for t in (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ):
+        _shutil.copy(f"{SF_SMOKE}/{t}.parquet", str(d / f"{t}.parquet"))
+    astral = "data \U0001F600 pipeline \U0001F680 rows \U00010348 " * 12
+    tab = pa.table(
+        {
+            "doc_id": pa.array([9101, 9102, 9103], type=pa.int64()),
+            "source": pa.array(["t", "t", "t"]),
+            "lang": pa.array(["en", "en", "en"]),
+            "text": pa.array(
+                [astral, astral + " dup", "mixed ascii é中\U0001F913 tail"]
+            ),
+        }
+    )
+    old = pq.read_table(str(d / "documents.parquet")).select(
+        ["doc_id", "source", "lang", "text"]
+    )
+    pq.write_table(pa.concat_tables([old, tab]), str(d / "documents.parquet"))
+    q = all_queries()["q_phash_dedup"]
+    out = q.fn(spark, str(d))
+    compare_to_oracle(out, q.oracle, str(d))
+    assert (9101, 9102) in {(r.id1, r.id2) for r in out.collect()}
+
+
+def test_dhash_and_resize_degenerate_shapes():
+    """1x1 and 1xN images: empty grid blocks take mean 0 on BOTH the
+    dhash grid and resize_gray's covered-boundary guarantee — no
+    crashes, deterministic hashes."""
+    import numpy as np
+
+    from parquet_compactor_spark.llm.multimodal import (
+        dhash_gray,
+        resize_gray,
+    )
+
+    one = np.array([[200]], dtype=np.int64)
+    assert dhash_gray(one) == dhash_gray(one.copy())
+    strip = np.arange(40, dtype=np.int64).reshape(1, 40)
+    assert dhash_gray(strip) == dhash_gray(strip.copy())
+    up = resize_gray(one, 4, 4)
+    assert up.shape == (4, 4) and (up == 200).all()
+    assert resize_gray(strip, 1, 8).shape == (1, 8)
