@@ -3160,6 +3160,32 @@ def test_extract_thumbnails_deterministic_and_degrades(spark):
     }
     assert bytes(rows2[1].thumb) == bytes(rows[1].thumb)  # bit-identical
 
+    # GIF thumbnails ride the opt-in sniff: same grayscale pixels as a
+    # GIF container must thumbnail BYTE-identically to the PNG of those
+    # pixels (both decode to identical gray arrays).
+    gray = (
+        299 * img[..., 0].astype("int64")
+        + 587 * img[..., 1].astype("int64")
+        + 114 * img[..., 2].astype("int64")
+    ) // 1000
+    pal = bytes(v for i in range(256) for v in (i, i, i))
+    gp = spark.createDataFrame(
+        [
+            (1, bytearray(_gif_encode(gray.astype("uint8"), pal))),
+            (2, bytearray(_png_encode(gray.astype("uint8"), ctype=0))),
+        ],
+        "doc_id bigint, payload binary",
+    )
+    out = {
+        r.doc_id: r
+        for r in extract_thumbnails(gp, 16, 16, sniff_gif=True).collect()
+    }
+    assert bytes(out[1].thumb) == bytes(out[2].thumb)
+    unsniffed = {
+        r.doc_id: r for r in extract_thumbnails(gp, 16, 16).collect()
+    }
+    assert unsniffed[1].thumb is None  # GIF needs the opt-in
+
 
 def test_phash_fake_path_astral_unicode_parity(spark, tmp_path):
     """The fake hash works on CODEPOINTS (Python utf-32 trick vs DuckDB
