@@ -1512,15 +1512,19 @@ def q_rouge_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread_scan(
         load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     )
-    grams = d.select(
+    # Bind the words array to a column BEFORE the lambda: referencing
+    # split(text) INSIDE the transform re-evaluates the whole split per
+    # element (the round-11 no-CSE-in-lambdas trap) — O(words^2) per
+    # doc. Measured on this query: x25 12.9 s -> 1.56 s (8.3x), sf0.1
+    # 2.35 -> 1.94. element_at(w, i) over a bound array attribute is
+    # O(1) per element.
+    words = d.select("doc_id", F.split("text", " ", -1).alias("w"))
+    grams = words.filter(F.size("w") >= 2).select(
         "doc_id",
         F.explode(
             F.expr(
-                "CASE WHEN size(split(text, ' ')) >= 2 THEN "
-                "transform(sequence(1, size(split(text, ' ')) - 1), "
-                "i -> concat(element_at(split(text, ' '), i), ' ', "
-                "element_at(split(text, ' '), i + 1))) "
-                "ELSE array() END"
+                "transform(sequence(1, size(w) - 1), "
+                "i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
             )
         ).alias("g"),
     )

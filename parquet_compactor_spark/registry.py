@@ -416,22 +416,28 @@ def _ensure_loaded() -> None:
 #         fixture's text payloads take the SQL-replicable fixed-grid
 #         codepoint fake; 4-chunk pigeonhole Hamming banding shared
 #         with q_dedup_simhash via hamming_banded_pairs).
-#   2-6   source changed in round 13: q_ssjoin_exact, q_lsh_tuning,
+#   2-7   source changed in round 13: q_ssjoin_exact, q_lsh_tuning,
 #         q_dedup_cascade (prefix_filter_pairs bounds moved to exact
 #         int64 rational arithmetic — the FP-inexact-threshold ADVICE
 #         fix — and gained PPJoin's positional filter), q_dedup_simhash
 #         (banding extracted into hamming_banded_pairs; plan unchanged
 #         but the source line moved), q_ks_test (empty-shard guard on
-#         both engines).
-#   7-50  the 44 r7-latest rows, alphabetical (the round-12 verdict's
-#         roll-over list plus the 5 alphabetical-head rows its planned
-#         six r7 fills would have covered but the r12 window could not
-#         fit: q_asof_nearest q_click_conversion q_contamination
-#         q_context_length q_corpus_prep). After this window verifies,
-#         no query's latest driver row predates round 9.
+#         both engines), q_rouge_overlap (bigram build rebound to an
+#         array attribute — the no-CSE-in-lambdas trap re-evaluated
+#         split(text) per element; measured x25 12.9 -> 1.56 s).
+#   8-50  43 of the 44 r7-latest rows, alphabetical (the round-12
+#         verdict's roll-over list plus the 5 alphabetical-head rows
+#         its planned six r7 fills would have covered but the r12
+#         window could not fit: q_asof_nearest q_click_conversion
+#         q_contamination q_context_length q_corpus_prep). The
+#         q_rouge_overlap source change displaces the alphabetically
+#         last r7 row, q_unigram_logprob, to round 14 — after this
+#         window verifies it is the ONLY query whose latest driver row
+#         predates round 9.
 #
 # Round-14 rotation plan (computed from CORRECTNESS_r{01..12}.json +
-# this window, latest-row-wins): the 47 r9-latest rows —
+# this window, latest-row-wins): q_unigram_logprob (the one remaining
+# r7 row, displaced above) first, then the 47 r9-latest rows —
 # q_ann_lsh q_approx_stats q_array_agg q_array_fns q_batch_sim_topk
 # q_bigram_backoff q_bpe_merge_pairs q_collocation_pmi
 # q_conditional_distinct q_cust_order_dist q_dedup_exact
@@ -457,8 +463,9 @@ _PRIORITY: tuple[str, ...] = (
     "q_dedup_cascade",
     "q_dedup_simhash",
     "q_ks_test",
-    # -- the 44 r7-latest rows, alphabetical (after this window, no
-    # query's latest driver row predates round 9) --
+    "q_rouge_overlap",
+    # -- 43 r7-latest rows, alphabetical (q_unigram_logprob, displaced
+    # by the q_rouge_overlap change, rolls to round 14) --
     "q_asof_nearest",
     "q_click_conversion",
     "q_contamination",
@@ -502,7 +509,6 @@ _PRIORITY: tuple[str, ...] = (
     "q_span_dedup",
     "q_tfidf_topterms",
     "q_udtf_tokens",
-    "q_unigram_logprob",
 )
 
 
