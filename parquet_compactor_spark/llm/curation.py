@@ -30,14 +30,26 @@ def knuth_hash(col: Column, mod: int = 1000000) -> Column:
 def word_shingles(words: Column, n: int = 5) -> Column:
     """n-word shingles of a pre-split token array, as a JVM higher-order
     expression (no Python in the hot path). Empty when the doc is shorter
-    than ``n`` (sequence(1,0) would yield [1,0] — guarded by CASE)."""
-    return F.when(
-        F.size(words) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(words) - (n - 1)),
-            lambda i: F.array_join(F.slice(words, i, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    than ``n`` (sequence(1,0) would yield [1,0] — guarded by the when).
+
+    ``words`` is BOUND to a lambda variable via a single-element outer
+    transform: callers pass derived expressions (``split(text)``,
+    ``whitespace_tokens(text)``), and referencing a derived array
+    inside the shingle lambda re-evaluates it per position — the
+    no-CSE-in-lambdas O(words^2) trap (see the dedup twin's docstring
+    for the round-13 measurements). A caller passing an already-bound
+    attribute pays only a one-element wrap."""
+    bound = F.transform(
+        F.array(words),
+        lambda w: F.when(
+            F.size(w) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - (n - 1)),
+                lambda i: F.array_join(F.slice(w, i, F.lit(n)), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+    return F.element_at(bound, 1)
 
 
 @register(

@@ -74,16 +74,33 @@ def word_shingles(text: Column, k: int = 3) -> Column:
 
     Documents shorter than k tokens fall back to the whole text as one
     shingle so every doc has a non-empty set.
+
+    The words array is BOUND to a lambda variable via a single-element
+    outer transform before the shingle lambda touches it: referencing
+    ``split(text)`` inside the lambda re-evaluates the whole split per
+    shingle position (no common-subexpression elimination in
+    higher-order lambdas — the round-11 trap, rediscovered in
+    q_rouge_overlap round 13), turning an O(words) build into
+    O(words^2) per document. Measured on this helper's consumers at
+    sf0.1: q_dedup_minhash 4.93 -> 2.83 s, q_ssjoin_exact 3.38 ->
+    2.69 s; at 100 TB with book-length documents the asymptotic gap is
+    the difference between a map pass and a stall.
     """
-    return F.expr(
-        f"""
-        CASE WHEN size(split(text, ' ')) >= {k}
-        THEN array_distinct(transform(
-            sequence(0, size(split(text, ' ')) - {k}),
-            i -> concat_ws(' ', slice(split(text, ' '), i + 1, {k}))))
-        ELSE array(text) END
-        """
+    bound = F.transform(
+        F.array(F.split(text, " ", -1)),
+        lambda w: F.when(
+            F.size(w) >= k,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(w) - k),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(w, i + F.lit(1), F.lit(k))
+                    ),
+                )
+            ),
+        ).otherwise(F.array(text)),
     )
+    return F.element_at(bound, 1)
 
 
 def shingle_hashes(shingles: Column) -> Column:

@@ -425,19 +425,30 @@ def _ensure_loaded() -> None:
 #         both engines), q_rouge_overlap (bigram build rebound to an
 #         array attribute — the no-CSE-in-lambdas trap re-evaluated
 #         split(text) per element; measured x25 12.9 -> 1.56 s).
-#   8-50  43 of the 44 r7-latest rows, alphabetical (the round-12
+#   8-12  the SAME no-CSE trap found in both word_shingles helpers
+#         (dedup.py + curation.py — split/whitespace_tokens
+#         re-evaluated per shingle position, O(words^2) per doc):
+#         binding the words array to a lambda variable measured
+#         q_dedup_minhash 4.93 -> 2.83 s and q_ssjoin_exact 3.38 ->
+#         2.69 s at sf0.1. Changed-source consumers not already above:
+#         q_dedup_minhash, q_minhash_incremental, q_dup_ngram_coverage,
+#         q_source_overlap, q_novelty_curve.
+#   13-50 38 of the 44 r7-latest rows, alphabetical (the round-12
 #         verdict's roll-over list plus the 5 alphabetical-head rows
 #         its planned six r7 fills would have covered but the r12
 #         window could not fit: q_asof_nearest q_click_conversion
-#         q_contamination q_context_length q_corpus_prep). The
-#         q_rouge_overlap source change displaces the alphabetically
-#         last r7 row, q_unigram_logprob, to round 14 — after this
-#         window verifies it is the ONLY query whose latest driver row
-#         predates round 9.
+#         q_contamination q_context_length q_corpus_prep). The six
+#         perf changes displace the six alphabetically-last r7 rows —
+#         q_ship_priority q_snapshot_delta q_span_dedup
+#         q_tfidf_topterms q_udtf_tokens q_unigram_logprob — to
+#         round 14; after this window verifies they are the only
+#         queries whose latest driver row predates round 9.
 #
 # Round-14 rotation plan (computed from CORRECTNESS_r{01..12}.json +
-# this window, latest-row-wins): q_unigram_logprob (the one remaining
-# r7 row, displaced above) first, then the 47 r9-latest rows —
+# this window, latest-row-wins): the six remaining r7 rows displaced
+# above (q_ship_priority q_snapshot_delta q_span_dedup q_tfidf_topterms
+# q_udtf_tokens q_unigram_logprob) first, then the 47 r9-latest rows
+# as far as they fit (the last ~3, alphabetical, roll to round 15) —
 # q_ann_lsh q_approx_stats q_array_agg q_array_fns q_batch_sim_topk
 # q_bigram_backoff q_bpe_merge_pairs q_collocation_pmi
 # q_conditional_distinct q_cust_order_dist q_dedup_exact
@@ -464,8 +475,14 @@ _PRIORITY: tuple[str, ...] = (
     "q_dedup_simhash",
     "q_ks_test",
     "q_rouge_overlap",
-    # -- 43 r7-latest rows, alphabetical (q_unigram_logprob, displaced
-    # by the q_rouge_overlap change, rolls to round 14) --
+    # -- word_shingles binding-fix consumers (changed source) --
+    "q_dedup_minhash",
+    "q_minhash_incremental",
+    "q_dup_ngram_coverage",
+    "q_source_overlap",
+    "q_novelty_curve",
+    # -- 38 r7-latest rows, alphabetical (the six alphabetically-last
+    # r7 rows, displaced by the six perf changes, roll to round 14) --
     "q_asof_nearest",
     "q_click_conversion",
     "q_contamination",
@@ -504,11 +521,6 @@ _PRIORITY: tuple[str, ...] = (
     "q_semantic_dedup",
     "q_seq_packing",
     "q_session_window",
-    "q_ship_priority",
-    "q_snapshot_delta",
-    "q_span_dedup",
-    "q_tfidf_topterms",
-    "q_udtf_tokens",
 )
 
 
