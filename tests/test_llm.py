@@ -2959,25 +2959,23 @@ def _jpeg_encode(rgb_or_gray, subsample=False, restart_interval=0):
     Y = 0.299 * R + 0.587 * G + 0.114 * B
     Cb = -0.168736 * R - 0.331264 * G + 0.5 * B + 128
     Cr = 0.5 * R - 0.418688 * G - 0.081312 * B + 128
-    f = 2 if subsample else 1
-    mw, mh = 8 * f, 8 * f
+    # subsample: False = 4:4:4, True = 4:2:0, "422" = 4:2:2
+    hf, vf = (1, 1) if not subsample else ((2, 1) if subsample == "422" else (2, 2))
+    mw, mh = 8 * hf, 8 * vf
     W, H = (w + mw - 1) // mw * mw, (h + mh - 1) // mh * mh
 
     def padp(p):
         return np.pad(p, ((0, H - h), (0, W - w)), mode="edge")
 
     Yp = padp(Y)
-    if subsample:
-        Cbp = padp(Cb).reshape(H // 2, 2, W // 2, 2).mean(axis=(1, 3))
-        Crp = padp(Cr).reshape(H // 2, 2, W // 2, 2).mean(axis=(1, 3))
-    else:
-        Cbp, Crp = padp(Cb), padp(Cr)
+    Cbp = padp(Cb).reshape(H // vf, vf, W // hf, hf).mean(axis=(1, 3))
+    Crp = padp(Cr).reshape(H // vf, vf, W // hf, hf).mean(axis=(1, 3))
     qc = np.array(_JPEG_QT_CHR, dtype=np.float64).reshape(8, 8)
     dc_c, ac_c = codes_of(*_JPEG_DC_CHR), codes_of(*_JPEG_AC_CHR)
     for my in range(H // mh):
         for mx in range(W // mw):
-            for v in range(f):
-                for u in range(f):
+            for v in range(vf):
+                for u in range(hf):
                     put_block(
                         Yp, my * mh + v * 8, mx * mw + u * 8,
                         qy, dc_l, ac_l, "Y",
@@ -2989,7 +2987,7 @@ def _jpeg_encode(rgb_or_gray, subsample=False, restart_interval=0):
     for tq, qt in ((0, _JPEG_QT_LUM), (1, _JPEG_QT_CHR)):
         zzq = bytes(qt[_JPEG_ZIGZAG[i]] for i in range(64))
         out += b"\xff\xdb" + _struct.pack(">H", 67) + bytes([tq]) + zzq
-    hv = (f << 4) | f
+    hv = (hf << 4) | vf
     out += (
         b"\xff\xc0"
         + _struct.pack(">HBHHB", 17, 8, h, w, 3)
@@ -3030,7 +3028,7 @@ def test_decode_jpeg_pixels_round_trips_within_quantization():
         + 587 * rgb[..., 1].astype(np.int64)
         + 114 * rgb[..., 2].astype(np.int64)
     ) // 1000
-    for sub in (False, True):
+    for sub in (False, True, "422"):
         dec = decode_jpeg_pixels(_jpeg_encode(rgb, subsample=sub))
         err = np.abs(dec - lum)
         assert float(err.mean()) < 8, (sub, float(err.mean()))
