@@ -84,9 +84,19 @@ def main() -> None:
         "sf": sf,
         "compaction": compaction,
     }
-    detail_path = os.environ.get(
-        "BENCH_DETAIL_PATH", str(Path(REPO_ROOT) / "BENCH_DETAIL.json")
-    )
+    # BENCH_DETAIL.json is the COMMITTED standing band comparator
+    # (BASELINE.md "band rule"); an arbitrary run must never clobber it —
+    # the driver's round-end bench overwrote it with an uncalibrated
+    # window two rounds running (r12 hot 1.30x, r13 quiet 0.75x), which
+    # would silently shift every band. Per-run detail therefore lands in
+    # a gitignored scratch file by default; refreshing the comparator is
+    # a deliberate act: BENCH_ADOPT_DETAIL=1 (or an explicit
+    # BENCH_DETAIL_PATH) after calibrating the window per BASELINE.md.
+    if os.environ.get("BENCH_ADOPT_DETAIL"):
+        default_detail = str(Path(REPO_ROOT) / "BENCH_DETAIL.json")
+    else:
+        default_detail = str(Path(REPO_ROOT) / "BENCH_DETAIL_LAST.json")
+    detail_path = os.environ.get("BENCH_DETAIL_PATH", default_detail)
     try:
         with open(detail_path, "w") as fh:
             json.dump(detail, fh, indent=1)
