@@ -272,9 +272,13 @@ def prefix_filter_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     a brute-force oracle. Candidates are verified with exact shingle
     Jaccard before anything downstream sees them.
 
-    Returns (id1 < id2, jaccard 4dp, jaccard_exact unrounded) for ALL
-    pairs with jaccard_exact >= 0 that collide — callers cut at their
-    threshold on jaccard_exact. At scale: one shuffle on the 64-bit
+    Returns (id1 < id2, jaccard 4dp, jaccard_exact unrounded) for the
+    colliding pairs — callers cut at their threshold on jaccard_exact.
+    EXACT recall holds only for cuts AT OR ABOVE the constructor
+    ``threshold`` (after rational snapping, i.e. >= tn/td): the size
+    and positional filters prune pairs that cannot reach tn/td, so a
+    caller cutting BELOW it gets silently broken recall — construct
+    with the lower threshold instead. At scale: one shuffle on the 64-bit
     prefix-hash key (prefix size ~(1-t)|X|+1, half the shingle mass at
     t=0.5); the size filter t*|A| <= |B| <= |A|/t and PPJoin's
     positional filter (1 + min(tail1, tail2) >= ceil(t(|A|+|B|)/(1+t)),

@@ -897,6 +897,38 @@ AES_K = 4
 AES_DENOM = float(1 << 60)
 
 
+def aes_keyed(docs: DataFrame) -> DataFrame:
+    """(source, doc_id, n_tokens, key_nano) — the A-ES exponential rank
+    key frame: u = md5-derived 60-bit hash-uniform of doc_id, weight =
+    whitespace token count, key = -ln(u)/w snapped to the exact nano
+    bigint grid (floor(x*1e9 + 0.5)). The SINGLE implementation shared
+    by the batch draw (:func:`q_weighted_sample`) and the streaming
+    reservoir (``streaming.pipeline.weighted_reservoir_stream``) — one
+    definition, so the documented "identical algebra" claim between the
+    two cannot drift under a future edit (round-13 ADVICE)."""
+    h60 = F.expr(
+        "cast(conv(substr(md5(cast(doc_id as string)), 1, 15), 16, 10)"
+        " as bigint)"
+    )
+    return (
+        docs.filter(F.col("text").isNotNull())
+        .select(
+            "source",
+            "doc_id",
+            F.size(F.split("text", " ", -1)).cast("bigint").alias("n_tokens"),
+            ((h60 + F.lit(1)) / F.lit(AES_DENOM)).alias("u"),
+        )
+        .select(
+            "source",
+            "doc_id",
+            "n_tokens",
+            F.floor((-F.log("u") / F.col("n_tokens")) * 1e9 + 0.5)
+            .cast("bigint")
+            .alias("key_nano"),
+        )
+    )
+
+
 @register(
     "q_weighted_sample",
     oracle=f"""
@@ -940,23 +972,7 @@ AES_DENOM = float(1 << 60)
     "rank the survivors) bounds it without changing results.",
 )
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    h60 = F.expr(
-        "cast(conv(substr(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint)"
-    )
-    keyed = d.select(
-        "source",
-        "doc_id",
-        F.size(F.split("text", " ", -1)).cast("bigint").alias("n_tokens"),
-        ((h60 + F.lit(1)) / F.lit(AES_DENOM)).alias("u"),
-    ).select(
-        "source",
-        "doc_id",
-        "n_tokens",
-        F.floor((-F.log("u") / F.col("n_tokens")) * 1e9 + 0.5)
-        .cast("bigint")
-        .alias("key_nano"),
-    )
+    keyed = aes_keyed(load(spark, sf_dir, "documents"))
     w = Window.partitionBy("source").orderBy("key_nano", "doc_id")
     return (
         keyed.withColumn("rn", F.row_number().over(w))

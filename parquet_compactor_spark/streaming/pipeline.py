@@ -1842,31 +1842,14 @@ def kmv_distinct_batch(docs: DataFrame, k: int | None = None) -> DataFrame:
 
 def _aes_keyed(docs: DataFrame) -> DataFrame:
     """(source, doc_id, n_tokens, key_nano) — q_weighted_sample's exact
-    A-ES exponential rank key (md5 hash-uniform, nano-grid snapped), the
-    shared algebra of the batch query and the streaming reservoir."""
-    from parquet_compactor_spark.llm.pipeline import AES_DENOM
+    A-ES exponential rank key. Thin delegate to the ONE shared
+    implementation (``llm.pipeline.aes_keyed``) so the batch query and
+    the streaming reservoir cannot drift (round-13 ADVICE: this was a
+    duplicated derivation, and the parity test pins the stream only
+    against :func:`weighted_reservoir_batch`)."""
+    from parquet_compactor_spark.llm.pipeline import aes_keyed
 
-    h60 = F.expr(
-        "cast(conv(substr(md5(cast(doc_id as string)), 1, 15), 16, 10)"
-        " as bigint)"
-    )
-    return (
-        docs.filter(F.col("text").isNotNull())
-        .select(
-            "source",
-            "doc_id",
-            F.size(F.split("text", " ", -1)).cast("bigint").alias("n_tokens"),
-            ((h60 + F.lit(1)) / F.lit(AES_DENOM)).alias("u"),
-        )
-        .select(
-            "source",
-            "doc_id",
-            "n_tokens",
-            F.floor((-F.log("u") / F.col("n_tokens")) * 1e9 + 0.5)
-            .cast("bigint")
-            .alias("key_nano"),
-        )
-    )
+    return aes_keyed(docs)
 
 
 def weighted_reservoir_stream(

@@ -1335,6 +1335,33 @@ def test_weighted_reservoir_stream_matches_batch_replays_and_bounds_state(
     } == batch
 
 
+def test_weighted_reservoir_batch_is_q_weighted_sample(spark):
+    """The documented 'identical to q_weighted_sample's plan at k=AES_K'
+    claim, pinned END TO END on the real fixture — not just by the two
+    paths now sharing one keyed-frame implementation
+    (llm.pipeline.aes_keyed, round-13 ADVICE: the derivation used to be
+    duplicated in streaming.pipeline, where an edit to either copy
+    would have silently broken the claim)."""
+    from parquet_compactor_spark.llm.pipeline import q_weighted_sample
+    from parquet_compactor_spark.registry import load
+    from parquet_compactor_spark.streaming.pipeline import (
+        weighted_reservoir_batch,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    via_stream_twin = {
+        (r.source, r.doc_id, r.n_tokens, r.key_nano, r.rn)
+        for r in weighted_reservoir_batch(
+            load(spark, sf, "documents")
+        ).collect()
+    }
+    via_query = {
+        (r.source, r.doc_id, r.n_tokens, r.key_nano, r.rn)
+        for r in q_weighted_sample(spark, sf).collect()
+    }
+    assert via_stream_twin == via_query and via_query
+
+
 def test_phash_claim_stream_matches_batch_and_blocks_cross_batch(
     spark, tmp_path
 ):
