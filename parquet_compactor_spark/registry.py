@@ -408,119 +408,102 @@ def _ensure_loaded() -> None:
 #   evidence ledger after r12: r7x44, r9x47, r10x44, r11x44, r12x50;
 #   no row anywhere predates round 7.
 #
-# Round-13 window (this block) — 50 slots, by the standing convention
-# (new first, then changed-source, then oldest-evidence re-verifies):
-#   1     q_phash_dedup — NEW: perceptual-hash (dHash) image near-dup,
-#         completing the multimodal modality (real PNG pixel decode via
-#         stdlib zlib + integer unfilter on the mapInPandas seam; the
-#         fixture's text payloads take the SQL-replicable fixed-grid
-#         codepoint fake; 4-chunk pigeonhole Hamming banding shared
-#         with q_dedup_simhash via hamming_banded_pairs).
-#   2-7   source changed in round 13: q_ssjoin_exact, q_lsh_tuning,
-#         q_dedup_cascade (prefix_filter_pairs bounds moved to exact
-#         int64 rational arithmetic — the FP-inexact-threshold ADVICE
-#         fix — and gained PPJoin's positional filter), q_dedup_simhash
-#         (banding extracted into hamming_banded_pairs; plan unchanged
-#         but the source line moved), q_ks_test (empty-shard guard on
-#         both engines), q_rouge_overlap (bigram build rebound to an
-#         array attribute — the no-CSE-in-lambdas trap re-evaluated
-#         split(text) per element; measured x25 12.9 -> 1.56 s).
-#   8-12  the SAME no-CSE trap found in both word_shingles helpers
-#         (dedup.py + curation.py — split/whitespace_tokens
-#         re-evaluated per shingle position, O(words^2) per doc):
-#         binding the words array to a lambda variable measured
-#         q_dedup_minhash 4.93 -> 2.83 s and q_ssjoin_exact 3.38 ->
-#         2.69 s at sf0.1. Changed-source consumers not already above:
-#         q_dedup_minhash, q_minhash_incremental, q_dup_ngram_coverage,
-#         q_source_overlap, q_novelty_curve.
-#   13-50 38 of the 44 r7-latest rows, alphabetical (the round-12
-#         verdict's roll-over list plus the 5 alphabetical-head rows
-#         its planned six r7 fills would have covered but the r12
-#         window could not fit: q_asof_nearest q_click_conversion
-#         q_contamination q_context_length q_corpus_prep). The six
-#         perf changes displace the six alphabetically-last r7 rows —
-#         q_ship_priority q_snapshot_delta q_span_dedup
-#         q_tfidf_topterms q_udtf_tokens q_unigram_logprob — to
-#         round 14; after this window verifies they are the only
-#         queries whose latest driver row predates round 9.
+# Historical note — the round-13 window as it ran (verified green,
+# CORRECTNESS_r13 50/50): q_phash_dedup (new) + 11 changed-source
+# (prefix-filter trio, q_dedup_simhash, q_ks_test, q_rouge_overlap,
+# the 5 word_shingles consumers) + 38 r7-latest rows; the six
+# alphabetically-last r7 rows rolled here.
+#   evidence ledger after r13: r7x6, r9x47, r10x43, r11x39, r12x45,
+#   r13x50.
 #
-# Round-14 rotation plan (computed from CORRECTNESS_r{01..12}.json +
-# this window, latest-row-wins): the six remaining r7 rows displaced
-# above (q_ship_priority q_snapshot_delta q_span_dedup q_tfidf_topterms
-# q_udtf_tokens q_unigram_logprob) first, then the 47 r9-latest rows
-# as far as they fit (the last ~3, alphabetical, roll to round 15) —
-# q_ann_lsh q_approx_stats q_array_agg q_array_fns q_batch_sim_topk
-# q_bigram_backoff q_bpe_merge_pairs q_collocation_pmi
-# q_conditional_distinct q_cust_order_dist q_dedup_exact
-# q_dedup_survivorship q_disjunctive_join q_dsir_weights q_dup_clusters
-# q_embed_dim_stats q_embed_quantize q_explode_posexplode q_fingerprint
-# q_funnel_steps q_higher_order_fns q_idle_customers q_json_props
-# q_lang_id q_lang_temperature q_lateral_topn q_map_props
-# q_market_share q_median_filtered q_merge_upsert q_mixture_epochs
-# q_nation_revenue q_normalized_dedup q_order_priority q_padding_waste
-# q_pagerank q_perplexity_buckets q_pq_encode q_promo_revenue
-# q_quality_score q_recursive_cte q_retention_cohorts q_stats_agg
-# q_time_weighted_avg q_token_entropy q_udaf_geomean q_zipf_fit
-# — 47 of 50 slots; the remainder fills from the r10-latest rows,
-# alphabetical, minus whatever round 14 itself adds or changes, which
-# (per the standing convention) outranks re-verification of unchanged
-# sources.
+# Round-14 window (this block) — 50 slots, by the standing convention
+# (new first, then changed-source, then oldest-evidence re-verifies):
+#   1     q_video_meta — NEW: ISO-BMFF (MP4) metadata box walk
+#         (real parser over real synthesized containers; the video
+#         twin of q_phash_dedup's recipe — round-13 verdict item 5).
+#   2-3   source changed in round 14: q_phash_dedup (the JPEG decode
+#         path gained the non-divisible-sampling-factor guard —
+#         round-13 ADVICE; fixture behavior unchanged, defensive
+#         only), q_weighted_sample (its keyed-frame build moved into
+#         the shared llm.pipeline.aes_keyed so the streaming
+#         reservoir cannot drift from it — round-13 ADVICE).
+#         Docstring-only edits (prefix_filter_pairs, the JPEG reader
+#         notes) take NO slot: no behavior, no plan, no line moves in
+#         executable code.
+#   4-9   the six r7-latest rows displaced by round 13's perf fixes —
+#         q_ship_priority, q_snapshot_delta, q_span_dedup,
+#         q_tfidf_topterms, q_udtf_tokens, q_unigram_logprob — the
+#         oldest evidence anywhere; after this window verifies, no
+#         query's latest driver row predates round 9.
+#   10-50 41 of the 47 r9-latest rows, alphabetical; the last six
+#         (q_retention_cohorts, q_stats_agg, q_time_weighted_avg, q_token_entropy, q_udaf_geomean, q_zipf_fit)
+#         roll to round 15, displaced by this round's 1 new + 2
+#         changed entries exactly as the round-13 plan anticipated.
+# Everything not listed follows in registration order.
+#
+# Round-15 rotation plan (latest-row-wins from CORRECTNESS_r{01..13} +
+# this window): first whatever round 15 adds or changes, then the six
+# r9 rows above, then the r10-latest rows alphabetically to fill 50
+# (~43 of them fit; the remainder rolls to round 16). WINDOW
+# BUDGETING (standing, r13 lesson): if adds/changes fill the window,
+# add NO further new registered queries that round — streaming
+# members, compactor work, library functions, and perf changes cost
+# no slots.
 _PRIORITY: tuple[str, ...] = (
-    # -- NEW in round 13 (no driver row): first --
+    # -- NEW in round 14 (no driver row): first --
+    "q_video_meta",
+    # -- source changed in round 14 --
     "q_phash_dedup",
-    # -- source changed in round 13 --
-    "q_ssjoin_exact",
-    "q_lsh_tuning",
-    "q_dedup_cascade",
-    "q_dedup_simhash",
-    "q_ks_test",
-    "q_rouge_overlap",
-    # -- word_shingles binding-fix consumers (changed source) --
-    "q_dedup_minhash",
-    "q_minhash_incremental",
-    "q_dup_ngram_coverage",
-    "q_source_overlap",
-    "q_novelty_curve",
-    # -- 38 r7-latest rows, alphabetical (the six alphabetically-last
-    # r7 rows, displaced by the six perf changes, roll to round 14) --
-    "q_asof_nearest",
-    "q_click_conversion",
-    "q_contamination",
-    "q_context_length",
-    "q_corpus_prep",
-    "q_corr_covar",
-    "q_correlated_subquery",
-    "q_cube",
-    "q_cume_dist",
-    "q_data_split",
-    "q_doc_chunking",
-    "q_domain_mix",
-    "q_explode_outer",
-    "q_filter_pushdown",
-    "q_funnel_attrition",
-    "q_grouping_sets",
-    "q_hourly_topk",
-    "q_join_broadcast",
-    "q_max_concurrency",
-    "q_multimodal_meta",
-    "q_multiset_setops",
-    "q_null_safe_join",
-    "q_outer_join",
-    "q_paragraph_dedup",
-    "q_percent_of_total",
-    "q_percentiles",
-    "q_pii_scrub",
-    "q_pivot",
-    "q_profile",
-    "q_quality_classifier",
-    "q_rate_of_change",
-    "q_rollup",
-    "q_safe_math",
-    "q_scalar_subquery",
-    "q_scd2",
-    "q_semantic_dedup",
-    "q_seq_packing",
-    "q_session_window",
+    "q_weighted_sample",
+    # -- the six r7-latest rows (oldest evidence) --
+    "q_ship_priority",
+    "q_snapshot_delta",
+    "q_span_dedup",
+    "q_tfidf_topterms",
+    "q_udtf_tokens",
+    "q_unigram_logprob",
+    # -- 41 r9-latest rows, alphabetical (last six roll to round 15) --
+    "q_ann_lsh",
+    "q_approx_stats",
+    "q_array_agg",
+    "q_array_fns",
+    "q_batch_sim_topk",
+    "q_bigram_backoff",
+    "q_bpe_merge_pairs",
+    "q_collocation_pmi",
+    "q_conditional_distinct",
+    "q_cust_order_dist",
+    "q_dedup_exact",
+    "q_dedup_survivorship",
+    "q_disjunctive_join",
+    "q_dsir_weights",
+    "q_dup_clusters",
+    "q_embed_dim_stats",
+    "q_embed_quantize",
+    "q_explode_posexplode",
+    "q_fingerprint",
+    "q_funnel_steps",
+    "q_higher_order_fns",
+    "q_idle_customers",
+    "q_json_props",
+    "q_lang_id",
+    "q_lang_temperature",
+    "q_lateral_topn",
+    "q_map_props",
+    "q_market_share",
+    "q_median_filtered",
+    "q_merge_upsert",
+    "q_mixture_epochs",
+    "q_nation_revenue",
+    "q_normalized_dedup",
+    "q_order_priority",
+    "q_padding_waste",
+    "q_pagerank",
+    "q_perplexity_buckets",
+    "q_pq_encode",
+    "q_promo_revenue",
+    "q_quality_score",
+    "q_recursive_cte",
 )
 
 

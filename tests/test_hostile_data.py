@@ -227,6 +227,13 @@ SENSITIVE = [
     # adversarial-unicode mutations must hash-match exactly; utf-8
     # encode/decode round-trips the text bit-for-bit on the Spark side.
     "q_phash_dedup",
+    # round-14: q_video_meta pins text IS NOT NULL on both engines and
+    # keys every container parameter on the payload's BYTE length
+    # (utf-8 encode on Spark == DuckDB strlen), so the adversarial-
+    # unicode/empty/whitespace mutations must round-trip through the
+    # real encode->box-walk-parse pipeline and hash-match exactly
+    # (empty text = a 0-byte-mdat, 1-sample, v0, isom container).
+    "q_video_meta",
 ]
 
 

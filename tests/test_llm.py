@@ -3044,6 +3044,44 @@ def test_decode_jpeg_pixels_round_trips_within_quantization():
         assert (rst == plain).all(), f"restart_interval={ri} diverged"
 
 
+def test_jpeg_non_divisible_sampling_factors_degrade_loudly():
+    """Legal-but-rare JPEG sampling layouts where the max factor is NOT
+    an exact multiple of a component's factor (e.g. 3:2): the chroma
+    upsampler is np.repeat by (vmax//vf, hmax//hf), which would
+    integer-divide into an UNDER-upsampled plane that can still slice
+    to (h, w) on small images — silently wrong pixels, wrong phash.
+    The decoder must instead raise NotImplementedError (the loud-
+    degrade discipline), and phash_blob must fall back to the fake
+    hash for such a stream (round-13 ADVICE)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from parquet_compactor_spark.llm.multimodal import (
+        _jpeg_decode_scan,
+        fake_phash,
+        phash_blob,
+    )
+
+    # Direct unit seam: comp 2's hf=2 does not divide hmax=3.
+    with _pytest.raises(NotImplementedError, match="sampling factors"):
+        _jpeg_decode_scan(
+            b"",
+            (8, 8, [(1, 3, 3, 0), (2, 2, 2, 1), (3, 2, 2, 1)]),
+            {1: (0, 0), 2: (1, 1), 3: (1, 1)},
+            {},
+            {},
+        )
+
+    # Full-blob seam: patch a valid 4:2:0 stream's SOF sampling bytes
+    # to 3x3 luma / 2x2 chroma and confirm the degrade path.
+    blob = bytearray(_jpeg_encode(_test_image().astype(np.float64),
+                                  subsample=True))
+    sof = blob.index(b"\xff\xc0")
+    assert blob[sof + 11] == 0x22  # comp 1 h=2,v=2 (4:2:0)
+    blob[sof + 11] = 0x33
+    assert phash_blob(bytes(blob)) == fake_phash(bytes(blob))
+
+
 def test_jpeg_phash_matches_png_within_banding_distance(spark):
     """The perceptual property across a LOSSY container: the same image
     as PNG (exact pixels) and JPEG (quantized pixels) must land within
@@ -3226,6 +3264,116 @@ def test_phash_fake_path_astral_unicode_parity(spark, tmp_path):
     out = q.fn(spark, str(d))
     compare_to_oracle(out, q.oracle, str(d))
     assert (9101, 9102) in {(r.id1, r.id2) for r in out.collect()}
+
+
+def test_mp4_box_walk_recovers_every_synth_parameter():
+    """The ISO-BMFF parser against the synthetic encoder across the
+    residue classes that switch layout: mvhd v0/v1 (parity), audio
+    track on/off (%4), codec fourcc (%3), largesize mdat (%5),
+    top-level free box (%7), and the sample-count/keyframe wrap
+    (%60). Pure Python — no Spark session."""
+    from parquet_compactor_spark.llm.multimodal import (
+        _synth_mp4,
+        decode_mp4_meta,
+        synth_mp4_params,
+    )
+
+    for n in list(range(0, 75)) + [119, 120, 420, 899, 900, 5005]:
+        p = synth_mp4_params(n)
+        m = decode_mp4_meta(_synth_mp4(n))
+        n_kf = 1 + (p["n_samples"] - 1) // p["kf_interval"]
+        assert m == {
+            "major_brand": p["major_brand"],
+            "mvhd_version": p["mvhd_version"],
+            "timescale": p["timescale"],
+            "duration": p["duration"],
+            "n_tracks": 2 if p["has_audio"] else 1,
+            "video_codec": p["video_codec"],
+            "audio_codec": "mp4a" if p["has_audio"] else None,
+            "width": p["width"],
+            "height": p["height"],
+            "n_samples": p["n_samples"],
+            "n_keyframes": n_kf,
+            "last_kf_offset": p["chunk_offset"]
+            + 8 * ((p["n_samples"] - 1) // 8) * p["sample_size"],
+        }, n
+
+
+def test_mp4_parser_is_loud_on_structural_corruption():
+    """Every corruption class raises ValueError (row-wise degrade at
+    the extract seam): non-ftyp bytes, truncated box header, a box
+    size overrunning the file, a truncated largesize, missing moov,
+    an unknown mvhd version, and an stts/stsz sample-count
+    disagreement (the walk cross-checks the two tables). A size-0
+    final box (to-end-of-file, legal) must PARSE."""
+    import struct as _struct
+
+    import pytest as _pytest
+
+    from parquet_compactor_spark.llm.multimodal import (
+        _synth_mp4,
+        decode_mp4_meta,
+    )
+
+    good = _synth_mp4(11)  # n%5 != 0 -> plain 32-bit mdat size
+
+    with _pytest.raises(ValueError, match="no ftyp"):
+        decode_mp4_meta(b"this is just text, not a container")
+    with _pytest.raises(ValueError, match="truncated box header"):
+        decode_mp4_meta(good[: len(good) - (11 % 17) - 3])
+    # Overrun: inflate the moov size field past EOF.
+    moov = good.index(b"moov") - 4
+    bad = bytearray(good)
+    bad[moov : moov + 4] = _struct.pack(">I", len(good) * 2)
+    with _pytest.raises(ValueError, match="overruns"):
+        decode_mp4_meta(bytes(bad))
+    # Truncated largesize: size==1 but fewer than 16 bytes remain.
+    with _pytest.raises(ValueError, match="largesize"):
+        decode_mp4_meta(good + _struct.pack(">I4s", 1, b"mdat"))
+    # ftyp alone (no moov).
+    with _pytest.raises(ValueError, match="missing"):
+        decode_mp4_meta(good[: good.index(b"moov") - 4])
+    # Unknown mvhd version.
+    bad = bytearray(good)
+    bad[good.index(b"mvhd") + 4] = 7
+    with _pytest.raises(ValueError, match="mvhd version"):
+        decode_mp4_meta(bytes(bad))
+    # stts says 1 sample of the count; stsz says another.
+    bad = bytearray(good)
+    stsz = good.index(b"stsz")
+    bad[stsz + 12 : stsz + 16] = _struct.pack(">I", 9999)
+    with _pytest.raises(ValueError, match="disagree"):
+        decode_mp4_meta(bytes(bad))
+    # Legal size-0 final box: zero the mdat size field (last box).
+    zeroed = bytearray(good)
+    mdat = good.rindex(b"mdat") - 4
+    zeroed[mdat : mdat + 4] = _struct.pack(">I", 0)
+    assert decode_mp4_meta(bytes(zeroed))["n_samples"] == 12  # 1 + 11
+
+
+def test_extract_video_meta_drops_corrupt_rows_not_the_job(spark):
+    """The genuine-lake seam: a frame mixing parseable containers, a
+    plain-text payload, and a truncated container yields metadata for
+    exactly the parseable rows — corrupt blobs degrade row-wise,
+    never abort the sweep."""
+    from parquet_compactor_spark.llm.multimodal import (
+        _synth_mp4,
+        extract_video_meta,
+    )
+
+    rows = [
+        (1, bytearray(_synth_mp4(100))),
+        (2, bytearray(b"not a container at all")),
+        (3, bytearray(_synth_mp4(259))),
+        (4, bytearray(_synth_mp4(100)[:40])),  # truncated mid-moov
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    out = {r.doc_id: r for r in extract_video_meta(df).collect()}
+    assert set(out) == {1, 3}
+    assert out[1].video_codec == "avc1" and out[3].video_codec == "avc1"
+    assert out[1].n_samples == 41 and out[3].n_samples == 20
+    assert out[3].n_tracks == 2  # 259 % 4 != 0 -> audio track present
 
 
 def test_dhash_and_resize_degenerate_shapes():
