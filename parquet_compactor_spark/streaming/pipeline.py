@@ -1840,6 +1840,211 @@ def kmv_distinct_batch(docs: DataFrame, k: int | None = None) -> DataFrame:
     )
 
 
+NOVELTY_EMIT_SCHEMA = (
+    "source string, batch_distinct bigint, est_before bigint, "
+    "est_after bigint, novelty_new bigint, novelty_ppm bigint"
+)
+
+
+def _batch_token_hashes(batch_df: DataFrame) -> DataFrame:
+    """Distinct (source, h) 48-bit token hashes of one batch — the same
+    hash convention as the KMV sketch family (int64-safe ratio space)."""
+    from parquet_compactor_spark.queries.advanced import _KMV_H_SPARK
+
+    return (
+        batch_df.filter(F.col("text").isNotNull())
+        .select("source", F.explode(F.split("text", " ", -1)).alias("tok"))
+        .select("source", F.expr(_KMV_H_SPARK).alias("h"))
+        .distinct()
+    )
+
+
+def _kmv_est(sketch: DataFrame, kk: int, alias: str) -> DataFrame:
+    """Per-source KMV cardinality estimate of a min-k sketch frame."""
+    from parquet_compactor_spark.queries.advanced import KMV_DENOM
+
+    return (
+        sketch.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sk"),
+            F.max("h").alias("h_max"),
+        )
+        .select(
+            "source",
+            F.when(
+                F.col("n_sk") >= kk,
+                F.expr(f"CAST(({kk} - 1) * {KMV_DENOM} div h_max AS BIGINT)"),
+            )
+            .otherwise(F.col("n_sk"))
+            .alias(alias),
+        )
+    )
+
+
+def _novelty_step(
+    state: DataFrame | None, batch_df: DataFrame, kk: int
+) -> tuple[DataFrame, DataFrame]:
+    """One novelty-monitor step: (state sketch, batch) → (new state
+    sketch, emitted per-source novelty rows). A PURE function of its
+    two frames — the stream's foreachBatch and the batch twin
+    (:func:`novelty_rate_fold`) both call exactly this, so
+    stream-equals-batch is structural and the test only has to pin the
+    plumbing around it.
+
+    Novelty by min-k set algebra (no counters — replay-idempotent):
+    ``est_before`` is the KMV estimate of the PRIOR sketch,
+    ``est_after`` of the union sketch; their difference estimates the
+    batch's new-distinct contribution. Both estimates are monotone
+    non-decreasing under union (h_max can only shrink once the sketch
+    is full; the sketch size can only grow before that), so
+    novelty_new >= 0 always, and a REPLAYED batch unions a subset of
+    the state — est_after == est_before — emitting novelty 0 while the
+    state is bit-identical (the monitor-output discipline of
+    :func:`kmv_distinct_stream`). ``batch_distinct`` is the batch's
+    EXACT distinct-hash count (bounded by the batch, not the corpus);
+    ``novelty_ppm = 1e6 * novelty_new div batch_distinct`` is an exact
+    integer — estimator jitter at the sketch-fill boundary can push it
+    past 1e6, which is honest (it is a ratio of an estimate to an
+    exact count)."""
+    from pyspark.sql import Window
+
+    bh = _batch_token_hashes(batch_df)
+    pool = bh if state is None else bh.unionByName(state).distinct()
+    w = Window.partitionBy("source").orderBy("h")
+    sketch_after = (
+        pool.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= kk)
+        .select("source", "h")
+    )
+    bd = bh.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("batch_distinct")
+    )
+    if state is None:
+        before = bd.select(
+            "source", F.lit(0).cast("bigint").alias("est_before")
+        )
+    else:
+        before = _kmv_est(state, kk, "est_before")
+    emit = (
+        bd.join(before, "source", "left")
+        .na.fill({"est_before": 0})
+        .join(_kmv_est(sketch_after, kk, "est_after"), "source")
+        .select(
+            "source",
+            "batch_distinct",
+            "est_before",
+            "est_after",
+            (F.col("est_after") - F.col("est_before")).alias("novelty_new"),
+            F.expr(
+                "CAST(1000000 * (est_after - est_before) "
+                "div batch_distinct AS BIGINT)"
+            ).alias("novelty_ppm"),
+        )
+    )
+    return sketch_after, emit
+
+
+def novelty_rate_stream(
+    docs: DataFrame,
+    state_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    k: int | None = None,
+) -> None:
+    """Streaming novelty-rate monitor: per micro-batch and source, how
+    much genuinely NEW vocabulary the batch contributed — the streaming
+    twin of q_novelty_curve's marginal-value-of-data diagnostic ("is
+    this source exhausted?"), continuously available as a crawl runs
+    instead of recomputed over the corpus.
+
+    State is the per-source KMV min-k sketch (exactly
+    :func:`kmv_distinct_stream`'s state contract: min-k of a
+    content-keyed SET — arrival-order-insensitive, batching-
+    insensitive, replay-IDEMPOTENT by algebra, BOUNDED at k rows per
+    source); versions commit on the claim gates' machinery
+    (``_SUCCESS`` markers, crashed writes invisible and GC'd, doc_id
+    watermark in the name). Count-based novelty (SpaceSaving-style)
+    was deliberately skipped: counters are NOT replay-idempotent; the
+    min-k set algebra is (round-13 verdict item 6).
+
+    At 100 TB: per batch one distinct over the batch's (source, hash)
+    pairs, one union with the k*sources-row state, one per-source
+    top-k window on that bounded frame — the corpus never re-scans,
+    the state never grows."""
+    from parquet_compactor_spark.compactor.fs import HadoopFS
+    from parquet_compactor_spark.queries.advanced import KMV_K
+
+    kk = KMV_K if k is None else k
+
+    def monitor(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        fs = HadoopFS(spark, state_dir)
+        versions = _committed_state_versions(fs, state_dir)
+        active = _active_version_paths(versions, state_dir)
+        state = spark.read.parquet(*active) if active else None
+
+        sketch, emit = _novelty_step(state, batch_df, kk)
+        sketch = sketch.persist()
+        try:
+            emit.write.mode("overwrite").parquet(
+                f"{out_dir}/batch={batch_id}"
+            )
+            hi = batch_df.agg(F.max("doc_id").alias("hi")).collect()[0].hi
+            prior_wm = versions[-1][2] if versions else None
+            new_wm = max(
+                (x for x in (prior_wm, hi) if x is not None), default=None
+            )
+            chain = versions[-1][0] + 1 if versions else 0
+            suffix = "" if new_wm is None else f"-w{int(new_wm)}"
+            sketch.write.mode("overwrite").parquet(
+                f"{state_dir}/v-{chain}{suffix}"
+            )
+        finally:
+            sketch.unpersist()
+        live = set(
+            _active_version_paths(
+                _committed_state_versions(fs, state_dir), state_dir
+            )
+        )
+        for d in fs.list_dirs(state_dir):
+            name = d.path.rstrip("/").rsplit("/", 1)[-1]
+            if name.startswith("v-") and d.path not in live:
+                fs.delete(d.path, recursive=True)
+
+    (
+        docs.writeStream.foreachBatch(monitor)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def novelty_rate_fold(
+    batches: list[DataFrame], k: int | None = None
+) -> tuple[DataFrame | None, list[set]]:
+    """Batch twin of :func:`novelty_rate_stream`: fold the SAME
+    :func:`_novelty_step` over an explicit batch sequence, returning
+    the final sketch frame and each step's emitted rows (as row-tuple
+    sets). Because stream and fold share the step function verbatim,
+    any divergence in the test is plumbing (state commit/replay), not
+    algebra."""
+    from parquet_compactor_spark.queries.advanced import KMV_K
+
+    kk = KMV_K if k is None else k
+    state: DataFrame | None = None
+    emits: list[set] = []
+    for b in batches:
+        sketch, emit = _novelty_step(state, b, kk)
+        # Materialize the sketch so the next step does not re-derive a
+        # growing lineage (mirrors the stream's parquet state commit).
+        state = b.sparkSession.createDataFrame(
+            sketch.collect(), schema="source string, h bigint"
+        )
+        emits.append({tuple(r) for r in emit.collect()})
+    return state, emits
+
+
 def _aes_keyed(docs: DataFrame) -> DataFrame:
     """(source, doc_id, n_tokens, key_nano) — q_weighted_sample's exact
     A-ES exponential rank key. Thin delegate to the ONE shared

@@ -1335,6 +1335,98 @@ def test_weighted_reservoir_stream_matches_batch_replays_and_bounds_state(
     } == batch
 
 
+def test_novelty_stream_matches_fold_replays_and_bounds_state(
+    spark, tmp_path
+):
+    """The streaming novelty-rate monitor: per-batch emitted rows are
+    BIT-IDENTICAL to the batch twin folding the same step function
+    over the same file sequence; novelty is positive for a
+    fresh-vocabulary batch and ZERO for a replayed (pure-duplicate)
+    batch; state stays bounded at <= k rows per source; a planted
+    uncommitted crash version is invisible and GC'd; and a full
+    checkpoint-loss replay leaves the state bit-identical while
+    emitting novelty 0 (monitor-output discipline)."""
+    import glob
+    import os
+    import time
+
+    from parquet_compactor_spark.streaming.pipeline import (
+        latest_claim_state,
+        novelty_rate_fold,
+        novelty_rate_stream,
+    )
+
+    schema = "doc_id bigint, text string, source string"
+    landing = tmp_path / "docs"
+    K = 8
+    b1 = [(i, " ".join(f"tok{i}_{j}" for j in range(5)), f"s{i % 2}")
+          for i in range(6)]
+    b2 = [(10 + i, " ".join(f"tok{10+i}_{j}" for j in range(5)), f"s{i % 2}")
+          for i in range(6)]
+    b3 = b1[:4]  # a pure-duplicate batch: novelty must be exactly 0
+    for b in (b1, b2, b3):
+        spark.createDataFrame(b, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(landing))
+        time.sleep(1.1)
+
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "nov")
+    orphan = f"{state}/v-0-w424242"
+    os.makedirs(orphan)
+    open(f"{orphan}/part-junk.parquet", "w").close()
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(landing))
+    )
+    novelty_rate_stream(stream, state, out, str(tmp_path / "ckpt"), k=K)
+    assert not os.path.exists(orphan)
+
+    batches = sorted(
+        glob.glob(f"{out}/batch=*"), key=lambda p: int(p.rsplit("=", 1)[1])
+    )
+    assert len(batches) == 3
+    emitted = [
+        {tuple(r) for r in spark.read.parquet(p).collect()} for p in batches
+    ]
+    # maxFilesPerTrigger=1 processes files in modification order = b1,b2,b3.
+    _, fold_emits = novelty_rate_fold(
+        [spark.createDataFrame(b, schema) for b in (b1, b2, b3)], k=K
+    )
+    assert emitted == fold_emits
+
+    # Fresh vocabulary: every source's first two batches show novelty.
+    for rows in emitted[:2]:
+        assert all(r[4] > 0 for r in rows), rows  # novelty_new
+    # The duplicate batch: distinct tokens seen before -> novelty 0.
+    assert emitted[2] and all(r[4] == 0 and r[5] == 0 for r in emitted[2])
+
+    st = latest_claim_state(spark, state)
+    rows = {(r.source, r.h) for r in st.collect()}
+    per_src: dict[str, int] = {}
+    for s, _ in rows:
+        per_src[s] = per_src.get(s, 0) + 1
+    assert all(n <= K for n in per_src.values()), per_src
+
+    # Checkpoint loss: full replay is a state no-op and emits novelty 0.
+    stream2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(landing))
+    )
+    novelty_rate_stream(stream2, state, out, str(tmp_path / "ckpt2"), k=K)
+    st2 = latest_claim_state(spark, state)
+    assert {(r.source, r.h) for r in st2.collect()} == rows
+    replay = sorted(
+        glob.glob(f"{out}/batch=*"), key=lambda p: int(p.rsplit("=", 1)[1])
+    )
+    for p in replay:
+        for r in spark.read.parquet(p).collect():
+            assert r.novelty_new == 0 and r.novelty_ppm == 0
+
+
 def test_weighted_reservoir_batch_is_q_weighted_sample(spark):
     """The documented 'identical to q_weighted_sample's plan at k=AES_K'
     claim, pinned END TO END on the real fixture — not just by the two
