@@ -1660,12 +1660,21 @@ def extract_phash(df: DataFrame, sniff_gif: bool = False) -> DataFrame:
 )
 def q_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parquet_compactor_spark.llm.dedup import hamming_banded_pairs
+    from parquet_compactor_spark.llm.text import spread_scan
 
-    # spread_scan A/B at sf0.1: a measured NO-OP (warm 1.35 s with vs
-    # 1.10 s without — the bincount-vectorized hash is cheap per byte,
-    # unlike the per-token hot paths that needed the guard), so per the
-    # adopt-only-on-measured-win discipline the raw scan stays.
-    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    # spread_scan: ADOPTED on a measured win at ramp scale (round 14).
+    # The r13 sf0.1 A/B read a no-op (warm 1.35 vs 1.10 s) because 5k
+    # docs are cheap even on one task; the x10 ramp level exposed the
+    # real mechanism — 50k docs scanning to TWO byte-proportioned
+    # splits ran the whole hash map on 2 of 32 cores (the non-monotone
+    # x10 ramp row, 3 reproduced readings ~9.5 s vs x25's ~3.3 s on 6
+    # splits). Measured min-of-3 with the guard: x10 9.55 -> 2.09 s
+    # (4.6x); x25 3.28 -> 4.03 (the already-6-wide level pays the
+    # row exchange, bounded); at 100 TB the scan is wide and the guard
+    # is a driver-side no-op.
+    d = spread_scan(
+        load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    )
     payloads = d.select(
         "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
     )

@@ -200,6 +200,11 @@ RAMP_QUERIES = [
     # the chunk-key bucket join (15-bit chunks: collisions grow with
     # corpus size; the hash map itself is linear).
     "q_phash_dedup",
+    # round-14: the ISO-BMFF metadata walk is a pure map (synthesize +
+    # parse per row, no shuffle) — the curve to watch is wall-vs-files:
+    # it parallelizes across scan splits, so it should stay near-flat
+    # while per-doc work scales linearly with the corpus.
+    "q_video_meta",
 ]
 
 OFF = 10_000_000  # per-copy key shift

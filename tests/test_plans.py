@@ -828,12 +828,17 @@ PLAN_SHAPE_PINS = {
     "q_bigram_backoff":     (14, 0, 0, 1),
     # The ideal shape: map-only, zero everything.
     "q_pq_encode":          (0,  0, 0, 0),
-    # Round-13: perceptual-hash near-dup. 1 exchange on the 15-bit
-    # chunk key under the pair join + 1 distinct re-agg; the mapInPandas
-    # hash is narrow (no spread_scan — measured no-op). A cartesian or
-    # BNLJ appearing means the banding key was lost and the join
-    # degenerated to all-pairs.
-    "q_phash_dedup":        (2,  0, 0, 0),
+    # Round-13 (+r14 spread_scan): perceptual-hash near-dup. 1 exchange
+    # on the 15-bit chunk key under the pair join + 1 distinct re-agg
+    # + the round-robin spread_scan exchange COUNTED TWICE (the hashed
+    # signature lineage feeds both sides of the banding self-join —
+    # same textual duplication as q_minhash_incremental's note).
+    # Adopted round 14 on the x10 ramp win: 2 byte-proportioned splits
+    # starved the hash map, 9.55 -> 2.09 s; on a wide scan the guard
+    # is a driver-side no-op, so the pin holds only at this
+    # single-file smoke fixture. A cartesian or BNLJ appearing means
+    # the banding key was lost and the join degenerated to all-pairs.
+    "q_phash_dedup":        (4,  0, 0, 0),
     # 1 BNLJ = the bounded seed-set broadcast; 3 exchanges = the
     # round-robin min-parallelism repartition of the probe side (the
     # pair loop is x500 compute per byte — without it a single-file
