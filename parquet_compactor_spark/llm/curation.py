@@ -2834,3 +2834,176 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         # — emit no row identically on both engines instead.
         .filter((F.col("n_old") > 0) & (F.col("n_new") > 0))
     )
+
+
+# --------------------------------------------------------------------------
+# URL canonicalization + URL-level dedup (C4 / RefinedWeb-style web curation)
+# --------------------------------------------------------------------------
+
+#: Tracking-parameter keys stripped by canonical_url — the public
+#: click-tracking namespace (utm_*) plus the common per-platform ids.
+_TRACKING_PARAM_RE = "^(utm_[^=]*|ref|fbclid|gclid)="
+
+
+def canonical_url(u: Column) -> Column:
+    """Canonicalize a URL column with REAL generic parsing — lowercase
+    scheme+authority, strip the scheme's default port (:443 https, :80
+    http), strip trailing path slashes (root stays '/'), drop tracking
+    params (utm_*/ref/fbclid/gclid), sort surviving query params, drop
+    the fragment. All JVM built-ins (parse_url + array filter/sort) —
+    no Python, no shuffle; the canonical key then drives URL-level
+    dedup the way RefinedWeb dedups by URL before any text pass.
+
+    The filter lambda touches only its own element variable (the split
+    array is the higher-order input, evaluated once) — no derived-array
+    re-evaluation inside the lambda body (the no-CSE trap)."""
+    scheme = F.lower(F.parse_url(u, F.lit("PROTOCOL")))
+    auth = F.lower(F.parse_url(u, F.lit("AUTHORITY")))
+    auth = (
+        F.when(scheme == "https", F.regexp_replace(auth, ":443$", ""))
+        .when(scheme == "http", F.regexp_replace(auth, ":80$", ""))
+        .otherwise(auth)
+    )
+    path = F.regexp_replace(
+        F.coalesce(F.parse_url(u, F.lit("PATH")), F.lit("")), "/+$", ""
+    )
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    kept = F.array_sort(
+        F.filter(
+            F.split(F.coalesce(F.parse_url(u, F.lit("QUERY")), F.lit("")), "&"),
+            lambda p: (p != "") & ~p.rlike(_TRACKING_PARAM_RE),
+        )
+    )
+    qs = F.array_join(kept, "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        auth,
+        path,
+        F.when(qs == "", F.lit("")).otherwise(F.concat(F.lit("?"), qs)),
+    )
+
+
+def synth_messy_url(n: Column, m: Column, source: Column) -> Column:
+    """The deterministic messy-URL closed form for q_url_dedup — one
+    recipe shared by the Spark side and the DuckDB oracle (which
+    replays the CANONICAL form directly from the same parameters, so
+    the differential checks the real parser+canonicalizer against an
+    independent computation — the URL twin of q_video_meta's recipe).
+
+    ``n`` keys everything that SURVIVES canonicalization (scheme value
+    %5, the :8080 non-default port %11, the path id %100, the real
+    query params %2/%7); ``m`` keys MESSINESS ONLY (scheme/host casing
+    %3/%2, a default port to strip %7, a trailing slash %4, tracking
+    params %3/%5, query-param order %2, a fragment %2) — so two rows
+    with equal ``n`` and different ``m`` are exactly the C4 situation:
+    distinct raw URLs that MUST collapse to one canonical key."""
+    scheme_val = F.when(n % 5 == 0, F.lit("http")).otherwise(F.lit("https"))
+    scheme = F.when(m % 3 == 0, F.upper(scheme_val)).otherwise(scheme_val)
+    host = F.concat(
+        source,
+        F.when(m % 2 == 0, F.lit(".Example.ORG")).otherwise(
+            F.lit(".example.org")
+        ),
+    )
+    port = (
+        F.when(n % 11 == 0, F.lit(":8080"))
+        .when(
+            m % 7 == 0,
+            F.when(scheme_val == "https", F.lit(":443")).otherwise(
+                F.lit(":80")
+            ),
+        )
+        .otherwise(F.lit(""))
+    )
+    path = F.concat(
+        F.lit("/articles/"),
+        (n % 100).cast("string"),
+        F.when(m % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+    )
+    id_param = F.concat(F.lit("id="), n.cast("string"))
+    page_param = F.when(
+        n % 2 == 0, F.concat(F.lit("&page="), (n % 7).cast("string"))
+    ).otherwise(F.lit(""))
+    real_params = F.when(
+        (m % 2 == 0) & (n % 2 == 0),
+        F.concat(
+            F.concat(F.lit("page="), (n % 7).cast("string")),
+            F.lit("&"),
+            id_param,
+        ),
+    ).otherwise(F.concat(id_param, page_param))
+    query = F.concat(
+        F.lit("?"),
+        F.when(m % 3 == 0, F.lit("utm_source=feed&")).otherwise(F.lit("")),
+        real_params,
+        F.when(m % 5 == 0, F.lit("&ref=tw")).otherwise(F.lit("")),
+    )
+    frag = F.when(
+        m % 2 == 1, F.concat(F.lit("#sec"), (m % 3).cast("string"))
+    ).otherwise(F.lit(""))
+    return F.concat(scheme, F.lit("://"), host, port, path, query, frag)
+
+
+#: q_url_dedup's DuckDB oracle — the canonical form computed DIRECTLY
+#: from the synth parameters (never by re-parsing), so the Spark side's
+#: parse_url+canonical_url chain is checked against an independent
+#: derivation. Registration deferred to round 15 alongside q_audio_meta
+#: (window budgeting — registry.py); tests run the same differential.
+URL_DEDUP_ORACLE = """
+    WITH p AS (
+        SELECT doc_id, n_chars AS n,
+               CASE WHEN n_chars % 5 = 0 THEN 'http' ELSE 'https' END
+                   AS scheme,
+               source || '.example.org' AS host,
+               CASE WHEN n_chars % 11 = 0 THEN ':8080' ELSE '' END AS port,
+               '/articles/' || CAST(n_chars % 100 AS VARCHAR) AS path,
+               'id=' || CAST(n_chars AS VARCHAR) ||
+               CASE WHEN n_chars % 2 = 0
+                    THEN '&page=' || CAST(n_chars % 7 AS VARCHAR)
+                    ELSE '' END AS q
+        FROM documents
+    ), c AS (
+        SELECT doc_id, host,
+               scheme || '://' || host || port || path || '?' || q
+                   AS canonical
+        FROM p
+    )
+    SELECT doc_id, host, canonical,
+           doc_id = MIN(doc_id) OVER (PARTITION BY canonical) AS is_kept
+    FROM c
+"""
+
+
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup decision (C4 / RefinedWeb curate-by-URL): per
+    document, synthesize the deterministic messy URL, canonicalize it
+    with the REAL parser chain (:func:`canonical_url` — lowercase,
+    default-port strip, trailing-slash strip, tracking-param drop,
+    param sort, fragment drop), and keep the first doc_id per
+    canonical key. One hash shuffle on the canonical key (window min)
+    — never all-pairs; at 100 TB the canonical key is the natural
+    partition key for the whole web-curation stage.
+
+    REGISTRATION DEFERRED to round 15 (window budgeting — see
+    registry.py's round-15 plan); oracle-checked in pytest meanwhile.
+    """
+    d = load(spark, sf_dir, "documents")
+    urls = d.select(
+        "doc_id",
+        F.lower(
+            F.concat(F.col("source"), F.lit(".example.org"))
+        ).alias("host"),
+        canonical_url(
+            synth_messy_url(
+                F.col("n_chars"), F.col("doc_id"), F.col("source")
+            )
+        ).alias("canonical"),
+    )
+    w = Window.partitionBy("canonical")
+    return urls.select(
+        "doc_id",
+        "host",
+        "canonical",
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_kept"),
+    )

@@ -1822,3 +1822,579 @@ def extract_thumbnails(
             )
 
     return df.mapInPandas(batches, schema=THUMB_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Audio modality: RIFF/WAVE (incl. RF64 + WAVE_FORMAT_EXTENSIBLE) and FLAC
+# STREAMINFO metadata — the audio twin of decode_mp4_meta / q_video_meta.
+# --------------------------------------------------------------------------
+
+#: WAVE_FORMAT_EXTENSIBLE SubFormat GUID suffix (bytes 2..16 of the GUID;
+#: the leading u16 little-endian carries the real format tag). Public
+#: constant from the Microsoft multimedia registration space
+#: (KSDATAFORMAT_SUBTYPE_*).
+_WAV_GUID_SUFFIX = b"\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
+
+#: RIFF format tags this parser resolves to a codec name. Anything else
+#: is a loud NotImplementedError (valid-but-unsupported — same
+#: discipline as the image decoders).
+_WAV_TAGS = {1: "pcm", 3: "float"}
+
+
+def synth_wav_params(n: int) -> dict:
+    """Deterministic RIFF/WAVE container parameters for a payload of
+    ``n`` bytes — one closed form shared by the encoder, the query's
+    expected output, and the DuckDB oracle (q_audio_meta). Residue
+    classes sweep the parse paths: PCM vs IEEE-float (%3), 16- vs
+    24-bit PCM (%4), mono/stereo (n//2 %2 — decoupled from the query's
+    even-n gate), five sample rates (%5), WAVE_FORMAT_EXTENSIBLE (%7),
+    RF64 64-bit sizes (%11), LIST/INFO metadata with the odd-size pad
+    byte (%5), and an unknown JUNK chunk to skip (%13)."""
+    is_float = n % 3 == 0
+    bits = 32 if is_float else (16 if n % 4 == 0 else 24)
+    ch = 1 + (n // 2) % 2
+    sr = (8000, 16000, 22050, 44100, 48000)[n % 5]
+    n_frames = 1 + n % 480
+    return {
+        "container": "RF64" if n % 11 == 0 else "RIFF",
+        "codec": "float" if is_float else "pcm",
+        "extensible": n % 7 == 0,
+        "channels": ch,
+        "sample_rate": sr,
+        "bits_per_sample": bits,
+        "n_frames": n_frames,
+        "block_align": ch * (bits // 8),
+        "byte_rate": sr * ch * (bits // 8),
+        "info_comment": n % 5 == 0,
+        "junk_chunk": n % 13 == 0,
+    }
+
+
+def _riff_chunk(fourcc: bytes, payload: bytes) -> bytes:
+    """One RIFF chunk with the spec's word-alignment pad byte."""
+    out = fourcc + struct.pack("<I", len(payload)) + payload
+    if len(payload) % 2:
+        out += b"\x00"
+    return out
+
+
+def _synth_wav(n: int) -> bytes:
+    """A REAL (structurally valid, spec-layout) RIFF/WAVE or RF64 file
+    for the :func:`synth_wav_params` of ``n``. The data chunk carries
+    filler (no audible signal): the fixture is for the METADATA
+    pipeline, exactly like :func:`_synth_mp4`'s mdat."""
+    p = synth_wav_params(n)
+    tag = 3 if p["codec"] == "float" else 1
+    fmt_core = struct.pack(
+        "<HHIIHH",
+        0xFFFE if p["extensible"] else tag,
+        p["channels"],
+        p["sample_rate"],
+        p["byte_rate"],
+        p["block_align"],
+        p["bits_per_sample"],
+    )
+    if p["extensible"]:
+        fmt_body = fmt_core + struct.pack(
+            "<HHI", 22, p["bits_per_sample"], (1 << p["channels"]) - 1
+        ) + struct.pack("<H", tag) + b"\x00\x00" + _WAV_GUID_SUFFIX
+    elif tag == 3:
+        fmt_body = fmt_core + struct.pack("<H", 0)  # cbSize present, 0
+    else:
+        fmt_body = fmt_core  # classic 16-byte PCM fmt
+    chunks = _riff_chunk(b"fmt ", fmt_body)
+    if p["junk_chunk"]:
+        chunks += _riff_chunk(b"JUNK", b"\x00" * 11)  # odd size: pad path
+    if tag != 1:  # fact required for non-PCM
+        chunks += _riff_chunk(b"fact", struct.pack("<I", p["n_frames"]))
+    if p["info_comment"]:
+        comment = f"synth {n}".encode()
+        info = b"INFO" + _riff_chunk(b"ICMT", comment)
+        chunks += _riff_chunk(b"LIST", info)
+    data = b"\xa5" * (p["n_frames"] * p["block_align"])
+    if p["container"] == "RF64":
+        data_chunk = _riff_chunk(b"data", data)
+        data_chunk = b"data" + struct.pack("<I", 0xFFFFFFFF) + data_chunk[8:]
+        ds64 = _riff_chunk(
+            b"ds64",
+            struct.pack(
+                "<QQQI",
+                4 + 28 + 8 + len(chunks) + len(data_chunk),
+                len(data),
+                p["n_frames"],
+                0,
+            ),
+        )
+        body = b"WAVE" + ds64 + chunks + data_chunk
+        return b"RF64" + struct.pack("<I", 0xFFFFFFFF) + body
+    body = b"WAVE" + chunks + _riff_chunk(b"data", data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav_meta(payload: bytes) -> dict:
+    """Real RIFF/WAVE METADATA decode — a pure-Python chunk walk over
+    the public byte layout (RIFF-1991 / EBU Tech 3306 for RF64), no
+    audio library, integer-only outputs (DuckDB-replayable).
+
+    Handles: classic 16-byte PCM fmt, the 18-byte cbSize form,
+    WAVE_FORMAT_EXTENSIBLE (codec resolved through the SubFormat
+    GUID), the fact chunk, LIST/INFO metadata (counted into
+    ``n_meta``), unknown chunks (skipped, per spec), odd-size chunk
+    pad bytes, and RF64 (sizes lifted from the mandatory leading ds64
+    chunk — the >4 GiB form a 100 TB lake actually contains).
+
+    Raises ``ValueError`` on structural corruption (truncated chunk,
+    overrun, missing fmt/data, RF64 without ds64, fact/data frame-count
+    disagreement — the walk cross-checks them) and
+    ``NotImplementedError`` on a valid-but-unsupported format tag, so
+    callers can degrade row-wise."""
+    buf = bytes(payload)
+    if len(buf) < 12 or buf[:4] not in (b"RIFF", b"RF64"):
+        raise ValueError("not a RIFF/RF64 payload")
+    if buf[8:12] != b"WAVE":
+        raise ValueError("RIFF form type is not WAVE")
+    container = buf[:4].decode("latin-1")
+    is_rf64 = container == "RF64"
+    (riff_size,) = struct.unpack_from("<I", buf, 4)
+    end = len(buf) if is_rf64 else min(len(buf), 8 + riff_size)
+
+    fmt = fact_frames = data_size = ds64 = None
+    n_meta = 0
+    pos = 12
+    first = True
+    while pos < end:
+        if pos + 8 > end:
+            raise ValueError("corrupt WAV: truncated chunk header")
+        fourcc = buf[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", buf, pos + 4)
+        body = pos + 8
+        if is_rf64 and first and fourcc != b"ds64":
+            raise ValueError("corrupt RF64: first chunk must be ds64")
+        first = False
+        if fourcc == b"data" and size == 0xFFFFFFFF and is_rf64:
+            if ds64 is None:
+                raise ValueError("corrupt RF64: data before ds64")
+            size = ds64[1]
+        if body + size > end:
+            raise ValueError(
+                f"corrupt WAV: chunk {fourcc!r} overruns the file"
+            )
+        if fourcc == b"ds64":
+            if size < 28:
+                raise ValueError("corrupt RF64: short ds64")
+            ds64 = struct.unpack_from("<QQQ", buf, body)
+        elif fourcc == b"fmt ":
+            if size < 16:
+                raise ValueError("corrupt WAV: short fmt chunk")
+            tag, ch, sr, br, ba, bits = struct.unpack_from("<HHIIHH", buf, body)
+            if tag == 0xFFFE:
+                if size < 40:
+                    raise ValueError("corrupt WAV: short extensible fmt")
+                (sub,) = struct.unpack_from("<H", buf, body + 24)
+                if buf[body + 28 : body + 40] != _WAV_GUID_SUFFIX:
+                    raise ValueError("corrupt WAV: bad SubFormat GUID")
+                tag = sub
+            if tag not in _WAV_TAGS:
+                raise NotImplementedError(
+                    f"unsupported WAVE format tag {tag:#06x}"
+                )
+            fmt = (tag, ch, sr, br, ba, bits)
+        elif fourcc == b"fact":
+            if size < 4:
+                raise ValueError("corrupt WAV: short fact chunk")
+            (fact_frames,) = struct.unpack_from("<I", buf, body)
+        elif fourcc == b"data":
+            data_size = size
+        elif fourcc == b"LIST" and size >= 4 and buf[body : body + 4] == b"INFO":
+            sub = body + 4
+            sub_end = body + size
+            while sub + 8 <= sub_end:
+                (sub_size,) = struct.unpack_from("<I", buf, sub + 4)
+                if sub + 8 + sub_size > sub_end:
+                    raise ValueError("corrupt WAV: INFO tag overrun")
+                n_meta += 1
+                sub += 8 + sub_size + (sub_size % 2)
+        pos = body + size + (size % 2)
+
+    if fmt is None or data_size is None:
+        raise ValueError("corrupt WAV: missing fmt or data chunk")
+    tag, ch, sr, br, ba, bits = fmt
+    if ch < 1 or sr < 1 or ba < 1:
+        raise ValueError("corrupt WAV: zero channels/rate/block align")
+    if ba != ch * (bits // 8) or br != sr * ba:
+        raise ValueError("corrupt WAV: fmt byte-rate/block-align disagree")
+    if data_size % ba:
+        raise ValueError("corrupt WAV: data size not frame-aligned")
+    n_frames = data_size // ba
+    if is_rf64:
+        if ds64 is None:
+            raise ValueError("corrupt RF64: missing ds64 chunk")
+        if ds64[2] != n_frames:
+            raise ValueError(
+                f"corrupt RF64: ds64 sample count {ds64[2]} != data-derived {n_frames}"
+            )
+    if fact_frames is not None and fact_frames != n_frames:
+        raise ValueError(
+            f"corrupt WAV: fact count {fact_frames} != data-derived {n_frames}"
+        )
+    return {
+        "container": container,
+        "codec": _WAV_TAGS[tag],
+        "channels": ch,
+        "sample_rate": sr,
+        "bits_per_sample": bits,
+        "n_frames": n_frames,
+        "byte_rate": br,
+        "n_meta": n_meta,
+        "checksum": None,
+    }
+
+
+def synth_flac_params(n: int) -> dict:
+    """Deterministic FLAC STREAMINFO parameters for a payload of ``n``
+    bytes — the closed form shared with the q_audio_meta oracle.
+    Sweeps: six sample rates (%6), the full 1-8 channel field (%8),
+    six bit depths (n//3 %6 — decoupled from the rate index), the
+    36-bit total-samples path (>2^33 on %9 — the field width a 100 TB
+    lake's long masters actually need), vorbis-comment count (%4),
+    a PADDING block (%5), and an APPLICATION block to skip (%13)."""
+    return {
+        "sample_rate": (8000, 16000, 22050, 44100, 48000, 96000)[n % 6],
+        "channels": 1 + n % 8,
+        "bits_per_sample": (8, 12, 16, 20, 24, 32)[(n // 3) % 6],
+        "total_samples": ((1 << 33) + n) if n % 9 == 0 else 1 + n % 100000,
+        "min_block": 4096,
+        "max_block": 4096 + 64 * (n % 7),
+        "min_frame": 100 + n % 1000,
+        "max_frame": 100 + n % 1000 + n % 5000,
+        "n_comments": n % 4,
+        "padding": n % 5 == 0,
+        "application": n % 13 == 0,
+    }
+
+
+def _flac_block(btype: int, body: bytes, last: bool) -> bytes:
+    return bytes([(0x80 if last else 0) | btype]) + len(body).to_bytes(3, "big") + body
+
+
+def _synth_flac(n: int) -> bytes:
+    """A REAL (spec-layout) FLAC metadata stream for the
+    :func:`synth_flac_params` of ``n``: the mandatory leading
+    STREAMINFO (34 bytes, bit-packed per the FLAC format spec §9.1),
+    then optional VORBIS_COMMENT (little-endian lengths — the
+    endianness contrast with the big-endian block headers is a real
+    parse path), PADDING, and APPLICATION blocks. No audio frames:
+    metadata fixture, same scope as :func:`_synth_mp4`."""
+    import hashlib
+
+    p = synth_flac_params(n)
+    v = p["min_block"]
+    v = (v << 16) | p["max_block"]
+    v = (v << 24) | p["min_frame"]
+    v = (v << 24) | p["max_frame"]
+    v = (v << 20) | p["sample_rate"]
+    v = (v << 3) | (p["channels"] - 1)
+    v = (v << 5) | (p["bits_per_sample"] - 1)
+    v = (v << 36) | p["total_samples"]
+    streaminfo = v.to_bytes(18, "big") + hashlib.md5(f"flac-{n}".encode()).digest()
+
+    blocks = []
+    if p["application"]:
+        blocks.append((2, b"apID" + b"\x00" * 8))
+    if p["n_comments"]:
+        vendor = b"synthflac"
+        body = struct.pack("<I", len(vendor)) + vendor
+        body += struct.pack("<I", p["n_comments"])
+        for i in range(p["n_comments"]):
+            c = f"k{i}=v{i}".encode()
+            body += struct.pack("<I", len(c)) + c
+        blocks.append((4, body))
+    if p["padding"]:
+        blocks.append((1, b"\x00" * 16))
+
+    out = b"fLaC" + _flac_block(0, streaminfo, last=not blocks)
+    for i, (btype, body) in enumerate(blocks):
+        out += _flac_block(btype, body, last=i == len(blocks) - 1)
+    return out
+
+
+def decode_flac_meta(payload: bytes) -> dict:
+    """Real FLAC METADATA decode — pure-Python bit unpack of the
+    mandatory leading STREAMINFO block plus a walk of the remaining
+    metadata blocks (vorbis comments counted, unknown types skipped
+    per spec), no codec library.
+
+    Integer/hex-string outputs only, so the DuckDB oracle replays the
+    md5 checksum with its own ``md5()``. Raises ``ValueError`` on
+    structural corruption (bad magic, STREAMINFO not first or not 34
+    bytes, block overrun, truncated comment vector, zero sample
+    rate)."""
+    import hashlib  # noqa: F401  (symmetry with the encoder; not used)
+
+    buf = bytes(payload)
+    if len(buf) < 8 or buf[:4] != b"fLaC":
+        raise ValueError("not a FLAC payload (no fLaC magic)")
+    pos = 4
+    first = True
+    info = None
+    n_comments = 0
+    n_blocks = 0
+    last = False
+    while not last:
+        if pos + 4 > len(buf):
+            raise ValueError("corrupt FLAC: truncated block header")
+        hdr = buf[pos]
+        last = bool(hdr & 0x80)
+        btype = hdr & 0x7F
+        size = int.from_bytes(buf[pos + 1 : pos + 4], "big")
+        body = pos + 4
+        if body + size > len(buf):
+            raise ValueError("corrupt FLAC: metadata block overruns the file")
+        if first:
+            if btype != 0 or size != 34:
+                raise ValueError(
+                    "corrupt FLAC: first block must be a 34-byte STREAMINFO"
+                )
+            v = int.from_bytes(buf[body : body + 18], "big")
+            total = v & ((1 << 36) - 1)
+            v >>= 36
+            bits = (v & 0x1F) + 1
+            v >>= 5
+            ch = (v & 0x7) + 1
+            v >>= 3
+            sr = v & ((1 << 20) - 1)
+            v >>= 20
+            max_frame = v & ((1 << 24) - 1)
+            v >>= 24
+            min_frame = v & ((1 << 24) - 1)
+            v >>= 24
+            max_block = v & 0xFFFF
+            min_block = v >> 16
+            if sr == 0:
+                raise ValueError("corrupt FLAC: zero sample rate")
+            info = {
+                "min_block": min_block,
+                "max_block": max_block,
+                "min_frame": min_frame,
+                "max_frame": max_frame,
+                "sample_rate": sr,
+                "channels": ch,
+                "bits_per_sample": bits,
+                "total_samples": total,
+                "checksum": buf[body + 18 : body + 34].hex(),
+            }
+            first = False
+        elif btype == 0:
+            raise ValueError("corrupt FLAC: duplicate STREAMINFO")
+        elif btype == 4:
+            if size < 8:
+                raise ValueError("corrupt FLAC: short vorbis comment block")
+            (vlen,) = struct.unpack_from("<I", buf, body)
+            cpos = body + 4 + vlen
+            if cpos + 4 > body + size:
+                raise ValueError("corrupt FLAC: truncated vendor string")
+            (cnt,) = struct.unpack_from("<I", buf, cpos)
+            cpos += 4
+            for _ in range(cnt):
+                if cpos + 4 > body + size:
+                    raise ValueError("corrupt FLAC: truncated comment vector")
+                (clen,) = struct.unpack_from("<I", buf, cpos)
+                cpos += 4 + clen
+            if cpos > body + size:
+                raise ValueError("corrupt FLAC: comment overruns its block")
+            n_comments = cnt
+        n_blocks += 1
+        pos = body + size
+    if info is None:
+        raise ValueError("corrupt FLAC: no metadata blocks")
+    info["n_comments"] = n_comments
+    info["n_blocks"] = n_blocks
+    return info
+
+
+AUDIO_META_SCHEMA = (
+    "doc_id bigint, container string, codec string, channels int, "
+    "sample_rate int, bits_per_sample int, n_frames bigint, "
+    "duration_ms bigint, byte_rate int, n_meta int, checksum string"
+)
+
+
+def decode_audio_meta(payload: bytes) -> dict:
+    """Unified audio metadata: dispatch on magic to the WAV or FLAC
+    parser and map both onto one schema (``AUDIO_META_SCHEMA`` minus
+    doc_id). ``byte_rate`` is NULL for FLAC (no fixed rate in a
+    variable-rate stream), ``checksum`` is NULL for WAV (RIFF carries
+    none); ``duration_ms`` is the exact integer
+    ``n_frames * 1000 // sample_rate`` on both paths."""
+    buf = bytes(payload)
+    if buf[:4] in (b"RIFF", b"RF64"):
+        m = decode_wav_meta(buf)
+    elif buf[:4] == b"fLaC":
+        f = decode_flac_meta(buf)
+        m = {
+            "container": "fLaC",
+            "codec": "flac",
+            "channels": f["channels"],
+            "sample_rate": f["sample_rate"],
+            "bits_per_sample": f["bits_per_sample"],
+            "n_frames": f["total_samples"],
+            "byte_rate": None,
+            "n_meta": f["n_comments"],
+            "checksum": f["checksum"],
+        }
+    else:
+        raise ValueError("not a recognized audio payload (RIFF/RF64/fLaC)")
+    m["duration_ms"] = m["n_frames"] * 1000 // m["sample_rate"]
+    return m
+
+
+def _audio_meta_frame(rows: list[tuple]) -> pd.DataFrame:
+    """One Arrow-safe frame for AUDIO_META_SCHEMA rows: nullable Int32
+    for the WAV-only byte_rate and object dtype for the FLAC-only
+    checksum, so an all-WAV or all-FLAC batch still carries the right
+    arrow types."""
+    cols = list(zip(*rows)) if rows else [[] for _ in range(11)]
+    return pd.DataFrame(
+        {
+            "doc_id": pd.array(cols[0], dtype="int64"),
+            "container": pd.array(cols[1], dtype="string"),
+            "codec": pd.array(cols[2], dtype="string"),
+            "channels": pd.array(cols[3], dtype="Int32"),
+            "sample_rate": pd.array(cols[4], dtype="Int32"),
+            "bits_per_sample": pd.array(cols[5], dtype="Int32"),
+            "n_frames": pd.array(cols[6], dtype="int64"),
+            "duration_ms": pd.array(cols[7], dtype="int64"),
+            "byte_rate": pd.array(cols[8], dtype="Int32"),
+            "n_meta": pd.array(cols[9], dtype="Int32"),
+            "checksum": pd.array(cols[10], dtype="string"),
+        }
+    )
+
+
+def extract_audio_meta(df: DataFrame) -> DataFrame:
+    """``mapInPandas`` audio metadata over (doc_id, payload: binary) —
+    the genuine-lake entry point, twin of :func:`extract_video_meta`.
+    Rows whose payload is not a parseable WAV/RF64/FLAC container are
+    DROPPED (row-wise degrade; NotImplementedError — a legal but
+    unsupported format tag — degrades the same way, never aborts the
+    sweep). Header-only: cost per blob is independent of blob size."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    m = decode_audio_meta(b"" if b is None else bytes(b))
+                except (ValueError, NotImplementedError, struct.error):
+                    continue
+                rows.append(
+                    (
+                        doc_id,
+                        m["container"],
+                        m["codec"],
+                        m["channels"],
+                        m["sample_rate"],
+                        m["bits_per_sample"],
+                        m["n_frames"],
+                        m["duration_ms"],
+                        m["byte_rate"],
+                        m["n_meta"],
+                        m["checksum"],
+                    )
+                )
+            yield _audio_meta_frame(rows)
+
+    return df.mapInPandas(batches, schema=AUDIO_META_SCHEMA)
+
+
+#: q_audio_meta's DuckDB oracle — the parameter closed form replayed in
+#: SQL (incl. the md5 checksum via DuckDB's own md5()). Kept as a module
+#: constant because the query's REGISTRATION is deferred to round 15 by
+#: the standing window-budgeting rule (registry.py: the round-14 driver
+#: window is exactly full); tests/test_llm.py runs the same differential
+#: compare the driver would.
+AUDIO_META_ORACLE = """
+    WITH t AS (
+        SELECT doc_id, strlen(text) AS n FROM documents WHERE text IS NOT NULL
+    ), p AS (
+        SELECT doc_id, n, n % 2 = 1 AS is_flac,
+               CASE WHEN n % 2 = 1
+                    THEN ([8000,16000,22050,44100,48000,96000])[1 + n % 6]
+                    ELSE ([8000,16000,22050,44100,48000])[1 + n % 5]
+               END AS sr,
+               CASE WHEN n % 2 = 1 THEN 1 + n % 8
+                    ELSE 1 + (n // 2) % 2 END AS ch,
+               CASE WHEN n % 2 = 1 THEN ([8,12,16,20,24,32])[1 + (n // 3) % 6]
+                    WHEN n % 3 = 0 THEN 32
+                    WHEN n % 4 = 0 THEN 16
+                    ELSE 24 END AS bits,
+               CASE WHEN n % 2 = 1
+                    THEN CASE WHEN n % 9 = 0 THEN 8589934592 + n
+                              ELSE 1 + n % 100000 END
+                    ELSE 1 + n % 480 END AS nf
+        FROM t
+    )
+    SELECT doc_id,
+           CASE WHEN is_flac THEN 'fLaC'
+                WHEN n % 11 = 0 THEN 'RF64' ELSE 'RIFF' END AS container,
+           CASE WHEN is_flac THEN 'flac'
+                WHEN n % 3 = 0 THEN 'float' ELSE 'pcm' END AS codec,
+           CAST(ch AS INT) AS channels,
+           CAST(sr AS INT) AS sample_rate,
+           CAST(bits AS INT) AS bits_per_sample,
+           CAST(nf AS BIGINT) AS n_frames,
+           CAST(nf * 1000 // sr AS BIGINT) AS duration_ms,
+           CAST(CASE WHEN is_flac THEN NULL
+                     ELSE sr * ch * (bits // 8) END AS INT) AS byte_rate,
+           CAST(CASE WHEN is_flac THEN n % 4
+                     WHEN n % 5 = 0 THEN 1 ELSE 0 END AS INT) AS n_meta,
+           CASE WHEN is_flac THEN md5('flac-' || CAST(n AS VARCHAR))
+                ELSE NULL END AS checksum
+    FROM p
+"""
+
+
+def q_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio metadata: per row, a REAL WAV/RF64 (even byte lengths) or
+    FLAC (odd byte lengths) container is synthesized from the
+    payload's byte length and the REAL parsers
+    (:func:`decode_wav_meta` / :func:`decode_flac_meta`) recover the
+    unified metadata row; ``AUDIO_META_ORACLE`` replays the parameter
+    closed form so the differential checks the parsers against an
+    independent computation — the audio twin of q_video_meta's recipe.
+    Map-only (no shuffle); on a genuine lake the same parsers run via
+    ``ingest_binary_dir -> extract_audio_meta``.
+
+    REGISTRATION DEFERRED to round 15 (window budgeting — see
+    registry.py's round-15 plan); oracle-checked in pytest meanwhile.
+    """
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    payloads = d.select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(bytes(b))
+                blob = _synth_flac(n) if n % 2 else _synth_wav(n)
+                m = decode_audio_meta(blob)
+                rows.append(
+                    (
+                        doc_id,
+                        m["container"],
+                        m["codec"],
+                        m["channels"],
+                        m["sample_rate"],
+                        m["bits_per_sample"],
+                        m["n_frames"],
+                        m["duration_ms"],
+                        m["byte_rate"],
+                        m["n_meta"],
+                        m["checksum"],
+                    )
+                )
+            yield _audio_meta_frame(rows)
+
+    return payloads.mapInPandas(batches, schema=AUDIO_META_SCHEMA)

@@ -373,3 +373,24 @@ def test_approx_stats_keeps_null_flag_group(spark, tmp_path):
     assert None in rows
     assert rows[None].exact_orders == 0
     assert rows[None].hll_within_tol is True
+
+
+def test_deferred_round15_queries_survive_hostile_data(spark, hostile_dir):
+    """q_audio_meta and q_url_dedup are implemented but their
+    registration is deferred to round 15 (window budgeting), so the
+    registry-driven sweep above cannot see them yet — run the same
+    mutated-fixture differential here. Audio pins the NULL-text scope
+    (filtered identically on both engines) and byte-length parity on
+    non-ASCII text; URL dedup is text-independent (n_chars/source) but
+    must ride the mutated fixture unchanged."""
+    from parquet_compactor_spark.llm.curation import (
+        URL_DEDUP_ORACLE,
+        q_url_dedup,
+    )
+    from parquet_compactor_spark.llm.multimodal import (
+        AUDIO_META_ORACLE,
+        q_audio_meta,
+    )
+
+    compare_to_oracle(q_audio_meta(spark, hostile_dir), AUDIO_META_ORACLE, hostile_dir)
+    compare_to_oracle(q_url_dedup(spark, hostile_dir), URL_DEDUP_ORACLE, hostile_dir)

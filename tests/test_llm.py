@@ -3394,3 +3394,273 @@ def test_dhash_and_resize_degenerate_shapes():
     up = resize_gray(one, 4, 4)
     assert up.shape == (4, 4) and (up == 200).all()
     assert resize_gray(strip, 1, 8).shape == (1, 8)
+
+
+def test_wav_walk_recovers_every_synth_parameter():
+    """The RIFF/WAVE parser against the synthetic encoder across the
+    residue classes that switch layout: PCM/float (%3), 16/24-bit PCM
+    (%4), mono/stereo (n//2), five rates (%5), EXTENSIBLE (%7), RF64
+    (%11), LIST/INFO + odd-size pad (%5), JUNK skip (%13). Pure
+    Python — no Spark session."""
+    from parquet_compactor_spark.llm.multimodal import (
+        _synth_wav,
+        decode_wav_meta,
+        synth_wav_params,
+    )
+
+    for n in list(range(0, 120)) + [154, 165, 231, 364, 462, 1001, 5005]:
+        p = synth_wav_params(n)
+        m = decode_wav_meta(_synth_wav(n))
+        assert m == {
+            "container": p["container"],
+            "codec": p["codec"],
+            "channels": p["channels"],
+            "sample_rate": p["sample_rate"],
+            "bits_per_sample": p["bits_per_sample"],
+            "n_frames": p["n_frames"],
+            "byte_rate": p["byte_rate"],
+            "n_meta": 1 if p["info_comment"] else 0,
+            "checksum": None,
+        }, n
+
+
+def test_flac_streaminfo_recovers_every_synth_parameter():
+    """The FLAC parser against the synthetic encoder: six rates (%6),
+    1-8 channels (%8), six bit depths (//3), the 36-bit total-samples
+    path (>2^33 on %9), comment count (%4), padding (%5), APPLICATION
+    skip (%13) — and the md5 replayed independently, the same way the
+    DuckDB oracle replays it with md5()."""
+    import hashlib
+
+    from parquet_compactor_spark.llm.multimodal import (
+        _synth_flac,
+        decode_flac_meta,
+        synth_flac_params,
+    )
+
+    for n in list(range(0, 120)) + [153, 260, 585, 1170, 99999]:
+        p = synth_flac_params(n)
+        m = decode_flac_meta(_synth_flac(n))
+        for k in (
+            "min_block",
+            "max_block",
+            "min_frame",
+            "max_frame",
+            "sample_rate",
+            "channels",
+            "bits_per_sample",
+            "total_samples",
+        ):
+            assert m[k] == p[k], (n, k)
+        assert m["n_comments"] == p["n_comments"], n
+        assert m["checksum"] == hashlib.md5(f"flac-{n}".encode()).hexdigest()
+        if n % 9 == 0:
+            assert m["total_samples"] >= (1 << 33)  # the 36-bit field path
+
+
+def test_audio_parsers_are_loud_on_corruption():
+    """Every corruption class raises (row-wise degrade at the extract
+    seam); legal-but-unsupported format tags raise NotImplementedError
+    (the image-decoder discipline)."""
+    import struct as _struct
+
+    import pytest as _pytest
+
+    from parquet_compactor_spark.llm.multimodal import (
+        _synth_flac,
+        _synth_wav,
+        decode_audio_meta,
+        decode_flac_meta,
+        decode_wav_meta,
+    )
+
+    wav = _synth_wav(24)  # RIFF, pcm 16-bit, no fact
+    with _pytest.raises(ValueError, match="not a RIFF"):
+        decode_wav_meta(b"plain text, no container")
+    with _pytest.raises(ValueError, match="not WAVE"):
+        decode_wav_meta(wav[:8] + b"AVI " + wav[12:])
+    # Truncate mid-chunk-header (trailing bytes past the RIFF size are
+    # legal and ignored, so truncation is the real header-split case).
+    dpos = wav.rindex(b"data")
+    with _pytest.raises(ValueError, match="truncated chunk header"):
+        decode_wav_meta(wav[: dpos + 5])
+    # Overrun: inflate the data chunk's size field past EOF.
+    bad = bytearray(wav)
+    bad[dpos + 4 : dpos + 8] = _struct.pack("<I", len(wav) * 2)
+    with _pytest.raises(ValueError, match="overruns"):
+        decode_wav_meta(bytes(bad))
+    # Unsupported format tag (MP3 = 0x0055) is loud but distinct.
+    bad = bytearray(wav)
+    fpos = wav.index(b"fmt ")
+    bad[fpos + 8 : fpos + 10] = _struct.pack("<H", 0x0055)
+    with _pytest.raises(NotImplementedError, match="format tag"):
+        decode_wav_meta(bytes(bad))
+    # Extensible with a mangled SubFormat GUID.
+    ext = _synth_wav(28)  # 28 % 7 == 0 -> EXTENSIBLE
+    fpos = ext.index(b"fmt ")
+    bad = bytearray(ext)
+    bad[fpos + 8 + 28] ^= 0xFF
+    with _pytest.raises(ValueError, match="GUID"):
+        decode_wav_meta(bytes(bad))
+    # fact/data frame-count disagreement (float file carries fact).
+    flt = _synth_wav(30)  # 30 % 3 == 0 -> float, has fact
+    fpos = flt.index(b"fact")
+    bad = bytearray(flt)
+    bad[fpos + 8 : fpos + 12] = _struct.pack("<I", 9999)
+    with _pytest.raises(ValueError, match="fact"):
+        decode_wav_meta(bytes(bad))
+    # Data size not frame-aligned: shave one byte off data and its size.
+    stereo = _synth_wav(26)  # block_align 6 (stereo 24-bit)
+    dpos = stereo.rindex(b"data")
+    (dsz,) = _struct.unpack_from("<I", stereo, dpos + 4)
+    bad = bytearray(stereo[:-1])
+    bad[dpos + 4 : dpos + 8] = _struct.pack("<I", dsz - 1)
+    with _pytest.raises(ValueError, match="frame-aligned"):
+        decode_wav_meta(bytes(bad))
+    # RF64 whose first chunk is not ds64.
+    rf64 = _synth_wav(33)  # 33 % 11 == 0 -> RF64
+    ds64 = rf64.index(b"ds64")
+    with _pytest.raises(ValueError, match="ds64"):
+        decode_wav_meta(rf64[:ds64] + rf64[ds64 + 36 :])
+    # byte-rate/block-align cross-check.
+    bad = bytearray(wav)
+    fpos = wav.index(b"fmt ")
+    bad[fpos + 12 : fpos + 16] = _struct.pack("<I", 1)
+    with _pytest.raises(ValueError, match="disagree"):
+        decode_wav_meta(bytes(bad))
+
+    flac = _synth_flac(7)
+    with _pytest.raises(ValueError, match="fLaC"):
+        decode_flac_meta(b"OggS this is not flac")
+    with _pytest.raises(ValueError, match="STREAMINFO"):
+        decode_flac_meta(b"fLaC" + b"\x81\x00\x00\x10" + b"\x00" * 16)
+    with _pytest.raises(ValueError, match="overruns"):
+        decode_flac_meta(flac[:20])
+    # Zero sample rate in STREAMINFO (bits 80..99 of the packed int).
+    bad = bytearray(flac)
+    v = int.from_bytes(bad[8:26], "big")
+    v &= ~(((1 << 20) - 1) << 44)  # sr field sits above ch(3)+bits(5)+total(36)
+    bad[8:26] = v.to_bytes(18, "big")
+    with _pytest.raises(ValueError, match="zero sample rate"):
+        decode_flac_meta(bytes(bad))
+    # Truncated comment vector: lie about the comment count.
+    flac_c = _synth_flac(3)  # 3 % 4 == 3 comments
+    vc = flac_c.index(b"synthflac") - 4
+    bad = bytearray(flac_c)
+    cnt_pos = vc + 4 + 9
+    bad[cnt_pos : cnt_pos + 4] = _struct.pack("<I", 99)
+    with _pytest.raises(ValueError, match="comment"):
+        decode_flac_meta(bytes(bad))
+    # Unified dispatch: unknown magic.
+    with _pytest.raises(ValueError, match="recognized audio"):
+        decode_audio_meta(b"\x89PNG\r\n\x1a\n not audio")
+
+
+def test_extract_audio_meta_drops_corrupt_rows_not_the_job(spark):
+    """The genuine-lake seam: WAV + FLAC + garbage + a truncated blob +
+    NULL in one frame yields metadata for exactly the parseable rows."""
+    from parquet_compactor_spark.llm.multimodal import (
+        _synth_flac,
+        _synth_wav,
+        extract_audio_meta,
+    )
+
+    rows = [
+        (1, bytearray(_synth_wav(100))),
+        (2, bytearray(b"not audio at all")),
+        (3, bytearray(_synth_flac(101))),
+        (4, bytearray(_synth_wav(100)[:20])),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    out = {r.doc_id: r for r in extract_audio_meta(df).collect()}
+    assert set(out) == {1, 3}
+    assert out[1].codec == "pcm" and out[1].container == "RIFF"
+    assert out[1].checksum is None and out[1].byte_rate is not None
+    assert out[3].codec == "flac" and out[3].byte_rate is None
+    assert out[3].n_meta == 101 % 4 and len(out[3].checksum) == 32
+
+
+def test_q_audio_meta_matches_oracle_before_registration(spark):
+    """q_audio_meta's registration is deferred to round 15 (window
+    budgeting), so run the driver-identical differential here: Spark
+    parses REAL synthesized WAV/RF64/FLAC containers, DuckDB replays
+    the parameter closed form (incl. md5)."""
+    from parquet_compactor_spark.llm.multimodal import (
+        AUDIO_META_ORACLE,
+        q_audio_meta,
+    )
+    from tests.oracle_utils import compare_to_oracle
+
+    compare_to_oracle(
+        q_audio_meta(spark, "/root/testdata/sf0.001"),
+        AUDIO_META_ORACLE,
+        "/root/testdata/sf0.001",
+    )
+
+
+def test_canonical_url_collapses_messy_variants(spark):
+    """canonical_url: equal canonical-relevant params (n) with different
+    messiness (m — casing, default port, trailing slash, tracking
+    params, param order, fragment) MUST collapse to one canonical key;
+    different n must not. Also pins the individual rules."""
+    import pyspark.sql.functions as F
+
+    from parquet_compactor_spark.llm.curation import (
+        canonical_url,
+        synth_messy_url,
+    )
+
+    rows = [(n, m, "srcX") for n in (10, 11, 55, 60) for m in range(12)]
+    df = spark.createDataFrame(rows, "n bigint, m bigint, source string")
+    out = df.select(
+        "n",
+        "m",
+        synth_messy_url(F.col("n"), F.col("m"), F.col("source")).alias("raw"),
+        canonical_url(
+            synth_messy_url(F.col("n"), F.col("m"), F.col("source"))
+        ).alias("canon"),
+    ).collect()
+    by_n = {}
+    raws = set()
+    for r in out:
+        by_n.setdefault(r.n, set()).add(r.canon)
+        raws.add(r.raw)
+    assert len(raws) > len(by_n), "messy variants should differ raw-wise"
+    for n, canons in by_n.items():
+        assert len(canons) == 1, (n, canons)
+    assert len({next(iter(c)) for c in by_n.values()}) == 4
+    assert by_n[10] == {"http://srcx.example.org/articles/10?id=10&page=3"}
+    assert by_n[55] == {  # %5 -> http, %11 -> :8080 survives
+        "http://srcx.example.org:8080/articles/55?id=55"
+    }
+    # Direct rule pins: default port + sort + fragment + root path.
+    direct = spark.createDataFrame(
+        [
+            ("HTTPS://A.Example.ORG:443/x/?utm_source=f&b=2&a=1#frag",),
+            ("http://a.example.org:80",),
+        ],
+        "u string",
+    )
+    got = [r.c for r in direct.select(canonical_url(F.col("u")).alias("c")).collect()]
+    assert got == [
+        "https://a.example.org/x?a=1&b=2",
+        "http://a.example.org/",
+    ]
+
+
+def test_q_url_dedup_matches_oracle_before_registration(spark):
+    """q_url_dedup's registration is deferred to round 15 (window
+    budgeting); run the driver-identical differential now — Spark
+    canonicalizes via REAL parse_url, DuckDB replays the canonical
+    closed form directly from the synth parameters — and require the
+    fixture to contain genuine collapses (is_kept = false rows)."""
+    from parquet_compactor_spark.llm.curation import (
+        URL_DEDUP_ORACLE,
+        q_url_dedup,
+    )
+    from tests.oracle_utils import compare_to_oracle
+
+    df = q_url_dedup(spark, "/root/testdata/sf0.001")
+    compare_to_oracle(df, URL_DEDUP_ORACLE, "/root/testdata/sf0.001")
+    assert df.filter("NOT is_kept").count() > 0
