@@ -3664,3 +3664,51 @@ def test_q_url_dedup_matches_oracle_before_registration(spark):
     df = q_url_dedup(spark, "/root/testdata/sf0.001")
     compare_to_oracle(df, URL_DEDUP_ORACLE, "/root/testdata/sf0.001")
     assert df.filter("NOT is_kept").count() > 0
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.one_of(
+        st.binary(max_size=200),
+        st.tuples(
+            st.integers(0, 500),
+            st.integers(0, 199),
+            st.integers(0, 255),
+        ).map(
+            lambda t: _mutate_container(*t)
+        ),
+    )
+)
+def test_audio_and_video_decoders_never_leak_raw_exceptions(payload):
+    """Fuzz the metadata parsers' exception CONTRACT: on arbitrary bytes
+    and on single-byte mutations of valid containers, every decoder
+    either returns a dict or raises exactly ValueError /
+    NotImplementedError — never IndexError/struct.error/OverflowError,
+    which would escape the extract seams' row-wise degrade and abort a
+    100 TB sweep."""
+    from parquet_compactor_spark.llm.multimodal import (
+        decode_audio_meta,
+        decode_flac_meta,
+        decode_mp4_meta,
+        decode_wav_meta,
+    )
+
+    for dec in (decode_audio_meta, decode_wav_meta, decode_flac_meta, decode_mp4_meta):
+        try:
+            out = dec(payload)
+            assert isinstance(out, dict)
+        except (ValueError, NotImplementedError):
+            pass
+
+
+def _mutate_container(n, pos, val):
+    """A valid WAV/FLAC/MP4 container (cycled by n) with one byte forced."""
+    from parquet_compactor_spark.llm.multimodal import (
+        _synth_flac,
+        _synth_mp4,
+        _synth_wav,
+    )
+
+    blob = bytearray((_synth_wav, _synth_flac, _synth_mp4)[n % 3](n))
+    blob[pos % len(blob)] = val
+    return bytes(blob)

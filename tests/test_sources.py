@@ -1349,3 +1349,41 @@ def test_overwrite_sweep_reclaims_stale_tmp_directory(spark, tmp_path):
 
     write_avro_fallback(df.limit(3).repartition(1), str(out), mode="overwrite")
     assert not stale_dir.exists()
+
+
+def test_binary_audio_lake_end_to_end(spark, tmp_path):
+    """Genuine audio lake: WAV/RF64/FLAC files on disk → binaryFile
+    ingest → extract_audio_meta, with a non-audio file dropped row-wise
+    (the full path a real deployment runs; the oracle-checked
+    q_audio_meta covers the same parsers on synthesized payloads)."""
+    from parquet_compactor_spark.llm.multimodal import (
+        _synth_flac,
+        _synth_wav,
+        extract_audio_meta,
+        ingest_binary_dir,
+        synth_flac_params,
+        synth_wav_params,
+    )
+
+    (tmp_path / "a_pcm.wav").write_bytes(_synth_wav(26))
+    (tmp_path / "b_rf64.wav").write_bytes(_synth_wav(33))  # %11 -> RF64
+    (tmp_path / "c.flac").write_bytes(_synth_flac(45))  # %9 -> 36-bit total
+    (tmp_path / "d_not_audio.bin").write_bytes(b"\x89PNG\r\n\x1a\n junk")
+
+    docs = ingest_binary_dir(spark, str(tmp_path))
+    meta = extract_audio_meta(docs.select("doc_id", "payload"))
+    rows = meta.join(
+        docs.select("doc_id", "source_path"), "doc_id"
+    ).collect()
+    by_name = {r.source_path.rsplit("/", 1)[-1]: r for r in rows}
+    assert set(by_name) == {"a_pcm.wav", "b_rf64.wav", "c.flac"}
+    assert by_name["a_pcm.wav"].container == "RIFF"
+    assert by_name["a_pcm.wav"].codec == "pcm"
+    assert by_name["b_rf64.wav"].container == "RF64"
+    assert by_name["b_rf64.wav"].n_frames == synth_wav_params(33)["n_frames"]
+    p45 = synth_flac_params(45)
+    assert by_name["c.flac"].n_frames == p45["total_samples"] >= (1 << 33)
+    assert (
+        by_name["c.flac"].duration_ms
+        == p45["total_samples"] * 1000 // p45["sample_rate"]
+    )
