@@ -2398,3 +2398,282 @@ def q_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield _audio_meta_frame(rows)
 
     return payloads.mapInPandas(batches, schema=AUDIO_META_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Subtitle / caption tracks: SRT (SubRip) + WebVTT cue metadata — the text
+# side of a video lake (alignment budgeting, caption dedup keys, CPS QA).
+# --------------------------------------------------------------------------
+
+import re as _re
+
+#: One timecode grammar serves both formats: SRT separates millis with
+#: a comma, WebVTT with a dot; WebVTT also allows the hours field to be
+#: omitted. Groups: h (optional), m, s, ms.
+_CUE_TIME_RE = _re.compile(
+    r"^(?:(\d{1,2}):)?(\d{2}):(\d{2})[,.](\d{3})$"
+)
+
+#: Fixed-length per-cue text (16 chars) so the DuckDB oracle's char
+#: arithmetic is a closed form: 'subtitle text ' + one letter + '.'.
+_SUB_TEXT_CHARS = 16
+
+
+def synth_subtitle_params(n: int) -> dict:
+    """Deterministic subtitle-track parameters for a payload of ``n``
+    bytes — the closed form shared with q_subtitle_meta's oracle.
+    Sweeps: SRT vs WebVTT (%2), cue count (%12), a start offset (%500),
+    cue duration (%7), and (in :func:`_synth_subtitles`) WebVTT's
+    optional cue identifiers (%3) and hour-less timecodes (%5)."""
+    return {
+        "format": "vtt" if n % 2 else "srt",
+        "n_cues": 1 + n % 12,
+        "start_offset_ms": n % 500,
+        "cue_ms": 800 + 100 * (n % 7),
+        "gap_ms": 2000,
+    }
+
+
+def _fmt_timecode(ms: int, vtt: bool, drop_hours: bool) -> str:
+    h, rest = divmod(ms, 3600000)
+    m, rest = divmod(rest, 60000)
+    s, milli = divmod(rest, 1000)
+    sep = "." if vtt else ","
+    if vtt and drop_hours and h == 0:
+        return f"{m:02d}:{s:02d}{sep}{milli:03d}"
+    return f"{h:02d}:{m:02d}:{s:02d}{sep}{milli:03d}"
+
+
+def _synth_subtitles(n: int) -> str:
+    """A REAL (spec-layout) SRT or WebVTT document for the
+    :func:`synth_subtitle_params` of ``n``: numbered cues (SRT always;
+    WebVTT on the %3 residue — cue ids are optional there), timecode
+    lines, one fixed-length text line each, blank-line separated."""
+    p = synth_subtitle_params(n)
+    vtt = p["format"] == "vtt"
+    drop_hours = vtt and n % 5 == 0
+    out = ["WEBVTT", ""] if vtt else []
+    for i in range(p["n_cues"]):
+        start = p["start_offset_ms"] + i * p["gap_ms"]
+        end = start + p["cue_ms"]
+        if not vtt or n % 3 == 0:
+            out.append(str(i + 1))
+        arrow = (
+            f"{_fmt_timecode(start, vtt, drop_hours)} --> "
+            f"{_fmt_timecode(end, vtt, drop_hours)}"
+        )
+        out.append(arrow)
+        out.append(f"subtitle text {chr(97 + i % 26)}.")
+        out.append("")
+    return "\n".join(out)
+
+
+def _parse_timecode(tc: str) -> int:
+    m = _CUE_TIME_RE.match(tc.strip())
+    if m is None:
+        raise ValueError(f"malformed subtitle timecode: {tc!r}")
+    h, mi, s, ms = m.groups()
+    return (
+        (int(h) if h else 0) * 3600000 + int(mi) * 60000 + int(s) * 1000 + int(ms)
+    )
+
+
+def parse_subtitles(payload: str) -> dict:
+    """Real SRT/WebVTT METADATA parse — cue count, first start / last
+    end, summed cue duration, summed text chars — integer outputs only
+    (DuckDB-replayable). Format is detected by the WEBVTT header;
+    otherwise SubRip is assumed. Cue ids are optional (WebVTT) or
+    required-numeric (SRT: a cue whose first line is not its index is
+    malformed). Raises ``ValueError`` on structural corruption: a
+    malformed timecode line, end before start, a cue with no text, or
+    an out-of-order cue (starts must be non-decreasing) — so the
+    extract seam can degrade row-wise, same discipline as the binary
+    decoders."""
+    text = str(payload).replace("\r\n", "\n").replace("\r", "\n")
+    lines = text.split("\n")
+    vtt = bool(lines) and lines[0].strip().startswith("WEBVTT")
+    body = lines[1:] if vtt else lines
+
+    # Split into blank-line-separated cue blocks.
+    blocks: list[list[str]] = []
+    cur: list[str] = []
+    for ln in body:
+        if ln.strip() == "":
+            if cur:
+                blocks.append(cur)
+                cur = []
+        else:
+            cur.append(ln)
+    if cur:
+        blocks.append(cur)
+    if not blocks:
+        raise ValueError("subtitle document has no cues")
+
+    n_cues = total_ms = total_chars = 0
+    first_start = last_end = None
+    prev_start = -1
+    expected_idx = 1
+    for blk in blocks:
+        rows = list(blk)
+        if "-->" not in rows[0]:
+            ident = rows.pop(0).strip()
+            if not vtt:
+                if not ident.isdigit() or int(ident) != expected_idx:
+                    raise ValueError(
+                        f"malformed SRT cue index: {ident!r} "
+                        f"(expected {expected_idx})"
+                    )
+            if not rows:
+                raise ValueError("subtitle cue is missing its timecode line")
+        if "-->" not in rows[0]:
+            raise ValueError(
+                f"subtitle cue is missing its timecode line: {rows[0]!r}"
+            )
+        tc_parts = rows[0].split("-->")
+        if len(tc_parts) != 2:
+            raise ValueError(f"malformed cue timing line: {rows[0]!r}")
+        # WebVTT allows settings after the end timecode; take token 1.
+        start = _parse_timecode(tc_parts[0])
+        end = _parse_timecode(tc_parts[1].strip().split(" ")[0])
+        if end < start:
+            raise ValueError(f"subtitle cue ends before it starts: {rows[0]!r}")
+        if start < prev_start:
+            raise ValueError("subtitle cues are out of order")
+        cue_text = rows[1:]
+        if not cue_text:
+            raise ValueError("subtitle cue has no text lines")
+        n_cues += 1
+        expected_idx += 1
+        prev_start = start
+        total_ms += end - start
+        total_chars += sum(len(t) for t in cue_text)
+        if first_start is None:
+            first_start = start
+        last_end = end
+    return {
+        "format": "vtt" if vtt else "srt",
+        "n_cues": n_cues,
+        "first_start_ms": first_start,
+        "last_end_ms": last_end,
+        "total_cue_ms": total_ms,
+        "total_chars": total_chars,
+    }
+
+
+SUBTITLE_META_SCHEMA = (
+    "doc_id bigint, format string, n_cues int, first_start_ms bigint, "
+    "last_end_ms bigint, total_cue_ms bigint, total_chars bigint"
+)
+
+
+def extract_subtitle_meta(df: DataFrame) -> DataFrame:
+    """``mapInPandas`` subtitle metadata over (doc_id, payload: string)
+    — the genuine-lake seam for caption sidecar files (ingest the .srt/
+    .vtt blobs, decode utf-8, route here). Unparseable rows are DROPPED
+    (row-wise degrade, the extract_video_meta discipline)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, s in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    m = parse_subtitles("" if s is None else str(s))
+                except ValueError:
+                    continue
+                rows.append(
+                    (
+                        doc_id,
+                        m["format"],
+                        m["n_cues"],
+                        m["first_start_ms"],
+                        m["last_end_ms"],
+                        m["total_cue_ms"],
+                        m["total_chars"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "format",
+                    "n_cues",
+                    "first_start_ms",
+                    "last_end_ms",
+                    "total_cue_ms",
+                    "total_chars",
+                ],
+            )
+
+    return df.mapInPandas(batches, schema=SUBTITLE_META_SCHEMA)
+
+
+#: q_subtitle_meta's DuckDB oracle — the parameter closed form.
+#: Registration deferred to round 15 with q_audio_meta / q_url_dedup
+#: (window budgeting — registry.py); pytest runs the differential.
+SUBTITLE_META_ORACLE = """
+    WITH p AS (
+        SELECT doc_id, strlen(text) AS n,
+               1 + strlen(text) % 12 AS n_cues,
+               strlen(text) % 500 AS off,
+               800 + 100 * (strlen(text) % 7) AS cue_ms
+        FROM documents WHERE text IS NOT NULL
+    )
+    SELECT doc_id,
+           CASE WHEN n % 2 = 1 THEN 'vtt' ELSE 'srt' END AS format,
+           CAST(n_cues AS INT) AS n_cues,
+           CAST(off AS BIGINT) AS first_start_ms,
+           CAST(off + (n_cues - 1) * 2000 + cue_ms AS BIGINT) AS last_end_ms,
+           CAST(n_cues * cue_ms AS BIGINT) AS total_cue_ms,
+           CAST(n_cues * 16 AS BIGINT) AS total_chars
+    FROM p
+"""
+
+
+def q_subtitle_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subtitle-track metadata: per row, a REAL SRT (even byte lengths)
+    or WebVTT (odd) caption document is synthesized from the payload's
+    byte length and the REAL parser (:func:`parse_subtitles`) recovers
+    cue count, span, summed cue time, and text chars; the oracle
+    replays the closed form — the caption twin of q_video_meta. Map-
+    only (no shuffle); on a genuine lake the same parser runs via
+    ``ingest_binary_dir -> decode -> extract_subtitle_meta``.
+
+    REGISTRATION DEFERRED to round 15 (window budgeting — see
+    registry.py's round-15 plan); oracle-checked in pytest meanwhile.
+    """
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    payloads = d.select(
+        "doc_id",
+        F.length(F.encode(F.col("text"), "utf-8")).alias("n"),
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, n in zip(pdf["doc_id"], pdf["n"]):
+                m = parse_subtitles(_synth_subtitles(int(n)))
+                rows.append(
+                    (
+                        doc_id,
+                        m["format"],
+                        m["n_cues"],
+                        m["first_start_ms"],
+                        m["last_end_ms"],
+                        m["total_cue_ms"],
+                        m["total_chars"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "format",
+                    "n_cues",
+                    "first_start_ms",
+                    "last_end_ms",
+                    "total_cue_ms",
+                    "total_chars",
+                ],
+            )
+
+    return payloads.mapInPandas(batches, schema=SUBTITLE_META_SCHEMA)

@@ -376,7 +376,7 @@ def test_approx_stats_keeps_null_flag_group(spark, tmp_path):
 
 
 def test_deferred_round15_queries_survive_hostile_data(spark, hostile_dir):
-    """q_audio_meta and q_url_dedup are implemented but their
+    """q_audio_meta, q_url_dedup, and q_subtitle_meta are implemented but their
     registration is deferred to round 15 (window budgeting), so the
     registry-driven sweep above cannot see them yet — run the same
     mutated-fixture differential here. Audio pins the NULL-text scope
@@ -392,5 +392,13 @@ def test_deferred_round15_queries_survive_hostile_data(spark, hostile_dir):
         q_audio_meta,
     )
 
+    from parquet_compactor_spark.llm.multimodal import (
+        SUBTITLE_META_ORACLE,
+        q_subtitle_meta,
+    )
+
     compare_to_oracle(q_audio_meta(spark, hostile_dir), AUDIO_META_ORACLE, hostile_dir)
     compare_to_oracle(q_url_dedup(spark, hostile_dir), URL_DEDUP_ORACLE, hostile_dir)
+    compare_to_oracle(
+        q_subtitle_meta(spark, hostile_dir), SUBTITLE_META_ORACLE, hostile_dir
+    )

@@ -3712,3 +3712,103 @@ def _mutate_container(n, pos, val):
     blob = bytearray((_synth_wav, _synth_flac, _synth_mp4)[n % 3](n))
     blob[pos % len(blob)] = val
     return bytes(blob)
+
+
+def test_subtitle_parser_recovers_every_synth_parameter():
+    """SRT/WebVTT parser vs the synthetic encoder across the layout
+    residues: format (%2), cue count (%12), start offset (%500), cue
+    duration (%7), WebVTT optional cue ids (%3) and hour-less
+    timecodes (%5). Pure Python — no Spark session."""
+    from parquet_compactor_spark.llm.multimodal import (
+        _synth_subtitles,
+        parse_subtitles,
+        synth_subtitle_params,
+    )
+
+    for n in list(range(0, 130)) + [500, 501, 4999]:
+        p = synth_subtitle_params(n)
+        m = parse_subtitles(_synth_subtitles(n))
+        assert m == {
+            "format": p["format"],
+            "n_cues": p["n_cues"],
+            "first_start_ms": p["start_offset_ms"],
+            "last_end_ms": p["start_offset_ms"]
+            + (p["n_cues"] - 1) * p["gap_ms"]
+            + p["cue_ms"],
+            "total_cue_ms": p["n_cues"] * p["cue_ms"],
+            "total_chars": 16 * p["n_cues"],
+        }, n
+
+
+def test_subtitle_parser_is_loud_on_malformed_cues():
+    """Each malformation class raises ValueError: empty doc, bad
+    timecode, end-before-start, wrong SRT index, out-of-order cues,
+    a cue with no text. CRLF input and WebVTT cue settings parse."""
+    import pytest as _pytest
+
+    from parquet_compactor_spark.llm.multimodal import parse_subtitles
+
+    with _pytest.raises(ValueError, match="no cues"):
+        parse_subtitles("")
+    with _pytest.raises(ValueError, match="timecode"):
+        parse_subtitles("1\n00:00:01,000 --> nonsense\nhello\n")
+    with _pytest.raises(ValueError, match="ends before"):
+        parse_subtitles("1\n00:00:05,000 --> 00:00:01,000\nhello\n")
+    with _pytest.raises(ValueError, match="index"):
+        parse_subtitles("7\n00:00:01,000 --> 00:00:02,000\nhello\n")
+    with _pytest.raises(ValueError, match="out of order"):
+        parse_subtitles(
+            "1\n00:01:00,000 --> 00:01:01,000\na\n\n"
+            "2\n00:00:00,000 --> 00:00:01,000\nb\n"
+        )
+    with _pytest.raises(ValueError, match="no text"):
+        parse_subtitles("1\n00:00:01,000 --> 00:00:02,000\n")
+    # CRLF + VTT settings after the end timecode are legal.
+    m = parse_subtitles(
+        "WEBVTT\r\n\r\n00:01.000 --> 00:02.000 align:start\r\nhi\r\n"
+    )
+    assert m == {
+        "format": "vtt",
+        "n_cues": 1,
+        "first_start_ms": 1000,
+        "last_end_ms": 2000,
+        "total_cue_ms": 1000,
+        "total_chars": 2,
+    }
+
+
+def test_extract_subtitle_meta_drops_malformed_rows(spark):
+    """The caption lake seam: parseable SRT + VTT rows survive, a
+    malformed one and a NULL drop row-wise."""
+    from parquet_compactor_spark.llm.multimodal import (
+        _synth_subtitles,
+        extract_subtitle_meta,
+    )
+
+    rows = [
+        (1, _synth_subtitles(10)),
+        (2, "1\n00:00:01,000 --> broken\nx\n"),
+        (3, _synth_subtitles(11)),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, payload string")
+    out = {r.doc_id: r for r in extract_subtitle_meta(df).collect()}
+    assert set(out) == {1, 3}
+    assert out[1].format == "srt" and out[3].format == "vtt"
+    assert out[1].n_cues == 11 and out[3].n_cues == 12
+
+
+def test_q_subtitle_meta_matches_oracle_before_registration(spark):
+    """Deferred-registration differential (round-15 slot), driver-
+    identical compare at sf0.001."""
+    from parquet_compactor_spark.llm.multimodal import (
+        SUBTITLE_META_ORACLE,
+        q_subtitle_meta,
+    )
+    from tests.oracle_utils import compare_to_oracle
+
+    compare_to_oracle(
+        q_subtitle_meta(spark, "/root/testdata/sf0.001"),
+        SUBTITLE_META_ORACLE,
+        "/root/testdata/sf0.001",
+    )
