@@ -2955,7 +2955,7 @@ URL_DEDUP_ORACLE = """
         SELECT doc_id, n_chars AS n,
                CASE WHEN n_chars % 5 = 0 THEN 'http' ELSE 'https' END
                    AS scheme,
-               source || '.example.org' AS host,
+               lower(source) || '.example.org' AS host,
                CASE WHEN n_chars % 11 = 0 THEN ':8080' ELSE '' END AS port,
                '/articles/' || CAST(n_chars % 100 AS VARCHAR) AS path,
                'id=' || CAST(n_chars AS VARCHAR) ||

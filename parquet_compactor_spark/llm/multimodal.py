@@ -2029,7 +2029,10 @@ def decode_wav_meta(payload: bytes) -> dict:
     if is_rf64:
         if ds64 is None:
             raise ValueError("corrupt RF64: missing ds64 chunk")
-        if ds64[2] != n_frames:
+        # EBU Tech 3306: ds64's sampleCount mirrors the fact chunk and
+        # real PCM RF64 writers commonly emit 0 there — cross-check only
+        # a non-zero count.
+        if ds64[2] != 0 and ds64[2] != n_frames:
             raise ValueError(
                 f"corrupt RF64: ds64 sample count {ds64[2]} != data-derived {n_frames}"
             )
@@ -2129,8 +2132,6 @@ def decode_flac_meta(payload: bytes) -> dict:
     structural corruption (bad magic, STREAMINFO not first or not 34
     bytes, block overrun, truncated comment vector, zero sample
     rate)."""
-    import hashlib  # noqa: F401  (symmetry with the encoder; not used)
-
     buf = bytes(payload)
     if len(buf) < 8 or buf[:4] != b"fLaC":
         raise ValueError("not a FLAC payload (no fLaC magic)")
@@ -2369,15 +2370,18 @@ def q_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     registry.py's round-15 plan); oracle-checked in pytest meanwhile.
     """
     d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    # Only the payload's byte LENGTH parameterizes the synth container,
+    # so ship 8 bytes per row through Arrow, not the whole document body
+    # (same cheap form as q_subtitle_meta).
     payloads = d.select(
-        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+        "doc_id", F.length(F.encode(F.col("text"), "utf-8")).alias("n")
     )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
-            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
-                n = len(bytes(b))
+            for doc_id, n in zip(pdf["doc_id"], pdf["n"]):
+                n = int(n)
                 blob = _synth_flac(n) if n % 2 else _synth_wav(n)
                 m = decode_audio_meta(blob)
                 rows.append(
@@ -2410,8 +2414,11 @@ import re as _re
 #: One timecode grammar serves both formats: SRT separates millis with
 #: a comma, WebVTT with a dot; WebVTT also allows the hours field to be
 #: omitted. Groups: h (optional), m, s, ms.
+#: Hours are 1+ digits: WebVTT's grammar says "two or more" and long
+#: lecture/stream captions legitimately pass 99 hours (bounded at 6
+#: digits to keep the ms arithmetic comfortably in int64).
 _CUE_TIME_RE = _re.compile(
-    r"^(?:(\d{1,2}):)?(\d{2}):(\d{2})[,.](\d{3})$"
+    r"^(?:(\d{1,6}):)?(\d{2}):(\d{2})[,.](\d{3})$"
 )
 
 #: Fixed-length per-cue text (16 chars) so the DuckDB oracle's char
@@ -2493,6 +2500,14 @@ def parse_subtitles(payload: str) -> dict:
     lines = text.split("\n")
     vtt = bool(lines) and lines[0].strip().startswith("WEBVTT")
     body = lines[1:] if vtt else lines
+    if vtt:
+        # WebVTT header metadata ("Kind: captions", "Language: en", …)
+        # continues on the lines after the WEBVTT signature until the
+        # first blank line — drop it so it is never mistaken for a cue.
+        i = 0
+        while i < len(body) and body[i].strip() != "":
+            i += 1
+        body = body[i:]
 
     # Split into blank-line-separated cue blocks.
     blocks: list[list[str]] = []
@@ -2506,6 +2521,14 @@ def parse_subtitles(payload: str) -> dict:
             cur.append(ln)
     if cur:
         blocks.append(cur)
+    if vtt:
+        # NOTE / STYLE / REGION blocks are spec-legal non-cue blocks —
+        # skip them instead of misreading their first line as a cue id.
+        blocks = [
+            b
+            for b in blocks
+            if not _re.match(r"^(NOTE|STYLE|REGION)\b", b[0].strip())
+        ]
     if not blocks:
         raise ValueError("subtitle document has no cues")
 

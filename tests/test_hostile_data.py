@@ -389,11 +389,8 @@ def test_deferred_round15_queries_survive_hostile_data(spark, hostile_dir):
     )
     from parquet_compactor_spark.llm.multimodal import (
         AUDIO_META_ORACLE,
-        q_audio_meta,
-    )
-
-    from parquet_compactor_spark.llm.multimodal import (
         SUBTITLE_META_ORACLE,
+        q_audio_meta,
         q_subtitle_meta,
     )
 

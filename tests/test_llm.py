@@ -3474,7 +3474,7 @@ def test_audio_parsers_are_loud_on_corruption():
         decode_wav_meta,
     )
 
-    wav = _synth_wav(24)  # RIFF, pcm 16-bit, no fact
+    wav = _synth_wav(26)  # 26 % 3 != 0, % 5 != 0: RIFF, pcm 16-bit, no fact
     with _pytest.raises(ValueError, match="not a RIFF"):
         decode_wav_meta(b"plain text, no container")
     with _pytest.raises(ValueError, match="not WAVE"):
@@ -3775,6 +3775,58 @@ def test_subtitle_parser_is_loud_on_malformed_cues():
         "total_cue_ms": 1000,
         "total_chars": 2,
     }
+
+
+def test_subtitle_parser_accepts_spec_legal_vtt_constructs():
+    """Legal WebVTT that is NOT cue-only parses instead of being
+    dropped at the extract seam: header metadata lines after the
+    signature (Kind:/Language:), NOTE/STYLE/REGION blocks, and
+    100+-hour timecodes (the VTT grammar says 'two or more' hour
+    digits)."""
+    from parquet_compactor_spark.llm.multimodal import parse_subtitles
+
+    m = parse_subtitles(
+        "WEBVTT\nKind: captions\nLanguage: en\n\n"
+        "NOTE copyright 2026\n\n"
+        "STYLE\n::cue { color: lime }\n\n"
+        "REGION\nid:bill width:40%\n\n"
+        "00:01.000 --> 00:02.000\nhi\n"
+    )
+    assert m["format"] == "vtt" and m["n_cues"] == 1
+    assert m["first_start_ms"] == 1000 and m["last_end_ms"] == 2000
+    m = parse_subtitles(
+        "WEBVTT\n\n100:00:01.000 --> 100:00:02.000\nlate\n"
+    )
+    assert m["first_start_ms"] == 100 * 3_600_000 + 1000
+    assert m["last_end_ms"] == 100 * 3_600_000 + 2000
+
+
+def test_rf64_ds64_zero_sample_count_is_legal():
+    """EBU Tech 3306: ds64's sampleCount mirrors the fact chunk and
+    real PCM RF64 writers commonly emit 0 there — accepted (same
+    metadata as the populated form); a non-zero DISAGREEING count
+    stays loud."""
+    import struct as _struct
+
+    import pytest as _pytest
+
+    from parquet_compactor_spark.llm.multimodal import (
+        _synth_wav,
+        decode_wav_meta,
+    )
+
+    rf64 = _synth_wav(44)  # 44 % 11 == 0 -> RF64
+    good = decode_wav_meta(rf64)
+    pos = rf64.index(b"ds64") + 8 + 16  # <QQQI body: sampleCount at +16
+    zeroed = rf64[:pos] + _struct.pack("<Q", 0) + rf64[pos + 8 :]
+    assert decode_wav_meta(zeroed) == good
+    wrong = (
+        rf64[:pos]
+        + _struct.pack("<Q", good["n_frames"] + 7)
+        + rf64[pos + 8 :]
+    )
+    with _pytest.raises(ValueError, match="ds64 sample count"):
+        decode_wav_meta(wrong)
 
 
 def test_extract_subtitle_meta_drops_malformed_rows(spark):
