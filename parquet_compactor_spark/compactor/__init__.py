@@ -17,7 +17,11 @@ from parquet_compactor_spark.compactor.core import (
     filter_compacted_gcp,
     should_skip_compacting,
 )
-from parquet_compactor_spark.compactor.report import lake_report
+from parquet_compactor_spark.compactor.report import (
+    lake_report,
+    rowgroup_report,
+    scan_parquet_footers,
+)
 
 __all__ = [
     "CompactionConfig",
@@ -28,4 +32,6 @@ __all__ = [
     "filter_compacted_gcp",
     "should_skip_compacting",
     "lake_report",
+    "rowgroup_report",
+    "scan_parquet_footers",
 ]

@@ -96,3 +96,200 @@ def lake_report(
             F.col("small_files") - F.col("ideal_files"), F.lit(0)
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Row-group-level lake audit: distributed parquet-footer scan.
+# ---------------------------------------------------------------------------
+
+_FOOTER_SCHEMA = (
+    "path string, row_group_id int, n_rows bigint, compressed_bytes bigint, "
+    "uncompressed_bytes bigint, n_columns int, error string"
+)
+
+
+def _posix_path(uri: str) -> tuple[str | None, str | None]:
+    """(openable local path, error) for a listing URI.
+
+    Executors open footers with pyarrow, which speaks posix paths (and,
+    via fsspec, object stores this sandbox doesn't ship). file:// and
+    bare paths resolve; any other scheme degrades ROW-WISE with a loud
+    error string — an audit over a 100k-file lake must report the one
+    unreadable file, not die on it.
+    """
+    if "://" not in uri:
+        return uri, None
+    from urllib.parse import unquote, urlsplit
+
+    parts = urlsplit(uri)
+    if parts.scheme == "file":
+        return unquote(parts.path), None
+    return None, f"unsupported filesystem scheme for footer read: {parts.scheme}"
+
+
+def scan_parquet_footers(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """ONE ROW PER ROW GROUP from the parquet footers of ``paths``,
+    read DISTRIBUTED (each executor opens only its own files' footers —
+    two small range reads per file on an object store, never the data
+    pages). This is the scalable form of the per-file metadata loop a
+    compactor planner wants: on a 1000-executor cluster a million
+    footers resolve in one short map stage, where a driver-side loop
+    (the reference's only option, and DuckDB's ``parquet_metadata``)
+    serializes every open.
+
+    Columns: path, row_group_id, n_rows, compressed_bytes (sum of
+    column-chunk ``total_compressed_size``), uncompressed_bytes (the
+    footer's ``total_byte_size``), n_columns, error. A corrupt or
+    unreadable footer yields ONE row with row_group_id = -1 and the
+    exception in ``error`` (row-wise degrade, the lake-seam
+    discipline); healthy rows carry error = NULL.
+    """
+    import pandas as pd
+
+    if not paths:
+        return spark.createDataFrame([], _FOOTER_SCHEMA)
+    n_slices = min(len(paths), spark.sparkContext.defaultParallelism)
+    # Explicit round-robin slicing: a 1-column createDataFrame would put
+    # ALL paths in a handful of partitions and serialize the footer I/O.
+    pdf = spark.createDataFrame(
+        [(p,) for p in sorted(paths)], "path string"
+    ).repartition(n_slices)
+
+    def read_footers(it):
+        import pyarrow.parquet as pq
+
+        cols = [
+            "path",
+            "row_group_id",
+            "n_rows",
+            "compressed_bytes",
+            "uncompressed_bytes",
+            "n_columns",
+            "error",
+        ]
+        for batch in it:
+            rows: list[tuple] = []
+            for p in batch["path"]:
+                local, err = _posix_path(p)
+                if err is None:
+                    try:
+                        md = pq.ParquetFile(local).metadata
+                        for i in range(md.num_row_groups):
+                            rg = md.row_group(i)
+                            comp = sum(
+                                rg.column(j).total_compressed_size
+                                for j in range(rg.num_columns)
+                            )
+                            rows.append(
+                                (
+                                    p,
+                                    i,
+                                    rg.num_rows,
+                                    comp,
+                                    rg.total_byte_size,
+                                    rg.num_columns,
+                                    None,
+                                )
+                            )
+                        continue
+                    except Exception as e:  # corrupt footer: loud row
+                        err = f"{type(e).__name__}: {e}"[:200]
+                rows.append((p, -1, 0, 0, 0, 0, err))
+            data = list(zip(*rows)) if rows else [[] for _ in cols]
+            yield pd.DataFrame(
+                {
+                    "path": pd.array(data[0], dtype="string"),
+                    "row_group_id": pd.array(data[1], dtype="int32"),
+                    "n_rows": pd.array(data[2], dtype="int64"),
+                    "compressed_bytes": pd.array(data[3], dtype="int64"),
+                    "uncompressed_bytes": pd.array(data[4], dtype="int64"),
+                    "n_columns": pd.array(data[5], dtype="int32"),
+                    "error": pd.array(data[6], dtype="string"),
+                }
+            )
+
+    return pdf.mapInPandas(read_footers, schema=_FOOTER_SCHEMA)
+
+
+def rowgroup_report(
+    spark: SparkSession,
+    root: str,
+    config: CompactionConfig | None = None,
+    min_rowgroup_rows: int = 100_000,
+) -> DataFrame:
+    """Per-leaf ROW-GROUP health — the pathology :func:`lake_report`
+    cannot see. A leaf can pass the file-size report (every file at
+    target size) while each file holds thousands of tiny row groups, and
+    row groups ARE the scan/pushdown unit: predicate pruning, split
+    planning, and page skipping all degrade with row-group count, so a
+    right-sized file with 5,000 undersized groups scans like 5,000 tiny
+    files. Such leaves need a re-write pass (``LakeCompactor.compact``
+    re-chunks via ``chunked_rows``) even though the size report says
+    they're done.
+
+    Columns per leaf: n_files, n_row_groups, n_rows, avg_rg_rows,
+    tiny_row_groups (< ``min_rowgroup_rows``), files_with_tiny_rgs,
+    error_files, plus tiny_rg_ratio. Cost: one distributed listing +
+    one distributed footer map (:func:`scan_parquet_footers`) — no data
+    pages are ever read.
+    """
+    fs = HadoopFS(spark, root)
+    paths = [
+        f.path
+        for f in fs.list_files(root, distributed=True)
+        if f.path.endswith(".parquet")
+    ]
+    footers = scan_parquet_footers(spark, paths)
+    leaf = F.expr(r"regexp_replace(path, '/[^/]+$', '/')").alias("leaf")
+    per_file = (
+        footers.select(
+            leaf,
+            "path",
+            "row_group_id",
+            "n_rows",
+            "error",
+        )
+        .groupBy("leaf", "path")
+        .agg(
+            F.sum(F.when(F.col("error").isNull(), 1).otherwise(0)).alias("rgs"),
+            F.sum(F.when(F.col("error").isNull(), F.col("n_rows"))).alias("rows"),
+            F.sum(
+                F.when(
+                    F.col("error").isNull()
+                    & (F.col("n_rows") < min_rowgroup_rows),
+                    1,
+                ).otherwise(0)
+            ).alias("tiny_rgs"),
+            F.max(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias(
+                "is_error"
+            ),
+        )
+    )
+    return (
+        per_file.groupBy("leaf")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("rgs").alias("n_row_groups"),
+            F.coalesce(F.sum("rows"), F.lit(0)).alias("n_rows"),
+            F.sum("tiny_rgs").alias("tiny_row_groups"),
+            F.sum(F.when(F.col("tiny_rgs") > 0, 1).otherwise(0)).alias(
+                "files_with_tiny_rgs"
+            ),
+            F.sum("is_error").alias("error_files"),
+        )
+        .select(
+            "*",
+            F.when(
+                F.col("n_row_groups") > 0,
+                F.round(F.col("tiny_row_groups") / F.col("n_row_groups"), 4),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("tiny_rg_ratio"),
+            F.when(
+                F.col("n_row_groups") > 0,
+                (F.col("n_rows") / F.col("n_row_groups")).cast("bigint"),
+            )
+            .otherwise(F.lit(0).cast("bigint"))
+            .alias("avg_rg_rows"),
+        )
+    )

@@ -1148,3 +1148,105 @@ def test_audit_cli_exit_codes(spark, lake, monkeypatch, capsys):
     out = capsys.readouterr().out.strip().splitlines()[-1]
     payload = _json.loads(out)
     assert payload["report"]["__summary__"]["leaves_with_findings"] == 1
+
+
+# --------------------------------------------------------------------------
+# Row-group-level audit (distributed footer scan)
+# --------------------------------------------------------------------------
+
+
+def test_scan_parquet_footers_matches_duckdb_metadata(spark):
+    """Differential: the distributed pyarrow footer map must agree with
+    DuckDB's parquet_metadata() (an independent footer reader) on every
+    row group of the sf0.001 fixture — rows, uncompressed bytes
+    (footer total_byte_size == DuckDB row_group_bytes), summed
+    column-chunk compressed bytes, and column count."""
+    import glob
+
+    import duckdb
+
+    from parquet_compactor_spark.compactor import scan_parquet_footers
+
+    paths = sorted(glob.glob("/root/testdata/sf0.001/*.parquet"))
+    assert len(paths) >= 10
+    got = {
+        (r.path, r.row_group_id): (
+            r.n_rows,
+            r.compressed_bytes,
+            r.uncompressed_bytes,
+            r.n_columns,
+            r.error,
+        )
+        for r in scan_parquet_footers(spark, paths).collect()
+    }
+    con = duckdb.connect()
+    want = {
+        (f, rid): (nr, comp, unc, nc, None)
+        for f, rid, nr, comp, unc, nc in con.execute(
+            """
+            SELECT file_name, row_group_id,
+                   any_value(row_group_num_rows),
+                   sum(total_compressed_size)::BIGINT,
+                   any_value(row_group_bytes),
+                   any_value(row_group_num_columns)
+            FROM parquet_metadata('/root/testdata/sf0.001/*.parquet')
+            GROUP BY 1, 2
+            """
+        ).fetchall()
+    }
+    con.close()
+    assert got == want
+
+
+def test_scan_parquet_footers_degrades_row_wise(spark, tmp_path):
+    """A corrupt file and an unreadable scheme each yield ONE loud error
+    row (row_group_id -1) while healthy files in the same batch still
+    resolve — an audit over 100k files must never die on one of them."""
+    from parquet_compactor_spark.compactor import scan_parquet_footers
+
+    good = tmp_path / "good.parquet"
+    write_small_parquet(good, rows=50)
+    corrupt = tmp_path / "corrupt.parquet"
+    corrupt.write_bytes(b"not a parquet file at all PAR1?")
+    remote = "s3a://bucket/key.parquet"
+
+    rows = {
+        r.path: r
+        for r in scan_parquet_footers(
+            spark, [str(good), str(corrupt), remote]
+        ).collect()
+    }
+    assert rows[str(good)].error is None and rows[str(good)].n_rows == 50
+    assert rows[str(corrupt)].row_group_id == -1
+    assert rows[str(corrupt)].error  # pyarrow exception text
+    assert rows[remote].error.startswith("unsupported filesystem scheme")
+
+
+def test_rowgroup_report_flags_tiny_rowgroups(spark, lake):
+    """The pathology lake_report cannot see: one right-sized file built
+    of tiny row groups is flagged; a healthy single-group file is not.
+    The report reads footers only (a corrupt data page would not even be
+    noticed — metadata-level audit by design)."""
+    from parquet_compactor_spark.compactor import rowgroup_report
+
+    tiny = lake / "acct1" / "source=OCP" / "year=2024" / "month=01"
+    tiny.mkdir(parents=True, exist_ok=True)
+    table = pa.table({"id": list(range(1000)), "val": [0.0] * 1000})
+    pq.write_table(table, tiny / "in-0.parquet", row_group_size=100)
+
+    healthy = lake / "acct1" / "source=GCP" / "year=2024" / "month=01"
+    write_small_parquet(healthy / "in-0.parquet", rows=1000)
+
+    rep = {
+        r.leaf.rstrip("/").rsplit("/", 3)[-3]: r
+        for r in rowgroup_report(
+            spark, str(lake), min_rowgroup_rows=500
+        ).collect()
+    }
+    bad = rep["source=OCP"]
+    assert bad.n_files == 1 and bad.n_row_groups == 10
+    assert bad.tiny_row_groups == 10 and bad.files_with_tiny_rgs == 1
+    assert bad.tiny_rg_ratio == 1.0 and bad.avg_rg_rows == 100
+    ok = rep["source=GCP"]
+    assert ok.n_row_groups == 1 and ok.tiny_row_groups == 0
+    assert ok.n_rows == 1000 and ok.error_files == 0
