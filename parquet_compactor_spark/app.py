@@ -25,6 +25,12 @@ Integrity subcommand — the read-only sidecar-vs-lake drift audit
 orphan tmp litter):
 
     python -m parquet_compactor_spark.app audit
+
+Scheduling subcommand — the metadata-only lake health report (per-leaf
+small-file stats, ranked by reclaimable files; ``--rowgroups`` adds the
+distributed footer scan's per-leaf row-group health):
+
+    python -m parquet_compactor_spark.app report [--rowgroups]
 """
 
 from __future__ import annotations
@@ -33,6 +39,8 @@ import json
 import logging
 import os
 import sys
+
+from pyspark.sql.functions import desc as F_desc
 
 from parquet_compactor_spark.compactor import LakeCompactor
 from parquet_compactor_spark.config import resolve
@@ -138,6 +146,55 @@ def audit_main(argv: list[str]) -> int:
     return 1 if summary["leaves_with_findings"] else 0
 
 
+def report_main(argv: list[str]) -> int:
+    """Lake health report over the configured root (read-only).
+
+    Prints per-leaf small-file statistics ranked by reclaimable files —
+    the scheduler input: feed the top leaves to a compaction run first.
+    ``--rowgroups`` adds the per-leaf row-group health table (distributed
+    footer scan). Unlike ``audit`` this never exits non-zero on
+    findings: reclaimable files are normal operating state, not drift.
+    """
+    log = setup_logging()
+    if argv and argv != ["--rowgroups"]:
+        print("usage: report [--rowgroups]")
+        return 2
+    from parquet_compactor_spark.compactor.report import (
+        lake_report,
+        rowgroup_report,
+    )
+
+    settings = resolve(requested_bucket=os.environ.get("REQUESTED_BUCKET", ""))
+    root = settings.resolved_root()
+    spark = get_spark(
+        app_name="parquet-compactor-report",
+        s3_endpoint=settings.endpoint,
+        s3_access_key=settings.access_key,
+        s3_secret_key=settings.secret_key,
+    )
+    leaves = [
+        r.asDict()
+        for r in lake_report(spark, root, settings.compaction)
+        .orderBy(F_desc("reclaimable_files"), "leaf")
+        .collect()
+    ]
+    payload: dict = {"root": root, "leaves": leaves}
+    if argv == ["--rowgroups"]:
+        payload["rowgroups"] = [
+            r.asDict()
+            for r in rowgroup_report(spark, root)
+            .orderBy(F_desc("tiny_row_groups"), "leaf")
+            .collect()
+        ]
+    log.info(
+        "lake report: %d leaves, %d reclaimable files",
+        len(leaves),
+        sum(l["reclaimable_files"] for l in leaves),
+    )
+    print(json.dumps(payload))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     if argv and argv[0] == "explain":
@@ -146,6 +203,8 @@ def main(argv: list[str] | None = None) -> int:
         return gc_main(argv[1:])
     if argv and argv[0] == "audit":
         return audit_main(argv[1:])
+    if argv and argv[0] == "report":
+        return report_main(argv[1:])
     log = setup_logging()
     # The requested bucket seeds the configurator lookups, as in the
     # reference main() (app.py:24-34).

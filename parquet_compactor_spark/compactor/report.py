@@ -214,7 +214,6 @@ def scan_parquet_footers(spark: SparkSession, paths: list[str]) -> DataFrame:
 def rowgroup_report(
     spark: SparkSession,
     root: str,
-    config: CompactionConfig | None = None,
     min_rowgroup_rows: int = 100_000,
 ) -> DataFrame:
     """Per-leaf ROW-GROUP health — the pathology :func:`lake_report`

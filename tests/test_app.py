@@ -132,3 +132,43 @@ def test_app_gc_subcommand_runs_deep_sweep(spark, tmp_path, monkeypatch, capsys)
     payload = _json.loads(out.strip().splitlines()[-1])
     assert len(payload["reclaimed"]) == 1
     assert not orphan.exists()
+
+
+def test_app_report_subcommand(spark, tmp_path, monkeypatch, capsys):
+    """`report` prints per-leaf small-file stats ranked by reclaimable
+    files and exits 0 even with findings (scheduler input, not an
+    alarm); --rowgroups adds the footer-scan table."""
+    import json as _json
+
+    import parquet_compactor_spark.app as app
+
+    lake = tmp_path / "data" / "parquet"
+    leaf = lake / "acct" / "source=OCP" / "year=2024" / "month=01"
+    for i in range(4):
+        write_small_parquet(leaf / f"in-{i}.parquet", start=i * 100)
+
+    monkeypatch.setattr(
+        app,
+        "resolve",
+        lambda requested_bucket="": EngineSettings(
+            lake_root=str(lake), compaction=CompactionConfig(now=NOW)
+        ),
+    )
+    try:
+        rc = app.main(["report", "--rowgroups"])
+        out = capsys.readouterr().out
+        assert rc == 0
+        payload = _json.loads(out.strip().splitlines()[-1])
+        (stats,) = payload["leaves"]
+        assert stats["n_files"] == 4 and stats["reclaimable_files"] == 3
+        (rg,) = payload["rowgroups"]
+        assert rg["n_files"] == 4 and rg["n_row_groups"] == 4
+        assert rg["error_files"] == 0
+
+        assert app.main(["report", "--bogus"]) == 2
+    finally:
+        import logging
+
+        root = logging.getLogger()
+        for h in [h for h in root.handlers if getattr(h, "_pcs_app", False)]:
+            root.removeHandler(h)
