@@ -2213,6 +2213,253 @@ def decode_flac_meta(payload: bytes) -> dict:
     return info
 
 
+# --------------------------------------------------------------------------
+# MPEG audio (MP3): frame-header walk + ID3v2/ID3v1 tags — the lossy side
+# of the audio lake. Public layouts: ISO/IEC 11172-3 (MPEG-1),
+# ISO/IEC 13818-3 (MPEG-2 / the 2.5 extension), id3.org (ID3v2.3/2.4, v1).
+# --------------------------------------------------------------------------
+
+#: Bitrate tables in kbit/s, index 1..14 (0 = "free format" — legal but
+#: unsupported here, loud NotImplementedError; 15 = forbidden, ValueError).
+_MP3_BITRATES = {
+    ("MPEG1", 1): (32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+    ("MPEG1", 2): (32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+    ("MPEG1", 3): (32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+    ("MPEG2", 1): (32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+    ("MPEG2", 2): (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    ("MPEG2", 3): (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+}
+_MP3_BITRATES[("MPEG2.5", 1)] = _MP3_BITRATES[("MPEG2", 1)]
+_MP3_BITRATES[("MPEG2.5", 2)] = _MP3_BITRATES[("MPEG2", 2)]
+_MP3_BITRATES[("MPEG2.5", 3)] = _MP3_BITRATES[("MPEG2", 3)]
+
+_MP3_RATES = {
+    "MPEG1": (44100, 48000, 32000),
+    "MPEG2": (22050, 24000, 16000),
+    "MPEG2.5": (11025, 12000, 8000),
+}
+
+#: Header version bits (B) and layer bits (C) per the 32-bit layout
+#: AAAAAAAA AAABBCCD EEEEFFGH IIJJKLMM.
+_MP3_VERSION_BITS = {"MPEG2.5": 0b00, "MPEG2": 0b10, "MPEG1": 0b11}
+_MP3_LAYER_BITS = {1: 0b11, 2: 0b10, 3: 0b01}
+
+
+def _mp3_samples_per_frame(version: str, layer: int) -> int:
+    if layer == 1:
+        return 384
+    if layer == 2:
+        return 1152
+    return 1152 if version == "MPEG1" else 576
+
+
+def _mp3_frame_bytes(version: str, layer: int, kbps: int, sr: int, pad: bool) -> int:
+    """Spec frame length. Layer I counts 4-byte slots; II/III count bytes."""
+    if layer == 1:
+        return (12 * kbps * 1000 // sr + (1 if pad else 0)) * 4
+    spf = _mp3_samples_per_frame(version, layer)
+    return spf // 8 * (kbps * 1000) // sr + (1 if pad else 0)
+
+
+def synth_mp3_params(n: int) -> dict:
+    """Deterministic MPEG-audio parameters for a payload of ``n`` bytes —
+    one closed form shared by the encoder, the parser's expected output,
+    and the DuckDB oracle (q_mp3_meta). Residues sweep the parse paths:
+    MPEG version (%3 — 1/2/2.5 sample-rate tables), layer (//3 %3 — the
+    Layer-I 4-byte-slot size formula vs II/III), sample rate (//2 %3),
+    base bitrate index (1 + //5 %14), VBR (%9 — per-frame index walk,
+    byte_rate NULL), per-frame padding bit ((n+i)%4), CRC-protected
+    headers (%7 — 2 extra bytes each), channel mode (//4 %4, mono=3),
+    ID3v2 tag (%5; v2.4 syncsafe frame sizes when %10, else v2.3) with
+    1 + n%4 frames, trailing ID3v1 tag (%6)."""
+    version = ("MPEG1", "MPEG2", "MPEG2.5")[n % 3]
+    layer = (3, 2, 1)[(n // 3) % 3]
+    sr = _MP3_RATES[version][(n // 2) % 3]
+    bi = 1 + (n // 5) % 14
+    vbr = n % 9 == 0
+    n_frames = 2 + n % 29
+    mode = (n // 4) % 4
+    id3v2 = n % 5 == 0
+    id3v2_frames = 1 + n % 4 if id3v2 else 0
+    table = _MP3_BITRATES[(version, layer)]
+    return {
+        "version": version,
+        "layer": layer,
+        "sample_rate": sr,
+        "bitrate_idx": bi,
+        "vbr": vbr,
+        "n_frames": n_frames,
+        "crc": n % 7 == 0,
+        "mode": mode,
+        "channels": 1 if mode == 3 else 2,
+        "id3v2": id3v2,
+        "id3v2_four": n % 10 == 0,  # v2.4 (syncsafe frame sizes) vs v2.3
+        "id3v2_frames": id3v2_frames,
+        "id3v1": n % 6 == 0,
+        "n_meta": id3v2_frames + (1 if n % 6 == 0 else 0),
+        "samples_per_frame": _mp3_samples_per_frame(version, layer),
+        # CBR byte rate; NULL under VBR (n_frames >= 2 guarantees at
+        # least two distinct per-frame indices when vbr is set).
+        "byte_rate": None if vbr else table[bi - 1] * 1000 // 8,
+    }
+
+
+def _syncsafe(v: int) -> bytes:
+    return bytes(((v >> s) & 0x7F) for s in (21, 14, 7, 0))
+
+
+def _synth_mp3(n: int) -> bytes:
+    """A REAL (spec-layout) MPEG-audio stream for :func:`synth_mp3_params`
+    of ``n``: optional ID3v2 tag, CBR or VBR frame sequence with padding
+    and CRC variations, optional trailing ID3v1 tag. Frame payloads are
+    filler — the fixture is for the METADATA pipeline, like
+    :func:`_synth_wav`'s data chunk."""
+    p = synth_mp3_params(n)
+    out = bytearray()
+    if p["id3v2"]:
+        frames = bytearray()
+        for i in range(p["id3v2_frames"]):
+            fid = (b"TIT2", b"TPE1", b"TALB", b"TRCK")[i]
+            body = f"synth {n}/{i}".encode()
+            size = (
+                _syncsafe(len(body)) if p["id3v2_four"] else struct.pack(">I", len(body))
+            )
+            frames += fid + size + b"\x00\x00" + body
+        frames += b"\x00" * (n % 3)  # spec-legal tag padding
+        out += (
+            b"ID3"
+            + bytes((4 if p["id3v2_four"] else 3, 0, 0))
+            + _syncsafe(len(frames))
+            + frames
+        )
+    table = _MP3_BITRATES[(p["version"], p["layer"])]
+    for i in range(p["n_frames"]):
+        bi = 1 + ((n // 5) + i) % 14 if p["vbr"] else p["bitrate_idx"]
+        pad = (n + i) % 4 == 0
+        hdr = (
+            (0x7FF << 21)
+            | (_MP3_VERSION_BITS[p["version"]] << 19)
+            | (_MP3_LAYER_BITS[p["layer"]] << 17)
+            | ((0 if p["crc"] else 1) << 16)
+            | (bi << 12)
+            | (((n // 2) % 3) << 10)
+            | ((1 if pad else 0) << 9)
+            | (p["mode"] << 6)
+        )
+        size = _mp3_frame_bytes(p["version"], p["layer"], table[bi - 1], p["sample_rate"], pad)
+        frame = bytearray(struct.pack(">I", hdr))
+        if p["crc"]:
+            frame += struct.pack(">H", (n + i) & 0xFFFF)  # placeholder CRC16
+        frame += b"\xa5" * (size - len(frame))
+        out += frame
+    if p["id3v1"]:
+        out += b"TAG" + bytes(125)
+    return bytes(out)
+
+
+def decode_mp3_meta(payload: bytes) -> dict:
+    """Real MPEG-audio METADATA decode — a pure-Python frame-header walk
+    (no audio library, integer-only outputs): skips an ID3v2 tag
+    (counting its frames), walks every MPEG frame header (version /
+    layer / bitrate / sample-rate tables, padding, optional CRC16),
+    recognizes a trailing ID3v1 tag, and reports total sample count,
+    channel count, and the CBR byte rate (NULL when frame bitrates
+    vary — VBR). Loud on corruption (lost sync, forbidden bitrate or
+    sample-rate index, reserved version/layer, truncated frame,
+    truncated or overrunning ID3v2 tag); "free format" (bitrate index
+    0) is legal-but-unsupported → NotImplementedError, the image-decoder
+    discipline. Returns: sample_rate, channels, n_frames (MPEG frames),
+    total_samples, byte_rate, n_meta, layer, version."""
+    buf = bytes(payload)
+    pos = 0
+    n_meta = 0
+    if buf[:3] == b"ID3":
+        if len(buf) < 10:
+            raise ValueError("truncated ID3v2 header")
+        major = buf[3]
+        if any(b & 0x80 for b in buf[6:10]):
+            raise ValueError("corrupt ID3v2 size (non-syncsafe byte)")
+        tag_size = (buf[6] << 21) | (buf[7] << 14) | (buf[8] << 7) | buf[9]
+        tag_end = 10 + tag_size
+        if tag_end > len(buf):
+            raise ValueError("ID3v2 tag overruns payload")
+        f = 10
+        while f + 10 <= tag_end and buf[f] != 0:
+            fsize_raw = buf[f + 4 : f + 8]
+            if major >= 4:
+                if any(b & 0x80 for b in fsize_raw):
+                    raise ValueError("corrupt ID3v2.4 frame size")
+                fsize = (
+                    (fsize_raw[0] << 21)
+                    | (fsize_raw[1] << 14)
+                    | (fsize_raw[2] << 7)
+                    | fsize_raw[3]
+                )
+            else:
+                fsize = struct.unpack(">I", fsize_raw)[0]
+            if f + 10 + fsize > tag_end:
+                raise ValueError("ID3v2 frame overruns tag")
+            n_meta += 1
+            f = f + 10 + fsize
+        pos = tag_end
+    end = len(buf)
+    if end - pos >= 128 and buf[end - 128 : end - 125] == b"TAG":
+        n_meta += 1
+        end -= 128
+    n_frames = 0
+    rates: set[int] = set()
+    sr = channels = spf = None
+    version = layer = None
+    while pos < end:
+        if end - pos < 4:
+            raise ValueError("truncated MPEG frame header")
+        h = struct.unpack_from(">I", buf, pos)[0]
+        if h >> 21 != 0x7FF:
+            raise ValueError("lost MPEG frame sync")
+        vbits = (h >> 19) & 0b11
+        if vbits == 0b01:
+            raise ValueError("reserved MPEG version")
+        v = {0b00: "MPEG2.5", 0b10: "MPEG2", 0b11: "MPEG1"}[vbits]
+        lbits = (h >> 17) & 0b11
+        if lbits == 0b00:
+            raise ValueError("reserved MPEG layer")
+        lay = {0b11: 1, 0b10: 2, 0b01: 3}[lbits]
+        bi = (h >> 12) & 0xF
+        if bi == 0xF:
+            raise ValueError("forbidden MPEG bitrate index")
+        if bi == 0:
+            raise NotImplementedError("free-format MPEG bitrate")
+        sri = (h >> 10) & 0b11
+        if sri == 0b11:
+            raise ValueError("reserved MPEG sample-rate index")
+        if version is None:
+            version, layer = v, lay
+            sr = _MP3_RATES[v][sri]
+            channels = 1 if (h >> 6) & 0b11 == 0b11 else 2
+            spf = _mp3_samples_per_frame(v, lay)
+        elif (v, lay, _MP3_RATES[v][sri]) != (version, layer, sr):
+            raise ValueError("MPEG stream parameters change mid-stream")
+        kbps = _MP3_BITRATES[(v, lay)][bi - 1]
+        rates.add(kbps)
+        size = _mp3_frame_bytes(v, lay, kbps, sr, bool((h >> 9) & 1))
+        if pos + size > end:
+            raise ValueError("MPEG frame overruns payload")
+        n_frames += 1
+        pos += size
+    if n_frames == 0:
+        raise ValueError("no MPEG frames")
+    return {
+        "version": version,
+        "layer": layer,
+        "sample_rate": sr,
+        "channels": channels,
+        "n_frames": n_frames,
+        "total_samples": n_frames * spf,
+        "byte_rate": (rates.pop() * 1000 // 8) if len(rates) == 1 else None,
+        "n_meta": n_meta,
+    }
+
+
 AUDIO_META_SCHEMA = (
     "doc_id bigint, container string, codec string, channels int, "
     "sample_rate int, bits_per_sample int, n_frames bigint, "
@@ -2221,12 +2468,14 @@ AUDIO_META_SCHEMA = (
 
 
 def decode_audio_meta(payload: bytes) -> dict:
-    """Unified audio metadata: dispatch on magic to the WAV or FLAC
-    parser and map both onto one schema (``AUDIO_META_SCHEMA`` minus
-    doc_id). ``byte_rate`` is NULL for FLAC (no fixed rate in a
-    variable-rate stream), ``checksum`` is NULL for WAV (RIFF carries
-    none); ``duration_ms`` is the exact integer
-    ``n_frames * 1000 // sample_rate`` on both paths."""
+    """Unified audio metadata: dispatch on magic to the WAV, FLAC, or
+    MPEG-audio parser and map all three onto one schema
+    (``AUDIO_META_SCHEMA`` minus doc_id). ``byte_rate`` is NULL for FLAC
+    and VBR MP3 (no fixed rate), ``checksum`` is NULL except FLAC,
+    ``bits_per_sample`` is NULL for MP3 (lossy — no PCM width);
+    ``n_frames`` is uniformly the SAMPLE count (MP3's MPEG-frame count
+    times samples-per-frame), so ``duration_ms`` is the exact integer
+    ``n_frames * 1000 // sample_rate`` on every path."""
     buf = bytes(payload)
     if buf[:4] in (b"RIFF", b"RF64"):
         m = decode_wav_meta(buf)
@@ -2243,8 +2492,25 @@ def decode_audio_meta(payload: bytes) -> dict:
             "n_meta": f["n_comments"],
             "checksum": f["checksum"],
         }
+    elif buf[:3] == b"ID3" or (
+        len(buf) >= 2 and buf[0] == 0xFF and buf[1] & 0xE0 == 0xE0
+    ):
+        g = decode_mp3_meta(buf)
+        m = {
+            "container": "MP3",
+            "codec": "mp3",
+            "channels": g["channels"],
+            "sample_rate": g["sample_rate"],
+            "bits_per_sample": None,
+            "n_frames": g["total_samples"],
+            "byte_rate": g["byte_rate"],
+            "n_meta": g["n_meta"],
+            "checksum": None,
+        }
     else:
-        raise ValueError("not a recognized audio payload (RIFF/RF64/fLaC)")
+        raise ValueError(
+            "not a recognized audio payload (RIFF/RF64/fLaC/MPEG)"
+        )
     m["duration_ms"] = m["n_frames"] * 1000 // m["sample_rate"]
     return m
 
@@ -2384,6 +2650,104 @@ def q_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
                 n = int(n)
                 blob = _synth_flac(n) if n % 2 else _synth_wav(n)
                 m = decode_audio_meta(blob)
+                rows.append(
+                    (
+                        doc_id,
+                        m["container"],
+                        m["codec"],
+                        m["channels"],
+                        m["sample_rate"],
+                        m["bits_per_sample"],
+                        m["n_frames"],
+                        m["duration_ms"],
+                        m["byte_rate"],
+                        m["n_meta"],
+                        m["checksum"],
+                    )
+                )
+            yield _audio_meta_frame(rows)
+
+    return payloads.mapInPandas(batches, schema=AUDIO_META_SCHEMA)
+
+
+#: q_mp3_meta's DuckDB oracle — the synth_mp3_params closed form replayed
+#: in SQL (bitrate/sample-rate tables as DuckDB list literals). Module
+#: constant like AUDIO_META_ORACLE: registration is deferred by the
+#: standing window-budgeting rule; tests run the same differential the
+#: driver would.
+MP3_META_ORACLE = """
+    WITH t AS (
+        SELECT doc_id, strlen(text) AS n FROM documents WHERE text IS NOT NULL
+    ), p AS (
+        SELECT doc_id, n,
+               n % 3 AS vi,
+               ([3,2,1])[1 + (n // 3) % 3] AS layer,
+               CASE n % 3
+                    WHEN 0 THEN ([44100,48000,32000])[1 + (n // 2) % 3]
+                    WHEN 1 THEN ([22050,24000,16000])[1 + (n // 2) % 3]
+                    ELSE ([11025,12000,8000])[1 + (n // 2) % 3]
+               END AS sr,
+               1 + (n // 5) % 14 AS bi,
+               2 + n % 29 AS nf,
+               CASE WHEN (n // 4) % 4 = 3 THEN 1 ELSE 2 END AS ch
+        FROM t
+    ), q AS (
+        SELECT *,
+               CASE WHEN layer = 1 THEN 384
+                    WHEN layer = 2 THEN 1152
+                    WHEN vi = 0 THEN 1152 ELSE 576 END AS spf,
+               CASE WHEN n % 9 = 0 THEN NULL
+                    WHEN vi = 0 AND layer = 1 THEN
+                        ([32,64,96,128,160,192,224,256,288,320,352,384,416,448])[bi]
+                    WHEN vi = 0 AND layer = 2 THEN
+                        ([32,48,56,64,80,96,112,128,160,192,224,256,320,384])[bi]
+                    WHEN vi = 0 THEN
+                        ([32,40,48,56,64,80,96,112,128,160,192,224,256,320])[bi]
+                    WHEN layer = 1 THEN
+                        ([32,48,56,64,80,96,112,128,144,160,176,192,224,256])[bi]
+                    ELSE ([8,16,24,32,40,48,56,64,80,96,112,128,144,160])[bi]
+               END AS kbps
+        FROM p
+    )
+    SELECT doc_id,
+           'MP3' AS container,
+           'mp3' AS codec,
+           CAST(ch AS INT) AS channels,
+           CAST(sr AS INT) AS sample_rate,
+           CAST(NULL AS INT) AS bits_per_sample,
+           CAST(nf * spf AS BIGINT) AS n_frames,
+           CAST(nf * spf * 1000 // sr AS BIGINT) AS duration_ms,
+           CAST(kbps * 1000 // 8 AS INT) AS byte_rate,
+           CAST(CASE WHEN n % 5 = 0 THEN 1 + n % 4 ELSE 0 END +
+                CASE WHEN n % 6 = 0 THEN 1 ELSE 0 END AS INT) AS n_meta,
+           CAST(NULL AS VARCHAR) AS checksum
+    FROM q
+"""
+
+
+def q_mp3_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MPEG-audio metadata: per row, a REAL MP3 stream (frame sequence
+    with VBR/CRC/padding variations, ID3v2 + ID3v1 tags) is synthesized
+    from the payload's byte length and the REAL parser
+    (:func:`decode_mp3_meta` via the unified dispatch) recovers the
+    AUDIO_META_SCHEMA row; ``MP3_META_ORACLE`` replays the parameter
+    closed form — the lossy-side twin of q_audio_meta's recipe.
+    Map-only (no shuffle); on a genuine lake the same parser runs via
+    ``ingest_binary_dir -> extract_audio_meta``.
+
+    REGISTRATION DEFERRED (window budgeting — see registry.py's
+    rotation plan); oracle-checked in pytest meanwhile.
+    """
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    payloads = d.select(
+        "doc_id", F.length(F.encode(F.col("text"), "utf-8")).alias("n")
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, n in zip(pdf["doc_id"], pdf["n"]):
+                m = decode_audio_meta(_synth_mp3(int(n)))
                 rows.append(
                     (
                         doc_id,

@@ -3557,12 +3557,15 @@ def test_audio_parsers_are_loud_on_corruption():
 
 
 def test_extract_audio_meta_drops_corrupt_rows_not_the_job(spark):
-    """The genuine-lake seam: WAV + FLAC + garbage + a truncated blob +
-    NULL in one frame yields metadata for exactly the parseable rows."""
+    """The genuine-lake seam: WAV + FLAC + MP3 + garbage + a truncated
+    blob + NULL in one frame yields metadata for exactly the parseable
+    rows."""
     from parquet_compactor_spark.llm.multimodal import (
         _synth_flac,
+        _synth_mp3,
         _synth_wav,
         extract_audio_meta,
+        synth_mp3_params,
     )
 
     rows = [
@@ -3571,14 +3574,21 @@ def test_extract_audio_meta_drops_corrupt_rows_not_the_job(spark):
         (3, bytearray(_synth_flac(101))),
         (4, bytearray(_synth_wav(100)[:20])),
         (5, None),
+        (6, bytearray(_synth_mp3(30))),
+        (7, bytearray(_synth_mp3(30)[:-3])),  # truncated mid-frame
     ]
     df = spark.createDataFrame(rows, "doc_id bigint, payload binary")
     out = {r.doc_id: r for r in extract_audio_meta(df).collect()}
-    assert set(out) == {1, 3}
+    assert set(out) == {1, 3, 6}
     assert out[1].codec == "pcm" and out[1].container == "RIFF"
     assert out[1].checksum is None and out[1].byte_rate is not None
     assert out[3].codec == "flac" and out[3].byte_rate is None
     assert out[3].n_meta == 101 % 4 and len(out[3].checksum) == 32
+    p = synth_mp3_params(30)
+    assert out[6].codec == "mp3" and out[6].container == "MP3"
+    assert out[6].bits_per_sample is None and out[6].checksum is None
+    assert out[6].n_frames == p["n_frames"] * p["samples_per_frame"]
+    assert out[6].n_meta == p["n_meta"]
 
 
 def test_q_audio_meta_matches_oracle_before_registration(spark):
@@ -3595,6 +3605,103 @@ def test_q_audio_meta_matches_oracle_before_registration(spark):
     compare_to_oracle(
         q_audio_meta(spark, "/root/testdata/sf0.001"),
         AUDIO_META_ORACLE,
+        "/root/testdata/sf0.001",
+    )
+
+
+def test_mp3_parser_recovers_every_synth_parameter():
+    """MPEG-audio parser vs the synthetic encoder across the layout
+    residues: version tables (%3), layer size formulas (//3 %3), sample
+    rate (//2 %3), bitrate index (//5 %14), VBR NULL byte_rate (%9),
+    CRC headers (%7), per-frame padding, channel mode (//4 %4), ID3v2
+    v2.3/v2.4 frame counting (%5, %10), trailing ID3v1 (%6). Pure
+    Python — no Spark session."""
+    from parquet_compactor_spark.llm.multimodal import (
+        _synth_mp3,
+        decode_mp3_meta,
+        synth_mp3_params,
+    )
+
+    for n in list(range(0, 400)) + [997, 5000, 99999]:
+        p = synth_mp3_params(n)
+        m = decode_mp3_meta(_synth_mp3(n))
+        assert m == {
+            "version": p["version"],
+            "layer": p["layer"],
+            "sample_rate": p["sample_rate"],
+            "channels": p["channels"],
+            "n_frames": p["n_frames"],
+            "total_samples": p["n_frames"] * p["samples_per_frame"],
+            "byte_rate": p["byte_rate"],
+            "n_meta": p["n_meta"],
+        }, n
+
+
+def test_mp3_parser_is_loud_on_corruption():
+    """Every MPEG corruption class raises ValueError; free-format
+    bitrate (legal, unsupported) raises NotImplementedError — the
+    row-wise-degrade contract at the extract seam."""
+    import struct as _struct
+
+    import pytest as _pytest
+
+    from parquet_compactor_spark.llm.multimodal import (
+        _synth_mp3,
+        decode_mp3_meta,
+    )
+
+    mp3 = _synth_mp3(22)  # no ID3v2 (22 % 5 != 0), no ID3v1 (22 % 6 != 0)
+
+    def with_header_nibble(value):
+        """First frame header with the bitrate nibble forced."""
+        h = _struct.unpack_from(">I", mp3, 0)[0]
+        return _struct.pack(">I", (h & ~(0xF << 12)) | (value << 12)) + mp3[4:]
+
+    with _pytest.raises(ValueError, match="sync"):
+        decode_mp3_meta(b"\x00\x00" + mp3)
+    with _pytest.raises(ValueError, match="forbidden MPEG bitrate"):
+        decode_mp3_meta(with_header_nibble(0xF))
+    with _pytest.raises(NotImplementedError, match="free-format"):
+        decode_mp3_meta(with_header_nibble(0))
+    h = _struct.unpack_from(">I", mp3, 0)[0]
+    with _pytest.raises(ValueError, match="reserved MPEG sample-rate"):
+        decode_mp3_meta(_struct.pack(">I", h | (0b11 << 10)) + mp3[4:])
+    with _pytest.raises(ValueError, match="reserved MPEG version"):
+        decode_mp3_meta(
+            _struct.pack(">I", (h & ~(0b11 << 19)) | (0b01 << 19)) + mp3[4:]
+        )
+    with _pytest.raises(ValueError, match="reserved MPEG layer"):
+        decode_mp3_meta(_struct.pack(">I", h & ~(0b11 << 17)) + mp3[4:])
+    with _pytest.raises(ValueError, match="overruns"):
+        decode_mp3_meta(mp3[:-1])
+    with _pytest.raises(ValueError, match="no MPEG frames"):
+        decode_mp3_meta(b"ID3\x03\x00\x00\x00\x00\x00\x00")
+    tagged = _synth_mp3(25)  # 25 % 5 == 0 -> ID3v2 present
+    with _pytest.raises(ValueError, match="truncated ID3v2 header"):
+        decode_mp3_meta(tagged[:8])
+    with _pytest.raises(ValueError, match="ID3v2 tag overruns"):
+        decode_mp3_meta(tagged[:12])
+    # Mid-stream parameter change: replay the stream with the first
+    # frame's sample-rate index moved to another VALID value (2 -> 1).
+    flipped = _struct.pack(">I", h ^ (0b11 << 10)) + mp3[4:]
+    with _pytest.raises(ValueError, match="parameters change|overruns"):
+        decode_mp3_meta(mp3 + flipped)
+
+
+def test_q_mp3_meta_matches_oracle_before_registration(spark):
+    """q_mp3_meta's registration is deferred (window budgeting), so run
+    the driver-identical differential here: Spark parses REAL
+    synthesized MPEG streams, DuckDB replays the closed form including
+    the bitrate-table lookup."""
+    from parquet_compactor_spark.llm.multimodal import (
+        MP3_META_ORACLE,
+        q_mp3_meta,
+    )
+    from tests.oracle_utils import compare_to_oracle
+
+    compare_to_oracle(
+        q_mp3_meta(spark, "/root/testdata/sf0.001"),
+        MP3_META_ORACLE,
         "/root/testdata/sf0.001",
     )
 
@@ -3689,11 +3796,18 @@ def test_audio_and_video_decoders_never_leak_raw_exceptions(payload):
     from parquet_compactor_spark.llm.multimodal import (
         decode_audio_meta,
         decode_flac_meta,
+        decode_mp3_meta,
         decode_mp4_meta,
         decode_wav_meta,
     )
 
-    for dec in (decode_audio_meta, decode_wav_meta, decode_flac_meta, decode_mp4_meta):
+    for dec in (
+        decode_audio_meta,
+        decode_wav_meta,
+        decode_flac_meta,
+        decode_mp3_meta,
+        decode_mp4_meta,
+    ):
         try:
             out = dec(payload)
             assert isinstance(out, dict)
@@ -3705,11 +3819,12 @@ def _mutate_container(n, pos, val):
     """A valid WAV/FLAC/MP4 container (cycled by n) with one byte forced."""
     from parquet_compactor_spark.llm.multimodal import (
         _synth_flac,
+        _synth_mp3,
         _synth_mp4,
         _synth_wav,
     )
 
-    blob = bytearray((_synth_wav, _synth_flac, _synth_mp4)[n % 3](n))
+    blob = bytearray((_synth_wav, _synth_flac, _synth_mp4, _synth_mp3)[n % 4](n))
     blob[pos % len(blob)] = val
     return bytes(blob)
 
