@@ -3064,3 +3064,381 @@ def q_subtitle_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return payloads.mapInPandas(batches, schema=SUBTITLE_META_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# EXIF (TIFF IFD) metadata: the image lake's tag walk — orientation,
+# camera make/model, capture time, pixel dimensions, GPS presence.
+# Public layouts: TIFF 6.0 (Adobe, 1992) + Exif 2.x (JEITA CP-3451);
+# carried in a JPEG APP1 segment ("Exif\0\0") or a PNG eXIf chunk.
+# --------------------------------------------------------------------------
+
+#: TIFF field type -> byte width (types this parser needs; unknown types
+#: are skipped but still counted — real cameras emit maker-note exotica).
+_TIFF_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 7: 1, 9: 4, 10: 8}
+
+_EXIF_TAG_MAKE = 0x010F
+_EXIF_TAG_MODEL = 0x0110
+_EXIF_TAG_ORIENTATION = 0x0112
+_EXIF_TAG_DATETIME = 0x0132
+_EXIF_TAG_EXIF_IFD = 0x8769
+_EXIF_TAG_GPS_IFD = 0x8825
+_EXIF_TAG_DT_ORIGINAL = 0x9003
+_EXIF_TAG_PIX_X = 0xA002
+_EXIF_TAG_PIX_Y = 0xA003
+
+
+def synth_exif_params(n: int) -> dict:
+    """Deterministic Exif/TIFF parameters for a payload of ``n`` bytes —
+    one closed form shared by the encoder, the parser's expected output,
+    and the DuckDB oracle (q_exif_meta). Residues sweep the parse paths:
+    byte order (%2 — II little vs MM big endian), orientation (1 + %8,
+    the full flip/rotate set), GPS sub-IFD presence (%5), string values
+    long enough to take the offset (not inline) representation, and the
+    Exif sub-IFD pointer chain."""
+    sec = n % 60
+    return {
+        "byte_order": "II" if n % 2 == 0 else "MM",
+        "orientation": 1 + n % 8,
+        "make": f"Make{n % 100}",
+        "model": f"Model{(n // 3) % 100}",
+        "datetime": f"2026:08:16 12:00:{sec:02d}",
+        "datetime_original": f"2026:08:15 09:30:{sec:02d}",
+        "pix_x": 100 + n % 4000,
+        "pix_y": 100 + (n // 2) % 4000,
+        "has_gps": n % 5 == 0,
+        # DATA tags only (sub-IFD pointers are structure, not data):
+        # IFD0 carries make/model/orientation/datetime, the Exif
+        # sub-IFD dt-original + x + y, the GPS sub-IFD GPSVersionID.
+        "n_tags": 4 + 3 + (1 if n % 5 == 0 else 0),
+    }
+
+
+def _synth_exif_tiff(n: int) -> bytes:
+    """A REAL (spec-layout) TIFF/Exif byte block for
+    :func:`synth_exif_params` of ``n`` — the exact payload a JPEG APP1
+    segment or PNG eXIf chunk carries. Offsets are assembled the way a
+    camera writes them: IFD0 -> Exif IFD [-> GPS IFD] -> data area for
+    the out-of-line ASCII values."""
+    p = synth_exif_params(n)
+    little = p["byte_order"] == "II"
+    e = "<" if little else ">"
+
+    def u16(v):
+        return struct.pack(e + "H", v)
+
+    def u32(v):
+        return struct.pack(e + "I", v)
+
+    make = p["make"].encode() + b"\x00"
+    model = p["model"].encode() + b"\x00"
+    dt = p["datetime"].encode() + b"\x00"
+    dto = p["datetime_original"].encode() + b"\x00"
+
+    n_ifd0 = 6 if p["has_gps"] else 5
+    ifd0_off = 8
+    exif_off = ifd0_off + 2 + 12 * n_ifd0 + 4
+    gps_off = exif_off + 2 + 12 * 3 + 4
+    data_off = gps_off + (2 + 12 * 1 + 4 if p["has_gps"] else 0)
+
+    data = bytearray()
+
+    def ascii_entry(tag, s):
+        nonlocal data
+        if len(s) <= 4:
+            return u16(tag) + u16(2) + u32(len(s)) + s.ljust(4, b"\x00")
+        off = data_off + len(data)
+        data += s
+        return u16(tag) + u16(2) + u32(len(s)) + u32(off)
+
+    def short_entry(tag, v):
+        # SHORT value occupies the FIRST two bytes of the 4-byte field
+        # in either endian (TIFF 6.0: left-justified within the field).
+        return u16(tag) + u16(3) + u32(1) + u16(v) + b"\x00\x00"
+
+    def long_entry(tag, v, typ=4):
+        return u16(tag) + u16(typ) + u32(1) + u32(v)
+
+    ifd0 = u16(n_ifd0)
+    ifd0 += ascii_entry(_EXIF_TAG_MAKE, make)
+    ifd0 += ascii_entry(_EXIF_TAG_MODEL, model)
+    ifd0 += short_entry(_EXIF_TAG_ORIENTATION, p["orientation"])
+    ifd0 += ascii_entry(_EXIF_TAG_DATETIME, dt)
+    ifd0 += long_entry(_EXIF_TAG_EXIF_IFD, exif_off)
+    if p["has_gps"]:
+        ifd0 += long_entry(_EXIF_TAG_GPS_IFD, gps_off)
+    ifd0 += u32(0)  # no IFD1 (thumbnail directory)
+
+    exif_ifd = u16(3)
+    exif_ifd += ascii_entry(_EXIF_TAG_DT_ORIGINAL, dto)
+    exif_ifd += long_entry(_EXIF_TAG_PIX_X, p["pix_x"])
+    exif_ifd += long_entry(_EXIF_TAG_PIX_Y, p["pix_y"])
+    exif_ifd += u32(0)
+
+    gps_ifd = b""
+    if p["has_gps"]:
+        # GPSVersionID: BYTE x4, inline.
+        gps_ifd = u16(1) + u16(0) + u16(1) + u32(4) + b"\x02\x03\x00\x00" + u32(0)
+
+    header = (b"II" if little else b"MM") + u16(42) + u32(ifd0_off)
+    return header + ifd0 + exif_ifd + gps_ifd + bytes(data)
+
+
+def parse_exif(payload: bytes) -> dict:
+    """Real Exif/TIFF METADATA decode — a pure-Python IFD walk over the
+    public TIFF 6.0 layout (both byte orders), following the Exif and
+    GPS sub-IFD pointers one level deep. Unknown tags and field types
+    are SKIPPED but counted in ``n_tags`` (cameras emit maker-note
+    exotica; a parser that rejects them would drop most of a real
+    lake). Loud ValueError on structural corruption: bad byte-order
+    mark, magic != 42, an IFD or out-of-line value overrunning the
+    buffer, or a sub-IFD pointer landing outside it."""
+    buf = bytes(payload)
+    if len(buf) < 8:
+        raise ValueError("truncated TIFF header")
+    if buf[:2] == b"II":
+        e = "<"
+    elif buf[:2] == b"MM":
+        e = ">"
+    else:
+        raise ValueError("bad TIFF byte-order mark")
+    if struct.unpack_from(e + "H", buf, 2)[0] != 42:
+        raise ValueError("bad TIFF magic")
+    ifd0_off = struct.unpack_from(e + "I", buf, 4)[0]
+
+    out = {
+        "byte_order": buf[:2].decode(),
+        "orientation": None,
+        "make": None,
+        "model": None,
+        "datetime": None,
+        "datetime_original": None,
+        "pix_x": None,
+        "pix_y": None,
+        "has_gps": False,
+        "n_tags": 0,
+    }
+
+    def read_value(typ, count, field):
+        size = _TIFF_TYPE_SIZES.get(typ, 0) * count
+        if size == 0:
+            return None
+        if size <= 4:
+            raw = field[:size]
+        else:
+            off = struct.unpack(e + "I", field)[0]
+            if off + size > len(buf):
+                raise ValueError("TIFF value overruns payload")
+            raw = buf[off : off + size]
+        if typ == 2:  # ASCII, NUL-terminated
+            return raw.split(b"\x00", 1)[0].decode("ascii", "replace")
+        if typ == 3:
+            return struct.unpack(e + "H", raw[:2])[0]
+        if typ == 4:
+            return struct.unpack(e + "I", raw[:4])[0]
+        return raw
+
+    def walk(off, depth):
+        if depth > 2:
+            raise ValueError("TIFF IFD chain too deep")
+        if off + 2 > len(buf):
+            raise ValueError("TIFF IFD overruns payload")
+        (count,) = struct.unpack_from(e + "H", buf, off)
+        end = off + 2 + 12 * count
+        if end + 4 > len(buf):
+            raise ValueError("TIFF IFD overruns payload")
+        for i in range(count):
+            base = off + 2 + 12 * i
+            tag, typ = struct.unpack_from(e + "HH", buf, base)
+            (cnt,) = struct.unpack_from(e + "I", buf, base + 4)
+            field = buf[base + 8 : base + 12]
+            out["n_tags"] += 1
+            if tag == _EXIF_TAG_EXIF_IFD:
+                out["n_tags"] -= 1  # pointer, not a data tag
+                sub = read_value(4, 1, field)
+                walk(sub, depth + 1)
+            elif tag == _EXIF_TAG_GPS_IFD:
+                out["n_tags"] -= 1
+                out["has_gps"] = True
+                sub = read_value(4, 1, field)
+                walk(sub, depth + 1)
+            elif tag == _EXIF_TAG_MAKE:
+                out["make"] = read_value(typ, cnt, field)
+            elif tag == _EXIF_TAG_MODEL:
+                out["model"] = read_value(typ, cnt, field)
+            elif tag == _EXIF_TAG_ORIENTATION:
+                out["orientation"] = read_value(typ, cnt, field)
+            elif tag == _EXIF_TAG_DATETIME:
+                out["datetime"] = read_value(typ, cnt, field)
+            elif tag == _EXIF_TAG_DT_ORIGINAL:
+                out["datetime_original"] = read_value(typ, cnt, field)
+            elif tag == _EXIF_TAG_PIX_X:
+                out["pix_x"] = read_value(typ, cnt, field)
+            elif tag == _EXIF_TAG_PIX_Y:
+                out["pix_y"] = read_value(typ, cnt, field)
+
+    walk(ifd0_off, 0)
+    return out
+
+
+def extract_exif_payload(blob: bytes) -> bytes:
+    """Locate the Exif/TIFF block inside a real image container: a JPEG
+    APP1 segment whose body starts ``Exif\\0\\0``, or a PNG eXIf chunk
+    (PNG extension 1.5.0). ValueError when the container carries no
+    Exif — callers at the lake seam degrade row-wise."""
+    buf = bytes(blob)
+    if buf[:2] == b"\xff\xd8":  # JPEG: walk segments up to SOS
+        pos = 2
+        while pos + 4 <= len(buf):
+            if buf[pos] != 0xFF:
+                raise ValueError("corrupt JPEG segment stream")
+            marker = buf[pos + 1]
+            if marker == 0xDA:  # SOS — entropy data, no more headers
+                break
+            (seg_len,) = struct.unpack_from(">H", buf, pos + 2)
+            body = buf[pos + 4 : pos + 2 + seg_len]
+            if marker == 0xE1 and body[:6] == b"Exif\x00\x00":
+                return body[6:]
+            pos += 2 + seg_len
+        raise ValueError("JPEG carries no Exif APP1 segment")
+    if buf[:8] == b"\x89PNG\r\n\x1a\n":  # PNG: walk chunks
+        pos = 8
+        while pos + 8 <= len(buf):
+            (clen,) = struct.unpack_from(">I", buf, pos)
+            ctype = buf[pos + 4 : pos + 8]
+            if ctype == b"eXIf":
+                return buf[pos + 8 : pos + 8 + clen]
+            pos += 12 + clen
+        raise ValueError("PNG carries no eXIf chunk")
+    raise ValueError("not a JPEG or PNG container")
+
+
+EXIF_META_SCHEMA = (
+    "doc_id bigint, byte_order string, orientation int, make string, "
+    "model string, dt string, dt_original string, pix_x int, pix_y int, "
+    "has_gps boolean, n_tags int"
+)
+
+
+def extract_exif_meta(df: DataFrame) -> DataFrame:
+    """``mapInPandas`` Exif metadata over (doc_id, payload: binary) —
+    the genuine-lake entry point: JPEG/PNG blobs in, one metadata row
+    per blob that carries a parseable Exif block; all other rows are
+    DROPPED (row-wise degrade). Header-only: cost per blob is the
+    segment/chunk walk, independent of pixel data size."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    m = parse_exif(
+                        extract_exif_payload(b"" if b is None else bytes(b))
+                    )
+                except (ValueError, NotImplementedError, struct.error):
+                    continue
+                rows.append(
+                    (
+                        doc_id,
+                        m["byte_order"],
+                        m["orientation"],
+                        m["make"],
+                        m["model"],
+                        m["datetime"],
+                        m["datetime_original"],
+                        m["pix_x"],
+                        m["pix_y"],
+                        m["has_gps"],
+                        m["n_tags"],
+                    )
+                )
+            yield _exif_meta_frame(rows)
+
+    return df.mapInPandas(batches, schema=EXIF_META_SCHEMA)
+
+
+def _exif_meta_frame(rows: list[tuple]) -> pd.DataFrame:
+    """Arrow-safe typed frame for EXIF_META_SCHEMA rows (nullable Int32
+    for tags absent from a given blob)."""
+    cols = list(zip(*rows)) if rows else [[] for _ in range(11)]
+    return pd.DataFrame(
+        {
+            "doc_id": pd.array(cols[0], dtype="int64"),
+            "byte_order": pd.array(cols[1], dtype="string"),
+            "orientation": pd.array(cols[2], dtype="Int32"),
+            "make": pd.array(cols[3], dtype="string"),
+            "model": pd.array(cols[4], dtype="string"),
+            "dt": pd.array(cols[5], dtype="string"),
+            "dt_original": pd.array(cols[6], dtype="string"),
+            "pix_x": pd.array(cols[7], dtype="Int32"),
+            "pix_y": pd.array(cols[8], dtype="Int32"),
+            "has_gps": pd.array(cols[9], dtype="boolean"),
+            "n_tags": pd.array(cols[10], dtype="Int32"),
+        }
+    )
+
+
+#: q_exif_meta's DuckDB oracle — the synth_exif_params closed form in
+#: SQL. Module constant like the other deferred metadata oracles.
+EXIF_META_ORACLE = """
+    WITH t AS (
+        SELECT doc_id, strlen(text) AS n FROM documents WHERE text IS NOT NULL
+    )
+    SELECT doc_id,
+           CASE WHEN n % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+           CAST(1 + n % 8 AS INT) AS orientation,
+           'Make' || CAST(n % 100 AS VARCHAR) AS make,
+           'Model' || CAST((n // 3) % 100 AS VARCHAR) AS model,
+           '2026:08:16 12:00:' || lpad(CAST(n % 60 AS VARCHAR), 2, '0') AS dt,
+           '2026:08:15 09:30:' || lpad(CAST(n % 60 AS VARCHAR), 2, '0')
+               AS dt_original,
+           CAST(100 + n % 4000 AS INT) AS pix_x,
+           CAST(100 + (n // 2) % 4000 AS INT) AS pix_y,
+           n % 5 = 0 AS has_gps,
+           CAST(CASE WHEN n % 5 = 0 THEN 8 ELSE 7 END AS INT) AS n_tags
+    FROM t
+"""
+
+
+def q_exif_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exif metadata: per row, a REAL TIFF/Exif block (IFD0 + Exif +
+    optional GPS sub-IFDs, both byte orders, out-of-line ASCII values)
+    is synthesized from the payload's byte length and the REAL parser
+    (:func:`parse_exif`) walks it back; ``EXIF_META_ORACLE`` replays
+    the parameter closed form — the tag-walk member of the image
+    modality, next to q_multimodal_meta's dimension parse and
+    q_phash_dedup's pixel decode. Map-only (no shuffle); on a genuine
+    lake the same walk runs via ``ingest_binary_dir ->
+    extract_exif_meta`` over JPEG APP1 / PNG eXIf containers.
+
+    REGISTRATION DEFERRED (window budgeting — see registry.py's
+    rotation plan); oracle-checked in pytest meanwhile.
+    """
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    payloads = d.select(
+        "doc_id", F.length(F.encode(F.col("text"), "utf-8")).alias("n")
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, n in zip(pdf["doc_id"], pdf["n"]):
+                m = parse_exif(_synth_exif_tiff(int(n)))
+                rows.append(
+                    (
+                        doc_id,
+                        m["byte_order"],
+                        m["orientation"],
+                        m["make"],
+                        m["model"],
+                        m["datetime"],
+                        m["datetime_original"],
+                        m["pix_x"],
+                        m["pix_y"],
+                        m["has_gps"],
+                        m["n_tags"],
+                    )
+                )
+            yield _exif_meta_frame(rows)
+
+    return payloads.mapInPandas(batches, schema=EXIF_META_SCHEMA)

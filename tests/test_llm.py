@@ -3706,6 +3706,149 @@ def test_q_mp3_meta_matches_oracle_before_registration(spark):
     )
 
 
+def test_exif_parser_recovers_every_synth_parameter():
+    """TIFF/Exif IFD walk vs the synthetic encoder across the layout
+    residues: byte order (%2), orientation (1+%8), GPS sub-IFD (%5),
+    out-of-line ASCII values, the Exif pointer chain. Pure Python."""
+    from parquet_compactor_spark.llm.multimodal import (
+        _synth_exif_tiff,
+        parse_exif,
+        synth_exif_params,
+    )
+
+    for n in list(range(0, 400)) + [997, 5000, 99999]:
+        p = synth_exif_params(n)
+        m = parse_exif(_synth_exif_tiff(n))
+        assert m == {
+            "byte_order": p["byte_order"],
+            "orientation": p["orientation"],
+            "make": p["make"],
+            "model": p["model"],
+            "datetime": p["datetime"],
+            "datetime_original": p["datetime_original"],
+            "pix_x": p["pix_x"],
+            "pix_y": p["pix_y"],
+            "has_gps": p["has_gps"],
+            "n_tags": p["n_tags"],
+        }, n
+
+
+def test_exif_parser_is_loud_on_corruption():
+    """Structural corruption raises ValueError; unknown tags/types are
+    skipped-but-counted (cameras emit maker-note exotica)."""
+    import struct as _struct
+
+    import pytest as _pytest
+
+    from parquet_compactor_spark.llm.multimodal import (
+        _synth_exif_tiff,
+        extract_exif_payload,
+        parse_exif,
+    )
+
+    tiff = _synth_exif_tiff(42)
+    with _pytest.raises(ValueError, match="byte-order"):
+        parse_exif(b"XX" + tiff[2:])
+    with _pytest.raises(ValueError, match="magic"):
+        parse_exif(tiff[:2] + b"\x00\x00" + tiff[4:])
+    with _pytest.raises(ValueError, match="truncated TIFF header"):
+        parse_exif(tiff[:6])
+    with _pytest.raises(ValueError, match="IFD overruns"):
+        parse_exif(tiff[:12])
+    # Out-of-line value offset beyond the buffer.
+    with _pytest.raises(ValueError, match="overruns"):
+        parse_exif(tiff[:-8])
+    # A self-pointing Exif IFD pointer must hit the depth guard, not
+    # recurse forever.
+    little = tiff[:2] == b"II"
+    e = "<" if little else ">"
+    loop = bytearray(tiff[:8])
+    loop += _struct.pack(e + "H", 1)
+    loop += _struct.pack(e + "HHI I".replace(" ", ""), 0x8769, 4, 1, 8)
+    loop += _struct.pack(e + "I", 0)
+    with _pytest.raises(ValueError, match="too deep"):
+        parse_exif(bytes(loop))
+    # Unknown tag and unknown type are tolerated and counted.
+    extra = bytearray(tiff[:8])
+    extra += _struct.pack(e + "H", 2)
+    extra += _struct.pack(e + "HHI", 0x9999, 3, 1) + _struct.pack(e + "H", 7) + b"\x00\x00"
+    extra += _struct.pack(e + "HHI", 0x927C, 99, 1) + b"\x00\x00\x00\x00"
+    extra += _struct.pack(e + "I", 0)
+    m = parse_exif(bytes(extra))
+    assert m["n_tags"] == 2 and m["orientation"] is None
+    # Container negatives.
+    with _pytest.raises(ValueError, match="no Exif APP1"):
+        extract_exif_payload(b"\xff\xd8\xff\xdb\x00\x04\x00\x00\xff\xda")
+    with _pytest.raises(ValueError, match="no eXIf chunk"):
+        extract_exif_payload(b"\x89PNG\r\n\x1a\n" + b"\x00" * 20)
+    with _pytest.raises(ValueError, match="not a JPEG or PNG"):
+        extract_exif_payload(b"GIF89a....")
+
+
+def test_extract_exif_meta_walks_real_containers(spark):
+    """The genuine-lake seam: a JPEG APP1 blob, a PNG eXIf blob, an
+    Exif-less JPEG, garbage, and NULL in one frame yield metadata for
+    exactly the two Exif-bearing rows."""
+    import struct as _struct
+
+    from parquet_compactor_spark.llm.multimodal import (
+        _synth_exif_tiff,
+        extract_exif_meta,
+        synth_exif_params,
+    )
+
+    tiff = _synth_exif_tiff(77)
+    app1 = b"Exif\x00\x00" + tiff
+    jpeg = (
+        b"\xff\xd8\xff\xe1"
+        + _struct.pack(">H", len(app1) + 2)
+        + app1
+        + b"\xff\xda"
+        + b"entropy"
+    )
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + _struct.pack(">I", 13)
+        + b"IHDR"
+        + bytes(17)
+        + _struct.pack(">I", len(tiff))
+        + b"eXIf"
+        + tiff
+        + bytes(4)
+    )
+    rows = [
+        (1, bytearray(jpeg)),
+        (2, bytearray(png)),
+        (3, bytearray(b"\xff\xd8\xff\xdb\x00\x04\x00\x00\xff\xda")),
+        (4, bytearray(b"not an image")),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    out = {r.doc_id: r for r in extract_exif_meta(df).collect()}
+    assert set(out) == {1, 2}
+    p = synth_exif_params(77)
+    for r in out.values():
+        assert r.orientation == p["orientation"] and r.make == p["make"]
+        assert r.pix_x == p["pix_x"] and r.has_gps == p["has_gps"]
+        assert r.n_tags == p["n_tags"]
+
+
+def test_q_exif_meta_matches_oracle_before_registration(spark):
+    """q_exif_meta's registration is deferred (window budgeting), so run
+    the driver-identical differential here."""
+    from parquet_compactor_spark.llm.multimodal import (
+        EXIF_META_ORACLE,
+        q_exif_meta,
+    )
+    from tests.oracle_utils import compare_to_oracle
+
+    compare_to_oracle(
+        q_exif_meta(spark, "/root/testdata/sf0.001"),
+        EXIF_META_ORACLE,
+        "/root/testdata/sf0.001",
+    )
+
+
 def test_canonical_url_collapses_messy_variants(spark):
     """canonical_url: equal canonical-relevant params (n) with different
     messiness (m — casing, default port, trailing slash, tracking
