@@ -3442,3 +3442,411 @@ def q_exif_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield _exif_meta_frame(rows)
 
     return payloads.mapInPandas(batches, schema=EXIF_META_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Matroska / WebM (EBML) metadata: the second big video container — the
+# open-web side of a video lake, next to q_video_meta's ISO-BMFF walk.
+# Public layouts: RFC 8794 (EBML) + the Matroska element registry.
+# --------------------------------------------------------------------------
+
+#: Element IDs (full encoded form, as they appear on the wire).
+_EBML_HEADER = 0x1A45DFA3
+_EBML_DOCTYPE = 0x4282
+_EBML_DOCTYPE_VERSION = 0x4287
+_MKV_SEGMENT = 0x18538067
+_MKV_INFO = 0x1549A966
+_MKV_TIMESTAMP_SCALE = 0x2AD7B1
+_MKV_DURATION = 0x4489
+_MKV_TRACKS = 0x1654AE6B
+_MKV_TRACK_ENTRY = 0xAE
+_MKV_TRACK_TYPE = 0x83
+_MKV_CODEC_ID = 0x86
+_MKV_VIDEO = 0xE0
+_MKV_PIXEL_WIDTH = 0xB0
+_MKV_PIXEL_HEIGHT = 0xBA
+_MKV_AUDIO = 0xE1
+_MKV_SAMPLING_FREQ = 0xB5
+_MKV_CHANNELS = 0x9F
+
+#: Master elements this parser recurses into; everything else is skipped
+#: by size (Clusters, Cues, SeekHead, Tags — content, not metadata).
+_MKV_MASTERS = {
+    _EBML_HEADER,
+    _MKV_SEGMENT,
+    _MKV_INFO,
+    _MKV_TRACKS,
+    _MKV_TRACK_ENTRY,
+    _MKV_VIDEO,
+    _MKV_AUDIO,
+}
+
+
+def synth_webm_params(n: int) -> dict:
+    """Deterministic Matroska/WebM parameters for a payload of ``n``
+    bytes — one closed form shared by the encoder, the parser's
+    expected output, and the DuckDB oracle (q_webm_meta). Residues
+    sweep the parse paths: doctype (%2), doctype version (2 + %3),
+    timestamp scale (%4 — the 100 us vs the default 1 ms tick),
+    video codec (%3 over VP8/VP9/AV1), audio track presence (%4) with
+    codec (%2 over Opus/Vorbis), and (in :func:`_synth_webm`) an
+    unknown-size Segment on %7 — the live-stream form — plus skipped
+    SeekHead/Cluster elements."""
+    scale = 100_000 if n % 4 == 0 else 1_000_000
+    # duration ticks are a multiple of 10 so duration_ms is exact under
+    # BOTH scales (ticks * scale // 1e6).
+    dur_ticks = 10 * (1 + n % 500)
+    has_audio = n % 4 != 0
+    return {
+        "doctype": "webm" if n % 2 == 0 else "matroska",
+        "doctype_version": 2 + n % 3,
+        "timestamp_scale": scale,
+        "duration_ticks": dur_ticks,
+        "duration_ms": dur_ticks * scale // 1_000_000,
+        "video_codec": ("V_VP8", "V_VP9", "V_AV1")[n % 3],
+        "width": 16 * (4 + n % 60),
+        "height": 16 * (3 + n % 34),
+        "has_audio": has_audio,
+        "n_tracks": 2 if has_audio else 1,
+        "audio_codec": ("A_OPUS" if n % 2 == 0 else "A_VORBIS")
+        if has_audio
+        else None,
+        "audio_channels": 1 + (n // 3) % 2 if has_audio else None,
+        "sampling_hz": (48000 if n % 5 else 44100) if has_audio else None,
+        "unknown_size_segment": n % 7 == 0,
+    }
+
+
+def _ebml_id(eid: int) -> bytes:
+    out = eid.to_bytes((eid.bit_length() + 7) // 8, "big")
+    return out
+
+
+def _ebml_size(v: int) -> bytes:
+    """Shortest VINT encoding of a known size."""
+    for width in range(1, 9):
+        if v < (1 << (7 * width)) - 1:  # all-ones is reserved (unknown)
+            return ((1 << (7 * width)) | v).to_bytes(width, "big")
+    raise ValueError("EBML size too large")
+
+
+def _ebml_el(eid: int, payload: bytes) -> bytes:
+    return _ebml_id(eid) + _ebml_size(len(payload)) + payload
+
+
+def _ebml_uint(v: int) -> bytes:
+    return v.to_bytes(max(1, (v.bit_length() + 7) // 8), "big")
+
+
+def _synth_webm(n: int) -> bytes:
+    """A REAL (spec-layout) Matroska/WebM container for
+    :func:`synth_webm_params` of ``n``: EBML header, Segment with Info
+    and Tracks, a skipped SeekHead stand-in and a Cluster of filler.
+    On the %7 residue the Segment uses the UNKNOWN size marker (the
+    live-stream/streaming-recorder form) so the parser's
+    rest-of-buffer path is exercised."""
+    p = synth_webm_params(n)
+    header = _ebml_el(
+        _EBML_HEADER,
+        _ebml_el(0x4286, _ebml_uint(1))  # EBMLVersion
+        + _ebml_el(0x42F7, _ebml_uint(1))  # EBMLReadVersion
+        + _ebml_el(_EBML_DOCTYPE, p["doctype"].encode())
+        + _ebml_el(_EBML_DOCTYPE_VERSION, _ebml_uint(p["doctype_version"])),
+    )
+    info = _ebml_el(
+        _MKV_INFO,
+        _ebml_el(_MKV_TIMESTAMP_SCALE, _ebml_uint(p["timestamp_scale"]))
+        + _ebml_el(_MKV_DURATION, struct.pack(">d", float(p["duration_ticks"]))),
+    )
+    video_track = _ebml_el(
+        _MKV_TRACK_ENTRY,
+        _ebml_el(0xD7, _ebml_uint(1))  # TrackNumber
+        + _ebml_el(_MKV_TRACK_TYPE, _ebml_uint(1))
+        + _ebml_el(_MKV_CODEC_ID, p["video_codec"].encode())
+        + _ebml_el(
+            _MKV_VIDEO,
+            _ebml_el(_MKV_PIXEL_WIDTH, _ebml_uint(p["width"]))
+            + _ebml_el(_MKV_PIXEL_HEIGHT, _ebml_uint(p["height"])),
+        ),
+    )
+    tracks_payload = video_track
+    if p["has_audio"]:
+        tracks_payload += _ebml_el(
+            _MKV_TRACK_ENTRY,
+            _ebml_el(0xD7, _ebml_uint(2))
+            + _ebml_el(_MKV_TRACK_TYPE, _ebml_uint(2))
+            + _ebml_el(_MKV_CODEC_ID, p["audio_codec"].encode())
+            + _ebml_el(
+                _MKV_AUDIO,
+                _ebml_el(
+                    _MKV_SAMPLING_FREQ,
+                    struct.pack(">d", float(p["sampling_hz"])),
+                )
+                + _ebml_el(0x9F, _ebml_uint(p["audio_channels"])),
+            ),
+        )
+    tracks = _ebml_el(_MKV_TRACKS, tracks_payload)
+    # A skipped element (Void, 0xEC) and a Cluster of filler bytes —
+    # the parser must hop both by size without reading their content.
+    void = _ebml_el(0xEC, b"\x00" * (n % 17))
+    cluster = _ebml_el(0x1F43B675, b"\xa5" * (8 + n % 64))
+    seg_payload = void + info + tracks + cluster
+    if p["unknown_size_segment"]:
+        seg = _ebml_id(_MKV_SEGMENT) + b"\xff" + seg_payload
+    else:
+        seg = _ebml_el(_MKV_SEGMENT, seg_payload)
+    return header + seg
+
+
+def decode_webm_meta(payload: bytes) -> dict:
+    """Real Matroska/WebM METADATA decode — a pure-Python EBML walk
+    (RFC 8794 varints, both the known-size and the live-stream
+    unknown-size Segment forms), recursing only into the master
+    elements that carry metadata and hopping Clusters/Cues/Void by
+    size. Integer-only outputs (duration_ms is computed from the
+    float Duration element's exactly-representable integer tick count
+    and the integer TimestampScale). Loud ValueError on structural
+    corruption: missing EBML header, zero-byte (invalid) varint,
+    element overrun, unknown-size on a non-Segment element, truncated
+    float. Unsupported float widths (not 4/8) are corrupt per RFC 8794."""
+    buf = bytes(payload)
+
+    def read_vint(pos, keep_marker):
+        if pos >= len(buf):
+            raise ValueError("truncated EBML varint")
+        first = buf[pos]
+        if first == 0:
+            raise ValueError("invalid EBML varint (zero descriptor)")
+        width = 9 - first.bit_length()
+        if pos + width > len(buf):
+            raise ValueError("truncated EBML varint")
+        raw = int.from_bytes(buf[pos : pos + width], "big")
+        if not keep_marker:
+            marker = 1 << (7 * width)
+            val = raw - marker
+            # all value bits set = unknown size
+            if val == marker - 1:
+                return None, pos + width
+            return val, pos + width
+        return raw, pos + width
+
+    out = {
+        "doctype": None,
+        "doctype_version": 1,
+        "timestamp_scale": 1_000_000,  # Matroska default
+        "duration_ms": None,
+        "n_tracks": 0,
+        "video_codec": None,
+        "width": None,
+        "height": None,
+        "audio_codec": None,
+        "audio_channels": None,
+        "sampling_hz": None,
+    }
+    duration_ticks = None
+    track_type = None  # type of the TrackEntry currently being walked
+
+    def read_float(body):
+        if len(body) == 4:
+            return struct.unpack(">f", body)[0]
+        if len(body) == 8:
+            return struct.unpack(">d", body)[0]
+        raise ValueError("corrupt EBML float width")
+
+    def walk(pos, end):
+        nonlocal duration_ticks, track_type
+        while pos < end:
+            eid, pos = read_vint(pos, keep_marker=True)
+            size, pos = read_vint(pos, keep_marker=False)
+            if size is None:
+                if eid != _MKV_SEGMENT:
+                    raise ValueError("unknown EBML size outside Segment")
+                size = end - pos
+            if pos + size > end:
+                raise ValueError("EBML element overruns payload")
+            body = buf[pos:pos + size]
+            if eid in _MKV_MASTERS:
+                if eid == _MKV_TRACK_ENTRY:
+                    track_type = None
+                walk(pos, pos + size)
+            elif eid == _EBML_DOCTYPE:
+                out["doctype"] = body.decode("ascii", "replace")
+            elif eid == _EBML_DOCTYPE_VERSION:
+                out["doctype_version"] = int.from_bytes(body, "big")
+            elif eid == _MKV_TIMESTAMP_SCALE:
+                out["timestamp_scale"] = int.from_bytes(body, "big")
+            elif eid == _MKV_DURATION:
+                duration_ticks = read_float(body)
+            elif eid == _MKV_TRACK_TYPE:
+                track_type = int.from_bytes(body, "big")
+                out["n_tracks"] += 1
+            elif eid == _MKV_CODEC_ID:
+                cid = body.decode("ascii", "replace")
+                if track_type == 2:
+                    out["audio_codec"] = cid
+                else:
+                    out["video_codec"] = cid
+            elif eid == _MKV_PIXEL_WIDTH:
+                out["width"] = int.from_bytes(body, "big")
+            elif eid == _MKV_PIXEL_HEIGHT:
+                out["height"] = int.from_bytes(body, "big")
+            elif eid == _MKV_SAMPLING_FREQ:
+                out["sampling_hz"] = int(read_float(body))
+            elif eid == _MKV_CHANNELS:
+                out["audio_channels"] = int.from_bytes(body, "big")
+            pos += size
+
+    if not buf or len(buf) < 4 or int.from_bytes(buf[:4], "big") != _EBML_HEADER:
+        raise ValueError("not an EBML/Matroska payload")
+    walk(0, len(buf))
+    if out["doctype"] is None:
+        raise ValueError("EBML header carries no DocType")
+    if duration_ticks is not None:
+        # The tick count is a whole number in any sane muxer output;
+        # int() of an exactly-representable whole float is exact.
+        out["duration_ms"] = (
+            int(duration_ticks) * out["timestamp_scale"] // 1_000_000
+        )
+    return out
+
+
+WEBM_META_SCHEMA = (
+    "doc_id bigint, doctype string, doctype_version int, "
+    "timestamp_scale bigint, duration_ms bigint, n_tracks int, "
+    "video_codec string, width int, height int, audio_codec string, "
+    "audio_channels int, sampling_hz int"
+)
+
+
+def _webm_meta_frame(rows: list[tuple]) -> pd.DataFrame:
+    cols = list(zip(*rows)) if rows else [[] for _ in range(12)]
+    return pd.DataFrame(
+        {
+            "doc_id": pd.array(cols[0], dtype="int64"),
+            "doctype": pd.array(cols[1], dtype="string"),
+            "doctype_version": pd.array(cols[2], dtype="Int32"),
+            "timestamp_scale": pd.array(cols[3], dtype="int64"),
+            "duration_ms": pd.array(cols[4], dtype="Int64"),
+            "n_tracks": pd.array(cols[5], dtype="Int32"),
+            "video_codec": pd.array(cols[6], dtype="string"),
+            "width": pd.array(cols[7], dtype="Int32"),
+            "height": pd.array(cols[8], dtype="Int32"),
+            "audio_codec": pd.array(cols[9], dtype="string"),
+            "audio_channels": pd.array(cols[10], dtype="Int32"),
+            "sampling_hz": pd.array(cols[11], dtype="Int32"),
+        }
+    )
+
+
+def extract_webm_meta(df: DataFrame) -> DataFrame:
+    """``mapInPandas`` Matroska/WebM metadata over (doc_id, payload:
+    binary) — the genuine-lake entry point, twin of
+    :func:`extract_video_meta` for the EBML container family. Rows
+    whose payload is not a parseable Matroska stream are DROPPED
+    (row-wise degrade). Header-only: Clusters are hopped by size,
+    never read."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    m = decode_webm_meta(b"" if b is None else bytes(b))
+                except (ValueError, NotImplementedError, struct.error):
+                    continue
+                rows.append(
+                    (
+                        doc_id,
+                        m["doctype"],
+                        m["doctype_version"],
+                        m["timestamp_scale"],
+                        m["duration_ms"],
+                        m["n_tracks"],
+                        m["video_codec"],
+                        m["width"],
+                        m["height"],
+                        m["audio_codec"],
+                        m["audio_channels"],
+                        m["sampling_hz"],
+                    )
+                )
+            yield _webm_meta_frame(rows)
+
+    return df.mapInPandas(batches, schema=WEBM_META_SCHEMA)
+
+
+#: q_webm_meta's DuckDB oracle — the synth_webm_params closed form.
+WEBM_META_ORACLE = """
+    WITH t AS (
+        SELECT doc_id, strlen(text) AS n FROM documents WHERE text IS NOT NULL
+    ), p AS (
+        SELECT doc_id, n,
+               CASE WHEN n % 4 = 0 THEN 100000 ELSE 1000000 END AS scale,
+               10 * (1 + n % 500) AS ticks,
+               n % 4 != 0 AS has_audio
+        FROM t
+    )
+    SELECT doc_id,
+           CASE WHEN n % 2 = 0 THEN 'webm' ELSE 'matroska' END AS doctype,
+           CAST(2 + n % 3 AS INT) AS doctype_version,
+           CAST(scale AS BIGINT) AS timestamp_scale,
+           CAST(ticks * scale // 1000000 AS BIGINT) AS duration_ms,
+           CAST(CASE WHEN has_audio THEN 2 ELSE 1 END AS INT) AS n_tracks,
+           (['V_VP8','V_VP9','V_AV1'])[1 + n % 3] AS video_codec,
+           CAST(16 * (4 + n % 60) AS INT) AS width,
+           CAST(16 * (3 + n % 34) AS INT) AS height,
+           CASE WHEN NOT has_audio THEN NULL
+                WHEN n % 2 = 0 THEN 'A_OPUS' ELSE 'A_VORBIS' END
+               AS audio_codec,
+           CAST(CASE WHEN has_audio THEN 1 + (n // 3) % 2 END AS INT)
+               AS audio_channels,
+           CAST(CASE WHEN NOT has_audio THEN NULL
+                     WHEN n % 5 = 0 THEN 44100 ELSE 48000 END AS INT)
+               AS sampling_hz
+    FROM p
+"""
+
+
+def q_webm_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matroska/WebM metadata: per row, a REAL EBML container (header +
+    Segment with Info/Tracks, Void and Cluster elements hopped by
+    size, unknown-size Segment on the %7 residue) is synthesized from
+    the payload's byte length and the REAL parser
+    (:func:`decode_webm_meta`) walks it back; ``WEBM_META_ORACLE``
+    replays the closed form — the EBML twin of q_video_meta's ISO-BMFF
+    recipe, completing the video container family. Map-only; on a
+    genuine lake the same walk runs via ``ingest_binary_dir ->
+    extract_webm_meta``.
+
+    REGISTRATION DEFERRED (window budgeting — see registry.py's
+    rotation plan); oracle-checked in pytest meanwhile.
+    """
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    payloads = d.select(
+        "doc_id", F.length(F.encode(F.col("text"), "utf-8")).alias("n")
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, n in zip(pdf["doc_id"], pdf["n"]):
+                m = decode_webm_meta(_synth_webm(int(n)))
+                rows.append(
+                    (
+                        doc_id,
+                        m["doctype"],
+                        m["doctype_version"],
+                        m["timestamp_scale"],
+                        m["duration_ms"],
+                        m["n_tracks"],
+                        m["video_codec"],
+                        m["width"],
+                        m["height"],
+                        m["audio_codec"],
+                        m["audio_channels"],
+                        m["sampling_hz"],
+                    )
+                )
+            yield _webm_meta_frame(rows)
+
+    return payloads.mapInPandas(batches, schema=WEBM_META_SCHEMA)

@@ -442,8 +442,8 @@ def _ensure_loaded() -> None:
 # Everything not listed follows in registration order.
 #
 # Round-15 rotation plan (latest-row-wins from CORRECTNESS_r{01..13} +
-# this window): FIRST register the five round-14-deferred queries —
-# q_audio_meta, q_subtitle_meta, q_mp3_meta, q_exif_meta
+# this window): FIRST register the six round-14-deferred queries —
+# q_audio_meta, q_subtitle_meta, q_mp3_meta, q_exif_meta, q_webm_meta
 # (llm/multimodal.py) and q_url_dedup (llm/curation.py) —
 # implemented and pytest-oracle-green
 # in round 14 (sf0.001 differential + hostile data + hostile conf);

@@ -392,15 +392,18 @@ def test_deferred_round15_queries_survive_hostile_data(spark, hostile_dir):
         EXIF_META_ORACLE,
         MP3_META_ORACLE,
         SUBTITLE_META_ORACLE,
+        WEBM_META_ORACLE,
         q_audio_meta,
         q_exif_meta,
         q_mp3_meta,
         q_subtitle_meta,
+        q_webm_meta,
     )
 
     compare_to_oracle(q_audio_meta(spark, hostile_dir), AUDIO_META_ORACLE, hostile_dir)
     compare_to_oracle(q_mp3_meta(spark, hostile_dir), MP3_META_ORACLE, hostile_dir)
     compare_to_oracle(q_exif_meta(spark, hostile_dir), EXIF_META_ORACLE, hostile_dir)
+    compare_to_oracle(q_webm_meta(spark, hostile_dir), WEBM_META_ORACLE, hostile_dir)
     compare_to_oracle(q_url_dedup(spark, hostile_dir), URL_DEDUP_ORACLE, hostile_dir)
     compare_to_oracle(
         q_subtitle_meta(spark, hostile_dir), SUBTITLE_META_ORACLE, hostile_dir

@@ -3849,6 +3849,118 @@ def test_q_exif_meta_matches_oracle_before_registration(spark):
     )
 
 
+def test_webm_parser_recovers_every_synth_parameter():
+    """EBML walk vs the synthetic encoder across the layout residues:
+    doctype (%2), doctype version (%3), timestamp scale (%4), video
+    codec (%3), audio track (%4) with codec (%2) and channels, the
+    unknown-size Segment form (%7), Void/Cluster size hops. Pure
+    Python — no Spark session."""
+    from parquet_compactor_spark.llm.multimodal import (
+        _synth_webm,
+        decode_webm_meta,
+        synth_webm_params,
+    )
+
+    for n in list(range(0, 400)) + [997, 5000, 99999]:
+        p = synth_webm_params(n)
+        m = decode_webm_meta(_synth_webm(n))
+        assert m == {
+            "doctype": p["doctype"],
+            "doctype_version": p["doctype_version"],
+            "timestamp_scale": p["timestamp_scale"],
+            "duration_ms": p["duration_ms"],
+            "n_tracks": p["n_tracks"],
+            "video_codec": p["video_codec"],
+            "width": p["width"],
+            "height": p["height"],
+            "audio_codec": p["audio_codec"],
+            "audio_channels": p["audio_channels"],
+            "sampling_hz": p["sampling_hz"],
+        }, n
+
+
+def test_webm_parser_is_loud_on_corruption():
+    """Structural EBML corruption raises ValueError: bad magic,
+    zero-descriptor varints, element overruns, unknown size outside
+    the Segment, truncated/corrupt float widths, a header with no
+    DocType."""
+    import pytest as _pytest
+
+    from parquet_compactor_spark.llm.multimodal import (
+        _synth_webm,
+        decode_webm_meta,
+    )
+
+    webm = _synth_webm(13)
+    with _pytest.raises(ValueError, match="not an EBML"):
+        decode_webm_meta(b"RIFFxxxx" + webm)
+    with _pytest.raises(ValueError, match="not an EBML"):
+        decode_webm_meta(b"")
+    # Zero descriptor byte where the next element ID should start.
+    hdr_len = 4 + 1 + webm[4] - 0x80  # id + 1-byte size + header payload
+    with _pytest.raises(ValueError, match="zero descriptor"):
+        decode_webm_meta(webm[:hdr_len] + b"\x00\x01\x02")
+    # Truncation mid-element.
+    with _pytest.raises(ValueError, match="overruns|truncated"):
+        decode_webm_meta(webm[:-5])
+    # Unknown-size marker on a non-Segment element (the EBML header).
+    bad = bytearray(webm)
+    bad[4] = 0xFF
+    with _pytest.raises(ValueError, match="unknown EBML size outside"):
+        decode_webm_meta(bytes(bad))
+    # A lone EBML header with no DocType child.
+    from parquet_compactor_spark.llm.multimodal import (
+        _ebml_el,
+        _ebml_uint,
+        _EBML_HEADER,
+    )
+
+    with _pytest.raises(ValueError, match="no DocType"):
+        decode_webm_meta(_ebml_el(_EBML_HEADER, _ebml_el(0x4286, _ebml_uint(1))))
+
+
+def test_extract_webm_meta_drops_corrupt_rows_not_the_job(spark):
+    """The genuine-lake seam: WebM + Matroska + garbage + truncated +
+    NULL in one frame yields metadata for exactly the parseable rows."""
+    from parquet_compactor_spark.llm.multimodal import (
+        _synth_webm,
+        extract_webm_meta,
+        synth_webm_params,
+    )
+
+    rows = [
+        (1, bytearray(_synth_webm(20))),   # webm, has audio
+        (2, bytearray(_synth_webm(21))),   # matroska, unknown-size seg
+        (3, bytearray(b"not a container")),
+        (4, bytearray(_synth_webm(20)[:-4])),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    out = {r.doc_id: r for r in extract_webm_meta(df).collect()}
+    assert set(out) == {1, 2}
+    p1, p2 = synth_webm_params(20), synth_webm_params(21)
+    assert out[1].doctype == p1["doctype"] == "webm"
+    assert out[1].audio_codec == p1["audio_codec"]
+    assert out[2].doctype == "matroska" and out[2].n_tracks == p2["n_tracks"]
+    assert out[2].duration_ms == p2["duration_ms"]
+
+
+def test_q_webm_meta_matches_oracle_before_registration(spark):
+    """q_webm_meta's registration is deferred (window budgeting), so
+    run the driver-identical differential here."""
+    from parquet_compactor_spark.llm.multimodal import (
+        WEBM_META_ORACLE,
+        q_webm_meta,
+    )
+    from tests.oracle_utils import compare_to_oracle
+
+    compare_to_oracle(
+        q_webm_meta(spark, "/root/testdata/sf0.001"),
+        WEBM_META_ORACLE,
+        "/root/testdata/sf0.001",
+    )
+
+
 def test_canonical_url_collapses_messy_variants(spark):
     """canonical_url: equal canonical-relevant params (n) with different
     messiness (m — casing, default port, trailing slash, tracking
@@ -3942,6 +4054,8 @@ def test_audio_and_video_decoders_never_leak_raw_exceptions(payload):
         decode_mp3_meta,
         decode_mp4_meta,
         decode_wav_meta,
+        decode_webm_meta,
+        parse_exif,
     )
 
     for dec in (
@@ -3950,6 +4064,8 @@ def test_audio_and_video_decoders_never_leak_raw_exceptions(payload):
         decode_flac_meta,
         decode_mp3_meta,
         decode_mp4_meta,
+        decode_webm_meta,
+        parse_exif,
     ):
         try:
             out = dec(payload)
@@ -3961,13 +4077,19 @@ def test_audio_and_video_decoders_never_leak_raw_exceptions(payload):
 def _mutate_container(n, pos, val):
     """A valid WAV/FLAC/MP4 container (cycled by n) with one byte forced."""
     from parquet_compactor_spark.llm.multimodal import (
+        _synth_exif_tiff,
         _synth_flac,
         _synth_mp3,
         _synth_mp4,
         _synth_wav,
+        _synth_webm,
     )
 
-    blob = bytearray((_synth_wav, _synth_flac, _synth_mp4, _synth_mp3)[n % 4](n))
+    blob = bytearray(
+        (_synth_wav, _synth_flac, _synth_mp4, _synth_mp3, _synth_webm, _synth_exif_tiff)[
+            n % 6
+        ](n)
+    )
     blob[pos % len(blob)] = val
     return bytes(blob)
 
