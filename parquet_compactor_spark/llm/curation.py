@@ -3007,3 +3007,234 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "canonical",
         (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# robots.txt admission (RFC 9309): the respects-robots curation decision.
+# ---------------------------------------------------------------------------
+
+
+def parse_robots(text: str) -> list[tuple[list[str], list[tuple[bool, str]]]]:
+    """Parse a robots.txt document into groups per RFC 9309: each group
+    is (user-agent product tokens, ordered [(is_allow, path_pattern)]
+    rules). Handles the public grammar's real-world shape: directive
+    names are case-insensitive, ``#`` starts a comment anywhere on a
+    line, consecutive ``User-agent`` lines share one group, unknown
+    directives (Crawl-delay, Sitemap, ...) are skipped, and an EMPTY
+    Disallow value (the classic "allow everything" idiom) contributes
+    no rule. Pure function — runs inside the Arrow batch map at the
+    lake seam, parsed once per host and cached."""
+    groups: list[tuple[list[str], list[tuple[bool, str]]]] = []
+    agents: list[str] = []
+    rules: list[tuple[bool, str]] = []
+    collecting_agents = False
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            continue
+        if ":" not in line:
+            continue
+        key, _, value = line.partition(":")
+        key = key.strip().lower()
+        value = value.strip()
+        if key == "user-agent":
+            if not collecting_agents and agents:
+                groups.append((agents, rules))
+                agents, rules = [], []
+            agents.append(value.lower())
+            collecting_agents = True
+        elif key in ("allow", "disallow"):
+            collecting_agents = False
+            if value:
+                rules.append((key == "allow", value))
+        else:
+            collecting_agents = False
+    if agents:
+        groups.append((agents, rules))
+    return groups
+
+
+def _robots_pattern_matches(pattern: str, path: str) -> bool:
+    """RFC 9309 path matching: literal octets, ``*`` matches any
+    sequence, a trailing ``$`` anchors the end; patterns match from the
+    path start."""
+    anchored = pattern.endswith("$")
+    if anchored:
+        pattern = pattern[:-1]
+    parts = pattern.split("*")
+    pos = 0
+    # First literal must match at the very start.
+    if not path.startswith(parts[0]):
+        return False
+    pos = len(parts[0])
+    for part in parts[1:]:
+        if part == "":
+            pos = len(path) if anchored else pos
+            continue
+        i = path.find(part, pos)
+        if i < 0:
+            return False
+        pos = i + len(part)
+    if anchored:
+        if pattern.endswith("*"):
+            return True
+        return pos == len(path)
+    return True
+
+
+def robots_decision(
+    groups: list[tuple[list[str], list[tuple[bool, str]]]],
+    agent: str,
+    path: str,
+) -> tuple[bool, str | None]:
+    """(allowed, matched_pattern) for ``agent`` fetching ``path`` per
+    RFC 9309: the group naming the agent's product token (lowercased
+    exact) applies; otherwise the ``*`` group; no group at all means
+    allowed. Within the group, the MOST SPECIFIC match wins — longest
+    pattern in octets, the ``$`` anchor not counted — and an
+    allow/disallow tie at equal length resolves to ALLOW."""
+    agent = agent.lower()
+    chosen: list[tuple[bool, str]] | None = None
+    for agents, rules in groups:
+        if agent in agents:
+            chosen = rules
+            break
+    if chosen is None:
+        for agents, rules in groups:
+            if "*" in agents:
+                chosen = rules
+                break
+    if chosen is None:
+        return True, None
+    best: tuple[int, int, str] | None = None  # (specificity, allow, pattern)
+    for is_allow, pattern in chosen:
+        if _robots_pattern_matches(pattern, path):
+            spec = len(pattern.rstrip("$"))
+            key = (spec, 1 if is_allow else 0)
+            if best is None or key > (best[0], best[1]):
+                best = (spec, 1 if is_allow else 0, pattern)
+    if best is None:
+        return True, None
+    return bool(best[1]), best[2]
+
+
+def synth_robots(s: int, host: str) -> str:
+    """Deterministic robots.txt for the md5-derived source key ``s`` —
+    the closed form ROBOTS_ORACLE replays. The wildcard-star group
+    disallows paths whose article id starts with digit s%10 but
+    allow-anchors the exact two-digit id (s%10)(s//10%10) — exercising
+    prefix match, $ anchor, and longest-match-with-allow-tie; on
+    s%4==0 a trainingbot-specific group disallows everything,
+    exercising specific-group precedence. Comments, casing, blank
+    lines, and unknown directives exercise the parser's grammar."""
+    d1, d2 = s % 10, (s // 10) % 10
+    lines = [
+        f"# synthetic robots for {host}",
+        "User-Agent: *",
+        f"Disallow: /articles/{d1}  # block the {d1}-prefixed ids",
+        f"Allow: /articles/{d1}{d2}$",
+        "Disallow: /tmp/*",
+        "Crawl-delay: 10",
+        "",
+    ]
+    if s % 4 == 0:
+        lines += ["User-agent: TrainingBot", "Disallow: /"]
+    return "\n".join(lines)
+
+
+#: q_robots_admission's DuckDB oracle — the synth_robots decision
+#: closed form: the trainingbot group (s%4==0) blocks all; otherwise
+#: the exact-id allow anchor beats the prefix disallow (longer
+#: pattern); otherwise the prefix disallow blocks ids whose decimal
+#: rendering starts with digit s%10. s is the 24-bit md5 slice of
+#: source, the portable-hash convention.
+ROBOTS_ORACLE = """
+    WITH p AS (
+        SELECT doc_id,
+               lower(source) || '.example.org' AS host,
+               '/articles/' || CAST(n_chars % 100 AS VARCHAR) AS path,
+               ('0x' || substr(md5(source), 1, 6))::BIGINT AS s,
+               n_chars % 100 AS nid
+        FROM documents
+    ), q AS (
+        SELECT *,
+               s % 10 AS d1, (s // 10) % 10 AS d2,
+               s % 4 = 0 AS blocked_all,
+               CAST(nid AS VARCHAR) LIKE CAST(s % 10 AS VARCHAR) || '%'
+                   AS dis_match,
+               s % 10 > 0 AND nid = 10 * (s % 10) + (s // 10) % 10
+                   AS allow_match
+        FROM p
+    )
+    SELECT doc_id, host, path,
+           NOT blocked_all AND (allow_match OR NOT dis_match) AS admitted,
+           CASE WHEN blocked_all THEN '/'
+                WHEN allow_match THEN
+                    '/articles/' || CAST(d1 AS VARCHAR) ||
+                    CAST(d2 AS VARCHAR) || '$'
+                WHEN dis_match THEN '/articles/' || CAST(d1 AS VARCHAR)
+                ELSE NULL END AS matched_rule
+    FROM q
+"""
+
+
+def q_robots_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt URL admission (the respects-robots curation stage):
+    per document, the source host's robots.txt (REAL deterministic
+    text) is parsed with the REAL RFC 9309 parser and the document's
+    URL path is admitted or blocked by longest-match precedence —
+    specific-agent group first, ``$`` anchors, allow-wins-ties.
+    ``ROBOTS_ORACLE`` replays the decision closed form. Map-only, no
+    shuffle: rules are parsed ONCE PER HOST inside each Arrow batch
+    (cached dict), the per-URL match is string work — exactly how a
+    100 TB crawl curation stage runs it, with the robots fetch
+    replaced by the lake's per-host robots snapshot column.
+
+    REGISTRATION DEFERRED (window budgeting — see registry.py's
+    rotation plan); oracle-checked in pytest meanwhile.
+    """
+    import hashlib
+
+    import pandas as pd
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+
+    def batches(it):
+        cache: dict[str, list] = {}
+        for pdf in it:
+            out = []
+            for doc_id, source, n_chars in zip(
+                pdf["doc_id"], pdf["source"], pdf["n_chars"]
+            ):
+                host = str(source).lower() + ".example.org"
+                if source not in cache:
+                    s = int(
+                        hashlib.md5(str(source).encode()).hexdigest()[:6], 16
+                    )
+                    cache[source] = parse_robots(synth_robots(s, host))
+                path = f"/articles/{int(n_chars) % 100}"
+                allowed, matched = robots_decision(
+                    cache[source], "trainingbot", path
+                )
+                out.append((doc_id, host, path, allowed, matched))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array([r[0] for r in out], dtype="int64"),
+                    "host": pd.array([r[1] for r in out], dtype="string"),
+                    "path": pd.array([r[2] for r in out], dtype="string"),
+                    "admitted": pd.array(
+                        [r[3] for r in out], dtype="boolean"
+                    ),
+                    "matched_rule": pd.array(
+                        [r[4] for r in out], dtype="string"
+                    ),
+                }
+            )
+
+    return d.mapInPandas(
+        batches,
+        schema=(
+            "doc_id bigint, host string, path string, admitted boolean, "
+            "matched_rule string"
+        ),
+    )

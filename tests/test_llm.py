@@ -3961,6 +3961,76 @@ def test_q_webm_meta_matches_oracle_before_registration(spark):
     )
 
 
+def test_robots_parser_and_matcher_follow_rfc9309():
+    """The public REP grammar and precedence rules: comment stripping,
+    case-insensitive directives, shared-group User-agent runs, empty
+    Disallow as allow-all, unknown directives skipped; matching with
+    * wildcards and $ anchors; longest-match precedence with
+    allow-wins-ties; specific-agent group overriding *; no group at
+    all means allowed."""
+    from parquet_compactor_spark.llm.curation import (
+        _robots_pattern_matches,
+        parse_robots,
+        robots_decision,
+    )
+
+    text = (
+        "# header comment\n"
+        "USER-AGENT: GoodBot\n"
+        "user-agent: OtherBot\n"
+        "Disallow: /private\n"
+        "Crawl-delay: 10\n"
+        "Sitemap: https://example.org/sitemap.xml\n"
+        "\n"
+        "User-agent: *\n"
+        "Disallow:   # empty = allow everything\n"
+        "Disallow: /a\n"
+        "Allow: /a/b$\n"
+        "Disallow: /t*p/\n"
+    )
+    groups = parse_robots(text)
+    assert groups[0][0] == ["goodbot", "otherbot"]
+    assert groups[0][1] == [(False, "/private")]
+    assert groups[1][0] == ["*"]
+    # Specific group wins for its agents; * for everyone else.
+    assert robots_decision(groups, "GOODBOT", "/private/x") == (False, "/private")
+    assert robots_decision(groups, "goodbot", "/a/anything") == (True, None)
+    assert robots_decision(groups, "stranger", "/a/x") == (False, "/a")
+    # Longest match; allow wins the $-anchored exact id.
+    assert robots_decision(groups, "stranger", "/a/b") == (True, "/a/b$")
+    # Wildcard midfix.
+    assert robots_decision(groups, "stranger", "/tXXp/q") == (False, "/t*p/")
+    assert robots_decision(groups, "stranger", "/c") == (True, None)
+    # No groups at all -> allowed.
+    assert robots_decision([], "anybot", "/x") == (True, None)
+    # Anchor semantics.
+    assert _robots_pattern_matches("/a*b$", "/aXb")
+    assert not _robots_pattern_matches("/a*b$", "/aXbc")
+    assert _robots_pattern_matches("/a$", "/a")
+    assert not _robots_pattern_matches("/a$", "/ab")
+    # Allow-wins on EQUAL length (RFC tie rule).
+    tie = parse_robots("User-agent: *\nDisallow: /pg\nAllow: /pg\n")
+    assert robots_decision(tie, "x", "/pgX") == (True, "/pg")
+
+
+def test_q_robots_admission_matches_oracle_before_registration(spark):
+    """q_robots_admission's registration is deferred (window
+    budgeting), so run the driver-identical differential here: the
+    REAL RFC 9309 parse+match against the DuckDB decision closed form
+    (md5-keyed per-source rules)."""
+    from parquet_compactor_spark.llm.curation import (
+        ROBOTS_ORACLE,
+        q_robots_admission,
+    )
+    from tests.oracle_utils import compare_to_oracle
+
+    compare_to_oracle(
+        q_robots_admission(spark, "/root/testdata/sf0.001"),
+        ROBOTS_ORACLE,
+        "/root/testdata/sf0.001",
+    )
+
+
 def test_canonical_url_collapses_messy_variants(spark):
     """canonical_url: equal canonical-relevant params (n) with different
     messiness (m — casing, default port, trailing slash, tracking
