@@ -3238,3 +3238,227 @@ def q_robots_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
             "matched_rule string"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# HTML main-content extraction: link-density boilerplate removal — the
+# first content stage of every web-crawl training pipeline.
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+_HTML_BLOCK_SPLIT = _re.compile(
+    r"(?is)</(?:p|div|nav|footer|header|li|h[1-6]|td|section|article|"
+    r"blockquote|pre)>"
+)
+_HTML_SCRIPT_STYLE = _re.compile(
+    r"(?is)<(script|style)\b[^>]*>.*?</\1\s*>"
+)
+_HTML_COMMENT = _re.compile(r"(?s)<!--.*?-->")
+_HTML_TAG = _re.compile(r"(?s)<[^>]*>")
+_HTML_ANCHOR = _re.compile(r"(?is)<a\b[^>]*>(.*?)</a\s*>")
+_HTML_TITLE = _re.compile(r"(?is)<title\b[^>]*>(.*?)</title\s*>")
+_HTML_BODY = _re.compile(r"(?is)<body\b[^>]*>(.*?)(?:</body\s*>|\Z)")
+
+_HTML_ENTITIES = {
+    "amp": "&",
+    "lt": "<",
+    "gt": ">",
+    "quot": '"',
+    "apos": "'",
+    "nbsp": " ",
+}
+
+
+def _decode_entities(s: str) -> str:
+    def sub(m: "_re.Match[str]") -> str:
+        name = m.group(1)
+        if name.startswith("#"):
+            try:
+                code = int(name[2:], 16) if name[1:2] in ("x", "X") else int(name[1:])
+                return chr(code) if 0 < code < 0x110000 else m.group(0)
+            except ValueError:
+                return m.group(0)
+        return _HTML_ENTITIES.get(name.lower(), m.group(0))
+
+    return _re.sub(r"&(#?\w+);", sub, s)
+
+
+def _visible_text(fragment: str) -> str:
+    """Tag-stripped, entity-decoded, whitespace-normalized text."""
+    return " ".join(_decode_entities(_HTML_TAG.sub(" ", fragment)).split())
+
+
+def extract_main_text(
+    html: str, min_chars: int = 20, max_density_num: int = 1, max_density_den: int = 3
+) -> dict:
+    """Main-content extraction by LINK-DENSITY boilerplate removal (the
+    jusText / Boilerpipe / trafilatura family's core heuristic, in its
+    deterministic integer form): strip comments and script/style
+    subtrees, split the body into block-level segments, and KEEP a
+    block iff its visible text reaches ``min_chars`` AND its
+    anchor-text share satisfies ``link_chars * den <= total_chars *
+    num`` is False... i.e. blocks where links dominate (nav bars,
+    footers, ad units) are dropped by the exact rational test
+    ``link_chars * max_density_den <= total_chars * max_density_num``
+    — no float thresholds, so the decision replays bit-for-bit in any
+    engine. Returns title, per-block counts, and the kept text joined
+    with newlines (the pretraining-ready payload)."""
+    m = _HTML_TITLE.search(html)
+    title = _visible_text(m.group(1)) if m else None
+    body_m = _HTML_BODY.search(html)
+    body = body_m.group(1) if body_m else html
+    body = _HTML_COMMENT.sub(" ", _HTML_SCRIPT_STYLE.sub(" ", body))
+    kept: list[str] = []
+    n_blocks = 0
+    for frag in _HTML_BLOCK_SPLIT.split(body):
+        text = _visible_text(frag)
+        if not text:
+            continue
+        n_blocks += 1
+        link_chars = sum(
+            len(_visible_text(a)) for a in _HTML_ANCHOR.findall(frag)
+        )
+        if len(text) < min_chars:
+            continue
+        if link_chars * max_density_den > len(text) * max_density_num:
+            continue
+        kept.append(text)
+    joined = "\n".join(kept)
+    return {
+        "title": title,
+        "n_blocks": n_blocks,
+        "n_kept": len(kept),
+        "kept_chars": len(joined),
+        "kept_text": joined,
+    }
+
+
+def synth_html(n: int) -> str:
+    """Deterministic web page for a payload of ``n`` bytes — the closed
+    form HTML_EXTRACT_ORACLE replays. Content: 1 + n%4 paragraphs of
+    deterministic words. Boilerplate the extractor must drop: a short
+    nav (length rule), a link-dominated ads div on %3 and footer
+    (density rule — long enough to pass the length rule), a tiny
+    paragraph on %5 (length rule), plus script/style subtrees and a
+    comment containing fake block tags (must not split blocks), and an
+    entity in the title."""
+    k = 1 + n % 4
+    paras = "".join(
+        "<p>"
+        + " ".join(f"w{n}x{i}y{j}" for j in range(5 + (n + i) % 20))
+        + "</p>"
+        for i in range(k)
+    )
+    ads = (
+        '<div><a href="/buy">Buy now</a> <a href="/deal">Big deal</a> today</div>'
+        if n % 3 == 0
+        else ""
+    )
+    tiny = "<p>tiny text</p>" if n % 5 == 0 else ""
+    return (
+        f"<html><head><title>Doc {n % 1000} &amp; Co</title>"
+        f"<style>p {{margin:0}}</style>"
+        f"<script>var x = {n}; // <p>ghost</p></script></head><body>"
+        '<nav><a href="/">Home</a> <a href="/about">About</a></nav>'
+        + paras
+        + ads
+        + tiny
+        + "<!-- comment with <p>ghost</p> fake tags -->"
+        + '<footer><a href="/tos">Terms of service</a> '
+        + '<a href="/privacy">Privacy policy</a> '
+        + '<a href="/contact">Contact enterprise sales</a> (c) 2026</footer>'
+        + "</body></html>"
+    )
+
+
+#: q_html_extract's DuckDB oracle — reconstructs the EXACT kept text
+#: (nested list_transform lambdas over the word grid) and md5s it, so
+#: the differential proves the real extractor returns byte-identical
+#: content, not just matching counts.
+HTML_EXTRACT_ORACLE = """
+    WITH t AS (
+        SELECT doc_id, strlen(text) AS n FROM documents WHERE text IS NOT NULL
+    ), p AS (
+        SELECT doc_id, n, 1 + n % 4 AS k,
+               array_to_string(
+                   list_transform(range(0, 1 + n % 4), i ->
+                       array_to_string(
+                           list_transform(range(0, 5 + (n + i) % 20), j ->
+                               'w' || CAST(n AS VARCHAR) || 'x' ||
+                               CAST(i AS VARCHAR) || 'y' ||
+                               CAST(j AS VARCHAR)),
+                           ' ')),
+                   chr(10)) AS kept
+        FROM t
+    )
+    SELECT doc_id,
+           'Doc ' || CAST(n % 1000 AS VARCHAR) || ' & Co' AS title,
+           CAST(2 + k + CASE WHEN n % 3 = 0 THEN 1 ELSE 0 END
+                      + CASE WHEN n % 5 = 0 THEN 1 ELSE 0 END AS INT)
+               AS n_blocks,
+           CAST(k AS INT) AS n_kept,
+           CAST(strlen(kept) AS BIGINT) AS kept_chars,
+           md5(kept) AS kept_md5
+    FROM p
+"""
+
+
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML main-content extraction: per row, a REAL web page (nav,
+    content paragraphs, ad/footer link farms, script/style subtrees,
+    comments, entities) is synthesized from the payload's byte length
+    and the REAL extractor (:func:`extract_main_text`) pulls the main
+    content by the exact-rational link-density rule;
+    ``HTML_EXTRACT_ORACLE`` reconstructs the kept text independently
+    and the md5 must match byte-for-byte. Map-only, no shuffle — at
+    100 TB this is the first content stage after the WARC scan, and
+    its output column feeds q_text_stats/q_gopher_rules directly.
+
+    REGISTRATION DEFERRED (window budgeting — see registry.py's
+    rotation plan); oracle-checked in pytest meanwhile.
+    """
+    import hashlib
+
+    import pandas as pd
+
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    payloads = d.select(
+        "doc_id", F.length(F.encode(F.col("text"), "utf-8")).alias("n")
+    )
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for doc_id, n in zip(pdf["doc_id"], pdf["n"]):
+                m = extract_main_text(synth_html(int(n)))
+                rows.append(
+                    (
+                        doc_id,
+                        m["title"],
+                        m["n_blocks"],
+                        m["n_kept"],
+                        m["kept_chars"],
+                        hashlib.md5(m["kept_text"].encode()).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array([r[0] for r in rows], dtype="int64"),
+                    "title": pd.array([r[1] for r in rows], dtype="string"),
+                    "n_blocks": pd.array([r[2] for r in rows], dtype="Int32"),
+                    "n_kept": pd.array([r[3] for r in rows], dtype="Int32"),
+                    "kept_chars": pd.array(
+                        [r[4] for r in rows], dtype="int64"
+                    ),
+                    "kept_md5": pd.array([r[5] for r in rows], dtype="string"),
+                }
+            )
+
+    return payloads.mapInPandas(
+        batches,
+        schema=(
+            "doc_id bigint, title string, n_blocks int, n_kept int, "
+            "kept_chars bigint, kept_md5 string"
+        ),
+    )

@@ -384,8 +384,10 @@ def test_deferred_round15_queries_survive_hostile_data(spark, hostile_dir):
     non-ASCII text; URL dedup is text-independent (n_chars/source) but
     must ride the mutated fixture unchanged."""
     from parquet_compactor_spark.llm.curation import (
+        HTML_EXTRACT_ORACLE,
         ROBOTS_ORACLE,
         URL_DEDUP_ORACLE,
+        q_html_extract,
         q_robots_admission,
         q_url_dedup,
     )
@@ -409,6 +411,9 @@ def test_deferred_round15_queries_survive_hostile_data(spark, hostile_dir):
     compare_to_oracle(q_url_dedup(spark, hostile_dir), URL_DEDUP_ORACLE, hostile_dir)
     compare_to_oracle(
         q_robots_admission(spark, hostile_dir), ROBOTS_ORACLE, hostile_dir
+    )
+    compare_to_oracle(
+        q_html_extract(spark, hostile_dir), HTML_EXTRACT_ORACLE, hostile_dir
     )
     compare_to_oracle(
         q_subtitle_meta(spark, hostile_dir), SUBTITLE_META_ORACLE, hostile_dir

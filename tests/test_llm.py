@@ -4031,6 +4031,63 @@ def test_q_robots_admission_matches_oracle_before_registration(spark):
     )
 
 
+def test_html_extractor_link_density_and_grammar():
+    """The extractor's rules on hand-built pages: script/style subtrees
+    and comments never leak (even when they contain fake block tags),
+    entities decode, the nav/ads/footer drop by the exact-rational
+    density or length rules, short paragraphs drop, and the density
+    tie sits exactly at link_chars*3 <= total_chars."""
+    from parquet_compactor_spark.llm.curation import extract_main_text
+
+    m = extract_main_text(
+        "<html><head><title>A &amp; B &#x21;</title></head><body>"
+        "<script>var s = '<p>ghost one</p>';</script>"
+        "<style>p { color: red } /* <p>ghost two</p> */</style>"
+        "<!-- <p>ghost three</p> -->"
+        "<p>this is a perfectly normal content paragraph</p>"
+        "<nav><a href='/'>Home</a></nav>"
+        "</body></html>"
+    )
+    assert m["title"] == "A & B !"
+    assert m["n_kept"] == 1 and "ghost" not in m["kept_text"]
+    assert m["kept_text"] == "this is a perfectly normal content paragraph"
+
+    # Density boundary: 20 visible chars, link text of exactly 6 chars
+    # passes (6*3 <= 20 is false -> 18 <= 20 true: kept); 7 fails.
+    base = "x" * 14  # 14 + 6 = 20 chars total with the link text
+    kept = extract_main_text(
+        f"<body><p><a href='/l'>abcdef</a> {base[:-1]}</p></body>"
+    )
+    dropped = extract_main_text(
+        f"<body><p><a href='/l'>abcdefg</a> {base[:-2]}</p></body>"
+    )
+    assert kept["n_kept"] == 1 and kept["kept_chars"] == 20
+    assert dropped["n_kept"] == 0 and dropped["n_blocks"] == 1
+
+    # Whitespace normalization collapses runs across inline tags.
+    m = extract_main_text(
+        "<body><p>alpha&nbsp;&nbsp;beta <b>gamma</b>\n\tdelta epsilon zeta</p></body>"
+    )
+    assert m["kept_text"] == "alpha beta gamma delta epsilon zeta"
+
+
+def test_q_html_extract_matches_oracle_before_registration(spark):
+    """q_html_extract's registration is deferred (window budgeting);
+    the DuckDB oracle reconstructs the EXACT kept text and its md5
+    must match byte-for-byte — content parity, not just counts."""
+    from parquet_compactor_spark.llm.curation import (
+        HTML_EXTRACT_ORACLE,
+        q_html_extract,
+    )
+    from tests.oracle_utils import compare_to_oracle
+
+    compare_to_oracle(
+        q_html_extract(spark, "/root/testdata/sf0.001"),
+        HTML_EXTRACT_ORACLE,
+        "/root/testdata/sf0.001",
+    )
+
+
 def test_canonical_url_collapses_messy_variants(spark):
     """canonical_url: equal canonical-relevant params (n) with different
     messiness (m — casing, default port, trailing slash, tracking
