@@ -1387,3 +1387,74 @@ def test_binary_audio_lake_end_to_end(spark, tmp_path):
         by_name["c.flac"].duration_ms
         == p45["total_samples"] * 1000 // p45["sample_rate"]
     )
+
+
+def test_binary_multimodal_lake_end_to_end(spark, tmp_path):
+    """Genuine mixed lake: MP3 + WebM + Matroska + Exif-JPEG + Exif-PNG
+    files on disk → ONE binaryFile ingest → each modality's extract
+    seam pulls exactly its own rows, everything else degrading
+    row-wise — the full multi-extractor path a real deployment runs
+    over one blob table."""
+    import struct as _struct
+
+    from parquet_compactor_spark.llm.multimodal import (
+        _synth_exif_tiff,
+        _synth_mp3,
+        _synth_webm,
+        extract_audio_meta,
+        extract_exif_meta,
+        extract_webm_meta,
+        ingest_binary_dir,
+        synth_exif_params,
+        synth_mp3_params,
+        synth_webm_params,
+    )
+
+    (tmp_path / "a.mp3").write_bytes(_synth_mp3(30))
+    (tmp_path / "b.webm").write_bytes(_synth_webm(20))
+    (tmp_path / "c.mkv").write_bytes(_synth_webm(21))
+    tiff = _synth_exif_tiff(77)
+    app1 = b"Exif\x00\x00" + tiff
+    (tmp_path / "d.jpg").write_bytes(
+        b"\xff\xd8\xff\xe1"
+        + _struct.pack(">H", len(app1) + 2)
+        + app1
+        + b"\xff\xda"
+        + b"entropy"
+    )
+    (tmp_path / "e.png").write_bytes(
+        b"\x89PNG\r\n\x1a\n"
+        + _struct.pack(">I", 13)
+        + b"IHDR"
+        + bytes(17)
+        + _struct.pack(">I", len(tiff))
+        + b"eXIf"
+        + tiff
+        + bytes(4)
+    )
+    (tmp_path / "f.txt").write_bytes(b"plain text, no container")
+
+    docs = ingest_binary_dir(spark, str(tmp_path))
+    names = {
+        r.doc_id: r.source_path.rsplit("/", 1)[-1]
+        for r in docs.select("doc_id", "source_path").collect()
+    }
+    payloads = docs.select("doc_id", "payload")
+
+    audio = {names[r.doc_id]: r for r in extract_audio_meta(payloads).collect()}
+    assert set(audio) == {"a.mp3"}
+    pm = synth_mp3_params(30)
+    assert audio["a.mp3"].codec == "mp3"
+    assert audio["a.mp3"].n_frames == pm["n_frames"] * pm["samples_per_frame"]
+
+    webm = {names[r.doc_id]: r for r in extract_webm_meta(payloads).collect()}
+    assert set(webm) == {"b.webm", "c.mkv"}
+    assert webm["b.webm"].doctype == synth_webm_params(20)["doctype"] == "webm"
+    assert webm["c.mkv"].doctype == "matroska"
+    assert webm["c.mkv"].duration_ms == synth_webm_params(21)["duration_ms"]
+
+    exif = {names[r.doc_id]: r for r in extract_exif_meta(payloads).collect()}
+    assert set(exif) == {"d.jpg", "e.png"}
+    pe = synth_exif_params(77)
+    for r in exif.values():
+        assert r.orientation == pe["orientation"] and r.make == pe["make"]
