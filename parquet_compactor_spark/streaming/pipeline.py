@@ -2284,3 +2284,79 @@ def phash_claim_stream(
         .start()
         .awaitTermination()
     )
+
+
+def _url_canonical_keyed(docs: DataFrame) -> DataFrame:
+    """(doc_id, canonical) claim rows for the URL gate: the REAL
+    canonicalizer (``llm.curation.canonical_url`` — lowercase,
+    default-port strip, trailing-slash strip, tracking-param drop,
+    param sort, fragment drop), all JVM built-ins, imported so the
+    batch query, the batch twin, and the stream can never drift."""
+    from parquet_compactor_spark.llm.curation import canonical_url
+
+    return docs.select(
+        "doc_id", canonical_url(F.col("url")).alias("canonical")
+    )
+
+
+def url_claim_batch(docs: DataFrame) -> DataFrame:
+    """(doc_id, kept) under the streaming canonical-URL claim policy in
+    closed form: kept iff the doc is the MINIMUM doc_id for its
+    canonical URL — q_url_dedup's ``is_kept`` verbatim, and the
+    single-key degenerate case of the chunk/band claim closed forms.
+    Input is (doc_id, url: string), url non-NULL (a crawl record
+    always carries its fetch URL)."""
+    keyed = _url_canonical_keyed(docs)
+    cmin = keyed.groupBy("canonical").agg(F.min("doc_id").alias("cmin"))
+    return keyed.join(cmin, "canonical").select(
+        "doc_id", (F.col("cmin") == F.col("doc_id")).alias("kept")
+    )
+
+
+def url_claim_stream(
+    docs: DataFrame, state_dir: str, out_dir: str, checkpoint_dir: str
+) -> None:
+    """Streaming canonical-URL ingest gate: the C4/RefinedWeb
+    curate-by-URL decision run CONTINUOUSLY — a re-crawl, a mirror
+    with tracking parameters, a trailing-slash variant, or any other
+    raw form that canonicalizes onto an already-claimed URL is dropped
+    at ingest. The web-curation member of the claim-gate family
+    (:func:`minhash_dedup_stream` gates text near-dups,
+    :func:`fingerprint_delta_stream` exact content,
+    :func:`phash_claim_stream` images); the key is ONE column — the
+    canonical URL — computed by the same JVM-built-in canonicalizer
+    q_url_dedup uses, so gate and batch query cannot drift.
+
+    Input batches are (doc_id, url: string). Protocol, durability, and
+    replay semantics are LITERALLY :func:`_first_arrival_claim_gate`:
+    the shared first-arrival decision rule, content-based violation
+    check, and chain-versioned delta+compaction state commit. The
+    canonical key being a pure function of the url keeps replays
+    idempotent for free. At crawl scale the state is one
+    (canonical, claimant) row per distinct URL and each batch costs
+    one expression-only map + one key join against state — the same
+    partitioning the downstream per-URL joins want.
+
+    Stream/batch parity: with arrival order == doc_id order the union
+    of all batch decisions equals :func:`url_claim_batch` exactly
+    (pinned in tests/test_streaming.py with messy variants split
+    across micro-batches)."""
+
+    def claim(batch_df: DataFrame, batch_id: int) -> None:
+        _first_arrival_claim_gate(
+            batch_df,
+            batch_id,
+            _url_canonical_keyed(batch_df),
+            ("canonical",),
+            state_dir,
+            out_dir,
+            "url_claim_stream",
+        )
+
+    (
+        docs.writeStream.foreachBatch(claim)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -1546,3 +1546,82 @@ def test_phash_claim_stream_matches_batch_and_blocks_cross_batch(
     }
     assert replay == batch
     assert {tuple(r) for r in latest_claim_state(spark, state).collect()} == st
+
+
+def test_url_claim_stream_matches_batch_and_blocks_cross_batch(spark, tmp_path):
+    """The web-curation claim gate: a raw URL variant arriving in a
+    LATER micro-batch (tracking params + uppercase host + default port
+    + trailing slash + fragment — every messiness axis at once) is
+    blocked because it canonicalizes onto an already-claimed URL; a
+    genuinely different article passes; the union of all batch
+    decisions equals the batch closed form; a checkpoint-loss replay
+    reproduces decisions and leaves state bit-identical."""
+    import glob
+    import time
+
+    from parquet_compactor_spark.streaming.pipeline import (
+        latest_claim_state,
+        url_claim_batch,
+        url_claim_stream,
+    )
+
+    schema = "doc_id bigint, url string"
+    b1 = [
+        (1, "https://news.example.org/articles/7?id=7"),
+        (2, "https://news.example.org/articles/8?id=8"),
+    ]
+    b2 = [
+        # Canonicalizes onto doc 1's URL: scheme case, host case,
+        # default port, trailing slash, tracking params, param order,
+        # fragment all stripped/normalized away.
+        (11, "HTTPS://News.Example.ORG:443/articles/7/?utm_source=feed&id=7#sec1"),
+        (12, "https://news.example.org/articles/9?id=9"),  # new article
+    ]
+    landing = tmp_path / "urls"
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(
+        str(landing)
+    )
+    time.sleep(1.1)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(
+        str(landing)
+    )
+
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "dec")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(landing))
+    )
+    url_claim_stream(stream, state, out, str(tmp_path / "ckpt"))
+
+    decisions = {
+        r.doc_id: r.kept
+        for p in glob.glob(f"{out}/batch=*")
+        for r in spark.read.parquet(p).collect()
+    }
+    batch = {
+        r.doc_id: r.kept
+        for r in url_claim_batch(
+            spark.createDataFrame(b1 + b2, schema)
+        ).collect()
+    }
+    assert decisions == batch
+    assert decisions[1] and decisions[2] and decisions[12]
+    assert not decisions[11]  # the cross-batch canonical collision
+
+    st = {tuple(r) for r in latest_claim_state(spark, state).collect()}
+
+    stream2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(landing))
+    )
+    url_claim_stream(stream2, state, out, str(tmp_path / "ckpt2"))
+    replay = {
+        r.doc_id: r.kept
+        for p in glob.glob(f"{out}/batch=*")
+        for r in spark.read.parquet(p).collect()
+    }
+    assert replay == decisions
+    assert {tuple(r) for r in latest_claim_state(spark, state).collect()} == st
