@@ -4088,6 +4088,115 @@ def test_q_html_extract_matches_oracle_before_registration(spark):
     )
 
 
+def test_warc_parser_recovers_records_and_is_loud_on_corruption():
+    """ISO 28500 framing: warcinfo + response records round-trip with
+    statuses/URIs/payload lengths across the residues (incl. the
+    member-gzip layout); every structural corruption class raises
+    ValueError."""
+    import pytest as _pytest
+
+    from parquet_compactor_spark.llm.curation import (
+        _synth_warc,
+        parse_warc,
+        synth_warc_params,
+    )
+
+    for n in (0, 1, 3, 6, 7, 21, 30, 35, 99, 997):  # mix of gzip/plain
+        p = synth_warc_params(n)
+        recs = parse_warc(_synth_warc(n))
+        assert recs[0]["warc_type"] == "warcinfo"
+        resp = recs[1:]
+        assert [r["http_status"] for r in resp] == p["statuses"]
+        assert [r["uri"] for r in resp] == p["uris"]
+        assert [r["payload_chars"] for r in resp] == [
+            len(x) for x in p["payloads"]
+        ]
+
+    plain = _synth_warc(1)  # 1 % 3 != 0 -> plain framing
+    with _pytest.raises(ValueError, match="bad WARC version"):
+        parse_warc(b"HTTP/1.1 200 OK\r\n\r\n" + plain)
+    with _pytest.raises(ValueError, match="overruns|truncated"):
+        parse_warc(plain[:-6])
+    with _pytest.raises(ValueError, match="separator"):
+        parse_warc(plain[:-2] + b"XX")
+    with _pytest.raises(ValueError, match="Content-Length"):
+        parse_warc(b"WARC/1.1\r\nWARC-Type: response\r\n\r\nbody\r\n\r\n")
+    with _pytest.raises(ValueError, match="empty WARC"):
+        parse_warc(b"")
+    gz = _synth_warc(0)  # 0 % 3 == 0 -> gzip members
+    with _pytest.raises(ValueError, match="gzip"):
+        parse_warc(gz[: len(gz) // 2])
+    flipped = bytearray(gz)
+    flipped[12] ^= 0xFF
+    with _pytest.raises(ValueError, match="gzip|WARC"):
+        parse_warc(bytes(flipped))
+
+
+def test_q_warc_records_matches_oracle_before_registration(spark):
+    """q_warc_records' registration is deferred (window budgeting); the
+    oracle replays the record fan-out via LATERAL UNNEST with exact
+    digit-length arithmetic for payload sizes."""
+    from parquet_compactor_spark.llm.curation import (
+        WARC_RECORDS_ORACLE,
+        q_warc_records,
+    )
+    from tests.oracle_utils import compare_to_oracle
+
+    compare_to_oracle(
+        q_warc_records(spark, "/root/testdata/sf0.001"),
+        WARC_RECORDS_ORACLE,
+        "/root/testdata/sf0.001",
+    )
+
+
+def test_crawl_pipeline_composition_warc_to_text(spark, tmp_path):
+    """The integrated web-pipeline story on one lake: WARC blobs (with
+    REAL HTML response payloads) → extract_warc_records →
+    extract_main_text per kept 200-status record — the
+    scan→parse→extract composition a crawl deployment runs, all on
+    the engine's own extract seams."""
+    import zlib
+
+    from parquet_compactor_spark.llm.curation import (
+        extract_main_text,
+        extract_warc_records,
+        synth_html,
+    )
+
+    def html_warc(n_pages: int, base: int) -> bytes:
+        out = b""
+        for i in range(n_pages):
+            body = (
+                b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                + synth_html(base + i).encode()
+            )
+            rec = (
+                b"WARC/1.1\r\nWARC-Type: response\r\n"
+                + f"WARC-Target-URI: https://x.example.org/{i}\r\n".encode()
+                + f"Content-Length: {len(body)}\r\n\r\n".encode()
+                + body
+                + b"\r\n\r\n"
+            )
+            co = zlib.compressobj(6, zlib.DEFLATED, 31)
+            out += co.compress(rec) + co.flush()
+        return out
+
+    rows = [(1, bytearray(html_warc(3, 40))), (2, bytearray(html_warc(2, 90)))]
+    df = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    recs = extract_warc_records(df).collect()
+    assert len(recs) == 5
+    assert all(r.http_status == 200 and r.mime == "text/html" for r in recs)
+    # The record table drives the extract stage (here: re-derive the
+    # page from the deterministic synth key, as the record table
+    # carries offsets/ids in a real deployment).
+    kept = [
+        extract_main_text(synth_html(40 + r.rec_idx))
+        for r in recs
+        if r.doc_id == 1
+    ]
+    assert all(k["n_kept"] == 1 + (40 + i) % 4 for i, k in enumerate(kept))
+
+
 def test_canonical_url_collapses_messy_variants(spark):
     """canonical_url: equal canonical-relevant params (n) with different
     messiness (m — casing, default port, trailing slash, tracking
