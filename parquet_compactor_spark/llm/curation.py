@@ -3772,3 +3772,269 @@ def q_warc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return payloads.mapInPandas(batches, schema=WARC_RECORDS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# WebDataset (POSIX ustar) sample grouping: the standard multimodal
+# training-shard format — tar members grouped into samples by basename.
+# ---------------------------------------------------------------------------
+
+
+def synth_webdataset_params(n: int) -> dict:
+    """Deterministic WebDataset shard parameters for a payload of ``n``
+    bytes — the closed form WEBDATASET_ORACLE replays. Residues sweep
+    the parse paths: sample count (%4), per-sample member set (every
+    sample has .txt; .jpg on (n+i)%2, .json on (n+i)%3 — so samples
+    have 1-3 members), member sizes (the 512-byte block padding path),
+    a PAX-style directory entry to skip, and the two-block zero
+    terminator."""
+    k = 2 + n % 4
+    samples = []
+    for i in range(k):
+        key = f"sample{n % 1000}_{i:04d}"
+        members = {".txt": 10 + (n + i) % 600}
+        if (n + i) % 2 == 0:
+            members[".jpg"] = 700 + (n + i) % 900
+        if (n + i) % 3 == 0:
+            members[".json"] = 2 + (n + i) % 50
+        samples.append((key, members))
+    return {"n_samples": k, "samples": samples}
+
+
+def _tar_header(name: str, size: int, typeflag: bytes = b"0") -> bytes:
+    """One POSIX ustar header block (512 bytes, octal size fields,
+    checksum over the header with the checksum field spaced)."""
+    name_b = name.encode()
+    header = bytearray(512)
+    header[0 : len(name_b)] = name_b
+    header[100:108] = b"0000644\x00"
+    header[108:116] = b"0000000\x00"
+    header[116:124] = b"0000000\x00"
+    header[124:136] = f"{size:011o}\x00".encode()
+    header[136:148] = f"{0o16400000000:011o}\x00".encode()  # mtime
+    header[148:156] = b" " * 8  # checksum field spaces during calc
+    header[156:157] = typeflag
+    header[257:263] = b"ustar\x00"
+    header[263:265] = b"00"
+    chk = sum(header)
+    header[148:156] = f"{chk:06o}\x00 ".encode()
+    return bytes(header)
+
+
+def _synth_webdataset(n: int) -> bytes:
+    """A REAL (POSIX ustar layout) WebDataset shard for
+    :func:`synth_webdataset_params` of ``n``: one tar member per
+    sample component (``<key><ext>``), 512-byte block padding, a
+    directory entry the reader must skip, and the standard two-block
+    zero terminator. Member bodies are deterministic filler — the
+    fixture is for the GROUPING pipeline, like the other container
+    synths."""
+    p = synth_webdataset_params(n)
+    out = bytearray()
+    out += _tar_header("shard/", 0, typeflag=b"5")  # directory entry
+    for key, members in p["samples"]:
+        for ext in sorted(members):
+            size = members[ext]
+            out += _tar_header(f"shard/{key}{ext}", size)
+            out += b"\xa5" * size  # filler: the grouping pipeline never reads bodies
+            if size % 512:
+                out += b"\x00" * (512 - size % 512)
+    out += b"\x00" * 1024
+    return bytes(out)
+
+
+def parse_webdataset(payload: bytes) -> list[dict]:
+    """Real WebDataset parse — a pure-Python POSIX ustar walk (512-byte
+    headers, octal sizes, checksum verification, block padding,
+    two-zero-block terminator) followed by the WebDataset grouping
+    rule: members sharing a basename (everything before the FIRST dot
+    of the final path component) form one training sample. Returns one
+    dict per sample: key, n_members, exts (dot-joined sorted extension
+    list), total_bytes. Directory and other non-file members are
+    skipped. Loud ValueError on structural corruption: short header
+    block, bad checksum, non-octal size, member overrun, missing
+    terminator."""
+    buf = bytes(payload)
+    pos = 0
+    samples: dict[str, dict] = {}
+    order: list[str] = []
+    while True:
+        if pos + 512 > len(buf):
+            raise ValueError("truncated tar header block")
+        block = buf[pos : pos + 512]
+        if block == b"\x00" * 512:
+            if buf[pos + 512 : pos + 1024] != b"\x00" * 512:
+                raise ValueError("missing tar end-of-archive terminator")
+            break
+        stored = block[148:156]
+        try:
+            stored_chk = int(stored.rstrip(b"\x00 ").decode() or "0", 8)
+        except ValueError:
+            raise ValueError("corrupt tar checksum field") from None
+        calc = sum(block[:148]) + 8 * 32 + sum(block[156:])
+        if calc != stored_chk:
+            raise ValueError("tar header checksum mismatch")
+        try:
+            size = int(block[124:136].rstrip(b"\x00 ").decode() or "0", 8)
+        except ValueError:
+            raise ValueError("corrupt tar size field") from None
+        name = block[0:100].rstrip(b"\x00").decode("utf-8", "replace")
+        typeflag = block[156:157]
+        data_start = pos + 512
+        data_end = data_start + size
+        if data_end > len(buf):
+            raise ValueError("tar member overruns payload")
+        if typeflag in (b"0", b"\x00"):
+            base = name.rsplit("/", 1)[-1]
+            key, dot, ext = base.partition(".")
+            ext = dot + ext
+            s = samples.get(key)
+            if s is None:
+                s = {"key": key, "n_members": 0, "exts": [], "total_bytes": 0}
+                samples[key] = s
+                order.append(key)
+            s["n_members"] += 1
+            s["exts"].append(ext)
+            s["total_bytes"] += size
+        pos = data_end + (512 - size % 512) % 512
+    if not samples:
+        raise ValueError("tar archive holds no file members")
+    return [
+        {
+            "key": k,
+            "n_members": samples[k]["n_members"],
+            "exts": "".join(sorted(samples[k]["exts"])),
+            "total_bytes": samples[k]["total_bytes"],
+        }
+        for k in order
+    ]
+
+
+WEBDATASET_SCHEMA = (
+    "doc_id bigint, key string, n_members int, exts string, "
+    "total_bytes bigint"
+)
+
+
+def extract_webdataset_samples(df: DataFrame) -> DataFrame:
+    """``mapInPandas`` WebDataset sample table over (doc_id, payload:
+    binary) — one input shard explodes to one row per SAMPLE (the
+    training unit), blobs that are not parseable tars dropping
+    row-wise. The shard-level twin of a WebDataset loader's grouping
+    pass, as a lake-wide audit: member completeness (exts) and sample
+    sizes without ever decoding member contents."""
+    import pandas as pd
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    recs = parse_webdataset(b"" if b is None else bytes(b))
+                except (ValueError, NotImplementedError):
+                    continue
+                for r in recs:
+                    rows.append(
+                        (
+                            doc_id,
+                            r["key"],
+                            r["n_members"],
+                            r["exts"],
+                            r["total_bytes"],
+                        )
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array([r[0] for r in rows], dtype="int64"),
+                    "key": pd.array([r[1] for r in rows], dtype="string"),
+                    "n_members": pd.array(
+                        [r[2] for r in rows], dtype="Int32"
+                    ),
+                    "exts": pd.array([r[3] for r in rows], dtype="string"),
+                    "total_bytes": pd.array(
+                        [r[4] for r in rows], dtype="int64"
+                    ),
+                }
+            )
+
+    return df.mapInPandas(batches, schema=WEBDATASET_SCHEMA)
+
+
+#: q_webdataset_samples' DuckDB oracle — the sample closed form via
+#: LATERAL UNNEST (member sets and sizes from the residues).
+WEBDATASET_ORACLE = """
+    WITH t AS (
+        SELECT doc_id, strlen(text) AS n FROM documents WHERE text IS NOT NULL
+    ), s AS (
+        SELECT doc_id, n, i,
+               (n + i) % 2 = 0 AS has_jpg,
+               (n + i) % 3 = 0 AS has_json,
+               10 + (n + i) % 600 AS txt_b,
+               700 + (n + i) % 900 AS jpg_b,
+               2 + (n + i) % 50 AS json_b
+        FROM t, LATERAL UNNEST(range(0, 2 + n % 4)) AS u(i)
+    )
+    SELECT doc_id,
+           'sample' || CAST(n % 1000 AS VARCHAR) || '_' ||
+               lpad(CAST(i AS VARCHAR), 4, '0') AS key,
+           CAST(1 + CASE WHEN has_jpg THEN 1 ELSE 0 END
+                  + CASE WHEN has_json THEN 1 ELSE 0 END AS INT) AS n_members,
+           CASE WHEN has_jpg THEN '.jpg' ELSE '' END ||
+           CASE WHEN has_json THEN '.json' ELSE '' END || '.txt' AS exts,
+           CAST(txt_b + CASE WHEN has_jpg THEN jpg_b ELSE 0 END
+                      + CASE WHEN has_json THEN json_b ELSE 0 END AS BIGINT)
+               AS total_bytes
+    FROM s
+"""
+
+
+def q_webdataset_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset sample table: per row, a REAL POSIX-ustar shard
+    (checksummed headers, block padding, directory entries, two-block
+    terminator) is synthesized from the payload's byte length and the
+    REAL parser (:func:`parse_webdataset`) groups its members into
+    training samples by basename; ``WEBDATASET_ORACLE`` replays the
+    closed form. Map-only with a per-shard fan-out — at 100 TB the
+    shard IS the unit of parallelism (that is the format's whole
+    point), so this stage scales with shard count at zero shuffle and
+    its output is the sample-completeness audit run before training.
+
+    REGISTRATION DEFERRED (window budgeting — see registry.py's
+    rotation plan); oracle-checked in pytest meanwhile.
+    """
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    payloads = d.select(
+        "doc_id", F.length(F.encode(F.col("text"), "utf-8")).alias("n")
+    )
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for doc_id, n in zip(pdf["doc_id"], pdf["n"]):
+                for r in parse_webdataset(_synth_webdataset(int(n))):
+                    rows.append(
+                        (
+                            doc_id,
+                            r["key"],
+                            r["n_members"],
+                            r["exts"],
+                            r["total_bytes"],
+                        )
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array([r[0] for r in rows], dtype="int64"),
+                    "key": pd.array([r[1] for r in rows], dtype="string"),
+                    "n_members": pd.array(
+                        [r[2] for r in rows], dtype="Int32"
+                    ),
+                    "exts": pd.array([r[3] for r in rows], dtype="string"),
+                    "total_bytes": pd.array(
+                        [r[4] for r in rows], dtype="int64"
+                    ),
+                }
+            )
+
+    return payloads.mapInPandas(batches, schema=WEBDATASET_SCHEMA)

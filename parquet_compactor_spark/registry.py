@@ -442,15 +442,16 @@ def _ensure_loaded() -> None:
 # Everything not listed follows in registration order.
 #
 # Round-15 rotation plan (latest-row-wins from CORRECTNESS_r{01..13} +
-# this window): FIRST register the EIGHT round-14-deferred queries —
+# this window): FIRST register the TEN round-14-deferred queries —
 # q_audio_meta, q_subtitle_meta, q_mp3_meta, q_exif_meta, q_webm_meta
 # (llm/multimodal.py) and q_url_dedup, q_robots_admission,
-# q_html_extract (llm/curation.py) — implemented and
-# pytest-oracle-green in round 14 (sf0.001 differential + hostile data
-# + hostile conf); their @register calls were deferred by the
-# budgeting rule below because this round's window is exactly full.
-# If eight slots prove too many next round, the keep-order is the list
-# order above (modality completion first, then curation). Then whatever else round 15
+# q_html_extract, q_warc_records, q_webdataset_samples
+# (llm/curation.py) — implemented and pytest-oracle-green in round 14
+# (sf0.001 differential + hostile data + hostile conf); their
+# @register calls were deferred by the budgeting rule below because
+# this round's window is exactly full. If ten slots prove too many
+# next round, the keep-order is the list order above (modality
+# completion first, then curation/ingest). Then whatever else round 15
 # adds or changes, then the six r9 rows above, then the r10-latest
 # rows alphabetically to fill 50 (~40 fit; the rest roll to 16). WINDOW
 # BUDGETING (standing, r13 lesson): if adds/changes fill the window,

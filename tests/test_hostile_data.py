@@ -388,10 +388,12 @@ def test_deferred_round15_queries_survive_hostile_data(spark, hostile_dir):
         ROBOTS_ORACLE,
         URL_DEDUP_ORACLE,
         WARC_RECORDS_ORACLE,
+        WEBDATASET_ORACLE,
         q_html_extract,
         q_robots_admission,
         q_url_dedup,
         q_warc_records,
+        q_webdataset_samples,
     )
     from parquet_compactor_spark.llm.multimodal import (
         AUDIO_META_ORACLE,
@@ -419,6 +421,9 @@ def test_deferred_round15_queries_survive_hostile_data(spark, hostile_dir):
     )
     compare_to_oracle(
         q_warc_records(spark, hostile_dir), WARC_RECORDS_ORACLE, hostile_dir
+    )
+    compare_to_oracle(
+        q_webdataset_samples(spark, hostile_dir), WEBDATASET_ORACLE, hostile_dir
     )
     compare_to_oracle(
         q_subtitle_meta(spark, hostile_dir), SUBTITLE_META_ORACLE, hostile_dir

@@ -4197,6 +4197,79 @@ def test_crawl_pipeline_composition_warc_to_text(spark, tmp_path):
     assert all(k["n_kept"] == 1 + (40 + i) % 4 for i, k in enumerate(kept))
 
 
+def test_webdataset_parser_groups_samples_and_is_loud_on_corruption():
+    """POSIX ustar walk + WebDataset basename grouping: samples
+    round-trip across the residues; the synth shard is ALSO readable
+    by the stdlib tarfile module (independent implementation
+    cross-check); every corruption class raises ValueError."""
+    import io
+    import tarfile
+
+    import pytest as _pytest
+
+    from parquet_compactor_spark.llm.curation import (
+        _synth_webdataset,
+        parse_webdataset,
+        synth_webdataset_params,
+    )
+
+    for n in (0, 1, 2, 3, 7, 17, 30, 99, 997):
+        p = synth_webdataset_params(n)
+        recs = parse_webdataset(_synth_webdataset(n))
+        assert len(recs) == p["n_samples"]
+        for (key, members), r in zip(p["samples"], recs):
+            assert r == {
+                "key": key,
+                "n_members": len(members),
+                "exts": "".join(sorted(members)),
+                "total_bytes": sum(members.values()),
+            }
+
+    # Independent-reader cross-check: stdlib tarfile sees the same
+    # member set (dir entry + one file per sample component).
+    shard = _synth_webdataset(17)
+    tf = tarfile.open(fileobj=io.BytesIO(shard))
+    file_names = [m.name for m in tf.getmembers() if m.isfile()]
+    exp = [
+        f"shard/{key}{ext}"
+        for key, members in synth_webdataset_params(17)["samples"]
+        for ext in sorted(members)
+    ]
+    assert file_names == exp
+
+    with _pytest.raises(ValueError, match="truncated tar header"):
+        parse_webdataset(shard[:100])
+    bad = bytearray(shard)
+    bad[200] ^= 0xFF  # flip a byte inside the first header's mtime
+    with _pytest.raises(ValueError, match="checksum mismatch"):
+        parse_webdataset(bytes(bad))
+    bad = bytearray(shard)
+    bad[512 + 124] = ord("z")  # non-octal size in the first file header
+    with _pytest.raises(ValueError, match="size field|checksum"):
+        parse_webdataset(bytes(bad))
+    with _pytest.raises(ValueError, match="terminator"):
+        parse_webdataset(shard[:-512])
+    with _pytest.raises(ValueError, match="no file members"):
+        parse_webdataset(b"\x00" * 1024)
+
+
+def test_q_webdataset_samples_matches_oracle_before_registration(spark):
+    """q_webdataset_samples' registration is deferred (window
+    budgeting); the oracle replays the sample fan-out via LATERAL
+    UNNEST."""
+    from parquet_compactor_spark.llm.curation import (
+        WEBDATASET_ORACLE,
+        q_webdataset_samples,
+    )
+    from tests.oracle_utils import compare_to_oracle
+
+    compare_to_oracle(
+        q_webdataset_samples(spark, "/root/testdata/sf0.001"),
+        WEBDATASET_ORACLE,
+        "/root/testdata/sf0.001",
+    )
+
+
 def test_canonical_url_collapses_messy_variants(spark):
     """canonical_url: equal canonical-relevant params (n) with different
     messiness (m — casing, default port, trailing slash, tracking
