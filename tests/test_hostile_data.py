@@ -376,13 +376,15 @@ def test_approx_stats_keeps_null_flag_group(spark, tmp_path):
 
 
 def test_deferred_round15_queries_survive_hostile_data(spark, hostile_dir):
-    """q_audio_meta, q_url_dedup, and q_subtitle_meta are implemented but their
-    registration is deferred to round 15 (window budgeting), so the
-    registry-driven sweep above cannot see them yet — run the same
-    mutated-fixture differential here. Audio pins the NULL-text scope
-    (filtered identically on both engines) and byte-length parity on
-    non-ASCII text; URL dedup is text-independent (n_chars/source) but
-    must ride the mutated fixture unchanged."""
+    """The ten round-14 queries whose registration is deferred to round
+    15 (window budgeting) — the registry-driven sweep above cannot see
+    them yet, so run the same mutated-fixture differential here, AND
+    under the round-6 hostile SESSION confs at once (LTZ inference +
+    half-hour-offset DST zone + LEGACY parser): the metadata queries
+    pin NULL-text scope and byte-length parity on non-ASCII text, URL
+    dedup/robots are text-independent (n_chars/source) but must ride
+    the mutated fixture unchanged, and none of them may depend on
+    session timestamp/format semantics."""
     from parquet_compactor_spark.llm.curation import (
         HTML_EXTRACT_ORACLE,
         ROBOTS_ORACLE,
@@ -408,23 +410,32 @@ def test_deferred_round15_queries_survive_hostile_data(spark, hostile_dir):
         q_webm_meta,
     )
 
-    compare_to_oracle(q_audio_meta(spark, hostile_dir), AUDIO_META_ORACLE, hostile_dir)
-    compare_to_oracle(q_mp3_meta(spark, hostile_dir), MP3_META_ORACLE, hostile_dir)
-    compare_to_oracle(q_exif_meta(spark, hostile_dir), EXIF_META_ORACLE, hostile_dir)
-    compare_to_oracle(q_webm_meta(spark, hostile_dir), WEBM_META_ORACLE, hostile_dir)
-    compare_to_oracle(q_url_dedup(spark, hostile_dir), URL_DEDUP_ORACLE, hostile_dir)
-    compare_to_oracle(
-        q_robots_admission(spark, hostile_dir), ROBOTS_ORACLE, hostile_dir
-    )
-    compare_to_oracle(
-        q_html_extract(spark, hostile_dir), HTML_EXTRACT_ORACLE, hostile_dir
-    )
-    compare_to_oracle(
-        q_warc_records(spark, hostile_dir), WARC_RECORDS_ORACLE, hostile_dir
-    )
-    compare_to_oracle(
-        q_webdataset_samples(spark, hostile_dir), WEBDATASET_ORACLE, hostile_dir
-    )
-    compare_to_oracle(
-        q_subtitle_meta(spark, hostile_dir), SUBTITLE_META_ORACLE, hostile_dir
-    )
+    pairs = [
+        (q_audio_meta, AUDIO_META_ORACLE),
+        (q_mp3_meta, MP3_META_ORACLE),
+        (q_exif_meta, EXIF_META_ORACLE),
+        (q_webm_meta, WEBM_META_ORACLE),
+        (q_url_dedup, URL_DEDUP_ORACLE),
+        (q_robots_admission, ROBOTS_ORACLE),
+        (q_html_extract, HTML_EXTRACT_ORACLE),
+        (q_warc_records, WARC_RECORDS_ORACLE),
+        (q_webdataset_samples, WEBDATASET_ORACLE),
+        (q_subtitle_meta, SUBTITLE_META_ORACLE),
+    ]
+    hostile_conf = {
+        "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
+        "spark.sql.session.timeZone": "Australia/Lord_Howe",
+        "spark.sql.legacy.timeParserPolicy": "LEGACY",
+    }
+    prior = {k: spark.conf.get(k, None) for k in hostile_conf}
+    try:
+        for k, v in hostile_conf.items():
+            spark.conf.set(k, v)
+        for fn, oracle in pairs:
+            compare_to_oracle(fn(spark, hostile_dir), oracle, hostile_dir)
+    finally:
+        for k, v in prior.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
