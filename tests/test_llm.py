@@ -4553,3 +4553,62 @@ def test_q_subtitle_meta_matches_oracle_before_registration(spark):
         SUBTITLE_META_ORACLE,
         "/root/testdata/sf0.001",
     )
+
+
+def test_wav_synth_readable_by_stdlib_wave_module():
+    """Independent-implementation cross-check (the tarfile pattern):
+    every plain-PCM RIFF layout the synth emits is readable by the
+    STDLIB wave module with identical channels/rate/width/frames.
+    (RF64, float, and EXTENSIBLE layouts are beyond stdlib wave's
+    scope and are covered by the synth differential instead.)"""
+    import io
+    import wave
+
+    from parquet_compactor_spark.llm.multimodal import (
+        _synth_wav,
+        synth_wav_params,
+    )
+
+    checked = 0
+    for n in range(0, 300, 2):
+        p = synth_wav_params(n)
+        if p["container"] != "RIFF" or p["codec"] != "pcm" or p["extensible"]:
+            continue
+        w = wave.open(io.BytesIO(_synth_wav(n)))
+        assert w.getnchannels() == p["channels"]
+        assert w.getframerate() == p["sample_rate"]
+        assert w.getsampwidth() == p["bits_per_sample"] // 8
+        assert w.getnframes() == p["n_frames"]
+        checked += 1
+    assert checked > 50  # the residue sweep leaves plenty of plain-PCM cases
+
+
+def test_robots_matcher_vs_stdlib_and_the_spec_divergence():
+    """Cross-check against urllib.robotparser where the 1996 draft and
+    RFC 9309 AGREE (allow-rules listed first: first-match ==
+    longest-match for prefix-nested patterns), and PIN the documented
+    divergence where they don't: for a Disallow-first file the stdlib
+    parser answers first-match (blocked), while this implementation
+    follows RFC 9309 longest-match (the longer Allow wins) — the
+    behavior modern crawlers implement."""
+    from urllib import robotparser
+
+    from parquet_compactor_spark.llm.curation import (
+        parse_robots,
+        robots_decision,
+    )
+
+    agree_text = "User-agent: *\nAllow: /a/b\nDisallow: /a\nDisallow: /p\n"
+    rp = robotparser.RobotFileParser()
+    rp.parse(agree_text.splitlines())
+    g = parse_robots(agree_text)
+    for path in ("/a/x", "/a/b", "/a/b/c", "/c", "/p/x", "/", "/a"):
+        assert robots_decision(g, "bot", path)[0] == rp.can_fetch("bot", path), path
+
+    # The divergence case: Disallow listed before the longer Allow.
+    div_text = "User-agent: *\nDisallow: /a\nAllow: /a/b\n"
+    rp2 = robotparser.RobotFileParser()
+    rp2.parse(div_text.splitlines())
+    g2 = parse_robots(div_text)
+    assert rp2.can_fetch("bot", "/a/b") is False  # 1996 first-match
+    assert robots_decision(g2, "bot", "/a/b") == (True, "/a/b")  # RFC 9309
