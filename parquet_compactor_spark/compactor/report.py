@@ -173,7 +173,10 @@ def scan_parquet_footers(spark: SparkSession, paths: list[str]) -> DataFrame:
                 local, err = _posix_path(p)
                 if err is None:
                     try:
-                        md = pq.ParquetFile(local).metadata
+                        # Context manager: a million-file audit must not
+                        # rely on GC to release executor fds.
+                        with pq.ParquetFile(local) as pf:
+                            md = pf.metadata
                         for i in range(md.num_row_groups):
                             rg = md.row_group(i)
                             comp = sum(

@@ -3038,14 +3038,18 @@ def parse_robots(text: str) -> list[tuple[list[str], list[tuple[bool, str]]]]:
         key = key.strip().lower()
         value = value.strip()
         if key == "user-agent":
-            if not collecting_agents and agents:
-                groups.append((agents, rules))
-                agents, rules = [], []
+            if not collecting_agents:
+                if agents:
+                    groups.append((agents, rules))
+                agents, rules = [], []  # drops any headerless orphans too
             agents.append(value.lower())
             collecting_agents = True
         elif key in ("allow", "disallow"):
             collecting_agents = False
-            if value:
+            # RFC 9309: rules OUTSIDE any group (before the first
+            # User-agent line) are ignored, not attached to the next
+            # group — malformed real-world files hit this constantly.
+            if value and agents:
                 rules.append((key == "allow", value))
         else:
             collecting_agents = False
@@ -3057,29 +3061,17 @@ def parse_robots(text: str) -> list[tuple[list[str], list[tuple[bool, str]]]]:
 def _robots_pattern_matches(pattern: str, path: str) -> bool:
     """RFC 9309 path matching: literal octets, ``*`` matches any
     sequence, a trailing ``$`` anchors the end; patterns match from the
-    path start."""
+    path start. Compiled to a regex so ``*`` BACKTRACKS — a greedy
+    first-occurrence scan falsely rejects e.g. ``/*.php$`` against
+    ``/x.php/y.php`` (the anchor must be allowed to bind the LAST
+    occurrence)."""
     anchored = pattern.endswith("$")
     if anchored:
         pattern = pattern[:-1]
-    parts = pattern.split("*")
-    pos = 0
-    # First literal must match at the very start.
-    if not path.startswith(parts[0]):
-        return False
-    pos = len(parts[0])
-    for part in parts[1:]:
-        if part == "":
-            pos = len(path) if anchored else pos
-            continue
-        i = path.find(part, pos)
-        if i < 0:
-            return False
-        pos = i + len(part)
+    rx = ".*".join(_re.escape(part) for part in pattern.split("*"))
     if anchored:
-        if pattern.endswith("*"):
-            return True
-        return pos == len(path)
-    return True
+        rx += "$"
+    return _re.match(rx, path) is not None
 
 
 def robots_decision(
@@ -3255,7 +3247,10 @@ _HTML_SCRIPT_STYLE = _re.compile(
     r"(?is)<(script|style)\b[^>]*>.*?</\1\s*>"
 )
 _HTML_COMMENT = _re.compile(r"(?s)<!--.*?-->")
-_HTML_TAG = _re.compile(r"(?s)<[^>]*>")
+#: A '<' opens a tag only when followed by a tag-name start, '/', '!'
+#: or '?' (the HTML5 tokenizer rule) — a raw unescaped '<' in prose
+#: ("x < y") stays text instead of eating everything to the next '>'.
+_HTML_TAG = _re.compile(r"(?s)<[a-zA-Z/!?][^>]*>")
 _HTML_ANCHOR = _re.compile(r"(?is)<a\b[^>]*>(.*?)</a\s*>")
 _HTML_TITLE = _re.compile(r"(?is)<title\b[^>]*>(.*?)</title\s*>")
 _HTML_BODY = _re.compile(r"(?is)<body\b[^>]*>(.*?)(?:</body\s*>|\Z)")
@@ -3632,6 +3627,40 @@ def parse_warc(payload: bytes) -> list[dict]:
     return records
 
 
+def _warc_frame(rows: list[tuple]) -> "pd.DataFrame":
+    """One Arrow-safe typed frame for WARC_RECORDS_SCHEMA rows — shared
+    by the extract seam and q_warc_records so their dtypes cannot
+    diverge (the _audio_meta_frame convention)."""
+    import pandas as pd
+
+    return pd.DataFrame(
+        {
+            "doc_id": pd.array([r[0] for r in rows], dtype="int64"),
+            "rec_idx": pd.array([r[1] for r in rows], dtype="Int32"),
+            "warc_type": pd.array([r[2] for r in rows], dtype="string"),
+            "uri": pd.array([r[3] for r in rows], dtype="string"),
+            "http_status": pd.array([r[4] for r in rows], dtype="Int32"),
+            "mime": pd.array([r[5] for r in rows], dtype="string"),
+            "payload_chars": pd.array([r[6] for r in rows], dtype="Int64"),
+        }
+    )
+
+
+def _webdataset_frame(rows: list[tuple]) -> "pd.DataFrame":
+    """Shared typed frame for WEBDATASET_SCHEMA rows (see _warc_frame)."""
+    import pandas as pd
+
+    return pd.DataFrame(
+        {
+            "doc_id": pd.array([r[0] for r in rows], dtype="int64"),
+            "key": pd.array([r[1] for r in rows], dtype="string"),
+            "n_members": pd.array([r[2] for r in rows], dtype="Int32"),
+            "exts": pd.array([r[3] for r in rows], dtype="string"),
+            "total_bytes": pd.array([r[4] for r in rows], dtype="int64"),
+        }
+    )
+
+
 def extract_warc_records(df: DataFrame) -> DataFrame:
     """``mapInPandas`` WARC record table over (doc_id, payload: binary)
     — the genuine-lake entry point: one input blob (a WARC file, plain
@@ -3661,23 +3690,7 @@ def extract_warc_records(df: DataFrame) -> DataFrame:
                             r["payload_chars"],
                         )
                     )
-            yield pd.DataFrame(
-                {
-                    "doc_id": pd.array([r[0] for r in rows], dtype="int64"),
-                    "rec_idx": pd.array([r[1] for r in rows], dtype="Int32"),
-                    "warc_type": pd.array(
-                        [r[2] for r in rows], dtype="string"
-                    ),
-                    "uri": pd.array([r[3] for r in rows], dtype="string"),
-                    "http_status": pd.array(
-                        [r[4] for r in rows], dtype="Int32"
-                    ),
-                    "mime": pd.array([r[5] for r in rows], dtype="string"),
-                    "payload_chars": pd.array(
-                        [r[6] for r in rows], dtype="Int64"
-                    ),
-                }
-            )
+            yield _warc_frame(rows)
 
     return df.mapInPandas(batches, schema=WARC_RECORDS_SCHEMA)
 
@@ -3753,23 +3766,7 @@ def q_warc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
                             r["payload_chars"],
                         )
                     )
-            yield pd.DataFrame(
-                {
-                    "doc_id": pd.array([r[0] for r in rows], dtype="int64"),
-                    "rec_idx": pd.array([r[1] for r in rows], dtype="Int32"),
-                    "warc_type": pd.array(
-                        [r[2] for r in rows], dtype="string"
-                    ),
-                    "uri": pd.array([r[3] for r in rows], dtype="string"),
-                    "http_status": pd.array(
-                        [r[4] for r in rows], dtype="Int32"
-                    ),
-                    "mime": pd.array([r[5] for r in rows], dtype="string"),
-                    "payload_chars": pd.array(
-                        [r[6] for r in rows], dtype="Int64"
-                    ),
-                }
-            )
+            yield _warc_frame(rows)
 
     return payloads.mapInPandas(batches, schema=WARC_RECORDS_SCHEMA)
 
@@ -3943,19 +3940,7 @@ def extract_webdataset_samples(df: DataFrame) -> DataFrame:
                             r["total_bytes"],
                         )
                     )
-            yield pd.DataFrame(
-                {
-                    "doc_id": pd.array([r[0] for r in rows], dtype="int64"),
-                    "key": pd.array([r[1] for r in rows], dtype="string"),
-                    "n_members": pd.array(
-                        [r[2] for r in rows], dtype="Int32"
-                    ),
-                    "exts": pd.array([r[3] for r in rows], dtype="string"),
-                    "total_bytes": pd.array(
-                        [r[4] for r in rows], dtype="int64"
-                    ),
-                }
-            )
+            yield _webdataset_frame(rows)
 
     return df.mapInPandas(batches, schema=WEBDATASET_SCHEMA)
 
@@ -4023,18 +4008,6 @@ def q_webdataset_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
                             r["total_bytes"],
                         )
                     )
-            yield pd.DataFrame(
-                {
-                    "doc_id": pd.array([r[0] for r in rows], dtype="int64"),
-                    "key": pd.array([r[1] for r in rows], dtype="string"),
-                    "n_members": pd.array(
-                        [r[2] for r in rows], dtype="Int32"
-                    ),
-                    "exts": pd.array([r[3] for r in rows], dtype="string"),
-                    "total_bytes": pd.array(
-                        [r[4] for r in rows], dtype="int64"
-                    ),
-                }
-            )
+            yield _webdataset_frame(rows)
 
     return payloads.mapInPandas(batches, schema=WEBDATASET_SCHEMA)

@@ -2868,8 +2868,15 @@ def parse_subtitles(payload: str) -> dict:
         # WebVTT header metadata ("Kind: captions", "Language: en", …)
         # continues on the lines after the WEBVTT signature until the
         # first blank line — drop it so it is never mistaken for a cue.
+        # Hand-authored files often OMIT the blank line before the
+        # first cue, so also stop when the current or next line is a
+        # cue timing line (header metadata can never contain "-->").
         i = 0
         while i < len(body) and body[i].strip() != "":
+            if "-->" in body[i] or (
+                i + 1 < len(body) and "-->" in body[i + 1]
+            ):
+                break
             i += 1
         body = body[i:]
 
@@ -3289,11 +3296,20 @@ def extract_exif_payload(blob: bytes) -> bytes:
     buf = bytes(blob)
     if buf[:2] == b"\xff\xd8":  # JPEG: walk segments up to SOS
         pos = 2
-        while pos + 4 <= len(buf):
+        while pos + 2 <= len(buf):
             if buf[pos] != 0xFF:
                 raise ValueError("corrupt JPEG segment stream")
+            # Spec B.1.1.2: any marker may be preceded by fill 0xFF
+            # bytes — skip padding so ...FF FF E1 parses as APP1.
+            while pos + 1 < len(buf) and buf[pos + 1] == 0xFF:
+                pos += 1
             marker = buf[pos + 1]
             if marker == 0xDA:  # SOS — entropy data, no more headers
+                break
+            if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+                pos += 2  # standalone markers carry no length field
+                continue
+            if pos + 4 > len(buf):
                 break
             (seg_len,) = struct.unpack_from(">H", buf, pos + 2)
             body = buf[pos + 4 : pos + 2 + seg_len]
@@ -3644,7 +3660,11 @@ def decode_webm_meta(payload: bytes) -> dict:
         "sampling_hz": None,
     }
     duration_ticks = None
-    track_type = None  # type of the TrackEntry currently being walked
+    # TrackEntry children arrive in ANY order (RFC 8794 does not mandate
+    # element order inside a master), so CodecID routing must wait until
+    # the whole TrackEntry has been walked — buffer per-track fields on
+    # a stack and resolve at TrackEntry close.
+    track_stack: list[dict] = []
 
     def read_float(body):
         if len(body) == 4:
@@ -3654,7 +3674,7 @@ def decode_webm_meta(payload: bytes) -> dict:
         raise ValueError("corrupt EBML float width")
 
     def walk(pos, end):
-        nonlocal duration_ticks, track_type
+        nonlocal duration_ticks
         while pos < end:
             eid, pos = read_vint(pos, keep_marker=True)
             size, pos = read_vint(pos, keep_marker=False)
@@ -3667,8 +3687,17 @@ def decode_webm_meta(payload: bytes) -> dict:
             body = buf[pos:pos + size]
             if eid in _MKV_MASTERS:
                 if eid == _MKV_TRACK_ENTRY:
-                    track_type = None
-                walk(pos, pos + size)
+                    track_stack.append({"type": None, "codec": None})
+                    walk(pos, pos + size)
+                    track = track_stack.pop()
+                    out["n_tracks"] += 1
+                    if track["codec"] is not None:
+                        if track["type"] == 2:
+                            out["audio_codec"] = track["codec"]
+                        else:
+                            out["video_codec"] = track["codec"]
+                else:
+                    walk(pos, pos + size)
             elif eid == _EBML_DOCTYPE:
                 out["doctype"] = body.decode("ascii", "replace")
             elif eid == _EBML_DOCTYPE_VERSION:
@@ -3678,14 +3707,11 @@ def decode_webm_meta(payload: bytes) -> dict:
             elif eid == _MKV_DURATION:
                 duration_ticks = read_float(body)
             elif eid == _MKV_TRACK_TYPE:
-                track_type = int.from_bytes(body, "big")
-                out["n_tracks"] += 1
+                if track_stack:
+                    track_stack[-1]["type"] = int.from_bytes(body, "big")
             elif eid == _MKV_CODEC_ID:
-                cid = body.decode("ascii", "replace")
-                if track_type == 2:
-                    out["audio_codec"] = cid
-                else:
-                    out["video_codec"] = cid
+                if track_stack:
+                    track_stack[-1]["codec"] = body.decode("ascii", "replace")
             elif eid == _MKV_PIXEL_WIDTH:
                 out["width"] = int.from_bytes(body, "big")
             elif eid == _MKV_PIXEL_HEIGHT:

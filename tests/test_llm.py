@@ -4612,3 +4612,92 @@ def test_robots_matcher_vs_stdlib_and_the_spec_divergence():
     g2 = parse_robots(div_text)
     assert rp2.can_fetch("bot", "/a/b") is False  # 1996 first-match
     assert robots_decision(g2, "bot", "/a/b") == (True, "/a/b")  # RFC 9309
+
+
+def test_round14_review_fixes_on_legal_real_world_inputs():
+    """Regression pins for the round-14 review findings — each was a
+    silent wrong-output or row-drop on LEGAL input: (1) robots
+    mid-pattern wildcard with $ anchor must backtrack; (2) headerless
+    robots rules are ignored per RFC 9309; (3) WebVTT without a blank
+    line after the signature keeps its first cue; (4) a raw unescaped
+    '<' in HTML prose stays text; (5) a WebM TrackEntry whose CodecID
+    precedes TrackType routes the codec correctly; (6) JPEG fill bytes
+    before a marker don't desync the Exif segment walk."""
+    import struct as _struct
+
+    from parquet_compactor_spark.llm.curation import (
+        _robots_pattern_matches,
+        extract_main_text,
+        parse_robots,
+        robots_decision,
+    )
+    from parquet_compactor_spark.llm.multimodal import (
+        _ebml_el,
+        _ebml_uint,
+        _synth_exif_tiff,
+        decode_webm_meta,
+        extract_exif_payload,
+        parse_subtitles,
+    )
+
+    # (1) backtracking wildcard + anchor
+    assert _robots_pattern_matches("/*.php$", "/x.php/y.php")
+    assert _robots_pattern_matches("/a*b$", "/aXbXb")
+    assert not _robots_pattern_matches("/*.php$", "/x.php/y.html")
+    g = parse_robots("User-agent: *\nDisallow: /*.php$\n")
+    assert robots_decision(g, "bot", "/a.php/b.php") == (False, "/*.php$")
+
+    # (2) rules before any User-agent line are dropped
+    g = parse_robots("Disallow: /\nUser-agent: *\nAllow: /public\n")
+    assert g == [(["*"], [(True, "/public")])]
+    assert robots_decision(g, "bot", "/anything") == (True, None)
+
+    # (3) blank-line-less WebVTT keeps its first cue (with and without
+    # a cue id line)
+    m = parse_subtitles("WEBVTT\n00:01.000 --> 00:02.000\nhi\n")
+    assert m["n_cues"] == 1 and m["first_start_ms"] == 1000
+    m = parse_subtitles("WEBVTT\nintro\n00:01.000 --> 00:02.000\nhi\n")
+    assert m["n_cues"] == 1
+
+    # (4) raw '<' in prose survives extraction
+    m = extract_main_text(
+        "<body><p>for all x we know x < y holds and z > w in every case here</p></body>"
+    )
+    assert m["n_kept"] == 1
+    assert "x < y holds and z > w" in m["kept_text"]
+
+    # (5) CodecID before TrackType still routes to audio_codec
+    from parquet_compactor_spark.llm.multimodal import (
+        _EBML_DOCTYPE,
+        _EBML_HEADER,
+        _MKV_CODEC_ID,
+        _MKV_SEGMENT,
+        _MKV_TRACK_ENTRY,
+        _MKV_TRACK_TYPE,
+        _MKV_TRACKS,
+    )
+
+    header = _ebml_el(_EBML_HEADER, _ebml_el(_EBML_DOCTYPE, b"webm"))
+    entry = _ebml_el(
+        _MKV_TRACK_ENTRY,
+        _ebml_el(_MKV_CODEC_ID, b"A_OPUS")
+        + _ebml_el(_MKV_TRACK_TYPE, _ebml_uint(2)),
+    )
+    doc = header + _ebml_el(_MKV_SEGMENT, _ebml_el(_MKV_TRACKS, entry))
+    m = decode_webm_meta(doc)
+    assert m["audio_codec"] == "A_OPUS" and m["video_codec"] is None
+    assert m["n_tracks"] == 1
+
+    # (6) fill 0xFF bytes before APP1, and a standalone TEM marker
+    tiff = _synth_exif_tiff(42)
+    app1 = b"Exif\x00\x00" + tiff
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\x01"  # standalone TEM marker, no length
+        + b"\xff"  # fill byte
+        + b"\xff\xe1"
+        + _struct.pack(">H", len(app1) + 2)
+        + app1
+        + b"\xff\xda"
+    )
+    assert extract_exif_payload(jpeg) == tiff
