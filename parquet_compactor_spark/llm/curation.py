@@ -3058,6 +3058,35 @@ def parse_robots(text: str) -> list[tuple[list[str], list[tuple[bool, str]]]]:
     return groups
 
 
+def robots_sitemap_urls(text: str) -> list[str]:
+    """Sitemap discovery from robots.txt — the ``Sitemap:`` directive
+    (sitemaps.org's cross-reference extension, echoed by RFC 9309 as an
+    other-record example). Unlike group rules it is GLOBAL: valid
+    anywhere in the file, independent of User-agent groups. Returns the
+    declared sitemap URLs in file order, de-duplicated, keeping only
+    full scheme URLs (the protocol requires absolute URLs here);
+    comments and casing follow the same grammar as :func:`parse_robots`.
+    Feed the result to :func:`parse_sitemap` via the fetch seam and the
+    frontier composition robots -> sitemap -> canonical_url closes.
+    """
+    out: list[str] = []
+    seen: set[str] = set()
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if ":" not in line:
+            continue
+        key, _, value = line.partition(":")
+        if key.strip().lower() != "sitemap":
+            continue
+        url = value.strip()
+        if not _re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", url):
+            continue  # the directive requires an absolute URL; skip junk
+        if url not in seen:
+            seen.add(url)
+            out.append(url)
+    return out
+
+
 def _robots_pattern_matches(pattern: str, path: str) -> bool:
     """RFC 9309 path matching: literal octets, ``*`` matches any
     sequence, a trailing ``$`` anchors the end; patterns match from the
@@ -4011,3 +4040,833 @@ def q_webdataset_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield _webdataset_frame(rows)
 
     return payloads.mapInPandas(batches, schema=WEBDATASET_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# ZIP shard sample grouping: the zip twin of the WebDataset tar reader.
+# Parsing reads ONLY the end-of-central-directory record and the central
+# directory — the authoritative member index — never the local headers or
+# member data, so at 100 TB a shard audit is two range reads per shard
+# (the same access shape as the parquet footer scan in compactor/).
+# ---------------------------------------------------------------------------
+
+import struct as _zstruct
+
+
+def synth_zip_params(n: int) -> dict:
+    """Deterministic ZIP shard parameters for a payload of ``n`` bytes —
+    the closed form ZIP_SAMPLES_ORACLE replays. Residues sweep the
+    parse paths: sample count (%4), per-sample member set (every sample
+    has a stored .txt; a DEFLATED .jpg on (n+i)%2, a stored .npy on
+    (n+i)%5), a directory entry to skip, a ZIP64 end-of-central-
+    directory record + locator (%11), and a per-entry ZIP64 extra field
+    with maxed 32-bit size fields (%13)."""
+    k = 1 + n % 4
+    samples = []
+    for i in range(k):
+        key = f"z{n % 1000}_{i:04d}"
+        # ext -> (uncompressed, compressed-or-None => stored)
+        members = {".txt": (20 + (n + i) % 500, None)}
+        if (n + i) % 2 == 1:
+            members[".jpg"] = (800 + (n + i) % 1000, 300 + (n + i) % 400)
+        if (n + i) % 5 == 0:
+            members[".npy"] = (64 + (n + i) % 256, None)
+        samples.append((key, members))
+    return {
+        "n_samples": k,
+        "samples": samples,
+        "zip64_eocd": n % 11 == 0,
+        "zip64_entry": n % 13 == 0,
+    }
+
+
+def _synth_zip(n: int) -> bytes:
+    """A REAL (APPNOTE-layout) ZIP shard for :func:`synth_zip_params` of
+    ``n``: local headers + filler member data, a directory entry, the
+    central directory, and — on the ZIP64 residues — a ZIP64
+    end-of-central-directory record/locator and a per-entry ZIP64
+    extra field. Deflated members carry filler of the declared
+    compressed size: the metadata walk never inflates (same fixture
+    discipline as the other container synths)."""
+    p = synth_zip_params(n)
+    out = bytearray()
+    cd = bytearray()
+    n_entries = 0
+
+    def add(name: bytes, usize: int, csize: int, method: int, zip64: bool):
+        nonlocal n_entries
+        lho = len(out)
+        crc = (n * 2654435761 + len(name) * 40503 + usize) & 0xFFFFFFFF
+        out.extend(
+            b"PK\x03\x04"
+            + _zstruct.pack(
+                "<HHHHHIIIHH", 20, 0, method, 0, 0x21, crc, csize, usize,
+                len(name), 0,
+            )
+            + name
+        )
+        out.extend(b"\xa5" * csize)
+        extra = b""
+        c_f, u_f = csize, usize
+        if zip64:
+            extra = _zstruct.pack("<HHQQ", 1, 16, usize, csize)
+            u_f = c_f = 0xFFFFFFFF
+        cd.extend(
+            b"PK\x01\x02"
+            + _zstruct.pack(
+                "<HHHHHHIIIHHHHHII",
+                45 if zip64 else 20, 20, 0, method, 0, 0x21, crc, c_f, u_f,
+                len(name), len(extra), 0, 0, 0, 0, lho,
+            )
+            + name
+            + extra
+        )
+        n_entries += 1
+
+    add(b"shard/", 0, 0, 0, False)  # directory entry: the reader skips it
+    for si, (key, members) in enumerate(p["samples"]):
+        for ext in sorted(members):
+            usize, csz = members[ext]
+            zip64 = p["zip64_entry"] and si == 0 and ext == ".txt"
+            add(
+                f"shard/{key}{ext}".encode(),
+                usize,
+                usize if csz is None else csz,
+                0 if csz is None else 8,
+                zip64,
+            )
+    cd_off = len(out)
+    out.extend(cd)
+    if p["zip64_eocd"]:
+        z64 = len(out)
+        out.extend(
+            b"PK\x06\x06"
+            + _zstruct.pack(
+                "<QHHIIQQQQ", 44, 45, 45, 0, 0, n_entries, n_entries,
+                len(cd), cd_off,
+            )
+        )
+        out.extend(b"PK\x06\x07" + _zstruct.pack("<IQI", 0, z64, 1))
+        out.extend(
+            b"PK\x05\x06"
+            + _zstruct.pack(
+                "<HHHHIIH", 0, 0, 0xFFFF, 0xFFFF, 0xFFFFFFFF, 0xFFFFFFFF, 0
+            )
+        )
+    else:
+        out.extend(
+            b"PK\x05\x06"
+            + _zstruct.pack(
+                "<HHHHIIH", 0, 0, n_entries, n_entries, len(cd), cd_off, 0
+            )
+        )
+    return bytes(out)
+
+
+def _zip_find_eocd(buf: bytes) -> int:
+    """Offset of the end-of-central-directory record: scan backwards
+    through the last 64 KiB + 22 bytes (the maximum comment span) for
+    the signature whose comment length reaches EOF exactly — the
+    APPNOTE-sanctioned way to survive signatures embedded in the
+    archive comment."""
+    start = max(0, len(buf) - 65557)
+    pos = buf.rfind(b"PK\x05\x06", start)
+    while pos != -1:
+        if pos + 22 <= len(buf):
+            (clen,) = _zstruct.unpack_from("<H", buf, pos + 20)
+            if pos + 22 + clen == len(buf):
+                return pos
+        pos = buf.rfind(b"PK\x05\x06", start, pos)
+    raise ValueError("no ZIP end-of-central-directory record")
+
+
+def parse_zip_samples(payload: bytes) -> list[dict]:
+    """Real ZIP shard parse — a pure-Python central-directory walk over
+    the public APPNOTE layout (EOCD with comment scan, ZIP64 EOCD +
+    locator, per-entry ZIP64 extra fields), followed by the SAME
+    WebDataset grouping rule as :func:`parse_webdataset`: file members
+    sharing a basename (before the first dot of the final path
+    component) form one training sample. Member data and local headers
+    are never read. Returns one dict per sample: key, n_members, exts
+    (sorted dot-joined), total_bytes (uncompressed), comp_bytes
+    (compressed).
+
+    Raises ``ValueError`` on structural corruption (missing/ragged
+    EOCD, central-directory overrun or size mismatch, bad entry
+    signature, entry-count disagreement, stored member with differing
+    sizes, missing ZIP64 structures where the 32-bit fields are maxed)
+    and ``NotImplementedError`` on legal-but-unsupported layouts
+    (multi-disk archives, encryption, compression methods other than
+    stored/deflate), so the extract seam can degrade row-wise."""
+    buf = bytes(payload)
+    if len(buf) < 22:
+        raise ValueError("too short for a ZIP archive")
+    epos = _zip_find_eocd(buf)
+    disk, cd_disk, n_disk, n_total, cd_size, cd_off = _zstruct.unpack_from(
+        "<HHHHII", buf, epos + 4
+    )
+    if 0xFFFF in (n_disk, n_total) or 0xFFFFFFFF in (cd_size, cd_off):
+        lpos = epos - 20
+        if lpos < 0 or buf[lpos : lpos + 4] != b"PK\x06\x07":
+            raise ValueError("ZIP64 sizes without a ZIP64 locator")
+        ldisk, z64pos, ndisks = _zstruct.unpack_from("<IQI", buf, lpos + 4)
+        if ldisk != 0 or ndisks != 1:
+            raise NotImplementedError("multi-disk ZIP archives unsupported")
+        if z64pos + 56 > len(buf) or buf[z64pos : z64pos + 4] != b"PK\x06\x06":
+            raise ValueError("corrupt ZIP64 end-of-central-directory record")
+        n_disk2, n_total2, cd_size64, cd_off64 = _zstruct.unpack_from(
+            "<QQQQ", buf, z64pos + 24
+        )
+        if n_disk2 != n_total2:
+            raise ValueError("ZIP64 entry counts disagree")
+        n_total, cd_size, cd_off = n_total2, cd_size64, cd_off64
+    else:
+        if disk != 0 or cd_disk != 0:
+            raise NotImplementedError("multi-disk ZIP archives unsupported")
+        if n_disk != n_total:
+            raise ValueError("EOCD entry counts disagree")
+    end = cd_off + cd_size
+    if end > len(buf):
+        raise ValueError("central directory overruns the file")
+
+    samples: dict[str, dict] = {}
+    order: list[str] = []
+    pos = cd_off
+    for _ in range(n_total):
+        if pos + 46 > len(buf) or buf[pos : pos + 4] != b"PK\x01\x02":
+            raise ValueError("corrupt ZIP central-directory entry")
+        (
+            _vmade, _vneed, flags, method, _mtime, _mdate, _crc,
+            csize, usize, nlen, elen, clen, dstart, _iattr, _eattr, lho,
+        ) = _zstruct.unpack_from("<HHHHHHIIIHHHHHII", buf, pos + 4)
+        if flags & 0x0001:
+            raise NotImplementedError("encrypted ZIP members unsupported")
+        if dstart not in (0, 0xFFFF):
+            raise NotImplementedError("multi-disk ZIP archives unsupported")
+        name_end = pos + 46 + nlen
+        if name_end + elen + clen > end:
+            raise ValueError("ZIP central-directory entry overruns")
+        name = buf[pos + 46 : name_end].decode("utf-8", "replace")
+        if 0xFFFFFFFF in (usize, csize, lho):
+            extra = buf[name_end : name_end + elen]
+            ep, found = 0, False
+            while ep + 4 <= len(extra):
+                eid, esz = _zstruct.unpack_from("<HH", extra, ep)
+                if ep + 4 + esz > len(extra):
+                    raise ValueError("ZIP extra field overruns")
+                if eid == 0x0001:
+                    vp = ep + 4
+                    for field in ("usize", "csize", "lho"):
+                        cur = {"usize": usize, "csize": csize, "lho": lho}[field]
+                        if cur == 0xFFFFFFFF:
+                            if vp + 8 > ep + 4 + esz:
+                                raise ValueError("short ZIP64 extra field")
+                            (val,) = _zstruct.unpack_from("<Q", extra, vp)
+                            vp += 8
+                            if field == "usize":
+                                usize = val
+                            elif field == "csize":
+                                csize = val
+                            else:
+                                lho = val
+                    found = True
+                ep += 4 + esz
+            if not found:
+                raise ValueError(
+                    "maxed ZIP sizes without the ZIP64 extra field"
+                )
+        if method not in (0, 8):
+            raise NotImplementedError(
+                f"ZIP compression method {method} unsupported"
+            )
+        if method == 0 and csize != usize:
+            raise ValueError("stored ZIP member with differing sizes")
+        if lho >= cd_off:
+            raise ValueError("ZIP member offset inside the central directory")
+        if not name.endswith("/"):
+            base = name.rsplit("/", 1)[-1]
+            key, dot, ext = base.partition(".")
+            ext = dot + ext
+            s = samples.get(key)
+            if s is None:
+                s = {
+                    "key": key,
+                    "n_members": 0,
+                    "exts": [],
+                    "total_bytes": 0,
+                    "comp_bytes": 0,
+                }
+                samples[key] = s
+                order.append(key)
+            s["n_members"] += 1
+            s["exts"].append(ext)
+            s["total_bytes"] += usize
+            s["comp_bytes"] += csize
+        pos = name_end + elen + clen
+    if pos != end:
+        raise ValueError("central directory size mismatch")
+    if not samples:
+        raise ValueError("ZIP archive holds no file members")
+    return [
+        {
+            "key": k,
+            "n_members": samples[k]["n_members"],
+            "exts": "".join(sorted(samples[k]["exts"])),
+            "total_bytes": samples[k]["total_bytes"],
+            "comp_bytes": samples[k]["comp_bytes"],
+        }
+        for k in order
+    ]
+
+
+ZIP_SAMPLES_SCHEMA = (
+    "doc_id bigint, key string, n_members int, exts string, "
+    "total_bytes bigint, comp_bytes bigint"
+)
+
+
+def _zip_frame(rows: list[tuple]) -> "pd.DataFrame":
+    """Shared typed frame for ZIP_SAMPLES_SCHEMA rows (see _warc_frame)."""
+    import pandas as pd
+
+    return pd.DataFrame(
+        {
+            "doc_id": pd.array([r[0] for r in rows], dtype="int64"),
+            "key": pd.array([r[1] for r in rows], dtype="string"),
+            "n_members": pd.array([r[2] for r in rows], dtype="Int32"),
+            "exts": pd.array([r[3] for r in rows], dtype="string"),
+            "total_bytes": pd.array([r[4] for r in rows], dtype="int64"),
+            "comp_bytes": pd.array([r[5] for r in rows], dtype="int64"),
+        }
+    )
+
+
+def extract_zip_samples(df: DataFrame) -> DataFrame:
+    """``mapInPandas`` ZIP sample table over (doc_id, payload: binary) —
+    one input shard explodes to one row per SAMPLE, blobs that are not
+    parseable ZIP archives dropping row-wise. The zip twin of
+    :func:`extract_webdataset_samples`, with per-sample compressed
+    bytes alongside (compression-ratio audits fall out of
+    ``comp_bytes / total_bytes``)."""
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    recs = parse_zip_samples(b"" if b is None else bytes(b))
+                except (ValueError, NotImplementedError):
+                    continue
+                for r in recs:
+                    rows.append(
+                        (
+                            doc_id,
+                            r["key"],
+                            r["n_members"],
+                            r["exts"],
+                            r["total_bytes"],
+                            r["comp_bytes"],
+                        )
+                    )
+            yield _zip_frame(rows)
+
+    return df.mapInPandas(batches, schema=ZIP_SAMPLES_SCHEMA)
+
+
+#: q_zip_samples' DuckDB oracle — the sample closed form via LATERAL
+#: UNNEST, with the deflated-member compressed sizes alongside.
+ZIP_SAMPLES_ORACLE = """
+    WITH t AS (
+        SELECT doc_id, strlen(text) AS n FROM documents WHERE text IS NOT NULL
+    ), s AS (
+        SELECT doc_id, n, i,
+               (n + i) % 2 = 1 AS has_jpg,
+               (n + i) % 5 = 0 AS has_npy,
+               20 + (n + i) % 500 AS txt_b,
+               800 + (n + i) % 1000 AS jpg_b,
+               300 + (n + i) % 400 AS jpg_c,
+               64 + (n + i) % 256 AS npy_b
+        FROM t, LATERAL UNNEST(range(0, 1 + n % 4)) AS u(i)
+    )
+    SELECT doc_id,
+           'z' || CAST(n % 1000 AS VARCHAR) || '_' ||
+               lpad(CAST(i AS VARCHAR), 4, '0') AS key,
+           CAST(1 + CASE WHEN has_jpg THEN 1 ELSE 0 END
+                  + CASE WHEN has_npy THEN 1 ELSE 0 END AS INT) AS n_members,
+           CASE WHEN has_jpg THEN '.jpg' ELSE '' END ||
+           CASE WHEN has_npy THEN '.npy' ELSE '' END || '.txt' AS exts,
+           CAST(txt_b + CASE WHEN has_jpg THEN jpg_b ELSE 0 END
+                      + CASE WHEN has_npy THEN npy_b ELSE 0 END AS BIGINT)
+               AS total_bytes,
+           CAST(txt_b + CASE WHEN has_jpg THEN jpg_c ELSE 0 END
+                      + CASE WHEN has_npy THEN npy_b ELSE 0 END AS BIGINT)
+               AS comp_bytes
+    FROM s
+"""
+
+
+def q_zip_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZIP sample table: per row, a REAL APPNOTE-layout ZIP shard
+    (local headers, central directory, directory entries, ZIP64
+    EOCD/locator and per-entry extra fields on their residues) is
+    synthesized from the payload's byte length and the REAL parser
+    (:func:`parse_zip_samples`) walks ONLY the central directory to
+    group members into training samples; ``ZIP_SAMPLES_ORACLE`` replays
+    the closed form. Map-only with per-shard fan-out — at 100 TB the
+    audit is two range reads per shard (EOCD + central directory),
+    never member data.
+
+    REGISTRATION DEFERRED (window budgeting — see registry.py's
+    rotation plan); oracle-checked in pytest meanwhile.
+    """
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    payloads = d.select(
+        "doc_id", F.length(F.encode(F.col("text"), "utf-8")).alias("n")
+    )
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for doc_id, n in zip(pdf["doc_id"], pdf["n"]):
+                for r in parse_zip_samples(_synth_zip(int(n))):
+                    rows.append(
+                        (
+                            doc_id,
+                            r["key"],
+                            r["n_members"],
+                            r["exts"],
+                            r["total_bytes"],
+                            r["comp_bytes"],
+                        )
+                    )
+            yield _zip_frame(rows)
+
+    return payloads.mapInPandas(batches, schema=ZIP_SAMPLES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Sitemap parsing (sitemaps.org protocol): the crawl-frontier side of the
+# URL curation family — <urlset>/<sitemapindex> entries with per-URL
+# lastmod/changefreq/priority, feeding the same canonical_url keying as
+# q_url_dedup and the same per-host admission as q_robots_admission.
+# ---------------------------------------------------------------------------
+
+#: The protocol's changefreq enumeration (sitemaps.org §XML tag defs).
+_SITEMAP_CHANGEFREQS = (
+    "always", "hourly", "daily", "weekly", "monthly", "yearly", "never",
+)
+
+#: W3C datetime as the protocol allows for <lastmod>: a date, optionally
+#: with a time and zone designator.
+_SITEMAP_LASTMOD_RE = _re.compile(
+    r"^\d{4}-(0[1-9]|1[0-2])-(0[1-9]|[12]\d|3[01])"
+    r"(T\d{2}:\d{2}(:\d{2}(\.\d+)?)?(Z|[+-]\d{2}:\d{2}))?$"
+)
+
+_SITEMAP_PRIORITY_RE = _re.compile(r"^(0(\.\d{1,6})?|1(\.0{1,6})?)$")
+
+_XML_NAME_RE = _re.compile(r"<([A-Za-z][\w.:-]*)((?:\s+[^<>]*?)?)\s*(/?)>")
+
+
+def _xml_unescape(s: str) -> str:
+    """Strict XML entity decoding: the five predefined entities plus
+    numeric character references; a bare ``&`` is a ValueError (the
+    protocol requires escaped data values)."""
+    out = []
+    pos = 0
+    named = {"amp": "&", "lt": "<", "gt": ">", "quot": '"', "apos": "'"}
+    while True:
+        i = s.find("&", pos)
+        if i == -1:
+            out.append(s[pos:])
+            return "".join(out)
+        out.append(s[pos:i])
+        j = s.find(";", i + 1)
+        if j == -1 or j - i > 12:
+            raise ValueError("bare '&' in XML text")
+        e = s[i + 1 : j]
+        if e in named:
+            out.append(named[e])
+        elif e[:2] in ("#x", "#X"):
+            try:
+                out.append(chr(int(e[2:], 16)))
+            except (ValueError, OverflowError):
+                raise ValueError(f"bad numeric XML reference &{e};") from None
+        elif e[:1] == "#":
+            try:
+                out.append(chr(int(e[1:])))
+            except (ValueError, OverflowError):
+                raise ValueError(f"bad numeric XML reference &{e};") from None
+        else:
+            raise ValueError(f"unknown XML entity &{e};")
+        pos = j + 1
+
+
+def _xml_skip_ws(s: str, pos: int) -> int:
+    """Advance past whitespace and comments between elements."""
+    while True:
+        while pos < len(s) and s[pos] in " \t\r\n":
+            pos += 1
+        if s.startswith("<!--", pos):
+            j = s.find("-->", pos + 4)
+            if j == -1:
+                raise ValueError("unterminated XML comment")
+            pos = j + 3
+            continue
+        return pos
+
+
+def _xml_simple_text(s: str, pos: int, name: str) -> tuple[str, int]:
+    """Text content of a simple (no child elements) element whose open
+    tag has just been consumed at ``pos``; returns (decoded text,
+    position after the close tag). CDATA sections pass through
+    verbatim; any nested element is a ValueError."""
+    parts = []
+    while True:
+        if s.startswith("<![CDATA[", pos):
+            j = s.find("]]>", pos + 9)
+            if j == -1:
+                raise ValueError("unterminated CDATA section")
+            parts.append(s[pos + 9 : j])
+            pos = j + 3
+            continue
+        i = s.find("<", pos)
+        if i == -1:
+            raise ValueError(f"unclosed <{name}> element")
+        parts.append(_xml_unescape(s[pos:i]))
+        if s.startswith("<![CDATA[", i):
+            pos = i
+            continue
+        if not s.startswith(f"</{name}", i):
+            raise ValueError(f"unexpected markup inside <{name}>")
+        j = s.find(">", i)
+        if j == -1:
+            raise ValueError(f"unclosed </{name}> tag")
+        return "".join(parts), j + 1
+
+
+def parse_sitemap(text: str) -> list[dict]:
+    """Real sitemap parse — a pure-Python scan over the public
+    sitemaps.org protocol: ``<urlset>`` URL entries (loc + optional
+    lastmod/changefreq/priority) or ``<sitemapindex>`` child-sitemap
+    entries (loc + optional lastmod), with strict XML surface handling
+    (declaration, comments between elements, CDATA, the five named +
+    numeric entities) and the protocol's own validity rules (loc is a
+    full scheme URL under 2,048 chars, changefreq from the closed
+    enumeration, priority in [0.0, 1.0], W3C-datetime lastmod, at most
+    50,000 entries). Unknown child elements are consumed and ignored,
+    as the protocol instructs consumers. Returns one dict per entry:
+    seq, kind ('url'/'sitemap'), loc, lastmod, changefreq, priority
+    (the latter three None when absent).
+
+    Raises ``ValueError`` on malformed XML or protocol violations and
+    ``NotImplementedError`` on legal-but-unsupported layouts
+    (namespace-prefixed roots), so callers degrade row-wise."""
+    s = text[1:] if text[:1] == "\ufeff" else text
+    pos = _xml_skip_ws(s, 0)
+    if s.startswith("<?xml", pos):
+        j = s.find("?>", pos)
+        if j == -1:
+            raise ValueError("unterminated XML declaration")
+        pos = _xml_skip_ws(s, j + 2)
+    m = _XML_NAME_RE.match(s, pos)
+    if m is None:
+        raise ValueError("not an XML document")
+    root = m.group(1)
+    if ":" in root:
+        raise NotImplementedError(
+            "namespace-prefixed sitemap root unsupported"
+        )
+    if root not in ("urlset", "sitemapindex"):
+        raise ValueError(f"not a sitemap document (root <{root}>)")
+    if m.group(3) == "/":
+        raise ValueError("empty sitemap root element")
+    kind = "url" if root == "urlset" else "sitemap"
+    pos = m.end()
+    entries: list[dict] = []
+    while True:
+        pos = _xml_skip_ws(s, pos)
+        if s.startswith(f"</{root}", pos):
+            j = s.find(">", pos)
+            if j == -1:
+                raise ValueError(f"unclosed </{root}> tag")
+            if _xml_skip_ws(s, j + 1) != len(s):
+                raise ValueError("trailing content after the sitemap root")
+            break
+        em = _XML_NAME_RE.match(s, pos)
+        if em is None or em.group(1) != kind or em.group(3) == "/":
+            raise ValueError(f"expected <{kind}> entry in <{root}>")
+        pos = em.end()
+        entry = {
+            "seq": len(entries),
+            "kind": kind,
+            "loc": None,
+            "lastmod": None,
+            "changefreq": None,
+            "priority": None,
+        }
+        while True:
+            pos = _xml_skip_ws(s, pos)
+            if s.startswith(f"</{kind}", pos):
+                j = s.find(">", pos)
+                if j == -1:
+                    raise ValueError(f"unclosed </{kind}> tag")
+                pos = j + 1
+                break
+            cm = _XML_NAME_RE.match(s, pos)
+            if cm is None:
+                raise ValueError(f"malformed markup inside <{kind}>")
+            cname = cm.group(1)
+            pos = cm.end()
+            if cm.group(3) == "/":
+                continue  # self-closing unknown child: ignored
+            value, pos = _xml_simple_text(s, pos, cname)
+            if cname == "loc":
+                entry["loc"] = value.strip()
+            elif cname == "lastmod":
+                entry["lastmod"] = value.strip()
+            elif cname == "changefreq" and kind == "url":
+                entry["changefreq"] = value.strip()
+            elif cname == "priority" and kind == "url":
+                entry["priority"] = value.strip()
+            # unknown children: consumed and ignored per the protocol
+        loc = entry["loc"]
+        if not loc:
+            raise ValueError(f"<{kind}> entry without a <loc>")
+        if len(loc) >= 2048:
+            raise ValueError("sitemap <loc> exceeds 2,048 characters")
+        if not _re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", loc):
+            raise ValueError("sitemap <loc> is not a full scheme URL")
+        if entry["lastmod"] is not None and not _SITEMAP_LASTMOD_RE.match(
+            entry["lastmod"]
+        ):
+            raise ValueError(f"bad sitemap <lastmod> {entry['lastmod']!r}")
+        if (
+            entry["changefreq"] is not None
+            and entry["changefreq"] not in _SITEMAP_CHANGEFREQS
+        ):
+            raise ValueError(f"bad sitemap <changefreq> {entry['changefreq']!r}")
+        if entry["priority"] is not None and not _SITEMAP_PRIORITY_RE.match(
+            entry["priority"]
+        ):
+            raise ValueError(f"bad sitemap <priority> {entry['priority']!r}")
+        entries.append(entry)
+        if len(entries) > 50000:
+            raise ValueError("sitemap exceeds 50,000 entries")
+    if not entries:
+        raise ValueError("sitemap holds no entries")
+    return entries
+
+
+def synth_sitemap_params(n: int) -> dict:
+    """Deterministic sitemap parameters for a payload of ``n`` bytes —
+    the closed form SITEMAP_ORACLE replays. Residues sweep the parse
+    paths: urlset vs sitemapindex (%9), entry count (%6), lastmod
+    presence (%2), changefreq presence (%3) and value (%7), priority
+    presence (%4) and value (%9), CDATA-wrapped locs (%8), unknown
+    child elements to ignore (%6), an XML declaration (%2), and a
+    comment before the root (%5)."""
+    is_index = n % 9 == 0
+    k = 1 + n % 6
+    entries = []
+    for i in range(k):
+        if is_index:
+            loc = f"https://s{n % 50}.example.org/maps/{i}.xml.gz"
+        else:
+            loc = (
+                f"https://s{n % 50}.example.org/page/{i}"
+                f"?id={n + i}&p={(n + i) % 7}"
+            )
+        e = {
+            "seq": i,
+            "kind": "sitemap" if is_index else "url",
+            "loc": loc,
+            "lastmod": None,
+            "changefreq": None,
+            "priority": None,
+        }
+        if (n + i) % 2 == 0:
+            e["lastmod"] = (
+                f"2023-{1 + (n + i) % 12:02d}-{1 + (n + i) % 28:02d}"
+            )
+        if not is_index:
+            if (n + i) % 3 == 0:
+                e["changefreq"] = _SITEMAP_CHANGEFREQS[(n + i) % 7]
+            if (n + i) % 4 == 0:
+                e["priority"] = f"0.{1 + (n + i) % 9}"
+        entries.append(e)
+    return {"kind": "sitemap" if is_index else "url", "entries": entries}
+
+
+def _synth_sitemap(n: int) -> str:
+    """A REAL (protocol-layout) sitemap document for
+    :func:`synth_sitemap_params` of ``n``: namespaced root, optional
+    XML declaration and comments, entity-escaped query ampersands,
+    CDATA-wrapped locs and unknown child elements on their residues."""
+    p = synth_sitemap_params(n)
+    is_index = p["kind"] == "sitemap"
+    root = "sitemapindex" if is_index else "urlset"
+    nl = ("\n", "\n  ", "\n\t")[n % 3]
+    out = []
+    if n % 2 == 0:
+        out.append('<?xml version="1.0" encoding="UTF-8"?>\n')
+    if n % 5 == 0:
+        out.append(f"<!-- synth sitemap {n} -->\n")
+    out.append(
+        f'<{root} xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+    )
+    tag = "sitemap" if is_index else "url"
+    for i, e in enumerate(p["entries"]):
+        out.append(f"{nl}<{tag}>")
+        if (n + i) % 8 == 0:
+            out.append(f"{nl}  <loc><![CDATA[{e['loc']}]]></loc>")
+        else:
+            out.append(f"{nl}  <loc>{e['loc'].replace('&', '&amp;')}</loc>")
+        if e["lastmod"] is not None:
+            out.append(f"{nl}  <lastmod>{e['lastmod']}</lastmod>")
+        if e["changefreq"] is not None:
+            out.append(f"{nl}  <changefreq>{e['changefreq']}</changefreq>")
+        if e["priority"] is not None:
+            out.append(f"{nl}  <priority>{e['priority']}</priority>")
+        if (n + i) % 6 == 0:
+            out.append(f"{nl}  <note>ignored child {i}</note>")
+        out.append(f"{nl}</{tag}>")
+    out.append(f"\n</{root}>\n")
+    return "".join(out)
+
+
+SITEMAP_SCHEMA = (
+    "doc_id bigint, seq int, kind string, loc string, lastmod string, "
+    "changefreq string, priority string"
+)
+
+
+def _sitemap_frame(rows: list[tuple]) -> "pd.DataFrame":
+    """Shared typed frame for SITEMAP_SCHEMA rows (see _warc_frame)."""
+    import pandas as pd
+
+    return pd.DataFrame(
+        {
+            "doc_id": pd.array([r[0] for r in rows], dtype="int64"),
+            "seq": pd.array([r[1] for r in rows], dtype="Int32"),
+            "kind": pd.array([r[2] for r in rows], dtype="string"),
+            "loc": pd.array([r[3] for r in rows], dtype="string"),
+            "lastmod": pd.array([r[4] for r in rows], dtype="string"),
+            "changefreq": pd.array([r[5] for r in rows], dtype="string"),
+            "priority": pd.array([r[6] for r in rows], dtype="string"),
+        }
+    )
+
+
+def extract_sitemap_urls(df: DataFrame) -> DataFrame:
+    """``mapInPandas`` sitemap-entry table over (doc_id, payload:
+    string) — one sitemap document explodes to one row per entry,
+    documents that are not parseable sitemaps dropping row-wise. The
+    crawl-frontier seam: downstream the loc column keys into
+    :func:`canonical_url` and the per-host robots admission exactly
+    like fetched URLs do."""
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for doc_id, t in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    recs = parse_sitemap("" if t is None else str(t))
+                except (ValueError, NotImplementedError):
+                    continue
+                for r in recs:
+                    rows.append(
+                        (
+                            doc_id,
+                            r["seq"],
+                            r["kind"],
+                            r["loc"],
+                            r["lastmod"],
+                            r["changefreq"],
+                            r["priority"],
+                        )
+                    )
+            yield _sitemap_frame(rows)
+
+    return df.mapInPandas(batches, schema=SITEMAP_SCHEMA)
+
+
+#: q_sitemap_urls' DuckDB oracle — the entry closed form via LATERAL
+#: UNNEST (locs, W3C dates, the changefreq enumeration and priority
+#: tenths from the residues).
+SITEMAP_ORACLE = """
+    WITH t AS (
+        SELECT doc_id, strlen(text) AS n FROM documents WHERE text IS NOT NULL
+    ), s AS (
+        SELECT doc_id, n, i,
+               n % 9 = 0 AS is_index,
+               (n + i) % 2 = 0 AS has_lastmod,
+               (n + i) % 3 = 0 AS has_freq,
+               (n + i) % 4 = 0 AS has_prio
+        FROM t, LATERAL UNNEST(range(0, 1 + n % 6)) AS u(i)
+    )
+    SELECT doc_id,
+           CAST(i AS INT) AS seq,
+           CASE WHEN is_index THEN 'sitemap' ELSE 'url' END AS kind,
+           CASE WHEN is_index
+                THEN 'https://s' || CAST(n % 50 AS VARCHAR) ||
+                     '.example.org/maps/' || CAST(i AS VARCHAR) || '.xml.gz'
+                ELSE 'https://s' || CAST(n % 50 AS VARCHAR) ||
+                     '.example.org/page/' || CAST(i AS VARCHAR) ||
+                     '?id=' || CAST(n + i AS VARCHAR) ||
+                     '&p=' || CAST((n + i) % 7 AS VARCHAR)
+           END AS loc,
+           CASE WHEN has_lastmod
+                THEN '2023-' || lpad(CAST(1 + (n + i) % 12 AS VARCHAR), 2, '0')
+                     || '-' || lpad(CAST(1 + (n + i) % 28 AS VARCHAR), 2, '0')
+                ELSE NULL END AS lastmod,
+           CASE WHEN NOT is_index AND has_freq
+                THEN (['always','hourly','daily','weekly','monthly',
+                       'yearly','never'])[1 + (n + i) % 7]
+                ELSE NULL END AS changefreq,
+           CASE WHEN NOT is_index AND has_prio
+                THEN '0.' || CAST(1 + (n + i) % 9 AS VARCHAR)
+                ELSE NULL END AS priority
+    FROM s
+"""
+
+
+def q_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap entry table: per row, a REAL protocol-layout sitemap
+    (urlset or sitemapindex, entity-escaped locs, CDATA, comments,
+    unknown children) is synthesized from the payload's byte length
+    and the REAL parser (:func:`parse_sitemap`) recovers one row per
+    entry; ``SITEMAP_ORACLE`` replays the closed form via LATERAL
+    UNNEST — the crawl-frontier member of the URL curation family
+    (q_url_dedup / q_robots_admission). Map-only with per-document
+    fan-out; at 100 TB the frontier build is a pure map over fetched
+    sitemap blobs followed by the same canonical-key shuffle as URL
+    dedup.
+
+    REGISTRATION DEFERRED (window budgeting — see registry.py's
+    rotation plan); oracle-checked in pytest meanwhile.
+    """
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    payloads = d.select(
+        "doc_id", F.length(F.encode(F.col("text"), "utf-8")).alias("n")
+    )
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for doc_id, n in zip(pdf["doc_id"], pdf["n"]):
+                for r in parse_sitemap(_synth_sitemap(int(n))):
+                    rows.append(
+                        (
+                            doc_id,
+                            r["seq"],
+                            r["kind"],
+                            r["loc"],
+                            r["lastmod"],
+                            r["changefreq"],
+                            r["priority"],
+                        )
+                    )
+            yield _sitemap_frame(rows)
+
+    return payloads.mapInPandas(batches, schema=SITEMAP_SCHEMA)

@@ -2468,17 +2468,23 @@ AUDIO_META_SCHEMA = (
 
 
 def decode_audio_meta(payload: bytes) -> dict:
-    """Unified audio metadata: dispatch on magic to the WAV, FLAC, or
-    MPEG-audio parser and map all three onto one schema
+    """Unified audio metadata: dispatch on magic to the WAV, FLAC,
+    Ogg (Vorbis/Opus), or MPEG-audio parser and map all onto one schema
     (``AUDIO_META_SCHEMA`` minus doc_id). ``byte_rate`` is NULL for FLAC
     and VBR MP3 (no fixed rate), ``checksum`` is NULL except FLAC,
     ``bits_per_sample`` is NULL for MP3 (lossy — no PCM width);
     ``n_frames`` is uniformly the SAMPLE count (MP3's MPEG-frame count
-    times samples-per-frame), so ``duration_ms`` is the exact integer
-    ``n_frames * 1000 // sample_rate`` on every path."""
+    times samples-per-frame; Ogg's final granule position, minus
+    pre-skip for Opus whose clock — and reported sample_rate — is
+    always 48 kHz), so ``duration_ms`` is the exact integer
+    ``n_frames * 1000 // sample_rate`` on every path. ``byte_rate`` is
+    NULL wherever no fixed rate exists (FLAC, VBR MP3, Opus, Vorbis
+    with an unset nominal bitrate)."""
     buf = bytes(payload)
     if buf[:4] in (b"RIFF", b"RF64"):
         m = decode_wav_meta(buf)
+    elif buf[:4] == b"OggS":
+        m = decode_ogg_meta(buf)
     elif buf[:4] == b"fLaC":
         f = decode_flac_meta(buf)
         m = {
@@ -2509,7 +2515,7 @@ def decode_audio_meta(payload: bytes) -> dict:
         }
     else:
         raise ValueError(
-            "not a recognized audio payload (RIFF/RF64/fLaC/MPEG)"
+            "not a recognized audio payload (RIFF/RF64/OggS/fLaC/MPEG)"
         )
     m["duration_ms"] = m["n_frames"] * 1000 // m["sample_rate"]
     return m
@@ -3876,3 +3882,490 @@ def q_webm_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield _webm_meta_frame(rows)
 
     return payloads.mapInPandas(batches, schema=WEBM_META_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Ogg container (Vorbis + Opus): page walk with the real Ogg CRC, lacing /
+# packet reassembly, and the codec identification + comment headers —
+# completes the audio container family (RIFF/RF64, FLAC, MPEG, Ogg).
+# --------------------------------------------------------------------------
+
+
+def _build_ogg_crc_table() -> tuple[int, ...]:
+    """Ogg's page CRC is CRC-32 with polynomial 0x04C11DB7, zero initial
+    value, no bit reflection, and no final XOR (RFC 3533 §6) — NOT the
+    zlib CRC. Table-driven, byte at a time."""
+    table = []
+    for i in range(256):
+        r = i << 24
+        for _ in range(8):
+            if r & 0x80000000:
+                r = ((r << 1) ^ 0x04C11DB7) & 0xFFFFFFFF
+            else:
+                r = (r << 1) & 0xFFFFFFFF
+        table.append(r)
+    return tuple(table)
+
+
+_OGG_CRC_TABLE = _build_ogg_crc_table()
+
+
+def ogg_page_crc(data: bytes) -> int:
+    """RFC 3533 page checksum over a page whose CRC field is zeroed."""
+    crc = 0
+    for b in data:
+        crc = ((crc << 8) & 0xFFFFFFFF) ^ _OGG_CRC_TABLE[(crc >> 24) ^ b]
+    return crc
+
+
+def synth_ogg_params(n: int) -> dict:
+    """Deterministic Ogg stream parameters for a payload of ``n`` bytes —
+    one closed form shared by the encoder, the parser test, and
+    ``OGG_META_ORACLE``. Residue classes sweep the parse paths: Vorbis
+    vs Opus (%2), the full 1-8 Vorbis channel range (%8) vs Opus
+    mono/stereo (%2), six Vorbis rates (%6) and five informational Opus
+    input rates (%5), unset Vorbis nominal bitrate => NULL byte_rate
+    (%9), Opus channel-mapping family 1 with an explicit mapping table
+    (%7), comment-header entries (%4), the data-page count (%5), a
+    packet split across two pages with the continued-packet flag and a
+    -1 no-packet-ends granule (%8, when two+ data pages exist), and an
+    exactly-255*2-byte packet whose lacing needs the zero terminator
+    (%10)."""
+    is_vorbis = n % 2 == 0
+    return {
+        "codec": "vorbis" if is_vorbis else "opus",
+        "channels": (1 + n % 8) if is_vorbis else (1 + n % 2),
+        "sample_rate": (
+            (8000, 16000, 22050, 44100, 48000, 96000)[n % 6]
+            if is_vorbis
+            else 48000
+        ),
+        "input_rate": (8000, 12000, 16000, 24000, 48000)[n % 5],
+        "pre_skip": 312 + n % 500,
+        "mapping_family": 1 if n % 7 == 0 else 0,
+        "n_frames": 1 + n % 100000,
+        "nominal_kbps": (
+            0 if n % 9 == 0 else (32, 48, 64, 80, 96, 112, 128, 160)[(n // 3) % 8]
+        ),
+        "n_meta": n % 4,
+        "n_data_pages": 1 + n % 5,
+        "split_packet": n % 8 == 0 and n % 5 != 0,
+        "exact_lacing": n % 10 == 0,
+    }
+
+
+def _ogg_page(
+    serial: int, seq: int, granule: int, pieces: list, flags: int
+) -> bytes:
+    """One Ogg page. ``pieces`` is ``[(bytes, terminated)]``: a
+    terminated piece laces as [255]*(len//255) + [len%255] (including
+    the mandatory trailing 0 for exact multiples); an unterminated
+    piece (packet continues on the next page) must be a multiple of 255
+    and laces with no terminator."""
+    lacing = bytearray()
+    body = bytearray()
+    for data, terminated in pieces:
+        q, r = divmod(len(data), 255)
+        if terminated:
+            lacing += b"\xff" * q + bytes([r])
+        else:
+            if r:
+                raise ValueError("unterminated piece must be a 255 multiple")
+            lacing += b"\xff" * q
+        body += data
+    if len(lacing) > 255:
+        raise ValueError("page needs more than 255 segments")
+    page = bytearray(
+        b"OggS"
+        + bytes([0, flags])
+        + struct.pack("<qIII", granule, serial, seq, 0)
+        + bytes([len(lacing)])
+        + lacing
+        + body
+    )
+    struct.pack_into("<I", page, 22, ogg_page_crc(bytes(page)))
+    return bytes(page)
+
+
+def _synth_ogg(n: int) -> bytes:
+    """A REAL (spec-layout, CRC-valid) single-stream Ogg file for the
+    :func:`synth_ogg_params` of ``n``: BOS page with the Vorbis/Opus
+    identification header, a header page with the comment header (plus
+    the Vorbis setup header), then data pages of filler audio packets —
+    the audio twin of :func:`_synth_mp4`'s mdat discipline."""
+    p = synth_ogg_params(n)
+    serial = 1 + n % 100000
+    vendor = f"synth-ogg {n}".encode()
+    comments = [f"K{i}=v{i}".encode() for i in range(p["n_meta"])]
+    cbody = struct.pack("<I", len(vendor)) + vendor
+    cbody += struct.pack("<I", len(comments))
+    for c in comments:
+        cbody += struct.pack("<I", len(c)) + c
+    if p["codec"] == "vorbis":
+        idh = b"\x01vorbis" + struct.pack(
+            "<IBIiiiBB",
+            0,
+            p["channels"],
+            p["sample_rate"],
+            0,
+            p["nominal_kbps"] * 1000,
+            0,
+            0xB8,  # blocksizes 2^8 / 2^11
+            1,
+        )
+        headers2 = [b"\x03vorbis" + cbody + b"\x01", b"\x05vorbis" + b"\x55" * 23 + b"\x01"]
+        granule_end = p["n_frames"]
+    else:
+        idh = b"OpusHead" + struct.pack(
+            "<BBHIhB",
+            1,
+            p["channels"],
+            p["pre_skip"],
+            p["input_rate"],
+            0,
+            p["mapping_family"],
+        )
+        if p["mapping_family"] == 1:
+            coupled = 1 if p["channels"] == 2 else 0
+            idh += bytes([1, coupled]) + bytes(range(p["channels"]))
+        headers2 = [b"OpusTags" + cbody]
+        granule_end = p["pre_skip"] + p["n_frames"]
+
+    def pk(i: int) -> bytes:
+        size = 510 if i == 0 and p["exact_lacing"] else 40 + (n + 17 * i) % 300
+        return bytes((n + 31 * i + j) % 256 for j in range(size))
+
+    npages = p["n_data_pages"]
+    granules = [granule_end * (i + 1) // npages for i in range(npages)]
+    if p["split_packet"]:  # npages >= 2 by construction
+        body0 = bytes((n + j) % 256 for j in range(255 + 1 + n % 200))
+        data_pages = [
+            (-1, 0x00, [(body0[:255], False)]),
+            (granules[1], 0x01, [(body0[255:], True)]),
+        ]
+        for i in range(2, npages):
+            data_pages.append((granules[i], 0x00, [(pk(i - 1), True)]))
+    else:
+        data_pages = [(granules[i], 0x00, [(pk(i), True)]) for i in range(npages)]
+
+    pages = [
+        _ogg_page(serial, 0, 0, [(idh, True)], 0x02),
+        _ogg_page(serial, 1, 0, [(h, True) for h in headers2], 0x00),
+    ]
+    for i, (granule, flags, pieces) in enumerate(data_pages):
+        if i == len(data_pages) - 1:
+            flags |= 0x04
+        pages.append(_ogg_page(serial, 2 + i, granule, pieces, flags))
+    return b"".join(pages)
+
+
+def _xiph_comment_count(pkt: bytes, magic: bytes, framed: bool) -> int:
+    """Comment-entry count from a Vorbis comment / OpusTags packet (the
+    shared Xiph layout: vendor length+bytes, entry count, per-entry
+    length+bytes; Vorbis adds a trailing framing bit)."""
+    if pkt[: len(magic)] != magic:
+        raise ValueError("corrupt Ogg: bad comment header magic")
+    pos = len(magic)
+    if pos + 4 > len(pkt):
+        raise ValueError("corrupt Ogg: truncated comment vendor length")
+    (vlen,) = struct.unpack_from("<I", pkt, pos)
+    pos += 4 + vlen
+    if pos + 4 > len(pkt):
+        raise ValueError("corrupt Ogg: comment vendor overruns the packet")
+    (count,) = struct.unpack_from("<I", pkt, pos)
+    pos += 4
+    if count > len(pkt):
+        raise ValueError("corrupt Ogg: comment count exceeds the packet")
+    for _ in range(count):
+        if pos + 4 > len(pkt):
+            raise ValueError("corrupt Ogg: truncated comment entry length")
+        (clen,) = struct.unpack_from("<I", pkt, pos)
+        pos += 4 + clen
+        if pos > len(pkt):
+            raise ValueError("corrupt Ogg: comment entry overruns the packet")
+    if framed and (pos >= len(pkt) or not pkt[pos] & 1):
+        raise ValueError("corrupt Ogg: Vorbis comment framing bit unset")
+    return count
+
+
+def decode_ogg_meta(payload: bytes) -> dict:
+    """Real Ogg METADATA decode — a pure-Python page walk over the
+    public byte layout (RFC 3533 for the container, the Vorbis I spec
+    and RFC 7845 for the codec headers), no audio library, integer-only
+    outputs (DuckDB-replayable).
+
+    Handles: page CRC verification (the real Ogg polynomial), lacing /
+    packet reassembly including 255-run continuation within a page, the
+    exact-multiple zero terminator, packets continued ACROSS pages (the
+    continued-packet flag + the -1 no-packet-ends granule), sequence
+    continuity, Vorbis identification/comment/setup headers (channels,
+    rate, nominal bitrate, blocksize sanity, framing bits), and
+    OpusHead/OpusTags (pre-skip, mapping family 0 and 1 with table
+    validation). ``n_frames`` follows each codec's granule semantics:
+    the final granule position for Vorbis, granule minus pre-skip for
+    Opus (whose granule clock is always 48 kHz — the reported
+    sample_rate is 48000; OpusHead's input rate is informational).
+
+    Raises ``ValueError`` on structural corruption and
+    ``NotImplementedError`` on legal-but-unsupported layouts (chained
+    streams, multiplexed/grouped streams, non-Vorbis/Opus codecs,
+    mapping family >= 2, incompatible OpusHead major version), so the
+    extract seam can degrade row-wise."""
+    buf = bytes(payload)
+    if buf[:4] != b"OggS":
+        raise ValueError("not an Ogg payload")
+    pos = 0
+    serial0 = None
+    expected_seq = 0
+    packets: list[bytes] = []
+    partial = bytearray()
+    partial_open = False
+    saw_eos = False
+    eos_granule = 0
+    while pos < len(buf):
+        if pos + 27 > len(buf):
+            raise ValueError("corrupt Ogg: truncated page header")
+        if buf[pos : pos + 4] != b"OggS":
+            raise ValueError("corrupt Ogg: bad capture pattern")
+        if buf[pos + 4] != 0:
+            raise ValueError(
+                f"corrupt Ogg: stream structure version {buf[pos + 4]}"
+            )
+        flags = buf[pos + 5]
+        (granule,) = struct.unpack_from("<q", buf, pos + 6)
+        serial, seq, crc = struct.unpack_from("<III", buf, pos + 14)
+        nseg = buf[pos + 26]
+        lace_end = pos + 27 + nseg
+        if lace_end > len(buf):
+            raise ValueError("corrupt Ogg: truncated segment table")
+        lacing = buf[pos + 27 : lace_end]
+        page_end = lace_end + sum(lacing)
+        if page_end > len(buf):
+            raise ValueError("corrupt Ogg: page body overruns the file")
+        page = bytearray(buf[pos:page_end])
+        page[22:26] = b"\x00\x00\x00\x00"
+        if ogg_page_crc(bytes(page)) != crc:
+            raise ValueError("corrupt Ogg: page CRC mismatch")
+        if saw_eos:
+            if flags & 0x02:
+                raise NotImplementedError("chained Ogg streams unsupported")
+            raise ValueError("corrupt Ogg: page after EOS")
+        if serial0 is None:
+            serial0 = serial
+            if not flags & 0x02:
+                raise ValueError("corrupt Ogg: first page is not BOS")
+            if seq != 0:
+                raise ValueError("corrupt Ogg: first page sequence != 0")
+        else:
+            if serial != serial0:
+                raise NotImplementedError(
+                    "multiplexed (grouped) Ogg streams unsupported"
+                )
+            if flags & 0x02:
+                raise ValueError("corrupt Ogg: duplicate BOS in stream")
+            if seq != expected_seq:
+                raise ValueError(
+                    f"corrupt Ogg: page sequence gap ({seq} != {expected_seq})"
+                )
+        expected_seq = seq + 1
+        if flags & 0x01:
+            if not partial_open:
+                raise ValueError(
+                    "corrupt Ogg: continuation flag without a pending packet"
+                )
+        elif partial_open:
+            raise ValueError("corrupt Ogg: pending packet not continued")
+        body = buf[lace_end:page_end]
+        off = 0
+        completed = 0
+        for lv in lacing:
+            partial += body[off : off + lv]
+            off += lv
+            partial_open = True
+            if lv < 255:
+                packets.append(bytes(partial))
+                partial.clear()
+                partial_open = False
+                completed += 1
+        if flags & 0x04:
+            saw_eos = True
+            if granule < 0:
+                raise ValueError("corrupt Ogg: EOS page without a granule")
+            eos_granule = granule
+        elif completed == 0 and granule != -1:
+            raise ValueError(
+                "corrupt Ogg: page completes no packet but granule != -1"
+            )
+        pos = page_end
+    if not saw_eos:
+        raise ValueError("corrupt Ogg: missing EOS page")
+    if partial_open:
+        raise ValueError("corrupt Ogg: unterminated packet at EOS")
+    if len(packets) < 2:
+        raise ValueError("corrupt Ogg: missing codec headers")
+
+    idh = packets[0]
+    if idh[:7] == b"\x01vorbis":
+        if len(idh) < 30:
+            raise ValueError("corrupt Ogg: short Vorbis identification header")
+        ver, ch, rate, _bmax, bnom, _bmin, blocks, framing = struct.unpack_from(
+            "<IBIiiiBB", idh, 7
+        )
+        if ver != 0:
+            raise ValueError(f"corrupt Ogg: Vorbis version {ver}")
+        if ch < 1 or rate < 1:
+            raise ValueError("corrupt Ogg: zero Vorbis channels/rate")
+        if blocks & 0xF > blocks >> 4:
+            raise ValueError("corrupt Ogg: Vorbis blocksize_0 > blocksize_1")
+        if not framing & 1:
+            raise ValueError("corrupt Ogg: Vorbis ID framing bit unset")
+        n_meta = _xiph_comment_count(packets[1], b"\x03vorbis", framed=True)
+        if len(packets) < 3 or packets[2][:7] != b"\x05vorbis":
+            raise ValueError("corrupt Ogg: missing Vorbis setup header")
+        if len(packets) < 4:
+            raise ValueError("corrupt Ogg: no audio packets")
+        return {
+            "container": "Ogg",
+            "codec": "vorbis",
+            "channels": ch,
+            "sample_rate": rate,
+            "bits_per_sample": None,
+            "n_frames": eos_granule,
+            "byte_rate": bnom // 8 if bnom > 0 else None,
+            "n_meta": n_meta,
+            "checksum": None,
+        }
+    if idh[:8] == b"OpusHead":
+        if len(idh) < 19:
+            raise ValueError("corrupt Ogg: short OpusHead")
+        ver, ch, pre_skip, _input_rate, _gain, family = struct.unpack_from(
+            "<BBHIhB", idh, 8
+        )
+        if ver >> 4 != 0:
+            raise NotImplementedError(
+                f"incompatible OpusHead major version {ver >> 4}"
+            )
+        if ch < 1:
+            raise ValueError("corrupt Ogg: zero Opus channels")
+        if family == 0:
+            if ch > 2:
+                raise ValueError(
+                    "corrupt Ogg: mapping family 0 with more than 2 channels"
+                )
+            if len(idh) != 19:
+                raise ValueError(
+                    "corrupt Ogg: mapping table present for family 0"
+                )
+        elif family == 1:
+            if ch > 8:
+                raise ValueError(
+                    "corrupt Ogg: mapping family 1 with more than 8 channels"
+                )
+            if len(idh) < 21 + ch:
+                raise ValueError("corrupt Ogg: truncated channel mapping table")
+            streams, coupled = idh[19], idh[20]
+            if streams < 1 or coupled > streams:
+                raise ValueError("corrupt Ogg: bad Opus stream counts")
+            for v in idh[21 : 21 + ch]:
+                if v != 255 and v >= streams + coupled:
+                    raise ValueError(
+                        "corrupt Ogg: channel mapping index out of range"
+                    )
+        else:
+            raise NotImplementedError(
+                f"Opus channel mapping family {family} unsupported"
+            )
+        n_meta = _xiph_comment_count(packets[1], b"OpusTags", framed=False)
+        if len(packets) < 3:
+            raise ValueError("corrupt Ogg: no audio packets")
+        if eos_granule < pre_skip:
+            raise ValueError("corrupt Ogg: granule smaller than pre-skip")
+        return {
+            "container": "Ogg",
+            "codec": "opus",
+            "channels": ch,
+            "sample_rate": 48000,
+            "bits_per_sample": None,
+            "n_frames": eos_granule - pre_skip,
+            "byte_rate": None,
+            "n_meta": n_meta,
+            "checksum": None,
+        }
+    raise NotImplementedError("unsupported Ogg codec (not Vorbis or Opus)")
+
+
+#: q_ogg_meta's DuckDB oracle — the synth_ogg_params closed form
+#: replayed in SQL. Module constant like AUDIO_META_ORACLE: registration
+#: is deferred by the standing window-budgeting rule; tests run the same
+#: differential the driver would.
+OGG_META_ORACLE = """
+    WITH t AS (
+        SELECT doc_id, strlen(text) AS n FROM documents WHERE text IS NOT NULL
+    ), p AS (
+        SELECT doc_id, n,
+               n % 2 = 0 AS is_vorbis,
+               CASE WHEN n % 2 = 0
+                    THEN ([8000,16000,22050,44100,48000,96000])[1 + n % 6]
+                    ELSE 48000 END AS sr,
+               1 + n % 100000 AS nf
+        FROM t
+    )
+    SELECT doc_id,
+           'Ogg' AS container,
+           CASE WHEN is_vorbis THEN 'vorbis' ELSE 'opus' END AS codec,
+           CAST(CASE WHEN is_vorbis THEN 1 + n % 8
+                     ELSE 1 + n % 2 END AS INT) AS channels,
+           CAST(sr AS INT) AS sample_rate,
+           CAST(NULL AS INT) AS bits_per_sample,
+           CAST(nf AS BIGINT) AS n_frames,
+           CAST(nf * 1000 // sr AS BIGINT) AS duration_ms,
+           CAST(CASE WHEN is_vorbis AND n % 9 != 0
+                     THEN ([32,48,64,80,96,112,128,160])[1 + (n // 3) % 8] * 125
+                     ELSE NULL END AS INT) AS byte_rate,
+           CAST(n % 4 AS INT) AS n_meta,
+           CAST(NULL AS VARCHAR) AS checksum
+    FROM p
+"""
+
+
+def q_ogg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ogg metadata: per row, a REAL CRC-valid Ogg stream (Vorbis or
+    Opus, with lacing/continued-packet/page-flag variations) is
+    synthesized from the payload's byte length and the REAL parser
+    (:func:`decode_ogg_meta` via the unified dispatch) recovers the
+    AUDIO_META_SCHEMA row; ``OGG_META_ORACLE`` replays the parameter
+    closed form — the streamed-container twin of q_audio_meta's recipe.
+    Map-only (no shuffle); on a genuine lake the same parser runs via
+    ``ingest_binary_dir -> extract_audio_meta``.
+
+    REGISTRATION DEFERRED (window budgeting — see registry.py's
+    rotation plan); oracle-checked in pytest meanwhile.
+    """
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    payloads = d.select(
+        "doc_id", F.length(F.encode(F.col("text"), "utf-8")).alias("n")
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, n in zip(pdf["doc_id"], pdf["n"]):
+                m = decode_audio_meta(_synth_ogg(int(n)))
+                rows.append(
+                    (
+                        doc_id,
+                        m["container"],
+                        m["codec"],
+                        m["channels"],
+                        m["sample_rate"],
+                        m["bits_per_sample"],
+                        m["n_frames"],
+                        m["duration_ms"],
+                        m["byte_rate"],
+                        m["n_meta"],
+                        m["checksum"],
+                    )
+                )
+            yield _audio_meta_frame(rows)
+
+    return payloads.mapInPandas(batches, schema=AUDIO_META_SCHEMA)

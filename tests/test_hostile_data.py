@@ -376,8 +376,9 @@ def test_approx_stats_keeps_null_flag_group(spark, tmp_path):
 
 
 def test_deferred_round15_queries_survive_hostile_data(spark, hostile_dir):
-    """The ten round-14 queries whose registration is deferred to round
-    15 (window budgeting) — the registry-driven sweep above cannot see
+    """The round-14 queries whose registration is deferred to round
+    15 (window budgeting; ten from the first session plus q_ogg_meta,
+    q_zip_samples, and q_sitemap_urls) — the registry-driven sweep above cannot see
     them yet, so run the same mutated-fixture differential here, AND
     under the round-6 hostile SESSION confs at once (LTZ inference +
     half-hour-offset DST zone + LEGACY parser): the metadata queries
@@ -390,22 +391,28 @@ def test_deferred_round15_queries_survive_hostile_data(spark, hostile_dir):
         ROBOTS_ORACLE,
         URL_DEDUP_ORACLE,
         WARC_RECORDS_ORACLE,
+        SITEMAP_ORACLE,
         WEBDATASET_ORACLE,
+        ZIP_SAMPLES_ORACLE,
         q_html_extract,
         q_robots_admission,
         q_url_dedup,
         q_warc_records,
+        q_sitemap_urls,
         q_webdataset_samples,
+        q_zip_samples,
     )
     from parquet_compactor_spark.llm.multimodal import (
         AUDIO_META_ORACLE,
         EXIF_META_ORACLE,
         MP3_META_ORACLE,
+        OGG_META_ORACLE,
         SUBTITLE_META_ORACLE,
         WEBM_META_ORACLE,
         q_audio_meta,
         q_exif_meta,
         q_mp3_meta,
+        q_ogg_meta,
         q_subtitle_meta,
         q_webm_meta,
     )
@@ -413,6 +420,7 @@ def test_deferred_round15_queries_survive_hostile_data(spark, hostile_dir):
     pairs = [
         (q_audio_meta, AUDIO_META_ORACLE),
         (q_mp3_meta, MP3_META_ORACLE),
+        (q_ogg_meta, OGG_META_ORACLE),
         (q_exif_meta, EXIF_META_ORACLE),
         (q_webm_meta, WEBM_META_ORACLE),
         (q_url_dedup, URL_DEDUP_ORACLE),
@@ -420,6 +428,8 @@ def test_deferred_round15_queries_survive_hostile_data(spark, hostile_dir):
         (q_html_extract, HTML_EXTRACT_ORACLE),
         (q_warc_records, WARC_RECORDS_ORACLE),
         (q_webdataset_samples, WEBDATASET_ORACLE),
+        (q_zip_samples, ZIP_SAMPLES_ORACLE),
+        (q_sitemap_urls, SITEMAP_ORACLE),
         (q_subtitle_meta, SUBTITLE_META_ORACLE),
     ]
     hostile_conf = {
