@@ -28,9 +28,10 @@ orphan tmp litter):
 
 Scheduling subcommand — the metadata-only lake health report (per-leaf
 small-file stats, ranked by reclaimable files; ``--rowgroups`` adds the
-distributed footer scan's per-leaf row-group health):
+distributed footer scan's per-leaf row-group health; ``--schema-drift``
+adds the per-leaf schema-compatibility table):
 
-    python -m parquet_compactor_spark.app report [--rowgroups]
+    python -m parquet_compactor_spark.app report [--rowgroups] [--schema-drift]
 """
 
 from __future__ import annotations
@@ -152,16 +153,20 @@ def report_main(argv: list[str]) -> int:
     Prints per-leaf small-file statistics ranked by reclaimable files —
     the scheduler input: feed the top leaves to a compaction run first.
     ``--rowgroups`` adds the per-leaf row-group health table (distributed
-    footer scan). Unlike ``audit`` this never exits non-zero on
-    findings: reclaimable files are normal operating state, not drift.
+    footer scan); ``--schema-drift`` adds the per-leaf schema-drift
+    table (distributed schema scan — the pre-merge compatibility check
+    the reference never performs). Unlike ``audit`` this never exits
+    non-zero on findings: reclaimable files are normal operating state,
+    not drift.
     """
     log = setup_logging()
-    if argv and argv != ["--rowgroups"]:
-        print("usage: report [--rowgroups]")
+    if not set(argv) <= {"--rowgroups", "--schema-drift"}:
+        print("usage: report [--rowgroups] [--schema-drift]")
         return 2
     from parquet_compactor_spark.compactor.report import (
         lake_report,
         rowgroup_report,
+        schema_drift_report,
     )
 
     settings = resolve(requested_bucket=os.environ.get("REQUESTED_BUCKET", ""))
@@ -179,12 +184,32 @@ def report_main(argv: list[str]) -> int:
         .collect()
     ]
     payload: dict = {"root": root, "leaves": leaves}
-    if argv == ["--rowgroups"]:
+    footer_paths: list[str] | None = None
+    if "--rowgroups" in argv or "--schema-drift" in argv:
+        # ONE lake listing shared by the footer-derived reports (the
+        # recursive object-store listing is the expensive step; the
+        # sibling reports must not each re-pay it).
+        from parquet_compactor_spark.compactor.fs import HadoopFS
+
+        fs = HadoopFS(spark, root)
+        footer_paths = [
+            f.path
+            for f in fs.list_files(root, distributed=True)
+            if f.path.endswith(".parquet")
+        ]
+    if "--rowgroups" in argv:
         payload["rowgroups"] = [
             r.asDict()
-            for r in rowgroup_report(spark, root)
+            for r in rowgroup_report(spark, root, paths=footer_paths)
             .orderBy(F_desc("tiny_row_groups"), "leaf")
             .collect()
+        ]
+    if "--schema-drift" in argv:
+        payload["schema_drift"] = [
+            r.asDict()
+            for r in schema_drift_report(
+                spark, root, paths=footer_paths
+            ).collect()
         ]
     log.info(
         "lake report: %d leaves, %d reclaimable files",

@@ -21,6 +21,8 @@ from parquet_compactor_spark.compactor.report import (
     lake_report,
     rowgroup_report,
     scan_parquet_footers,
+    scan_parquet_schemas,
+    schema_drift_report,
 )
 
 __all__ = [
@@ -34,4 +36,6 @@ __all__ = [
     "lake_report",
     "rowgroup_report",
     "scan_parquet_footers",
+    "scan_parquet_schemas",
+    "schema_drift_report",
 ]

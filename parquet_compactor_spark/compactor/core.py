@@ -89,6 +89,22 @@ class CompactionConfig:
     # zero-manifest simplicity. Explicit True/False overrides either
     # way. See OBJECT_STORE_SCHEMES / commit_mode_is_direct.
     direct_commit: bool | None = None
+    # Pre-merge schema gate (nothing like it exists in the reference —
+    # it merges on faith; SURVEY §1.2 records that compatibility is
+    # "assumed, not checked", and awswrangler surfaces a mismatch only
+    # as a caught mid-merge ArrowException). When True and merge_schema
+    # is False, each leaf's merge set is fingerprint-checked first
+    # (metadata-only footer reads, distributed via
+    # report.scan_parquet_schemas) and a leaf whose files disagree on
+    # columns/types — or contains a genuinely CORRUPT footer — is SKIPPED
+    # with outcome "skipped_schema_drift..." instead of producing a
+    # sampled-schema union that NULL-fills or drops columns depending
+    # on which file Spark samples. Ignored when merge_schema=True:
+    # explicit union-by-name IS the evolution policy there. Files whose
+    # URI scheme the executor-side pyarrow cannot open at all (the
+    # cannot-CHECK class, e.g. object-store lakes in an fsspec-less
+    # sandbox) never veto: those leaves merge as if ungated.
+    skip_schema_drift: bool = False
     # Orphan temp-dir GC: a hard crash (OOM-kill) skips the merge's
     # finally-cleanup and leaves a ``*_compact_tmp_<32hex>`` dir behind.
     # Each compact() pass reclaims orphans whose NEWEST file is at least
@@ -748,6 +764,36 @@ class LakeCompactor:
             if still_pending:
                 return f"nothing_to_compact_{len(still_pending)}_deletes_pending"
             return "nothing_to_compact"
+        if self.config.skip_schema_drift and not self.config.merge_schema:
+            from parquet_compactor_spark.compactor.report import (
+                SCHEME_UNREADABLE_PREFIX,
+                scan_parquet_schemas,
+            )
+
+            with self._phase("schema_check"):
+                fp_rows = (
+                    scan_parquet_schemas(self.spark, file_list)
+                    .select("schema_fp", "error")
+                    .collect()
+                )
+            # The gate acts only on EVIDENCE: drifting fingerprints or a
+            # genuinely corrupt footer. The cannot-check class (pyarrow
+            # lacks the filesystem for this URI scheme — every file of an
+            # object-store lake in a sandbox without fsspec) must NOT
+            # veto the merge, or the gate would skip the entire lake it
+            # was meant to protect; those leaves merge as if ungated.
+            n_corrupt = sum(
+                1
+                for r in fp_rows
+                if r.error is not None
+                and not r.error.startswith(SCHEME_UNREADABLE_PREFIX)
+            )
+            fps = {r.schema_fp for r in fp_rows if r.error is None}
+            if n_corrupt or len(fps) > 1:
+                return (
+                    f"skipped_schema_drift_{len(fps)}_schemas_"
+                    f"{n_corrupt}_unreadable"
+                )
         sizes = {f.path: f.size for f in files}
         written: set[str] = set()
         if "GCP" in leaf:

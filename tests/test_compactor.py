@@ -1250,3 +1250,191 @@ def test_rowgroup_report_flags_tiny_rowgroups(spark, lake):
     ok = rep["source=GCP"]
     assert ok.n_row_groups == 1 and ok.tiny_row_groups == 0
     assert ok.n_rows == 1000 and ok.error_files == 0
+
+
+def test_scan_parquet_schemas_fingerprints_and_degrades(spark, tmp_path):
+    """Same-schema files share a fingerprint, any column or type change
+    breaks it, and corrupt/foreign-scheme files degrade to loud error
+    rows — the grouping invariant schema_drift_report is built on."""
+    from parquet_compactor_spark.compactor import scan_parquet_schemas
+
+    a1 = tmp_path / "a1.parquet"
+    a2 = tmp_path / "a2.parquet"
+    write_small_parquet(a1, rows=5)
+    write_small_parquet(a2, start=100, rows=50)  # same schema, other data
+    extra = tmp_path / "extra.parquet"
+    pq.write_table(
+        pa.table({"id": [1], "val": [1.0], "extra": ["x"]}), extra
+    )
+    retyped = tmp_path / "retyped.parquet"
+    pq.write_table(
+        pa.table({"id": [1], "val": ["now a string"]}), retyped
+    )
+    corrupt = tmp_path / "corrupt.parquet"
+    corrupt.write_bytes(b"PAR1 this is not really parquet")
+
+    rows = {
+        r.path: r
+        for r in scan_parquet_schemas(
+            spark,
+            [str(a1), str(a2), str(extra), str(retyped), str(corrupt),
+             "s3a://elsewhere/x.parquet"],
+        ).collect()
+    }
+    assert rows[str(a1)].schema_fp == rows[str(a2)].schema_fp
+    assert rows[str(a1)].columns == "id:int64\nval:double"
+    assert rows[str(extra)].schema_fp != rows[str(a1)].schema_fp
+    assert rows[str(retyped)].schema_fp != rows[str(a1)].schema_fp
+    assert rows[str(retyped)].columns == "id:int64\nval:string"
+    assert rows[str(corrupt)].error is not None
+    assert rows[str(corrupt)].n_columns == -1
+    assert "scheme" in rows["s3a://elsewhere/x.parquet"].error
+
+
+def test_scan_parquet_schemas_matches_duckdb_schema(spark):
+    """Differential vs DuckDB's parquet_schema() (an independent footer
+    reader) on the sf0.001 fixture: per file, the same column NAME set
+    and count — and files DuckDB reports as column-identical share a
+    fingerprint."""
+    import glob
+
+    import duckdb
+
+    from parquet_compactor_spark.compactor import scan_parquet_schemas
+
+    paths = sorted(glob.glob("/root/testdata/sf0.001/*.parquet"))
+    got = {
+        r.path: r for r in scan_parquet_schemas(spark, paths).collect()
+    }
+    con = duckdb.connect()
+    # DESCRIBE gives the TOP-LEVEL column view (parquet_schema flattens
+    # nested list nodes to their leaves, which is not what a merge
+    # compatibility check compares).
+    want: dict[str, list[str]] = {
+        f: [
+            r[0]
+            for r in con.execute(
+                "DESCRIBE SELECT * FROM read_parquet(?)", [f]
+            ).fetchall()
+        ]
+        for f in paths
+    }
+    con.close()
+    assert set(got) == set(want)
+    for f, names in want.items():
+        mine = [c.split(":", 1)[0] for c in got[f].columns.split("\n")]
+        assert sorted(mine) == sorted(names), f
+        assert got[f].n_columns == len(names)
+        assert got[f].error is None
+
+
+def test_schema_drift_report_flags_mixed_leaves(spark, lake):
+    """A leaf whose files disagree (added column + type change) is
+    flagged with its drift columns; a uniform leaf reads clean."""
+    from parquet_compactor_spark.compactor import schema_drift_report
+
+    clean = lake / "acct1" / "source=OCP" / "year=2024" / "month=01"
+    for i in range(2):
+        write_small_parquet(clean / f"c{i}.parquet", start=i * 10)
+    drifty = lake / "acct1" / "source=OCP" / "year=2024" / "month=02"
+    write_small_parquet(drifty / "d0.parquet")
+    pq.write_table(
+        pa.table({"id": [1], "val": [1.0], "extra": ["x"]}),
+        drifty / "d1.parquet",
+    )
+    pq.write_table(
+        pa.table({"id": [1], "val": ["s"]}), drifty / "d2.parquet"
+    )
+
+    rows = {
+        r.leaf.rstrip("/").rsplit("/", 1)[-1]: r
+        for r in schema_drift_report(spark, str(lake)).collect()
+    }
+    c = rows["month=01"]
+    assert (c.n_schemas, c.drifted_files, c.n_drift_columns) == (1, 0, 0)
+    assert c.drift_columns == ""
+    d = rows["month=02"]
+    assert d.n_files == 3 and d.n_schemas == 3
+    # majority is any of the three singleton schemas; two files drift
+    assert d.majority_files == 1 and d.drifted_files == 2
+    # 'extra' differs by presence, 'val' by type (two tokens), 'id' by
+    # presence only in the two-column file? No: id:int64 is in all
+    # three. So drift columns are exactly {extra, val}.
+    assert d.drift_columns == "extra,val" and d.n_drift_columns == 2
+
+
+def test_compact_schema_gate_skips_drifted_leaf(spark, lake):
+    """With skip_schema_drift=True (and no merge_schema policy), a
+    drifted leaf is left untouched with a loud outcome while a uniform
+    leaf in the same pass compacts normally; setting merge_schema=True
+    declares the evolution policy and the gate stands down."""
+    drifty = lake / "acct1" / "source=AWS" / "year=2024" / "month=01"
+    write_small_parquet(drifty / "in-0.parquet", start=0)
+    path = drifty / "in-1.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "id": list(range(100, 110)),
+                "val": [float(i) for i in range(10)],
+                "extra": ["x"] * 10,
+            }
+        ),
+        path,
+    )
+    ts = OLD.timestamp()
+    os.utime(path, (ts, ts))
+    clean = lake / "acct1" / "source=OCP" / "year=2024" / "month=01"
+    for i in range(2):
+        write_small_parquet(clean / f"in-{i}.parquet", start=i * 100)
+
+    cfg = CompactionConfig(now=NOW, skip_schema_drift=True)
+    outcomes = LakeCompactor(spark, str(lake), cfg).compact()
+    drift_key = next(k for k in outcomes if "source=AWS" in k)
+    clean_key = next(k for k in outcomes if "source=OCP" in k)
+    assert outcomes[drift_key] == "skipped_schema_drift_2_schemas_0_unreadable"
+    assert outcomes[clean_key] == "compacted_2_files"
+    assert {p.name for p in drifty.glob("*.parquet")} == {
+        "in-0.parquet",
+        "in-1.parquet",
+    }
+
+    # merge_schema=True: the gate is documented to stand down.
+    cfg2 = CompactionConfig(now=NOW, skip_schema_drift=True, merge_schema=True)
+    outcomes2 = LakeCompactor(spark, str(lake), cfg2).compact()
+    assert outcomes2[drift_key] == "compacted_2_files"
+    merged = pq.read_table(next(drifty.glob("AWS_*.parquet")))
+    assert set(merged.column_names) == {"id", "val", "extra"}
+
+
+def test_schema_drift_tokens_survive_commas_inside_type_strings(spark, lake):
+    """pyarrow type strings legally contain commas (decimal128(10, 2),
+    struct<a: int64, b: string>) — the drift tokenization must not
+    split inside them: a drifting decimal/struct column reports its
+    NAME cleanly, never type fragments."""
+    import decimal
+
+    from parquet_compactor_spark.compactor import schema_drift_report
+
+    leaf = lake / "acct1" / "source=OCP" / "year=2024" / "month=03"
+    leaf.mkdir(parents=True, exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "id": [1],
+                "price": pa.array(
+                    [decimal.Decimal("1.23")], pa.decimal128(10, 2)
+                ),
+                "meta": pa.array(
+                    [{"a": 1, "b": "x"}],
+                    pa.struct([("a", pa.int64()), ("b", pa.string())]),
+                ),
+            }
+        ),
+        leaf / "rich.parquet",
+    )
+    pq.write_table(pa.table({"id": [2]}), leaf / "plain.parquet")
+
+    rows = {r.leaf: r for r in schema_drift_report(spark, str(lake)).collect()}
+    (row,) = rows.values()
+    assert row.n_schemas == 2 and row.drifted_files == 1
+    assert row.drift_columns == "meta,price" and row.n_drift_columns == 2

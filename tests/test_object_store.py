@@ -193,3 +193,15 @@ def test_commit_mode_dispatches_by_scheme(spark):
     # Committer task+job renames copy the output ~twice (plus marker
     # metadata); the engine rename would add a third output-sized copy.
     assert copied <= 2 * out + 8192, (copied, out)
+
+
+def test_schema_gate_cannot_check_never_vetoes_on_object_store(spark):
+    """On a URI scheme the executor-side pyarrow cannot open (every
+    object-store lake in this sandbox), the skip_schema_drift gate must
+    classify footers as cannot-CHECK, not as drift evidence — a pass
+    over the lake compacts exactly as if ungated instead of skipping
+    every leaf."""
+    root = _build_lake("schema-gate-bucket")
+    cfg = CompactionConfig(now=NOW, skip_schema_drift=True)
+    outcomes = LakeCompactor(spark, root, cfg).compact()
+    assert list(outcomes.values()) == ["compacted_8_files"]
