@@ -378,7 +378,7 @@ def test_approx_stats_keeps_null_flag_group(spark, tmp_path):
 def test_deferred_round15_queries_survive_hostile_data(spark, hostile_dir):
     """The round-14 queries whose registration is deferred to round
     15 (window budgeting; ten from the first session plus q_ogg_meta,
-    q_zip_samples, and q_sitemap_urls) — the registry-driven sweep above cannot see
+    q_zip_samples, q_sitemap_urls, and q_tfrecord_samples) — the registry-driven sweep above cannot see
     them yet, so run the same mutated-fixture differential here, AND
     under the round-6 hostile SESSION confs at once (LTZ inference +
     half-hour-offset DST zone + LEGACY parser): the metadata queries
@@ -392,6 +392,7 @@ def test_deferred_round15_queries_survive_hostile_data(spark, hostile_dir):
         URL_DEDUP_ORACLE,
         WARC_RECORDS_ORACLE,
         SITEMAP_ORACLE,
+        TFRECORD_ORACLE,
         WEBDATASET_ORACLE,
         ZIP_SAMPLES_ORACLE,
         q_html_extract,
@@ -399,6 +400,7 @@ def test_deferred_round15_queries_survive_hostile_data(spark, hostile_dir):
         q_url_dedup,
         q_warc_records,
         q_sitemap_urls,
+        q_tfrecord_samples,
         q_webdataset_samples,
         q_zip_samples,
     )
@@ -430,6 +432,7 @@ def test_deferred_round15_queries_survive_hostile_data(spark, hostile_dir):
         (q_webdataset_samples, WEBDATASET_ORACLE),
         (q_zip_samples, ZIP_SAMPLES_ORACLE),
         (q_sitemap_urls, SITEMAP_ORACLE),
+        (q_tfrecord_samples, TFRECORD_ORACLE),
         (q_subtitle_meta, SUBTITLE_META_ORACLE),
     ]
     hostile_conf = {

@@ -5402,3 +5402,268 @@ def test_frontier_composition_robots_to_sitemap_to_canonical(spark):
         "https://h.example/page/1?id=9",
         "https://h.example/page/2?id=10",
     ]
+
+
+def test_crc32c_matches_the_public_check_vector():
+    """CRC-32C (Castagnoli) against the published check value
+    0xE3069283 for b'123456789', plus the TFRecord mask round-trip
+    shape (rotate-right-15 + constant, from the published format)."""
+    from parquet_compactor_spark.llm.curation import crc32c, tfrecord_mask
+
+    assert crc32c(b"123456789") == 0xE3069283
+    assert crc32c(b"") == 0
+    c = crc32c(b"hello tfrecord")
+    assert tfrecord_mask(c) == (((c >> 15) | (c << 17)) + 0xA282EAD8) & 0xFFFFFFFF
+
+
+def test_tfrecord_parser_recovers_every_synth_parameter():
+    """TFRecord parser vs the synthetic encoder across the layout
+    residues (record count %6, bytes/int64/float features %2/%3,
+    unknown fields %5, multi-byte label varints), INCLUDING the
+    structural wire size of every record — the same closed form
+    TFRECORD_ORACLE replays. Pure Python — no Spark session."""
+    from parquet_compactor_spark.llm.curation import (
+        _synth_tfrecord,
+        parse_tfrecords,
+        synth_tfrecord_params,
+    )
+
+    for n in list(range(0, 400)) + [997, 5000, 99999]:
+        p = synth_tfrecord_params(n)
+        got = parse_tfrecords(_synth_tfrecord(n))
+        assert len(got) == p["n_records"], n
+        for i, (r, q) in enumerate(zip(got, p["records"])):
+            text_b = q["text_bytes"]
+            label_w = 1 if q["label"] < 128 else 2
+            entries = (
+                (text_b + 14)
+                + ((15 + label_w) if q["has_label"] else 0)
+                + ((13 + 4 * q["n_floats"]) if q["n_floats"] else 0)
+            )
+            payload = (
+                1
+                + (1 if entries < 128 else 2)
+                + entries
+                + (3 if q["unknown_field"] else 0)
+            )
+            assert r == {
+                "rec": i,
+                "n_features": 1
+                + (1 if q["has_label"] else 0)
+                + (1 if q["n_floats"] else 0),
+                "features": ("emb," if q["n_floats"] else "")
+                + ("label," if q["has_label"] else "")
+                + "text",
+                "n_ints": 1 if q["has_label"] else 0,
+                "n_floats": q["n_floats"],
+                "text_bytes": text_b,
+                "payload_bytes": payload,
+            }, (n, i)
+
+
+def test_tfrecord_parser_is_loud_on_corruption():
+    """Every TFRecord corruption class raises ValueError; deprecated
+    protobuf groups (legal wire format, unsupported) raise
+    NotImplementedError — the row-wise-degrade contract."""
+    import struct as _struct
+
+    import pytest as _pytest
+
+    from parquet_compactor_spark.llm.curation import (
+        _synth_tfrecord,
+        crc32c,
+        parse_tfrecords,
+        tfrecord_mask,
+    )
+
+    shard = _synth_tfrecord(7)
+
+    def frame(payload: bytes) -> bytes:
+        length = _struct.pack("<Q", len(payload))
+        return (
+            length
+            + _struct.pack("<I", tfrecord_mask(crc32c(length)))
+            + payload
+            + _struct.pack("<I", tfrecord_mask(crc32c(payload)))
+        )
+
+    with _pytest.raises(ValueError, match="empty TFRecord shard"):
+        parse_tfrecords(b"")
+    with _pytest.raises(ValueError, match="truncated TFRecord length"):
+        parse_tfrecords(shard[:6])
+    with _pytest.raises(ValueError, match="length checksum mismatch"):
+        parse_tfrecords(bytes([shard[0] ^ 1]) + shard[1:])
+    with _pytest.raises(ValueError, match="payload checksum mismatch"):
+        parse_tfrecords(shard[:14] + bytes([shard[14] ^ 1]) + shard[15:])
+    with _pytest.raises(ValueError, match="payload overruns"):
+        parse_tfrecords(shard[:-2])
+    # featureless record: valid framing, empty Example payload
+    with _pytest.raises(ValueError, match="no features"):
+        parse_tfrecords(frame(b""))
+    # deprecated group wiretype inside the Example
+    with _pytest.raises(NotImplementedError, match="group wiretype"):
+        parse_tfrecords(frame(bytes([(5 << 3) | 3])))
+    # overlong varint
+    with _pytest.raises(ValueError, match="overlong protobuf varint"):
+        parse_tfrecords(frame(b"\x80" * 11))
+    # length-delimited field overrunning its message
+    with _pytest.raises(ValueError, match="overruns"):
+        parse_tfrecords(frame(bytes([(1 << 3) | 2, 0x7F]) + b"xx"))
+
+
+def test_extract_tfrecord_samples_handles_hostile_rows(spark):
+    """The genuine-lake seam: a valid shard + garbage + a
+    checksum-corrupted shard + NULL in one frame yields record rows for
+    exactly the parseable shards."""
+    from parquet_compactor_spark.llm.curation import (
+        _synth_tfrecord,
+        extract_tfrecord_samples,
+        synth_tfrecord_params,
+    )
+
+    good = _synth_tfrecord(11)
+    bad = bytes([good[20] ^ 0xFF]) + good[1:]
+    rows = [
+        (1, bytearray(good)),
+        (2, bytearray(b"not a tfrecord")),
+        (3, bytearray(bad)),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    out = extract_tfrecord_samples(df).collect()
+    assert {r.doc_id for r in out} == {1}
+    assert len(out) == synth_tfrecord_params(11)["n_records"]
+    assert all("text" in r.features for r in out)
+
+
+def test_q_tfrecord_samples_matches_oracle_before_registration(spark):
+    """q_tfrecord_samples' registration is deferred (window budgeting),
+    so run the driver-identical differential here: Spark parses REAL
+    checksummed TFRecord shards with wire-format tf.Example payloads,
+    DuckDB replays the closed form including structural wire sizes."""
+    from parquet_compactor_spark.llm.curation import (
+        TFRECORD_ORACLE,
+        q_tfrecord_samples,
+    )
+    from tests.oracle_utils import compare_to_oracle
+
+    compare_to_oracle(
+        q_tfrecord_samples(spark, "/root/testdata/sf0.001"),
+        TFRECORD_ORACLE,
+        "/root/testdata/sf0.001",
+    )
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.one_of(
+        st.binary(max_size=200),
+        st.tuples(
+            st.integers(0, 500),
+            st.integers(0, 199),
+            st.integers(0, 255),
+        ).map(lambda t: _mutate_curation_container(*t)),
+    )
+)
+def test_curation_container_parsers_never_leak_raw_exceptions(payload):
+    """Fuzz the curation-side container parsers' exception CONTRACT
+    (the curation twin of the audio/video decoder fuzz): on arbitrary
+    bytes and single-byte mutations of valid tar/zip/tfrecord/warc
+    shards and sitemap/robots documents, every parser either returns
+    its value or raises exactly ValueError / NotImplementedError —
+    never IndexError/struct.error/KeyError/UnicodeDecodeError, which
+    would escape the extract seams' row-wise degrade."""
+    from parquet_compactor_spark.llm.curation import (
+        parse_robots,
+        parse_sitemap,
+        parse_tfrecords,
+        parse_warc,
+        parse_webdataset,
+        parse_zip_samples,
+    )
+
+    for dec in (parse_webdataset, parse_zip_samples, parse_tfrecords, parse_warc):
+        try:
+            out = dec(payload)
+            assert isinstance(out, list)
+        except (ValueError, NotImplementedError):
+            pass
+    text = bytes(payload).decode("utf-8", "replace")
+    for tdec in (parse_sitemap, parse_robots):
+        try:
+            tdec(text)
+        except (ValueError, NotImplementedError):
+            pass
+
+
+def _mutate_curation_container(n, pos, val):
+    """A valid tar/zip/tfrecord/warc shard or sitemap document (cycled
+    by n) with one byte forced."""
+    from parquet_compactor_spark.llm.curation import (
+        _synth_sitemap,
+        _synth_tfrecord,
+        _synth_warc,
+        _synth_webdataset,
+        _synth_zip,
+    )
+
+    synth = (_synth_webdataset, _synth_zip, _synth_tfrecord, _synth_warc)
+    if n % 5 == 4:
+        blob = bytearray(_synth_sitemap(n).encode())
+    else:
+        blob = bytearray(synth[n % 5](n))
+    blob[pos % len(blob)] = val
+    return bytes(blob)
+
+
+def test_training_shard_audit_composition_tar_zip_tfrecord(spark):
+    """The training-shard audit composition: ONE binary lake frame
+    holding a ustar WebDataset shard, a ZIP shard, and a TFRecord
+    shard flows through the three extract seams; each seam claims
+    exactly its own format (magic/structure dispatch is implicit in
+    the parsers' strictness) and the union is the cross-format
+    sample/record inventory a pre-training audit wants."""
+    from pyspark.sql import functions as SF
+
+    from parquet_compactor_spark.llm.curation import (
+        _synth_tfrecord,
+        _synth_webdataset,
+        _synth_zip,
+        extract_tfrecord_samples,
+        extract_webdataset_samples,
+        extract_zip_samples,
+        synth_tfrecord_params,
+        synth_webdataset_params,
+        synth_zip_params,
+    )
+
+    rows = [
+        (1, bytearray(_synth_webdataset(9))),
+        (2, bytearray(_synth_zip(9))),
+        (3, bytearray(_synth_tfrecord(9))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+
+    tar = extract_webdataset_samples(df).select(
+        "doc_id", SF.lit("tar").alias("fmt"), SF.col("key").alias("unit")
+    )
+    zipped = extract_zip_samples(df).select(
+        "doc_id", SF.lit("zip").alias("fmt"), SF.col("key").alias("unit")
+    )
+    tfr = extract_tfrecord_samples(df).select(
+        "doc_id",
+        SF.lit("tfrecord").alias("fmt"),
+        SF.col("rec").cast("string").alias("unit"),
+    )
+    inventory = tar.unionByName(zipped).unionByName(tfr).collect()
+
+    by_fmt = {}
+    for r in inventory:
+        by_fmt.setdefault(r.fmt, set()).add((r.doc_id, r.unit))
+    # each seam claimed exactly its own shard
+    assert {d for d, _ in by_fmt["tar"]} == {1}
+    assert {d for d, _ in by_fmt["zip"]} == {2}
+    assert {d for d, _ in by_fmt["tfrecord"]} == {3}
+    assert len(by_fmt["tar"]) == synth_webdataset_params(9)["n_samples"]
+    assert len(by_fmt["zip"]) == synth_zip_params(9)["n_samples"]
+    assert len(by_fmt["tfrecord"]) == synth_tfrecord_params(9)["n_records"]
