@@ -103,11 +103,37 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     When nanos IS present the conf stays set for the session lifetime:
     Spark re-reads it at execution time, so restoring it between
     ``spark.read`` and the action would break the lazy read.
+
+    The resulting DataFrame — a LAZY logical plan, never data — is
+    memoized per (session, path, file mtime+size): every ``spark.read``
+    re-lists the path and re-reads the footer schema (~100-250 ms of
+    driver/py4j work per call, guide §5 "the driver should do almost no
+    data work"), and a 230-query harness re-derives the identical scan
+    relation hundreds of times. Reusing the plan object skips that
+    driver work while every action still scans the parquet inputs —
+    nothing is persisted or precomputed (no ``.cache()``; execution is
+    unchanged). The memo lives ON the session object, so a stopped or
+    replaced session drops it, and the mtime/size key invalidates it
+    when a fixture is rewritten in place (tests that regenerate a
+    table at the same path).
     """
+    import os
+
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
     path = f"{sf_dir}/{table}.parquet"
+    try:
+        st = os.stat(path)
+        memo_key = (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        memo_key = None
+    memo = getattr(spark, "_pcs_load_memo", None)
+    if memo is None:
+        memo = {}
+        spark._pcs_load_memo = memo
+    if memo_key is not None and memo_key in memo:
+        return memo[memo_key]
     unit = _parquet_ts_unit(path, "ts") if table == "events" else None
     if unit is not None and unit.startswith("timestamp[ns"):
         # startswith, not equality: an isAdjustedToUTC nanos column reads
@@ -168,6 +194,8 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
         ts_type = dict(df.dtypes).get("ts")
         if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if memo_key is not None:
+        memo[memo_key] = df
     return df
 
 
@@ -186,10 +214,27 @@ def load_ntz(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     exactly. Queries whose ORACLE depends on date boundaries or date
     arithmetic should read through this helper and ``to_date`` the NTZ
     columns (a pure date-part extraction, timezone-free).
+
+    Memoized per (session, path, mtime+size) like :func:`load` — this
+    helper pays TWO ``spark.read`` schema derivations per call, so the
+    lazy-plan reuse saves double.
     """
+    import os
+
     from pyspark.sql import types as T
 
     path = f"{sf_dir}/{table}.parquet"
+    try:
+        st = os.stat(path)
+        memo_key = ("ntz", path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        memo_key = None
+    memo = getattr(spark, "_pcs_load_memo", None)
+    if memo is None:
+        memo = {}
+        spark._pcs_load_memo = memo
+    if memo_key is not None and memo_key in memo:
+        return memo[memo_key]
     inferred = spark.read.parquet(path).schema
     forced = T.StructType(
         [
@@ -201,7 +246,10 @@ def load_ntz(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
             for f in inferred
         ]
     )
-    return spark.read.schema(forced).parquet(path)
+    df = spark.read.schema(forced).parquet(path)
+    if memo_key is not None:
+        memo[memo_key] = df
+    return df
 
 
 def _ensure_loaded() -> None:
