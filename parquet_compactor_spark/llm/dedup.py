@@ -674,8 +674,11 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
     Min-label propagation with a pointer-doubling hop each round
     (label <- label[label]), so convergence is O(log diameter) rounds,
     not O(diameter) — a 1M-long dup chain resolves in ~20 rounds. Each
-    round is two shuffles (neighbor-min agg + label-of-label join) plus a
-    single-scalar convergence probe (sum of labels, monotone decreasing).
+    round is one edge-to-label join feeding a min agg (the node's own
+    label rides the agg input as a union branch, so no separate
+    label-vs-neighbor-min join is needed) plus the label-of-label
+    pointer-jump join and a single-scalar convergence probe (sum of
+    labels, monotone decreasing).
     The new label table MUST be localCheckpoint'ed every round: the
     pointer-jump step self-joins the round's intermediate, so an
     uncheckpointed plan doubles in size per round (exponential analysis
@@ -689,33 +692,48 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
     of the pipeline — instead of re-reading a cached edge table.
     """
     e = edges.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
+    # All checkpoints in this function are LAZY (eager=False): the plan
+    # is truncated to a LogicalRDD either way, but materialization is
+    # deferred to the next action that already runs — the convergence
+    # probe — so each round launches ONE job instead of two
+    # (checkpoint-materialize + probe). Measured r14: ~0.3 s/round of
+    # job overhead at sf0.1, identical labels.
     sym = e.union(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     labels = (
         sym.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     prev_sum = labels.agg(F.sum("label")).first()[0]
     for _ in range(max_iter):
-        nbr = (
+        # min over (own label ∪ neighbor labels) in ONE join + agg: the
+        # self-contribution rides the union instead of a separate
+        # labels-to-nbr left join (r14: 3 joins/round → 2, identical
+        # labels — least(own, min(nbrs)) == min(own ∪ nbrs)).
+        stepped = (
             sym.join(labels, sym.dst == labels.node)
-            .groupBy("src")
-            .agg(F.min("label").alias("nbr_min"))
+            .select(F.col("src").alias("node"), "label")
+            .union(labels.select("node", "label"))
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
         )
-        stepped = labels.join(nbr, labels.node == nbr.src, "left").select(
-            "node", F.least(F.col("label"), F.col("nbr_min")).alias("label")
+        # Pointer jump: the b side is re-aliased through a select (new
+        # expression ids) rather than DataFrame.alias — self-joining the
+        # union+agg plan through plain aliases trips a Catalyst
+        # attribute-dedup bug ("key not found: node#N") at checkpoint.
+        b = stepped.select(
+            F.col("node").alias("b_node"), F.col("label").alias("b_label")
         )
-        a, b = stepped.alias("a"), stepped.alias("b")
         labels = (
-            a.join(b, F.col("a.label") == F.col("b.node"), "left")
+            stepped.join(b, stepped.label == b.b_node, "left")
             .select(
-                F.col("a.node").alias("node"),
-                F.coalesce(F.col("b.label"), F.col("a.label")).alias("label"),
+                stepped.node.alias("node"),
+                F.coalesce(b.b_label, stepped.label).alias("label"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         cur_sum = labels.agg(F.sum("label")).first()[0]
         if cur_sum == prev_sum:
@@ -782,14 +800,21 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     "it on arbitrary (non-interval) edge topologies.",
 )
 def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parquet_compactor_spark.llm.text import spread_scan
+
     d = load(spark, sf_dir, "documents")
+    # The per-row trigram transform is x100+ compute per byte; a
+    # single-file documents scan runs BOTH join sides' shingle builds
+    # on one task each without the spread (q_ngram_jaccard's identical
+    # edge join with spread_scan runs ~10x faster — adopted r14).
+    ds = spread_scan(d)
     sh = F.array_distinct(
         F.expr(
             "transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3))"
         )
     )
-    a = d.select(F.col("doc_id").alias("id1"), sh.alias("sh1"))
-    b = d.select(F.col("doc_id").alias("id2"), sh.alias("sh2"))
+    a = ds.select(F.col("doc_id").alias("id1"), sh.alias("sh1"))
+    b = ds.select(F.col("doc_id").alias("id2"), sh.alias("sh2"))
     jac = F.size(F.array_intersect(F.col("sh1"), F.col("sh2"))).cast("double") / F.size(
         F.array_union(F.col("sh1"), F.col("sh2"))
     )
@@ -1688,14 +1713,21 @@ def q_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
+    from parquet_compactor_spark.llm.text import spread_scan
+
     d = load(spark, sf_dir, "documents")
+    # Spread ONLY the edge-build branches: the trigram transform is
+    # compute-dense (see q_dup_clusters) and the single-file scan would
+    # run it on one task; the docs/n_chars branch below stays on the
+    # raw pushdown-friendly scan.
+    ds = spread_scan(d)
     sh = F.array_distinct(
         F.expr(
             "transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3))"
         )
     )
-    a = d.select(F.col("doc_id").alias("id1"), sh.alias("sh1"))
-    b = d.select(F.col("doc_id").alias("id2"), sh.alias("sh2"))
+    a = ds.select(F.col("doc_id").alias("id1"), sh.alias("sh1"))
+    b = ds.select(F.col("doc_id").alias("id2"), sh.alias("sh2"))
     jac = F.size(F.array_intersect(F.col("sh1"), F.col("sh2"))).cast(
         "double"
     ) / F.size(F.array_union(F.col("sh1"), F.col("sh2")))

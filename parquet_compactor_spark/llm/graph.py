@@ -142,13 +142,29 @@ def pagerank_micro(edges: DataFrame, iterations: int = _ITERATIONS) -> DataFrame
 )
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
-    su = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s")
-    ).distinct()
-    a, b = su.alias("a"), su.alias("b")
+    # Per-order co-supplier pairs WITHOUT a self-join (r14): collect the
+    # <=7-element supplier set per order in one partially-aggregated
+    # shuffle, expand ordered pairs (x, y != x) as an array expression,
+    # then dedup pairs. Identical edge set to the former
+    # distinct-then-self-join-then-distinct plan (collect_set dedups
+    # (ok, s) within the order; the pair expansion is exactly the a.ok =
+    # b.ok AND a.s <> b.s product) at 2 shuffles instead of 4 and no
+    # join — guide §2.4.
+    pair_sets = li.groupBy(F.col("l_orderkey")).agg(
+        F.collect_set("l_suppkey").alias("ss")
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ss"),
+            lambda x: F.transform(
+                F.filter(F.col("ss"), lambda y: y != x),
+                lambda y: F.struct(x.alias("src"), y.alias("dst")),
+            ),
+        )
+    )
     edges = (
-        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.s") != F.col("b.s")))
-        .select(F.col("a.s").alias("src"), F.col("b.s").alias("dst"))
+        pair_sets.select(F.explode(pair_arr).alias("p"))
+        .select(F.col("p.src").alias("src"), F.col("p.dst").alias("dst"))
         .distinct()
     )
     ranks = pagerank_micro(edges)

@@ -847,13 +847,16 @@ PLAN_SHAPE_PINS = {
     # scan the repartition is skipped driver-side, so the pin holds
     # only at the single-file smoke fixture this test uses.
     "q_knn_classify":       (3,  0, 0, 1),
-    # Round-8 second batch. q_pagerank's 27 exchanges are the THREE
-    # unrolled rank rounds (join + agg each) plus the persisted edge
-    # table's build lineage rendered once per InMemoryTableScan
-    # reference (4 consumers x the distinct/window/self-join build) —
-    # high but LINEAR in iterations; an Expand/Cartesian/BNLJ appearing
-    # (or a step change in exchanges) is drift.
-    "q_pagerank":           (27, 0, 0, 0),
+    # Round-8 second batch, re-pinned r14: the edge build dropped its
+    # distinct-then-self-join-then-distinct plan (4 shuffles + SMJ) for
+    # ONE partially-aggregated collect_set per order + an array pair
+    # expansion + pair distinct (2 shuffles, no join), so the persisted
+    # edge table's build lineage rendered under each InMemoryTableScan
+    # reference shrank: 27 exchanges → 19. Still the THREE unrolled
+    # rank rounds (join + agg each) — LINEAR in iterations; an
+    # Expand/Cartesian/BNLJ appearing (or a step change in exchanges)
+    # is drift.
+    "q_pagerank":           (19, 0, 0, 0),
     # Like q_dup_clusters (its frame hangs off the CC loop's last
     # localCheckpoint) plus one component-keyed window exchange.
     "q_dedup_survivorship": (3,  0, 0, 0),
