@@ -38,6 +38,22 @@ PERM_COEFFS = [
 ]
 
 
+def set_jaccard(x: Column, y: Column) -> Column:
+    """Exact Jaccard of two DISTINCT-element arrays without building the
+    union array: |x∩y| / (|x| + |y| - |x∩y|) — the inclusion-exclusion
+    identity, valid only because every caller passes ``array_distinct``
+    outputs (sets). ``size(array_union(x, y))`` materialized a ~|x|+|y|
+    array per pair just to count it; the per-pair verify stage is the
+    hot loop of every pair family, so that build was the single largest
+    per-candidate cost (r14, guide §1.2: don't compute things you throw
+    away). Bit-identical to the union form: both denominators are the
+    same exact integer, so the IEEE division is unchanged — pinned by
+    the unchanged DuckDB oracle hashes of all six caller queries.
+    """
+    inter = F.size(F.array_intersect(x, y)).cast("double")
+    return inter / (F.size(x) + F.size(y) - inter)
+
+
 @register(
     "q_dedup_exact",
     oracle="""
@@ -238,9 +254,7 @@ def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
         F.lit(0),
         lambda acc, x: acc + x,
     ) / F.lit(NUM_PERM)
-    exact = F.size(F.array_intersect(F.col("sh1"), F.col("sh2"))).cast("double") / F.size(
-        F.array_union(F.col("sh1"), F.col("sh2"))
-    )
+    exact = set_jaccard(F.col("sh1"), F.col("sh2"))
     return (
         pairs.join(s1, "id1")
         .join(s2, "id2")
@@ -387,9 +401,7 @@ def prefix_filter_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     )
     s1 = hs_tbl.select(F.col("doc_id").alias("id1"), F.col("hs").alias("h1"))
     s2 = hs_tbl.select(F.col("doc_id").alias("id2"), F.col("hs").alias("h2"))
-    exact = F.size(F.array_intersect(F.col("h1"), F.col("h2"))).cast(
-        "double"
-    ) / F.size(F.array_union(F.col("h1"), F.col("h2")))
+    exact = set_jaccard(F.col("h1"), F.col("h2"))
     return (
         cand.join(s1, "id1")
         .join(s2, "id2")
@@ -637,7 +649,8 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Character-3-gram Jaccard similarity between consecutive doc pairs "
     "— the oracle-checkable member of the near-dup family (set ops via "
-    "array_intersect/array_union, fully JVM-side).",
+    "array_intersect + the inclusion-exclusion union size, fully "
+    "JVM-side).",
 )
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parquet_compactor_spark.llm.text import spread_scan
@@ -653,9 +666,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = d.select(F.col("doc_id").alias("id1"), sh.alias("sh1"))
     b = d.select(F.col("doc_id").alias("id2"), sh.alias("sh2"))
-    jac = F.size(F.array_intersect(F.col("sh1"), F.col("sh2"))).cast("double") / F.size(
-        F.array_union(F.col("sh1"), F.col("sh2"))
-    )
+    jac = set_jaccard(F.col("sh1"), F.col("sh2"))
     return (
         a.join(b, F.col("id2") == F.col("id1") + 1)
         .select("id1", "id2", F.round(jac, 4).alias("jaccard"))
@@ -815,9 +826,7 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = ds.select(F.col("doc_id").alias("id1"), sh.alias("sh1"))
     b = ds.select(F.col("doc_id").alias("id2"), sh.alias("sh2"))
-    jac = F.size(F.array_intersect(F.col("sh1"), F.col("sh2"))).cast("double") / F.size(
-        F.array_union(F.col("sh1"), F.col("sh2"))
-    )
+    jac = set_jaccard(F.col("sh1"), F.col("sh2"))
     pairs = (
         a.join(b, F.col("id2") == F.col("id1") + 1)
         .filter(jac >= 0.55)
@@ -1537,9 +1546,7 @@ def q_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0),
         lambda acc, x: acc + x,
     ) / F.lit(NUM_PERM)
-    exact = F.size(F.array_intersect(F.col("sh1"), F.col("sh2"))).cast(
-        "double"
-    ) / F.size(F.array_union(F.col("sh1"), F.col("sh2")))
+    exact = set_jaccard(F.col("sh1"), F.col("sh2"))
     # Cut on the UNROUNDED jaccard (round-then-filter bug class).
     return (
         pairs.join(s1, "id1")
@@ -1728,9 +1735,7 @@ def q_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = ds.select(F.col("doc_id").alias("id1"), sh.alias("sh1"))
     b = ds.select(F.col("doc_id").alias("id2"), sh.alias("sh2"))
-    jac = F.size(F.array_intersect(F.col("sh1"), F.col("sh2"))).cast(
-        "double"
-    ) / F.size(F.array_union(F.col("sh1"), F.col("sh2")))
+    jac = set_jaccard(F.col("sh1"), F.col("sh2"))
     pairs = (
         a.join(b, F.col("id2") == F.col("id1") + 1)
         .filter(jac >= 0.55)
