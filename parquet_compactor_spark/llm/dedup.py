@@ -506,6 +506,11 @@ def simhash_signatures_exploded(
         h = F.expr("cast(conv(substr(md5(tk), 1, 15), 16, 10) as bigint)")
     else:
         h = F.xxhash64("tk")
+    # Deliberately NO spread_scan here (measured r14): warm same-JVM A/B
+    # with/without the spread read 1.12 vs 1.17 s at sf0.1 — the vote
+    # aggregate and banded join after the shuffle dominate, not the
+    # scan-stage token map, so the extra exchange buys nothing (contrast
+    # minhash_signatures_exploded, whose per-shingle work is heavier).
     hashed = docs.select("doc_id", tok).select("doc_id", h.alias("h"))
     votes = [
         F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"b{b}")
@@ -2307,19 +2312,28 @@ def q_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ta = ps.agg(*caught_aggs)
 
-    bands = None
-    for b, r in LSH_SWEEP_CONFIGS:
-        bf = sigs.select(
-            F.lit(f"{b}x{r}").alias("cfg"),
-            F.explode(
-                F.expr(
-                    f"transform(sequence(0, {b - 1}), k -> struct("
-                    f"k as k, array_join(transform(slice(sig, k*{r}+1, {r}),"
-                    f" x -> cast(x as string)), ',') as bkey))"
-                )
-            ).alias("bb"),
-        ).select("cfg", F.col("bb.k").alias("k"), F.col("bb.bkey").alias("bkey"))
-        bands = bf if bands is None else bands.unionByName(bf)
+    # ONE pass over the signature cache for all configs (r14): concat the
+    # per-config band transforms into a single array and explode once —
+    # the former per-config union re-scanned the cache and ran its own
+    # Generate 5 times for the identical (cfg, k, bkey) row set (guide
+    # §1.2 / §2.4: same rows, 1 InMemoryTableScan + 1 explode instead
+    # of 5 of each; the groupBy shuffle below is unchanged).
+    all_bands = F.concat(
+        *[
+            F.expr(
+                f"transform(sequence(0, {b - 1}), k -> struct("
+                f"'{b}x{r}' as cfg, k as k,"
+                f" array_join(transform(slice(sig, k*{r}+1, {r}),"
+                f" x -> cast(x as string)), ',') as bkey))"
+            )
+            for b, r in LSH_SWEEP_CONFIGS
+        ]
+    )
+    bands = sigs.select(F.explode(all_bands).alias("bb")).select(
+        F.col("bb.cfg").alias("cfg"),
+        F.col("bb.k").alias("k"),
+        F.col("bb.bkey").alias("bkey"),
+    )
     pc = (
         bands.groupBy("cfg", "k", "bkey")
         .agg(F.count(F.lit(1)).alias("n"))

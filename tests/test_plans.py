@@ -970,15 +970,17 @@ PLAN_SHAPE_PINS = {
     # under InMemoryTableScan references (the q_minhash_incremental
     # convention). 1 BNLJ = the 1-row type-total scalar.
     "q_kn_bigram":          (35, 0, 0, 1),
-    # Round-12 trio. LSH tuning: portable-signature persist + the
-    # prefix-filter truth stage (its own hashed-shingle persist) + 5
-    # per-config band-bucket aggs + the 1-row truth agg exploded to 5
-    # rows joined to the 5-row probe counts — persist build lineages
-    # render under every InMemoryTableScan consumer (7 for sigs, 4 for
-    # the truth table). No Expand/Cartesian/BNLJ may EVER appear: a
-    # pair op here means a band bucket or the prefix join escaped its
-    # key.
-    "q_lsh_tuning":         (29, 0, 0, 0),
+    # Round-12 trio, re-pinned r14: the 5 per-config band explodes
+    # collapsed into ONE concat-of-transforms explode over the
+    # signature cache (5 InMemoryTableScan+Generate branches -> 1), so
+    # the sigs persist lineage renders under 3 consumers instead of 7:
+    # 29 exchanges -> 21. Still: portable-signature persist + the
+    # prefix-filter truth stage (its own hashed-shingle persist) + the
+    # single band-bucket agg + the 1-row truth agg exploded to 5 rows
+    # joined to the 5-row probe counts. No Expand/Cartesian/BNLJ may
+    # EVER appear: a pair op here means a band bucket or the prefix
+    # join escaped its key.
+    "q_lsh_tuning":         (21, 0, 0, 0),
     # IVF refresh: the two-pass frozen-centroid build on the OLD
     # corpus (spread assignment + Lloyd mean shuffle) + the new-shard
     # assignment + two K-row count aggs meeting in one full-outer join
