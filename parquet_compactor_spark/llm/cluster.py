@@ -62,9 +62,11 @@ def _assign(
     bit-equal assignments (pinned by tests/test_llm.py).
     """
     if len(centroids) <= literal_max:
+        from parquet_compactor_spark.llm.text import lit_double_array
+
         dist_arr = F.array(
             *[
-                _sq_dist(F.col("vec"), F.array(*[F.lit(float(x)) for x in cvec]))
+                _sq_dist(F.col("vec"), lit_double_array(cvec))
                 for _, cvec in centroids
             ]
         )

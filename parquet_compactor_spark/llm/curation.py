@@ -1441,6 +1441,10 @@ def q_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     ws = F.filter(whitespace_tokens(F.col("text")), lambda x: x != "")
+    # Deliberately NO spread_scan (measured r14, interleaved same-JVM
+    # A/B x6): median 2.36 s without vs 3.06 s with — the extra
+    # round-robin exchange loses to the explode it parallelizes (the
+    # simhash-signatures finding, same class).
     toks = d.select("doc_id", ws.alias("ws"))
     pair_expr = F.expr(
         """
@@ -1928,35 +1932,61 @@ def q_bloom_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = _bloom_m(old_snap.count())
     new_batch = d.select("doc_id", "lang", fp)
 
-    # Build: the set-bit table (<= m rows of int positions).
-    bits = (
+    # Build: the set-bit table (<= m rows of int positions), persisted —
+    # its explode+distinct subtree has k broadcast-build consumers below
+    # (initial-plan exchange reuse does not dedup across their differing
+    # probe aliases), and without the persist each one re-ran the
+    # distinct's exchange.
+    bits = persist_tracked(
         old_snap.select(
             F.explode(F.array(*_bloom_positions(F.col("fp"), m))).alias("pos")
         )
         .distinct()
         .withColumn("hit", F.lit(1))
     )
-    # Probe: one broadcast join on the int position key, k rows per doc.
-    probes = new_batch.select(
-        "doc_id",
-        F.explode(F.array(*_bloom_positions(F.col("fp"), m))).alias("pos"),
-    )
-    maybe = (
-        probes.join(F.broadcast(bits), "pos", "left")
-        .groupBy("doc_id")
-        .agg(
-            (F.sum(F.coalesce(F.col("hit"), F.lit(0))) == BLOOM_K).alias(
-                "bloom_maybe"
+    # Probe: k row-preserving broadcast joins, one per probe position —
+    # NOT explode(k rows/doc) + groupBy(doc_id) + a doc_id re-join onto
+    # the exact branch (the r14 shape before this one): that form paid
+    # an exchange for the per-doc count and TWO more for the doc_id
+    # join. bits.pos is DISTINCT so each probe join matches at most one
+    # row (row count preserved); all-k-hit == the old sum(hit) == k,
+    # duplicate probe positions included (each of the k probes tests
+    # its own position independently in both forms). The whole bloom
+    # gate is now shuffle-free; the only exchange left is the final
+    # per-language rollup.
+    probed = new_batch
+    hit_cols = []
+    for i, pos in enumerate(_bloom_positions(F.col("fp"), m)):
+        # Join the SAME aliased frame each round (alias only changes
+        # qualifiers, so the k broadcast build plans canonicalize
+        # identically and ReuseExchange materializes ONE hashed
+        # relation); fold each round's hit into its own flag and drop
+        # the join columns so the next round is unambiguous.
+        b_i = bits.alias(f"b{i}")
+        probed = (
+            probed.withColumn("_probe", pos)
+            .join(
+                F.broadcast(b_i),
+                F.col("_probe") == F.col(f"b{i}.pos"),
+                "left",
             )
+            .withColumn(f"_hit{i}", F.col(f"b{i}.hit").isNotNull())
+            .drop("pos", "hit", "_probe")
         )
-    )
-    # Exact membership (what the bloom approximates).
-    exact = new_batch.join(
+        hit_cols.append(F.col(f"_hit{i}"))
+    bloom_maybe = hit_cols[0]
+    for c in hit_cols[1:]:
+        bloom_maybe = bloom_maybe & c
+    # Exact membership (what the bloom approximates) rides the same
+    # row stream: fp join against the persisted snapshot.
+    per_doc = probed.join(
         old_snap.withColumn("present", F.lit(True)), "fp", "left"
     ).select(
-        "doc_id", "lang", F.coalesce(~F.col("present"), F.lit(True)).alias("exact_new")
+        "doc_id",
+        "lang",
+        F.coalesce(~F.col("present"), F.lit(True)).alias("exact_new"),
+        bloom_maybe.alias("bloom_maybe"),
     )
-    per_doc = exact.join(maybe, "doc_id")
     n_docs = F.count(F.lit(1)).cast("bigint")
     return per_doc.groupBy("lang").agg(
         n_docs.alias("n_docs"),
@@ -2356,7 +2386,9 @@ def q_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         16,
         10,
     ).cast("bigint")
-    thresholds = F.array(*[F.lit(t) for t in DP_THRESHOLDS])
+    from parquet_compactor_spark.llm.text import lit_long_array
+
+    thresholds = lit_long_array(DP_THRESHOLDS)
     z = (
         F.size(F.filter(thresholds, lambda t: t <= k)) - F.lit(DP_ZMAX)
     ).cast("bigint")
@@ -2647,7 +2679,12 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.split("text", " ", -1)).cast("bigint").alias("x"),
         )
     )
-    rep = d.select(
+    from parquet_compactor_spark.llm.text import spread_scan
+
+    # The 32x explode + per-replica md5 below is x100+ compute per
+    # scanned byte; the sf-scale documents table is a single parquet
+    # file (one scan task), so spread the narrow projection first.
+    rep = spread_scan(d).select(
         "source",
         "doc_id",
         "x",
@@ -2657,13 +2694,19 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cast(conv(substr(md5(concat(cast(doc_id as string), ':', "
         "cast(b as string))), 1, 15), 16, 10) as bigint)"
     )
-    wtd = rep.select(
+    # Bind the replica hash to a column BEFORE the threshold fold: a
+    # derived expression referenced INSIDE a higher-order-function
+    # lambda is re-evaluated per element (the round-11 no-CSE trap), so
+    # the inlined form computed the md5 7x per (doc, b) row — once per
+    # Poisson threshold. The bound attribute is evaluated once per row;
+    # the fold compares the identical bigint against the same literals.
+    wtd = rep.withColumn("h", F.expr(h)).select(
         "source",
         "b",
         "x",
         F.expr(
             f"aggregate(array({_BOOT_TS}), 0, "
-            f"(acc, t) -> acc + IF({h} >= t, 1, 0))"
+            f"(acc, t) -> acc + IF(h >= t, 1, 0))"
         ).alias("w"),
     )
     rm = (

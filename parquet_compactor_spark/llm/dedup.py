@@ -577,8 +577,13 @@ def hamming_banded_pairs(
             "id2",
             F.bit_count(F.col("sim1").bitwiseXOR(F.col("sim2"))).alias("hamming"),
         )
-        .distinct()
+        # Cut at the Hamming threshold BEFORE the pair dedup: the
+        # verify is a map-side bit_count, so filtering first means the
+        # distinct's exchange only carries qualifying pairs instead of
+        # every chunk-collision candidate (filter∘distinct ≡
+        # distinct∘filter on a deterministic projection).
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 

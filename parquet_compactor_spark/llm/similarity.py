@@ -17,6 +17,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from parquet_compactor_spark.registry import load, register
+from parquet_compactor_spark.llm.text import lit_double_array, lit_long_array
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -101,7 +102,7 @@ def _bucket_expr_spark(vec: Column) -> Column:
     """Sign-of-projection LSH bucket id (0..255) for a vector column."""
     bucket = F.lit(0)
     for j, hp in enumerate(HYPERPLANES):
-        proj = dot(vec, F.array(*[F.lit(v) for v in hp]))
+        proj = dot(vec, lit_double_array(hp))
         bucket = bucket + F.when(proj >= 0, F.lit(1 << j)).otherwise(F.lit(0))
     return bucket
 
@@ -344,7 +345,7 @@ def centroid_cosines(
     if len(cents) <= literal_max:
         sims = F.array(
             *[
-                dot(F.col("vec"), F.array(*[F.lit(x) for x in v]))
+                dot(F.col("vec"), lit_double_array(v))
                 / (F.col("_vnorm") * F.lit(_py_l2norm(v)))
                 for _, v in cents
             ]
@@ -1412,10 +1413,7 @@ def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         # math is unchanged (same fold, same IEEE order).
         sub = F.slice(F.col("vec"), m * PQ_SUBDIM + 1, PQ_SUBDIM)
         cb = F.array(
-            *[
-                F.array(*[F.lit(c) for c in cent])
-                for cent in PQ_CODEBOOK[m]
-            ]
+            *[lit_double_array(cent) for cent in PQ_CODEBOOK[m]]
         )
         return F.array_min(
             F.transform(
@@ -1721,7 +1719,7 @@ def q_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         # PQ_CODEBOOK literals q_pq_encode demonstrates against.
         sub = F.slice(F.col("vec"), m * PQ_SUBDIM + 1, PQ_SUBDIM)
         cb = F.array(
-            *[F.array(*[F.lit(c) for c in cent]) for cent in codebook[m]]
+            *[lit_double_array(cent) for cent in codebook[m]]
         )
         return F.array_min(
             F.transform(
@@ -1746,7 +1744,7 @@ def q_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     adc_total = F.lit(0).cast("bigint")
     for m in range(PQ_M):
-        lutarr = F.array(*[F.lit(int(x)).cast("bigint") for x in lut[m]])
+        lutarr = lit_long_array(lut[m])
         adc_total = adc_total + F.element_at(
             lutarr, F.col(f"b{m}.k").cast("int") + 1
         )
@@ -1756,7 +1754,7 @@ def q_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     short = scored.orderBy(F.asc("adc_micro"), F.asc("vec_id")).limit(
         IVFPQ_SHORTLIST
     )
-    qlit = F.array(*[F.lit(x) for x in qvec])
+    qlit = lit_double_array(qvec)
     return (
         short.select(
             "vec_id",

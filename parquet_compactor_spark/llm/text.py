@@ -196,6 +196,36 @@ def spread_scan(df: DataFrame) -> DataFrame:
     return df
 
 
+def lit_double_array(vals) -> Column:
+    """array<double> literal built by parsing ONE expression string.
+
+    ``F.array(*[F.lit(x) for x in vals])`` costs a py4j round trip PER
+    ELEMENT — the ANN/PQ model-state arrays (K x dim doubles, codebooks,
+    LUTs) built thousands of such literals per query constructor, and
+    that driver-side chatter dominated construction time (measured r14:
+    q_ivfpq_search construction carried ~1.2k per-element lits). One
+    parsed ``array(...)`` expression is a single round trip producing
+    the IDENTICAL Literal tree: ``repr(float)`` is the shortest
+    round-tripping decimal and Java's ``Double.parseDouble`` recovers
+    the exact same IEEE double. Non-finite values fall back to the
+    per-element form (their reprs don't parse as SQL literals)."""
+    vals = [float(v) for v in vals]
+    if not vals:
+        return F.expr("CAST(array() AS array<double>)")
+    if any(v != v or v in (float("inf"), float("-inf")) for v in vals):
+        return F.array(*[F.lit(v) for v in vals])
+    return F.expr("array(" + ",".join(f"{v!r}D" for v in vals) + ")")
+
+
+def lit_long_array(vals) -> Column:
+    """array<bigint> literal via ONE parsed expression (see
+    :func:`lit_double_array`)."""
+    vals = [int(v) for v in vals]
+    if not vals:
+        return F.expr("CAST(array() AS array<bigint>)")
+    return F.expr("array(" + ",".join(f"{v}L" for v in vals) + ")")
+
+
 def whitespace_tokens(col: Column) -> Column:
     return F.split(col, " ", -1)
 
@@ -849,6 +879,12 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_bigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     ws = F.filter(whitespace_tokens(F.col("text")), lambda x: x != "")
+    # Deliberately NO spread_scan (measured r14, interleaved same-JVM
+    # A/B x6): median 2.28 s without vs 2.72 s with — the round-robin
+    # exchange of token arrays costs more than the explode-stage
+    # parallelism buys here (the simhash-signatures finding, same
+    # class). Contrast minhash_signatures_exploded, whose per-shingle
+    # md5 work is heavy enough to flip the trade.
     toks = d.select("doc_id", ws.alias("ws"))
     pair_expr = F.expr(
         """
@@ -1398,7 +1434,13 @@ KN_D = 0.75
 def q_kn_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     ws = F.filter(whitespace_tokens(F.col("text")), lambda x: x != "")
-    toks = spread_scan(d.select("doc_id", ws.alias("ws")))
+    # Spread removed r14 (interleaved same-JVM A/B x6: median 2.11 s
+    # without vs 2.22 s with) — same class as q_bigram_backoff /
+    # q_collocation_pmi: the token-array exchange loses to the explode
+    # parallelism at this per-row weight. Contrast q_bootstrap_ci
+    # (32x md5 per doc), where the same A/B read 0.80 vs 1.76 FOR the
+    # spread.
+    toks = d.select("doc_id", ws.alias("ws"))
     pair_expr = F.expr(
         """
         CASE WHEN size(ws) >= 2

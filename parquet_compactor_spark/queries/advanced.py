@@ -841,30 +841,33 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load(spark, sf_dir, "lineitem")
+    # ONE percentile buffer for all nine fractions (exact quantiles +
+    # rank bounds): each fraction interpolates independently from the
+    # same per-group sorted multiset, so splitting them across two
+    # aggregates only doubled the buffered values and the per-group
+    # sort — the q_percentiles single-buffer rule. Indices 1-3 are the
+    # exact quantiles, 4-9 the rank bounds at XX±2.5% (the documented
+    # invariant; the a-priori KLL bound at k=200 is ~1.7%, so 2.5%
+    # holds with margin; p99's upper bound clamps to the max).
     sk = l.groupBy("l_returnflag").agg(
         F.expr("kll_sketch_agg_double(l_extendedprice)").alias("sk"),
-        F.expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))").alias(
-            "exact_q"
-        ),
-        # Rank bounds at XX±2.5% (the documented invariant; the a-priori
-        # KLL bound at k=200 is ~1.7%, so 2.5% holds with margin).
-        # p99's upper bound clamps to the max.
         F.expr(
             "percentile(l_extendedprice,"
-            " array(0.475, 0.525, 0.875, 0.925, 0.965, 1.0))"
-        ).alias("rb"),
+            " array(0.5, 0.9, 0.99,"
+            " 0.475, 0.525, 0.875, 0.925, 0.965, 1.0))"
+        ).alias("q_all"),
     )
     def _rank_ok(q: float, lo: int, hi: int):
         return (
             F.expr(f"kll_sketch_get_quantile_double(sk, {q})")
-            .between(F.element_at("rb", lo), F.element_at("rb", hi))
+            .between(F.element_at("q_all", 3 + lo), F.element_at("q_all", 3 + hi))
         )
 
     return sk.select(
         "l_returnflag",
-        F.round(F.element_at("exact_q", 1), 4).alias("exact_p50"),
-        F.round(F.element_at("exact_q", 2), 4).alias("exact_p90"),
-        F.round(F.element_at("exact_q", 3), 4).alias("exact_p99"),
+        F.round(F.element_at("q_all", 1), 4).alias("exact_p50"),
+        F.round(F.element_at("q_all", 2), 4).alias("exact_p90"),
+        F.round(F.element_at("q_all", 3), 4).alias("exact_p99"),
         _rank_ok(0.5, 1, 2).alias("p50_rank_ok"),
         _rank_ok(0.9, 3, 4).alias("p90_rank_ok"),
         _rank_ok(0.99, 5, 6).alias("p99_rank_ok"),
