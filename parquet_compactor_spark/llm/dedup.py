@@ -728,7 +728,12 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=False)
     )
-    prev_sum = labels.agg(F.sum("label")).first()[0]
+    # No initial label-sum probe: any edge (a, b) with a < b strictly
+    # decreases b's label in round 1, so the pre-loop sum could never
+    # equal round 1's and that job was pure overhead (r14). prev_sum
+    # None compares equal only to the empty-graph None sum, which
+    # breaks round 1 exactly as the probed form did.
+    prev_sum = None
     for _ in range(max_iter):
         # min over (own label ∪ neighbor labels) in ONE join + agg: the
         # self-contribution rides the union instead of a separate

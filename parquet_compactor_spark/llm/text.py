@@ -191,7 +191,34 @@ def spread_scan(df: DataFrame) -> DataFrame:
     cluster for the expensive map above it."""
     spark = df.sparkSession
     min_parts = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < min_parts:
+    # ``df.rdd.getNumPartitions()`` converts the plan to an RDD —
+    # ~0.13-0.27 s of driver/py4j work per FRESH DataFrame (measured
+    # r14), and the surface makes ~25 such constructor probes per run.
+    # For the narrow scan projections this helper documents, the scan's
+    # partition count is a function of (session confs, input file set),
+    # so the probe is memoized per (input files, parallelism) on the
+    # session object (the registry.load memo convention — dies with the
+    # session). The memo only steers the spread DECISION: a stale entry
+    # can at worst add or skip the perf-only repartition, never change
+    # results. Non-file plans (empty inputFiles) probe directly.
+    try:
+        files = tuple(sorted(df.inputFiles()))
+    except Exception:  # pragma: no cover - defensive: plan without files
+        files = ()
+    if not files:
+        if df.rdd.getNumPartitions() < min_parts:
+            return df.repartition(min_parts)
+        return df
+    memo = getattr(spark, "_pcs_spread_memo", None)
+    if memo is None:
+        memo = {}
+        spark._pcs_spread_memo = memo
+    key = (files, min_parts)
+    n = memo.get(key)
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        memo[key] = n
+    if n < min_parts:
         return df.repartition(min_parts)
     return df
 
