@@ -185,16 +185,23 @@ _ANN_ORACLE = f"""
 def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
+    from parquet_compactor_spark.llm.text import persist_tracked
+
     e = load(spark, sf_dir, "embeddings")
     # Norms and buckets are materialized per input row BEFORE the pair
     # join (O(n*d)); only the dot product is per-pair. Same arithmetic/
-    # rounding path as the oracle: dot / (n1 * n2).
-    blocked = e.select(
-        "label",
-        "vec_id",
-        F.col("embedding").alias("v"),
-        _bucket_expr_spark(F.col("embedding")).alias("bucket"),
-        l2_norm(F.col("embedding")).alias("nrm"),
+    # rounding path as the oracle: dot / (n1 * n2). Persisted: the two
+    # join sides project different column names on top, so their
+    # exchange subtrees don't canonicalize equal and the 8-hyperplane
+    # bucket map would run twice (the multi-consumer rule).
+    blocked = persist_tracked(
+        e.select(
+            "label",
+            "vec_id",
+            F.col("embedding").alias("v"),
+            _bucket_expr_spark(F.col("embedding")).alias("bucket"),
+            l2_norm(F.col("embedding")).alias("nrm"),
+        )
     )
     a = blocked.select(
         "label",
@@ -671,9 +678,18 @@ def semantic_dedup(
         seed_rows = v.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
         centroids = [(int(r.vec_id), [float(x) for x in r.vec]) for r in seed_rows]
 
+    from parquet_compactor_spark.llm.text import persist_tracked
+
     staged, sims, cids = centroid_cosines(v, centroids)
-    assigned = staged.select(
-        "vec_id", _argmax_bucket(sims, cids).alias("cid"), "vec", "_vnorm"
+    # Three consumers below (pair sides a/b + the per-cell rollup) and
+    # the assignment subtree has NO exchange for plan-level reuse to
+    # collapse — without the persist each consumer re-ran the full
+    # K-cosine corpus pass (the q_dsir_weights multi-consumer rule,
+    # already applied in q_semdedup_prune).
+    assigned = persist_tracked(
+        staged.select(
+            "vec_id", _argmax_bucket(sims, cids).alias("cid"), "vec", "_vnorm"
+        )
     )
     a = assigned.select(
         "cid",
