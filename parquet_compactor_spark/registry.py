@@ -125,7 +125,22 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     path = f"{sf_dir}/{table}.parquet"
     try:
         st = os.stat(path)
-        memo_key = (path, st.st_mtime_ns, st.st_size)
+        # The lazy plan embeds ANALYSIS-time session state, not just the
+        # file: the NTZ→TIMESTAMP cast below is a TimeZoneAwareExpression
+        # whose timeZoneId is resolved when the DataFrame is analyzed,
+        # and cast("timestamp") parses to the session's timestampType.
+        # A plan memoized under one timezone spliced into a query built
+        # under another mixes two zones in one plan and silently shifts
+        # wall clocks (q_large_orders dates moved a day under the
+        # hostile-session sweep) — so those confs are part of the key;
+        # a conf flip re-derives instead of reusing.
+        memo_key = (
+            path,
+            st.st_mtime_ns,
+            st.st_size,
+            spark.conf.get("spark.sql.session.timeZone", None),
+            spark.conf.get("spark.sql.timestampType", None),
+        )
     except OSError:
         memo_key = None
     memo = getattr(spark, "_pcs_load_memo", None)
@@ -217,7 +232,10 @@ def load_ntz(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
     Memoized per (session, path, mtime+size) like :func:`load` — this
     helper pays TWO ``spark.read`` schema derivations per call, so the
-    lazy-plan reuse saves double.
+    lazy-plan reuse saves double. Unlike :func:`load`, the plan carries
+    NO zone-aware expression (a forced-NTZ read, no cast), so the key
+    needs no session-conf component: the identical plan is correct
+    under any timezone/timestampType.
     """
     import os
 

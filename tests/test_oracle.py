@@ -479,6 +479,27 @@ def test_load_ntz_forces_ntz_regardless_of_session_confs(spark):
         spark.conf.unset("spark.sql.parquet.inferTimestampNTZ.enabled")
 
 
+def test_load_memo_does_not_leak_timezone_across_conf_flips(spark):
+    """The load() lazy-plan memo keys on the analysis-time confs: a plan
+    memoized under UTC carries timeZoneId=UTC inside its NTZ→TIMESTAMP
+    cast, and splicing it into a query whose OTHER date expressions are
+    analyzed under a different session zone mixes two zones in one plan
+    (q_large_orders' to_date shifted a day: found when the r14 memo
+    landed without the conf key). Memoize under the default zone first,
+    flip the zone, and the query must still match the oracle."""
+    q = QUERIES["q_large_orders"]
+    q.fn(spark, SF_SMOKE).collect()  # memoize loads under default confs
+    prior = spark.conf.get("spark.sql.session.timeZone", None)
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        compare_to_oracle(q.fn(spark, SF_SMOKE), q.oracle, SF_SMOKE)
+    finally:
+        if prior is None:
+            spark.conf.unset("spark.sql.session.timeZone")
+        else:
+            spark.conf.set("spark.sql.session.timeZone", prior)
+
+
 def test_former_driver_reds_survive_hostile_session(spark):
     """Round-5's two driver hash-reds (q_late_line_priority, q_winsorize)
     were local-green: the divergence class is session-level — LTZ
