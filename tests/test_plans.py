@@ -726,7 +726,12 @@ def test_guarded_queries_scan_corpus_once(spark):
         "q_dsir_weights": 1,
         "q_dup_ngram_coverage": 1,
         "q_span_dedup": 1,
-        "q_paragraph_dedup": 1,
+        # r14 session 4: the paragraph-hash explode is persist_tracked
+        # (it fed both the guard count and the probe join — the
+        # tokenize+md5 pass ran twice), so the main plan's fact stream
+        # reads the cache and the ONE corpus scan lives inside the
+        # cache build, like q_dsir_weights minus its count branch.
+        "q_paragraph_dedup": 0,
         # r8: corpus total reduces over the cached vocab — one scan.
         "q_perplexity_buckets": 1,
     }
@@ -922,10 +927,14 @@ PLAN_SHAPE_PINS = {
     "q_rank_fusion":        (11, 0, 0, 2),
     # Winnowing: the whole selection (gram hashes, window minima,
     # per-doc distinct) is ONE map-side aggregate fold — only selected
-    # fingerprints shuffle. 6 = guard-build lineage + share-agg + join
-    # sides + final doc rollup. A count jump means per-gram rows
-    # started exploding again (2.5x the shuffle volume).
-    "q_winnowing_fingerprint": (9, 0, 0, 0),  # +3: spread_scan (live + guard lineage)
+    # fingerprints shuffle. A count jump means per-gram rows
+    # started exploding again (2.5x the shuffle volume). Re-pinned r14
+    # session 4: the selected-fingerprint explode is persist_tracked
+    # (the fold fed both the guard count and the probe join — it ran
+    # twice), so the spread_scan + cache-build lineage now renders
+    # under every InMemoryTableScan consumer: 9 -> 12 Exchange
+    # MENTIONS, while the fold itself executes once instead of twice.
+    "q_winnowing_fingerprint": (12, 0, 0, 0),
     # Round-11 session 2. CDC chunking: boundary scan + span assembly
     # are ONE map-side projection (no explode before finished chunks);
     # 4 = spread_scan round-robin + the chunk-hash window exchange +
@@ -968,8 +977,11 @@ PLAN_SHAPE_PINS = {
     # derived model tables (context totals, continuation counts) built
     # FROM the cached bigram table — their guard-build lineage renders
     # under InMemoryTableScan references (the q_minhash_incremental
-    # convention). 1 BNLJ = the 1-row type-total scalar.
-    "q_kn_bigram":          (35, 0, 0, 1),
+    # convention). 1 BNLJ = the 1-row type-total scalar. Re-pinned r14
+    # (change #12: spread_scan removed — measured against the explode
+    # weight): the round-robin exchange left every rendered lineage,
+    # 35 -> 22 Exchange mentions.
+    "q_kn_bigram":          (22, 0, 0, 1),
     # Round-12 trio, re-pinned r14: the 5 per-config band explodes
     # collapsed into ONE concat-of-transforms explode over the
     # signature cache (5 InMemoryTableScan+Generate branches -> 1), so
@@ -1005,7 +1017,10 @@ PLAN_SHAPE_PINS = {
     "q_kmv_intersect":      (35, 0, 0, 3),
     # Poisson bootstrap: explode x32 + two hash aggs + the per-source
     # order-stat arrays + one 20-row join — scan-shaped, no pair ops.
-    "q_bootstrap_ci":       (4,  0, 0, 0),
+    # Re-pinned r14 (change #10: the 32x-explode scan is spread —
+    # measured 0.80 vs 1.76 s FOR the spread at its md5-per-doc
+    # weight): +1 round-robin exchange.
+    "q_bootstrap_ci":       (5,  0, 0, 0),
     # ROUGE-2: bigram explode-agg + the adjacent-doc gram equi-join +
     # pair rollup + the doc_id+1 totals spine — all hash-keyed; a
     # CartesianProduct or BNLJ appearing means the adjacency spine or
