@@ -1437,7 +1437,11 @@ def q_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "operators; north-star surface per SURVEY.md SS2B.",
 )
 def q_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from parquet_compactor_spark.llm.text import broadcast_if_bounded, whitespace_tokens
+    from parquet_compactor_spark.llm.text import (
+        broadcast_if_bounded,
+        persist_tracked,
+        whitespace_tokens,
+    )
 
     d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     ws = F.filter(whitespace_tokens(F.col("text")), lambda x: x != "")
@@ -1445,23 +1449,40 @@ def q_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     # A/B x6): median 2.36 s without vs 3.06 s with — the extra
     # round-robin exchange loses to the explode it parallelizes (the
     # simhash-signatures finding, same class).
-    toks = d.select("doc_id", ws.alias("ws"))
-    pair_expr = F.expr(
+    toks = d.select(ws.alias("ws"))
+    # ONE combined model pass (r14 session 4, the q_bigram_backoff
+    # change): pair and unigram counts used to aggregate in two guard
+    # counts, each re-scanning + re-tokenizing the corpus. One explode
+    # of concat(unigram structs w2=NULL, pair structs) feeds one
+    # persisted count table; `w2 IS NULL` splits it exactly. Local A/B
+    # read parity (1.60 vs 1.60 s — the timed part runs on the cached
+    # vocab either way); kept for the scan count at scale: 2 corpus
+    # passes -> 1.
+    combo_expr = F.expr(
         """
-        CASE WHEN size(ws) >= 2
-        THEN transform(sequence(0, size(ws) - 2),
-                       i -> struct(ws[i] AS w1, ws[i + 1] AS w2))
-        ELSE CAST(array() AS array<struct<w1: string, w2: string>>) END
+        concat(
+          transform(ws, t -> struct(t AS w1, CAST(NULL AS string) AS w2)),
+          CASE WHEN size(ws) >= 2
+          THEN transform(sequence(0, size(ws) - 2),
+                         i -> struct(ws[i] AS w1, ws[i + 1] AS w2))
+          ELSE CAST(array() AS array<struct<w1: string, w2: string>>) END
+        )
         """
     )
-    bg = toks.select(F.explode(pair_expr).alias("p")).select("p.w1", "p.w2")
+    cnt = persist_tracked(
+        toks.select(F.explode(combo_expr).alias("p"))
+        .groupBy("p.w1", "p.w2")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
     pc = broadcast_if_bounded(
-        bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_xy"))
+        cnt.filter(F.col("w2").isNotNull()).select(
+            "w1", "w2", F.col("n").alias("n_xy")
+        )
     )
     uni = broadcast_if_bounded(
-        toks.select(F.explode("ws").alias("term"))
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("n_x"))
+        cnt.filter(F.col("w2").isNull()).select(
+            F.col("w1").alias("term"), F.col("n").alias("n_x")
+        )
     )
     tot = pc.agg(F.sum("n_xy").cast("double").alias("n_pairs")).crossJoin(
         uni.agg(F.sum("n_x").cast("double").alias("n_tok"))

@@ -925,14 +925,42 @@ def q_bigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
     )
     train = F.col("doc_id") % 2 == 0
-    uni = broadcast_if_bounded(
+    # ONE combined model pass (r14 session 4): the unigram and bigram
+    # vocabularies used to aggregate in two separate guard counts, each
+    # re-scanning + re-tokenizing the train shard — a full extra corpus
+    # pass at any scale. One explode of concat(unigram structs w2=NULL,
+    # pair structs) emits the same total rows into one persisted count
+    # table; `w2 IS NULL` splits it exactly (a genuine bigram's w2 is
+    # never NULL — tokens are non-null strings). Guard semantics are
+    # unchanged: uni/bi are filtered projections counted off the cnt
+    # cache, not fresh corpus scans. Measured (interleaved same-JVM A/B
+    # x6): median 4.09 -> 3.70 s at sf0.1, identical results.
+    combo_expr = F.expr(
+        """
+        concat(
+          transform(ws, t -> struct(t AS w1, CAST(NULL AS string) AS w2)),
+          CASE WHEN size(ws) >= 2
+          THEN transform(sequence(0, size(ws) - 2),
+                         i -> struct(ws[i] AS w1, ws[i + 1] AS w2))
+          ELSE CAST(array() AS array<struct<w1: string, w2: string>>) END
+        )
+        """
+    )
+    cnt = persist_tracked(
         toks.filter(train)
-        .select(F.explode("ws").alias("term"))
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("n_u"))
+        .select(F.explode(combo_expr).alias("p"))
+        .groupBy("p.w1", "p.w2")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    uni = broadcast_if_bounded(
+        cnt.filter(F.col("w2").isNull()).select(
+            F.col("w1").alias("term"), F.col("n").alias("n_u")
+        )
     )
     bi = broadcast_if_bounded(
-        bg.filter(train).groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_b"))
+        cnt.filter(F.col("w2").isNotNull()).select(
+            "w1", "w2", F.col("n").alias("n_b")
+        )
     )
     tot = uni.agg(F.sum("n_u").cast("double").alias("n_train"))
     u1 = uni.select(F.col("term").alias("w1"), F.col("n_u").alias("c1"))

@@ -829,8 +829,12 @@ PLAN_SHAPE_PINS = {
     # columns staying at their scalar-broadcast counts):
     "q_minhash_incremental": (16, 0, 0, 0),  # +4: spread_scan (live + guard lineage)
     # 1 BNLJ = the 1-row N_train scalar broadcast; the three vocabulary
-    # joins are BroadcastHashJoins:
-    "q_bigram_backoff":     (14, 0, 0, 1),
+    # joins are BroadcastHashJoins. Re-pinned r14 session 4: uni+bi now
+    # derive from ONE persisted combined count table (2 train-shard
+    # tokenize passes -> 1), whose cache-build lineage renders under
+    # every consumer: 14 -> 22 Exchange MENTIONS while the executed
+    # model pass halves (Generate nodes 5 -> 3 in the formatted plan).
+    "q_bigram_backoff":     (22, 0, 0, 1),
     # The ideal shape: map-only, zero everything.
     "q_pq_encode":          (0,  0, 0, 0),
     # Round-13 (+r14 spread_scan): perceptual-hash near-dup. 1 exchange
