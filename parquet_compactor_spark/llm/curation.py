@@ -1062,13 +1062,23 @@ def q_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         whitespace_tokens,
     )
 
+    from parquet_compactor_spark.llm.text import persist_tracked
+
     # 5-gram join + distinct per row: compute-dense map, spread it.
     d = spread_scan(load(spark, sf_dir, "documents"))
-    grams = d.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(word_shingles(whitespace_tokens(F.col("text")), 5))
-        ).alias("gram"),
+    # The exploded distinct-gram stream feeds BOTH the doc-frequency
+    # agg (materialized by the guard's eager count) and the probe join
+    # — the shingle+distinct pass ran twice. persist_tracked runs it
+    # once (the q_winnowing_fingerprint rule). Session-3 sf0.1 A/B read
+    # neutral; at the x25 ramp level: median 13.2 -> 7.0 s (0.53x),
+    # identical results.
+    grams = persist_tracked(
+        d.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(word_shingles(whitespace_tokens(F.col("text")), 5))
+            ).alias("gram"),
+        )
     )
     gram_docs = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("nd"))
     dup = F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))

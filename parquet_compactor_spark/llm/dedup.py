@@ -1193,24 +1193,35 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread_scan(load(spark, sf_dir, "documents"))
     words = whitespace_tokens(F.col("text"))
     win_structs = sliding_md5_windows(words, W)
-    wins = d.select(
-        "doc_id",
-        F.size(words).cast("bigint").alias("n_tokens"),
-        F.explode(win_structs).alias("s"),
-    ).select(
-        "doc_id",
-        "n_tokens",
-        F.col("s.pos").alias("pos"),
-        F.col("s.h").alias("h"),
-        # First-occurrence ordering is the lexicographic STRUCT
-        # (doc_id, pos) — not a packed bigint: doc_id*2^20+pos would
-        # silently mis-order keep-first claims for any document with
-        # >= 2^20 sliding positions (a 1M-token doc is routine in book
-        # corpora at 100 TB). Struct MIN is engine-identical (DuckDB
-        # orders structs field-by-field) and shuffles 16 bytes/row.
-        F.struct(F.col("doc_id").alias("d"), F.col("s.pos").alias("p")).alias(
-            "at"
-        ),
+    # The exploded window stream feeds BOTH the first-occurrence agg
+    # (materialized by the guard's eager count) and the probe join —
+    # without a cache the per-token window md5 pass runs twice.
+    # persist_tracked runs it once (the q_winnowing_fingerprint rule).
+    # Session-3 sf0.1 A/B read neutral (2.99 vs 3.07); re-measured at
+    # the x25 ramp level where the saved pass dominates: median 15.0 ->
+    # 11.8 s (0.78x), identical results — the 100 TB-mandate keep.
+    from parquet_compactor_spark.llm.text import persist_tracked
+
+    wins = persist_tracked(
+        d.select(
+            "doc_id",
+            F.size(words).cast("bigint").alias("n_tokens"),
+            F.explode(win_structs).alias("s"),
+        ).select(
+            "doc_id",
+            "n_tokens",
+            F.col("s.pos").alias("pos"),
+            F.col("s.h").alias("h"),
+            # First-occurrence ordering is the lexicographic STRUCT
+            # (doc_id, pos) — not a packed bigint: doc_id*2^20+pos would
+            # silently mis-order keep-first claims for any document with
+            # >= 2^20 sliding positions (a 1M-token doc is routine in book
+            # corpora at 100 TB). Struct MIN is engine-identical (DuckDB
+            # orders structs field-by-field) and shuffles 16 bytes/row.
+            F.struct(
+                F.col("doc_id").alias("d"), F.col("s.pos").alias("p")
+            ).alias("at"),
+        )
     )
     firsts = wins.groupBy("h").agg(F.min("at").alias("first_at"))
     j = wins.join(broadcast_if_bounded(firsts), "h")

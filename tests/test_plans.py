@@ -724,7 +724,11 @@ def test_guarded_queries_scan_corpus_once(spark):
         # stream lives inside the cache build; the one visible parquet
         # scan is the 1-row n_sel count.
         "q_dsir_weights": 1,
-        "q_dup_ngram_coverage": 1,
+        # r14 session 4: the exploded gram stream is persist_tracked,
+        # so the main plan's fact stream reads the cache — the ONE
+        # corpus scan lives inside the cache build (the
+        # q_paragraph_dedup shape).
+        "q_dup_ngram_coverage": 0,
         "q_span_dedup": 1,
         # r14 session 4: the paragraph-hash explode is persist_tracked
         # (it fed both the guard count and the probe join — the
@@ -821,7 +825,12 @@ PLAN_SHAPE_PINS = {
     # (the round-11 ivf-family bench regression shape).
     "q_ann_ivf":            (4,  0, 0, 2),  # +1: spread_scan round-robin under the live assignment pass
     "q_dedup_minhash":      (15, 0, 0, 0),  # +4: spread_scan round-robin (live + guard lineage renders)
-    "q_dup_ngram_coverage": (7,  0, 0, 0),  # +3: spread_scan (live + guard lineage)
+    # Re-pinned r14 session 4: the exploded gram stream is
+    # persist_tracked (it fed both the guard count and the probe join),
+    # so the spread + cache-build lineage renders under every
+    # InMemoryTableScan consumer: 7 -> 10 Exchange mentions while the
+    # shingle pass executes once instead of twice (x25: 13.2 -> 7.0 s).
+    "q_dup_ngram_coverage": (10, 0, 0, 0),
     "q_ngram_jaccard":      (3,  0, 0, 0),  # +2: spread_scan round-robin under both join sides (3.9 -> 0.6 s at sf0.1)
     # Round-8 additions (exchange counts include cached-vocabulary
     # build lineage rendered under InMemoryTableScan nodes; the live
@@ -894,7 +903,11 @@ PLAN_SHAPE_PINS = {
     # first draft's two-branch form (rollup + LEAD window both reading
     # the explode+join subtree) measured 8 exchanges and 2x the wall
     # clock — a count jump back means the single-pass fold regressed.
-    "q_substring_dedup":    (7,  0, 0, 0),  # +3: spread_scan round-robin, rendered live + twice in the guard-build lineage
+    # Re-pinned r14 session 4: the exploded window stream is
+    # persist_tracked (the q_dup_ngram_coverage change, same shape):
+    # 7 -> 10 Exchange mentions, window-md5 pass 2x -> 1x (x25:
+    # 15.0 -> 11.8 s).
+    "q_substring_dedup":    (10, 0, 0, 0),
     # Round-10: DoReMi weights — ONE corpus agg exchange + ONE reused
     # single-partition window exchange for every round's renormalizing
     # sum over the domains-sized frame. A count jump here means the
