@@ -433,6 +433,22 @@ def ivf_assign(
     # scan cost; a single-file embeddings scan would run them on one
     # task (see text.spread_scan). Spread ONLY this branch.
     e = project(spread_scan(raw))
+    if lloyd:
+        # With a Lloyd round, TWO full passes consume this projection
+        # (the refinement assignment + the final assignment) in two
+        # separate jobs — persist it once (released by
+        # release_guard_caches; LRU-evictable, correctness never
+        # depends on it). Measured r14 session 4, interleaved same-JVM
+        # A/B: sf0.1 parity (the fixture is tiny either way); at the
+        # x25 ramp level q_ann_ivf median 5.22 -> 4.16 s (0.80x) and
+        # q_ivfpq_search 4.17 -> 3.65 s (0.88x) — the consumers whose
+        # timed pass carries vec through the probe join — with
+        # q_ivf_cell_stats/q_semdedup_prune at 0.96-0.99x (no
+        # regression). kmeans' vecs and q_ivf_refresh's old projection
+        # measured neutral at BOTH levels and stay unpersisted.
+        from parquet_compactor_spark.llm.text import persist_tracked
+
+        e = persist_tracked(e)
     # Default: the fixed K=8 ANN-family seeds; callers with their own
     # capacity rule (q_semdedup_prune scales K with the corpus) pass a
     # wider range — same id convention, ids lo..hi, bucket = id - lo.

@@ -823,7 +823,11 @@ PLAN_SHAPE_PINS = {
     # spread_scan round-robin exchange; a bounce back to 5 means the
     # query/model branch started crossing the spread exchange again
     # (the round-11 ivf-family bench regression shape).
-    "q_ann_ivf":            (4,  0, 0, 2),  # +1: spread_scan round-robin under the live assignment pass
+    # Re-pinned r14 session 4: the two-pass assignment projection is
+    # persist_tracked inside ivf_assign (x25: q_ann_ivf 0.80x,
+    # q_ivfpq_search 0.88x) — the cache-build lineage renders one
+    # more Exchange mention under the InMemoryTableScan consumers.
+    "q_ann_ivf":            (5,  0, 0, 2),  # +1: spread_scan round-robin under the live assignment pass
     "q_dedup_minhash":      (15, 0, 0, 0),  # +4: spread_scan round-robin (live + guard lineage renders)
     # Re-pinned r14 session 4: the exploded gram stream is
     # persist_tracked (it fed both the guard count and the probe join),
@@ -894,7 +898,7 @@ PLAN_SHAPE_PINS = {
     # BNLJ or exchange appearing means the query branch started
     # dragging the assignment subtree again (the round-9 q_ann_ivf
     # regression shape).
-    "q_ivfpq_search":       (2,  0, 0, 1),  # +1: spread_scan round-robin
+    "q_ivfpq_search":       (3,  0, 0, 1),  # +1 spread round-robin, +1 ivf_assign persist lineage (r14 s4)
     # Round-10: sliding-window exact-substring dedup — exchange count
     # includes the vocabulary-guard build lineage under
     # InMemoryTableScan (the q_minhash_incremental convention); no
@@ -929,7 +933,7 @@ PLAN_SHAPE_PINS = {
     # persist build lineage + the bucket-keyed pair join sides + two
     # rollups. A CartesianProduct or an exchange jump means pairs
     # escaped the per-cell bound.
-    "q_semdedup_prune":     (10, 0, 0, 3),  # +3: spread_scan under count/assign/persist branches
+    "q_semdedup_prune":     (13, 0, 0, 3),  # +3 spread under count/assign/persist branches, +3 ivf_assign persist lineage (r14 s4)
     # Round-11 second trio. Vocab coverage: train-shard term agg +
     # TakeOrdered heap cut + broadcast probe + source rollup — 4
     # exchanges, no pair op may ever appear.
