@@ -2253,33 +2253,48 @@ def q_dist_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     "source B is already inside source A decides whether adding B buys "
     "new tokens or re-epochs old ones; Penedo et al.'s FineWeb ablations "
     "and the Pile's inter-set overlap table are exactly this matrix). "
-    "Spark-first: shingles reduce to DISTINCT (source, md5) rows — one "
-    "hash-distinct shuffle on a uniform 32-byte key — and the pair "
-    "counts come from a self-equi-join ON THE GRAM HASH, so each gram "
-    "contributes at most #sources rows, never a document-pair "
-    "explosion; per-source set sizes (20 rows) ride along as two "
-    "broadcast joins onto the complete ordered-pair spine (a 20x20 "
-    "bounded broadcast nested loop, allowlisted in the global cartesian "
-    "audit) so ZERO-overlap pairs still report a row. At 100 TB the "
-    "only data-proportional stages are the distinct and the gram-keyed "
-    "join — both on uniform hashes; output stays sources^2/2 rows "
-    "regardless of corpus size.",
+    "Spark-first (r14: the q_pagerank collect_set pattern): ONE "
+    "hash-keyed shuffle with set-dedup partial aggregation collects "
+    "each gram's <= #sources source set — replacing BOTH the former "
+    "(source, md5) DISTINCT shuffle and the gram self-join — and the "
+    "ordered pairs expand from the set as an array expression (at most "
+    "#sources^2/2 rows per gram, never a document-pair explosion); "
+    "per-source set sizes derive from the same cached set table and "
+    "ride as two broadcast joins onto the complete ordered-pair spine "
+    "(a 20x20 bounded broadcast nested loop, allowlisted in the global "
+    "cartesian audit) so ZERO-overlap pairs still report a row. At "
+    "100 TB the only data-proportional stage is the single gram-hash "
+    "shuffle (uniform 32-byte keys, bounded per-key state); output "
+    "stays sources^2/2 rows regardless of corpus size. Measured r14 "
+    "(interleaved same-JVM A/B, identical results): 3.01 -> 2.63 s at "
+    "sf0.1, 19.3 -> 6.6 s (0.34x) at the x25 ramp level.",
 )
 def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from parquet_compactor_spark.llm.text import spread_scan
+    from parquet_compactor_spark.llm.text import persist_tracked, spread_scan
 
     d = spread_scan(load(spark, sf_dir, "documents"))
-    grams = (
-        d.select(
-            "source",
-            F.explode(
-                word_shingles(F.split("text", " ", -1), 3)
-            ).alias("g"),
-        )
-        .select("source", F.md5("g").alias("h"))
-        .distinct()
+    grams = d.select(
+        "source",
+        F.explode(word_shingles(F.split("text", " ", -1), 3)).alias("g"),
+    ).select("source", F.md5("g").alias("h"))
+    # ONE h-keyed shuffle with set-dedup partial aggregation replaces
+    # the former (source, h) DISTINCT shuffle AND the gram self-join:
+    # per hash, the <= #sources source set expands to ordered pairs as
+    # an array expression (the q_pagerank collect_set pattern) —
+    # identical pair counts (each shared hash contributes each ordered
+    # source pair exactly once; collect_set dedups (source, h) within
+    # the group exactly as DISTINCT did). NULL sources never reach the
+    # output on either form (collect_set drops them; the spine's
+    # src_a < src_b is NULL-falsy). The set table feeds both the
+    # per-source sizes and the pair expansion — persist it once.
+    sets = persist_tracked(
+        grams.groupBy("h").agg(F.collect_set("source").alias("ss"))
     )
-    counts = grams.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    counts = (
+        sets.select(F.explode("ss").alias("source"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
     pairs = (
         F.broadcast(counts.select(F.col("source").alias("src_a"), F.col("n").alias("n_a")))
         .join(
@@ -2289,16 +2304,19 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("src_a") < F.col("src_b"),
         )
     )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ss"),
+            lambda x: F.transform(
+                F.filter(F.col("ss"), lambda y: x < y),
+                lambda y: F.struct(x.alias("src_a"), y.alias("src_b")),
+            ),
+        )
+    )
     shared = (
-        grams.alias("a")
-        .join(
-            grams.alias("b"),
-            (F.col("a.h") == F.col("b.h"))
-            & (F.col("a.source") < F.col("b.source")),
-        )
-        .groupBy(
-            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
-        )
+        sets.filter(F.size("ss") >= 2)
+        .select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.src_a").alias("src_a"), F.col("p.src_b").alias("src_b"))
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
     return (

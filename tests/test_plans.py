@@ -979,11 +979,14 @@ PLAN_SHAPE_PINS = {
     # CartesianProduct appearing means stage 3 escaped the
     # prefix-filter bound.
     "q_dedup_cascade":      (49, 0, 0, 1),
-    # Source overlap: distinct gram-hash exchange + self-join sides +
-    # per-source counts; 1 BNLJ = the bounded 20x20 pair spine. A
-    # second BNLJ or a CartesianProduct means the gram equi-join
-    # dropped its key.
-    "q_source_overlap":     (15, 0, 0, 1),
+    # Source overlap (re-pinned r14 session 4): ONE gram-hash
+    # collect_set exchange (replacing the former distinct + gram
+    # self-join — SortMergeJoin count 2 -> 0, Exchange mentions
+    # 15 -> 12, x25 19.3 -> 6.6 s) + the pair-expansion agg +
+    # per-source counts off the cached set table; 1 BNLJ = the bounded
+    # 20x20 pair spine. A second BNLJ or a CartesianProduct means the
+    # pair expansion degenerated to a join.
+    "q_source_overlap":     (12, 0, 0, 1),
     # Doc entropy: (doc, word) agg + doc-window on the same key space +
     # per-doc rollup + histogram — 5 exchanges incl. spread_scan, no
     # joins ever.
