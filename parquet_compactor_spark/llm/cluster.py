@@ -10,6 +10,8 @@ unchanged on a 100 TB corpus.
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -91,29 +93,48 @@ def _assign(
     )
 
 
+class _CentroidRow(NamedTuple):
+    """Row shim for :func:`per_dim_means` consumers (``r.cluster`` /
+    ``r.cvec`` attribute access, same as the former collected Rows)."""
+
+    cluster: int
+    cvec: list
+
+
 def per_dim_means(
     assigned: DataFrame, cluster_col: str = "cluster", vec_col: str = "vec", ndigits: int | None = None
 ) -> list:
     """Per-cluster per-dimension means, collected as model state.
 
-    posexplode → avg per (cluster, pos) → re-assemble ordered arrays.
-    One shuffle with cluster×dim groups (KBs); the collect returns K rows
-    of dim doubles — centroid matrix, not row data. ``ndigits`` rounds
-    inside the aggregation (Spark ROUND = half-away-from-zero, matching
-    SQL ROUND) so a differential oracle can reproduce the values exactly.
+    posexplode → avg per (cluster, pos) → collect the flat
+    (cluster, pos, m) grid and assemble the ordered arrays driver-side.
+    One shuffle with cluster×dim groups (KBs); the collect returns
+    K×dim scalar rows — the same doubles the former second
+    groupBy(cluster)/collect_list pass shipped as K array rows, minus
+    that whole extra exchange + stage (guide §2.4: the re-assembly is
+    pure model-state shaping, not data work — r15). Values are
+    identical: avg per (cluster, pos) is unchanged and the per-cluster
+    sort by pos reproduces array_sort's order (pos is a distinct int).
+    ``ndigits`` rounds inside the aggregation (Spark ROUND =
+    half-away-from-zero, matching SQL ROUND) so a differential oracle
+    can reproduce the values exactly.
     """
     m = F.avg("x")
     if ndigits is not None:
         m = F.round(m, ndigits)
-    return (
+    flat = (
         assigned.select(F.col(cluster_col).alias("cluster"), F.posexplode(vec_col).alias("pos", "x"))
         .groupBy("cluster", "pos")
         .agg(m.alias("m"))
-        .groupBy("cluster")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-        .select("cluster", F.col("pm.m").alias("cvec"))
         .collect()
     )
+    by_cluster: dict[int, list] = {}
+    for r in flat:
+        by_cluster.setdefault(r.cluster, []).append((r.pos, r.m))
+    return [
+        _CentroidRow(cid, [v for _, v in sorted(pm)])
+        for cid, pm in by_cluster.items()
+    ]
 
 
 def kmeans(
