@@ -364,7 +364,39 @@ def centroid_cosines(
         [(rows,)],
         "_cents array<struct<cid:int,cvec:array<double>,cnorm:double>>",
     )
-    staged = df.crossJoin(F.broadcast(cdf))
+    return centroid_cosines_df(df, cdf)
+
+
+def inplan_seed_cents(seed_df: DataFrame, cid: Column) -> DataFrame:
+    """ONE-row ``_cents`` relation (the :func:`centroid_cosines` broadcast
+    schema) built IN-PLAN from a bounded seed scan instead of a driver
+    collect + ``createDataFrame``: the K seed rows never leave the
+    executors — the broadcast build side runs the bounded pushdown scan
+    inside the consuming job, so the caller saves one whole driver job
+    per query (guide §5; the seed collect measured ~0.45 s warm at
+    sf0.1, r15). ``seed_df`` must carry ``vec`` and ``_vnorm``. Values
+    are bit-identical to the collected form: ``_vnorm`` IS the
+    ``l2_norm`` column whose Python twin ``_py_l2norm`` is pinned
+    bit-equal, and ``sort_array`` over the struct orders by ``cid``
+    (first field) exactly as the collected rows were ordered by id."""
+    c = F.struct(
+        cid.cast("int").alias("cid"),
+        F.col("vec").alias("cvec"),
+        F.col("_vnorm").alias("cnorm"),
+    )
+    return seed_df.select(c.alias("_c")).agg(
+        F.sort_array(F.collect_list("_c")).alias("_cents")
+    )
+
+
+def centroid_cosines_df(
+    df: DataFrame, cents_df: DataFrame
+) -> tuple[DataFrame, Column, Column]:
+    """(staged_df, sims, ids) against a 1-row ``_cents`` relation — the
+    broadcast branch of :func:`centroid_cosines`, shared by the collected
+    (``createDataFrame``) and in-plan (:func:`inplan_seed_cents`) centroid
+    sources. Identical expression shape → identical IEEE doubles."""
+    staged = df.crossJoin(F.broadcast(cents_df))
     sims = F.transform(
         F.col("_cents"),
         lambda c: dot(F.col("vec"), c["cvec"]) / (F.col("_vnorm") * c["cnorm"]),
@@ -453,31 +485,58 @@ def ivf_assign(
     # capacity rule (q_semdedup_prune scales K with the corpus) pass a
     # wider range — same id convention, ids lo..hi, bucket = id - lo.
     lo, hi = seed_range if seed_range is not None else IVF_CENTROID_IDS
-    # Centroids are model state (K x dim doubles — KBs): collect once and
-    # re-ship so each assignment pass is a zero-shuffle map (argmax via
-    # array_position over a per-row cosine array), not a join + aggregate.
-    # Encoding (literal vs broadcast matrix) per centroid_cosines.
-    seed_rows = (
-        base.filter(F.col("vec_id").between(lo, hi)).orderBy("vec_id").collect()
-    )
-    centroids = [(int(r.vec_id) - lo, [float(x) for x in r.vec]) for r in seed_rows]
+    from parquet_compactor_spark.llm.cluster import LITERAL_CENTROID_MAX
+
+    eff_lit = literal_max if literal_max is not None else LITERAL_CENTROID_MAX
 
     def with_csims(
         df: DataFrame, cents: list[tuple[int, list[float]]]
     ) -> tuple[DataFrame, Column, Column]:
         return centroid_cosines(df, cents, literal_max)
 
-    if lloyd:
+    if lloyd and (hi - lo + 1) > eff_lit:
         # One Lloyd round: coarse-assign, then refine each cell to the
         # per-dimension mean of its members (rounded so the differential
         # oracle reproduces the exact doubles). Cells that went empty
-        # simply drop out, as in the oracle.
-        staged, sims, ids = with_csims(e, centroids)
+        # simply drop out, as in the oracle. The SEED centroids ride
+        # IN-PLAN (inplan_seed_cents): every lloyd=True caller consumes
+        # only the REFINED matrix below, so the former seed collect was
+        # a pure extra driver job — the bounded pushdown seed scan now
+        # executes inside the first assignment job's broadcast build
+        # (guide §5; r15). Bit-identical to the collected form (see
+        # inplan_seed_cents).
+        cents0 = inplan_seed_cents(
+            base.filter(F.col("vec_id").between(lo, hi)),
+            F.col("vec_id") - F.lit(lo),
+        )
+        staged, sims, ids = centroid_cosines_df(e, cents0)
         assign1 = staged.select(_argmax_bucket(sims, ids).alias("cluster"), "vec")
         means = per_dim_means(assign1, ndigits=IVF_ROUND)
         centroids = sorted(
             (int(r.cluster), [float(x) for x in r.cvec]) for r in means
         )
+    else:
+        # Literal-encoding callers (and lloyd=False, whose returned
+        # ``centroids`` ARE the seeds) need the Python-side seed values:
+        # collect once — K x dim doubles of model state off the raw
+        # pushdown scan, no exchange in the job.
+        seed_rows = (
+            base.filter(F.col("vec_id").between(lo, hi))
+            .orderBy("vec_id")
+            .collect()
+        )
+        centroids = [
+            (int(r.vec_id) - lo, [float(x) for x in r.vec]) for r in seed_rows
+        ]
+        if lloyd:
+            staged, sims, ids = with_csims(e, centroids)
+            assign1 = staged.select(
+                _argmax_bucket(sims, ids).alias("cluster"), "vec"
+            )
+            means = per_dim_means(assign1, ndigits=IVF_ROUND)
+            centroids = sorted(
+                (int(r.cluster), [float(x) for x in r.cvec]) for r in means
+            )
 
     staged, sims, ids = with_csims(e, centroids)
     assign = staged.select(
@@ -690,13 +749,17 @@ def semantic_dedup(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
     ).withColumn("_vnorm", l2_norm(F.col("vec")))
-    if centroids is None:
-        seed_rows = v.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
-        centroids = [(int(r.vec_id), [float(x) for x in r.vec]) for r in seed_rows]
-
     from parquet_compactor_spark.llm.text import persist_tracked
 
-    staged, sims, cids = centroid_cosines(v, centroids)
+    if centroids is None:
+        # Default deterministic seeds ride IN-PLAN (no driver collect —
+        # the bounded seed scan runs inside the assignment job's
+        # broadcast build; bit-identical values, see inplan_seed_cents).
+        staged, sims, cids = centroid_cosines_df(
+            v, inplan_seed_cents(v.filter(F.col("vec_id") < k), F.col("vec_id"))
+        )
+    else:
+        staged, sims, cids = centroid_cosines(v, centroids)
     # Three consumers below (pair sides a/b + the per-cell rollup) and
     # the assignment subtree has NO exchange for plan-level reuse to
     # collapse — without the persist each consumer re-ran the full
@@ -2215,18 +2278,17 @@ def q_ivf_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     old_raw, new_raw = raw.filter(~is_new), raw.filter(is_new)
     # Seeds off the raw pushdown-friendly OLD projection (the
     # round-12 ivf_assign rule: model collects never cross a spread
-    # exchange).
+    # exchange) — riding IN-PLAN since r15 (inplan_seed_cents): only
+    # the FROZEN refined matrix below is consumed driver-side, so the
+    # former seed collect was a pure extra driver job.
     lo, hi = IVF_CENTROID_IDS
-    seed_rows = (
-        project(old_raw)
-        .filter(F.col("vec_id").between(lo, hi))
-        .orderBy("vec_id")
-        .collect()
+    cents0 = inplan_seed_cents(
+        project(old_raw).filter(F.col("vec_id").between(lo, hi)),
+        F.col("vec_id") - F.lit(lo),
     )
-    cents = [(int(r.vec_id) - lo, [float(x) for x in r.vec]) for r in seed_rows]
     old = project(spread_scan(old_raw))
     new = project(spread_scan(new_raw))
-    staged, sims, ids = centroid_cosines(old, cents)
+    staged, sims, ids = centroid_cosines_df(old, cents0)
     assign1 = staged.select(_argmax_bucket(sims, ids).alias("cluster"), "vec")
     means = per_dim_means(assign1, ndigits=IVF_ROUND)
     frozen = sorted((int(r.cluster), [float(x) for x in r.cvec]) for r in means)
