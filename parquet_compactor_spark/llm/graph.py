@@ -44,7 +44,9 @@ def pagerank_micro(edges: DataFrame, iterations: int = _ITERATIONS) -> DataFrame
 
     Scale shape: the out-degree is attached to every edge up front
     with ONE window count over the src-partitioned edge shuffle (no
-    degree join), and the (src, dst, d) table is cached ONCE via
+    degree join) — callers that already carry a ``d`` column (see
+    ``q_pagerank``'s fused dedup+degree build) skip that pass — and
+    the (src, dst, d) table is cached ONCE via
     persist_tracked so every round's join reads the materialized
     edge table instead of re-running the candidate-generation plan —
     and so the harness's release_guard_caches() frees it between
@@ -64,11 +66,14 @@ def pagerank_micro(edges: DataFrame, iterations: int = _ITERATIONS) -> DataFrame
 
     from parquet_compactor_spark.llm.text import persist_tracked
 
-    e = persist_tracked(
-        edges.select("src", "dst").withColumn(
-            "d", F.count(F.lit(1)).over(Window.partitionBy("src"))
+    if "d" in edges.columns:
+        e = persist_tracked(edges.select("src", "dst", "d"))
+    else:
+        e = persist_tracked(
+            edges.select("src", "dst").withColumn(
+                "d", F.count(F.lit(1)).over(Window.partitionBy("src"))
+            )
         )
-    )
     ranks = e.select(F.col("src").alias("node")).distinct().select(
         "node", F.lit(_R0_MICRO).cast("bigint").alias("r")
     )
@@ -162,10 +167,19 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    # Global pair dedup AND out-degree in ONE groupBy(src) shuffle
+    # (r15): collect_set(dst) per src IS the distinct edge set, and its
+    # size IS the degree the former separate distinct + window pair
+    # recomputed (2 edge-table exchanges -> 1; identical (src, dst, d)
+    # rows — integer ranks unchanged, oracle differential). Skew
+    # posture is unchanged too: the window form already put all of one
+    # src's rows on a single WindowExec task.
     edges = (
         pair_sets.select(F.explode(pair_arr).alias("p"))
         .select(F.col("p.src").alias("src"), F.col("p.dst").alias("dst"))
-        .distinct()
+        .groupBy("src")
+        .agg(F.collect_set("dst").alias("ds"))
+        .select("src", F.size("ds").alias("d"), F.explode("ds").alias("dst"))
     )
     ranks = pagerank_micro(edges)
     return (

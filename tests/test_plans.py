@@ -878,7 +878,12 @@ PLAN_SHAPE_PINS = {
     # rank rounds (join + agg each) — LINEAR in iterations; an
     # Expand/Cartesian/BNLJ appearing (or a step change in exchanges)
     # is drift.
-    "q_pagerank":           (19, 0, 0, 0),
+    # Re-pinned r15: the global pair dedup and the out-degree fused
+    # into ONE groupBy(src) collect_set shuffle (the former separate
+    # distinct + window count pair cost 2 edge-table exchanges), so the
+    # persisted edge table's build lineage rendered under each
+    # InMemoryTableScan reference shrank again: 19 -> 15.
+    "q_pagerank":           (15, 0, 0, 0),
     # Like q_dup_clusters (its frame hangs off the CC loop's last
     # localCheckpoint) plus one component-keyed window exchange.
     "q_dedup_survivorship": (3,  0, 0, 0),
