@@ -78,7 +78,12 @@ def pagerank_micro(edges: DataFrame, iterations: int = _ITERATIONS) -> DataFrame
         "node", F.lit(_R0_MICRO).cast("bigint").alias("r")
     )
     for _ in range(iterations):
-        contrib = e.join(ranks, e.src == ranks.node).select(
+        # SHUFFLE_HASH on the rank side (r15): ranks is unique-keyed by
+        # node, so per-partition hash builds are uniform — skips the
+        # SMJ sort passes each round (same A/B-measured win as the
+        # connected_components round joins; median 3.04 -> 2.73 s at
+        # sf0.1, identical integer ranks).
+        contrib = e.join(ranks.hint("SHUFFLE_HASH"), e.src == ranks.node).select(
             "dst", F.expr("r div d").alias("c")
         )
         ranks = contrib.groupBy("dst").agg(
