@@ -342,9 +342,17 @@ def prefix_filter_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     tn, td = _frac.numerator, _frac.denominator
 
     ex = hs_tbl.select("doc_id", "sz", F.explode("hs").alias("k"))
-    df_tbl = ex.groupBy("k").agg(F.count(F.lit(1)).alias("df"))
+    # Document frequency via ONE window count over the hash-keyed
+    # shuffle (r15): the former groupBy(k) agg + equi-join BACK onto ex
+    # shuffled the full exploded table by k for the join anyway, so the
+    # separate df aggregate exchange (and the SortMergeJoin) was pure
+    # extra — same df values on the same rows, same hot-key placement
+    # (both forms cluster a hot shingle hash on one task). Interleaved
+    # same-JVM A/B x4: q_dedup_cascade median 4.92 -> 4.30 s,
+    # q_lsh_tuning/q_ssjoin_exact at parity, results identical.
+    wk = Window.partitionBy("k")
     wdoc = Window.partitionBy("doc_id").orderBy("df", "k")
-    ranked = ex.join(df_tbl, "k").select(
+    ranked = ex.withColumn("df", F.count(F.lit(1)).over(wk)).select(
         "doc_id", "sz", "k", F.row_number().over(wdoc).alias("pos")
     )
     # plen = sz - ceil(t*sz) + 1; ceil(a/b) = (a + b - 1) div b.

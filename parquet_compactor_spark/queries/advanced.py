@@ -1454,13 +1454,21 @@ def q_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     spine = t1.crossJoin(t2).filter(F.col("src1") < F.col("src2"))
     e1 = sketch.select(F.col("source").alias("src1"), "h")
     e2 = sketch.select(F.col("source").alias("src2"), "h")
+    # Every join below is between sketch-BOUNDED tables (<= K rows per
+    # source / source-pair rows — model state at any corpus size), but
+    # the planner saw SortMergeJoins for four of them (sketch size
+    # estimates arrive too late for the initial plan). Broadcast the
+    # smaller, strictly-bounded side explicitly: 4 SMJ -> 0, four
+    # sort+exchange pairs gone (r15; guide §3.1 — the broadcast side is
+    # bounded BY CONSTRUCTION, so this is scale-safe, unlike
+    # corpus-shaped broadcasts).
     pu = (
         spine.select("src1", "src2")
-        .join(e1, "src1")
+        .join(F.broadcast(e1), "src1")
         .select("src1", "src2", "h")
         .unionByName(
             spine.select("src1", "src2")
-            .join(e2, "src2")
+            .join(F.broadcast(e2), "src2")
             .select("src1", "src2", "h")
         )
         .distinct()
@@ -1483,12 +1491,12 @@ def q_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     shared = (
-        e1.join(e2, "h")
+        e1.join(F.broadcast(e2), "h")
         .filter(F.col("src1") < F.col("src2"))
         .select("src1", "src2", "h")
     )
     common = (
-        spine.join(shared, ["src1", "src2"], "left")
+        spine.join(F.broadcast(shared), ["src1", "src2"], "left")
         .select(
             "src1",
             "src2",
@@ -1510,7 +1518,7 @@ def q_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("m")
         )
     )
-    return common.join(uest, ["src1", "src2"]).select(
+    return common.join(F.broadcast(uest), ["src1", "src2"]).select(
         "src1",
         "src2",
         "est_d1",

@@ -983,7 +983,12 @@ PLAN_SHAPE_PINS = {
     # 1-row stage-counts x 1-row removals scalar join. A
     # CartesianProduct appearing means stage 3 escaped the
     # prefix-filter bound.
-    "q_dedup_cascade":      (49, 0, 0, 1),
+    # Re-pinned r15: prefix_filter_pairs computes document frequency
+    # with a window count over the hash-keyed shuffle instead of a
+    # groupBy agg + join back (the join re-shuffled the full exploded
+    # table anyway): 49 -> 37 Exchange mentions (the persisted
+    # hashed-set lineage renders under each consumer).
+    "q_dedup_cascade":      (37, 0, 0, 1),
     # Source overlap (re-pinned r14 session 4): ONE gram-hash
     # collect_set exchange (replacing the former distinct + gram
     # self-join — SortMergeJoin count 2 -> 0, Exchange mentions
@@ -1021,7 +1026,9 @@ PLAN_SHAPE_PINS = {
     # joined to the 5-row probe counts. No Expand/Cartesian/BNLJ may
     # EVER appear: a pair op here means a band bucket or the prefix
     # join escaped its key.
-    "q_lsh_tuning":         (21, 0, 0, 0),
+    # Re-pinned r15: prefix_filter_pairs df window (see q_dedup_cascade
+    # note): 21 -> 19.
+    "q_lsh_tuning":         (19, 0, 0, 0),
     # IVF refresh: the two-pass frozen-centroid build on the OLD
     # corpus (spread assignment + Lloyd mean shuffle) + the new-shard
     # assignment + two K-row count aggs meeting in one full-outer join
@@ -1035,7 +1042,8 @@ PLAN_SHAPE_PINS = {
     # build lineage renders under 4 InMemoryTableScan consumers + df
     # agg + prefix window + hash equi-join + narrow verify). No pair
     # op may ever appear.
-    "q_ssjoin_exact":       (9,  0, 0, 0),
+    # Re-pinned r15: prefix_filter_pairs df window: 9 -> 7.
+    "q_ssjoin_exact":       (7,  0, 0, 0),
     # KMV theta sketches: distinct + per-source top-k window builds the
     # persist-tracked sketch (lineage under 5 consumers); all pair math
     # runs on sketch rows. The 3 BNLJ are the ONE bounded sources x
