@@ -1051,7 +1051,10 @@ PLAN_SHAPE_PINS = {
     # class) rendered under its three consuming branches (both union
     # arms + the common-hash rollup); a fourth means sketch rows
     # started pairing outside the spine.
-    "q_kmv_intersect":      (35, 0, 0, 3),
+    # Re-pinned r15: explicit broadcasts on the four sketch-bounded
+    # post-sketch joins (initial-plan SMJ 4 -> 0): 35 -> 34 Exchange
+    # mentions at the smoke fixture.
+    "q_kmv_intersect":      (34, 0, 0, 3),
     # Poisson bootstrap: explode x32 + two hash aggs + the per-source
     # order-stat arrays + one 20-row join — scan-shaped, no pair ops.
     # Re-pinned r14 (change #10: the 32x-explode scan is spread —
